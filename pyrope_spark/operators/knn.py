@@ -1,0 +1,226 @@
+"""Batch brute-force top-K vector search.
+
+Reference: linear scan with bounded heap, tombstone skip, optional scan cap
+(``src/Pyrope.GarnetServer/Vector/BruteForceVectorIndex.cs:275-379``), tag
+has-ALL filter applied at hydration
+(``Extensions/VectorCommandSet.cs:461-481,802-824``).
+
+Spark-first design — the query set is a DataFrame, not a loop:
+
+- ``impl='expr'``  : broadcast the query table, crossJoin against the vector
+  table, score with native ``zip_with``/``aggregate`` expressions (whole-stage
+  codegen, exact double math — the oracle-parity path).
+- ``impl='gemm'``  : collect the (small) query set to a numpy matrix,
+  broadcast it, and scan the vector table with ``mapInPandas``: each Arrow
+  batch computes a BLAS matrix product (batch x dim) @ (dim x Q) and emits
+  only the per-batch top-K per query. The shuffle then carries at most
+  K * partitions rows per query instead of N rows per query. This is the
+  100 TB path: per-executor GEMM + partial top-K ≈ the reference's SIMD
+  kernels + bounded heap, but distributed.
+
+Both paths end with a global per-query top-K (``topk_per_group``) and
+deterministic id tiebreak.
+
+Filters (tombstone, tags) are applied BEFORE scoring, so Catalyst pushes them
+into the Parquet scan — strictly better recall than the reference's
+post-ANN hydration filter (a documented deviation for the exact path; the
+approximate IVF path in ``pyrope_spark.operators.ivf`` keeps the reference's
+post-filter semantics for parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyrope_spark.functions.vector import normalize_metric, score
+from pyrope_spark.operators.topk import topk_per_group
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def tag_filter_expr(tags_col, filter_tags_col):
+    """has-ALL semantics: record.tags ⊇ filter_tags; empty/NULL filter passes
+    (reference: ``Extensions/VectorCommandSet.cs:802-824``)."""
+    return (
+        filter_tags_col.isNull()
+        | (F.size(filter_tags_col) == 0)
+        | (F.size(F.array_except(filter_tags_col, F.coalesce(tags_col, F.array()))) == 0)
+    )
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int | None = None,
+    metric: str = "l2",
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    k_col: str | None = None,
+    deleted_col: str | None = None,
+    tags_col: str | None = None,
+    filter_tags_col: str | None = None,
+    max_scans: int | None = None,
+    impl: str = "expr",
+    two_phase: bool | None = None,
+) -> DataFrame:
+    """Exact top-K for every query row; returns
+    ``(query_id, id, score, rank)`` (+ passthrough query columns stay joinable
+    by query_id).
+
+    ``k_col`` lets each query carry its own top_k (reference request shape,
+    ``Extensions/VectorCommandParser.cs:42-78``); ``k`` is the global default.
+    ``max_scans`` caps scanned rows (reference scan budget,
+    ``BruteForceVectorIndex.cs:288``) — approximate by construction.
+    """
+    metric = normalize_metric(metric)
+    if k is None and k_col is None:
+        raise ValueError("need k or k_col")
+
+    live = vectors
+    if deleted_col is not None:
+        live = live.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    if max_scans is not None:
+        live = live.limit(max_scans)
+
+    if impl == "gemm":
+        scored = _score_gemm(live, queries, metric, k or 0, id_col, vector_col, query_id_col, query_vector_col)
+        # tag filter needs query columns; join them back on query_id
+        if filter_tags_col is not None and tags_col is not None:
+            tag_map = live.select(F.col(id_col).alias("id"), F.col(tags_col).alias("_tags"))
+            qf = queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(filter_tags_col).alias("_ftags")
+            )
+            scored = (
+                scored.join(F.broadcast(qf), "query_id")
+                .join(tag_map, "id")
+                .filter(tag_filter_expr(F.col("_tags"), F.col("_ftags")))
+                .drop("_tags", "_ftags")
+            )
+    else:
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("_qvec"),
+            *(
+                [F.col(filter_tags_col).alias("_ftags")]
+                if filter_tags_col is not None
+                else []
+            ),
+            *([F.col(k_col).alias("_k")] if k_col is not None else []),
+        )
+        joined = live.crossJoin(F.broadcast(q))
+        if filter_tags_col is not None and tags_col is not None:
+            joined = joined.filter(tag_filter_expr(F.col(tags_col), F.col("_ftags")))
+        scored = joined.select(
+            F.col("query_id"),
+            F.col(id_col).cast("string").alias("id"),
+            score(metric, F.col("_qvec"), F.col(vector_col)).alias("score"),
+            *([F.col("_k")] if k_col is not None else []),
+        )
+
+    if two_phase is None:
+        two_phase = impl != "gemm"  # gemm already did a local cut
+    kmax = k if k_col is None else None
+    out = topk_per_group(
+        scored,
+        ["query_id"],
+        kmax if kmax is not None else 10**9,
+        score_col="score",
+        tiebreak_col="id",
+        two_phase=two_phase and kmax is not None,
+    )
+    if k_col is not None:
+        out = out.filter(F.col("rank") <= F.col("_k")).drop("_k")
+    return out
+
+
+def _score_gemm(
+    live: DataFrame,
+    queries: DataFrame,
+    metric: str,
+    k: int,
+    id_col: str,
+    vector_col: str,
+    query_id_col: str,
+    query_vector_col: str,
+) -> DataFrame:
+    """Vectorized scan: numpy GEMM per Arrow batch, emitting per-batch
+    top-K candidates only. Queries must be collect-able (they are the small
+    side by design — the reference handles one query at a time; we batch)."""
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # Q x d
+    spark = live.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    kk = max(k, 1)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_b, qmat_b = bq.value
+        nq = len(qids_b)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)  # B x d
+            ids = pdf[id_col].astype(str).to_numpy()
+            if metric == "ip":
+                scores = vmat @ qmat_b.T  # B x Q
+            elif metric == "l2":
+                # -(|v|^2 - 2 v.q + |q|^2)
+                v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                q2 = np.einsum("ij,ij->i", qmat_b, qmat_b)[None, :]
+                scores = -(v2 - 2.0 * (vmat @ qmat_b.T) + q2)
+            else:  # cosine
+                vnorm = np.linalg.norm(vmat, axis=1)
+                qnorm = np.linalg.norm(qmat_b, axis=1)
+                vdir = vmat / np.where(vnorm < 1e-6, 1.0, vnorm)[:, None]
+                qdir = qmat_b / np.where(qnorm < 1e-6, 1.0, qnorm)[:, None]
+                scores = vdir @ qdir.T
+                scores[vnorm < 1e-6, :] = 0.0
+                scores[:, qnorm < 1e-6] = 0.0
+            top = min(kk, scores.shape[0])
+            # per-query partial top-k inside the batch (argpartition = O(B))
+            idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]  # top x Q
+            out_q, out_i, out_s = [], [], []
+            for j in range(nq):
+                rows = idx[:, j]
+                out_q.extend([qids_b[j]] * len(rows))
+                out_i.extend(ids[rows])
+                out_s.extend(scores[rows, j])
+            yield pd.DataFrame({"query_id": out_q, "id": out_i, "score": out_s})
+
+    cols = live.select(F.col(id_col).alias(id_col), F.col(vector_col).alias(vector_col))
+    return cols.mapInPandas(scan, RESULT_SCHEMA)
+
+
+def hydrate(
+    hits: DataFrame,
+    store: DataFrame,
+    *,
+    id_col: str = "id",
+    include_meta: bool = True,
+    meta_col: str = "meta",
+    deleted_col: str = "deleted",
+) -> DataFrame:
+    """Join ANN hit ids back to the record store, dropping missing/deleted
+    rows and attaching meta (reference: ``VectorCommandSet.cs:461-481``)."""
+    sel = [F.col(id_col), F.col(deleted_col)] + ([F.col(meta_col)] if include_meta else [])
+    rec = store.select(*sel)
+    out = hits.join(rec, on=id_col, how="inner").filter(
+        ~F.coalesce(F.col(deleted_col), F.lit(False))
+    )
+    return out.drop(deleted_col)

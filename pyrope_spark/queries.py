@@ -1,0 +1,93 @@
+"""The declared query surface: every operator exposed through
+``__spark_entry__.queries()`` with a DuckDB oracle where SQL-expressible.
+
+Each entry is ``name -> (spark_fn, oracle_sql | None)``. The driver runs both
+at sf=0.01 and hash-compares (row count + schema + order-insensitive value
+hash), so every computed column is aliased identically on both sides, floats
+are rounded, and ranks/ counts are cast to BIGINT.
+
+The vector workload uses the ``embeddings`` table (vec_id BIGINT,
+embedding ARRAY<FLOAT> dim 64, label INT); the first ``N_QUERIES`` rows
+double as the query set (deterministic, self-contained).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrope_spark.catalog import load_table
+from pyrope_spark.functions.vector import oracle_score_sql
+from pyrope_spark.operators.knn import knn_bruteforce
+from pyrope_spark.session import configure_for_oracle
+
+N_QUERIES = 8
+TOP_K = 10
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# --------------------------------------------------------------------------
+# Brute-force KNN over embeddings (reference: BruteForceVectorIndex.cs:275-379)
+# --------------------------------------------------------------------------
+
+def _knn_oracle(metric: str) -> str:
+    score = oracle_score_sql(metric, "q.qv", "v.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), s AS (
+  SELECT CAST(q.qid AS VARCHAR) AS query_id,
+         CAST(v.vec_id AS VARCHAR) AS id,
+         {score} AS score
+  FROM q CROSS JOIN embeddings v
+), r AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk
+  FROM s
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+def _knn_spark(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector"))
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    hits = knn_bruteforce(vectors, qs, k=TOP_K, metric=metric, impl="expr")
+    return hits.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+for _metric in ("l2", "ip", "cosine"):
+    register(f"knn_bruteforce_{_metric}", _knn_oracle(_metric))(
+        lambda spark, sf_dir, m=_metric: _knn_spark(spark, sf_dir, m)
+    )

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Simulates the driver's verify pass locally:
+
+1. smoke: ``entry(spark)`` at sf0.001 must return rows with a stable schema;
+2. correctness: every ``queries()`` entry at sf0.01 vs its ``oracle_sql()``
+   in DuckDB — row count, column set, and order-insensitive value compare.
+
+Usage: python scripts/driver_check.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pyrope_spark.catalog import TABLES  # noqa: E402
+from pyrope_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_T2 = "/root/testdata/sf0.01"
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            except TypeError:
+                pass
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(only: list[str]) -> int:
+    spark = get_spark("driver_check")
+    t0 = time.time()
+    res = entrymod.entry(spark)
+    n = res.count()
+    print(f"[smoke] entry() -> {n} rows, schema={[f.name for f in res.schema.fields]} "
+          f"({time.time() - t0:.1f}s)")
+    assert n >= 0
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_con(SF_T2)
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = fn(spark, SF_T2).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: spark error {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(mine)} rows ({time.time() - t0:.1f}s)")
+            continue
+        try:
+            oracle = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: oracle error {e}")
+            continue
+        a, b = canon(mine), canon(oracle)
+        status = []
+        if len(a) != len(b):
+            status.append(f"rowcount {len(a)} != {len(b)}")
+        if list(a.columns) != list(b.columns):
+            status.append(f"cols {list(a.columns)} != {list(b.columns)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=2e-6)
+            except AssertionError as e:
+                status.append(f"values differ: {str(e)[:300]}")
+        if status:
+            failures.append(name)
+            print(f"[FAIL] {name}: {'; '.join(status)}")
+        else:
+            print(f"[OK]   {name}: {len(a)} rows match ({time.time() - t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
