@@ -1,0 +1,251 @@
+"""Parquet-backed vector record store with LSM head/tail semantics.
+
+Reference model:
+- record store = in-memory dict keyed "{tenant}:{index}:{id}" with tombstone
+  deletes and createdAt-preserving upserts
+  (``Services/VectorStore.cs:11,23-58``);
+- per-index LSM split: mutable brute-force HEAD + built TAIL, merged at
+  search with head winning on id collision; compaction moves head->tail
+  (``Vector/DeltaVectorIndex.cs:29-158``).
+
+Spark-first design (NOT a dict port):
+- One logical table, physically ``head/`` and ``tail/`` parquet datasets
+  partitioned by ``(tenant_id, index_name)`` — partition pruning makes
+  per-index operations touch only their files at 100 TB.
+- Writes are APPENDS to head carrying a monotonic ``_seq`` (the registry
+  epoch). Reads resolve latest-wins via a window over the key — the same
+  contract Delta Lake's MERGE would give; on a real deployment swap the
+  head-append + resolve for ``MERGE INTO`` on a Delta table and the epoch
+  for the table version (see SURVEY.md §4).
+- Compaction (= the reference ``Build()``) rewrites tail as the resolved
+  snapshot and truncates head — a pure batch job.
+
+Tombstone contract (ported exactly, FIXTURES.md F4 step 7):
+- DEL marks ``deleted=true``; searches must never return the row.
+- ADD of a tombstoned id still fails ("Vector already exists",
+  ``Services/VectorStore.cs:13-21``); only UPSERT resurrects it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyrope_spark.functions.vector import normalize_metric
+from pyrope_spark.operators.knn import knn_bruteforce
+from pyrope_spark.store.registry import IndexRegistry
+
+KEY_COLS = ["tenant_id", "index_name", "id"]
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant_id", T.StringType(), False),
+        T.StructField("index_name", T.StringType(), False),
+        T.StructField("id", T.StringType(), False),
+        T.StructField("vector", T.ArrayType(T.FloatType()), False),
+        T.StructField("meta", T.StringType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("numeric_fields", T.MapType(T.StringType(), T.DoubleType()), True),
+        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+        T.StructField("deleted", T.BooleanType(), False),
+        T.StructField("_seq", T.LongType(), False),
+    ]
+)
+
+DATA_COLS = [f.name for f in RECORD_SCHEMA.fields]
+
+
+class DuplicateIdError(ValueError):
+    """Reference: "Vector already exists" (VectorCommandSet.cs:605-610)."""
+
+
+class VectorStore:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path
+        self.head_path = os.path.join(base_path, "head")
+        self.tail_path = os.path.join(base_path, "tail")
+        self.registry = IndexRegistry(os.path.join(base_path, "registry.json"))
+        os.makedirs(base_path, exist_ok=True)
+
+    # ---------------------------------------------------------------- reads
+
+    def _read(self, path: str) -> DataFrame:
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+        return self.spark.read.schema(RECORD_SCHEMA).parquet(path)
+
+    def snapshot(self, tenant_id: str | None = None, index_name: str | None = None) -> DataFrame:
+        """Latest-wins resolved view of head ∪ tail, INCLUDING tombstones
+        (the reference store keeps deleted records, VectorStore.cs:41-58)."""
+        df = self._read(self.head_path).unionByName(self._read(self.tail_path))
+        if tenant_id is not None:
+            df = df.filter(F.col("tenant_id") == tenant_id)
+        if index_name is not None:
+            df = df.filter(F.col("index_name") == index_name)
+        w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_seq"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+        )
+
+    def live(self, tenant_id: str | None = None, index_name: str | None = None) -> DataFrame:
+        return self.snapshot(tenant_id, index_name).filter(~F.col("deleted"))
+
+    def count(self, tenant_id: str, index_name: str) -> int:
+        """Per-index live count (reference: IVectorIndex.GetStats)."""
+        return self.live(tenant_id, index_name).count()
+
+    # --------------------------------------------------------------- writes
+
+    def _prep(self, df: DataFrame, seq: int, now: datetime) -> DataFrame:
+        out = df
+        if "meta" not in out.columns:
+            out = out.withColumn("meta", F.lit(None).cast("string"))
+        if "tags" not in out.columns:
+            out = out.withColumn("tags", F.array().cast("array<string>"))
+        if "numeric_fields" not in out.columns:
+            out = out.withColumn("numeric_fields", F.create_map().cast("map<string,double>"))
+        return (
+            out.withColumn("created_at", F.lit(now))
+            .withColumn("updated_at", F.lit(now))
+            .withColumn("deleted", F.lit(False))
+            .withColumn("_seq", F.lit(seq).cast("long"))
+            .select(*DATA_COLS)
+        )
+
+    def _check_dims(self, df: DataFrame) -> None:
+        dims = (
+            df.groupBy("tenant_id", "index_name")
+            .agg(F.collect_set(F.size("vector")).alias("dims"))
+            .collect()
+        )
+        for r in dims:
+            if len(r["dims"]) != 1:
+                raise ValueError(
+                    f"VEC_ERR_DIM: mixed dims {r['dims']} in {r['tenant_id']}:{r['index_name']}"
+                )
+            self.registry.get_or_create(r["tenant_id"], r["index_name"], r["dims"][0])
+
+    def add(self, df: DataFrame) -> int:
+        """Insert-only; any existing key (live OR tombstoned) is an error
+        (reference: VectorStore.TryAdd, VectorCommandSet.cs:605-615)."""
+        self._check_dims(df)
+        existing = self.snapshot().select(*KEY_COLS)
+        dups = df.select(*KEY_COLS).join(existing, KEY_COLS, "inner").limit(1).collect()
+        if dups:
+            d = dups[0]
+            raise DuplicateIdError(
+                f"Vector already exists: {d['tenant_id']}:{d['index_name']}:{d['id']}"
+            )
+        return self._append(df)
+
+    def upsert(self, df: DataFrame) -> int:
+        """Insert-or-replace preserving created_at; resurrects tombstones
+        (reference: VectorStore.Upsert, Services/VectorStore.cs:23-33)."""
+        self._check_dims(df)
+        seq = self.registry.next_seq()
+        now = datetime.now(timezone.utc)
+        prepped = self._prep(df, seq, now)
+        old = self.snapshot().select(*KEY_COLS, F.col("created_at").alias("_old_created"))
+        merged = (
+            prepped.join(old, KEY_COLS, "left")
+            .withColumn("created_at", F.coalesce("_old_created", "created_at"))
+            .drop("_old_created")
+            .select(*DATA_COLS)
+        )
+        merged.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
+        n = merged.count()
+        for m in {(r["tenant_id"], r["index_name"]) for r in df.select("tenant_id", "index_name").distinct().collect()}:
+            self.registry.bump_epoch(*m)
+        return n
+
+    def _append(self, df: DataFrame) -> int:
+        seq = self.registry.next_seq()
+        now = datetime.now(timezone.utc)
+        prepped = self._prep(df, seq, now)
+        prepped.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
+        n = prepped.count()
+        for t, i in {(r["tenant_id"], r["index_name"]) for r in df.select("tenant_id", "index_name").distinct().collect()}:
+            self.registry.bump_epoch(t, i)
+        return n
+
+    def delete(self, keys: list[tuple[str, str, str]]) -> int:
+        """Tombstone delete: keeps the record, flips ``deleted``, bumps epoch
+        (reference: VectorStore.cs:41-58, VectorCommandSet.cs:657-724)."""
+        kdf = self.spark.createDataFrame(keys, "tenant_id string, index_name string, id string")
+        current = self.snapshot().join(kdf, KEY_COLS, "inner").filter(~F.col("deleted"))
+        seq = self.registry.next_seq()
+        now = datetime.now(timezone.utc)
+        tomb = (
+            current.withColumn("deleted", F.lit(True))
+            .withColumn("updated_at", F.lit(now))
+            .withColumn("_seq", F.lit(seq).cast("long"))
+            .select(*DATA_COLS)
+        )
+        tomb.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
+        n = tomb.count()
+        for t, i in {(k[0], k[1]) for k in keys}:
+            if self.registry.get(t, i) is not None:
+                self.registry.bump_epoch(t, i)
+        return n
+
+    # ---------------------------------------------------------- search/build
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        tenant_id: str | None = None,
+        index_name: str | None = None,
+        metric: str | None = None,
+        impl: str = "expr",
+        **kw,
+    ) -> DataFrame:
+        """Brute-force search over the resolved live view — the head∪tail
+        merge with head-wins is exactly the reference delta-search dedup
+        (``Vector/DeltaVectorIndex.cs:76-122``), done here by the snapshot
+        window instead of a per-id merge loop."""
+        if metric is None and tenant_id is not None and index_name is not None:
+            m = self.registry.get(tenant_id, index_name)
+            metric = m.metric if m else "l2"
+        live = self.live(tenant_id, index_name)
+        return knn_bruteforce(
+            live,
+            queries,
+            k=k,
+            metric=normalize_metric(metric or "l2"),
+            tags_col="tags",
+            filter_tags_col="filter_tags" if "filter_tags" in queries.columns else None,
+            impl=impl,
+            **kw,
+        )
+
+    def compact(self) -> None:
+        """Head->tail compaction (reference Build(),
+        ``Vector/DeltaVectorIndex.cs:124-158``): tail := resolved snapshot,
+        head := empty. Atomic via write-new + directory swap, mirroring the
+        reference's tmp+rename snapshot discipline (``:160-191``)."""
+        snap = self.snapshot()
+        tmp = os.path.join(self.base, f"tail_new_{uuid.uuid4().hex}")
+        snap.write.mode("overwrite").partitionBy("tenant_id", "index_name").parquet(tmp)
+        old_tail = os.path.join(self.base, f"tail_old_{uuid.uuid4().hex}")
+        if os.path.exists(self.tail_path):
+            os.replace(self.tail_path, old_tail)
+        os.replace(tmp, self.tail_path)
+        if os.path.exists(self.head_path):
+            shutil.rmtree(self.head_path)
+        if os.path.exists(old_tail):
+            shutil.rmtree(old_tail)
+        for m in self.registry.all():
+            self.registry.bump_epoch(m.tenant_id, m.index_name)
+
+    def epoch(self, tenant_id: str, index_name: str) -> int:
+        m = self.registry.get(tenant_id, index_name)
+        return m.epoch if m else 0
