@@ -1,0 +1,188 @@
+"""IVF-Flat index: MLlib KMeans coarse quantizer + cluster-partitioned data.
+
+Reference: ``src/Pyrope.GarnetServer/Vector/IvfFlatVectorIndex.cs`` —
+build = k-means (k = min(nlist, n), seed 42, maxIter 10,
+``:85-145,116-119``), search = scan the ``nprobe`` nearest centroids'
+inverted lists (``:147-231``), plus an exact scan of the unbuilt buffer
+(covered in this engine by the store's head table).
+
+Spark-first design:
+- Build is one batch job: ``KMeans.fit`` (k-means|| init — strictly better
+  than the reference's random init) -> ``cluster_id`` column -> write
+  partitioned by ``cluster_id``. The "inverted list" IS the partition.
+- Probe selection runs driver-side over the (tiny) centroid matrix with the
+  index metric (reference FindNearestCentroid, ``KMeansUtils.cs:70-93``),
+  producing a small probes DataFrame that is broadcast-joined against the
+  data — Catalyst turns ``cluster_id IN (probes)`` into partition pruning,
+  so a 1000-executor scan touches only nprobe/nlist of the files. This is
+  the same physical trick as the reference's inverted lists, expressed as
+  storage partitioning.
+- Scoring/top-K reuse the brute-force operator on the pruned candidate set.
+
+Metric handling: MLlib KMeans supports euclidean + cosine distance. L2 and
+cosine map directly; for inner-product indexes we train on L2 (same as the
+reference, whose k-means mean-update is L2-style regardless of metric,
+``KMeansUtils.cs:46-62``) while probe *selection* uses the IP score, matching
+reference search behavior (``IvfFlatVectorIndex.cs:183-218``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrope_spark.functions.vector import normalize_metric
+from pyrope_spark.operators.knn import knn_bruteforce
+
+DEFAULT_NPROBE = 3  # reference: IvfFlatVectorIndex.cs:14
+DEFAULT_SEED = 42  # reference: IvfFlatVectorIndex.cs:116
+DEFAULT_MAX_ITER = 10  # reference: KMeansUtils.cs Train default
+
+
+@dataclass
+class IvfModel:
+    centroids: np.ndarray  # nlist x dim, float64
+    metric: str
+    nlist: int
+
+
+def build_ivf(
+    vectors: DataFrame,
+    nlist: int,
+    metric: str = "l2",
+    *,
+    vector_col: str = "vector",
+    seed: int = DEFAULT_SEED,
+    max_iter: int = DEFAULT_MAX_ITER,
+    cluster_col: str = "cluster_id",
+) -> tuple[DataFrame, IvfModel]:
+    """Fit the coarse quantizer and return (vectors + cluster_id, model).
+
+    k = min(nlist, row_count) — reference IvfFlatVectorIndex.cs:116-119.
+    """
+    metric = normalize_metric(metric)
+    n = vectors.count()
+    k = min(nlist, n)
+    if k < 1:
+        raise ValueError("cannot build IVF over an empty table")
+    feat = vectors.withColumn("_features", array_to_vector(F.col(vector_col)))
+    km = KMeans(
+        k=k,
+        maxIter=max_iter,
+        seed=seed,
+        featuresCol="_features",
+        predictionCol=cluster_col,
+        distanceMeasure="cosine" if metric == "cosine" else "euclidean",
+        initMode="k-means||",
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    centroids = np.asarray([c for c in model.clusterCenters()], dtype=np.float64)
+    return assigned, IvfModel(centroids=centroids, metric=metric, nlist=k)
+
+
+def write_ivf_table(assigned: DataFrame, path: str, cluster_col: str = "cluster_id") -> None:
+    """Persist partitioned by cluster so probe filters prune at the file level
+    (the Spark analog of the reference's atomic list swap,
+    ``IvfFlatVectorIndex.cs:134-139`` — Parquet overwrite is atomic enough
+    locally; production would be a Delta transactional overwrite)."""
+    assigned.write.mode("overwrite").partitionBy(cluster_col).parquet(path)
+
+
+def select_probes(model: IvfModel, queries: list[tuple[str, list[float]]], nprobe: int) -> list[tuple[str, int]]:
+    """Driver-side top-nprobe centroid selection per query using the index
+    metric score (reference: FindNearestCentroid, KMeansUtils.cs:70-93)."""
+    out = []
+    C = model.centroids  # nlist x dim
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        if model.metric == "ip":
+            scores = C @ q
+        elif model.metric == "l2":
+            d = C - q[None, :]
+            scores = -np.einsum("ij,ij->i", d, d)
+        else:
+            cn = np.linalg.norm(C, axis=1)
+            qn = np.linalg.norm(q)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(
+                    (cn < 1e-6) | (qn < 1e-6), 0.0, (C @ q) / (cn * max(qn, 1e-300))
+                )
+        top = np.argsort(-scores, kind="stable")[: min(nprobe, len(C))]
+        out.extend((qid, int(c)) for c in top)
+    return out
+
+
+def ivf_search(
+    assigned: DataFrame,
+    model: IvfModel,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = DEFAULT_NPROBE,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    cluster_col: str = "cluster_id",
+    deleted_col: str | None = None,
+    impl: str = "expr",
+) -> DataFrame:
+    """Search the nprobe nearest clusters per query
+    (reference: IvfFlatVectorIndex.cs:147-231).
+
+    The candidate set is ``assigned`` semi-joined to the probe list; with
+    ``assigned`` read from a cluster-partitioned table the probe filter is
+    partition pruning. Scoring + per-query top-K reuse ``knn_bruteforce``
+    on the pruned set (metric-exact within probed clusters).
+    """
+    spark = assigned.sparkSession
+    qrows = [(r[query_id_col], list(r[query_vector_col])) for r in queries.select(query_id_col, query_vector_col).collect()]
+    probe_pairs = select_probes(model, qrows, nprobe)
+    probes = spark.createDataFrame(probe_pairs, f"{query_id_col} string, {cluster_col} int")
+
+    # prune data to probed clusters once (partition pruning), then restrict
+    # each query to its own probed clusters via the probe join
+    probed_clusters = sorted({c for _, c in probe_pairs})
+    cand = assigned.filter(F.col(cluster_col).isin(probed_clusters))
+    if deleted_col is not None:
+        cand = cand.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qvec")
+    )
+    pairs = (
+        cand.join(
+            F.broadcast(probes.withColumnRenamed(query_id_col, "query_id")), cluster_col
+        )
+        .join(F.broadcast(qv), "query_id")
+    )
+
+    from pyrope_spark.functions.vector import score as score_expr
+    from pyrope_spark.operators.topk import topk_per_group
+
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).cast("string").alias("id"),
+        score_expr(model.metric, F.col("_qvec"), F.col(vector_col)).alias("score"),
+    )
+    return topk_per_group(scored, ["query_id"], k, score_col="score", tiebreak_col="id")
+
+
+def ivf_recall(
+    approx: DataFrame, exact: DataFrame, k: int, query_id_col: str = "query_id"
+) -> float:
+    """recall@k = |approx ∩ exact| / |exact| averaged over queries (the
+    assertion the reference never ships — FIXTURES.md F3)."""
+    a = approx.select(query_id_col, "id")
+    e = exact.select(query_id_col, "id")
+    inter = a.join(e, [query_id_col, "id"], "inner").groupBy(query_id_col).count()
+    denom = e.groupBy(query_id_col).count().withColumnRenamed("count", "total")
+    joined = denom.join(inter, query_id_col, "left").fillna(0, ["count"])
+    row = joined.select(F.avg(F.col("count") / F.col("total")).alias("r")).collect()[0]
+    return float(row["r"] or 0.0)

@@ -91,3 +91,41 @@ for _metric in ("l2", "ip", "cosine"):
     register(f"knn_bruteforce_{_metric}", _knn_oracle(_metric))(
         lambda spark, sf_dir, m=_metric: _knn_spark(spark, sf_dir, m)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-Flat (reference: IvfFlatVectorIndex.cs:85-231)
+# --------------------------------------------------------------------------
+
+IVF_NLIST = 16
+
+
+def _ivf_spark(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    from pyrope_spark.operators.ivf import build_ivf, ivf_search
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    assigned, model = build_ivf(vectors, nlist=IVF_NLIST, metric="l2")
+    hits = ivf_search(assigned, model, qs, k=TOP_K, nprobe=nprobe)
+    return hits.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+# nprobe = nlist ⇒ exact: the brute-force SQL oracle applies verbatim
+register("ivf_flat_search_exact", _knn_oracle("l2"))(
+    lambda spark, sf_dir: _ivf_spark(spark, sf_dir, IVF_NLIST)
+)
+# approximate path: no SQL oracle (recall-gated in tests/test_ivf.py instead)
+register("ivf_flat_search_nprobe3", None)(
+    lambda spark, sf_dir: _ivf_spark(spark, sf_dir, 3)
+)

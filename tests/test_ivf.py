@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.ivf import build_ivf, ivf_recall, ivf_search, write_ivf_table
+from pyrope_spark.operators.knn import knn_bruteforce
+from tests.conftest import make_queries_df, make_vectors_df
+
+DIM = 16
+NLIST = 8
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    vectors = make_vectors_df(spark, n=400, dim=DIM, del_frac=0.0).cache()
+    queries = make_queries_df(spark, n=10, dim=DIM, k=10).cache()
+    return vectors, queries
+
+
+def test_build_assigns_every_vector(data):
+    vectors, _ = data
+    assigned, model = build_ivf(vectors, nlist=NLIST, metric="l2")
+    assert model.centroids.shape == (NLIST, DIM)
+    assert assigned.filter(F.col("cluster_id").isNull()).count() == 0
+    assert assigned.count() == vectors.count()
+    # every cluster id within range
+    ids = [r["cluster_id"] for r in assigned.select("cluster_id").distinct().collect()]
+    assert all(0 <= c < NLIST for c in ids)
+
+
+def test_build_idempotent_same_seed(data):
+    vectors, _ = data
+    a1, m1 = build_ivf(vectors, nlist=NLIST, metric="l2")
+    a2, m2 = build_ivf(vectors, nlist=NLIST, metric="l2")
+    assert (m1.centroids == m2.centroids).all()
+
+
+def test_nlist_capped_at_count(spark):
+    small = make_vectors_df(spark, n=5, dim=4, del_frac=0.0)
+    _, model = build_ivf(small, nlist=100)
+    assert model.nlist == 5
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+def test_full_probe_equals_bruteforce(data, metric):
+    """nprobe = nlist ⇒ IVF must return exactly the brute-force result."""
+    vectors, queries = data
+    assigned, model = build_ivf(vectors, nlist=NLIST, metric=metric)
+    approx = ivf_search(assigned, model, queries, k=10, nprobe=NLIST)
+    exact = knn_bruteforce(vectors, queries, k=10, metric=metric)
+    assert ivf_recall(approx, exact, 10) == 1.0
+
+
+def test_partial_probe_recall(data):
+    vectors, queries = data
+    assigned, model = build_ivf(vectors, nlist=NLIST, metric="l2")
+    approx = ivf_search(assigned, model, queries, k=10, nprobe=3)
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    r = ivf_recall(approx, exact, 10)
+    assert r >= 0.7, f"recall@10 {r} below FIXTURES threshold"
+
+
+def test_partition_pruning(data, spark, tmp_path):
+    """Probe filter must reach the parquet scan as partition pruning."""
+    vectors, queries = data
+    assigned, model = build_ivf(vectors, nlist=NLIST, metric="l2")
+    path = str(tmp_path / "ivf_table")
+    write_ivf_table(assigned, path)
+    table = spark.read.parquet(path)
+    pruned = table.filter(F.col("cluster_id").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster_id" in plan.replace("\n", " ") or "cluster_id#" in plan
+    # and search over the partitioned table still works
+    hits = ivf_search(table, model, queries, k=5, nprobe=3)
+    assert hits.groupBy("query_id").count().collect()[0]["count"] == 5
