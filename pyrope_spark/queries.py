@@ -129,3 +129,90 @@ register("ivf_flat_search_exact", _knn_oracle("l2"))(
 register("ivf_flat_search_nprobe3", None)(
     lambda spark, sf_dir: _ivf_spark(spark, sf_dir, 3)
 )
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization (reference: ScalarQuantizer.cs:8-86)
+# --------------------------------------------------------------------------
+
+def _sq8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.quantize import with_sq8
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_sq8(emb.select(F.col("vec_id"), F.col("embedding").alias("vector")))
+    return q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.aggregate(F.col("sq8_codes"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.round(F.col("sq8_min"), 6).alias("vmin"),
+        F.round(F.col("sq8_max"), 6).alias("vmax"),
+    )
+
+
+def _sq8_oracle() -> str:
+    from pyrope_spark.operators.quantize import sq8_oracle_sql
+
+    o = sq8_oracle_sql("embedding")
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(list_sum({o['codes']}) AS BIGINT) AS code_sum,
+       round({o['vmin']}, 6) AS vmin,
+       round({o['vmax']}, 6) AS vmax
+FROM embeddings
+"""
+
+
+register("sq8_quantize", _sq8_oracle())(_sq8_spark)
+
+
+# ---------------------------------------------------------------------------
+# PQ / IVF-PQ (reference: ProductQuantizer.cs, IvfPqVectorIndex.cs) —
+# k-means-trained codebooks are not SQL-expressible; recall thresholds are
+# asserted in tests/test_quantize.py, the driver records a rows-only check.
+# ---------------------------------------------------------------------------
+
+def _pq_adc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.pq import pq_adc_search, pq_encode, train_pq
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    model = train_pq(vectors, m=8, k=64)
+    enc = pq_encode(vectors, model)
+    hits = pq_adc_search(enc, model, qs, k=TOP_K)
+    return hits.select(
+        "query_id", "id", F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+register("pq_adc_search", None)(_pq_adc_spark)
+
+
+def _ivf_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.pq import build_ivf_pq, ivf_pq_search
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    encoded, model = build_ivf_pq(vectors, nlist=8, m=8, k=64)
+    hits = ivf_pq_search(encoded, model, qs, k=TOP_K, nprobe=3)
+    return hits.select(
+        "query_id", "id", F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+register("ivf_pq_search", None)(_ivf_pq_spark)
