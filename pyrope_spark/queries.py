@@ -216,3 +216,62 @@ def _ivf_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ivf_pq_search", None)(_ivf_pq_spark)
+
+
+# --------------------------------------------------------------------------
+# Simhash LSH (reference: Services/LshService.cs:14-70) — bit-exact across
+# engines via rounded projection literals inlined into the oracle SQL.
+# --------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+def _simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.simhash import simhash_udf_rounded
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        simhash_udf_rounded(EMB_DIM)(F.col("embedding")).alias("simhash"),
+    )
+
+
+def _simhash_oracle() -> str:
+    from pyrope_spark.operators.simhash import simhash_oracle_sql
+
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        + simhash_oracle_sql(EMB_DIM, "embedding")
+        + " AS simhash FROM embeddings"
+    )
+
+
+register("simhash64", _simhash_oracle())(_simhash_spark)
+
+
+# --------------------------------------------------------------------------
+# QueryKey RoundK buckets (reference: Model/QueryKey.cs:52-60)
+# --------------------------------------------------------------------------
+
+def _round_k_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.cache import round_k
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = (F.col("event_id") % 130 + 1).cast("int")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        round_k(k).cast("long").alias("rk"),
+    )
+
+
+register(
+    "querykey_round_k",
+    """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(CASE WHEN k <= 5 THEN 5 WHEN k <= 10 THEN 10 WHEN k <= 20 THEN 20
+                 WHEN k <= 50 THEN 50 WHEN k <= 100 THEN 100 ELSE k END AS BIGINT) AS rk
+FROM (SELECT event_id, CAST(event_id % 130 + 1 AS INT) AS k FROM events)
+""",
+)(_round_k_spark)
