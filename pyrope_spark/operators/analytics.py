@@ -1,0 +1,156 @@
+"""Sidecar/governance analytics as DataFrame jobs.
+
+Reference components re-expressed as batch analytics over an events table:
+
+- Markov prefetch rule training: first-order transition counts per
+  (tenant:index), rule = most-common next cluster with count >= 3
+  (``src/Pyrope.AISidecar/prediction_engine.py:16-79``). The reference's
+  in-memory last-cluster tracking becomes ``lag() OVER (PARTITION BY session
+  ORDER BY time)`` — pure window algebra.
+- Latency quantiles: nearest-rank p50/p95/p99
+  (``src/Pyrope.Benchmarks/Stats/LatencySummary.cs:8-50``).
+- Billing/usage metering: per-tenant request/hit/miss counts and compute
+  seconds = cost_units * CostUnitSeconds (``Services/BillingMeter.cs:31-117``).
+- Write-heat detection: a cluster is write-hot when it takes > threshold
+  writes inside a 60 s window (``Services/SemanticClusterRegistry.cs:84-121``)
+  — tumbling event-time window, streaming-ready.
+- Latency histogram buckets (``Services/MetricsCollector.cs:7-100``).
+
+All of these are shuffle-light at scale: they aggregate by low-cardinality
+keys (tenant, cluster, window), and partial aggregation happens map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_RULE_COUNT = 3  # reference: prediction_engine.py:62-66
+DEFAULT_COST_UNIT_SECONDS = 1.0
+WRITE_HOT_THRESHOLD = 10  # reference: SemanticClusterRegistry.cs write-heat
+LATENCY_BUCKETS_MS = [1.0, 5.0, 10.0, 50.0, 100.0, 500.0]  # MetricsCollector 6-bucket
+
+
+def markov_rules(
+    events: DataFrame,
+    *,
+    session_cols: list[str],
+    cluster_col: str,
+    order_cols: list[str],
+    min_count: int = MIN_RULE_COUNT,
+) -> DataFrame:
+    """Train prefetch rules: for each session stream, count transitions
+    between *different* consecutive clusters (self-transitions are ignored,
+    prediction_engine.py:22-31), keep the most frequent next per current with
+    count >= min_count. Ties break on smallest next cluster (deterministic —
+    the reference inherits dict insertion order, a documented deviation).
+
+    Returns (session_cols..., current, next, cnt).
+    """
+    w = Window.partitionBy(*session_cols).orderBy(*[F.col(c) for c in order_cols])
+    trans = (
+        events.withColumn("_prev", F.lag(F.col(cluster_col)).over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col(cluster_col)))
+        .groupBy(*session_cols, F.col("_prev").alias("current"), F.col(cluster_col).alias("next"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    rank_w = Window.partitionBy(*session_cols, "current").orderBy(
+        F.desc("cnt"), F.asc("next")
+    )
+    return (
+        trans.withColumn("_rn", F.row_number().over(rank_w))
+        .filter((F.col("_rn") == 1) & (F.col("cnt") >= min_count))
+        .drop("_rn")
+    )
+
+
+def nearest_rank_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    percentiles: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact nearest-rank quantiles (reference LatencySummary.cs:43-50:
+    rank = ceil(p * n), 1-indexed over the ascending sort). Emits one row per
+    group with p50/p95/p99-style columns.
+
+    Exact-sort-based on purpose (hash-comparable with the oracle);
+    for quick monitoring at scale use ``percentile_approx`` instead.
+    """
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    aggs = []
+    for p in percentiles:
+        name = f"p{int(p * 100)}"
+        aggs.append(
+            F.max(
+                F.when(F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")), F.col(value_col))
+            ).alias(name)
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def usage_metering(
+    events: DataFrame,
+    *,
+    tenant_col: str,
+    hit_col: Column | None = None,
+    cost_units_col: Column | None = None,
+    cost_unit_seconds: float = DEFAULT_COST_UNIT_SECONDS,
+) -> DataFrame:
+    """Per-tenant usage rollup (reference BillingMeter.cs:31-117):
+    requests/hits/misses, compute units and seconds."""
+    hit = hit_col if hit_col is not None else F.lit(False)
+    cost = cost_units_col if cost_units_col is not None else F.lit(0.0)
+    return events.groupBy(tenant_col).agg(
+        F.count("*").alias("requests"),
+        F.sum(hit.cast("long")).alias("cache_hits"),
+        F.sum((~hit).cast("long")).alias("cache_misses"),
+        F.round(F.sum(cost), 6).alias("compute_cost_units"),
+        F.round(F.sum(cost) * F.lit(cost_unit_seconds), 6).alias("compute_seconds"),
+    )
+
+
+def write_heat(
+    events: DataFrame,
+    *,
+    cluster_col: str,
+    ts_col: str = "ts",
+    window_s: int = 60,
+    threshold: int = WRITE_HOT_THRESHOLD,
+) -> DataFrame:
+    """Clusters with > threshold writes inside a tumbling window
+    (reference SemanticClusterRegistry.cs:84-121). Streaming-ready: the same
+    expression works under ``readStream`` with a watermark."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), f"{window_s} seconds").alias("w"), F.col(cluster_col)
+        )
+        .agg(F.count("*").alias("writes"))
+        .filter(F.col("writes") > threshold)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(cluster_col),
+            F.col("writes"),
+        )
+    )
+
+
+def latency_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: list[float] = LATENCY_BUCKETS_MS,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cumulative-bucket counts like the reference Prometheus histogram
+    (MetricsCollector.cs:54-100): bucket `le_X` counts values <= X, plus
+    +Inf = total."""
+    group_cols = group_cols or []
+    aggs = [
+        F.sum((F.col(value_col) <= b).cast("long")).alias(f"le_{str(b).replace('.', '_')}")
+        for b in buckets
+    ] + [F.count("*").alias("le_inf")]
+    return df.groupBy(*group_cols).agg(*aggs)

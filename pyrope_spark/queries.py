@@ -266,6 +266,173 @@ def _round_k_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Sidecar / governance analytics over the events table
+# --------------------------------------------------------------------------
+
+def _markov_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import markov_rules
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rules = markov_rules(
+        ev,
+        session_cols=["user_id"],
+        cluster_col="event_type",
+        order_cols=["ts_ns", "event_id"],
+    )
+    return rules.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("current").alias("cur"),
+        F.col("next").alias("nxt"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+register(
+    "markov_prefetch_rules",
+    """
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), c AS (
+  SELECT user_id, prev AS cur, event_type AS nxt, COUNT(*) AS cnt
+  FROM t WHERE prev IS NOT NULL AND prev <> event_type
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT user_id, cur, nxt, cnt,
+         row_number() OVER (PARTITION BY user_id, cur ORDER BY cnt DESC, nxt ASC) AS rn
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, cur, nxt, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rn = 1 AND cnt >= 3
+""",
+)(_markov_spark)
+
+
+def _latency_pct_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import nearest_rank_percentiles
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = nearest_rank_percentiles(ev, "value", ["event_type"])
+    return p.select(
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+register(
+    "latency_percentiles",
+    """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       round(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END), 6) AS p50,
+       round(MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END), 6) AS p95,
+       round(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END), 6) AS p99
+FROM r GROUP BY event_type
+""",
+)(_latency_pct_spark)
+
+
+def _usage_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import usage_metering
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return usage_metering(
+        ev,
+        tenant_col="user_id",
+        hit_col=F.col("event_type").isin("view", "click"),
+        cost_units_col=F.col("value") / 1000.0,
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("requests").cast("long").alias("requests"),
+        F.col("cache_hits").cast("long").alias("cache_hits"),
+        F.col("cache_misses").cast("long").alias("cache_misses"),
+        "compute_cost_units",
+        "compute_seconds",
+    )
+
+
+register(
+    "usage_metering",
+    """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS requests,
+       CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS BIGINT) AS cache_hits,
+       CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 0 ELSE 1 END) AS BIGINT) AS cache_misses,
+       round(SUM(value / 1000.0), 6) AS compute_cost_units,
+       round(SUM(value / 1000.0) * 1.0, 6) AS compute_seconds
+FROM events GROUP BY user_id
+""",
+)(_usage_spark)
+
+
+def _write_heat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import write_heat
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = ev.withColumn("cluster_id", (F.col("user_id") % 8).cast("int"))
+    hot = write_heat(ev, cluster_col="cluster_id", ts_col="ts", window_s=86400, threshold=5)
+    return hot.select(
+        F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("writes").cast("long").alias("writes"),
+    )
+
+
+register(
+    "write_heat_windows",
+    """
+SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) * 86400 AS BIGINT) AS window_start_s,
+       CAST(user_id % 8 AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS writes
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+HAVING COUNT(*) > 5
+""",
+)(_write_heat_spark)
+
+
+def _histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import latency_histogram
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = latency_histogram(ev, "value", group_cols=["event_type"])
+    return h.select(
+        "event_type",
+        *[F.col(c).cast("long").alias(c) for c in h.columns if c.startswith("le_")],
+    )
+
+
+register(
+    "latency_histogram",
+    """
+SELECT event_type,
+       CAST(SUM(CASE WHEN value <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_1_0,
+       CAST(SUM(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_5_0,
+       CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_10_0,
+       CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_50_0,
+       CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_100_0,
+       CAST(SUM(CASE WHEN value <= 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_500_0,
+       CAST(COUNT(*) AS BIGINT) AS le_inf
+FROM events GROUP BY event_type
+""",
+)(_histogram_spark)
+
+
 register(
     "querykey_round_k",
     """

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.analytics import (
+    latency_histogram,
+    markov_rules,
+    nearest_rank_percentiles,
+    usage_metering,
+    write_heat,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "sess string, ts int, cluster int")
+
+
+def test_markov_planted_transition(spark):
+    """F7: planted A->B with count >= 3 forms a rule; < 3 does not;
+    self-transitions ignored (prediction_engine.py:22-31,57-66)."""
+    rows = []
+    t = 0
+    for _ in range(3):  # A->B x3
+        rows += [("s1", (t := t + 1), 1), ("s1", (t := t + 1), 2)]
+    rows += [("s1", (t := t + 1), 1), ("s1", (t := t + 1), 1)]  # self-transition noise
+    rows += [("s2", 1, 5), ("s2", 2, 6), ("s2", 3, 5), ("s2", 4, 6)]  # only 2x each
+    df = _events(spark, rows)
+    rules = markov_rules(
+        df, session_cols=["sess"], cluster_col="cluster", order_cols=["ts"]
+    ).collect()
+    got = {(r["sess"], r["current"]): (r["next"], r["cnt"]) for r in rules}
+    assert got.get(("s1", 1)) == (2, 3)
+    assert ("s2", 5) not in got and ("s2", 6) not in got
+
+
+def test_markov_tiebreak_smallest_next(spark):
+    rows = []
+    t = 0
+    for nxt in (7, 3):  # 1->7 x3 and 1->3 x3: tie, expect 3
+        for _ in range(3):
+            rows += [("s", (t := t + 1), 1), ("s", (t := t + 1), nxt)]
+    df = _events(spark, rows)
+    rules = markov_rules(
+        df, session_cols=["sess"], cluster_col="cluster", order_cols=["ts"]
+    ).collect()
+    got = {r["current"]: r["next"] for r in rules}
+    assert got[1] == 3
+
+
+def test_nearest_rank_percentiles(spark):
+    """LatencySummary.cs nearest-rank: rank = ceil(p*n), 1-indexed."""
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = nearest_rank_percentiles(df, "v").collect()[0]
+    assert row["p50"] == 50.0  # ceil(0.5*100)=50
+    assert row["p95"] == 95.0
+    assert row["p99"] == 99.0
+    small = spark.createDataFrame([(10.0,), (20.0,), (30.0,)], "v double")
+    r2 = nearest_rank_percentiles(small, "v").collect()[0]
+    assert r2["p50"] == 20.0  # ceil(1.5)=2nd
+    assert r2["p99"] == 30.0
+
+
+def test_usage_metering(spark):
+    df = spark.createDataFrame(
+        [("t1", True, 1.0), ("t1", False, 2.0), ("t2", True, 0.5)],
+        "tenant string, hit boolean, cost double",
+    )
+    got = {
+        r["tenant"]: r
+        for r in usage_metering(
+            df, tenant_col="tenant", hit_col=F.col("hit"), cost_units_col=F.col("cost"),
+            cost_unit_seconds=2.0,
+        ).collect()
+    }
+    assert got["t1"]["requests"] == 2
+    assert got["t1"]["cache_hits"] == 1
+    assert got["t1"]["compute_cost_units"] == 3.0
+    assert got["t1"]["compute_seconds"] == 6.0
+
+
+def test_write_heat_threshold(spark):
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(seconds=i), 1) for i in range(12)]  # 12 writes in 60s
+    rows += [(base + timedelta(seconds=i * 30), 2) for i in range(4)]  # spread out
+    df = spark.createDataFrame(rows, "ts timestamp, cluster int")
+    hot = write_heat(df, cluster_col="cluster", ts_col="ts", window_s=60, threshold=10).collect()
+    assert [(r["cluster"], r["writes"]) for r in hot] == [(1, 12)]
+
+
+def test_latency_histogram_cumulative(spark):
+    df = spark.createDataFrame([(0.5,), (3.0,), (40.0,), (600.0,)], "v double")
+    row = latency_histogram(df, "v").collect()[0]
+    assert row["le_1_0"] == 1
+    assert row["le_5_0"] == 2
+    assert row["le_50_0"] == 3
+    assert row["le_500_0"] == 3
+    assert row["le_inf"] == 4
