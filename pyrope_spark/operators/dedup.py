@@ -1,0 +1,336 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north star). Five families,
+each designed around its 100 TB shuffle shape:
+
+- exact_dedup        : hash-groupBy on normalized text; one shuffle on the
+                       text hash, map-side partial aggregation.
+- ngram_jaccard      : exact pairwise Jaccard over word n-gram shingles via a
+                       shared-shingle equi-join. The join explodes on hot
+                       shingles, so a document-frequency cap drops
+                       stop-shingles (standard blocking trick) — bounded
+                       fanout at any scale.
+- minhash LSH        : signature = k modular affine hashes over deterministic
+                       token fingerprints; band buckets -> candidate pairs ->
+                       exact verify. Shuffle is bands x docs rows, constant
+                       per doc, independent of corpus size.
+- simhash (text)     : 32-bit sign-sum over per-token hash bits; near-dup =
+                       hamming <= d within bucket joins on hash prefix.
+- embedding near-dup : exact cosine threshold self-join (oracle path) and a
+                       cluster-blocked variant (scale path) that only
+                       compares within IVF cells.
+
+All hashes are explicit integer arithmetic (pyrope_spark.functions.text) so
+each operator has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyrope_spark.functions.text import FP_PRIME, char_fp, tokens, word_ngrams
+
+MINHASH_SEED = 42
+DEFAULT_NUM_HASHES = 16
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    normalize: bool = True
+) -> DataFrame:
+    """Attach (canonical_id, is_duplicate): canonical = min id per identical
+    (optionally normalized) text. One shuffle, no joins."""
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    w = Window.partitionBy(key)
+    return df.withColumn("canonical_id", F.min(F.col(id_col)).over(w)).withColumn(
+        "is_duplicate", F.col(id_col) != F.col("canonical_id")
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+def shingle_table(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets for all pairs sharing >= 1
+    shingle. ``max_shingle_df`` drops shingles appearing in more than that
+    many documents before the join (blocking; keeps the self-join linear in
+    practice — without it one 10M-doc stop-shingle would emit 10^14 pairs)."""
+    sh = shingle_table(df, id_col=id_col, text_col=text_col, n=n)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_shingle_df), "shingle").drop("_df")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col(id_col).alias("ia"), "shingle")
+    b = sh.select(F.col(id_col).alias("ib"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("ia"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("ib"), F.col("_sz").alias("_sb"))
+    return (
+        shared.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn(
+            "jaccard",
+            F.col("_shared").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ia", "ib", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+def minhash_params(num_hashes: int = DEFAULT_NUM_HASHES, seed: int = MINHASH_SEED) -> list[tuple[int, int]]:
+    """Seeded (a, b) affine-hash parameters over the FP_PRIME field."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_hashes):
+        out.append((int(rng.integers(1, FP_PRIME)), int(rng.integers(0, FP_PRIME))))
+    return out
+
+
+def token_fps(text: Column) -> Column:
+    """Deterministic per-token fingerprints (distinct), the minhash input."""
+    return F.array_distinct(F.transform(tokens(text), lambda t: char_fp(t)))
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = DEFAULT_NUM_HASHES, seed: int = MINHASH_SEED
+) -> list[Column]:
+    """k min-hash columns: min over tokens of (a * (fp % p) + b) % p.
+    Empty docs hash to p (sentinel) so they never collide with real values."""
+    fps = token_fps(text)
+    cols = []
+    for a, b in minhash_params(num_hashes, seed):
+        h = F.array_min(
+            F.transform(
+                fps,
+                lambda x: F.pmod(
+                    F.lit(a) * F.pmod(x, F.lit(FP_PRIME)) + F.lit(b), F.lit(FP_PRIME)
+                ),
+            )
+        )
+        cols.append(F.coalesce(h, F.lit(FP_PRIME)).cast("long"))
+    return cols
+
+
+def with_minhash(
+    df: DataFrame, *, text_col: str = "text", num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = MINHASH_SEED, prefix: str = "mh"
+) -> DataFrame:
+    for i, c in enumerate(minhash_signature(F.col(text_col), num_hashes, seed)):
+        df = df.withColumn(f"{prefix}_{i}", c)
+    return df
+
+
+def minhash_oracle_sql(
+    text_expr: str, num_hashes: int = DEFAULT_NUM_HASHES, seed: int = MINHASH_SEED,
+    tokens_col: str = "t", prefix: str = "mh",
+) -> dict[str, str]:
+    """DuckDB renderings per signature column, expecting a tokens column
+    (build with tokens_sql in a CTE)."""
+    from pyrope_spark.functions.text import char_fp_sql
+
+    fp = char_fp_sql("x")
+    fps = f"list_distinct(list_transform({tokens_col}, x -> {fp}))"
+    out = {}
+    for i, (a, b) in enumerate(minhash_params(num_hashes, seed)):
+        h = (
+            f"list_min(list_transform({fps}, f -> ({a} * (f % {FP_PRIME}) + {b}) % {FP_PRIME}))"
+        )
+        out[f"{prefix}_{i}"] = f"CAST(COALESCE({h}, {FP_PRIME}) AS BIGINT)"
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    seed: int = MINHASH_SEED,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in >= 1 band; optionally
+    verified with exact token-set Jaccard. Banding: k hashes split into
+    ``bands`` groups; a band key is the concatenated hash values. The only
+    wide operation is the groupBy on band keys — no all-pairs join ever."""
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df.select(id_col, text_col), text_col=text_col,
+                       num_hashes=num_hashes, seed=seed)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows_per_band + j}") for j in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(bi).alias("band"),
+                F.concat_ws(":", *[c.cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    buckets = band_rows[0]
+    for b in band_rows[1:]:
+        buckets = buckets.unionByName(b)
+    a = buckets.select(F.col(id_col).alias("ia"), "band", "band_key")
+    b = buckets.select(F.col(id_col).alias("ib"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    tok = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_toks")
+    )
+    ta = tok.select(F.col(id_col).alias("ia"), F.col("_toks").alias("_ta"))
+    tb = tok.select(F.col(id_col).alias("ib"), F.col("_toks").alias("_tb"))
+    return (
+        cand.join(ta, "ia")
+        .join(tb, "ib")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_ta", "_tb")).cast("double")
+            / F.size(F.array_union("_ta", "_tb")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("ia", "ib", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+SIMHASH_TEXT_BITS = 32
+
+
+def simhash_text(
+    text: Column, bits: int = SIMHASH_TEXT_BITS, seed: int = MINHASH_SEED
+) -> Column:
+    """Text simhash: per-bit weighted sign sum over token fingerprints.
+    bit b set iff sum over distinct tokens of (2*((a_b*(fp%p)+b_b)%p % 2)-1)
+    is > 0. Pure integer arithmetic -> exact DuckDB oracle."""
+    fps = token_fps(text)
+    params = minhash_params(bits, seed + 1000)
+
+    def _bit_sum(a: int, off: int) -> Column:
+        def step(acc, x):
+            odd = (
+                F.pmod(F.lit(a) * F.pmod(x, F.lit(FP_PRIME)) + F.lit(off), F.lit(FP_PRIME))
+                % 2
+                == 1
+            )
+            return acc + F.when(odd, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(fps, F.lit(0).cast("long"), step)
+
+    total = F.lit(0).cast("long")
+    for b, (a, off) in enumerate(params):
+        total = total + F.when(_bit_sum(a, off) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return total
+
+
+def simhash_text_oracle_sql(
+    tokens_col: str = "t", bits: int = SIMHASH_TEXT_BITS, seed: int = MINHASH_SEED
+) -> str:
+    from pyrope_spark.functions.text import char_fp_sql
+
+    fp = char_fp_sql("x")
+    fps = f"list_distinct(list_transform({tokens_col}, x -> {fp}))"
+    terms = []
+    for b, (a, off) in enumerate(minhash_params(bits, seed + 1000)):
+        s = (
+            f"list_sum(list_transform({fps}, f -> CASE WHEN "
+            f"(({a} * (f % {FP_PRIME}) + {off}) % {FP_PRIME}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN COALESCE({s}, 0) > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def simhash_pairs(
+    df: DataFrame, *, id_col: str = "doc_id", simhash_col: str = "simhash",
+    max_hamming: int = 3, prefix_bits: int = 8
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= d, blocked on the hash's low
+    ``prefix_bits`` so the join is bucket-local (trades recall for scale;
+    prefix rotation would recover it — documented extension)."""
+    from pyrope_spark.operators.simhash import hamming64
+
+    block = F.pmod(F.col(simhash_col), F.lit(1 << prefix_bits))
+    a = df.select(F.col(id_col).alias("ia"), F.col(simhash_col).alias("_ha"), block.alias("_blk"))
+    b = df.select(F.col(id_col).alias("ib"), F.col(simhash_col).alias("_hb"), block.alias("_blk"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("hamming", hamming64(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ia", "ib", "hamming")
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.9,
+    blocked: bool = False,
+    nlist: int = 16,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    ``blocked=False``: exact all-pairs (the oracle path; O(N^2) — fine for
+    validation scales). ``blocked=True``: IVF-cluster blocking — KMeans cells,
+    compare only within a cell; misses cross-cell pairs near boundaries
+    (recall/cost tradeoff, the standard ANN-blocking pattern at 100 TB).
+    """
+    from pyrope_spark.functions.vector import cosine_sim
+
+    cols = emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+    if blocked:
+        from pyrope_spark.operators.ivf import build_ivf
+
+        assigned, _ = build_ivf(cols, nlist=nlist, metric="cosine", vector_col="_v")
+        a = assigned.select(F.col("_id").alias("ia"), F.col("_v").alias("_va"), "cluster_id")
+        b = assigned.select(F.col("_id").alias("ib"), F.col("_v").alias("_vb"), "cluster_id")
+        pairs = a.join(b, "cluster_id").filter(F.col("ia") < F.col("ib"))
+    else:
+        a = cols.select(F.col("_id").alias("ia"), F.col("_v").alias("_va"))
+        b = cols.select(F.col("_id").alias("ib"), F.col("_v").alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    return (
+        pairs.withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("ia", "ib", F.round("cosine", 6).alias("cosine"))
+    )

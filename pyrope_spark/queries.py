@@ -433,6 +433,268 @@ FROM events GROUP BY event_type
 )(_histogram_spark)
 
 
+# --------------------------------------------------------------------------
+# Text analysis over documents (LLM-data-pipeline operators)
+# --------------------------------------------------------------------------
+
+def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import doc_fingerprint, quality_features, quality_score
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _text_stats_oracle() -> str:
+    from pyrope_spark.functions.text import STOPWORDS, char_fp_sql, tokens_sql
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, text, {tokens_sql('text')} AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END
+           AS mean_token_len,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t, x -> list_contains([{sw}], x))) AS DOUBLE) / len(t) END
+           AS stopword_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text) END AS alpha_ratio,
+         {char_fp_sql('text')} AS fingerprint
+  FROM tk
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round((least(1.0, n_tokens / 20.0)
+            + least(1.0, stopword_ratio * 5.0)
+            + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                   THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality,
+       CAST(fingerprint AS BIGINT) AS fingerprint
+FROM feat
+"""
+
+
+register("text_stats", _text_stats_oracle())(_text_stats_spark)
+
+
+def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import lang_id
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    from pyrope_spark.functions.text import (
+        lang_id_from_scores_sql,
+        lang_scores_from_tokens_sql,
+        tokens_sql,
+    )
+
+    scores = lang_scores_from_tokens_sql("t")
+    sel = ", ".join(f"{e} AS c_{lang}" for lang, e in scores.items())
+    case = lang_id_from_scores_sql({lang: f"c_{lang}" for lang in scores})
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+sc AS (SELECT doc_id, {sel} FROM tk)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {case} AS lang_pred FROM sc
+"""
+
+
+register("lang_id", _lang_id_oracle())(_lang_id_spark)
+
+
+# --------------------------------------------------------------------------
+# Deduplication over documents / embeddings
+# --------------------------------------------------------------------------
+
+def _dedup_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import exact_dedup
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_dedup(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("is_duplicate"),
+    )
+
+
+register(
+    "dedup_exact",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(doc_id) OVER (PARTITION BY lower(trim(text))) AS BIGINT) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY lower(trim(text))) AS is_duplicate
+FROM documents
+""",
+)(_dedup_exact_spark)
+
+
+def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import ngram_jaccard_pairs
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return pairs.select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql, word_ngrams_from_tokens_sql
+
+    ng = word_ngrams_from_tokens_sql("t", 3)
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+ng AS (SELECT doc_id, list_distinct({ng}) AS g FROM tk),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           / NULLIF(len(list_distinct(a.g || b.g)), 0) AS j
+  FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) > 0
+)
+SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib, round(j, 6) AS jaccard
+FROM p WHERE j >= 0.8
+"""
+
+
+register("ngram_jaccard_pairs", _ngram_jaccard_oracle())(_ngram_jaccard_spark)
+
+
+def _minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import DEFAULT_NUM_HASHES, with_minhash
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = with_minhash(docs.select("doc_id", "text"))
+    return sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(f"mh_{i}") for i in range(DEFAULT_NUM_HASHES)],
+    )
+
+
+def _minhash_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+    from pyrope_spark.operators.dedup import minhash_oracle_sql
+
+    cols = minhash_oracle_sql("text")
+    sel = ", ".join(f"{e} AS {name}" for name, e in cols.items())
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {sel} FROM tk
+"""
+
+
+register("minhash_signatures", _minhash_oracle())(_minhash_spark)
+
+
+def _minhash_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import minhash_lsh_pairs
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, verify_threshold=0.9).select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        "jaccard",
+    )
+
+
+register("minhash_lsh_dedup", None)(_minhash_lsh_spark)
+
+
+def _simhash_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import simhash_text
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash_text(F.col("text")).alias("simhash32"),
+    )
+
+
+def _simhash_text_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+    from pyrope_spark.operators.dedup import simhash_text_oracle_sql
+
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {simhash_text_oracle_sql('t')} AS simhash32
+FROM tk
+"""
+
+
+register("simhash_text", _simhash_text_oracle())(_simhash_text_spark)
+
+
+def _emb_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import embedding_neardup_pairs
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4).select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        "cosine",
+    )
+
+
+def _emb_neardup_oracle() -> str:
+    cos = oracle_score_sql("cosine", "a.embedding", "b.embedding")
+    return f"""
+SELECT CAST(a.vec_id AS BIGINT) AS ia, CAST(b.vec_id AS BIGINT) AS ib,
+       round({cos}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.4
+"""
+
+
+register("embedding_neardup", _emb_neardup_oracle())(_emb_neardup_spark)
+
+
+def _emb_neardup_blocked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import embedding_neardup_pairs
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4, blocked=True).select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        "cosine",
+    )
+
+
+register("embedding_neardup_blocked", None)(_emb_neardup_blocked_spark)
+
+
 register(
     "querykey_round_k",
     """

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_text,
+    with_minhash,
+)
+from pyrope_spark.operators.simhash import hamming64
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+OTHER = "completely different words about spark query engines and shuffles everywhere now"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),            # exact dup of 1
+        (3, NEAR),            # near dup of 1
+        (4, OTHER),
+        (5, "  " + BASE.upper() + "  "),  # normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    got = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"]) for r in exact_dedup(docs).collect()}
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[5] == (1, True)  # lower+trim normalization
+    assert got[3][1] is False and got[4][1] is False
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["ia"], r["ib"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_shingle_df_cap(docs, spark):
+    # with a df cap of 1 every shared shingle is dropped -> no pairs
+    assert ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).count() == 0
+
+
+def test_minhash_identical_signatures(docs):
+    sig = with_minhash(docs.select("doc_id", "text")).collect()
+    by_id = {r["doc_id"]: [r[f"mh_{i}"] for i in range(16)] for r in sig}
+    assert by_id[1] == by_id[2]
+    agree = sum(1 for a, b in zip(by_id[1], by_id[3]) if a == b)
+    assert agree >= 10  # near-dup shares most minhashes (1 token of 14 differs)
+    agree_other = sum(1 for a, b in zip(by_id[1], by_id[4]) if a == b)
+    assert agree_other <= 4
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {(r["ia"], r["ib"]) for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_text_near_dup_hamming(docs, spark):
+    sh = docs.select("doc_id", simhash_text(F.col("text")).alias("h"))
+    rows = {r["doc_id"]: r["h"] for r in sh.collect()}
+    assert rows[1] == rows[2]
+    df = spark.createDataFrame(
+        [(rows[1], rows[3]), (rows[1], rows[4])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    near, far = df[0]["d"], df[1]["d"]
+    assert near < far
+    assert near <= 8
+
+
+def test_embedding_neardup_planted(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["ia"], r["ib"]): r["cosine"] for r in
+             embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert list(pairs) == [(1, 2)]
+    blocked = embedding_neardup_pairs(emb, threshold=0.95, blocked=True, nlist=2).collect()
+    assert {(r["ia"], r["ib"]) for r in blocked} == {(1, 2)}
