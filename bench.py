@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "derived": {...}}
+
+Two groups:
+- BASELINE-comparable vector workloads on synthetic data mirroring the
+  reference benchmarks (seed 42 uniform [0,1) float32, dim 128, 100 queries
+  seed 1337, topK 10 — src/Pyrope.Benchmarks/Program.cs:219-263):
+  brute-force batch search @100k, IVF-Flat build + nprobe=3 search @100k,
+  SQ8-dequantized scan @100k. The reference numbers are single-query QPS;
+  the honest Spark comparison is batch throughput, so we report seconds for
+  the 100-query batch and derived queries/sec (BASELINE.md notes).
+- Engine queries over $SPARK_GRAFT_SF_DIR testdata (default sf0.1):
+  dedup suite, text stats, markov rules, embeddings KNN.
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_VECTORS (default 100000),
+BENCH_ONLY (comma list to subset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyrope_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_VECTORS = int(os.environ.get("BENCH_VECTORS", "100000"))
+DIM = 128
+N_QUERIES = 100
+TOP_K = 10
+
+
+def synth_vectors(spark, n: int, dim: int, seed: int = 42):
+    """Seeded uniform[0,1) float32 (reference Program.cs:251-263), generated
+    distributed: one numpy RNG stream per partition."""
+    parts = 32
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            for pid in pdf["pid"]:
+                rng = np.random.default_rng(seed + int(pid))
+                lo = int(pid) * n // parts
+                hi = (int(pid) + 1) * n // parts
+                mat = rng.random((hi - lo, dim), dtype=np.float32)
+                yield pd.DataFrame(
+                    {"id": [f"v{i}" for i in range(lo, hi)], "vector": list(mat)}
+                )
+
+    base = spark.createDataFrame([(i,) for i in range(parts)], "pid int").repartition(parts)
+    return base.mapInPandas(gen, "id string, vector array<float>")
+
+
+def synth_queries(spark, n: int, dim: int, seed: int = 1337):
+    rng = np.random.default_rng(seed)
+    mat = rng.random((n, dim), dtype=np.float32)
+    return spark.createDataFrame(
+        [(f"q{i}", [float(x) for x in mat[i]]) for i in range(n)],
+        "query_id string, vector array<float>",
+    )
+
+
+def main() -> None:
+    only = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
+    spark = get_spark("pyrope_bench")
+    timings: dict[str, float] = {}
+    derived: dict[str, float] = {}
+
+    def timed(name, fn, repeat: int = 1):
+        """Time fn; with repeat > 1 report the min (steady-state — local
+        timings are noisy under 32-way thread contention)."""
+        if only and name not in only:
+            return None
+        best = None
+        out = None
+        for _ in range(repeat):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        return out
+
+    # ---------------- BASELINE-comparable synthetic vector workloads
+    vectors = synth_vectors(spark, N_VECTORS, DIM).cache()
+    vectors.count()  # materialize outside the timed regions
+    queries = synth_queries(spark, N_QUERIES, DIM).cache()
+    queries.count()
+
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.segments import (
+        ivf_search_packed,
+        knn_bruteforce_packed,
+        pack_segments,
+    )
+
+    # warm the Python workers + broadcast machinery so timings measure the
+    # steady-state batch path, not JVM/worker spin-up
+    knn_bruteforce(vectors, queries.limit(4), k=TOP_K, metric="l2", impl="gemm").count()
+
+    # the scan format is packed segments (built once at compaction time,
+    # like the reference's inverted-list rebuild) — pack cost is reported
+    # as its own build step
+    state = {}
+
+    def pack_bf():
+        seg = pack_segments(vectors, rows_per_segment=8192).cache()
+        seg.count()
+        state["seg_bf"] = seg
+
+    timed(f"pack_segments_{N_VECTORS}v", pack_bf)
+
+    # warm the packed scan (codegen + worker numpy import) before timing
+    knn_bruteforce_packed(state["seg_bf"], queries.limit(4), k=TOP_K, metric="l2").count()
+
+    def bf():
+        knn_bruteforce_packed(state["seg_bf"], queries, k=TOP_K, metric="l2").count()
+
+    timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf, repeat=2)
+
+    big_queries = synth_queries(spark, 1000, DIM, seed=1338).cache()
+    big_queries.count()
+
+    def bf_1k():
+        knn_bruteforce_packed(state["seg_bf"], big_queries, k=TOP_K, metric="l2").count()
+
+    timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q1000", bf_1k, repeat=2)
+
+    from pyrope_spark.operators.ivf import build_ivf
+
+    def ivf_build():
+        assigned, model = build_ivf(vectors, nlist=100, metric="l2")
+        seg = pack_segments(assigned, cluster_col="cluster_id", rows_per_segment=8192).cache()
+        seg.count()
+        state["ivf"] = (seg, model)
+
+    def ivf_probe():
+        seg, model = state["ivf"]
+        ivf_search_packed(seg, model, queries, k=TOP_K, nprobe=3).count()
+
+    timed(f"ivf_build_{N_VECTORS}v_nlist100", ivf_build)
+    if "ivf" in state:
+        timed(f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}", ivf_probe, repeat=2)
+
+        def ivf_1k():
+            seg, model = state["ivf"]
+            ivf_search_packed(seg, model, big_queries, k=TOP_K, nprobe=3).count()
+
+        timed(f"ivf_search_nprobe3_{N_VECTORS}v_q1000", ivf_1k, repeat=2)
+
+    from pyrope_spark.operators.quantize import with_sq8
+
+    def sq8():
+        with_sq8(vectors).select(
+            F.sum(F.element_at("sq8_codes", 1).cast("long"))
+        ).collect()
+
+    timed(f"sq8_encode_scan_{N_VECTORS}v", sq8, repeat=2)
+
+    # ---------------- engine queries over the sf testdata
+    import pyrope_spark.queries as Q
+
+    qs = Q.queries()
+    for name in (
+        "knn_bruteforce_cosine",
+        "ivf_flat_search_nprobe3",
+        "minhash_lsh_dedup",
+        "ngram_jaccard_pairs",
+        "text_stats",
+        "dedup_exact",
+        "markov_prefetch_rules",
+        "latency_percentiles",
+        "embedding_neardup_blocked",
+        "simhash64",
+    ):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    if f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}" in timings:
+        derived["bf_batch_qps"] = round(
+            N_QUERIES / timings[f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}"], 1
+        )
+    if f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}" in timings:
+        derived["ivf_batch_qps"] = round(
+            N_QUERIES / timings[f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}"], 1
+        )
+    if f"bf_l2_{N_VECTORS}v_d{DIM}_q1000" in timings:
+        derived["bf_batch1000_qps"] = round(
+            1000 / timings[f"bf_l2_{N_VECTORS}v_d{DIM}_q1000"], 1
+        )
+    if f"ivf_search_nprobe3_{N_VECTORS}v_q1000" in timings:
+        derived["ivf_batch1000_qps"] = round(
+            1000 / timings[f"ivf_search_nprobe3_{N_VECTORS}v_q1000"], 1
+        )
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "pyrope_spark_batch_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "derived": derived,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

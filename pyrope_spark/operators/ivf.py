@@ -60,10 +60,14 @@ def build_ivf(
     seed: int = DEFAULT_SEED,
     max_iter: int = DEFAULT_MAX_ITER,
     cluster_col: str = "cluster_id",
+    init_mode: str = "random",
 ) -> tuple[DataFrame, IvfModel]:
     """Fit the coarse quantizer and return (vectors + cluster_id, model).
 
     k = min(nlist, row_count) — reference IvfFlatVectorIndex.cs:116-119.
+    ``init_mode='random'`` mirrors the reference (KMeansUtils.cs:10-68 random
+    init) and is markedly cheaper to build; pass 'k-means||' for the higher
+    quality MLlib default when build cost is amortized.
     """
     metric = normalize_metric(metric)
     n = vectors.count()
@@ -78,7 +82,7 @@ def build_ivf(
         featuresCol="_features",
         predictionCol=cluster_col,
         distanceMeasure="cosine" if metric == "cosine" else "euclidean",
-        initMode="k-means||",
+        initMode=init_mode,
     )
     model = km.fit(feat)
     assigned = model.transform(feat).drop("_features")
@@ -131,28 +135,41 @@ def ivf_search(
     query_vector_col: str = "vector",
     cluster_col: str = "cluster_id",
     deleted_col: str | None = None,
-    impl: str = "expr",
+    impl: str = "gemm",
 ) -> DataFrame:
     """Search the nprobe nearest clusters per query
     (reference: IvfFlatVectorIndex.cs:147-231).
 
-    The candidate set is ``assigned`` semi-joined to the probe list; with
-    ``assigned`` read from a cluster-partitioned table the probe filter is
-    partition pruning. Scoring + per-query top-K reuse ``knn_bruteforce``
-    on the pruned set (metric-exact within probed clusters).
+    The candidate set is ``assigned`` pruned to the union of probed clusters;
+    with ``assigned`` read from a cluster-partitioned table that filter is
+    partition pruning — the Spark analog of inverted lists.
+
+    ``impl='gemm'`` (default): one Arrow-batched scan; per batch, vectors are
+    grouped by cluster and scored against only the queries probing that
+    cluster via BLAS, emitting per-batch partial top-K — the scale path.
+    ``impl='expr'``: pure column expressions (oracle-parity path).
     """
     spark = assigned.sparkSession
     qrows = [(r[query_id_col], list(r[query_vector_col])) for r in queries.select(query_id_col, query_vector_col).collect()]
     probe_pairs = select_probes(model, qrows, nprobe)
-    probes = spark.createDataFrame(probe_pairs, f"{query_id_col} string, {cluster_col} int")
 
-    # prune data to probed clusters once (partition pruning), then restrict
-    # each query to its own probed clusters via the probe join
     probed_clusters = sorted({c for _, c in probe_pairs})
     cand = assigned.filter(F.col(cluster_col).isin(probed_clusters))
     if deleted_col is not None:
         cand = cand.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
 
+    from pyrope_spark.operators.topk import topk_per_group
+
+    if impl == "gemm":
+        scored = _ivf_score_gemm(
+            cand, model, qrows, probe_pairs, k,
+            id_col=id_col, vector_col=vector_col, cluster_col=cluster_col,
+        )
+        return topk_per_group(
+            scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+        )
+
+    probes = spark.createDataFrame(probe_pairs, f"{query_id_col} string, {cluster_col} int")
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qvec")
     )
@@ -164,7 +181,6 @@ def ivf_search(
     )
 
     from pyrope_spark.functions.vector import score as score_expr
-    from pyrope_spark.operators.topk import topk_per_group
 
     scored = pairs.select(
         "query_id",
@@ -172,6 +188,80 @@ def ivf_search(
         score_expr(model.metric, F.col("_qvec"), F.col(vector_col)).alias("score"),
     )
     return topk_per_group(scored, ["query_id"], k, score_col="score", tiebreak_col="id")
+
+
+def _ivf_score_gemm(
+    cand: DataFrame,
+    model: IvfModel,
+    qrows: list[tuple[str, list[float]]],
+    probe_pairs: list[tuple[str, int]],
+    k: int,
+    *,
+    id_col: str,
+    vector_col: str,
+    cluster_col: str,
+) -> DataFrame:
+    """Cluster-aware vectorized scorer: each Arrow batch is grouped by
+    cluster_id and multiplied (BLAS) against the sub-matrix of queries that
+    probe that cluster; only per-(batch, query) top-K survives."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyrope_spark.operators.knn import RESULT_SCHEMA
+
+    spark = cand.sparkSession
+    qids = [q for q, _ in qrows]
+    qmat = np.asarray([v for _, v in qrows], dtype=np.float64)
+    qidx = {q: i for i, q in enumerate(qids)}
+    by_cluster: dict[int, list[int]] = {}
+    for qid, c in probe_pairs:
+        by_cluster.setdefault(int(c), []).append(qidx[qid])
+    metric = model.metric
+    bq = spark.sparkContext.broadcast((qids, qmat, by_cluster))
+    kk = max(k, 1)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_b, qmat_b, byc = bq.value
+        if metric == "cosine":
+            qn = np.linalg.norm(qmat_b, axis=1)
+            qdir = qmat_b / np.where(qn < 1e-6, 1.0, qn)[:, None]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_i, out_s = [], [], []
+            for c, grp in pdf.groupby(cluster_col):
+                sub = byc.get(int(c))
+                if not sub:
+                    continue
+                vmat = np.vstack(grp[vector_col].to_numpy()).astype(np.float64)
+                ids = grp[id_col].astype(str).to_numpy()
+                Q = qmat_b[sub]
+                if metric == "ip":
+                    scores = vmat @ Q.T
+                elif metric == "l2":
+                    v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                    q2 = np.einsum("ij,ij->i", Q, Q)[None, :]
+                    scores = -(v2 - 2.0 * (vmat @ Q.T) + q2)
+                else:
+                    vn = np.linalg.norm(vmat, axis=1)
+                    vdir = vmat / np.where(vn < 1e-6, 1.0, vn)[:, None]
+                    scores = vdir @ qdir[sub].T
+                    scores[vn < 1e-6, :] = 0.0
+                top = min(kk, scores.shape[0])
+                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                for j, qi in enumerate(sub):
+                    rows = idx[:, j]
+                    out_q.extend([qids_b[qi]] * len(rows))
+                    out_i.extend(ids[rows])
+                    out_s.extend(scores[rows, j])
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q, "id": out_i, "score": out_s})
+
+    cols = cand.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(cluster_col), F.col(vector_col)
+    )
+    return cols.mapInPandas(scan, RESULT_SCHEMA)
 
 
 def ivf_recall(

@@ -193,15 +193,17 @@ def _score_gemm(
                 scores[vnorm < 1e-6, :] = 0.0
                 scores[:, qnorm < 1e-6] = 0.0
             top = min(kk, scores.shape[0])
-            # per-query partial top-k inside the batch (argpartition = O(B))
+            # per-query partial top-k inside the batch (argpartition = O(B)),
+            # assembled with numpy (no per-row Python loop)
             idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]  # top x Q
-            out_q, out_i, out_s = [], [], []
-            for j in range(nq):
-                rows = idx[:, j]
-                out_q.extend([qids_b[j]] * len(rows))
-                out_i.extend(ids[rows])
-                out_s.extend(scores[rows, j])
-            yield pd.DataFrame({"query_id": out_q, "id": out_i, "score": out_s})
+            flat = idx.T.ravel()  # query-major
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.asarray(qids_b, dtype=object), top),
+                    "id": ids[flat],
+                    "score": scores[flat, np.repeat(np.arange(nq), top)],
+                }
+            )
 
     cols = live.select(F.col(id_col).alias(id_col), F.col(vector_col).alias(vector_col))
     return cols.mapInPandas(scan, RESULT_SCHEMA)

@@ -1,0 +1,197 @@
+"""Packed vector segments: contiguous float32 blocks as the scan format.
+
+The reference's core physical trick is contiguous float buffers scanned by
+SIMD kernels (``Vector/HnswVectorIndex.cs:12-14``, flat parallel lists in
+``BruteForceVectorIndex.cs:12-21``). The per-row ``ARRAY<FLOAT>`` layout in
+Parquet/Arrow pays a per-row object cost every scan; at 100 queries x 100k
+rows the conversion dwarfs the BLAS. The Spark-native equivalent of the flat
+buffer is a SEGMENT table:
+
+    (cluster_id INT, segment_no INT, n INT, dim INT,
+     ids ARRAY<STRING>, vecs BINARY)   -- vecs = n*dim float32, row-major
+
+- One row = one scan unit (default 65536 vectors = 32 MB at dim 128).
+- ``np.frombuffer`` turns a segment into a matrix with ZERO copies; a batch
+  search is then pure BLAS per segment.
+- Partitioned/bucketed by ``cluster_id``, probe filters prune at the file
+  level exactly like the unpacked IVF table, but each task now does one big
+  GEMM instead of thousands of row conversions.
+- At 100 TB this is the difference between an Arrow-deserialization-bound
+  scan and a memory-bandwidth-bound scan.
+
+Segments are built once per compaction (the reference rebuilds inverted
+lists at Build() time the same way, ``IvfFlatVectorIndex.cs:85-145``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.knn import RESULT_SCHEMA
+from pyrope_spark.operators.topk import topk_per_group
+
+SEGMENT_SCHEMA = (
+    "cluster_id int, segment_no int, n int, dim int, ids array<string>, vecs binary"
+)
+DEFAULT_ROWS_PER_SEGMENT = 65536
+
+
+def pack_segments(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cluster_col: str | None = None,
+    rows_per_segment: int = DEFAULT_ROWS_PER_SEGMENT,
+) -> DataFrame:
+    """Pack (id, vector[, cluster_id]) rows into segment rows. Without a
+    cluster column everything lands in cluster -1 (brute-force segments)."""
+    cols = [F.col(id_col).cast("string").alias("id"), F.col(vector_col).alias("vector")]
+    if cluster_col is not None:
+        cols.append(F.col(cluster_col).cast("int").alias("cluster_id"))
+        src = df.select(*cols).repartition("cluster_id")
+    else:
+        cols.append(F.lit(-1).alias("cluster_id"))
+        src = df.select(*cols)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate per cluster within the task, emit fixed-size segments
+        acc: dict[int, tuple[list, list]] = {}
+        seg_no: dict[int, int] = {}
+
+        def emit(c: int, ids: list, vecs: list) -> pd.DataFrame:
+            mat = np.vstack(vecs).astype(np.float32)
+            no = seg_no.get(c, 0)
+            seg_no[c] = no + 1
+            return pd.DataFrame(
+                {
+                    "cluster_id": [c],
+                    "segment_no": [no],
+                    "n": [mat.shape[0]],
+                    "dim": [mat.shape[1]],
+                    "ids": [list(ids)],
+                    "vecs": [mat.tobytes()],
+                }
+            )
+
+        for pdf in batches:
+            for c, grp in pdf.groupby("cluster_id"):
+                ids, vecs = acc.setdefault(int(c), ([], []))
+                ids.extend(grp["id"].tolist())
+                vecs.extend(grp["vector"].tolist())
+                while len(ids) >= rows_per_segment:
+                    yield emit(int(c), ids[:rows_per_segment], vecs[:rows_per_segment])
+                    del ids[:rows_per_segment], vecs[:rows_per_segment]
+        for c, (ids, vecs) in acc.items():
+            if ids:
+                yield emit(c, ids, vecs)
+
+    return src.mapInPandas(pack, SEGMENT_SCHEMA)
+
+
+def write_segments(segments: DataFrame, path: str) -> None:
+    segments.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def segment_knn(
+    segments: DataFrame,
+    queries_np: list[tuple[str, np.ndarray]],
+    k: int,
+    metric: str,
+    probes: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """Top-K scan over segment rows. ``probes`` maps cluster_id -> indices of
+    the queries probing it (None = every query scans every segment)."""
+    spark = segments.sparkSession
+    qids = [q for q, _ in queries_np]
+    qmat = np.asarray([v for _, v in queries_np], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((qids, qmat, probes))
+    kk = max(k, 1)
+
+    if probes is not None:
+        segments = segments.filter(F.col("cluster_id").isin(sorted(probes)))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_b, qmat_b, probes_b = bq.value
+        nq_all = len(qids_b)
+        if metric == "cosine":
+            qn = np.linalg.norm(qmat_b, axis=1)
+            qdir = qmat_b / np.where(qn < 1e-6, 1.0, qn)[:, None]
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                sub = (
+                    list(range(nq_all))
+                    if probes_b is None
+                    else probes_b.get(int(row.cluster_id))
+                )
+                if not sub:
+                    continue
+                mat = np.frombuffer(row.vecs, dtype=np.float32).reshape(row.n, row.dim)
+                vmat = mat.astype(np.float64)
+                ids = np.asarray(row.ids, dtype=object)
+                Q = qmat_b[sub]
+                if metric == "ip":
+                    scores = vmat @ Q.T
+                elif metric == "l2":
+                    v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                    q2 = np.einsum("ij,ij->i", Q, Q)[None, :]
+                    scores = -(v2 - 2.0 * (vmat @ Q.T) + q2)
+                else:
+                    vn = np.linalg.norm(vmat, axis=1)
+                    vdir = vmat / np.where(vn < 1e-6, 1.0, vn)[:, None]
+                    scores = vdir @ qdir[sub].T
+                    scores[vn < 1e-6, :] = 0.0
+                top = min(kk, scores.shape[0])
+                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                flat = idx.T.ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            np.asarray([qids_b[i] for i in sub], dtype=object), top
+                        ),
+                        "id": ids[flat],
+                        "score": scores[flat, np.repeat(np.arange(len(sub)), top)],
+                    }
+                )
+
+    scored = segments.mapInPandas(scan, RESULT_SCHEMA)
+    return topk_per_group(
+        scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+    )
+
+
+def knn_bruteforce_packed(
+    segments: DataFrame, queries: DataFrame, k: int, metric: str,
+    *, query_id_col: str = "query_id", query_vector_col: str = "vector",
+) -> DataFrame:
+    qrows = [
+        (r[query_id_col], np.asarray(r[query_vector_col]))
+        for r in queries.select(query_id_col, query_vector_col).collect()
+    ]
+    return segment_knn(segments, qrows, k, metric, probes=None)
+
+
+def ivf_search_packed(
+    segments: DataFrame, model, queries: DataFrame, k: int, nprobe: int = 3,
+    *, query_id_col: str = "query_id", query_vector_col: str = "vector",
+) -> DataFrame:
+    """IVF probe over packed segments: probe selection driver-side, segment
+    pruning by cluster, GEMM per probed segment."""
+    from pyrope_spark.operators.ivf import select_probes
+
+    qrows = [
+        (r[query_id_col], list(r[query_vector_col]))
+        for r in queries.select(query_id_col, query_vector_col).collect()
+    ]
+    pairs = select_probes(model, qrows, nprobe)
+    qidx = {q: i for i, (q, _) in enumerate(qrows)}
+    probes: dict[int, list[int]] = {}
+    for qid, c in pairs:
+        probes.setdefault(int(c), []).append(qidx[qid])
+    qnp = [(q, np.asarray(v)) for q, v in qrows]
+    return segment_knn(segments, qnp, k, model.metric, probes=probes)

@@ -112,7 +112,12 @@ def _ivf_spark(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
     )
     assigned, model = build_ivf(vectors, nlist=IVF_NLIST, metric="l2")
-    hits = ivf_search(assigned, model, qs, k=TOP_K, nprobe=nprobe)
+    # exact (nprobe=nlist) uses the expression scorer for oracle parity;
+    # the approximate path exercises the GEMM scale path
+    hits = ivf_search(
+        assigned, model, qs, k=TOP_K, nprobe=nprobe,
+        impl="expr" if nprobe >= IVF_NLIST else "gemm",
+    )
     return hits.select(
         "query_id",
         "id",

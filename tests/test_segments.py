@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.ivf import build_ivf, ivf_recall, ivf_search
+from pyrope_spark.operators.knn import knn_bruteforce
+from pyrope_spark.operators.segments import (
+    ivf_search_packed,
+    knn_bruteforce_packed,
+    pack_segments,
+    write_segments,
+)
+from tests.conftest import make_queries_df, make_vectors_df
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    vectors = make_vectors_df(spark, n=500, dim=DIM, del_frac=0.0).cache()
+    queries = make_queries_df(spark, n=10, dim=DIM, k=10).cache()
+    return vectors, queries
+
+
+def test_pack_preserves_rows(data):
+    vectors, _ = data
+    seg = pack_segments(vectors, rows_per_segment=128)
+    stats = seg.agg(F.sum("n").alias("n"), F.count("*").alias("segs")).collect()[0]
+    assert stats["n"] == 500
+    assert stats["segs"] >= 4  # 500/128 -> at least 4 segments somewhere
+    row = seg.first()
+    assert len(row["vecs"]) == row["n"] * row["dim"] * 4
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_packed_bruteforce_matches_unpacked(data, metric):
+    vectors, queries = data
+    seg = pack_segments(vectors, rows_per_segment=128).cache()
+    packed = knn_bruteforce_packed(seg, queries, k=10, metric=metric)
+    exact = knn_bruteforce(vectors, queries, k=10, metric=metric)
+    got = {(r["query_id"], r["rank"]): r["id"] for r in packed.collect()}
+    exp = {(r["query_id"], r["rank"]): r["id"] for r in exact.collect()}
+    assert got == exp
+
+
+def test_packed_ivf_matches_unpacked(data, spark, tmp_path):
+    vectors, queries = data
+    assigned, model = build_ivf(vectors, nlist=8, metric="l2")
+    seg = pack_segments(assigned, cluster_col="cluster_id", rows_per_segment=256)
+    path = str(tmp_path / "segments")
+    write_segments(seg, path)
+    seg_r = spark.read.parquet(path)
+    packed = ivf_search_packed(seg_r, model, queries, k=10, nprobe=3)
+    unpacked = ivf_search(assigned, model, queries, k=10, nprobe=3, impl="gemm")
+    got = {(r["query_id"], r["rank"]): r["id"] for r in packed.collect()}
+    exp = {(r["query_id"], r["rank"]): r["id"] for r in unpacked.collect()}
+    assert got == exp
+    # and the packed path stays exact at full probe
+    full = ivf_search_packed(seg_r, model, queries, k=10, nprobe=8)
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    assert ivf_recall(full, exact, 10) == 1.0
