@@ -1,0 +1,9 @@
+from pyrope_spark.multimodal.columns import (  # noqa: F401
+    MEDIA_SCHEMA,
+    decode_image_stub,
+    extract_features,
+    frame_sample_stub,
+    media_stats,
+    resize_image_stub,
+    with_media_metadata,
+)

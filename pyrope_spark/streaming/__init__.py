@@ -1,0 +1,4 @@
+from pyrope_spark.streaming.ingest import (  # noqa: F401
+    stream_upsert_to_store,
+    streaming_write_heat,
+)

@@ -1,0 +1,72 @@
+"""Structured Streaming ingest: the online write path as a stream job.
+
+Reference: writes arrive one-at-a-time over RESP into the mutable head index
+(``Vector/DeltaVectorIndex.cs:29-56``); background loops batch metrics and
+prefetch work (``Services/PrefetchBackgroundQueue.cs``,
+``Services/SidecarMetricsReporter.cs:67-100``).
+
+Spark-first: the ingest stream lands in the store's HEAD table via
+``foreachBatch`` upserts — each micro-batch is one atomic MERGE (epoch bump
+included), so searches see a consistent snapshot per batch, exactly the
+reference's head-index contract but with batch atomicity instead of per-key
+locks. Compaction (``VectorStore.compact``) stays a scheduled batch job.
+
+``streaming_write_heat`` runs the write-heat window (C6/analytics.write_heat)
+as a live streaming aggregation with a watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrope_spark.store.vector_store import VectorStore
+
+
+def stream_upsert_to_store(
+    stream_df: DataFrame,
+    store: VectorStore,
+    *,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Start a streaming query that upserts each micro-batch into the store
+    head table. ``stream_df`` must carry the record columns
+    (tenant_id, index_name, id, vector[, meta, tags]).
+
+    Returns the StreamingQuery; callers own stop()/awaitTermination.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.upsert(batch_df)
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_write_heat(
+    stream_df: DataFrame,
+    *,
+    cluster_col: str = "cluster_id",
+    ts_col: str = "ts",
+    window_s: int = 60,
+    threshold: int = 10,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming variant of analytics.write_heat: tumbling window counts with
+    a watermark; emit clusters exceeding the write threshold."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{window_s} seconds").alias("w"), F.col(cluster_col))
+        .agg(F.count("*").alias("writes"))
+        .filter(F.col("writes") > threshold)
+        .select(F.col("w.start").alias("window_start"), F.col(cluster_col), F.col("writes"))
+    )

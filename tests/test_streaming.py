@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from pyrope_spark.store import VectorStore
+
+
+def test_stream_upsert_to_store(spark, tmp_path):
+    """Micro-batch ingest lands in the head table with upsert semantics and
+    searches see it (the reference's RESP write path as a stream)."""
+    from pyrope_spark.streaming import stream_upsert_to_store
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    store = VectorStore(spark, str(tmp_path / "store"))
+
+    schema = (
+        "tenant_id string, index_name string, id string, vector array<float>, "
+        "meta string, tags array<string>"
+    )
+    batch1 = spark.createDataFrame(
+        [("t", "i", "a", [1.0, 0.0], None, []), ("t", "i", "b", [0.0, 1.0], None, [])],
+        schema,
+    )
+    batch1.write.mode("append").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(batch1.schema).parquet(str(src_dir))
+    q = stream_upsert_to_store(
+        stream, store, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert store.count("t", "i") == 2
+        # second batch upserts an existing id
+        spark.createDataFrame([("t", "i", "a", [5.0, 5.0], None, [])], schema).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        q.processAllAvailable()
+        snap = {r["id"]: r["vector"] for r in store.live("t", "i").collect()}
+        assert snap["a"][0] == 5.0
+        assert store.count("t", "i") == 2
+    finally:
+        q.stop()
+
+
+def test_streaming_write_heat(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.streaming import streaming_write_heat
+
+    src_dir = tmp_path / "writes"
+    src_dir.mkdir()
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(seconds=i), 7) for i in range(12)]
+    df = spark.createDataFrame(rows, "ts timestamp, cluster_id int")
+    df.write.mode("append").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    hot = streaming_write_heat(stream, threshold=10)
+    q = (
+        hot.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("heat_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM heat_out").collect()
+        assert [(r["cluster_id"], r["writes"]) for r in got] == [(7, 12)]
+    finally:
+        q.stop()
