@@ -209,11 +209,16 @@ class ResultCacheTable:
             if hot
             else F.lit(ttl_s)
         )
+        cluster = (
+            F.coalesce(F.col("cluster_id"), F.lit(-1))
+            if "cluster_id" in results.columns
+            else F.lit(-1)
+        )
         out = results.select(
             "key_hash",
             "simhash",
             "round_k",
-            F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cluster_id"),
+            cluster.cast("int").alias("cluster_id"),
             F.lit(epoch).cast("long").alias("epoch"),
             ttl.alias("ttl_s"),
             F.lit(now).alias("cached_at"),

@@ -1,0 +1,141 @@
+"""Delta (head ∪ tail) index: mutable head + IVF-built tail, merged search.
+
+Reference: ``src/Pyrope.GarnetServer/Vector/DeltaVectorIndex.cs`` —
+- writes land in the mutable brute-force HEAD (:29-56);
+- search = head.Search ∪ tail.Search, merged by id with head winning, sorted
+  desc, take K (:76-122);
+- Build() moves head into tail and rebuilds the tail index (:124-158);
+- centroids sync to the semantic registry after build
+  (``Controllers/IndexController.cs:98-107``).
+
+Spark-first composition (no new physical machinery):
+- tail = packed segments partitioned by cluster_id + a centroid table
+  (``operators/segments.py`` + MLlib KMeans from ``operators/ivf.py``);
+- head = the store's append-only head parquet, searched with the GEMM
+  brute-force scan (it is small between compactions by construction);
+- the head-wins merge is an anti-join of tail hits against head KEYS —
+  any head record (live or tombstone) shadows its tail id, exactly the
+  reference dedup rule;
+- Build() = ``VectorStore.compact()`` + KMeans + segment pack + centroid
+  write, all one batch job; the registry epoch bump invalidates caches (C8).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.ivf import DEFAULT_NPROBE, IvfModel, build_ivf
+from pyrope_spark.operators.knn import knn_bruteforce
+from pyrope_spark.operators.segments import ivf_search_packed, pack_segments, write_segments
+from pyrope_spark.operators.topk import topk_per_group
+from pyrope_spark.store.vector_store import KEY_COLS, VectorStore
+
+
+def _index_dir(store: VectorStore, tenant_id: str, index_name: str) -> str:
+    return os.path.join(store.base, "indexes", f"{tenant_id}__{index_name}")
+
+
+def build_delta_index(
+    store: VectorStore,
+    tenant_id: str,
+    index_name: str,
+    *,
+    nlist: int = 100,
+    metric: str | None = None,
+    rows_per_segment: int = 65536,
+) -> IvfModel:
+    """The reference Build(): compact head into tail, fit the coarse
+    quantizer, pack cluster segments, persist centroids, bump epoch."""
+    meta = store.registry.get(tenant_id, index_name)
+    if metric is None:
+        metric = meta.metric if meta else "l2"
+    store.compact()
+    live = store.live(tenant_id, index_name)
+    assigned, model = build_ivf(live, nlist=nlist, metric=metric)
+    seg = pack_segments(
+        assigned, id_col="id", vector_col="vector", cluster_col="cluster_id",
+        rows_per_segment=rows_per_segment,
+    )
+    d = _index_dir(store, tenant_id, index_name)
+    write_segments(seg, os.path.join(d, "segments"))
+    cent = store.spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.centroids)],
+        "cluster_id int, centroid array<double>",
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    if meta is not None:
+        meta.algo = "ivf_flat"
+        meta.params = {"nlist": model.nlist, "rows_per_segment": rows_per_segment}
+        store.registry.bump_epoch(tenant_id, index_name)
+    return model
+
+
+def load_delta_index(store: VectorStore, tenant_id: str, index_name: str) -> tuple[DataFrame, IvfModel]:
+    """Reload (segments, model) — the Snapshot/Load analog (S8): everything
+    is already durable parquet, so 'load' is just reads."""
+    d = _index_dir(store, tenant_id, index_name)
+    seg = store.spark.read.parquet(os.path.join(d, "segments"))
+    cent = store.spark.read.parquet(os.path.join(d, "centroids")).orderBy("cluster_id").collect()
+    meta = store.registry.get(tenant_id, index_name)
+    metric = meta.metric if meta else "l2"
+    model = IvfModel(
+        centroids=np.asarray([r["centroid"] for r in cent], dtype=np.float64),
+        metric=metric,
+        nlist=len(cent),
+    )
+    return seg, model
+
+
+def delta_search(
+    store: VectorStore,
+    tenant_id: str,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = DEFAULT_NPROBE,
+) -> DataFrame:
+    """Head ∪ tail search with head-wins dedup (DeltaVectorIndex.cs:76-122).
+
+    Head (post-build writes) is scanned brute-force; tail via packed IVF.
+    Any head key shadows its tail id — including tombstones, so deletes
+    issued after a build correctly hide built rows.
+    """
+    seg, model = load_delta_index(store, tenant_id, index_name)
+
+    head_all = (
+        store._read(store.head_path)
+        .filter((F.col("tenant_id") == tenant_id) & (F.col("index_name") == index_name))
+    )
+    # resolve latest within head (an id can be upserted then deleted)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_seq"))
+    head_resolved = (
+        head_all.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+    head_keys = head_resolved.select(F.col("id"))
+    head_live = head_resolved.filter(~F.col("deleted"))
+
+    # over-fetch: shadowed tail ids (upserted or tombstoned in head) may
+    # occupy top-K slots; only head keys can shadow, so k + |head| tail
+    # candidates guarantee a full exact top-K after the anti-join
+    n_head = head_keys.count()
+    tail_hits = ivf_search_packed(seg, model, queries, k=k + n_head, nprobe=nprobe).drop(
+        "rank"
+    )
+    tail_hits = tail_hits.join(head_keys, "id", "left_anti")
+
+    if head_live.limit(1).count() > 0:
+        head_hits = knn_bruteforce(
+            head_live, queries, k=k, metric=model.metric, impl="gemm"
+        ).drop("rank")
+        merged = tail_hits.unionByName(head_hits)
+    else:
+        merged = tail_hits
+    return topk_per_group(
+        merged, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+    )

@@ -1,0 +1,147 @@
+"""The full VEC.SEARCH lifecycle as one batch pipeline.
+
+Reference hot path (``Extensions/VectorCommandSet.cs:93-555``, SURVEY.md §3.1):
+parse -> policy -> cache waterfall (L0/L0.5/L1/L2) -> budget degrade ->
+index search (delta head∪tail) -> hydrate + tombstone/tag filter ->
+write-back all tiers.
+
+Spark translation: ONE declarative job per query batch —
+  queries -> key columns -> cache left-joins -> miss set -> delta search ->
+  hydrate -> union cache hits -> write-back
+Catalyst plans the whole waterfall as a DAG; the cache table probes are
+broadcast joins, so adding caching to a 1000-executor search costs no extra
+shuffle of the data tables.
+
+Governance hooks included (batch semantics):
+- cost estimate (G4, CostCalculator.cs:15-32) feeds the L2 closeness relax;
+- budget degrade (G3, TenantQuotaEnforcer.cs:94-135): over-budget tenants
+  get ``max_scans`` halved (floor 1 or count/2 capped 1000) — implemented as
+  a scan cap on the brute-force path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.cache import (
+    DEFAULT_TTL_S,
+    ResultCacheTable,
+    estimate_cost,
+    with_query_keys,
+)
+from pyrope_spark.operators.knn import knn_bruteforce
+
+
+@dataclass
+class SearchStats:
+    hits_by_tier: dict
+    misses: int
+    epoch: int
+
+
+def degrade_max_scans(count: int, over_budget: bool, base_max_scans: int | None = None) -> int | None:
+    """G3 budget degrade (TenantQuotaEnforcer.cs:94-135): over budget ->
+    halve MaxScans; with no explicit cap, fall back to count/2 capped 1000,
+    floor 1."""
+    if not over_budget:
+        return base_max_scans
+    if base_max_scans is not None:
+        return max(1, base_max_scans // 2)
+    return max(1, min(count // 2, 1000))
+
+
+def search_with_cache(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cache: ResultCacheTable,
+    *,
+    k: int = 10,
+    metric: str = "l2",
+    epoch: int = 0,
+    tenant: str = "t",
+    index: str = "i",
+    centroids=None,
+    ttl_s: float = DEFAULT_TTL_S,
+    over_budget: bool = False,
+    write_hot_clusters: list[int] | None = None,
+    now: datetime | None = None,
+) -> tuple[DataFrame, SearchStats]:
+    """Returns (results, stats): results carry
+    (query_id, id, rank, score, served_from) where served_from is a cache
+    tier or 'compute'. Misses are computed, written back to every tier, and
+    unioned with the cache hits."""
+    now = now or datetime.now(timezone.utc)
+    n = vectors.count()
+    dim = len(vectors.select("vector").first()[0])
+    cost = float(
+        vectors.sparkSession.createDataFrame([(n, dim)], "n long, d int")
+        .select(estimate_cost(F.col("n"), F.col("d")).alias("c"))
+        .collect()[0]["c"]
+    )
+
+    keyed = with_query_keys(queries, metric, tenant=tenant, index=index, centroids=centroids)
+    looked = cache.lookup(keyed, epoch=epoch, metric=metric, cost=cost, now=now).cache()
+
+    hits = looked.filter(F.col("cache_tier").isNotNull())
+    misses = looked.filter(F.col("cache_tier").isNull())
+    n_miss = misses.count()
+
+    tier_counts = {
+        r["cache_tier"]: r["count"]
+        for r in hits.groupBy("cache_tier").count().collect()
+    }
+
+    max_scans = degrade_max_scans(n, over_budget)
+    computed = None
+    if n_miss > 0:
+        computed = knn_bruteforce(
+            vectors,
+            misses.select("query_id", "vector"),
+            k=k,
+            metric=metric,
+            impl="gemm",
+            max_scans=max_scans,
+        )
+        # serialize per-query results for the cache row (id:score,...)
+        packed = (
+            computed.groupBy("query_id")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(":", F.col("rank").cast("string"), F.col("id"))
+                        )
+                    ),
+                ).alias("result")
+            )
+        )
+        wb = misses.drop("result").join(packed, "query_id", "inner")
+        cache.write_back(
+            wb, epoch=epoch, ttl_s=ttl_s, write_hot_clusters=write_hot_clusters, now=now
+        )
+
+    out_cols = ["query_id", "id", "rank", "score", "served_from"]
+    parts = []
+    if computed is not None:
+        parts.append(computed.withColumn("served_from", F.lit("compute")).select(*out_cols))
+    cached_rows = (
+        hits.select(
+            "query_id",
+            F.explode(F.split(F.col("cached_result"), ",")).alias("_kv"),
+            F.col("cache_tier"),
+        )
+        .withColumn("rank", F.split(F.col("_kv"), ":").getItem(0).cast("int"))
+        .withColumn("id", F.split(F.col("_kv"), ":").getItem(1))
+        .withColumn("score", F.lit(None).cast("double"))
+        .select("query_id", "id", "rank", "score", F.col("cache_tier").alias("served_from"))
+    )
+    parts.append(cached_rows)
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result, SearchStats(hits_by_tier=tier_counts, misses=n_miss, epoch=epoch)

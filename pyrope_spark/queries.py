@@ -700,6 +700,82 @@ def _emb_neardup_blocked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("embedding_neardup_blocked", None)(_emb_neardup_blocked_spark)
 
 
+# --------------------------------------------------------------------------
+# Delta-index lifecycle end-to-end (reference: DeltaVectorIndex.cs:29-158):
+# ADD all embeddings -> Build (head->tail, IVF) -> UPSERT a shifted copy of
+# vec 0 as head id u0 -> DEL vec 1 -> full-probe search. The oracle is plain
+# SQL over the same mutations: head shadows tail, tombstone hidden.
+# --------------------------------------------------------------------------
+
+def _delta_lifecycle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyrope_spark.operators.delta_index import build_delta_index, delta_search
+    from pyrope_spark.store import VectorStore
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = VectorStore(spark, tempfile.mkdtemp(prefix="pyrope_delta_"))
+    records = emb.select(
+        F.lit("t").alias("tenant_id"),
+        F.lit("i").alias("index_name"),
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.lit(None).cast("string").alias("meta"),
+        F.array().cast("array<string>").alias("tags"),
+    )
+    store.add(records)
+    build_delta_index(store, "t", "i", nlist=IVF_NLIST)
+    # head mutations kept bit-exact for the oracle: re-upsert id 0 with its
+    # own vector (head shadows tail, same value) and add u0 as a copy of it
+    ups = emb.filter(F.col("vec_id") == 0).select(
+        F.lit("t").alias("tenant_id"),
+        F.lit("i").alias("index_name"),
+        F.explode(F.array(F.lit("0"), F.lit("u0"))).alias("id"),
+        F.col("embedding").alias("vector"),
+        F.lit(None).cast("string").alias("meta"),
+        F.array().cast("array<string>").alias("tags"),
+    )
+    store.upsert(ups)
+    store.delete([("t", "i", "1")])
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    hits = delta_search(store, "t", "i", qs, k=TOP_K, nprobe=IVF_NLIST)
+    return hits.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _delta_lifecycle_oracle() -> str:
+    score = oracle_score_sql("l2", "q.qv", "b.v")
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 1
+  UNION ALL
+  SELECT 'u0', CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), s AS (
+  SELECT CAST(q.qid AS VARCHAR) AS query_id, b.id, {score} AS score
+  FROM q CROSS JOIN base b
+), r AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk
+  FROM s
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+register("delta_index_lifecycle", _delta_lifecycle_oracle())(_delta_lifecycle_spark)
+
+
 register(
     "querykey_round_k",
     """

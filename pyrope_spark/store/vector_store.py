@@ -113,7 +113,8 @@ class VectorStore:
         if "numeric_fields" not in out.columns:
             out = out.withColumn("numeric_fields", F.create_map().cast("map<string,double>"))
         return (
-            out.withColumn("created_at", F.lit(now))
+            out.withColumn("vector", F.col("vector").cast("array<float>"))
+            .withColumn("created_at", F.lit(now))
             .withColumn("updated_at", F.lit(now))
             .withColumn("deleted", F.lit(False))
             .withColumn("_seq", F.lit(seq).cast("long"))
