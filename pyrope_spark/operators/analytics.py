@@ -139,6 +139,36 @@ def write_heat(
     )
 
 
+SLO_BUCKET_BOUNDS_MS = [1.0, 5.0, 10.0, 50.0, 100.0, 200.0]
+
+
+def slo_p99_estimate(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """G5: p99 estimated from the 6-bucket latency histogram — the upper
+    bound of the first bucket whose cumulative share reaches 0.99
+    (reference: SloGuardrailsMonitor.cs:12,78-110; bucket edges are strict
+    ``<`` with everything >= 100 in the last bucket,
+    MetricsCollector.cs:40-52)."""
+    group_cols = group_cols or []
+    edges = [1.0, 5.0, 10.0, 50.0, 100.0]
+    v = F.col(value_col)
+    conds = [v < edges[0]]
+    for i in range(1, len(edges)):
+        conds.append((v >= edges[i - 1]) & (v < edges[i]))
+    conds.append(v >= edges[-1])
+    aggs = [F.sum(c.cast("long")).alias(f"_b{i}") for i, c in enumerate(conds)]
+    h = df.groupBy(*group_cols).agg(*aggs, F.count("*").alias("_total"))
+    cum = F.lit(0).cast("long")
+    p99 = None
+    for i, bound in enumerate(SLO_BUCKET_BOUNDS_MS):
+        cum = cum + F.col(f"_b{i}")
+        cond = cum.cast("double") / F.col("_total") >= 0.99
+        p99 = F.when(cond, F.lit(bound)) if p99 is None else p99.when(cond, F.lit(bound))
+    p99 = p99.otherwise(F.lit(SLO_BUCKET_BOUNDS_MS[-1]))
+    return h.select(*group_cols, F.col("_total").alias("samples"), p99.alias("p99_est_ms"))
+
+
 def latency_histogram(
     df: DataFrame,
     value_col: str,

@@ -776,6 +776,161 @@ FROM r WHERE rnk <= {TOP_K}
 register("delta_index_lifecycle", _delta_lifecycle_oracle())(_delta_lifecycle_spark)
 
 
+def _slo_p99_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import slo_p99_estimate
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return slo_p99_estimate(ev, "value", ["event_type"]).select(
+        "event_type",
+        F.col("samples").cast("long").alias("samples"),
+        F.col("p99_est_ms"),
+    )
+
+
+register(
+    "slo_p99_histogram",
+    """
+WITH h AS (
+  SELECT event_type,
+         SUM(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS b0,
+         SUM(CASE WHEN value >= 1 AND value < 5 THEN 1 ELSE 0 END) AS b1,
+         SUM(CASE WHEN value >= 5 AND value < 10 THEN 1 ELSE 0 END) AS b2,
+         SUM(CASE WHEN value >= 10 AND value < 50 THEN 1 ELSE 0 END) AS b3,
+         SUM(CASE WHEN value >= 50 AND value < 100 THEN 1 ELSE 0 END) AS b4,
+         SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS b5,
+         COUNT(*) AS total
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(total AS BIGINT) AS samples,
+       CASE WHEN b0 * 1.0 / total >= 0.99 THEN 1.0
+            WHEN (b0 + b1) * 1.0 / total >= 0.99 THEN 5.0
+            WHEN (b0 + b1 + b2) * 1.0 / total >= 0.99 THEN 10.0
+            WHEN (b0 + b1 + b2 + b3) * 1.0 / total >= 0.99 THEN 50.0
+            WHEN (b0 + b1 + b2 + b3 + b4) * 1.0 / total >= 0.99 THEN 100.0
+            ELSE 200.0 END AS p99_est_ms
+FROM h
+""",
+)(_slo_p99_spark)
+
+
+# --------------------------------------------------------------------------
+# Relational batch analytics (the engine's general OLAP surface; aggregation
+# uses DECIMAL so cross-engine sums are exact regardless of add order)
+# --------------------------------------------------------------------------
+
+def _pricing_summary_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    out = (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sb"),
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))).alias("_sd"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sb").cast("double").alias("sum_base_price"),
+        F.round(F.col("_sd").cast("double"), 4).alias("sum_disc_price"),
+        F.col("count_order").cast("long").alias("count_order"),
+    )
+
+
+register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4)
+         AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)(_pricing_summary_spark)
+
+
+def _regional_revenue_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "r_name",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+
+
+register(
+    "regional_revenue",
+    """
+SELECT r.r_name,
+       round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)(_regional_revenue_spark)
+
+
+def _top_orders_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.topk import topk_per_group
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    top = topk_per_group(
+        orders, ["o_custkey"], 3, score_col="o_totalprice", tiebreak_col="o_orderkey"
+    )
+    return top.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+register(
+    "topk_orders_per_customer",
+    """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)(_top_orders_spark)
+
+
 register(
     "querykey_round_k",
     """
