@@ -931,6 +931,71 @@ FROM (
 )(_top_orders_spark)
 
 
+# --------------------------------------------------------------------------
+# Tag filter (Q6) + hydration (Q7): tags/meta synthesized deterministically
+# from vec_id/label so both engines derive identical inputs.
+# --------------------------------------------------------------------------
+
+def _knn_tag_hydrate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.when(F.col("vec_id") % 2 == 0, F.array(F.lit("even"), F.lit("all")))
+        .otherwise(F.array(F.lit("odd"), F.lit("all")))
+        .alias("tags"),
+        F.concat(F.lit('{"label":'), F.col("label").cast("string"), F.lit("}")).alias("meta"),
+        (F.col("vec_id") % 97 == 0).alias("deleted"),
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("vector"),
+        F.array(F.lit("even")).alias("filter_tags"),
+    )
+    hits = knn_bruteforce(
+        vectors, qs, k=TOP_K, metric="l2", impl="expr",
+        deleted_col="deleted", tags_col="tags", filter_tags_col="filter_tags",
+    )
+    from pyrope_spark.operators.knn import hydrate
+
+    hydrated = hydrate(hits, vectors)
+    return hydrated.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+        "meta",
+    )
+
+
+def _knn_tag_hydrate_oracle() -> str:
+    score = oracle_score_sql("l2", "q.qv", "v.embedding")
+    return f"""
+WITH live AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % 2 = 0            -- has-ALL ['even'] ⊆ tags
+    AND NOT (vec_id % 97 = 0)     -- tombstones excluded
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), s AS (
+  SELECT CAST(q.qid AS VARCHAR) AS query_id, CAST(v.vec_id AS VARCHAR) AS id,
+         {score} AS score,
+         '{{"label":' || CAST(v.label AS VARCHAR) || '}}' AS meta
+  FROM q CROSS JOIN live v
+), r AS (
+  SELECT query_id, id, score, meta,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk
+  FROM s
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score, meta
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+register("knn_tag_filter_hydrate", _knn_tag_hydrate_oracle())(_knn_tag_hydrate_spark)
+
+
 register(
     "querykey_round_k",
     """

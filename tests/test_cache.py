@@ -139,6 +139,32 @@ def test_cache_l2_cluster_hit_gated_by_threshold(spark, tmp_path, keyed):
     assert relaxed.filter(F.col("cache_tier") == "L2").count() > 0
 
 
+def test_cache_l05_alias_hit(spark, tmp_path, keyed):
+    """L0.5: a query whose exact key misses but whose hash maps to a cached
+    canonical hash with confidence >= 0.8 hits; low confidence does not
+    (reference: CanonicalKeyMap.cs:11-93)."""
+    keyed_q, _ = keyed
+    cache = ResultCacheTable(spark, str(tmp_path / "cache05"))
+    results = keyed_q.withColumn("result", F.concat(F.lit("res-"), F.col("query_id")))
+    cache.write_back(results, epoch=1)
+    # different exact key + different simhash -> only the alias can serve it
+    other = keyed_q.withColumn("key_hash", F.col("key_hash") + 777).withColumn(
+        "simhash", F.col("simhash") + 777
+    )
+    canon = keyed_q.select(
+        (F.col("key_hash") + 777).alias("key_hash"),
+        F.col("key_hash").alias("canonical_hash"),
+    )
+    hi = cache.lookup(
+        other, epoch=1, metric="l2", aliases=canon.withColumn("confidence", F.lit(0.9))
+    )
+    assert hi.filter(F.col("cache_tier") == "L0.5").count() == 6
+    lo = cache.lookup(
+        other, epoch=1, metric="l2", aliases=canon.withColumn("confidence", F.lit(0.5))
+    )
+    assert lo.filter(F.col("cache_tier") == "L0.5").count() == 0
+
+
 def test_cache_ttl_expiry(spark, tmp_path, keyed):
     from datetime import datetime, timedelta, timezone
 
