@@ -74,6 +74,8 @@ def knn_bruteforce(
     deleted_col: str | None = None,
     tags_col: str | None = None,
     filter_tags_col: str | None = None,
+    numeric_filters: list[tuple[str, float, float]] | None = None,
+    numeric_col: str = "numeric_fields",
     max_scans: int | None = None,
     impl: str = "expr",
     two_phase: bool | None = None,
@@ -94,6 +96,14 @@ def knn_bruteforce(
     live = vectors
     if deleted_col is not None:
         live = live.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    if numeric_filters:
+        # numeric-range filtering over the numeric_fields map — the
+        # reference parses and stores these but never filters on them
+        # (SURVEY §1.2: VectorCommandParser.cs:141-151); implementing the
+        # latent intent. Missing keys fail the predicate.
+        for key, lo, hi in numeric_filters:
+            v = F.element_at(F.col(numeric_col), key)
+            live = live.filter(v.isNotNull() & (v >= F.lit(lo)) & (v <= F.lit(hi)))
     if max_scans is not None:
         live = live.limit(max_scans)
 

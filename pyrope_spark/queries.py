@@ -996,6 +996,103 @@ FROM r WHERE rnk <= {TOP_K}
 register("knn_tag_filter_hydrate", _knn_tag_hydrate_oracle())(_knn_tag_hydrate_spark)
 
 
+# --------------------------------------------------------------------------
+# Numeric-range filtered search (the reference stores numeric_fields but
+# never filters on them — implementing the latent intent, SURVEY §1.2)
+# --------------------------------------------------------------------------
+
+def _knn_numeric_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    price = (F.col("label") * 10 + F.col("vec_id") % 10).cast("double")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.create_map(F.lit("price"), price).alias("numeric_fields"),
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    hits = knn_bruteforce(
+        vectors, qs, k=TOP_K, metric="l2", impl="expr",
+        numeric_filters=[("price", 20.0, 60.0)],
+    )
+    return hits.select(
+        "query_id", "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _knn_numeric_oracle() -> str:
+    score = oracle_score_sql("l2", "q.qv", "v.embedding")
+    return f"""
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE CAST(label * 10 + vec_id % 10 AS DOUBLE) BETWEEN 20.0 AND 60.0
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), s AS (
+  SELECT CAST(q.qid AS VARCHAR) AS query_id, CAST(v.vec_id AS VARCHAR) AS id,
+         {score} AS score
+  FROM q CROSS JOIN live v
+), r AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk
+  FROM s
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+register("knn_numeric_range_filter", _knn_numeric_oracle())(_knn_numeric_spark)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs over documents (blocked hamming join)
+# --------------------------------------------------------------------------
+
+def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import simhash_pairs, simhash_text
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash_text(F.col("text")).alias("simhash"),
+    )
+    pairs = simhash_pairs(sh, id_col="doc_id", max_hamming=2, prefix_bits=4)
+    return pairs.select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+    from pyrope_spark.operators.dedup import simhash_text_oracle_sql
+
+    sh = simhash_text_oracle_sql("t")
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+sh AS (SELECT doc_id, {sh} AS h FROM tk),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         bit_count(xor(a.h, b.h)) AS hamming
+  FROM sh a JOIN sh b
+    ON (a.h % 16) = (b.h % 16) AND a.doc_id < b.doc_id
+)
+SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
+       CAST(hamming AS BIGINT) AS hamming
+FROM p WHERE hamming <= 2
+"""
+
+
+register("simhash_neardup_pairs", _simhash_pairs_oracle())(_simhash_pairs_spark)
+
+
 register(
     "querykey_round_k",
     """
