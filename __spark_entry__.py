@@ -7,11 +7,17 @@ SURVEY.md §2 for the sf0.01 DuckDB correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import pyrope_spark.queries as _q
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:  # robust to driver importing from any cwd
+    sys.path.insert(0, _REPO_ROOT)
+
+import pyrope_spark.queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
