@@ -167,6 +167,26 @@ def main() -> None:
 
     timed(f"sq8_encode_scan_{N_VECTORS}v", sq8, repeat=2)
 
+    # SQ8-packed segment scan (4x less bandwidth than f32 segments)
+    from pyrope_spark.operators.segments import pack_segments_sq8, segment_knn_sq8
+
+    def pack_sq8():
+        seg = pack_segments_sq8(vectors, rows_per_segment=8192).cache()
+        seg.count()
+        state["seg_sq8"] = seg
+
+    timed(f"pack_sq8_segments_{N_VECTORS}v", pack_sq8)
+    if "seg_sq8" in state:
+        qnp = [
+            (r["query_id"], np.asarray(r["vector"]))
+            for r in queries.select("query_id", "vector").collect()
+        ]
+
+        def bf_sq8():
+            segment_knn_sq8(state["seg_sq8"], qnp, TOP_K, "l2").count()
+
+        timed(f"bf_sq8_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8, repeat=2)
+
     # ---------------- engine queries over the sf testdata
     import pyrope_spark.queries as Q
 

@@ -38,6 +38,10 @@ from pyrope_spark.operators.topk import topk_per_group
 SEGMENT_SCHEMA = (
     "cluster_id int, segment_no int, n int, dim int, ids array<string>, vecs binary"
 )
+SQ8_SEGMENT_SCHEMA = (
+    "cluster_id int, segment_no int, n int, dim int, ids array<string>, "
+    "codes binary, mins binary, maxs binary"
+)
 DEFAULT_ROWS_PER_SEGMENT = 65536
 
 
@@ -96,6 +100,118 @@ def pack_segments(
 
 def write_segments(segments: DataFrame, path: str) -> None:
     segments.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def pack_segments_sq8(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cluster_col: str | None = None,
+    rows_per_segment: int = DEFAULT_ROWS_PER_SEGMENT,
+) -> DataFrame:
+    """SQ8-quantized segments: per-vector min-max byte codes
+    (reference ScalarQuantizer.cs:22-62) packed as one uint8 block per
+    segment + float32 min/max arrays. 4x less scan bandwidth than float32
+    segments — the Spark realization of the reference's SQ8 scan speedup
+    (BASELINE.md: 1.54x QPS), traded against quantization error (scores are
+    computed on dequantized values; recall gate in tests)."""
+    float_segs = pack_segments(
+        df, id_col=id_col, vector_col=vector_col, cluster_col=cluster_col,
+        rows_per_segment=rows_per_segment,
+    )
+
+    def quantize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("cluster_id", "segment_no", "n", "dim", "ids", "codes", "mins", "maxs")}
+            for row in pdf.itertuples(index=False):
+                mat = np.frombuffer(row.vecs, dtype=np.float32).reshape(row.n, row.dim)
+                mins = mat.min(axis=1)
+                maxs = mat.max(axis=1)
+                rng = maxs - mins
+                safe = np.where(rng <= 0, 1.0, rng)
+                codes = np.floor((mat - mins[:, None]) * 255.0 / safe[:, None] + 0.5)
+                codes = np.clip(codes, 0, 255).astype(np.uint8)
+                codes[rng <= 0, :] = 0
+                rows["cluster_id"].append(row.cluster_id)
+                rows["segment_no"].append(row.segment_no)
+                rows["n"].append(row.n)
+                rows["dim"].append(row.dim)
+                rows["ids"].append(list(row.ids))
+                rows["codes"].append(codes.tobytes())
+                rows["mins"].append(mins.astype(np.float32).tobytes())
+                rows["maxs"].append(maxs.astype(np.float32).tobytes())
+            yield pd.DataFrame(rows)
+
+    return float_segs.mapInPandas(quantize, SQ8_SEGMENT_SCHEMA)
+
+
+def segment_knn_sq8(
+    segments: DataFrame,
+    queries_np: list[tuple[str, np.ndarray]],
+    k: int,
+    metric: str,
+    probes: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """Top-K over SQ8 segments: dequantize per segment (vectorized) then the
+    same GEMM scorer. Approximate by quantization error only."""
+    spark = segments.sparkSession
+    qids = [q for q, _ in queries_np]
+    qmat = np.asarray([v for _, v in queries_np], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((qids, qmat, probes))
+    kk = max(k, 1)
+    if probes is not None:
+        segments = segments.filter(F.col("cluster_id").isin(sorted(probes)))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_b, qmat_b, probes_b = bq.value
+        nq_all = len(qids_b)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                sub = (
+                    list(range(nq_all))
+                    if probes_b is None
+                    else probes_b.get(int(row.cluster_id))
+                )
+                if not sub:
+                    continue
+                codes = np.frombuffer(row.codes, dtype=np.uint8).reshape(row.n, row.dim)
+                mins = np.frombuffer(row.mins, dtype=np.float32).astype(np.float64)
+                maxs = np.frombuffer(row.maxs, dtype=np.float32).astype(np.float64)
+                scale = (maxs - mins) / 255.0
+                vmat = codes.astype(np.float64) * scale[:, None] + mins[:, None]
+                ids = np.asarray(row.ids, dtype=object)
+                Q = qmat_b[sub]
+                if metric == "ip":
+                    scores = vmat @ Q.T
+                elif metric == "l2":
+                    v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                    q2 = np.einsum("ij,ij->i", Q, Q)[None, :]
+                    scores = -(v2 - 2.0 * (vmat @ Q.T) + q2)
+                else:
+                    vn = np.linalg.norm(vmat, axis=1)
+                    qn = np.linalg.norm(Q, axis=1)
+                    scores = (vmat / np.where(vn < 1e-6, 1, vn)[:, None]) @ (
+                        Q / np.where(qn < 1e-6, 1, qn)[:, None]
+                    ).T
+                    scores[vn < 1e-6, :] = 0.0
+                top = min(kk, scores.shape[0])
+                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                flat = idx.T.ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            np.asarray([qids_b[i] for i in sub], dtype=object), top
+                        ),
+                        "id": ids[flat],
+                        "score": scores[flat, np.repeat(np.arange(len(sub)), top)],
+                    }
+                )
+
+    scored = segments.mapInPandas(scan, RESULT_SCHEMA)
+    return topk_per_group(
+        scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+    )
 
 
 def segment_knn(

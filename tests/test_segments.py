@@ -44,6 +44,29 @@ def test_packed_bruteforce_matches_unpacked(data, metric):
     assert got == exp
 
 
+def test_sq8_segments_recall(data, spark):
+    """SQ8-quantized scan must recover nearly all exact top-10 (quantization
+    error only — reference trades this for the 1.54x scan speedup)."""
+    import numpy as np
+
+    from pyrope_spark.operators.segments import pack_segments_sq8, segment_knn_sq8
+
+    vectors, queries = data
+    seg = pack_segments_sq8(vectors, rows_per_segment=128).cache()
+    row = seg.first()
+    assert len(row["codes"]) == row["n"] * row["dim"]          # 1 byte/elem
+    assert len(row["mins"]) == row["n"] * 4
+    qrows = [
+        (r["query_id"], np.asarray(r["vector"]))
+        for r in queries.select("query_id", "vector").collect()
+    ]
+    approx = segment_knn_sq8(seg, qrows, 10, "l2")
+    from pyrope_spark.operators.ivf import ivf_recall
+
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    assert ivf_recall(approx, exact, 10) >= 0.9
+
+
 def test_packed_ivf_matches_unpacked(data, spark, tmp_path):
     vectors, queries = data
     assigned, model = build_ivf(vectors, nlist=8, metric="l2")
