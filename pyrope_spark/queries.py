@@ -1093,6 +1093,81 @@ FROM p WHERE hamming <= 2
 register("simhash_neardup_pairs", _simhash_pairs_oracle())(_simhash_pairs_spark)
 
 
+# --------------------------------------------------------------------------
+# Temporal operators: sessionization + as-of join over events
+# --------------------------------------------------------------------------
+
+def _sessionize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import sessionize
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap_s=3600, order_cols=["ts_ns", "event_id"])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+    )
+
+
+register(
+    "sessionize_events",
+    """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 3600
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+FROM g
+""",
+)(_sessionize_spark)
+
+
+def _asof_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import as_of_join
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("sid"))
+    )
+    joined = as_of_join(
+        err, signup, key_cols=["user_id"], left_ts="ts", right_ts="ts",
+        right_value_cols=["sid"],
+    )
+    return joined.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("right_sid").cast("long").alias("last_signup_id"),
+    )
+
+
+register(
+    "asof_join_last_signup",
+    """
+WITH err AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'error'
+), sg AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS sid
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(s.sid AS BIGINT) AS last_signup_id
+FROM err e ASOF LEFT JOIN sg s ON e.user_id = s.user_id AND s.ts <= e.ts
+""",
+)(_asof_spark)
+
+
 register(
     "querykey_round_k",
     """
