@@ -202,6 +202,9 @@ def main() -> None:
         "latency_percentiles",
         "embedding_neardup_blocked",
         "simhash64",
+        "sessionize_events",
+        "asof_join_last_signup",
+        "pricing_summary",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 

@@ -41,6 +41,8 @@ class SearchStats:
     hits_by_tier: dict
     misses: int
     epoch: int
+    trace_ms: dict | None = None  # per-stage wall ms (reference trace output,
+    # VectorCommandSet.cs:849-912: PolicyMs/CacheMs/FaissMs/MetadataMs)
 
 
 def degrade_max_scans(count: int, over_budget: bool, base_max_scans: int | None = None) -> int | None:
@@ -74,6 +76,9 @@ def search_with_cache(
     (query_id, id, rank, score, served_from) where served_from is a cache
     tier or 'compute'. Misses are computed, written back to every tier, and
     unioned with the cache hits."""
+    import time as _time
+
+    t0 = _time.time()
     now = now or datetime.now(timezone.utc)
     n = vectors.count()
     dim = len(vectors.select("vector").first()[0])
@@ -83,12 +88,16 @@ def search_with_cache(
         .collect()[0]["c"]
     )
 
+    policy_ms = (_time.time() - t0) * 1000
+
+    t0 = _time.time()
     keyed = with_query_keys(queries, metric, tenant=tenant, index=index, centroids=centroids)
     looked = cache.lookup(keyed, epoch=epoch, metric=metric, cost=cost, now=now).cache()
 
     hits = looked.filter(F.col("cache_tier").isNotNull())
     misses = looked.filter(F.col("cache_tier").isNull())
     n_miss = misses.count()
+    cache_ms = (_time.time() - t0) * 1000
 
     tier_counts = {
         r["cache_tier"]: r["count"]
@@ -97,6 +106,7 @@ def search_with_cache(
 
     max_scans = degrade_max_scans(n, over_budget)
     computed = None
+    t0 = _time.time()
     if n_miss > 0:
         computed = knn_bruteforce(
             vectors,
@@ -124,6 +134,7 @@ def search_with_cache(
         cache.write_back(
             wb, epoch=epoch, ttl_s=ttl_s, write_hot_clusters=write_hot_clusters, now=now
         )
+    search_ms = (_time.time() - t0) * 1000
 
     out_cols = ["query_id", "id", "rank", "score", "served_from"]
     parts = []
@@ -144,4 +155,11 @@ def search_with_cache(
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)
-    return result, SearchStats(hits_by_tier=tier_counts, misses=n_miss, epoch=epoch)
+    trace = {
+        "policy_ms": round(policy_ms, 3),
+        "cache_ms": round(cache_ms, 3),
+        "search_ms": round(search_ms, 3),
+    }
+    return result, SearchStats(
+        hits_by_tier=tier_counts, misses=n_miss, epoch=epoch, trace_ms=trace
+    )
