@@ -119,6 +119,8 @@ def main() -> None:
         state["seg_bf"] = seg
 
     timed(f"pack_segments_{N_VECTORS}v", pack_bf)
+    if "seg_bf" not in state:
+        pack_bf()  # prerequisite even when its own timing is filtered out
 
     # warm the packed scan (codegen + worker numpy import) before timing
     knn_bruteforce_packed(state["seg_bf"], queries.limit(4), k=TOP_K, metric="l2").count()
@@ -149,6 +151,10 @@ def main() -> None:
         ivf_search_packed(seg, model, queries, k=TOP_K, nprobe=3).count()
 
     timed(f"ivf_build_{N_VECTORS}v_nlist100", ivf_build)
+    if "ivf" not in state and (
+        not only or any(n.startswith("ivf_search") for n in only)
+    ):
+        ivf_build()
     if "ivf" in state:
         timed(f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}", ivf_probe, repeat=2)
 
@@ -176,6 +182,8 @@ def main() -> None:
         state["seg_sq8"] = seg
 
     timed(f"pack_sq8_segments_{N_VECTORS}v", pack_sq8)
+    if "seg_sq8" not in state and (not only or any(n.startswith("bf_sq8") for n in only)):
+        pack_sq8()
     if "seg_sq8" in state:
         qnp = [
             (r["query_id"], np.asarray(r["vector"]))

@@ -115,38 +115,108 @@ def minhash_params(num_hashes: int = DEFAULT_NUM_HASHES, seed: int = MINHASH_SEE
     return out
 
 
-def token_fps(text: Column) -> Column:
-    """Deterministic per-token fingerprints (distinct), the minhash input."""
-    return F.array_distinct(F.transform(tokens(text), lambda t: char_fp(t)))
+def token_fps(text: Column, ngram_n: int = 1) -> Column:
+    """Deterministic shingle fingerprints (distinct), the minhash input.
+    ``ngram_n=1`` -> token-level; ``ngram_n>=2`` -> word n-gram shingles
+    (the right granularity when the corpus shares a small vocabulary —
+    token-level minhash buckets collide pathologically there)."""
+    units = tokens(text) if ngram_n <= 1 else word_ngrams(text, ngram_n)
+    return F.array_distinct(F.transform(units, lambda t: char_fp(t)))
 
 
 def minhash_signature(
-    text: Column, num_hashes: int = DEFAULT_NUM_HASHES, seed: int = MINHASH_SEED
+    fps: Column, num_hashes: int = DEFAULT_NUM_HASHES, seed: int = MINHASH_SEED
 ) -> list[Column]:
-    """k min-hash columns: min over tokens of (a * (fp % p) + b) % p.
-    Empty docs hash to p (sentinel) so they never collide with real values."""
-    fps = token_fps(text)
+    """k min-hash columns over a (precomputed) token-fp array: min over
+    tokens of (a * (fp % p) + b) % p. Empty docs hash to p (sentinel) so
+    they never collide with real values."""
+    def _hash_fn(a: int, b: int):
+        return lambda x: F.pmod(
+            F.lit(a) * F.pmod(x, F.lit(FP_PRIME)) + F.lit(b), F.lit(FP_PRIME)
+        )
+
     cols = []
     for a, b in minhash_params(num_hashes, seed):
-        h = F.array_min(
-            F.transform(
-                fps,
-                lambda x: F.pmod(
-                    F.lit(a) * F.pmod(x, F.lit(FP_PRIME)) + F.lit(b), F.lit(FP_PRIME)
-                ),
-            )
-        )
+        h = F.array_min(F.transform(fps, _hash_fn(a, b)))
         cols.append(F.coalesce(h, F.lit(FP_PRIME)).cast("long"))
     return cols
 
 
+import re as _re
+
+from pyrope_spark.functions.text import FP_WEIGHT_MULT
+
+# Java-regex \s (no unicode classes) — keeps Python tokenization identical
+# to the Spark/DuckDB expression path on ASCII corpora
+_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _token_fps_py(text: str, ngram_n: int = 1) -> np.ndarray:
+    """Exact integer mirror of :func:`token_fps` (functions.text.char_fp over
+    distinct shingles). Same arithmetic in int64 — bit-identical to the
+    expression/oracle path."""
+    if not text:
+        return np.empty(0, dtype=np.int64)
+    toks = [t for t in _WS_RE.split(text.strip().lower()) if t]
+    if ngram_n <= 1:
+        units = set(toks)
+    elif len(toks) < ngram_n:
+        units = set()
+    else:
+        units = {
+            " ".join(toks[i : i + ngram_n]) for i in range(len(toks) - ngram_n + 1)
+        }
+    out = []
+    for t in units:
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        idx = np.arange(1, len(cps) + 1, dtype=np.int64)
+        out.append(int((cps * ((idx * FP_WEIGHT_MULT) % FP_PRIME)).sum()))
+    return np.unique(np.asarray(out, dtype=np.int64))
+
+
 def with_minhash(
     df: DataFrame, *, text_col: str = "text", num_hashes: int = DEFAULT_NUM_HASHES,
-    seed: int = MINHASH_SEED, prefix: str = "mh"
+    seed: int = MINHASH_SEED, prefix: str = "mh", impl: str = "arrow",
+    ngram_n: int = 1
 ) -> DataFrame:
-    for i, c in enumerate(minhash_signature(F.col(text_col), num_hashes, seed)):
-        df = df.withColumn(f"{prefix}_{i}", c)
-    return df
+    """Attach mh_0..mh_{k-1} signature columns.
+
+    ``impl='arrow'`` (default): one mapInPandas pass computing fingerprints
+    and all k hashes in numpy — the expression path re-evaluates the
+    (interpreted, non-codegen) fingerprint HOF per hash column and is ~20x
+    slower at corpus scale. Both produce bit-identical values (pure int64
+    arithmetic), so the DuckDB oracle covers either.
+    """
+    if impl == "expr":
+        df = df.withColumn("_fps", token_fps(F.col(text_col), ngram_n))
+        for i, c in enumerate(minhash_signature(F.col("_fps"), num_hashes, seed)):
+            df = df.withColumn(f"{prefix}_{i}", c)
+        return df.drop("_fps")
+
+    params = minhash_params(num_hashes, seed)
+    a_arr = np.asarray([a for a, _ in params], dtype=np.int64)
+    b_arr = np.asarray([b for _, b in params], dtype=np.int64)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"{prefix}_{i}", T.LongType()) for i in range(num_hashes)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            sigs = np.full((len(pdf), num_hashes), FP_PRIME, dtype=np.int64)
+            for r, text in enumerate(pdf[text_col].tolist()):
+                fps = _token_fps_py(text, ngram_n)
+                if len(fps):
+                    h = (a_arr[None, :] * (fps[:, None] % FP_PRIME) + b_arr[None, :]) % FP_PRIME
+                    sigs[r] = h.min(axis=0)
+            out = pdf.copy()
+            for i in range(num_hashes):
+                out[f"{prefix}_{i}"] = sigs[:, i]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def minhash_oracle_sql(
@@ -177,6 +247,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     seed: int = MINHASH_SEED,
     verify_threshold: float | None = 0.7,
+    ngram_n: int = 3,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in >= 1 band; optionally
     verified with exact token-set Jaccard. Banding: k hashes split into
@@ -184,20 +255,24 @@ def minhash_lsh_pairs(
     wide operation is the groupBy on band keys — no all-pairs join ever."""
     rows_per_band = num_hashes // bands
     sig = with_minhash(df.select(id_col, text_col), text_col=text_col,
-                       num_hashes=num_hashes, seed=seed)
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{bi * rows_per_band + j}") for j in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(bi).alias("band"),
-                F.concat_ws(":", *[c.cast("string") for c in cols]).alias("band_key"),
+                       num_hashes=num_hashes, seed=seed, ngram_n=ngram_n)
+    # one pass: posexplode an array of band keys (a union of per-band selects
+    # would re-run the signature stage once per band)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh_{bi * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
             )
-        )
-    buckets = band_rows[0]
-    for b in band_rows[1:]:
-        buckets = buckets.unionByName(b)
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
     a = buckets.select(F.col(id_col).alias("ia"), "band", "band_key")
     b = buckets.select(F.col(id_col).alias("ib"), "band", "band_key")
     cand = (
@@ -209,7 +284,7 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return cand
     tok = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_toks")
+        F.col(id_col), token_fps(F.col(text_col), ngram_n).alias("_toks")
     )
     ta = tok.select(F.col(id_col).alias("ia"), F.col("_toks").alias("_ta"))
     tb = tok.select(F.col(id_col).alias("ib"), F.col("_toks").alias("_tb"))
@@ -274,6 +349,39 @@ def simhash_text_oracle_sql(
         )
         terms.append(f"(CASE WHEN COALESCE({s}, 0) > 0 THEN {1 << b} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def with_simhash_text(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "simhash",
+    bits: int = SIMHASH_TEXT_BITS, seed: int = MINHASH_SEED, impl: str = "arrow"
+) -> DataFrame:
+    """Attach the text simhash column; arrow impl mirrors
+    :func:`simhash_text` bit-exactly (integer math only)."""
+    if impl == "expr":
+        return df.withColumn(out_col, simhash_text(F.col(text_col), bits, seed))
+    params = minhash_params(bits, seed + 1000)
+    a_arr = np.asarray([a for a, _ in params], dtype=np.int64)
+    b_arr = np.asarray([b for _, b in params], dtype=np.int64)
+    weights = (1 << np.arange(bits, dtype=np.int64)).astype(np.int64)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def run(batches):
+        for pdf in batches:
+            hs = np.zeros(len(pdf), dtype=np.int64)
+            for r, text in enumerate(pdf[text_col].tolist()):
+                fps = _token_fps_py(text)
+                if len(fps) == 0:
+                    continue
+                bitsm = (a_arr[None, :] * (fps[:, None] % FP_PRIME) + b_arr[None, :]) % FP_PRIME % 2
+                sums = (2 * bitsm - 1).sum(axis=0)
+                hs[r] = int(weights[sums > 0].sum())
+            out = pdf.copy()
+            out[out_col] = hs
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def simhash_pairs(

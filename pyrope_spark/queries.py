@@ -636,14 +636,12 @@ register("minhash_lsh_dedup", None)(_minhash_lsh_spark)
 
 
 def _simhash_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyrope_spark.operators.dedup import simhash_text
+    from pyrope_spark.operators.dedup import with_simhash_text
 
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        simhash_text(F.col("text")).alias("simhash32"),
-    )
+    sh = with_simhash_text(docs.select("doc_id", "text"), out_col="simhash32")
+    return sh.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash32")
 
 
 def _simhash_text_oracle() -> str:
@@ -1054,13 +1052,12 @@ register("knn_numeric_range_filter", _knn_numeric_oracle())(_knn_numeric_spark)
 # --------------------------------------------------------------------------
 
 def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyrope_spark.operators.dedup import simhash_pairs, simhash_text
+    from pyrope_spark.operators.dedup import simhash_pairs, with_simhash_text
 
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        simhash_text(F.col("text")).alias("simhash"),
+    sh = with_simhash_text(docs.select("doc_id", "text")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("simhash")
     )
     pairs = simhash_pairs(sh, id_col="doc_id", max_hamming=2, prefix_bits=4)
     return pairs.select(
