@@ -45,6 +45,40 @@ def test_stream_upsert_to_store(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_qps_quota(spark, tmp_path):
+    """G1 as a stateful streaming op: 1-second window counters per tenant
+    with over-limit flags (TenantQuotaEnforcer.cs:137-158)."""
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.streaming.quota import streaming_qps_quota
+
+    src_dir = tmp_path / "reqs"
+    src_dir.mkdir()
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("t1", base + timedelta(milliseconds=100 * i)) for i in range(12)]  # 10 in s0, 2 in s1
+    rows += [("t2", base, )]
+    df = spark.createDataFrame(rows, "tenant_id string, ts timestamp")
+    df.write.mode("append").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = streaming_qps_quota(stream, max_qps=5)
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName("quota_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["tenant_id"], r["window_s"]): (r["requests"], r["over_limit"])
+            for r in spark.sql("SELECT * FROM quota_out").collect()
+        }
+        s0 = int(base.timestamp())
+        assert got[("t1", s0)] == (10, True)      # 10 > 5 in second 0
+        assert got[("t1", s0 + 1)] == (2, False)
+        assert got[("t2", s0)] == (1, False)
+    finally:
+        q.stop()
+
+
 def test_streaming_write_heat(spark, tmp_path):
     from datetime import datetime, timedelta
 
