@@ -1174,6 +1174,69 @@ FROM err e ASOF LEFT JOIN sg s ON e.user_id = s.user_id AND s.ts <= e.ts
 )(_asof_spark)
 
 
+# --------------------------------------------------------------------------
+# Pretraining-filter composition: quality + language gates in one pass (the
+# canonical use of the text-analysis columns in a data pipeline)
+# --------------------------------------------------------------------------
+
+def _pretrain_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import lang_id, quality_score
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.withColumn("q", quality_score(F.col("text"))).withColumn(
+        "lang_pred", lang_id(F.col("text"))
+    )
+    return out.filter((F.col("q") >= 0.8) & (F.col("lang_pred") == "en")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("q").alias("quality"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _pretrain_filter_oracle() -> str:
+    from pyrope_spark.functions.text import (
+        STOPWORDS,
+        lang_id_from_scores_sql,
+        lang_scores_from_tokens_sql,
+        tokens_sql,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    scores = lang_scores_from_tokens_sql("t")
+    sel = ", ".join(f"{e} AS c_{lang}" for lang, e in scores.items())
+    case = lang_id_from_scores_sql({lang: f"c_{lang}" for lang in scores})
+    return f"""
+WITH tk AS (
+  SELECT doc_id, text, n_chars, {tokens_sql('text')} AS t FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, t,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END
+           AS mean_token_len,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t, x -> list_contains([{sw}], x))) AS DOUBLE) / len(t) END
+           AS stopword_ratio
+  FROM tk
+), scored AS (
+  SELECT doc_id, n_chars,
+         round((least(1.0, n_tokens / 20.0)
+              + least(1.0, stopword_ratio * 5.0)
+              + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                     THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality,
+         {sel}
+  FROM feat
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, CAST(n_chars AS BIGINT) AS n_chars
+FROM scored
+WHERE quality >= 0.8 AND ({case}) = 'en'
+"""
+
+
+register("pretrain_quality_filter", _pretrain_filter_oracle())(_pretrain_filter_spark)
+
+
 register(
     "querykey_round_k",
     """
