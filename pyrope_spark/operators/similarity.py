@@ -1,0 +1,125 @@
+"""User-facing similarity-search façade.
+
+One entry point over the engine's ANN strategies, so a user of the reference
+(`VEC.SEARCH`) has a single call with a method switch:
+
+- ``brute``    : exact; expression scorer (oracle-grade) for small inputs,
+                 Arrow GEMM otherwise.
+- ``segments`` : exact; packed float32 segment scan — the high-throughput
+                 batch path.
+- ``sq8``      : approximate by quantization error; SQ8 packed scan (4x less
+                 bandwidth).
+- ``ivf``      : approximate; cluster-probed scan (build amortized across
+                 calls via the returned handle).
+
+See PLANS.md for the measured crossovers (batch size vs nprobe coverage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from pyrope_spark.functions.vector import normalize_metric
+
+
+@dataclass
+class SimilarityIndex:
+    method: str
+    metric: str
+    handle: object  # method-specific state
+
+
+def build_similarity_index(
+    corpus: DataFrame,
+    method: str = "segments",
+    metric: str = "l2",
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    nlist: int = 100,
+    rows_per_segment: int = 65536,
+) -> SimilarityIndex:
+    """Prepare (and cache) the scan structure for repeated query batches."""
+    metric = normalize_metric(metric)
+    method = method.lower()
+    if method == "brute":
+        return SimilarityIndex(method, metric, corpus.select(
+            corpus[id_col].alias("id"), corpus[vector_col].alias("vector")))
+    if method == "segments":
+        from pyrope_spark.operators.segments import pack_segments
+
+        seg = pack_segments(
+            corpus, id_col=id_col, vector_col=vector_col,
+            rows_per_segment=rows_per_segment,
+        ).cache()
+        seg.count()
+        return SimilarityIndex(method, metric, seg)
+    if method == "sq8":
+        from pyrope_spark.operators.segments import pack_segments_sq8
+
+        seg = pack_segments_sq8(
+            corpus, id_col=id_col, vector_col=vector_col,
+            rows_per_segment=rows_per_segment,
+        ).cache()
+        seg.count()
+        return SimilarityIndex(method, metric, seg)
+    if method == "ivf":
+        from pyrope_spark.operators.ivf import build_ivf
+        from pyrope_spark.operators.segments import pack_segments
+
+        assigned, model = build_ivf(
+            corpus, nlist=nlist, metric=metric, vector_col=vector_col
+        )
+        seg = pack_segments(
+            assigned, id_col=id_col, vector_col=vector_col,
+            cluster_col="cluster_id", rows_per_segment=rows_per_segment,
+        ).cache()
+        seg.count()
+        return SimilarityIndex(method, metric, (seg, model))
+    raise ValueError(f"unknown method {method!r}")
+
+
+def ann_topk(
+    index: SimilarityIndex,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    nprobe: int = 10,
+) -> DataFrame:
+    """Top-K per query over a built index -> (query_id, id, score, rank)."""
+    if index.method == "brute":
+        from pyrope_spark.operators.knn import knn_bruteforce
+
+        return knn_bruteforce(
+            index.handle, queries, k=k, metric=index.metric, impl="gemm",
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+    if index.method == "segments":
+        from pyrope_spark.operators.segments import knn_bruteforce_packed
+
+        return knn_bruteforce_packed(
+            index.handle, queries, k=k, metric=index.metric,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+    if index.method == "sq8":
+        from pyrope_spark.operators.segments import segment_knn_sq8
+
+        qrows = [
+            (r[query_id_col], np.asarray(r[query_vector_col]))
+            for r in queries.select(query_id_col, query_vector_col).collect()
+        ]
+        return segment_knn_sq8(index.handle, qrows, k, index.metric)
+    if index.method == "ivf":
+        from pyrope_spark.operators.segments import ivf_search_packed
+
+        seg, model = index.handle
+        return ivf_search_packed(
+            seg, model, queries, k=k, nprobe=nprobe,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+    raise ValueError(f"unknown method {index.method!r}")
