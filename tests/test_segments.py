@@ -67,6 +67,25 @@ def test_sq8_segments_recall(data, spark):
     assert ivf_recall(approx, exact, 10) >= 0.9
 
 
+def test_packed_pq_matches_unpacked(data, spark):
+    """IVF-PQ ADC over packed uint8 code segments must equal the row-wise
+    ADC search exactly (same tables, same codes)."""
+    from pyrope_spark.operators.pq import build_ivf_pq, ivf_pq_search
+    from pyrope_spark.operators.segments import ivf_pq_search_packed, pack_pq_segments
+
+    vectors, queries = data
+    encoded, model = build_ivf_pq(vectors, nlist=8, m=4, k=64)
+    encoded = encoded.cache()
+    seg = pack_pq_segments(encoded, rows_per_segment=128).cache()
+    row = seg.first()
+    assert len(row["codes"]) == row["n"] * row["m"]
+    packed = ivf_pq_search_packed(seg, model, queries, k=10, nprobe=8)
+    unpacked = ivf_pq_search(encoded, model, queries, k=10, nprobe=8)
+    got = {(r["query_id"], r["rank"]): r["id"] for r in packed.collect()}
+    exp = {(r["query_id"], r["rank"]): r["id"] for r in unpacked.collect()}
+    assert got == exp
+
+
 def test_packed_ivf_matches_unpacked(data, spark, tmp_path):
     vectors, queries = data
     assigned, model = build_ivf(vectors, nlist=8, metric="l2")
