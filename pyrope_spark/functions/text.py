@@ -165,12 +165,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def lang_id(text: Column) -> Column:
-    """Argmax language over function-word hit counts; ties and zero scores ->
-    'und'. Deterministic tie order = profile order above."""
+    """Argmax language over function-word hit counts; zero scores -> 'und'.
+    Deterministic tie order: the LAST profile in LANG_PROFILES order wins ties
+    (reversed iteration + strict '>' keeps the first-processed value). The
+    DuckDB oracle (`lang_id_from_scores_sql`) mirrors this construction."""
     scores = lang_scores(text)
     best = F.lit("und")
     best_score = F.lit(0)
-    # iterate in reverse so earlier profiles win ties
+    # reversed + strict '>': first-processed (= last-declared) profile wins ties
     for lang in reversed(list(scores)):
         s = scores[lang]
         cond = s > best_score

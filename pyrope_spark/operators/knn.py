@@ -108,19 +108,39 @@ def knn_bruteforce(
         live = live.limit(max_scans)
 
     if impl == "gemm":
-        scored = _score_gemm(live, queries, metric, k or 0, id_col, vector_col, query_id_col, query_vector_col)
-        # tag filter needs query columns; join them back on query_id
-        if filter_tags_col is not None and tags_col is not None:
-            tag_map = live.select(F.col(id_col).alias("id"), F.col(tags_col).alias("_tags"))
-            qf = queries.select(
-                F.col(query_id_col).alias("query_id"), F.col(filter_tags_col).alias("_ftags")
+        # Collect the (small) query side once: vectors, per-query k, and
+        # per-query filter tags all ride the same broadcast so the scan
+        # kernel can filter BEFORE its partial top-K cut (same pre-scoring
+        # semantics as the expr path — post-cut filtering would let
+        # non-matching rows occupy top-K slots and drop valid matches).
+        qcols = [query_id_col, query_vector_col]
+        if k_col is not None:
+            qcols.append(k_col)
+        want_tags = filter_tags_col is not None and tags_col is not None
+        if want_tags:
+            qcols.append(filter_tags_col)
+        qrows = queries.select(*qcols).collect()
+        qids = [r[0] for r in qrows]
+        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+        if k_col is not None:
+            # per-batch cut uses the batch-max k; per-query k is enforced by
+            # the rank filter after the global top-K
+            kk = max((int(r[2]) for r in qrows), default=k or 1)
+        else:
+            kk = k
+        qtags = None
+        if want_tags:
+            qtags = [frozenset(r[-1]) if r[-1] else None for r in qrows]
+        scored = _score_gemm(
+            live, qids, qmat, metric, kk, id_col, vector_col,
+            query_tags=qtags, tags_col=tags_col if want_tags else None,
+        )
+        if k_col is not None:
+            # carry per-query k through to the post-topk rank filter
+            kq = queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(k_col).alias("_k")
             )
-            scored = (
-                scored.join(F.broadcast(qf), "query_id")
-                .join(tag_map, "id")
-                .filter(tag_filter_expr(F.col("_tags"), F.col("_ftags")))
-                .drop("_tags", "_ftags")
-            )
+            scored = scored.join(F.broadcast(kq), "query_id")
     else:
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -160,27 +180,30 @@ def knn_bruteforce(
 
 def _score_gemm(
     live: DataFrame,
-    queries: DataFrame,
+    qids: list,
+    qmat: np.ndarray,
     metric: str,
     k: int,
     id_col: str,
     vector_col: str,
-    query_id_col: str,
-    query_vector_col: str,
+    *,
+    query_tags: list | None = None,
+    tags_col: str | None = None,
 ) -> DataFrame:
     """Vectorized scan: numpy GEMM per Arrow batch, emitting per-batch
-    top-K candidates only. Queries must be collect-able (they are the small
-    side by design — the reference handles one query at a time; we batch)."""
-    qrows = queries.select(query_id_col, query_vector_col).collect()
-    qids = [r[0] for r in qrows]
-    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # Q x d
+    top-K candidates only. The query side is pre-collected (it is the small
+    side by design — the reference handles one query at a time; we batch).
+
+    ``query_tags`` (list of frozenset|None, aligned with ``qids``) applies
+    the has-ALL tag filter per query *inside* the kernel, before the partial
+    top-K cut — same pre-scoring semantics as the expr path."""
     spark = live.sparkSession
-    bq = spark.sparkContext.broadcast((qids, qmat))
+    bq = spark.sparkContext.broadcast((list(qids), np.asarray(qmat, dtype=np.float64), query_tags))
 
     kk = max(k, 1)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_b, qmat_b = bq.value
+        qids_b, qmat_b, qtags_b = bq.value
         nq = len(qids_b)
         for pdf in batches:
             if len(pdf) == 0:
@@ -202,21 +225,40 @@ def _score_gemm(
                 scores = vdir @ qdir.T
                 scores[vnorm < 1e-6, :] = 0.0
                 scores[:, qnorm < 1e-6] = 0.0
+            if qtags_b is not None:
+                row_tags = [
+                    set(t) if t is not None and len(t) else None
+                    for t in pdf[tags_col].to_numpy()
+                ]
+                for j, ftags in enumerate(qtags_b):
+                    if not ftags:
+                        continue
+                    miss = np.fromiter(
+                        (rt is None or not ftags <= rt for rt in row_tags),
+                        dtype=bool,
+                        count=len(row_tags),
+                    )
+                    scores[miss, j] = -np.inf
             top = min(kk, scores.shape[0])
             # per-query partial top-k inside the batch (argpartition = O(B)),
             # assembled with numpy (no per-row Python loop)
             idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]  # top x Q
             flat = idx.T.ravel()  # query-major
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "query_id": np.repeat(np.asarray(qids_b, dtype=object), top),
                     "id": ids[flat],
                     "score": scores[flat, np.repeat(np.arange(nq), top)],
                 }
             )
+            if qtags_b is not None:
+                out = out[np.isfinite(out["score"].to_numpy())]
+            yield out
 
-    cols = live.select(F.col(id_col).alias(id_col), F.col(vector_col).alias(vector_col))
-    return cols.mapInPandas(scan, RESULT_SCHEMA)
+    sel = [F.col(id_col).alias(id_col), F.col(vector_col).alias(vector_col)]
+    if tags_col is not None:
+        sel.append(F.col(tags_col).alias(tags_col))
+    return live.select(*sel).mapInPandas(scan, RESULT_SCHEMA)
 
 
 def hydrate(

@@ -195,6 +195,9 @@ def segment_knn_sq8(
                         Q / np.where(qn < 1e-6, 1, qn)[:, None]
                     ).T
                     scores[vn < 1e-6, :] = 0.0
+                    # zero-norm QUERY guard too, matching knn._score_gemm /
+                    # cosine_sim (ref VectorMath zero-norm -> 0.0)
+                    scores[:, qn < 1e-6] = 0.0
                 top = min(kk, scores.shape[0])
                 idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
                 flat = idx.T.ravel()
@@ -391,6 +394,8 @@ def segment_knn(
                     vdir = vmat / np.where(vn < 1e-6, 1.0, vn)[:, None]
                     scores = vdir @ qdir[sub].T
                     scores[vn < 1e-6, :] = 0.0
+                    # zero-norm QUERY guard, matching knn._score_gemm
+                    scores[:, qn[sub] < 1e-6] = 0.0
                 top = min(kk, scores.shape[0])
                 idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
                 flat = idx.T.ravel()

@@ -82,17 +82,40 @@ class VectorStore:
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         return self.spark.read.schema(RECORD_SCHEMA).parquet(path)
 
-    def snapshot(self, tenant_id: str | None = None, index_name: str | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        tenant_id: str | None = None,
+        index_name: str | None = None,
+        pairs: list[tuple[str, str]] | None = None,
+    ) -> DataFrame:
         """Latest-wins resolved view of head ∪ tail, INCLUDING tombstones
-        (the reference store keeps deleted records, VectorStore.cs:41-58)."""
+        (the reference store keeps deleted records, VectorStore.cs:41-58).
+
+        ``pairs`` restricts the view to the given ``(tenant_id, index_name)``
+        partitions — equality predicates on the partition columns, so the
+        scan prunes to only the touched directories (verified by
+        ``tests/test_store.py`` plan assertion)."""
         df = self._read(self.head_path).unionByName(self._read(self.tail_path))
         if tenant_id is not None:
             df = df.filter(F.col("tenant_id") == tenant_id)
         if index_name is not None:
             df = df.filter(F.col("index_name") == index_name)
+        if pairs is not None:
+            cond = F.lit(False)
+            for t, i in pairs:
+                cond = cond | ((F.col("tenant_id") == t) & (F.col("index_name") == i))
+            df = df.filter(cond)
         w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_seq"))
         return (
             df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+        )
+
+    def _touched(self, df: DataFrame) -> list[tuple[str, str]]:
+        return sorted(
+            {
+                (r["tenant_id"], r["index_name"])
+                for r in df.select("tenant_id", "index_name").distinct().collect()
+            }
         )
 
     def live(self, tenant_id: str | None = None, index_name: str | None = None) -> DataFrame:
@@ -135,26 +158,52 @@ class VectorStore:
             self.registry.get_or_create(r["tenant_id"], r["index_name"], r["dims"][0])
 
     def add(self, df: DataFrame) -> int:
-        """Insert-only; any existing key (live OR tombstoned) is an error
+        """Insert-only; any existing key (live OR tombstoned) is an error,
+        including a key appearing twice WITHIN the input batch — the
+        reference TryAdd rejects the second add of an id
         (reference: VectorStore.TryAdd, VectorCommandSet.cs:605-615)."""
         self._check_dims(df)
-        existing = self.snapshot().select(*KEY_COLS)
+        touched = self._touched(df)
+        in_batch = (
+            df.groupBy(*KEY_COLS).count().filter("count > 1").limit(1).collect()
+        )
+        if in_batch:
+            d = in_batch[0]
+            raise DuplicateIdError(
+                f"Vector already exists (duplicate in batch): "
+                f"{d['tenant_id']}:{d['index_name']}:{d['id']}"
+            )
+        existing = self.snapshot(pairs=touched).select(*KEY_COLS)
         dups = df.select(*KEY_COLS).join(existing, KEY_COLS, "inner").limit(1).collect()
         if dups:
             d = dups[0]
             raise DuplicateIdError(
                 f"Vector already exists: {d['tenant_id']}:{d['index_name']}:{d['id']}"
             )
-        return self._append(df)
+        return self._append(df, touched)
 
     def upsert(self, df: DataFrame) -> int:
         """Insert-or-replace preserving created_at; resurrects tombstones
-        (reference: VectorStore.Upsert, Services/VectorStore.cs:23-33)."""
+        (reference: VectorStore.Upsert, Services/VectorStore.cs:23-33).
+
+        Duplicate keys WITHIN the input batch resolve deterministically to
+        the LAST occurrence in input order (the reference applies upserts
+        sequentially, so last-write-wins)."""
         self._check_dims(df)
+        touched = self._touched(df)
+        w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_mono"))
+        df = (
+            df.withColumn("_mono", F.monotonically_increasing_id())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_mono", "_rn")
+        )
         seq = self.registry.next_seq()
         now = datetime.now(timezone.utc)
         prepped = self._prep(df, seq, now)
-        old = self.snapshot().select(*KEY_COLS, F.col("created_at").alias("_old_created"))
+        old = self.snapshot(pairs=touched).select(
+            *KEY_COLS, F.col("created_at").alias("_old_created")
+        )
         merged = (
             prepped.join(old, KEY_COLS, "left")
             .withColumn("created_at", F.coalesce("_old_created", "created_at"))
@@ -163,17 +212,19 @@ class VectorStore:
         )
         merged.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
         n = merged.count()
-        for m in {(r["tenant_id"], r["index_name"]) for r in df.select("tenant_id", "index_name").distinct().collect()}:
+        for m in touched:
             self.registry.bump_epoch(*m)
         return n
 
-    def _append(self, df: DataFrame) -> int:
+    def _append(self, df: DataFrame, touched: list[tuple[str, str]] | None = None) -> int:
         seq = self.registry.next_seq()
         now = datetime.now(timezone.utc)
         prepped = self._prep(df, seq, now)
         prepped.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
         n = prepped.count()
-        for t, i in {(r["tenant_id"], r["index_name"]) for r in df.select("tenant_id", "index_name").distinct().collect()}:
+        if touched is None:
+            touched = self._touched(df)
+        for t, i in touched:
             self.registry.bump_epoch(t, i)
         return n
 
@@ -181,7 +232,8 @@ class VectorStore:
         """Tombstone delete: keeps the record, flips ``deleted``, bumps epoch
         (reference: VectorStore.cs:41-58, VectorCommandSet.cs:657-724)."""
         kdf = self.spark.createDataFrame(keys, "tenant_id string, index_name string, id string")
-        current = self.snapshot().join(kdf, KEY_COLS, "inner").filter(~F.col("deleted"))
+        pairs = sorted({(k[0], k[1]) for k in keys})
+        current = self.snapshot(pairs=pairs).join(kdf, KEY_COLS, "inner").filter(~F.col("deleted"))
         seq = self.registry.next_seq()
         now = datetime.now(timezone.utc)
         tomb = (

@@ -64,12 +64,16 @@ def test_knn_matches_oracle(fixture, metric, impl):
             assert s == pytest.approx(es, rel=1e-6, abs=1e-9)
 
 
-def test_knn_tag_filter(fixture):
+@pytest.mark.parametrize("impl", ["expr", "gemm"])
+def test_knn_tag_filter(fixture, impl):
+    """Tag filter must be applied BEFORE the top-K cut on BOTH impls —
+    the gemm path masks inside the scan kernel (ADVICE round-1 fix)."""
     vectors, queries, vec_rows, query_rows = fixture
     qf = queries.withColumn("filter_tags", F.array(F.lit("tagA")))
     got = knn_bruteforce(
         vectors, qf, k=5, metric="l2",
         deleted_col="deleted", tags_col="tags", filter_tags_col="filter_tags",
+        impl=impl,
     ).collect()
     expected = numpy_knn_oracle(vec_rows, query_rows, 5, "l2", filter_tags=["tagA"])
     by_q = {}
@@ -77,14 +81,15 @@ def test_knn_tag_filter(fixture):
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
     for qid, exp in expected.items():
         mine = [i for _, i in sorted(by_q.get(qid, []))]
-        assert mine == [e[0] for e in exp]
+        assert mine == [e[0] for e in exp], f"{impl}/{qid}"
 
 
-def test_knn_per_query_k(fixture):
+@pytest.mark.parametrize("impl", ["expr", "gemm"])
+def test_knn_per_query_k(fixture, impl):
     vectors, queries, *_ = fixture
     qk = queries.withColumn("top_k", F.when(F.col("query_id") == "q0", 2).otherwise(7))
     got = knn_bruteforce(
-        vectors, qk, metric="l2", deleted_col="deleted", k_col="top_k"
+        vectors, qk, metric="l2", deleted_col="deleted", k_col="top_k", impl=impl
     ).groupBy("query_id").count().collect()
     counts = {r["query_id"]: r["count"] for r in got}
     assert counts["q0"] == 2
