@@ -301,6 +301,58 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_oracle_sql(
+    *,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    seed: int = MINHASH_SEED,
+    verify_threshold: float = 0.7,
+    ngram_n: int = 3,
+) -> str:
+    """Full DuckDB rendering of :func:`minhash_lsh_pairs` — signatures,
+    band bucketing, candidate join, exact-Jaccard verify. Every stage is
+    integer/deterministic, so the whole LSH pipeline hash-compares exactly
+    (the banding itself is not approximate; only its *recall* vs all-pairs
+    is — which is the semantics both engines share here)."""
+    from pyrope_spark.functions.text import char_fp_sql, tokens_sql, word_ngrams_from_tokens_sql
+
+    rows = num_hashes // bands
+    ng = word_ngrams_from_tokens_sql("t", ngram_n)
+    fp = char_fp_sql("x")
+    mh_exprs = ", ".join(
+        f"CAST(COALESCE(list_min(list_transform(fps, f -> "
+        f"({a} * (f % {FP_PRIME}) + {b}) % {FP_PRIME})), {FP_PRIME}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws(':', "
+        + ", ".join(f"mh_{bi * rows + j}" for j in range(rows))
+        + ") AS band_key FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+fpt AS (SELECT doc_id, list_distinct(list_transform({ng}, x -> {fp})) AS fps FROM tk),
+sig AS (SELECT doc_id, {mh_exprs} FROM fpt),
+bandt AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bandt a JOIN bandt b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.ia, c.ib,
+         CAST(len(list_intersect(fa.fps, fb.fps)) AS DOUBLE)
+           / NULLIF(len(list_distinct(fa.fps || fb.fps)), 0) AS j
+  FROM cand c
+  JOIN fpt fa ON fa.doc_id = c.ia
+  JOIN fpt fb ON fb.doc_id = c.ib
+)
+SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib, round(j, 6) AS jaccard
+FROM ver WHERE j >= {verify_threshold}
+"""
+
+
 # ----------------------------------------------------------------- simhash
 
 SIMHASH_TEXT_BITS = 32
@@ -415,21 +467,33 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     blocked: bool = False,
     nlist: int = 16,
+    block_seed_ids: list | None = None,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
     ``blocked=False``: exact all-pairs (the oracle path; O(N^2) — fine for
-    validation scales). ``blocked=True``: IVF-cluster blocking — KMeans cells,
-    compare only within a cell; misses cross-cell pairs near boundaries
-    (recall/cost tradeoff, the standard ANN-blocking pattern at 100 TB).
+    validation scales). ``blocked=True``: cluster blocking — compare only
+    within a cell; misses cross-cell pairs near boundaries (recall/cost
+    tradeoff, the standard ANN-blocking pattern at 100 TB). Cells come from
+    KMeans by default; ``block_seed_ids`` instead uses the embeddings of
+    those ids as fixed centroids (deterministic, SQL-replicable — the
+    oracle-parity blocking used by the driver query).
     """
     from pyrope_spark.functions.vector import cosine_sim
 
     cols = emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
     if blocked:
-        from pyrope_spark.operators.ivf import build_ivf
+        if block_seed_ids is not None:
+            from pyrope_spark.operators.ivf import assign_by_centroids, fixed_ivf_model
 
-        assigned, _ = build_ivf(cols, nlist=nlist, metric="cosine", vector_col="_v")
+            model = fixed_ivf_model(
+                cols, block_seed_ids, metric="cosine", id_col="_id", vector_col="_v"
+            )
+            assigned = assign_by_centroids(cols, model, id_col="_id", vector_col="_v")
+        else:
+            from pyrope_spark.operators.ivf import build_ivf
+
+            assigned, _ = build_ivf(cols, nlist=nlist, metric="cosine", vector_col="_v")
         a = assigned.select(F.col("_id").alias("ia"), F.col("_v").alias("_va"), "cluster_id")
         b = assigned.select(F.col("_id").alias("ib"), F.col("_v").alias("_vb"), "cluster_id")
         pairs = a.join(b, "cluster_id").filter(F.col("ia") < F.col("ib"))

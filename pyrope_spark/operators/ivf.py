@@ -90,6 +90,67 @@ def build_ivf(
     return assigned, IvfModel(centroids=centroids, metric=metric, nlist=k)
 
 
+def fixed_ivf_model(
+    vectors: DataFrame,
+    seed_ids: list,
+    metric: str = "l2",
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> IvfModel:
+    """IVF model whose centroids are the vectors of the given seed ids —
+    deterministic and fully replicable in SQL, the oracle-parity alternative
+    to a learned KMeans quantizer. Centroid index = position in ``seed_ids``
+    AS GIVEN (pass them in the same order the oracle's
+    ``row_number() OVER (ORDER BY ...)`` produces)."""
+    want = list(seed_ids)
+    rows = (
+        vectors.filter(F.col(id_col).isin(want))
+        .select(F.col(id_col).alias("_sid"), F.col(vector_col).alias("_v"))
+        .collect()
+    )
+    by_id = {r["_sid"]: r["_v"] for r in rows}
+    missing = [s for s in want if s not in by_id]
+    if missing:
+        raise ValueError(f"seed ids not found: {missing}")
+    cent = np.asarray([by_id[s] for s in want], dtype=np.float64)
+    return IvfModel(centroids=cent, metric=normalize_metric(metric), nlist=len(want))
+
+
+def assign_by_centroids(
+    vectors: DataFrame,
+    model: IvfModel,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Expression-path nearest-centroid assignment: broadcast the literal
+    centroid table, score with the metric expression, keep the argbest per
+    row (tie -> lowest centroid id). Same construction as the DuckDB oracle's
+    ``row_number() OVER (PARTITION BY id ORDER BY dist, cid)``, so the two
+    agree exactly. For the bulk path prefer ``build_ivf``'s MLlib transform;
+    this one exists for fixed/oracle models and small literal centroid sets."""
+    from pyspark.sql import Window
+
+    from pyrope_spark.functions.vector import score as score_expr
+
+    spark = vectors.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.centroids)],
+        "_cid int, _cv array<double>",
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc("_cid"))
+    return (
+        vectors.crossJoin(F.broadcast(cent))
+        .withColumn("_cscore", score_expr(model.metric, F.col("_cv"), F.col(vector_col)))
+        .withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") == 1)
+        .withColumn(cluster_col, F.col("_cid"))
+        .drop("_cid", "_cv", "_cscore", "_crn")
+    )
+
+
 def write_ivf_table(assigned: DataFrame, path: str, cluster_col: str = "cluster_id") -> None:
     """Persist partitioned by cluster so probe filters prune at the file level
     (the Spark analog of the reference's atomic list swap,
