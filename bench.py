@@ -128,7 +128,7 @@ def main() -> None:
     def bf():
         knn_bruteforce_packed(state["seg_bf"], queries, k=TOP_K, metric="l2").count()
 
-    timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf, repeat=2)
+    timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf, repeat=3)
 
     big_queries = synth_queries(spark, 1000, DIM, seed=1338).cache()
     big_queries.count()
@@ -136,7 +136,7 @@ def main() -> None:
     def bf_1k():
         knn_bruteforce_packed(state["seg_bf"], big_queries, k=TOP_K, metric="l2").count()
 
-    timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q1000", bf_1k, repeat=2)
+    timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q1000", bf_1k, repeat=3)
 
     from pyrope_spark.operators.ivf import build_ivf
 
@@ -156,13 +156,13 @@ def main() -> None:
     ):
         ivf_build()
     if "ivf" in state:
-        timed(f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}", ivf_probe, repeat=2)
+        timed(f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}", ivf_probe, repeat=3)
 
         def ivf_1k():
             seg, model = state["ivf"]
             ivf_search_packed(seg, model, big_queries, k=TOP_K, nprobe=3).count()
 
-        timed(f"ivf_search_nprobe3_{N_VECTORS}v_q1000", ivf_1k, repeat=2)
+        timed(f"ivf_search_nprobe3_{N_VECTORS}v_q1000", ivf_1k, repeat=3)
 
     from pyrope_spark.operators.quantize import with_sq8
 
@@ -193,7 +193,7 @@ def main() -> None:
         def bf_sq8():
             segment_knn_sq8(state["seg_sq8"], qnp, TOP_K, "l2").count()
 
-        timed(f"bf_sq8_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8, repeat=2)
+        timed(f"bf_sq8_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8, repeat=3)
 
     # ---------------- engine queries over the sf testdata
     import pyrope_spark.queries as Q

@@ -90,6 +90,10 @@ def load_delta_index(store: VectorStore, tenant_id: str, index_name: str) -> tup
     return seg, model
 
 
+DEFAULT_MAX_HEAD_KEYS = 100_000  # ~ a few MB broadcast; beyond this the head
+# is overdue for compaction anyway
+
+
 def delta_search(
     store: VectorStore,
     tenant_id: str,
@@ -97,12 +101,23 @@ def delta_search(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = DEFAULT_NPROBE,
+    *,
+    max_head_keys: int = DEFAULT_MAX_HEAD_KEYS,
+    auto_build_nlist: int | None = None,
 ) -> DataFrame:
     """Head ∪ tail search with head-wins dedup (DeltaVectorIndex.cs:76-122).
 
     Head (post-build writes) is scanned brute-force; tail via packed IVF.
     Any head key shadows its tail id — including tombstones, so deletes
     issued after a build correctly hide built rows.
+
+    The head-shadow set is collected once (ONE pre-search action) and masked
+    inside the tail scan kernel, so the tail fetch is exactly ``k`` per query
+    regardless of head size — no ``k + |head|`` over-fetch. A head larger
+    than ``max_head_keys`` means compaction is overdue: with
+    ``auto_build_nlist`` set the index is rebuilt first (the reference's
+    Build-on-threshold policy); otherwise the search falls back to the
+    anti-join + bounded over-fetch shape and still returns exact results.
     """
     seg, model = load_delta_index(store, tenant_id, index_name)
 
@@ -117,19 +132,42 @@ def delta_search(
     head_resolved = (
         head_all.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
     )
-    head_keys = head_resolved.select(F.col("id"))
-    head_live = head_resolved.filter(~F.col("deleted"))
+    head_rows = head_resolved.select("id", "deleted").limit(max_head_keys + 1).collect()
 
-    # over-fetch: shadowed tail ids (upserted or tombstoned in head) may
-    # occupy top-K slots; only head keys can shadow, so k + |head| tail
-    # candidates guarantee a full exact top-K after the anti-join
-    n_head = head_keys.count()
-    tail_hits = ivf_search_packed(seg, model, queries, k=k + n_head, nprobe=nprobe).drop(
-        "rank"
-    )
-    tail_hits = tail_hits.join(head_keys, "id", "left_anti")
+    if len(head_rows) > max_head_keys:
+        if auto_build_nlist is not None:
+            build_delta_index(store, tenant_id, index_name, nlist=auto_build_nlist)
+            seg, model = load_delta_index(store, tenant_id, index_name)
+            return delta_search(
+                store, tenant_id, index_name, queries, k, nprobe,
+                max_head_keys=max_head_keys,
+            )
+        # oversized head without auto-build: exact fallback (anti-join with
+        # |head| over-fetch — the pre-round-2 shape)
+        head_keys = head_resolved.select("id")
+        n_head = head_keys.count()
+        tail_hits = (
+            ivf_search_packed(seg, model, queries, k=k + n_head, nprobe=nprobe)
+            .drop("rank")
+            .join(head_keys, "id", "left_anti")
+        )
+        head_live = head_resolved.filter(~F.col("deleted"))
+        head_hits = knn_bruteforce(
+            head_live, queries, k=k, metric=model.metric, impl="gemm"
+        ).drop("rank")
+        merged = tail_hits.unionByName(head_hits)
+        return topk_per_group(
+            merged, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+        )
 
-    if head_live.limit(1).count() > 0:
+    shadow = frozenset(r["id"] for r in head_rows)
+    has_live = any(not r["deleted"] for r in head_rows)
+    tail_hits = ivf_search_packed(
+        seg, model, queries, k=k, nprobe=nprobe, exclude_ids=shadow or None
+    ).drop("rank")
+
+    if has_live:
+        head_live = head_resolved.filter(~F.col("deleted"))
         head_hits = knn_bruteforce(
             head_live, queries, k=k, metric=model.metric, impl="gemm"
         ).drop("rank")

@@ -352,20 +352,28 @@ def segment_knn(
     k: int,
     metric: str,
     probes: dict[int, list[int]] | None = None,
+    exclude_ids: frozenset | set | None = None,
 ) -> DataFrame:
     """Top-K scan over segment rows. ``probes`` maps cluster_id -> indices of
-    the queries probing it (None = every query scans every segment)."""
+    the queries probing it (None = every query scans every segment).
+
+    ``exclude_ids`` (small, broadcast) drops those ids INSIDE the kernel
+    before scoring — the delta index's head-shadow set. Excluding pre-cut
+    makes k tail candidates exact with NO over-fetch (the round-1 design
+    fetched k + |head| and anti-joined after, which degenerates as the head
+    grows; VERDICT item 6)."""
     spark = segments.sparkSession
     qids = [q for q, _ in queries_np]
     qmat = np.asarray([v for _, v in queries_np], dtype=np.float64)
-    bq = spark.sparkContext.broadcast((qids, qmat, probes))
+    excl = np.asarray(sorted(exclude_ids), dtype=object) if exclude_ids else None
+    bq = spark.sparkContext.broadcast((qids, qmat, probes, excl))
     kk = max(k, 1)
 
     if probes is not None:
         segments = segments.filter(F.col("cluster_id").isin(sorted(probes)))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_b, qmat_b, probes_b = bq.value
+        qids_b, qmat_b, probes_b, excl_b = bq.value
         nq_all = len(qids_b)
         if metric == "cosine":
             qn = np.linalg.norm(qmat_b, axis=1)
@@ -382,6 +390,13 @@ def segment_knn(
                 mat = np.frombuffer(row.vecs, dtype=np.float32).reshape(row.n, row.dim)
                 vmat = mat.astype(np.float64)
                 ids = np.asarray(row.ids, dtype=object)
+                if excl_b is not None:
+                    keep = ~np.isin(ids, excl_b)
+                    if not keep.all():
+                        vmat = vmat[keep]
+                        ids = ids[keep]
+                    if ids.size == 0:
+                        continue
                 Q = qmat_b[sub]
                 if metric == "ip":
                     scores = vmat @ Q.T
@@ -429,9 +444,11 @@ def knn_bruteforce_packed(
 def ivf_search_packed(
     segments: DataFrame, model, queries: DataFrame, k: int, nprobe: int = 3,
     *, query_id_col: str = "query_id", query_vector_col: str = "vector",
+    exclude_ids: frozenset | set | None = None,
 ) -> DataFrame:
     """IVF probe over packed segments: probe selection driver-side, segment
-    pruning by cluster, GEMM per probed segment."""
+    pruning by cluster, GEMM per probed segment. ``exclude_ids`` masks rows
+    inside the scan (see :func:`segment_knn`)."""
     from pyrope_spark.operators.ivf import select_probes
 
     qrows = [
@@ -444,4 +461,6 @@ def ivf_search_packed(
     for qid, c in pairs:
         probes.setdefault(int(c), []).append(qidx[qid])
     qnp = [(q, np.asarray(v)) for q, v in qrows]
-    return segment_knn(segments, qnp, k, model.metric, probes=probes)
+    return segment_knn(
+        segments, qnp, k, model.metric, probes=probes, exclude_ids=exclude_ids
+    )

@@ -88,3 +88,48 @@ def test_partial_probe_recall(built_store, spark):
     hits = delta_search(st, T, I, queries, k=10, nprobe=3)
     exact = knn_bruteforce(st.live(T, I), queries, k=10, metric="l2")
     assert ivf_recall(hits, exact, 10) >= 0.7
+
+
+def test_large_head_exact_topk_bounded_fetch(built_store, spark):
+    """Head >= 10x k: the kernel-mask path must stay exact (head-wins,
+    tombstones hidden) with a tail fetch of exactly k per query."""
+    st, _ = built_store
+    # 120 head rows (12x k): 100 upserts of tail ids + 20 new ids
+    st.upsert(_records(spark, 100, start=0, scale=0.5))       # shadow v0..v99
+    st.upsert(_records(spark, 20, start=1000, scale=1.0))     # new ids
+    st.delete([(T, I, f"v{j}") for j in range(100, 110)])     # tombstone tail ids
+    queries = make_queries_df(spark, n=6, dim=DIM, k=10)
+    hits = delta_search(st, T, I, queries, k=10, nprobe=8)
+    exact = knn_bruteforce(st.live(T, I), queries, k=10, metric="l2")
+    assert ivf_recall(hits, exact, 10) == 1.0
+    deleted = {f"v{j}" for j in range(100, 110)}
+    assert not deleted & {r["id"] for r in hits.collect()}
+
+
+def test_oversized_head_fallback_exact(built_store, spark):
+    """Head above max_head_keys without auto-build: anti-join fallback still
+    returns exact results."""
+    st, _ = built_store
+    st.upsert(_records(spark, 50, start=2000))
+    queries = make_queries_df(spark, n=4, dim=DIM, k=5)
+    hits = delta_search(st, T, I, queries, k=5, nprobe=8, max_head_keys=10)
+    exact = knn_bruteforce(st.live(T, I), queries, k=5, metric="l2")
+    assert ivf_recall(hits, exact, 5) == 1.0
+
+
+def test_oversized_head_auto_build(built_store, spark):
+    """auto_build_nlist triggers compaction: head drains into the tail and
+    the search still matches brute force."""
+    st, _ = built_store
+    st.upsert(_records(spark, 50, start=3000))
+    queries = make_queries_df(spark, n=4, dim=DIM, k=5)
+    hits = delta_search(
+        st, T, I, queries, k=5, nprobe=8, max_head_keys=10, auto_build_nlist=8
+    )
+    exact = knn_bruteforce(st.live(T, I), queries, k=5, metric="l2")
+    assert ivf_recall(hits, exact, 5) == 1.0
+    # compaction actually ran: head is empty now
+    import os
+    assert not os.path.exists(st.head_path) or len(
+        st._read(st.head_path).take(1)
+    ) == 0
