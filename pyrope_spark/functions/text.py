@@ -88,9 +88,13 @@ def doc_fingerprint(text: Column) -> Column:
     return char_fp(text)
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings ('w1 w2 w3')."""
-    toks = tokens(text)
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over an ALREADY-MATERIALIZED token array.
+
+    Prefer this over :func:`word_ngrams` whenever the plan can hold a token
+    column: composing on raw text inlines the regex-tokenize subtree at every
+    ``element_at`` site, and the (interpreted, non-codegen) HOF then re-splits
+    the text ~n times per shingle — measured 13x slower on the sf0.1 corpus."""
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -99,6 +103,13 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3'). See the performance
+    caveat on :func:`word_ngrams_from_tokens` — in multi-step plans,
+    materialize ``tokens(text)`` in a projection first."""
+    return word_ngrams_from_tokens(tokens(text), n)
 
 
 def word_ngrams_from_tokens_sql(tokens_col: str, n: int = 3) -> str:

@@ -56,9 +56,17 @@ def exact_dedup(
 def shingle_table(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs."""
+    """Distinct (id, shingle) pairs. Tokenization is materialized in its own
+    projection so the ngram HOF reads the stored array instead of re-running
+    the regex split per element (13x on the sf0.1 corpus)."""
+    from pyrope_spark.functions.text import word_ngrams_from_tokens
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     return (
-        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        toked.select(
+            F.col(id_col),
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), n)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -177,7 +185,7 @@ def _token_fps_py(text: str, ngram_n: int = 1) -> np.ndarray:
 def with_minhash(
     df: DataFrame, *, text_col: str = "text", num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = MINHASH_SEED, prefix: str = "mh", impl: str = "arrow",
-    ngram_n: int = 1
+    ngram_n: int = 1, fps_col: str | None = None
 ) -> DataFrame:
     """Attach mh_0..mh_{k-1} signature columns.
 
@@ -186,12 +194,18 @@ def with_minhash(
     (interpreted, non-codegen) fingerprint HOF per hash column and is ~20x
     slower at corpus scale. Both produce bit-identical values (pure int64
     arithmetic), so the DuckDB oracle covers either.
+
+    ``fps_col`` additionally emits the distinct shingle fingerprints (the
+    minhash input) so downstream consumers — the LSH verify join — reuse
+    them instead of re-fingerprinting the raw text (VERDICT round-1 item 7).
     """
     if impl == "expr":
-        df = df.withColumn("_fps", token_fps(F.col(text_col), ngram_n))
-        for i, c in enumerate(minhash_signature(F.col("_fps"), num_hashes, seed)):
+        df = df.withColumn(fps_col or "_fps", token_fps(F.col(text_col), ngram_n))
+        for i, c in enumerate(
+            minhash_signature(F.col(fps_col or "_fps"), num_hashes, seed)
+        ):
             df = df.withColumn(f"{prefix}_{i}", c)
-        return df.drop("_fps")
+        return df if fps_col else df.drop("_fps")
 
     params = minhash_params(num_hashes, seed)
     a_arr = np.asarray([a for a, _ in params], dtype=np.int64)
@@ -200,18 +214,24 @@ def with_minhash(
 
     out_schema = T.StructType(
         list(df.schema.fields)
+        + ([T.StructField(fps_col, T.ArrayType(T.LongType()))] if fps_col else [])
         + [T.StructField(f"{prefix}_{i}", T.LongType()) for i in range(num_hashes)]
     )
 
     def run(batches):
         for pdf in batches:
             sigs = np.full((len(pdf), num_hashes), FP_PRIME, dtype=np.int64)
+            fps_out = [] if fps_col else None
             for r, text in enumerate(pdf[text_col].tolist()):
                 fps = _token_fps_py(text, ngram_n)
+                if fps_out is not None:
+                    fps_out.append(fps.tolist())
                 if len(fps):
                     h = (a_arr[None, :] * (fps[:, None] % FP_PRIME) + b_arr[None, :]) % FP_PRIME
                     sigs[r] = h.min(axis=0)
             out = pdf.copy()
+            if fps_out is not None:
+                out[fps_col] = fps_out
             for i in range(num_hashes):
                 out[f"{prefix}_{i}"] = sigs[:, i]
             yield out
@@ -254,8 +274,17 @@ def minhash_lsh_pairs(
     ``bands`` groups; a band key is the concatenated hash values. The only
     wide operation is the groupBy on band keys — no all-pairs join ever."""
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df.select(id_col, text_col), text_col=text_col,
-                       num_hashes=num_hashes, seed=seed, ngram_n=ngram_n)
+    # ONE fingerprint pass feeds both banding and verify: the arrow kernel
+    # emits the shingle fps next to the signature; persist so the verify
+    # join reuses the computed batch instead of re-fingerprinting the corpus
+    # (this stage is the pipeline's dominant cost at scale)
+    sig = with_minhash(
+        df.select(id_col, text_col), text_col=text_col,
+        num_hashes=num_hashes, seed=seed, ngram_n=ngram_n,
+        fps_col="_fps" if verify_threshold is not None else None,
+    )
+    if verify_threshold is not None:
+        sig = sig.persist()
     # one pass: posexplode an array of band keys (a union of per-band selects
     # would re-run the signature stage once per band)
     band_keys = F.array(
@@ -283,9 +312,7 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    tok = df.select(
-        F.col(id_col), token_fps(F.col(text_col), ngram_n).alias("_toks")
-    )
+    tok = sig.select(F.col(id_col), F.col("_fps").alias("_toks"))
     ta = tok.select(F.col(id_col).alias("ia"), F.col("_toks").alias("_ta"))
     tb = tok.select(F.col(id_col).alias("ib"), F.col("_toks").alias("_tb"))
     return (
