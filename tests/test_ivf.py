@@ -74,3 +74,28 @@ def test_partition_pruning(data, spark, tmp_path):
     # and search over the partitioned table still works
     hits = ivf_search(table, model, queries, k=5, nprobe=3)
     assert hits.groupBy("query_id").count().collect()[0]["count"] == 5
+
+
+def test_distributed_probe_and_search_match_driver_path(spark):
+    """ivf_search_packed_distributed (executor-side probe selection +
+    cogrouped GEMM) must return the same hits as the driver-collect path."""
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import (
+        build_ivf,
+        ivf_search_packed_distributed,
+    )
+    from pyrope_spark.operators.segments import ivf_search_packed, pack_segments
+    from tests.conftest import make_queries_df, make_vectors_df
+
+    vectors = make_vectors_df(spark, n=400, dim=16, del_frac=0.0)
+    queries = make_queries_df(spark, n=30, dim=16, k=5)
+    assigned, model = build_ivf(vectors, nlist=8, metric="l2")
+    seg = pack_segments(
+        assigned, cluster_col="cluster_id", rows_per_segment=64
+    ).cache()
+    a = ivf_search_packed(seg, model, queries, k=5, nprobe=3).collect()
+    b = ivf_search_packed_distributed(seg, model, queries, k=5, nprobe=3).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["id"]) for r in rows)
+    assert key(a) == key(b)
+    assert len(b) == 30 * 5
