@@ -64,6 +64,68 @@ def markov_rules(
     )
 
 
+def prefetch_predicted(
+    vectors: DataFrame,
+    rules: DataFrame,
+    centroids,
+    cache,
+    *,
+    k: int = 10,
+    metric: str = "l2",
+    epoch: int = 0,
+    tenant: str = "t",
+    index: str = "i",
+    ttl_s: float | None = None,
+    next_col: str = "next",
+    now=None,
+) -> DataFrame:
+    """C7 prefetch MATERIALIZATION (reference ``PredictivePrefetcher.cs:60-91``,
+    ``VectorCommandSet.cs:318-379``): for every distinct predicted next
+    cluster in the trained rules, run the predicted cluster's representative
+    search (its centroid as the query vector) and write the results back
+    under the predicted keys. A follow-up query whose nearest cluster is a
+    predicted one is then served from the L2 tier with zero compute.
+
+    One batch job: rules -> distinct next -> broadcast-join centroids ->
+    GEMM search -> pack -> ``cache.write_back``. Returns the materialized
+    hits (query_id = 'prefetch:<cluster>')."""
+    from pyrope_spark.operators.cache import DEFAULT_TTL_S, with_query_keys
+    from pyrope_spark.operators.knn import knn_bruteforce
+
+    import numpy as np
+
+    spark = vectors.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cluster_id int, vector array<float>",
+    )
+    preds = rules.select(F.col(next_col).cast("int").alias("cluster_id")).distinct()
+    q = (
+        preds.join(F.broadcast(cent_df), "cluster_id")
+        .withColumn(
+            "query_id", F.concat(F.lit("prefetch:"), F.col("cluster_id").cast("string"))
+        )
+        .withColumn("top_k", F.lit(k))
+        .select("query_id", "vector", "top_k")
+    )
+    hits = knn_bruteforce(vectors, q, k=k, metric=metric, impl="gemm")
+    packed = hits.groupBy("query_id").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", F.col("rank").cast("string"), F.col("id"))
+                )
+            ),
+        ).alias("result")
+    )
+    keyed = with_query_keys(q, metric, tenant=tenant, index=index, centroids=C)
+    wb = keyed.join(packed, "query_id", "inner")
+    cache.write_back(wb, epoch=epoch, ttl_s=ttl_s or DEFAULT_TTL_S, now=now)
+    return hits
+
+
 def nearest_rank_percentiles(
     df: DataFrame,
     value_col: str,

@@ -583,6 +583,84 @@ FROM r WHERE rn = 1 AND cnt >= 3
 )(_markov_spark)
 
 
+def _prefetch_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 end-to-end: train transition rules over per-user event streams
+    (event types densely mapped to cluster ids), then materialize each
+    predicted next cluster's representative search — centroid = fixed seed
+    embedding — exactly what :func:`prefetch_predicted` write-backs
+    (reference: Services/PredictivePrefetcher.cs:60-91)."""
+    from pyspark.sql import Window
+
+    from pyrope_spark.operators.analytics import markov_rules
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    mapping = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("cl", F.row_number().over(Window.orderBy("event_type")) - 1)
+    )
+    clustered = ev.join(F.broadcast(mapping), "event_type")
+    rules = markov_rules(
+        clustered, session_cols=["user_id"], cluster_col="cl",
+        order_cols=["ts_ns", "event_id"],
+    )
+    preds = rules.select(F.col("next").cast("int").alias("cluster_id")).distinct()
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(_seed_mat(spark, sf_dir, FIXED_IVF_SEEDS))],
+        "cluster_id int, vector array<float>",
+    )
+    q = preds.join(F.broadcast(cent), "cluster_id").select(
+        F.col("cluster_id").cast("string").alias("query_id"), "vector"
+    )
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    hits = knn_bruteforce(vectors, q, k=TOP_K, metric="l2", impl="expr")
+    return hits.select(
+        F.col("query_id").cast("long").alias("cluster_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "id",
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _prefetch_pipeline_oracle() -> str:
+    score = oracle_score_sql("l2", "q.qv", "v.embedding")
+    return f"""
+WITH {_cent_cte(FIXED_IVF_SEEDS)},
+types AS (SELECT DISTINCT event_type FROM events),
+mapd AS (SELECT event_type,
+                CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS cl
+         FROM types),
+ce AS (SELECT e.user_id, e.ts, e.event_id, m.cl
+       FROM events e JOIN mapd m ON m.event_type = e.event_type),
+t AS (SELECT user_id, cl,
+             lag(cl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM ce),
+c AS (SELECT user_id, prev AS cur, cl AS nxt, COUNT(*) AS cnt
+      FROM t WHERE prev IS NOT NULL AND prev <> cl GROUP BY 1, 2, 3),
+r AS (SELECT user_id, cur, nxt, cnt,
+             row_number() OVER (PARTITION BY user_id, cur ORDER BY cnt DESC, nxt ASC) AS rn
+      FROM c),
+preds AS (SELECT DISTINCT nxt AS pcid FROM r WHERE rn = 1 AND cnt >= 3),
+q AS (SELECT p.pcid, c.cv AS qv FROM preds p JOIN cent c ON c.cid = p.pcid),
+s AS (SELECT q.pcid, CAST(v.vec_id AS VARCHAR) AS id, {score} AS score
+      FROM q CROSS JOIN embeddings v),
+rk AS (SELECT pcid, id, score,
+              row_number() OVER (PARTITION BY pcid ORDER BY score DESC, id ASC) AS rnk
+       FROM s)
+SELECT CAST(pcid AS BIGINT) AS cluster_id, CAST(rnk AS BIGINT) AS rank, id,
+       round(score, 6) AS score
+FROM rk WHERE rnk <= {TOP_K}
+"""
+
+
+register("prefetch_materialize", _prefetch_pipeline_oracle())(_prefetch_pipeline_spark)
+
+
 def _latency_pct_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrope_spark.operators.analytics import nearest_rank_percentiles
 

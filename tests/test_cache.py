@@ -186,3 +186,52 @@ def test_write_hot_ttl_shrink(spark, tmp_path, keyed):
     cache.write_back(results, epoch=1, ttl_s=60.0, write_hot_clusters=hot)
     ttls = {r["ttl_s"] for r in cache.read().collect()}
     assert ttls == {6.0}  # 60 * 0.1, above the 1s floor
+
+
+def test_prefetch_materialization_serves_followup_from_cache(spark, tmp_path):
+    """C7 (reference PredictivePrefetcher.cs:60-91): after training rules and
+    materializing the predicted cluster's results, a follow-up query landing
+    in that cluster is served from the L2 tier — zero compute."""
+    from pyrope_spark.operators.analytics import markov_rules, prefetch_predicted
+    from pyrope_spark.operators.cache import ResultCacheTable, with_query_keys
+    from pyrope_spark.operators.search_pipeline import search_with_cache
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    centroids = rng.random((4, dim))
+    # vectors clustered tightly around the 4 centroids
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centroids[c] + rng.normal(0, 0.01, dim)
+        rows.append((f"v{i}", [float(x) for x in v]))
+    vectors = spark.createDataFrame(rows, "id string, vector array<float>")
+
+    # session stream repeatedly transitioning cluster 1 -> 2 (count >= 3)
+    ev = spark.createDataFrame(
+        [("s1", t, c) for t, c in enumerate([1, 2, 1, 2, 1, 2, 1, 2])],
+        "sid string, t int, cl int",
+    )
+    rules = markov_rules(ev, session_cols=["sid"], cluster_col="cl", order_cols=["t"])
+    assert [(r["current"], r["next"]) for r in rules.collect()] == [(1, 2), (2, 1)]
+
+    cache = ResultCacheTable(spark, str(tmp_path / "cache"))
+    prefetch_predicted(
+        vectors, rules, centroids, cache, k=10, metric="l2", epoch=5
+    )
+
+    # follow-up query near centroid 2 (the predicted next cluster): the
+    # perturbation (seeded) keeps it within the L2 closeness gate
+    # (dist ~0.036 <= 0.05) while flipping the simhash so L0/L1 cannot hit —
+    # the serve MUST come from the prefetched L2 row
+    fv = centroids[2] + np.random.default_rng(104).normal(0, 0.015, dim)
+    follow = spark.createDataFrame(
+        [("f0", [float(x) for x in fv], 10, [])],
+        "query_id string, vector array<float>, top_k int, filter_tags array<string>",
+    )
+    _, stats = search_with_cache(
+        vectors, follow, cache, k=10, metric="l2", epoch=5,
+        centroids=centroids, n=200, dim=dim,
+    )
+    assert stats.misses == 0
+    assert stats.hits_by_tier.get("L2", 0) == 1
