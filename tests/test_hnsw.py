@@ -1,19 +1,20 @@
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
-from pyrope_spark.operators.hnsw import HAVE_HNSWLIB, hnsw_partition_search
+from pyrope_spark.operators.hnsw import HAVE_HNSWLIB, NumpyHnsw, hnsw_partition_search
 from pyrope_spark.operators.ivf import ivf_recall
 from pyrope_spark.operators.knn import knn_bruteforce
 from tests.conftest import make_queries_df, make_vectors_df
 
 
-def test_raises_without_lib_and_fallback(spark):
+def test_hnswlib_impl_raises_when_absent(spark):
     vectors = make_vectors_df(spark, n=50, dim=8, del_frac=0.0)
     queries = make_queries_df(spark, n=2, dim=8)
     if not HAVE_HNSWLIB:
         with pytest.raises(Exception, match="hnswlib"):
-            hnsw_partition_search(vectors, queries, k=5).collect()
+            hnsw_partition_search(vectors, queries, k=5, impl="hnswlib").collect()
 
 
 def test_partition_merge_plumbing_exact_fallback(spark):
@@ -26,10 +27,45 @@ def test_partition_merge_plumbing_exact_fallback(spark):
     assert ivf_recall(got, exact, 10) == 1.0
 
 
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_numpy_hnsw_local_recall(metric):
+    """The pure-numpy graph itself: recall@10 >= 0.9 vs exact on one shard
+    (reference defaults m=16/efC=200; efSearch raised to a recall-matched 64
+    — the reference's efSearch=10 trades recall for latency)."""
+    rng = np.random.default_rng(3)
+    mat = rng.random((1000, 16))
+    queries = rng.random((20, 16))
+    graph = NumpyHnsw(mat, metric=metric, m=16, ef_construction=200, seed=42)
+    hits = 0
+    for q in queries:
+        got = {i for i, _ in graph.search(q, 10, ef_search=64)}
+        if metric == "l2":
+            d = ((mat - q) ** 2).sum(axis=1)
+            exact = set(np.argsort(d, kind="stable")[:10])
+        elif metric == "ip":
+            exact = set(np.argsort(-(mat @ q), kind="stable")[:10])
+        else:
+            mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            qn = q / np.linalg.norm(q)
+            exact = set(np.argsort(-(mn @ qn), kind="stable")[:10])
+        hits += len(got & exact)
+    assert hits / (10 * len(queries)) >= 0.9, f"{metric}: {hits / (10 * len(queries))}"
+
+
+def test_hnsw_partition_search_recall(spark):
+    """End-to-end Spark path with the numpy graph per partition: recall@10
+    >= 0.9 vs the exact oracle (the round-1 skipped test, now running)."""
+    vectors = make_vectors_df(spark, n=800, dim=16, del_frac=0.0).repartition(4)
+    queries = make_queries_df(spark, n=8, dim=16)
+    got = hnsw_partition_search(vectors, queries, k=10, ef_search=64)
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    assert ivf_recall(got, exact, 10) >= 0.9
+
+
 @pytest.mark.skipif(not HAVE_HNSWLIB, reason="hnswlib not installed")
-def test_hnsw_recall(spark):
+def test_hnsw_recall_hnswlib(spark):
     vectors = make_vectors_df(spark, n=500, dim=16, del_frac=0.0).repartition(4)
     queries = make_queries_df(spark, n=8, dim=16)
-    got = hnsw_partition_search(vectors, queries, k=10)
+    got = hnsw_partition_search(vectors, queries, k=10, impl="hnswlib")
     exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
     assert ivf_recall(got, exact, 10) >= 0.7
