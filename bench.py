@@ -216,6 +216,11 @@ def main() -> None:
 
         timed(f"bf_sq8_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8, repeat=3)
 
+        def bf_sq8_byte():
+            segment_knn_sq8(state["seg_sq8"], qnp, TOP_K, "l2", scoring="byte").count()
+
+        timed(f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8_byte, repeat=3)
+
     # ---------------- engine queries over the sf testdata
     import pyrope_spark.queries as Q
 

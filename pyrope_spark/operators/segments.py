@@ -146,25 +146,51 @@ def pack_segments_sq8(
     return float_segs.mapInPandas(quantize, SQ8_SEGMENT_SCHEMA)
 
 
+def quantize_query_np(q: np.ndarray) -> np.ndarray:
+    """Reference query-side SQ8 (ScalarQuantizer.Quantize, used by the byte
+    kernels at BruteForceVectorIndex.cs:304): the query is scaled by its OWN
+    min/max to 0..255, round-half-even (C# Math.Round), clamped."""
+    q = np.asarray(q, dtype=np.float64)
+    lo, hi = q.min(), q.max()
+    rng = hi - lo
+    if rng == 0:
+        return np.zeros(q.shape, dtype=np.uint8)
+    return np.clip(np.round((q - lo) * (255.0 / rng)), 0, 255).astype(np.uint8)
+
+
 def segment_knn_sq8(
     segments: DataFrame,
     queries_np: list[tuple[str, np.ndarray]],
     k: int,
     metric: str,
     probes: dict[int, list[int]] | None = None,
+    scoring: str = "dequant",
 ) -> DataFrame:
-    """Top-K over SQ8 segments: dequantize per segment (vectorized) then the
-    same GEMM scorer. Approximate by quantization error only."""
+    """Top-K over SQ8 segments.
+
+    ``scoring='dequant'`` (default): dequantize per segment (vectorized)
+    then the float GEMM scorer — approximate by quantization error only.
+    ``scoring='byte'``: the reference's byte-domain kernels (K5/K6,
+    VectorMath.cs:435-681 via BruteForceVectorIndex.cs:296-333): the query
+    is quantized by its own range and ranked by pure integer L2²/dot on the
+    uint8 codes — no dequantization, no rescale (coarser approximation,
+    exactly the reference's tradeoff). Integer products are computed exactly
+    through float64 GEMM (values < 2^53)."""
     spark = segments.sparkSession
     qids = [q for q, _ in queries_np]
     qmat = np.asarray([v for _, v in queries_np], dtype=np.float64)
-    bq = spark.sparkContext.broadcast((qids, qmat, probes))
+    qcodes = (
+        np.vstack([quantize_query_np(v) for _, v in queries_np]).astype(np.float64)
+        if scoring == "byte"
+        else None
+    )
+    bq = spark.sparkContext.broadcast((qids, qmat, probes, qcodes))
     kk = max(k, 1)
     if probes is not None:
         segments = segments.filter(F.col("cluster_id").isin(sorted(probes)))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_b, qmat_b, probes_b = bq.value
+        qids_b, qmat_b, probes_b, qcodes_b = bq.value
         nq_all = len(qids_b)
         for pdf in batches:
             for row in pdf.itertuples(index=False):
@@ -174,6 +200,31 @@ def segment_knn_sq8(
                     else probes_b.get(int(row.cluster_id))
                 )
                 if not sub:
+                    continue
+                if qcodes_b is not None:
+                    vc = np.frombuffer(row.codes, dtype=np.uint8).reshape(
+                        row.n, row.dim
+                    ).astype(np.float64)
+                    qc = qcodes_b[sub]  # S x dim
+                    if metric == "l2":
+                        v2 = np.einsum("ij,ij->i", vc, vc)[:, None]
+                        q2 = np.einsum("ij,ij->i", qc, qc)[None, :]
+                        scores = -(v2 - 2.0 * (vc @ qc.T) + q2)
+                    else:  # ip and cosine both use the byte dot (reference)
+                        scores = vc @ qc.T
+                    ids = np.asarray(row.ids, dtype=object)
+                    top = min(kk, scores.shape[0])
+                    idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                    flat = idx.T.ravel()
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                np.asarray([qids_b[i] for i in sub], dtype=object), top
+                            ),
+                            "id": ids[flat],
+                            "score": scores[flat, np.repeat(np.arange(len(sub)), top)],
+                        }
+                    )
                     continue
                 codes = np.frombuffer(row.codes, dtype=np.uint8).reshape(row.n, row.dim)
                 mins = np.frombuffer(row.mins, dtype=np.float32).astype(np.float64)

@@ -102,3 +102,27 @@ def test_packed_ivf_matches_unpacked(data, spark, tmp_path):
     full = ivf_search_packed(seg_r, model, queries, k=10, nprobe=8)
     exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
     assert ivf_recall(full, exact, 10) == 1.0
+
+
+def test_sq8_byte_domain_recall(data, spark):
+    """Byte-domain scoring (reference K5/K6 kernels: query quantized by its
+    own range, integer L2 on raw codes, no rescale) — coarser than dequant
+    but must still recover most of the exact top-10."""
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import ivf_recall
+    from pyrope_spark.operators.segments import pack_segments_sq8, segment_knn_sq8
+
+    vectors, queries = data
+    seg = pack_segments_sq8(vectors, rows_per_segment=128).cache()
+    qrows = [
+        (r["query_id"], np.asarray(r["vector"]))
+        for r in queries.select("query_id", "vector").collect()
+    ]
+    byte = segment_knn_sq8(seg, qrows, 10, "l2", scoring="byte")
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    r = ivf_recall(byte, exact, 10)
+    assert r >= 0.6, r
+    # dequant scoring should be at least as good
+    deq = segment_knn_sq8(seg, qrows, 10, "l2")
+    assert ivf_recall(deq, exact, 10) >= r - 1e-9
