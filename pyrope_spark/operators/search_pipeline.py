@@ -40,8 +40,10 @@ class SearchStats:
     hits_by_tier: dict
     misses: int
     epoch: int
-    trace_ms: dict | None = None  # per-stage wall ms (reference trace output,
-    # VectorCommandSet.cs:849-912: PolicyMs/CacheMs/FaissMs/MetadataMs)
+    trace_ms: dict | None = None  # per-stage wall ms mirroring the reference
+    # TraceInfo (VectorCommandSet.cs:849-912): policy_ms/cache_ms/search_ms
+    # (FaissMs analog)/metadata_ms/latency_ms
+    budget_adjustment: dict | None = None  # reference BudgetAdjustment field
 
 
 def degrade_max_scans(count: int, over_budget: bool, base_max_scans: int | None = None) -> int | None:
@@ -124,6 +126,7 @@ def search_with_cache(
     max_scans = degrade_max_scans(n, over_budget)
     computed = None
     t0 = _time.time()
+    metadata_ms = 0.0
     if n_miss > 0:
         computed = knn_bruteforce(
             vectors,
@@ -133,7 +136,9 @@ def search_with_cache(
             impl="gemm",
             max_scans=max_scans,
         )
-        # serialize per-query results for the cache row (id:score,...)
+        search_ms_mark = _time.time()
+        # metadata/write-back stage (reference MetadataMs): serialize
+        # per-query results for the cache row (id:score,...) and persist
         packed = (
             computed.groupBy("query_id")
             .agg(
@@ -151,7 +156,8 @@ def search_with_cache(
         cache.write_back(
             wb, epoch=epoch, ttl_s=ttl_s, write_hot_clusters=write_hot_clusters, now=now
         )
-    search_ms = (_time.time() - t0) * 1000
+        metadata_ms = (_time.time() - search_ms_mark) * 1000
+    search_ms = (_time.time() - t0) * 1000 - metadata_ms
 
     out_cols = ["query_id", "id", "rank", "score", "served_from"]
     parts = []
@@ -176,7 +182,29 @@ def search_with_cache(
         "policy_ms": round(policy_ms, 3),
         "cache_ms": round(cache_ms, 3),
         "search_ms": round(search_ms, 3),
+        "metadata_ms": round(metadata_ms, 3),
+        "latency_ms": round(policy_ms + cache_ms + search_ms + metadata_ms, 3),
     }
+    budget = (
+        {"over_budget": True, "max_scans": max_scans} if over_budget else None
+    )
     return result, SearchStats(
-        hits_by_tier=tier_counts, misses=n_miss, epoch=epoch, trace_ms=trace
+        hits_by_tier=tier_counts, misses=n_miss, epoch=epoch, trace_ms=trace,
+        budget_adjustment=budget,
+    )
+
+
+def trace_rows(result: DataFrame) -> DataFrame:
+    """Per-query trace rows mirroring the reference TraceInfo shape
+    (VectorCommandSet.cs:902-912): request_id, cache_hit, info (the serving
+    tier or 'compute'), n_hits. Derived from the pipeline output — one
+    aggregation, no extra jobs beyond its own action."""
+    return (
+        result.groupBy("query_id")
+        .agg(
+            F.max(F.col("served_from") != F.lit("compute")).alias("cache_hit"),
+            F.first("served_from").alias("info"),
+            F.count("*").cast("long").alias("n_hits"),
+        )
+        .withColumnRenamed("query_id", "request_id")
     )

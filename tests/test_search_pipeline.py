@@ -59,3 +59,35 @@ def test_budget_degrade_caps_scans(spark, tmp_path):
     # degraded scan still returns k results per query (from the capped scan)
     counts = [row["count"] for row in r.groupBy("query_id").count().collect()]
     assert all(c == 5 for c in counts)
+
+
+def test_trace_fields_and_rows(spark, tmp_path):
+    """Reference TraceInfo parity (VectorCommandSet.cs:849-912): per-stage
+    ms including the metadata split, budget adjustment surfaced, per-query
+    trace rows."""
+    import numpy as np
+
+    from pyrope_spark.operators.cache import ResultCacheTable
+    from pyrope_spark.operators.search_pipeline import search_with_cache, trace_rows
+
+    rng = np.random.default_rng(5)
+    vectors = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in rng.random(8)]) for i in range(100)],
+        "id string, vector array<float>",
+    )
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in rng.random(8)], 10, [])],
+        "query_id string, vector array<float>, top_k int, filter_tags array<string>",
+    )
+    cache = ResultCacheTable(spark, str(tmp_path / "c"))
+    result, stats = search_with_cache(
+        vectors, queries, cache, k=10, metric="l2", epoch=1,
+        over_budget=True, n=100, dim=8,
+    )
+    for key in ("policy_ms", "cache_ms", "search_ms", "metadata_ms", "latency_ms"):
+        assert key in stats.trace_ms
+    assert stats.budget_adjustment == {"over_budget": True, "max_scans": 50}
+    tr = {r["request_id"]: r for r in trace_rows(result).collect()}
+    assert tr["q0"]["cache_hit"] is False
+    assert tr["q0"]["info"] == "compute"
+    assert tr["q0"]["n_hits"] == 10
