@@ -240,7 +240,7 @@ def main() -> None:
         "asof_join_last_signup",
         "pricing_summary",
     ):
-        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
     total = round(sum(timings.values()), 3)
     if f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}" in timings:

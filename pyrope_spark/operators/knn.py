@@ -152,13 +152,28 @@ def knn_bruteforce(
             ),
             *([F.col(k_col).alias("_k")] if k_col is not None else []),
         )
+        if metric == "cosine":
+            # materialize norms once per SIDE below the join — the
+            # interpreted HOF would otherwise recompute both norms per PAIR
+            # (same inlining pathology as the ngram shingle fix); values are
+            # bit-identical, it is the same expression evaluated earlier
+            from pyrope_spark.functions.vector import norm as _norm
+
+            q = q.withColumn("_qnorm", _norm(F.col("_qvec")))
+            live = live.withColumn("_vnorm", _norm(F.col(vector_col)))
         joined = live.crossJoin(F.broadcast(q))
         if filter_tags_col is not None and tags_col is not None:
             joined = joined.filter(tag_filter_expr(F.col(tags_col), F.col("_ftags")))
         scored = joined.select(
             F.col("query_id"),
             F.col(id_col).cast("string").alias("id"),
-            score(metric, F.col("_qvec"), F.col(vector_col)).alias("score"),
+            score(
+                metric,
+                F.col("_qvec"),
+                F.col(vector_col),
+                norm_q=F.col("_qnorm") if metric == "cosine" else None,
+                norm_v=F.col("_vnorm") if metric == "cosine" else None,
+            ).alias("score"),
             *([F.col("_k")] if k_col is not None else []),
         )
 
