@@ -521,13 +521,31 @@ def embedding_neardup_pairs(
             from pyrope_spark.operators.ivf import build_ivf
 
             assigned, _ = build_ivf(cols, nlist=nlist, metric="cosine", vector_col="_v")
-        a = assigned.select(F.col("_id").alias("ia"), F.col("_v").alias("_va"), "cluster_id")
-        b = assigned.select(F.col("_id").alias("ib"), F.col("_v").alias("_vb"), "cluster_id")
+        # norms once per row below the self-join (the interpreted HOF would
+        # recompute them per PAIR)
+        from pyrope_spark.functions.vector import norm as norm_expr
+
+        withn = assigned.withColumn("_n", norm_expr(F.col("_v")))
+        a = withn.select(
+            F.col("_id").alias("ia"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "cluster_id",
+        )
+        b = withn.select(
+            F.col("_id").alias("ib"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "cluster_id",
+        )
         pairs = a.join(b, "cluster_id").filter(F.col("ia") < F.col("ib"))
-    else:
-        a = cols.select(F.col("_id").alias("ia"), F.col("_v").alias("_va"))
-        b = cols.select(F.col("_id").alias("ib"), F.col("_v").alias("_vb"))
-        pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+        return (
+            pairs.withColumn(
+                "cosine",
+                cosine_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("ia", "ib", F.round("cosine", 6).alias("cosine"))
+        )
+    a = cols.select(F.col("_id").alias("ia"), F.col("_v").alias("_va"))
+    b = cols.select(F.col("_id").alias("ib"), F.col("_v").alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
     return (
         pairs.withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)

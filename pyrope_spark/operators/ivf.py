@@ -133,6 +133,7 @@ def assign_by_centroids(
     this one exists for fixed/oracle models and small literal centroid sets."""
     from pyspark.sql import Window
 
+    from pyrope_spark.functions.vector import norm as norm_expr
     from pyrope_spark.functions.vector import score as score_expr
 
     spark = vectors.sparkSession
@@ -140,14 +141,25 @@ def assign_by_centroids(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.centroids)],
         "_cid int, _cv array<double>",
     )
+    src = vectors
+    norm_kw = {}
+    if model.metric == "cosine":
+        # norms once per side below the join — the interpreted HOF would
+        # recompute both per (row, centroid) pair otherwise
+        cent = cent.withColumn("_cnorm", norm_expr(F.col("_cv")))
+        src = src.withColumn("_vn", norm_expr(F.col(vector_col)))
+        norm_kw = {"norm_q": F.col("_cnorm"), "norm_v": F.col("_vn")}
     w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc("_cid"))
     return (
-        vectors.crossJoin(F.broadcast(cent))
-        .withColumn("_cscore", score_expr(model.metric, F.col("_cv"), F.col(vector_col)))
+        src.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_cscore",
+            score_expr(model.metric, F.col("_cv"), F.col(vector_col), **norm_kw),
+        )
         .withColumn("_crn", F.row_number().over(w))
         .filter(F.col("_crn") == 1)
         .withColumn(cluster_col, F.col("_cid"))
-        .drop("_cid", "_cv", "_cscore", "_crn")
+        .drop("_cid", "_cv", "_cscore", "_crn", *(["_cnorm", "_vn"] if norm_kw else []))
     )
 
 
