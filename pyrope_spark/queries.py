@@ -1283,6 +1283,142 @@ GROUP BY r.r_name
 )(_regional_revenue_spark)
 
 
+def _discount_revenue_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-flavor forecast-revenue: one filtered decimal-exact sum."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    out = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount")).alias("_rev"),
+        F.count("*").alias("n_items"),
+    )
+    return out.select(
+        F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+register(
+    "discount_revenue",
+    """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)(_discount_revenue_spark)
+
+
+def _shipping_priority_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavor shipping priority: top-10 open orders by revenue for
+    one market segment (decimal-exact revenue ordering, orderkey tiebreak)."""
+    configure_for_oracle(spark)
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-01-01 00:00:00"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+register(
+    "shipping_priority",
+    """
+WITH rev AS (
+  SELECT l.l_orderkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_orderkey
+),
+rk AS (SELECT l_orderkey, r,
+              row_number() OVER (ORDER BY r DESC, l_orderkey ASC) AS rnk
+       FROM rev)
+SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+       round(CAST(r AS DOUBLE), 4) AS revenue,
+       CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 10
+""",
+)(_shipping_priority_spark)
+
+
+def _late_shipment_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-flavor: per order priority, count orders with at least one
+    lineitem shipped more than 60 days after the order date (EXISTS as a
+    left-semi join — no row duplication, one shuffle)."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select("o_orderpriority", F.col("n").cast("long").alias("n_late_orders"))
+    )
+
+
+register(
+    "late_shipment_priority_counts",
+    """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""",
+)(_late_shipment_spark)
+
+
 def _top_orders_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrope_spark.operators.topk import topk_per_group
 
