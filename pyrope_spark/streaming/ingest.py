@@ -70,3 +70,33 @@ def streaming_write_heat(
         .filter(F.col("writes") > threshold)
         .select(F.col("w.start").alias("window_start"), F.col(cluster_col), F.col("writes"))
     )
+
+
+def streaming_latency_slo(
+    stream_df: DataFrame,
+    *,
+    value_col: str = "latency_ms",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    window_s: int = 60,
+    watermark: str = "2 minutes",
+    slo_p99_ms: float = 100.0,
+) -> DataFrame:
+    """Live G5 SLO guardrail: tumbling-window 6-bucket histogram p99
+    estimate with a late-data watermark, flagging windows over the SLO
+    (streaming variant of ``analytics.slo_p99_estimate``; reference
+    SloGuardrailsMonitor.cs:78-110 runs the same check on a timer loop —
+    here it is a standing streaming aggregation)."""
+    from pyrope_spark.operators.analytics import slo_p99_estimate
+
+    base = stream_df.withWatermark(ts_col, watermark).withColumn(
+        "_w", F.window(F.col(ts_col), f"{window_s} seconds")
+    )
+    agg = slo_p99_estimate(base, value_col, group_cols=["_w", *(group_cols or [])])
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        *(group_cols or []),
+        "samples",
+        "p99_est_ms",
+        (F.col("p99_est_ms") > F.lit(slo_p99_ms)).alias("over_slo"),
+    )

@@ -105,3 +105,44 @@ def test_streaming_write_heat(spark, tmp_path):
         assert [(r["cluster_id"], r["writes"]) for r in got] == [(7, 12)]
     finally:
         q.stop()
+
+
+def test_streaming_latency_slo(spark, tmp_path):
+    """Windowed histogram-p99 SLO check as a standing streaming agg: a
+    window whose p99 bucket bound exceeds the SLO is flagged."""
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.streaming import streaming_latency_slo
+
+    src_dir = tmp_path / "lat"
+    src_dir.mkdir()
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(seconds=i % 50), "search", 2.0) for i in range(98)]
+    # 2% slow: cumulative share stays below 0.99 until the >=100ms bucket
+    rows += [(base + timedelta(seconds=3), "search", 500.0)] * 2
+    rows += [(base + timedelta(seconds=70, milliseconds=i), "search", 2.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "ts timestamp, route string, latency_ms double")
+    df.write.mode("append").parquet(str(src_dir))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    slo = streaming_latency_slo(
+        stream, group_cols=["route"], window_s=60, slo_p99_ms=100.0
+    )
+    q = (
+        slo.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slo_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["window_start"].minute: (r["samples"], r["p99_est_ms"], r["over_slo"])
+            for r in spark.sql("SELECT * FROM slo_out").collect()
+        }
+        # window 0: 100 samples, one 500ms outlier puts the 99th pct in the
+        # >=100ms bucket -> over SLO; window 1: all fast -> under
+        assert got[0][0] == 100 and got[0][2] is True
+        assert got[1][0] == 50 and got[1][2] is False
+    finally:
+        q.stop()
