@@ -102,6 +102,31 @@ def write_segments(segments: DataFrame, path: str) -> None:
     segments.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
 
+def write_segments_bucketed(
+    segments: DataFrame, table: str, path: str, n_buckets: int = 32
+) -> DataFrame:
+    """Persist segments as a table BUCKETED by cluster_id and return it.
+
+    Bucketing makes the segment side of the cogrouped distributed search
+    (`ivf.ivf_search_packed_distributed`) shuffle-free: the bucketed scan's
+    hash partitioning satisfies the cogroup's clustering requirement, so
+    repeated query batches only ever shuffle the (small) query rows —
+    verified by plan assertion in ``tests/test_ivf.py`` (segment-side
+    Exchange disappears; results identical). This is the steady-state
+    layout for a 1000-executor deployment: pack once per compaction, then
+    every search batch co-locates with the standing buckets."""
+    spark = segments.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        segments.write.bucketBy(n_buckets, "cluster_id")
+        .sortBy("cluster_id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def pack_segments_sq8(
     df: DataFrame,
     *,

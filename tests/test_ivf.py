@@ -99,3 +99,34 @@ def test_distributed_probe_and_search_match_driver_path(spark):
     key = lambda rows: sorted((r["query_id"], r["rank"], r["id"]) for r in rows)
     assert key(a) == key(b)
     assert len(b) == 30 * 5
+
+
+def test_bucketed_segments_drop_segment_side_shuffle(spark, tmp_path):
+    """Bucketed segment tables make the cogrouped distributed search
+    shuffle-free on the segment side (plan assertion) with identical
+    results."""
+    from pyrope_spark.operators.ivf import build_ivf, ivf_search_packed_distributed
+    from pyrope_spark.operators.segments import pack_segments, write_segments_bucketed
+    from tests.conftest import make_queries_df, make_vectors_df
+
+    vectors = make_vectors_df(spark, n=400, dim=16, del_frac=0.0)
+    queries = make_queries_df(spark, n=10, dim=16, k=5)
+    assigned, model = build_ivf(vectors, nlist=8, metric="l2")
+    seg = pack_segments(assigned, cluster_col="cluster_id", rows_per_segment=64)
+    segb = write_segments_bucketed(
+        seg, "seg_bucketed_test", str(tmp_path / "segb"), n_buckets=8
+    )
+
+    bucketed = ivf_search_packed_distributed(segb, model, queries, k=5, nprobe=3)
+    plain = ivf_search_packed_distributed(seg, model, queries, k=5, nprobe=3)
+    nb = bucketed._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+    np_ = plain._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+    assert nb < np_, (nb, np_)
+    a = sorted((r["query_id"], r["rank"], r["id"]) for r in bucketed.collect())
+    b = sorted((r["query_id"], r["rank"], r["id"]) for r in plain.collect())
+    assert a == b
+    spark.sql("DROP TABLE IF EXISTS seg_bucketed_test")
