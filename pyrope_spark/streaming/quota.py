@@ -66,3 +66,82 @@ def streaming_qps_quota(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------ G2 leases
+
+LEASE_OUTPUT_SCHEMA = (
+    "tenant_id string, request_id string, event string, granted boolean, "
+    "active long, error_code string"
+)
+LEASE_STATE_SCHEMA = "active long"
+
+
+def lease_fn(max_concurrent: int):
+    """Build the applyInPandasWithState update function for concurrency
+    leases (reference TryEnterConcurrent/ReleaseConcurrent,
+    ``Services/TenantQuotaEnforcer.cs:50-90,162-185``): a begin event is
+    granted while the tenant's active count is below the limit (increment),
+    denied with the reference's Busy code otherwise; an end event releases
+    (floor 0). Events are applied in (ts, request_id) order per batch for
+    determinism."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (tenant,) = key
+        active = state.get[0] if state.exists else 0
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            state.update((active,))
+            return
+        allp = pd.concat(batches).sort_values(["ts", "request_id"])
+        rows = []
+        for r in allp.itertuples(index=False):
+            if r.event == "begin":
+                if active < max_concurrent:
+                    active += 1
+                    rows.append((tenant, r.request_id, "begin", True, active, None))
+                else:
+                    rows.append((tenant, r.request_id, "begin", False, active, "BUSY"))
+            else:  # end / lease release
+                active = max(0, active - 1)
+                rows.append((tenant, r.request_id, "end", True, active, None))
+        state.update((active,))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "tenant_id", "request_id", "event", "granted", "active", "error_code",
+            ],
+        )
+
+    return update
+
+
+def streaming_concurrency_leases(
+    events: DataFrame,
+    *,
+    max_concurrent: int,
+    tenant_col: str = "tenant_id",
+    ts_col: str = "ts",
+    request_col: str = "request_id",
+    event_col: str = "event",
+) -> DataFrame:
+    """events(tenant_id, request_id, ts, event in {'begin','end'}) stream ->
+    per-event lease decisions with the running active count. State = the
+    per-tenant active-lease counter, exactly the reference's concurrency
+    unit (G2) — the serving-loop lease expressed as a stateful streaming
+    operator."""
+    src = events.select(
+        F.col(tenant_col).alias("tenant_id"),
+        F.col(request_col).alias("request_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(event_col).alias("event"),
+    )
+    return src.groupBy("tenant_id").applyInPandasWithState(
+        lease_fn(max_concurrent),
+        outputStructType=LEASE_OUTPUT_SCHEMA,
+        stateStructType=LEASE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

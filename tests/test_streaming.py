@@ -146,3 +146,48 @@ def test_streaming_latency_slo(spark, tmp_path):
         assert got[1][0] == 50 and got[1][2] is False
     finally:
         q.stop()
+
+
+def test_streaming_concurrency_leases(spark, tmp_path):
+    """G2: begin events beyond the concurrency limit are denied BUSY until
+    an end event releases a lease (reference TenantQuotaEnforcer.cs:50-90)."""
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.streaming.quota import streaming_concurrency_leases
+
+    src_dir = tmp_path / "leases"
+    src_dir.mkdir()
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("t1", "r1", base + timedelta(seconds=1), "begin"),
+        ("t1", "r2", base + timedelta(seconds=2), "begin"),
+        ("t1", "r3", base + timedelta(seconds=3), "begin"),   # over limit 2 -> BUSY
+        ("t1", "r1", base + timedelta(seconds=4), "end"),
+        ("t1", "r4", base + timedelta(seconds=5), "begin"),   # freed slot -> granted
+        ("t2", "r5", base + timedelta(seconds=1), "begin"),   # other tenant isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "tenant_id string, request_id string, ts timestamp, event string"
+    )
+    df.write.mode("append").parquet(str(src_dir))
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = streaming_concurrency_leases(stream, max_concurrent=2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lease_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["tenant_id"], r["request_id"], r["event"]): (r["granted"], r["error_code"])
+            for r in spark.sql("SELECT * FROM lease_out").collect()
+        }
+        assert got[("t1", "r1", "begin")] == (True, None)
+        assert got[("t1", "r2", "begin")] == (True, None)
+        assert got[("t1", "r3", "begin")] == (False, "BUSY")
+        assert got[("t1", "r4", "begin")] == (True, None)
+        assert got[("t2", "r5", "begin")] == (True, None)
+    finally:
+        q.stop()
