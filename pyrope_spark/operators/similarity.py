@@ -11,6 +11,16 @@ One entry point over the engine's ANN strategies, so a user of the reference
                  bandwidth).
 - ``ivf``      : approximate; cluster-probed scan (build amortized across
                  calls via the returned handle).
+- ``hnsw``     : approximate; per-partition numpy HNSW graphs, global
+                 top-K merge (reference HnswVectorIndex semantics).
+
+Round-2 switches on ``ann_topk``:
+- ``distributed=True`` (ivf): executor-side probe selection + cogrouped
+  per-cluster GEMM — the large-query-batch path, no driver collect
+  (pair with ``segments.write_segments_bucketed`` for a shuffle-free
+  segment side).
+- ``scoring='byte'`` (sq8): the reference's integer byte-domain kernels
+  (1.46x faster than dequantize, coarser recall).
 
 See PLANS.md for the measured crossovers (batch size vs nprobe coverage).
 """
@@ -79,6 +89,9 @@ def build_similarity_index(
         ).cache()
         seg.count()
         return SimilarityIndex(method, metric, (seg, model))
+    if method == "hnsw":
+        return SimilarityIndex(method, metric, corpus.select(
+            corpus[id_col].alias("id"), corpus[vector_col].alias("vector")))
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -90,6 +103,9 @@ def ann_topk(
     query_id_col: str = "query_id",
     query_vector_col: str = "vector",
     nprobe: int = 10,
+    distributed: bool = False,
+    scoring: str = "dequant",
+    ef_search: int = 64,
 ) -> DataFrame:
     """Top-K per query over a built index -> (query_id, id, score, rank)."""
     if index.method == "brute":
@@ -113,13 +129,28 @@ def ann_topk(
             (r[query_id_col], np.asarray(r[query_vector_col]))
             for r in queries.select(query_id_col, query_vector_col).collect()
         ]
-        return segment_knn_sq8(index.handle, qrows, k, index.metric)
+        return segment_knn_sq8(index.handle, qrows, k, index.metric, scoring=scoring)
     if index.method == "ivf":
+        seg, model = index.handle
+        if distributed:
+            from pyrope_spark.operators.ivf import ivf_search_packed_distributed
+
+            return ivf_search_packed_distributed(
+                seg, model, queries, k=k, nprobe=nprobe,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
         from pyrope_spark.operators.segments import ivf_search_packed
 
-        seg, model = index.handle
         return ivf_search_packed(
             seg, model, queries, k=k, nprobe=nprobe,
             query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+    if index.method == "hnsw":
+        from pyrope_spark.operators.hnsw import hnsw_partition_search
+
+        return hnsw_partition_search(
+            index.handle, queries, k=k, metric=index.metric,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+            ef_search=ef_search,
         )
     raise ValueError(f"unknown method {index.method!r}")
