@@ -61,6 +61,7 @@ def build_ivf(
     max_iter: int = DEFAULT_MAX_ITER,
     cluster_col: str = "cluster_id",
     init_mode: str = "random",
+    fit_fraction: float | None = None,
 ) -> tuple[DataFrame, IvfModel]:
     """Fit the coarse quantizer and return (vectors + cluster_id, model).
 
@@ -68,6 +69,11 @@ def build_ivf(
     ``init_mode='random'`` mirrors the reference (KMeansUtils.cs:10-68 random
     init) and is markedly cheaper to build; pass 'k-means||' for the higher
     quality MLlib default when build cost is amortized.
+
+    ``fit_fraction``: fit the KMeans on a seeded sample of the data and
+    transform (assign) everything — the large-N build path. Centroid
+    quality degrades negligibly once the sample is >> k (rule of thumb
+    >= 100*k rows); assignment cost is unchanged.
     """
     metric = normalize_metric(metric)
     n = vectors.count()
@@ -75,6 +81,9 @@ def build_ivf(
     if k < 1:
         raise ValueError("cannot build IVF over an empty table")
     feat = vectors.withColumn("_features", array_to_vector(F.col(vector_col)))
+    fit_src = feat
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        fit_src = feat.sample(fraction=fit_fraction, seed=seed)
     km = KMeans(
         k=k,
         maxIter=max_iter,
@@ -84,7 +93,7 @@ def build_ivf(
         distanceMeasure="cosine" if metric == "cosine" else "euclidean",
         initMode=init_mode,
     )
-    model = km.fit(feat)
+    model = km.fit(fit_src)
     assigned = model.transform(feat).drop("_features")
     centroids = np.asarray([c for c in model.clusterCenters()], dtype=np.float64)
     return assigned, IvfModel(centroids=centroids, metric=metric, nlist=k)

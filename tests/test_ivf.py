@@ -130,3 +130,19 @@ def test_bucketed_segments_drop_segment_side_shuffle(spark, tmp_path):
     b = sorted((r["query_id"], r["rank"], r["id"]) for r in plain.collect())
     assert a == b
     spark.sql("DROP TABLE IF EXISTS seg_bucketed_test")
+
+
+def test_build_ivf_sampled_fit(spark):
+    """fit_fraction fits KMeans on a sample but assigns everything: same
+    schema, full coverage, and near-equal recall at full probe."""
+    from pyrope_spark.operators.ivf import build_ivf, ivf_recall, ivf_search
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from tests.conftest import make_queries_df, make_vectors_df
+
+    vectors = make_vectors_df(spark, n=600, dim=8, del_frac=0.0)
+    queries = make_queries_df(spark, n=5, dim=8, k=10)
+    assigned, model = build_ivf(vectors, nlist=8, metric="l2", fit_fraction=0.5)
+    assert assigned.count() == 600  # everything assigned
+    full = ivf_search(assigned, model, queries, k=10, nprobe=8, impl="gemm")
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    assert ivf_recall(full, exact, 10) == 1.0  # full probe stays exact
