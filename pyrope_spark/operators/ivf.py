@@ -497,6 +497,45 @@ def ivf_search_packed_distributed(
     )
 
 
+def auto_nprobe(
+    assigned: DataFrame,
+    model: IvfModel,
+    sample_queries: DataFrame,
+    *,
+    k: int = 10,
+    target_recall: float = 0.9,
+    impl: str = "gemm",
+) -> tuple[int, float]:
+    """Pick the smallest nprobe meeting ``target_recall`` on a held-out
+    query sample (recall-matched defaults — the knob the reference's HNSW
+    user sets implicitly with efSearch). Doubling sweep against the exact
+    answer, so calibration costs O(log nlist) searches over the sample.
+    Returns (nprobe, measured recall); falls back to full probe if the
+    target is unreachable below it."""
+    from pyrope_spark.operators.knn import knn_bruteforce
+
+    exact = knn_bruteforce(
+        assigned, sample_queries, k=k, metric=model.metric, impl="gemm"
+    ).cache()
+    exact.count()
+    nprobe = 1
+    best = (model.nlist, 0.0)
+    while nprobe < model.nlist:
+        approx = ivf_search(assigned, model, sample_queries, k=k, nprobe=nprobe, impl=impl)
+        r = ivf_recall(approx, exact, k)
+        if r >= target_recall:
+            best = (nprobe, r)
+            break
+        nprobe *= 2
+    else:
+        approx = ivf_search(
+            assigned, model, sample_queries, k=k, nprobe=model.nlist, impl=impl
+        )
+        best = (model.nlist, ivf_recall(approx, exact, k))
+    exact.unpersist()
+    return best
+
+
 def ivf_recall(
     approx: DataFrame, exact: DataFrame, k: int, query_id_col: str = "query_id"
 ) -> float:

@@ -146,3 +146,19 @@ def test_build_ivf_sampled_fit(spark):
     full = ivf_search(assigned, model, queries, k=10, nprobe=8, impl="gemm")
     exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
     assert ivf_recall(full, exact, 10) == 1.0  # full probe stays exact
+
+
+def test_auto_nprobe_hits_target(spark):
+    """Recall-matched defaults: the calibrator returns an nprobe whose
+    measured recall meets the target on the sample."""
+    from pyrope_spark.operators.ivf import auto_nprobe, build_ivf
+    from tests.conftest import make_queries_df, make_vectors_df
+
+    vectors = make_vectors_df(spark, n=600, dim=8, del_frac=0.0)
+    queries = make_queries_df(spark, n=6, dim=8, k=10)
+    assigned, model = build_ivf(vectors, nlist=16, metric="l2")
+    nprobe, recall = auto_nprobe(
+        assigned, model, queries, k=10, target_recall=0.9
+    )
+    assert recall >= 0.9
+    assert 1 <= nprobe <= 16
