@@ -465,19 +465,53 @@ def with_simhash_text(
 
 def simhash_pairs(
     df: DataFrame, *, id_col: str = "doc_id", simhash_col: str = "simhash",
-    max_hamming: int = 3, prefix_bits: int = 8
+    max_hamming: int = 3, prefix_bits: int = 8, rotations: int = 1,
+    hash_bits: int = SIMHASH_TEXT_BITS,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= d, blocked on the hash's low
-    ``prefix_bits`` so the join is bucket-local (trades recall for scale;
-    prefix rotation would recover it — documented extension)."""
+    ``prefix_bits`` so the join is bucket-local.
+
+    A single block misses pairs whose differing bits fall inside the prefix.
+    ``rotations`` > 1 re-blocks on ``rotations`` bit-rotations of the hash
+    (hamming distance is rotation-invariant): a pair within ``max_hamming``
+    is caught whenever ANY rotation moves all differing bits out of the
+    prefix — when the prefix windows tile the hash disjointly
+    (rotations * prefix_bits == hash_bits), each differing bit dirties
+    exactly one window, so pigeonhole guarantees recall 1.0 for
+    ``max_hamming < rotations``. Cost: the shuffle carries r bucket rows
+    per doc — still bands x docs, never all-pairs."""
     from pyrope_spark.operators.simhash import hamming64
 
-    block = F.pmod(F.col(simhash_col), F.lit(1 << prefix_bits))
-    a = df.select(F.col(id_col).alias("ia"), F.col(simhash_col).alias("_ha"), block.alias("_blk"))
-    b = df.select(F.col(id_col).alias("ib"), F.col(simhash_col).alias("_hb"), block.alias("_blk"))
+    h = F.col(simhash_col).cast("long")
+    mask = F.lit((1 << hash_bits) - 1).cast("long")
+    step = max(1, hash_bits // max(rotations, 1))
+    rot_keys = []
+    for r in range(max(rotations, 1)):
+        s = (r * step) % hash_bits
+        # rotate-right by s within hash_bits, then take the low prefix
+        rot = (
+            F.shiftrightunsigned(h, s)
+            .bitwiseAND(mask)
+            .bitwiseOR(F.shiftleft(h, hash_bits - s).bitwiseAND(mask))
+        ) if s else h
+        rot_keys.append(
+            F.concat_ws(":", F.lit(r), F.pmod(rot, F.lit(1 << prefix_bits)))
+        )
+    buckets = df.select(
+        F.col(id_col), F.col(simhash_col),
+        F.explode(F.array(*rot_keys)).alias("_blk"),
+    )
+    a = buckets.select(
+        F.col(id_col).alias("ia"), F.col(simhash_col).alias("_ha"), "_blk"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("ib"), F.col(simhash_col).alias("_hb"), "_blk"
+    )
     return (
         a.join(b, "_blk")
         .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.col("_ha"), F.col("_hb"))
+        .distinct()
         .withColumn("hamming", hamming64(F.col("_ha"), F.col("_hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("ia", "ib", "hamming")

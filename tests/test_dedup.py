@@ -92,3 +92,26 @@ def test_embedding_neardup_planted(spark):
     assert list(pairs) == [(1, 2)]
     blocked = embedding_neardup_pairs(emb, threshold=0.95, blocked=True, nlist=2).collect()
     assert {(r["ia"], r["ib"]) for r in blocked} == {(1, 2)}
+
+
+def test_simhash_rotation_recovers_prefix_blindspot(spark):
+    """A pair differing ONLY inside the low prefix bits is invisible to the
+    single-block join but caught with tiling rotations (hamming is
+    rotation-invariant; 4 rotations x 8 bits tile the 32-bit hash, so any
+    pair with hamming < 4 is guaranteed)."""
+    from pyrope_spark.operators.dedup import simhash_pairs
+
+    h = 0b1010_1100_0011_0101_1001_0110_1111_0000
+    rows = [
+        (1, h),
+        (2, h ^ 0b11),            # differs in 2 LOW bits -> prefix dirty
+        (3, h ^ (0b1 << 20)),     # differs in 1 high bit -> prefix clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, simhash long")
+    single = simhash_pairs(df, max_hamming=3, prefix_bits=8, rotations=1)
+    got1 = {(r["ia"], r["ib"]) for r in single.collect()}
+    assert (1, 3) in got1 and (1, 2) not in got1  # the blindspot
+
+    rotated = simhash_pairs(df, max_hamming=3, prefix_bits=8, rotations=4)
+    got4 = {(r["ia"], r["ib"]) for r in rotated.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got4  # all hamming<=3 pairs caught
