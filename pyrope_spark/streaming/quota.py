@@ -74,40 +74,54 @@ LEASE_OUTPUT_SCHEMA = (
     "tenant_id string, request_id string, event string, granted boolean, "
     "active long, error_code string"
 )
-LEASE_STATE_SCHEMA = "active long"
+LEASE_STATE_SCHEMA = "granted array<string>"
 
 
 def lease_fn(max_concurrent: int):
     """Build the applyInPandasWithState update function for concurrency
     leases (reference TryEnterConcurrent/ReleaseConcurrent,
     ``Services/TenantQuotaEnforcer.cs:50-90,162-185``): a begin event is
-    granted while the tenant's active count is below the limit (increment),
-    denied with the reference's Busy code otherwise; an end event releases
-    (floor 0). Events are applied in (ts, request_id) order per batch for
-    determinism."""
+    granted while the tenant's active count is below the limit, denied with
+    the reference's Busy code otherwise; an end event releases a lease.
+
+    Like the reference — where releasing requires the lease object handed
+    out by a *successful* TryEnterConcurrent — only request_ids with a
+    granted begin hold a lease: the state is the set of granted ids, so an
+    'end' for a denied or unknown request_id (NO_LEASE), a duplicate begin
+    for a live lease (DUPLICATE), and unrecognized event values
+    (UNKNOWN_EVENT) are all reported but change nothing. Events are applied
+    in (ts, request_id) order per batch for determinism."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (tenant,) = key
-        active = state.get[0] if state.exists else 0
+        granted: list[str] = list(state.get[0]) if state.exists else []
         batches = [pdf for pdf in pdfs if len(pdf)]
         if not batches:
-            state.update((active,))
+            state.update((granted,))
             return
         allp = pd.concat(batches).sort_values(["ts", "request_id"])
         rows = []
         for r in allp.itertuples(index=False):
+            rid = r.request_id
             if r.event == "begin":
-                if active < max_concurrent:
-                    active += 1
-                    rows.append((tenant, r.request_id, "begin", True, active, None))
+                if rid in granted:
+                    rows.append((tenant, rid, "begin", False, len(granted), "DUPLICATE"))
+                elif len(granted) < max_concurrent:
+                    granted.append(rid)
+                    rows.append((tenant, rid, "begin", True, len(granted), None))
                 else:
-                    rows.append((tenant, r.request_id, "begin", False, active, "BUSY"))
-            else:  # end / lease release
-                active = max(0, active - 1)
-                rows.append((tenant, r.request_id, "end", True, active, None))
-        state.update((active,))
+                    rows.append((tenant, rid, "begin", False, len(granted), "BUSY"))
+            elif r.event == "end":
+                if rid in granted:
+                    granted.remove(rid)
+                    rows.append((tenant, rid, "end", True, len(granted), None))
+                else:
+                    rows.append((tenant, rid, "end", False, len(granted), "NO_LEASE"))
+            else:
+                rows.append((tenant, rid, r.event, False, len(granted), "UNKNOWN_EVENT"))
+        state.update((granted,))
         yield pd.DataFrame(
             rows,
             columns=[
@@ -129,9 +143,10 @@ def streaming_concurrency_leases(
 ) -> DataFrame:
     """events(tenant_id, request_id, ts, event in {'begin','end'}) stream ->
     per-event lease decisions with the running active count. State = the
-    per-tenant active-lease counter, exactly the reference's concurrency
-    unit (G2) — the serving-loop lease expressed as a stateful streaming
-    operator."""
+    per-tenant set of granted (live) request_ids, exactly the reference's
+    concurrency unit (G2) — the serving-loop lease expressed as a stateful
+    streaming operator. An 'end' without a granted 'begin' does NOT release
+    anything (NO_LEASE), mirroring the reference's lease-object contract."""
     src = events.select(
         F.col(tenant_col).alias("tenant_id"),
         F.col(request_col).alias("request_id"),

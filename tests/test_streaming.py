@@ -191,3 +191,58 @@ def test_streaming_concurrency_leases(spark, tmp_path):
         assert got[("t2", "r5", "begin")] == (True, None)
     finally:
         q.stop()
+
+
+def test_streaming_leases_denied_end_does_not_release(spark, tmp_path):
+    """An 'end' for a request whose 'begin' was denied must NOT free a slot
+    (reference: only a lease created by a successful TryEnterConcurrent can
+    release, TenantQuotaEnforcer.cs:162-185). Also: duplicate begins,
+    unknown-request ends, and unrecognized events leave state untouched."""
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.streaming.quota import streaming_concurrency_leases
+
+    src_dir = tmp_path / "leases2"
+    src_dir.mkdir()
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("t1", "r1", base + timedelta(seconds=1), "begin"),
+        ("t1", "r2", base + timedelta(seconds=2), "begin"),
+        ("t1", "r3", base + timedelta(seconds=3), "begin"),   # denied BUSY
+        ("t1", "r3", base + timedelta(seconds=4), "end"),     # no lease -> no-op
+        ("t1", "r9", base + timedelta(seconds=5), "end"),     # never began -> no-op
+        ("t1", "r1", base + timedelta(seconds=6), "begin"),   # dup live lease
+        ("t1", "r2", base + timedelta(seconds=7), "ping"),    # unknown event
+        ("t1", "r4", base + timedelta(seconds=8), "begin"),   # still full -> BUSY
+        ("t1", "r1", base + timedelta(seconds=9), "end"),     # real release
+        ("t1", "r5", base + timedelta(seconds=10), "begin"),  # freed -> granted
+    ]
+    df = spark.createDataFrame(
+        rows, "tenant_id string, request_id string, ts timestamp, event string"
+    )
+    df.write.mode("append").parquet(str(src_dir))
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = streaming_concurrency_leases(stream, max_concurrent=2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lease_out2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["request_id"], r["event"]): (r["granted"], r["active"], r["error_code"])
+            for r in spark.sql("SELECT * FROM lease_out2").collect()
+        }
+        assert got[("r3", "begin")] == (False, 2, "BUSY")
+        assert got[("r3", "end")] == (False, 2, "NO_LEASE")
+        assert got[("r9", "end")] == (False, 2, "NO_LEASE")
+        assert got[("r1", "begin")] == (False, 2, "DUPLICATE")
+        assert got[("r2", "ping")] == (False, 2, "UNKNOWN_EVENT")
+        # the key assertion: r1+r2 still hold both leases, so r4 is denied
+        assert got[("r4", "begin")] == (False, 2, "BUSY")
+        assert got[("r1", "end")] == (True, 1, None)
+        assert got[("r5", "begin")] == (True, 2, None)
+    finally:
+        q.stop()
