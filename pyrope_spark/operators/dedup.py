@@ -272,7 +272,13 @@ def minhash_lsh_pairs(
     """Candidate pairs whose signatures collide in >= 1 band; optionally
     verified with exact token-set Jaccard. Banding: k hashes split into
     ``bands`` groups; a band key is the concatenated hash values. The only
-    wide operation is the groupBy on band keys — no all-pairs join ever."""
+    wide operation is the groupBy on band keys — no all-pairs join ever.
+
+    When verifying, the signature stage is persisted for the duration of the
+    call and the (much smaller) verified-pairs result is eagerly
+    materialized via ``localCheckpoint`` so the corpus-sized signature cache
+    can be released before returning — repeated invocations do not
+    accumulate cached signature blocks."""
     rows_per_band = num_hashes // bands
     # ONE fingerprint pass feeds both banding and verify: the arrow kernel
     # emits the shingle fps next to the signature; persist so the verify
@@ -315,7 +321,7 @@ def minhash_lsh_pairs(
     tok = sig.select(F.col(id_col), F.col("_fps").alias("_toks"))
     ta = tok.select(F.col(id_col).alias("ia"), F.col("_toks").alias("_ta"))
     tb = tok.select(F.col(id_col).alias("ib"), F.col("_toks").alias("_tb"))
-    return (
+    out = (
         cand.join(ta, "ia")
         .join(tb, "ib")
         .withColumn(
@@ -326,6 +332,11 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= verify_threshold)
         .select("ia", "ib", F.round("jaccard", 6).alias("jaccard"))
     )
+    # materialize pairs (small: post-verify survivors only), then free the
+    # corpus-sized signature cache before handing the result back
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def minhash_lsh_oracle_sql(
@@ -479,11 +490,27 @@ def simhash_pairs(
     (rotations * prefix_bits == hash_bits), each differing bit dirties
     exactly one window, so pigeonhole guarantees recall 1.0 for
     ``max_hamming < rotations``. Cost: the shuffle carries r bucket rows
-    per doc — still bands x docs, never all-pairs."""
+    per doc — still bands x docs, never all-pairs.
+
+    ``hash_bits`` MUST match the width of ``simhash_col``'s values (e.g. 64
+    for :func:`pyrope_spark.operators.simhash.simhash64`, 32 for the default
+    text simhash): a too-small value silently masks rotation to the low bits
+    and voids the recall guarantee. Values 1..64 are supported; 64 uses the
+    full-long mask (-1) since ``(1<<64)-1`` overflows LongType."""
     from pyrope_spark.operators.simhash import hamming64
 
+    if not 1 <= hash_bits <= 64:
+        raise ValueError(f"hash_bits must be in 1..64, got {hash_bits}")
+    if prefix_bits >= hash_bits:
+        raise ValueError(
+            f"prefix_bits ({prefix_bits}) must be < hash_bits ({hash_bits})"
+        )
     h = F.col(simhash_col).cast("long")
-    mask = F.lit((1 << hash_bits) - 1).cast("long")
+    mask = (
+        F.lit(-1).cast("long")
+        if hash_bits == 64
+        else F.lit((1 << hash_bits) - 1).cast("long")
+    )
     step = max(1, hash_bits // max(rotations, 1))
     rot_keys = []
     for r in range(max(rotations, 1)):

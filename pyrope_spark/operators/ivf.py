@@ -347,14 +347,19 @@ def _ivf_score_gemm(
 
 
 def _centroid_scores(vmat: np.ndarray, C: np.ndarray, metric: str) -> np.ndarray:
-    """(Q x nlist) metric scores, higher is better — vectorized mirror of
-    :func:`select_probes`'s per-query loop."""
+    """(Q x nlist) metric scores, higher is better — mirror of
+    :func:`select_probes`'s per-query loop. The l2 path repeats the driver
+    path's diff-based ``-(C-q)^2`` sum per query (NOT the expanded GEMM
+    identity) so border-line centroid ties resolve identically in both
+    paths; ip/cosine use GEMM, which matches up to float rounding."""
     if metric == "ip":
         return vmat @ C.T
     if metric == "l2":
-        v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
-        c2 = np.einsum("ij,ij->i", C, C)[None, :]
-        return -(v2 - 2.0 * (vmat @ C.T) + c2)
+        out = np.empty((vmat.shape[0], C.shape[0]), dtype=np.float64)
+        for i in range(vmat.shape[0]):
+            d = C - vmat[i][None, :]
+            out[i] = -np.einsum("ij,ij->i", d, d)
+        return out
     cn = np.linalg.norm(C, axis=1)
     qn = np.linalg.norm(vmat, axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -374,9 +379,12 @@ def select_probes_distributed(
 ) -> DataFrame:
     """Executor-side probe selection: broadcast the (tiny) centroid matrix,
     pick each query's nprobe nearest cells inside ``mapInPandas`` over the
-    QUERY table. Returns (query_id, vector, cluster_id) — one row per probe.
-    Same ordering semantics as :func:`select_probes` (stable sort, lower cid
-    wins ties), so the two paths return identical probes.
+    QUERY table. Returns (query_id, vector, cluster_id) — one row per probe,
+    with the query vector passed through as array<double> so downstream GEMM
+    scores at full precision. Same ordering semantics as
+    :func:`select_probes` (stable sort, lower cid wins ties); l2 probes are
+    computed with the identical diff-based distance, ip/cosine match up to
+    GEMM-vs-GEMV float rounding.
 
     This is the large-batch path (VERDICT round-1 item 3): a 100k-query
     batch never collects to the driver and probe selection parallelizes
@@ -391,7 +399,7 @@ def select_probes_distributed(
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.StringType()),
-            T.StructField("vector", T.ArrayType(T.FloatType())),
+            T.StructField("vector", T.ArrayType(T.DoubleType())),
             T.StructField("cluster_id", T.IntegerType()),
         ]
     )

@@ -182,22 +182,33 @@ class VectorStore:
             )
         return self._append(df, touched)
 
-    def upsert(self, df: DataFrame) -> int:
+    def upsert(self, df: DataFrame, *, order_col: str | None = None) -> int:
         """Insert-or-replace preserving created_at; resurrects tombstones
         (reference: VectorStore.Upsert, Services/VectorStore.cs:23-33).
 
-        Duplicate keys WITHIN the input batch resolve deterministically to
-        the LAST occurrence in input order (the reference applies upserts
-        sequentially, so last-write-wins)."""
+        Duplicate keys WITHIN the input batch resolve to the LAST occurrence
+        (the reference applies upserts sequentially, so last-write-wins).
+        Pass ``order_col`` (a sequence/timestamp column; ties broken
+        arbitrarily) for deterministic resolution regardless of the input
+        DataFrame's physical layout. Without it, "input order" is
+        approximated with ``monotonically_increasing_id``, which encodes
+        (partitionId << 33) + offset — faithful only while the DataFrame's
+        partition layout preserves input order (e.g. a fresh read or
+        createDataFrame); after a shuffle/repartition/join the surviving
+        duplicate is arbitrary."""
         self._check_dims(df)
         touched = self._touched(df)
-        w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_mono"))
-        df = (
-            df.withColumn("_mono", F.monotonically_increasing_id())
-            .withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1")
-            .drop("_mono", "_rn")
-        )
+        if order_col is not None:
+            w = Window.partitionBy(*KEY_COLS).orderBy(F.desc(order_col))
+            df = df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+        else:
+            w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_mono"))
+            df = (
+                df.withColumn("_mono", F.monotonically_increasing_id())
+                .withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .drop("_mono", "_rn")
+            )
         seq = self.registry.next_seq()
         now = datetime.now(timezone.utc)
         prepped = self._prep(df, seq, now)

@@ -115,3 +115,30 @@ def test_simhash_rotation_recovers_prefix_blindspot(spark):
     rotated = simhash_pairs(df, max_hamming=3, prefix_bits=8, rotations=4)
     got4 = {(r["ia"], r["ib"]) for r in rotated.collect()}
     assert {(1, 2), (1, 3), (2, 3)} <= got4  # all hamming<=3 pairs caught
+
+
+def test_simhash_pairs_hash_bits_validation_and_64bit(spark):
+    """hash_bits must be 1..64 and > prefix_bits; 64 works on full-width
+    (negative-long) simhash64 values with rotation recall intact."""
+    import pytest
+
+    from pyrope_spark.operators.dedup import simhash_pairs
+
+    df32 = spark.createDataFrame([(1, 5)], "doc_id int, simhash long")
+    with pytest.raises(ValueError, match="hash_bits"):
+        simhash_pairs(df32, hash_bits=65)
+    with pytest.raises(ValueError, match="prefix_bits"):
+        simhash_pairs(df32, hash_bits=32, prefix_bits=32)
+
+    # 64-bit hash with the high bit set (negative as a signed long); the
+    # differing bits sit in the LOW prefix, so only rotation catches the pair
+    h = (1 << 63) | 0x0F0F_1234_ABCD_5678
+    raw = [(1, h), (2, h ^ 0b11), (3, h ^ (1 << 40))]
+    rows = [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in raw]
+    df64 = spark.createDataFrame(rows, "doc_id int, simhash long")
+    single = simhash_pairs(df64, max_hamming=3, prefix_bits=8, rotations=1, hash_bits=64)
+    got1 = {(r["ia"], r["ib"]) for r in single.collect()}
+    assert (1, 2) not in got1 and (1, 3) in got1
+    rotated = simhash_pairs(df64, max_hamming=3, prefix_bits=8, rotations=8, hash_bits=64)
+    got8 = {(r["ia"], r["ib"]) for r in rotated.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got8

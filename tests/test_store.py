@@ -139,6 +139,25 @@ def test_upsert_last_wins_within_batch(spark, tmp_path):
     assert snap[0]["vector"][0] == 3.0
 
 
+def test_upsert_order_col_wins_after_shuffle(spark, tmp_path):
+    """With an explicit order_col, in-batch last-write-wins is deterministic
+    even when the input's partition layout no longer reflects input order
+    (the monotonically_increasing_id fallback only tracks physical layout)."""
+    from pyspark.sql import functions as F
+
+    st = _store(spark, tmp_path)
+    df = _df(spark, [("t", "i", "a", [1.0, 0.0], None, []),
+                     ("t", "i", "a", [2.0, 0.0], None, []),
+                     ("t", "i", "a", [3.0, 0.0], None, [])])
+    df = df.withColumn("seq", F.col("vector")[0].cast("long"))
+    # scramble physical layout: input order is gone, seq still decides
+    df = df.repartition(8).sortWithinPartitions(F.desc("seq"))
+    st.upsert(df, order_col="seq")
+    snap = st.live("t", "i").collect()
+    assert len(snap) == 1
+    assert snap[0]["vector"][0] == 3.0
+
+
 def test_write_path_partition_pruning(spark, tmp_path):
     """The upsert created_at join must prune the snapshot scan to the
     touched (tenant,index) partitions (VERDICT round-1 item 8)."""
