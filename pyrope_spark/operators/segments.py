@@ -506,6 +506,149 @@ def segment_knn(
     )
 
 
+def segment_knn_partials(
+    segments: DataFrame,
+    queries_np: list[tuple[str, np.ndarray]],
+    k: int,
+    metric: str,
+    probes: dict[int, list[int]] | None = None,
+    exclude_ids: frozenset | set | None = None,
+) -> DataFrame:
+    """ONE-STAGE partial top-K over segments: each scan task keeps a running
+    top-K per probing query across all its segment rows and emits at most
+    (#probing queries x k) rows per partition — no shuffle at all. The
+    driver merges the partials (:func:`merge_topk_partials`), so a complete
+    small-batch search is a single narrow Spark job: the local-mode analog
+    of the reference's single-pass in-RAM scan
+    (``BruteForceVectorIndex.cs:118-160``), and at cluster scale the merge
+    input stays tiny (partitions x queries x k rows)."""
+    spark = segments.sparkSession
+    qids = [q for q, _ in queries_np]
+    qmat = np.asarray([v for _, v in queries_np], dtype=np.float64)
+    excl = np.asarray(sorted(exclude_ids), dtype=object) if exclude_ids else None
+    bq = spark.sparkContext.broadcast((qids, qmat, probes, excl))
+    kk = max(k, 1)
+
+    if probes is not None:
+        segments = segments.filter(F.col("cluster_id").isin(sorted(probes)))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_b, qmat_b, probes_b, excl_b = bq.value
+        nq_all = len(qids_b)
+        if metric == "cosine":
+            qn = np.linalg.norm(qmat_b, axis=1)
+            qdir = qmat_b / np.where(qn < 1e-6, 1.0, qn)[:, None]
+        # running per-query top-K across every segment row in this partition
+        best_s: dict[int, np.ndarray] = {}
+        best_i: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                sub = (
+                    list(range(nq_all))
+                    if probes_b is None
+                    else probes_b.get(int(row.cluster_id))
+                )
+                if not sub:
+                    continue
+                mat = np.frombuffer(row.vecs, dtype=np.float32).reshape(row.n, row.dim)
+                vmat = mat.astype(np.float64)
+                ids = np.asarray(row.ids, dtype=object)
+                if excl_b is not None:
+                    keep = ~np.isin(ids, excl_b)
+                    if not keep.all():
+                        vmat = vmat[keep]
+                        ids = ids[keep]
+                    if ids.size == 0:
+                        continue
+                Q = qmat_b[sub]
+                if metric == "ip":
+                    scores = vmat @ Q.T
+                elif metric == "l2":
+                    v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                    q2 = np.einsum("ij,ij->i", Q, Q)[None, :]
+                    scores = -(v2 - 2.0 * (vmat @ Q.T) + q2)
+                else:
+                    vn = np.linalg.norm(vmat, axis=1)
+                    vdir = vmat / np.where(vn < 1e-6, 1.0, vn)[:, None]
+                    scores = vdir @ qdir[sub].T
+                    scores[vn < 1e-6, :] = 0.0
+                    scores[:, qn[sub] < 1e-6] = 0.0
+                top = min(kk, scores.shape[0])
+                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                for j, qi in enumerate(sub):
+                    s = scores[idx[:, j], j]
+                    i = ids[idx[:, j]]
+                    if qi in best_s:
+                        s = np.concatenate([best_s[qi], s])
+                        i = np.concatenate([best_i[qi], i])
+                        if len(s) > kk:
+                            keep_top = np.argpartition(-s, kk - 1)[:kk]
+                            s, i = s[keep_top], i[keep_top]
+                    best_s[qi] = s
+                    best_i[qi] = i
+        if best_s:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(
+                        [np.full(len(best_s[qi]), qids_b[qi], dtype=object) for qi in best_s]
+                    ),
+                    "id": np.concatenate([best_i[qi] for qi in best_s]),
+                    "score": np.concatenate([best_s[qi] for qi in best_s]),
+                }
+            )
+
+    return segments.mapInPandas(scan, RESULT_SCHEMA)
+
+
+def merge_topk_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-side final top-K merge of per-partition partials: (score desc,
+    id asc) per query — the same tie-break as ``topk_per_group``."""
+    if len(partials) == 0:
+        return partials.assign(rank=pd.Series(dtype="int64"))
+    out = partials.sort_values(
+        ["query_id", "score", "id"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = out.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out
+
+
+def ivf_search_packed_single_job(
+    segments: DataFrame,
+    model,
+    queries_np: list[tuple[str, np.ndarray]],
+    k: int,
+    nprobe: int = 3,
+    *,
+    exclude_ids: frozenset | set | None = None,
+) -> pd.DataFrame:
+    """Low-latency small-batch IVF search as ONE narrow Spark action.
+
+    Queries arrive as client-side vectors (the reference bench's contract:
+    vectors are in client memory before the timed loop, Program.cs:219-263),
+    so there is no collect job; probe selection is a driver-side numpy pass
+    over the tiny centroid matrix; the scan emits per-partition partial
+    top-Ks (no shuffle) and the driver merges them. Returns a pandas
+    DataFrame (query_id, id, score) — callers needing a Spark DataFrame use
+    :func:`ivf_search_packed` (same results, shuffle merge)."""
+    from pyrope_spark.operators.ivf import select_probes
+
+    qrows = [(q, list(map(float, v))) for q, v in queries_np]
+    pairs = select_probes(model, qrows, nprobe)
+    qidx = {q: i for i, (q, _) in enumerate(qrows)}
+    probes: dict[int, list[int]] = {}
+    for qid, c in pairs:
+        probes.setdefault(int(c), []).append(qidx[qid])
+    partials = segment_knn_partials(
+        segments, queries_np, k, model.metric, probes=probes, exclude_ids=exclude_ids
+    )
+    pdf = pd.DataFrame(
+        [(r["query_id"], r["id"], r["score"]) for r in partials.collect()],
+        columns=["query_id", "id", "score"],
+    )
+    return merge_topk_partials(pdf, k)
+
+
 def knn_bruteforce_packed(
     segments: DataFrame, queries: DataFrame, k: int, metric: str,
     *, query_id_col: str = "query_id", query_vector_col: str = "vector",

@@ -104,6 +104,37 @@ def test_packed_ivf_matches_unpacked(data, spark, tmp_path):
     assert ivf_recall(full, exact, 10) == 1.0
 
 
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_single_job_ivf_matches_shuffle_path(data, spark, metric):
+    """The low-latency path (partial top-K in the scan, driver merge) must
+    return exactly the shuffle path's results — and in exactly ONE Spark job
+    (no query-collect job, no shuffle stage beyond the narrow scan)."""
+    import numpy as np
+
+    from pyrope_spark.operators.segments import ivf_search_packed_single_job
+
+    vectors, queries = data
+    assigned, model = build_ivf(vectors, nlist=8, metric=metric)
+    seg = pack_segments(assigned, cluster_col="cluster_id", rows_per_segment=256).cache()
+    seg.count()
+    qnp = [
+        (r["query_id"], np.asarray(r["vector"]))
+        for r in queries.select("query_id", "vector").collect()
+    ]
+    sc = spark.sparkContext
+    group = f"single_job_ivf_{metric}"
+    sc.setJobGroup(group, "single-job ivf search")
+    got_pdf = ivf_search_packed_single_job(seg, model, qnp, k=10, nprobe=3)
+    sc.setJobGroup("", "")
+    job_ids = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(job_ids) == 1, f"expected 1 Spark job, saw {len(job_ids)}"
+
+    exp = ivf_search_packed(seg, model, queries, k=10, nprobe=3)
+    got = {(r.query_id, r.rank): r.id for r in got_pdf.itertuples(index=False)}
+    expd = {(r["query_id"], r["rank"]): r["id"] for r in exp.collect()}
+    assert got == expd
+
+
 def test_sq8_byte_domain_recall(data, spark):
     """Byte-domain scoring (reference K5/K6 kernels: query quantized by its
     own range, integer L2 on raw codes, no rescale) — coarser than dequant
