@@ -141,6 +141,39 @@ register("ivf_flat_search_exact", _knn_oracle("l2"))(
 )
 
 
+def _hnsw_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW driver oracle via exhaustive-beam equivalence (VERDICT r2 item
+    2): with ef_search >= shard size the ef-bounded best-first expansion
+    never hits its cut condition, so the seeded :class:`NumpyHnsw` walks its
+    whole layer-0 component and returns exact top-K — hash-comparable to the
+    brute-force SQL oracle (reference semantics HnswVectorIndex.cs:206-325).
+    Embeddings are float32 in parquet, so the graph's float32 matrix is
+    lossless and both engines score the same doubles. The production
+    default-ef path stays recall-gated in tests/test_hnsw.py."""
+    from pyrope_spark.operators.hnsw import hnsw_partition_search
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    hits = hnsw_partition_search(
+        vectors, qs, k=TOP_K, metric="l2", ef_search=1 << 30, seed=42
+    )
+    return hits.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+register("hnsw_partition_search", _knn_oracle("l2"))(_hnsw_spark)
+
+
 # --------------------------------------------------------------------------
 # Fixed seed-vector models (VERDICT round-1 item 1): the driver entries for
 # the approximate operators use quantizers whose parameters ARE data — the

@@ -62,6 +62,22 @@ def test_hnsw_partition_search_recall(spark):
     assert ivf_recall(got, exact, 10) >= 0.9
 
 
+def test_hnsw_exhaustive_ef_equals_bruteforce(spark):
+    """Exhaustive-beam equivalence (the driver-oracle argument, VERDICT r2
+    item 2): with ef_search >= n the cut condition `len(best) >= ef` never
+    fires, so the search walks the whole layer-0 component and the top-K is
+    EXACTLY brute force — ids, ranks, and scores. This is what lets
+    `hnsw_partition_search` hash-compare against the brute-force DuckDB
+    oracle in the driver gate."""
+    vectors = make_vectors_df(spark, n=600, dim=16, del_frac=0.0).repartition(3)
+    queries = make_queries_df(spark, n=8, dim=16)
+    got = hnsw_partition_search(vectors, queries, k=10, ef_search=1 << 30)
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    g = {(r["query_id"], r["rank"]): (r["id"], round(r["score"], 6)) for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): (r["id"], round(r["score"], 6)) for r in exact.collect()}
+    assert g == e
+
+
 @pytest.mark.skipif(not HAVE_HNSWLIB, reason="hnswlib not installed")
 def test_hnsw_recall_hnswlib(spark):
     vectors = make_vectors_df(spark, n=500, dim=16, del_frac=0.0).repartition(4)
