@@ -506,6 +506,140 @@ def segment_knn(
     )
 
 
+def quantize_queries_np(qmat: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`quantize_query_np` over a (Q x dim) matrix — same
+    op order per row, so codes are bit-identical to the per-query path."""
+    qmat = np.asarray(qmat, dtype=np.float64)
+    lo = qmat.min(axis=1)
+    hi = qmat.max(axis=1)
+    rng = hi - lo
+    safe = np.where(rng == 0, 1.0, rng)
+    codes = np.clip(np.round((qmat - lo[:, None]) * (255.0 / safe[:, None])), 0, 255)
+    codes[rng == 0, :] = 0
+    return codes.astype(np.uint8)
+
+
+def pack_query_segments(
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    rows_per_chunk: int = 4096,
+) -> DataFrame:
+    """Pack the QUERY table into contiguous float32 chunks (the same layout
+    trick as :func:`pack_segments`, applied to the query side) so a large
+    batch can meet the segment table in a block join without ever
+    collecting to the driver."""
+    q = queries.select(
+        F.col(query_id_col).cast("string").alias("id"),
+        F.col(query_vector_col).alias("vector"),
+    )
+    chunks = pack_segments(q, rows_per_segment=rows_per_chunk)
+    return chunks.select(
+        F.col("segment_no").alias("q_chunk"),
+        F.col("n").alias("qn"),
+        F.col("dim").alias("qdim"),
+        F.col("ids").alias("qids"),
+        F.col("vecs").alias("qvecs"),
+    )
+
+
+def segment_knn_distributed(
+    segments: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    *,
+    scoring: str = "float",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    rows_per_chunk: int = 4096,
+) -> DataFrame:
+    """Fully distributed exact/SQ8 top-K for LARGE query batches: the query
+    table is packed into float32 chunks and block-joined against the segment
+    table — the classic block-matrix GEMM decomposition. Queries never touch
+    the driver (contrast :func:`segment_knn`, which broadcasts a collected
+    list — the low-latency small-batch path).
+
+    ``scoring='float'`` scans float32 segments; ``'dequant'`` / ``'byte'``
+    scan SQ8 segments (:func:`pack_segments_sq8`), byte being the
+    reference's integer-domain kernel (query quantized by its own range,
+    VectorMath.cs:435-681).
+
+    Scale shape: the join materializes |segments| x |chunks| pairs; Spark
+    broadcasts the smaller side (usually the chunk table), so the
+    segment side is scanned in place, and each pair's output is only
+    k rows/query — the final top-K shuffle carries queries x k tiny rows."""
+    kk = max(k, 1)
+    qseg = pack_query_segments(
+        queries, query_id_col=query_id_col, query_vector_col=query_vector_col,
+        rows_per_chunk=rows_per_chunk,
+    )
+    joined = segments.crossJoin(qseg)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                qmat = np.frombuffer(row.qvecs, dtype=np.float32).reshape(
+                    row.qn, row.qdim
+                ).astype(np.float64)
+                qids = np.asarray(row.qids, dtype=object)
+                ids = np.asarray(row.ids, dtype=object)
+                if scoring == "byte":
+                    vc = np.frombuffer(row.codes, dtype=np.uint8).reshape(
+                        row.n, row.dim
+                    ).astype(np.float64)
+                    qc = quantize_queries_np(qmat).astype(np.float64)
+                    if metric == "l2":
+                        v2 = np.einsum("ij,ij->i", vc, vc)[:, None]
+                        q2 = np.einsum("ij,ij->i", qc, qc)[None, :]
+                        scores = -(v2 - 2.0 * (vc @ qc.T) + q2)
+                    else:  # ip and cosine both use the byte dot (reference)
+                        scores = vc @ qc.T
+                else:
+                    if scoring == "dequant":
+                        codes = np.frombuffer(row.codes, dtype=np.uint8).reshape(
+                            row.n, row.dim
+                        )
+                        mins = np.frombuffer(row.mins, dtype=np.float32).astype(np.float64)
+                        maxs = np.frombuffer(row.maxs, dtype=np.float32).astype(np.float64)
+                        scale = (maxs - mins) / 255.0
+                        vmat = codes.astype(np.float64) * scale[:, None] + mins[:, None]
+                    else:
+                        vmat = np.frombuffer(row.vecs, dtype=np.float32).reshape(
+                            row.n, row.dim
+                        ).astype(np.float64)
+                    if metric == "ip":
+                        scores = vmat @ qmat.T
+                    elif metric == "l2":
+                        v2 = np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                        q2 = np.einsum("ij,ij->i", qmat, qmat)[None, :]
+                        scores = -(v2 - 2.0 * (vmat @ qmat.T) + q2)
+                    else:
+                        vn = np.linalg.norm(vmat, axis=1)
+                        qn = np.linalg.norm(qmat, axis=1)
+                        scores = (vmat / np.where(vn < 1e-6, 1, vn)[:, None]) @ (
+                            qmat / np.where(qn < 1e-6, 1, qn)[:, None]
+                        ).T
+                        scores[vn < 1e-6, :] = 0.0
+                        scores[:, qn < 1e-6] = 0.0
+                top = min(kk, scores.shape[0])
+                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                flat = idx.T.ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, top),
+                        "id": ids[flat],
+                        "score": scores[flat, np.repeat(np.arange(len(qids)), top)],
+                    }
+                )
+
+    scored = joined.mapInPandas(scan, RESULT_SCHEMA)
+    return topk_per_group(
+        scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+    )
+
+
 def segment_knn_partials(
     segments: DataFrame,
     queries_np: list[tuple[str, np.ndarray]],

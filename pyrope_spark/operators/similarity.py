@@ -15,10 +15,14 @@ One entry point over the engine's ANN strategies, so a user of the reference
                  top-K merge (reference HnswVectorIndex semantics).
 
 Round-2 switches on ``ann_topk``:
-- ``distributed=True`` (ivf): executor-side probe selection + cogrouped
-  per-cluster GEMM — the large-query-batch path, no driver collect
-  (pair with ``segments.write_segments_bucketed`` for a shuffle-free
-  segment side).
+- ``distributed`` (default ``'auto'``): the façade picks the path by query
+  batch size — small batches take the low-latency driver-broadcast scan,
+  batches above :data:`DISTRIBUTED_QUERY_THRESHOLD` take the fully
+  distributed path (executor-side probe selection + cogrouped per-cluster
+  GEMM for ivf; packed-query block join for brute/segments/sq8) where
+  queries never touch the driver. Pass ``True``/``False`` to force.
+  (Pair ivf with ``segments.write_segments_bucketed`` for a shuffle-free
+  segment side.)
 - ``scoring='byte'`` (sq8): the reference's integer byte-domain kernels
   (1.46x faster than dequantize, coarser recall).
 
@@ -33,6 +37,22 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from pyrope_spark.functions.vector import normalize_metric
+
+# Query-batch size above which ann_topk switches to the distributed path.
+# Below it, the collect+broadcast scan wins on latency (PLANS.md round-2
+# crossover measurements); above it, driver materialization becomes the
+# bottleneck — and at cluster scale, a driver OOM risk.
+DISTRIBUTED_QUERY_THRESHOLD = 4096
+
+
+def _pick_distributed(distributed, queries: DataFrame) -> bool:
+    """Resolve the ``distributed`` switch: explicit bool wins; ``'auto'``
+    probes the query-table size with a LIMIT-bounded count (cheap: the scan
+    stops at threshold+1 rows, no full count, no collect)."""
+    if isinstance(distributed, bool):
+        return distributed
+    limit = DISTRIBUTED_QUERY_THRESHOLD + 1
+    return queries.limit(limit).count() > DISTRIBUTED_QUERY_THRESHOLD
 
 
 @dataclass
@@ -103,28 +123,58 @@ def ann_topk(
     query_id_col: str = "query_id",
     query_vector_col: str = "vector",
     nprobe: int = 10,
-    distributed: bool = False,
+    distributed: bool | str = "auto",
     scoring: str = "dequant",
     ef_search: int = 64,
 ) -> DataFrame:
-    """Top-K per query over a built index -> (query_id, id, score, rank)."""
+    """Top-K per query over a built index -> (query_id, id, score, rank).
+
+    ``distributed='auto'`` (default) switches to the no-driver-collect path
+    when the query table exceeds :data:`DISTRIBUTED_QUERY_THRESHOLD` rows —
+    a user with a large query table no longer needs to know the flag."""
     if index.method == "brute":
         from pyrope_spark.operators.knn import knn_bruteforce
+        from pyrope_spark.operators.segments import (
+            pack_segments,
+            segment_knn_distributed,
+        )
 
+        if _pick_distributed(distributed, queries):
+            seg = pack_segments(index.handle, id_col="id", vector_col="vector")
+            return segment_knn_distributed(
+                seg, queries, k, index.metric, scoring="float",
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
         return knn_bruteforce(
             index.handle, queries, k=k, metric=index.metric, impl="gemm",
             query_id_col=query_id_col, query_vector_col=query_vector_col,
         )
     if index.method == "segments":
-        from pyrope_spark.operators.segments import knn_bruteforce_packed
+        from pyrope_spark.operators.segments import (
+            knn_bruteforce_packed,
+            segment_knn_distributed,
+        )
 
+        if _pick_distributed(distributed, queries):
+            return segment_knn_distributed(
+                index.handle, queries, k, index.metric, scoring="float",
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
         return knn_bruteforce_packed(
             index.handle, queries, k=k, metric=index.metric,
             query_id_col=query_id_col, query_vector_col=query_vector_col,
         )
     if index.method == "sq8":
-        from pyrope_spark.operators.segments import segment_knn_sq8
+        from pyrope_spark.operators.segments import (
+            segment_knn_distributed,
+            segment_knn_sq8,
+        )
 
+        if _pick_distributed(distributed, queries):
+            return segment_knn_distributed(
+                index.handle, queries, k, index.metric, scoring=scoring,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
         qrows = [
             (r[query_id_col], np.asarray(r[query_vector_col]))
             for r in queries.select(query_id_col, query_vector_col).collect()
@@ -132,7 +182,7 @@ def ann_topk(
         return segment_knn_sq8(index.handle, qrows, k, index.metric, scoring=scoring)
     if index.method == "ivf":
         seg, model = index.handle
-        if distributed:
+        if _pick_distributed(distributed, queries):
             from pyrope_spark.operators.ivf import ivf_search_packed_distributed
 
             return ivf_search_packed_distributed(

@@ -59,3 +59,61 @@ def test_facade_hnsw_and_distributed_and_byte(spark):
                                 rows_per_segment=64)
     byte = ann_topk(sq, queries, k=10, scoring="byte")
     assert ivf_recall(byte, exact, 10) >= 0.6
+
+
+@pytest.mark.parametrize("method,scoring", [
+    ("segments", "float"), ("sq8", "dequant"), ("sq8", "byte"),
+])
+def test_distributed_block_join_matches_collect_path(spark, method, scoring):
+    """The packed-query block-join path must return exactly what the
+    collect+broadcast path returns, for float and both SQ8 scorings."""
+    vectors = make_vectors_df(spark, n=400, dim=16, del_frac=0.0)
+    queries = make_queries_df(spark, n=7, dim=16, k=10)
+    idx = build_similarity_index(vectors, method=method, metric="l2",
+                                 rows_per_segment=64)
+    key = lambda df: sorted((r["query_id"], r["rank"], r["id"]) for r in df.collect())
+    small = ann_topk(idx, queries, k=10, scoring=scoring, distributed=False)
+    dist = ann_topk(idx, queries, k=10, scoring=scoring, distributed=True)
+    assert key(small) == key(dist)
+
+
+def test_auto_switch_never_materializes_large_batches(spark, monkeypatch):
+    """VERDICT r2 item 3: with distributed='auto' (the default), a query
+    table above the threshold flows through ann_topk with NO DataFrame
+    .collect() anywhere — asserted by a spy that fails the test if any
+    collect fires during planning or execution."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.similarity import DISTRIBUTED_QUERY_THRESHOLD
+
+    n_q = DISTRIBUTED_QUERY_THRESHOLD + 64
+    vectors = make_vectors_df(spark, n=300, dim=8, del_frac=0.0)
+    # build a >threshold query table distributed-side (no driver loop)
+    queries = (
+        spark.range(n_q)
+        .select(
+            F.concat(F.lit("q"), F.col("id")).alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (F.pmod(F.col("id") * 31 + i * 17, F.lit(97)) / 97.0).cast("double"),
+            ).alias("vector"),
+        )
+    )
+
+    seg_idx = build_similarity_index(vectors, method="segments", metric="l2",
+                                     rows_per_segment=128)
+    ivf_idx = build_similarity_index(vectors, method="ivf", metric="l2", nlist=4,
+                                     rows_per_segment=128)
+    sq_idx = build_similarity_index(vectors, method="sq8", metric="l2",
+                                    rows_per_segment=128)
+
+    import pyspark.sql.dataframe as df_mod
+
+    def no_collect(self, *a, **kw):
+        raise AssertionError("driver collect() during auto-distributed ann_topk")
+
+    monkeypatch.setattr(df_mod.DataFrame, "collect", no_collect)
+    for idx in (seg_idx, ivf_idx, sq_idx):
+        out = ann_topk(idx, queries, k=5)
+        assert out.count() == n_q * 5
