@@ -69,6 +69,11 @@ class NumpyHnsw:
     ``_insert`` mirrors the reference Add. Deterministic given ``seed``.
     """
 
+    #: incremental-insert shards above this size switch to the vectorized
+    #: bulk build in ``build_mode='auto'`` (the per-row insert loop is
+    #: O(n) Python beam searches — fine to ~8k, pathological at 100k+)
+    BULK_THRESHOLD = 8192
+
     def __init__(
         self,
         mat: np.ndarray,
@@ -76,9 +81,12 @@ class NumpyHnsw:
         m: int = DEFAULT_M,
         ef_construction: int = DEFAULT_EF_CONSTRUCTION,
         seed: int = 42,
+        build_mode: str = "auto",
     ):
         if m < 2:
             raise ValueError("M must be >= 2")
+        if build_mode not in ("auto", "insert", "bulk"):
+            raise ValueError(f"unknown build_mode {build_mode!r}")
         self.metric = metric
         self.m = m
         self.efc = ef_construction
@@ -99,8 +107,218 @@ class NumpyHnsw:
         ]
         self.entry = -1
         self.max_layer = -1
-        for i in range(n):
-            self._insert(i)
+        if build_mode == "bulk" or (build_mode == "auto" and n > self.BULK_THRESHOLD):
+            self._bulk_build(seed)
+        else:
+            for i in range(n):
+                self._insert(i)
+
+    # --------------------------------------------------------- bulk build
+
+    def _bulk_build(self, seed: int) -> None:
+        """Vectorized construction for large shards (VERDICT r2 item 4:
+        "batch the level-0 link phase"). Per level, every node in the level
+        set links to its M nearest level-set members, computed with blocked
+        GEMM (exact all-pairs for small sets, pivot-partitioned above), then
+        edges are symmetrized and pruned to the same per-node caps as the
+        incremental path (2M at layer 0, M above). Upper layers are tiny
+        (P(level>=l) = M^-l) and get EXACT kNN — they provide the long-range
+        routing the sequential build gets from high-level links. The graph
+        SHAPE deviates from the reference's insertion-order-dependent build
+        (as the seeded RNG already does, see module docstring); the search
+        contract and recall gates are unchanged, and ~170 inserts/s becomes
+        a few GEMM-bound seconds per 100k shard (bench:
+        hnsw_bulk_build_*)."""
+        n = self.mat.shape[0]
+        if n == 0:
+            return
+        self.max_layer = int(self._levels.max())
+        self.entry = int(np.argmax(self._levels))
+        # float32 mirror + cached squared norms for SELECTION kernels only
+        # (emitted search scores always recompute in float64 via _dists)
+        self._mat32 = self.mat.astype(np.float32)
+        self._sqn32 = np.einsum("ij,ij->i", self._mat32, self._mat32)
+        rng = np.random.default_rng(seed + 1)
+        for level in range(self.max_layer + 1):
+            nodes = np.nonzero(self._levels >= level)[0]
+            if len(nodes) < 2:
+                continue
+            links = self._bulk_knn(nodes, rng)
+            self._set_links(level, nodes, links, rng)
+
+    def _pair_dists_idx(self, ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
+        """(len(ai) x len(bi)) metric distances between node-index sets via
+        float32 GEMM with cached norms (selection only — emitted search
+        scores always come from :meth:`_dists` in float64)."""
+        A = self._mat32[ai]
+        B = self._mat32[bi]
+        G = A @ B.T
+        if self.metric == "l2":
+            return self._sqn32[ai][:, None] - 2.0 * G + self._sqn32[bi][None, :]
+        if self.metric == "ip":
+            return -G
+        return 1.0 - G  # cosine over normalized rows
+
+    def _bulk_knn(self, nodes: np.ndarray, rng) -> np.ndarray:
+        """For each level-set member, its k=min(m, n-1) nearest other
+        members (global ids). Exact for sets up to 8192; above that, nodes
+        are blocked by their top-2 nearest of ~n/256 sampled pivots, linked
+        within the combined cell, then refined with two NN-descent rounds
+        (neighbors-of-neighbors rescoring, fully vectorized) — pivot
+        blocking alone loses too much neighbor recall in high dimensions;
+        NN-descent recovers it at a few GEMM passes."""
+        nn = len(nodes)
+        k = min(self.m, nn - 1)
+        if nn <= 8192:
+            D = self._pair_dists_idx(nodes, nodes)
+            np.fill_diagonal(D, np.inf)
+            idx = np.argpartition(D, k - 1, axis=1)[:, :k]
+            return nodes[idx]
+        npiv = max(16, nn // 256)
+        piv_nodes = nodes[rng.choice(nn, npiv, replace=False)]
+        # top-2 pivot assignment, blocked over rows (l2-geometry blocking for
+        # any metric; link selection below uses the real metric distance)
+        a1 = np.empty(nn, dtype=np.int64)
+        a2 = np.empty(nn, dtype=np.int64)
+        for lo in range(0, nn, 8192):
+            hi = min(lo + 8192, nn)
+            Db = self._pair_dists_idx(nodes[lo:hi], piv_nodes)
+            t2 = np.argpartition(Db, 1, axis=1)[:, :2]
+            first = Db[np.arange(hi - lo), t2[:, 0]] <= Db[np.arange(hi - lo), t2[:, 1]]
+            a1[lo:hi] = np.where(first, t2[:, 0], t2[:, 1])
+            a2[lo:hi] = np.where(first, t2[:, 1], t2[:, 0])
+        links = np.full((nn, k), -1, dtype=np.int64)
+        for p in range(npiv):
+            members = np.nonzero((a1 == p) | (a2 == p))[0]
+            owners = np.nonzero(a1 == p)[0]
+            if len(members) < 2 or len(owners) == 0:
+                continue
+            D = self._pair_dists_idx(nodes[owners], nodes[members])
+            # mask each owner's own column
+            pos = np.searchsorted(members, owners)
+            D[np.arange(len(owners)), pos] = np.inf
+            kk = min(k, len(members) - 1)
+            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            links[owners, :kk] = nodes[members[idx]]
+        for _ in range(2):
+            links = self._nn_descent_round(nodes, links)
+        return links
+
+    def _nn_descent_round(self, nodes: np.ndarray, links: np.ndarray) -> np.ndarray:
+        """One NN-descent refinement pass: each node rescoring its current
+        neighbors plus its neighbors' neighbors (k + k^2 candidates),
+        keeping the k best — vectorized in row blocks with a gather + one
+        batched einsum per block."""
+        nn, k = links.shape
+        expand = min(k, 8)  # neighbors-of-neighbors fan-in cap
+        loc = np.full(self.mat.shape[0], -1, dtype=np.int64)
+        loc[nodes] = np.arange(nn)
+        L = np.where(links >= 0, loc[np.maximum(links, 0)], -1)  # local ids
+        out = np.full_like(links, -1)
+        ncand = k + k * expand
+        block = max(1, 128_000_000 // (max(ncand, 1) * self.mat.shape[1] * 4))
+        for lo in range(0, nn, block):
+            hi = min(lo + block, nn)
+            b = hi - lo
+            own = L[lo:hi]                                        # (b, k)
+            # neighbors-of-neighbors; -1 rows gather junk, masked below
+            non = L[np.maximum(own, 0)][:, :, :expand].reshape(b, k * expand)
+            non[np.repeat(own < 0, expand, axis=0).reshape(b, k * expand)] = -1
+            cand = np.concatenate([own, non], axis=1)             # (b, C)
+            invalid = (cand < 0) | (cand == np.arange(lo, hi)[:, None])
+            # mask duplicates: sort ids per row, equal-to-previous -> invalid
+            order = np.argsort(cand, axis=1, kind="stable")
+            sorted_c = np.take_along_axis(cand, order, axis=1)
+            dup_sorted = np.zeros_like(invalid)
+            dup_sorted[:, 1:] = sorted_c[:, 1:] == sorted_c[:, :-1]
+            dup = np.zeros_like(invalid)
+            np.put_along_axis(dup, order, dup_sorted, axis=1)
+            invalid |= dup
+            safe = np.maximum(cand, 0)
+            gsafe = nodes[safe]
+            V = self._mat32[gsafe]                                # (b, C, dim)
+            Q = self._mat32[nodes[lo:hi]]                         # (b, dim)
+            G = np.matmul(V, Q[:, :, None]).squeeze(-1)           # (b, C)
+            if self.metric == "l2":
+                D = self._sqn32[gsafe] - 2.0 * G + self._sqn32[nodes[lo:hi]][:, None]
+            elif self.metric == "ip":
+                D = -G
+            else:
+                D = 1.0 - G
+            D = D.astype(np.float64)
+            D[invalid] = np.inf
+            kk = min(k, D.shape[1])
+            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            picked = np.take_along_axis(cand, idx, axis=1)
+            pd_ = np.take_along_axis(D, idx, axis=1)
+            picked[~np.isfinite(pd_)] = -1
+            out[lo:hi, :kk] = np.where(picked >= 0, nodes[np.maximum(picked, 0)], -1)
+        return out
+
+    def _set_links(
+        self, level: int, nodes: np.ndarray, links: np.ndarray, rng=None
+    ) -> None:
+        """Symmetrize directed kNN links and prune each node to the level's
+        cap by distance — the bulk analog of the incremental prune
+        (reference PruneNeighbors, HnswVectorIndex.cs:333-350) — then append
+        2 seeded random long-range bridges per node. A symmetrized kNN graph
+        over clustered data fragments into per-cluster islands the beam
+        cannot cross (measured: recall plateaus at the fraction of queries
+        whose descent lands in the right island, regardless of ef); the
+        sequential build avoids this because early inserts link across
+        still-sparse space. Random bridges restore that navigable-small-world
+        property at ~zero build cost."""
+        cap = self.m * 2 if level == 0 else self.m
+        kcols = links.shape[1]
+        src = np.repeat(nodes, kcols)
+        dst = links.ravel()
+        keep = dst >= 0
+        src, dst = src[keep], dst[keep]
+        # undirected: both directions, then dedupe
+        allsrc = np.concatenate([src, dst])
+        alldst = np.concatenate([dst, src])
+        n = self.mat.shape[0]
+        eid = allsrc * n + alldst
+        uniq, upos = np.unique(eid, return_index=True)
+        allsrc, alldst = allsrc[upos], alldst[upos]
+        # edge distances, chunked to bound the rowwise-diff allocation
+        d = np.empty(len(allsrc), dtype=np.float64)
+        for lo in range(0, len(allsrc), 200_000):
+            hi = min(lo + 200_000, len(allsrc))
+            A = self.mat[allsrc[lo:hi]]
+            B = self.mat[alldst[lo:hi]]
+            if self.metric == "l2":
+                diff = A - B
+                d[lo:hi] = np.einsum("ij,ij->i", diff, diff)
+            elif self.metric == "ip":
+                d[lo:hi] = -np.einsum("ij,ij->i", A, B)
+            else:
+                d[lo:hi] = 1.0 - np.einsum("ij,ij->i", A, B)
+        # per-source cap: stable sort by (src, dist), keep first `cap`
+        perm = np.lexsort((d, allsrc))
+        s_sorted = allsrc[perm]
+        first = np.concatenate([[0], np.nonzero(np.diff(s_sorted))[0] + 1])
+        counts = np.diff(np.concatenate([first, [len(s_sorted)]]))
+        rank = np.arange(len(s_sorted)) - np.repeat(first, counts)
+        kept = perm[rank < cap]
+        ks, kd = allsrc[kept], alldst[kept]
+        order = np.lexsort((d[kept], ks))
+        ks, kd = ks[order], kd[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(ks))[0] + 1, [len(ks)]]
+        )
+        for bi in range(len(bounds) - 1):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            self._adj[ks[lo]][level] = [int(x) for x in kd[lo:hi]]
+        if rng is not None and len(nodes) > cap:
+            bridges = rng.integers(0, len(nodes), (len(nodes), 2))
+            for li, node in enumerate(nodes):
+                adj = self._adj[node][level]
+                for bj in nodes[bridges[li]]:
+                    bj = int(bj)
+                    if bj != node and bj not in adj:
+                        adj.append(bj)
+                        self._adj[bj][level].append(int(node))
 
     # ---------------------------------------------------------- distances
 
@@ -235,6 +453,7 @@ def hnsw_partition_search(
     impl: str = "numpy",
     fallback_bruteforce: bool = False,
     seed: int = 42,
+    max_shard_rows: int = 100_000,
 ) -> DataFrame:
     """Per-partition ANN: each task builds a local HNSW graph over its shard
     and answers every query against it; the global window keeps the best K.
@@ -242,9 +461,22 @@ def hnsw_partition_search(
     ``impl='numpy'`` (default) uses :class:`NumpyHnsw` — runs everywhere.
     ``impl='hnswlib'`` uses the C library when installed (faster builds at
     large shard sizes). ``fallback_bruteforce=True`` swaps the local scorer
-    for exact numpy (plumbing tests)."""
+    for exact numpy (plumbing tests).
+
+    ``max_shard_rows`` bounds the per-partition graph size (VERDICT r2 item
+    4): tables larger than one shard are round-robin repartitioned so every
+    task builds at most that many rows — shards above
+    :attr:`NumpyHnsw.BULK_THRESHOLD` use the vectorized bulk build (budget:
+    a 100k x dim-128 shard builds in GEMM-bound seconds; bench entry
+    ``hnsw_bulk_build_search_100000v_1shard``)."""
     if impl == "hnswlib" and not HAVE_HNSWLIB:
         raise NotImplementedError("hnswlib is not installed; use impl='numpy'")
+    if max_shard_rows < 1:
+        raise ValueError("max_shard_rows must be >= 1")
+    n_total = vectors.count()
+    if n_total > max_shard_rows:
+        target = -(-n_total // max_shard_rows)  # ceil
+        vectors = vectors.repartition(target)
     spark = vectors.sparkSession
     qrows = queries.select(query_id_col, query_vector_col).collect()
     qids = [r[0] for r in qrows]
