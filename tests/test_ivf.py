@@ -162,3 +162,28 @@ def test_auto_nprobe_hits_target(spark):
     )
     assert recall >= 0.9
     assert 1 <= nprobe <= 16
+
+
+def test_auto_nprobe_caps_oversized_sample(spark):
+    """The calibration sweep is O(log nlist) full searches over its input —
+    an oversized 'sample' (e.g. a whole query log) is deterministically cut
+    to max_sample instead of silently swept (VERDICT r2 finding 4)."""
+    import pytest
+
+    from pyrope_spark.operators.ivf import auto_nprobe, build_ivf
+    from tests.conftest import make_queries_df, make_vectors_df
+
+    vectors = make_vectors_df(spark, n=400, dim=8, del_frac=0.0)
+    queries = make_queries_df(spark, n=12, dim=8, k=10)
+    assigned, model = build_ivf(vectors, nlist=8, metric="l2")
+    nprobe, recall = auto_nprobe(
+        assigned, model, queries, k=10, target_recall=0.9, max_sample=4
+    )
+    assert 1 <= nprobe <= 8 and 0.0 <= recall <= 1.0
+    # the cut is deterministic (first max_sample by query id), so repeated
+    # calibration returns the same answer
+    assert (nprobe, recall) == auto_nprobe(
+        assigned, model, queries, k=10, target_recall=0.9, max_sample=4
+    )
+    with pytest.raises(ValueError, match="max_sample"):
+        auto_nprobe(assigned, model, queries, k=10, max_sample=0)
