@@ -286,6 +286,89 @@ def main() -> None:
 
         timed(f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8_byte, repeat=3)
 
+    # ---------------- streaming end-to-end: sustained ingest + search
+    # during writes (VERDICT r2 item 7; reference phase-6 S1: 5,000 vectors
+    # upserted at 1,165 vec/s with 100 concurrent searches,
+    # docs/benchmarks/20260112_phase6_summary.md:9,22-28). Here: a 20k-row
+    # built tail, 5,000 incoming vectors streamed in 10 micro-batches
+    # through foreachBatch MERGE, delta_search (head-union-tail) running
+    # continuously in the foreground. Reported: ingest wall time (the timed
+    # entry), plus derived vec/s and concurrent-search latencies.
+    stream_name = "streaming_ingest_5000v_concurrent_search"
+    if not only or stream_name in only:
+        import shutil
+        import tempfile
+
+        from pyrope_spark.operators.delta_index import build_delta_index, delta_search
+        from pyrope_spark.store.vector_store import VectorStore
+        from pyrope_spark.streaming import stream_upsert_to_store
+
+        base = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            store = VectorStore(spark, base + "/store")
+            schema = (
+                "tenant_id string, index_name string, id string, "
+                "vector array<float>, meta string, tags array<string>"
+            )
+            rng = np.random.default_rng(4242)
+            tail_n, dim = 10_000, DIM
+
+            def rows(lo, hi):
+                mat = rng.random((hi - lo, dim), dtype=np.float32)
+                return [
+                    ("t", "i", f"s{i}", [float(x) for x in mat[i - lo]], None, [])
+                    for i in range(lo, hi)
+                ]
+
+            # setup (untimed): built tail + incoming files + warm search
+            store.add(spark.createDataFrame(rows(0, tail_n), schema))
+            build_delta_index(store, "t", "i", nlist=32, rows_per_segment=8192)
+            src = base + "/incoming"
+            os.makedirs(src)
+            for b in range(5):
+                spark.createDataFrame(
+                    rows(tail_n + b * 1000, tail_n + (b + 1) * 1000), schema
+                ).coalesce(1).write.mode("append").parquet(src)
+            qdf = spark.createDataFrame(
+                [(f"q{i}", [float(x) for x in rng.random(dim)]) for i in range(10)],
+                "query_id string, vector array<float>",
+            ).cache()
+            qdf.count()
+            delta_search(store, "t", "i", qdf, k=TOP_K, nprobe=8).count()  # warm
+
+            # timed: 5 micro-batches of 1000 upserts streaming into the head
+            # while delta_search runs continuously in the foreground
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            lat = []
+            t0 = time.time()
+            q = stream_upsert_to_store(
+                stream, store, checkpoint_dir=base + "/ckpt"
+            )
+            try:
+                while store.count("t", "i") < tail_n + 5000:
+                    s0 = time.time()
+                    delta_search(store, "t", "i", qdf, k=TOP_K, nprobe=8).count()
+                    lat.append(time.time() - s0)
+                    if time.time() - t0 > 600:
+                        raise TimeoutError("streaming ingest did not finish")
+                ingest_s = time.time() - t0
+            finally:
+                q.stop()
+            lat.sort()
+            timings[stream_name] = round(ingest_s, 3)
+            derived["streaming_ingest_vec_per_s"] = round(5000 / ingest_s, 1)
+            derived["concurrent_search_n"] = len(lat)
+            derived["concurrent_search_mean_s"] = round(sum(lat) / len(lat), 3)
+            derived["concurrent_search_p99_s"] = round(
+                lat[min(len(lat) - 1, int(0.99 * len(lat)))], 3
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
     # ---------------- engine queries over the sf testdata
     import pyrope_spark.queries as Q
 

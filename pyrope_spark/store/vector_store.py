@@ -182,7 +182,14 @@ class VectorStore:
             )
         return self._append(df, touched)
 
-    def upsert(self, df: DataFrame, *, order_col: str | None = None) -> int:
+    def upsert(
+        self,
+        df: DataFrame,
+        *,
+        order_col: str | None = None,
+        validate_dims: bool = True,
+        return_count: bool = True,
+    ) -> int:
         """Insert-or-replace preserving created_at; resurrects tombstones
         (reference: VectorStore.Upsert, Services/VectorStore.cs:23-33).
 
@@ -195,9 +202,18 @@ class VectorStore:
         (partitionId << 33) + offset — faithful only while the DataFrame's
         partition layout preserves input order (e.g. a fresh read or
         createDataFrame); after a shuffle/repartition/join the surviving
-        duplicate is arbitrary."""
-        self._check_dims(df)
+        duplicate is arbitrary.
+
+        ``validate_dims=False`` skips the per-call dim-consistency scan and
+        ``return_count=False`` skips the row-count action (returns -1) —
+        both are per-batch Spark jobs that a fixed-schema STREAMING ingest
+        pays redundantly on every micro-batch (the stream's schema cannot
+        drift); the batch API keeps them on by default. A batch touching a
+        NOT-YET-REGISTERED index always runs the validating scan (it is
+        what registers the index + its dim)."""
         touched = self._touched(df)
+        if validate_dims or any(self.registry.get(t, i) is None for t, i in touched):
+            self._check_dims(df)
         if order_col is not None:
             w = Window.partitionBy(*KEY_COLS).orderBy(F.desc(order_col))
             df = df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
@@ -222,7 +238,7 @@ class VectorStore:
             .select(*DATA_COLS)
         )
         merged.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
-        n = merged.count()
+        n = merged.count() if return_count else -1
         for m in touched:
             self.registry.bump_epoch(*m)
         return n

@@ -29,10 +29,18 @@ def stream_upsert_to_store(
     *,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    validate_dims: bool = False,
 ):
     """Start a streaming query that upserts each micro-batch into the store
     head table. ``stream_df`` must carry the record columns
     (tenant_id, index_name, id, vector[, meta, tags]).
+
+    By default the per-batch dim-validation scan and result-count jobs are
+    skipped (``validate_dims=False``): a stream's schema is fixed, so paying
+    those two Spark jobs on EVERY micro-batch halves sustained ingest for
+    nothing — but it means the target (tenant, index) pairs must already be
+    registered (seed the store or create the index before starting the
+    stream). Pass ``validate_dims=True`` to restore the batch-API checks.
 
     Returns the StreamingQuery; callers own stop()/awaitTermination.
     """
@@ -40,7 +48,7 @@ def stream_upsert_to_store(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.upsert(batch_df)
+        store.upsert(batch_df, validate_dims=validate_dims, return_count=False)
 
     writer = (
         stream_df.writeStream.outputMode("update")
