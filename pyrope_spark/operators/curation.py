@@ -1,0 +1,412 @@
+"""Training-data curation operators: repetition filters, chunking,
+PII scrubbing, deterministic sampling, incremental dedup, mixture weights.
+
+These extend the reference's data-quality surface (the reference stops at
+payload parsing + dedup; see SURVEY.md §2.7) with the operations a
+large-scale pretraining pipeline runs between raw text and tokenized
+shards. Everything is declarative DataFrame code — explode/groupBy shapes
+that partial-aggregate map-side and shuffle on (doc_id[, ngram]) keys, so
+they scale by adding executors; no Python UDFs anywhere on these paths.
+
+Design notes per operator (100 TB framing):
+
+- ``repetition_stats`` (Gopher-style repetition rules, cf. Rae et al. 2021
+  "Scaling Language Models" §A1.1): explode word n-grams, two hash
+  aggregations keyed by (doc_id, ngram) then doc_id. Spark partial
+  aggregation collapses per-partition duplicates before the shuffle, so
+  wire volume ≈ distinct (doc, ngram) pairs, not token count.
+- ``chunk_documents``: pure expression pipeline (split → slice → explode);
+  zero shuffles, runs entirely inside the scan stage.
+- ``pii_scrub``: regexp_replace chains, whole-stage codegen, zero shuffles.
+- ``stratified_hash_sample``: deterministic md5-threshold sampling — a
+  reproducible Bernoulli per (seed, doc_id) with per-stratum rates; no
+  shuffle, no RNG state, re-runs give byte-identical samples (the property
+  training-data pipelines need for auditability).
+- ``dedup_against_index``: anti-join of the incoming batch's fingerprints
+  against the already-ingested corpus index — the incremental form of
+  exact dedup (only the delta is re-fingerprinted; the index side is a
+  parquet scan of precomputed fingerprints at steady state).
+- ``corpus_mix_weights``: per-stratum token totals → resampling weights to
+  hit a target mixture; one aggregation plus a broadcast of the (tiny)
+  per-stratum table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyrope_spark.functions.text import tokens, tokens_sql
+
+# --------------------------------------------------------------- repetition
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+    top_frac_limit: float = 0.20,
+    dup_frac_limit: float = 0.50,
+) -> DataFrame:
+    """Per-document n-gram repetition statistics + a keep/drop flag.
+
+    Columns: ``n_tokens``, ``n_ngrams``, ``top_ngram_frac`` (share of the
+    most frequent n-gram among all n-gram occurrences), ``dup_ngram_frac``
+    (share of occurrences beyond each n-gram's first), ``is_repetitive``
+    (either fraction over its limit). The thresholds default to the
+    Gopher-style rules (top-2-gram 0.20, dup fraction as the analog of
+    dup-line limits).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_t"),
+    ).select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(_t) < {ngram_n} THEN array() "
+            f"ELSE transform(sequence(0, size(_t) - {ngram_n}), "
+            f"i -> array_join(slice(_t, i + 1, {ngram_n}), ' ')) END"
+        ).alias("_ngrams"),
+    )
+    exploded = toks.select(id_col, "n_tokens", F.explode_outer("_ngrams").alias("_g"))
+    per_gram = exploded.groupBy(id_col, "n_tokens", "_g").agg(F.count("*").alias("_c"))
+    agg = per_gram.groupBy(id_col, "n_tokens").agg(
+        F.coalesce(F.sum(F.when(F.col("_g").isNotNull(), F.col("_c"))), F.lit(0)).alias(
+            "n_ngrams"
+        ),
+        F.coalesce(F.max(F.when(F.col("_g").isNotNull(), F.col("_c"))), F.lit(0)).alias(
+            "_top"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("_g").isNotNull(), F.col("_c") - 1)), F.lit(0)
+        ).alias("_dup"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.round(
+            F.when(F.col("n_ngrams") > 0, F.col("_top") / F.col("n_ngrams")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.when(F.col("n_ngrams") > 0, F.col("_dup") / F.col("n_ngrams")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("dup_ngram_frac"),
+        (
+            (
+                F.when(
+                    F.col("n_ngrams") > 0, F.col("_top") / F.col("n_ngrams")
+                ).otherwise(0.0)
+                > top_frac_limit
+            )
+            | (
+                F.when(
+                    F.col("n_ngrams") > 0, F.col("_dup") / F.col("n_ngrams")
+                ).otherwise(0.0)
+                > dup_frac_limit
+            )
+        ).alias("is_repetitive"),
+    )
+
+
+def repetition_stats_oracle_sql(
+    *,
+    ngram_n: int = 2,
+    top_frac_limit: float = 0.20,
+    dup_frac_limit: float = 0.50,
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of :func:`repetition_stats` (same thresholds)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM {table}
+), ng AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) < {ngram_n} THEN []
+              ELSE list_transform(range(0, len(t) - {ngram_n} + 1),
+                                  i -> array_to_string(t[i + 1 : i + {ngram_n}], ' '))
+         END AS grams
+  FROM tk
+), ex AS (
+  SELECT doc_id, n_tokens, unnest(grams) AS g FROM ng
+), per AS (
+  SELECT doc_id, n_tokens, g, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3
+), agg AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(c), 0) AS n_ngrams,
+         COALESCE(MAX(c), 0) AS top_c,
+         COALESCE(SUM(c - 1), 0) AS dup_c
+  FROM per GROUP BY 1, 2
+), uni AS (
+  -- docs whose gram list is empty drop out of the unnest; restore with zeros
+  SELECT n.doc_id, n.n_tokens,
+         COALESCE(a.n_ngrams, 0) AS n_ngrams,
+         COALESCE(a.top_c, 0) AS top_c,
+         COALESCE(a.dup_c, 0) AS dup_c
+  FROM ng n LEFT JOIN agg a USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       round(CASE WHEN n_ngrams > 0 THEN CAST(top_c AS DOUBLE) / n_ngrams ELSE 0.0 END, 6)
+         AS top_ngram_frac,
+       round(CASE WHEN n_ngrams > 0 THEN CAST(dup_c AS DOUBLE) / n_ngrams ELSE 0.0 END, 6)
+         AS dup_ngram_frac,
+       (CASE WHEN n_ngrams > 0 THEN CAST(top_c AS DOUBLE) / n_ngrams ELSE 0.0 END)
+           > {top_frac_limit}
+       OR (CASE WHEN n_ngrams > 0 THEN CAST(dup_c AS DOUBLE) / n_ngrams ELSE 0.0 END)
+           > {dup_frac_limit} AS is_repetitive
+FROM uni
+"""
+
+
+# ----------------------------------------------------------------- chunking
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (training-sequence
+    prep). Pure expression pipeline — split, slice, explode — so it runs
+    inside the scan stage with zero shuffles at any corpus size. Documents
+    with no tokens yield no chunks."""
+    c = chunk_tokens
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    chunks = toks.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(_t) = 0 THEN array() "
+            f"ELSE transform(sequence(0, cast(ceil(size(_t) / {c}.0) AS INT) - 1), "
+            f"i -> named_struct("
+            f"'chunk_idx', cast(i AS BIGINT), "
+            f"'chunk_n_tokens', cast(size(slice(_t, i * {c} + 1, {c})) AS BIGINT), "
+            f"'chunk_text', array_join(slice(_t, i * {c} + 1, {c}), ' '))) END"
+        ).alias("_chunks"),
+    ).select(id_col, F.explode("_chunks").alias("_ch"))
+    return chunks.select(
+        id_col,
+        F.col("_ch.chunk_idx").alias("chunk_idx"),
+        F.col("_ch.chunk_n_tokens").alias("chunk_n_tokens"),
+        F.col("_ch.chunk_text").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(*, chunk_tokens: int = 16, table: str = "documents") -> str:
+    c = chunk_tokens
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM {table}
+), ch AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(t) / {c}.0) AS BIGINT))) AS chunk_idx,
+         t
+  FROM tk WHERE len(t) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(t[chunk_idx * {c} + 1 : chunk_idx * {c} + {c}]) AS BIGINT)
+         AS chunk_n_tokens,
+       array_to_string(t[chunk_idx * {c} + 1 : chunk_idx * {c} + {c}], ' ')
+         AS chunk_text
+FROM ch
+"""
+
+
+# ---------------------------------------------------------------- PII scrub
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9\- ]{6,}[0-9]"
+
+
+def pii_scrub(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact email addresses and phone-like digit runs, reporting match
+    counts. Both patterns are RE2-safe (no backtracking constructs), so the
+    same regexes run under Spark's Java engine and DuckDB's RE2 — and at
+    scale the whole operator is a codegen'd projection over the scan."""
+    t = F.col(text_col)
+    # patterns go in as Column literals (not through the SQL parser, whose
+    # string-literal unescaping would mangle \+ and \-)
+    email = F.lit(EMAIL_RE)
+    phone = F.lit(PHONE_RE)
+    no_email = F.regexp_replace(t, email, F.lit("<EMAIL>"))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, email, F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, phone, F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(no_email, phone, F.lit("<PHONE>")).alias("scrubbed"),
+    )
+
+
+def pii_scrub_oracle_sql(*, text_expr: str = "text", table: str = "documents") -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all({text_expr}, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+           regexp_replace({text_expr}, '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}'))
+         AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace({text_expr}, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM {table}
+"""
+
+
+# ------------------------------------------------------- deterministic sample
+
+def _hex_threshold(rate: float) -> str:
+    """md5-hex keep threshold for a Bernoulli(rate): the md5 of the sampling
+    key is uniform over [0, 16^32); keep iff hex < threshold."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g"  # lexicographically above every hex digest -> keep all
+    return format(int(rate * (1 << 128)), "032x")
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: str = "s42",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``md5(seed|id) < threshold(stratum_rate)``. Reproducible across runs and
+    cluster layouts (no RNG state, no partition dependence) — the property a
+    training pipeline needs to re-derive the exact same corpus snapshot.
+    Returns the kept rows (id, stratum)."""
+    thr = F.lit(_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_hex_threshold(rate))).otherwise(
+            thr
+        )
+    h = F.md5(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")).cast("binary")
+    )
+    return docs.filter(h < thr).select(
+        F.col(id_col), F.col(stratum_col).alias("stratum")
+    )
+
+
+def stratified_hash_sample_oracle_sql(
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    seed: str = "s42",
+    default_rate: float = 1.0,
+    table: str = "documents",
+) -> str:
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN '{_hex_threshold(r)}'"
+        for s, r in sorted(rates.items())
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {stratum_col} AS stratum
+FROM {table}
+WHERE md5('{seed}|' || CAST(doc_id AS VARCHAR))
+      < CASE {cases} ELSE '{_hex_threshold(default_rate)}' END
+"""
+
+
+# ------------------------------------------------------ incremental dedup
+
+def text_fingerprint(text_col: Column) -> Column:
+    """Normalized-text content fingerprint (md5 of lower(trim(text)))."""
+    return F.md5(F.lower(F.trim(text_col)).cast("binary"))
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index_fps: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: drop batch docs whose content fingerprint
+    already exists in the corpus index, then keep one doc (min id) per
+    surviving fingerprint within the batch.
+
+    ``index_fps`` carries a single ``fp`` column (precomputed at ingest
+    time; at steady state this is a parquet scan, not a recompute). The
+    batch side is typically ≪ the index side, so Spark plans the anti-join
+    with the index shuffled once by fp — or, bucketed by fp, shuffle-free.
+    """
+    b = batch.withColumn("_fp", text_fingerprint(F.col(text_col)))
+    fresh = b.join(
+        index_fps.select(F.col("fp").alias("_fp")).distinct(), on="_fp", how="left_anti"
+    )
+    first = fresh.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    return (
+        fresh.join(first, on="_fp")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+# ---------------------------------------------------------- mixture weights
+
+def corpus_mix_weights(
+    docs: DataFrame,
+    target: dict[str, float],
+    *,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum token totals and the resampling weight needed to hit a
+    target mixture (weight = target_share / actual_token_share). One hash
+    aggregation over the corpus; the per-stratum result is tiny and joins
+    back as a broadcast wherever the weights are applied."""
+    agg = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    withf = agg.withColumn("_frac", F.col("n_tokens") / total)
+    tgt2 = F.lit(None).cast("double")
+    for stratum, share in sorted(target.items()):
+        tgt2 = F.when(F.col("stratum") == stratum, F.lit(share)).otherwise(tgt2)
+    return withf.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_frac"), 6).alias("actual_frac"),
+        F.round(tgt2 / F.col("_frac"), 6).alias("weight"),
+    )
+
+
+def corpus_mix_weights_oracle_sql(
+    target: dict[str, float], *, stratum_col: str = "lang", table: str = "documents"
+) -> str:
+    cases = " ".join(
+        f"WHEN stratum = '{s}' THEN {share}" for s, share in sorted(target.items())
+    )
+    return f"""
+WITH tk AS (
+  SELECT {stratum_col} AS stratum, len({tokens_sql('text')}) AS nt FROM {table}
+), agg AS (
+  SELECT stratum, COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM tk GROUP BY 1
+)
+SELECT stratum,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS actual_frac,
+       round((CASE {cases} ELSE NULL END)
+             / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 6) AS weight
+FROM agg
+"""

@@ -1791,3 +1791,157 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
 FROM (SELECT event_id, CAST(event_id % 130 + 1 AS INT) AS k FROM events)
 """,
 )(_round_k_spark)
+
+
+# --------------------------------------------------------------------------
+# Training-data curation suite (operators/curation.py) — the pipeline stages
+# between raw text and training shards: repetition filtering, chunking, PII
+# scrubbing, reproducible sampling, incremental dedup, mixture weighting.
+# --------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "zh": 0.25, "fr": 0.75}
+_MIX_TARGET = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1}
+_PII_AUG_SPARK = None  # built lazily below
+
+
+def _repetition_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import repetition_stats
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, ngram_n=2)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _repetition_oracle() -> str:
+    from pyrope_spark.operators.curation import repetition_stats_oracle_sql
+
+    return repetition_stats_oracle_sql(ngram_n=2)
+
+
+register("repetition_stats", _repetition_oracle())(_repetition_spark)
+
+
+def _chunk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import chunk_documents
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=16)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _chunk_oracle() -> str:
+    from pyrope_spark.operators.curation import chunk_documents_oracle_sql
+
+    return chunk_documents_oracle_sql(chunk_tokens=16)
+
+
+register("chunk_documents", _chunk_oracle())(_chunk_spark)
+
+
+def _pii_aug_col() -> F.Column:
+    """Deterministic PII-bearing text: the raw corpus has no emails/phones,
+    so both sides append a synthesized contact string derived from doc_id —
+    the scrubber is exercised on every row and stays hash-comparable."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+)
+
+
+def _pii_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import pii_scrub
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").withColumn("text", _pii_aug_col())
+    out = pii_scrub(docs)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _pii_oracle() -> str:
+    from pyrope_spark.operators.curation import pii_scrub_oracle_sql
+
+    return pii_scrub_oracle_sql(text_expr=f"({_PII_AUG_SQL})")
+
+
+register("pii_scrub", _pii_oracle())(_pii_spark)
+
+
+def _sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import stratified_hash_sample
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(docs, _SAMPLE_RATES, seed="s42")
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _sample_oracle() -> str:
+    from pyrope_spark.operators.curation import stratified_hash_sample_oracle_sql
+
+    return stratified_hash_sample_oracle_sql(_SAMPLE_RATES, seed="s42")
+
+
+register("stratified_hash_sample", _sample_oracle())(_sample_spark)
+
+
+def _dedup_incr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import dedup_against_index, text_fingerprint
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") < 250).select(
+        text_fingerprint(F.col("text")).alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") >= 250)
+    out = dedup_against_index(batch, index)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+
+
+register(
+    "dedup_incremental",
+    """
+WITH idx AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id < 250
+), b AS (
+  SELECT doc_id, lang, source, md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id >= 250
+), fresh AS (
+  SELECT * FROM b WHERE fp NOT IN (SELECT fp FROM idx)
+), keep AS (
+  SELECT fp, MIN(doc_id) AS k FROM fresh GROUP BY 1
+)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.lang, f.source
+FROM fresh f JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.k
+""",
+)(_dedup_incr_spark)
+
+
+def _mix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import corpus_mix_weights
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_mix_weights(docs, _MIX_TARGET)
+
+
+def _mix_oracle() -> str:
+    from pyrope_spark.operators.curation import corpus_mix_weights_oracle_sql
+
+    return corpus_mix_weights_oracle_sql(_MIX_TARGET)
+
+
+register("corpus_mix_weights", _mix_oracle())(_mix_spark)

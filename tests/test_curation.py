@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.curation import (
+    chunk_documents,
+    corpus_mix_weights,
+    dedup_against_index,
+    pii_scrub,
+    repetition_stats,
+    stratified_hash_sample,
+    text_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam", "en"),  # one repeated 2-gram
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en"),  # all distinct
+        (3, "", "de"),  # empty
+        (4, "solo", "de"),  # fewer tokens than ngram_n
+        (5, "a b a b a b a b c d", "fr"),  # mixed repetition
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_repetition_stats_flags(spark, docs):
+    out = {r["doc_id"]: r for r in repetition_stats(docs, ngram_n=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+
+    r1 = out[1]  # 7 identical "spam spam" 2-grams
+    assert r1["n_tokens"] == 8 and r1["n_ngrams"] == 7
+    assert r1["top_ngram_frac"] == 1.0 and r1["dup_ngram_frac"] == pytest.approx(6 / 7)
+    assert r1["is_repetitive"]
+
+    r2 = out[2]  # all 2-grams distinct
+    assert r2["n_ngrams"] == 7 and r2["dup_ngram_frac"] == 0.0
+    assert r2["top_ngram_frac"] == pytest.approx(1 / 7)
+    assert not r2["is_repetitive"]
+
+    for d in (3, 4):  # no 2-grams at all -> zeros, not dropped rows
+        assert out[d]["n_ngrams"] == 0 and not out[d]["is_repetitive"]
+
+    r5 = out[5]  # "a b" x4 of 9 grams
+    assert r5["n_ngrams"] == 9
+    assert r5["top_ngram_frac"] == pytest.approx(4 / 9, abs=1e-6)
+
+
+def test_chunk_documents_shapes(spark, docs):
+    out = chunk_documents(docs, chunk_tokens=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc yields no chunks
+    assert [r["chunk_n_tokens"] for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])] == [3, 3, 2]
+    joined = " ".join(
+        r["chunk_text"] for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    )
+    assert joined == "alpha beta gamma delta epsilon zeta eta theta"
+    assert by_doc[4][0]["chunk_text"] == "solo" and by_doc[4][0]["chunk_n_tokens"] == 1
+
+
+def test_pii_scrub_redacts(spark):
+    rows = [
+        (1, "mail me at a.b-c_d@ex-ample.org thanks"),
+        (2, "call +44 20 7946 0958 or 555-867-5309 now"),
+        (3, "clean text with no contact info at all"),
+        (4, "x@y.io and 12345678 both"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+    assert "a.b-c_d" not in out[1]["scrubbed"]
+    assert out[2]["n_phones"] >= 1 and "<PHONE>" in out[2]["scrubbed"]
+    assert "7946" not in out[2]["scrubbed"] and "5309" not in out[2]["scrubbed"]
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    assert out[3]["scrubbed"] == "clean text with no contact info at all"
+    assert out[4]["n_emails"] == 1 and out[4]["n_phones"] == 1
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(2000)], "doc_id long, lang string"
+    )
+    a = stratified_hash_sample(df, {"en": 0.25, "de": 1.0}, seed="s1")
+    b = stratified_hash_sample(df.repartition(7), {"en": 0.25, "de": 1.0}, seed="s1")
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb  # layout-independent
+    n_de = sum(1 for r in a.collect() if r["stratum"] == "de")
+    n_en = len(ra) - n_de
+    assert n_de == 1000  # rate 1.0 keeps everything
+    assert 150 <= n_en <= 350  # ~250 expected at rate 0.25
+
+    c = stratified_hash_sample(df, {"en": 0.25, "de": 1.0}, seed="s2")
+    assert sorted(r["doc_id"] for r in c.collect()) != ra  # seed changes the draw
+
+
+def test_dedup_against_index(spark):
+    corpus = spark.createDataFrame(
+        [(1, "known text one"), (2, "known text two")], "doc_id long, text string"
+    )
+    index = corpus.select(text_fingerprint(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (10, "KNOWN TEXT ONE  "),  # normalized dup of indexed doc
+            (11, "fresh document"),
+            (12, "fresh document"),  # in-batch dup, higher id
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against_index(batch, index).collect())
+    assert kept == [11, 13]
+
+
+def test_corpus_mix_weights(spark, docs):
+    out = {r["stratum"]: r for r in corpus_mix_weights(docs, {"en": 0.5, "de": 0.3, "fr": 0.2}).collect()}
+    assert set(out) == {"en", "de", "fr"}
+    total = sum(r["n_tokens"] for r in out.values())
+    for lang, r in out.items():
+        assert r["actual_frac"] == pytest.approx(r["n_tokens"] / total, abs=1e-6)
+    # weight pushes under-represented strata up
+    assert out["de"]["weight"] > 1.0  # tiny token share vs target 0.3
