@@ -30,15 +30,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read nanos as long and expose both ts_ns (exact) and a
-        # microsecond-truncated ts timestamp (matches DuckDB CAST to µs).
+        # events.ts has shipped as TIMESTAMP(NANOS) (unreadable by Spark
+        # unless nanos are surfaced as long) and as µs TIMESTAMP_NTZ,
+        # depending on the generator. Normalize both layouts to the same
+        # surface: ts = µs timestamp (session tz is pinned UTC, so the NTZ
+        # wall time equals the UTC instant — parity with DuckDB's naive
+        # ``epoch(ts)``), ts_ns = epoch nanos as long.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        if isinstance(df.schema["ts"].dataType, LongType):  # nanos-as-long
+            return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        ts_utc = F.col("ts").cast("timestamp")
+        return df.withColumn("ts_ns", F.unix_micros(ts_utc) * 1000).withColumn(
+            "ts", ts_utc
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
