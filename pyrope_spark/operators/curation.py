@@ -359,6 +359,151 @@ def dedup_against_index(
     )
 
 
+# ----------------------------------------------------------- decontamination
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``ngram_n``-gram with an evaluation/benchmark corpus (the GPT-3 /
+    PaLM-style n-gram overlap rule).
+
+    Returns every train doc with ``n_ngrams`` (distinct n-grams),
+    ``n_contaminated`` (how many of them occur anywhere in the benchmark
+    set) and ``contaminated`` (>= ``min_overlap`` hits).
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    sets are thousands of docs), so its distinct gram set is broadcast and
+    the contamination join runs map-side inside the train scan — no shuffle
+    for the join itself. The per-doc count aggregation shuffles only
+    (doc_id, count) pairs after partial aggregation.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_t")
+        ).select(
+            id_col,
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(_t) < {ngram_n} THEN array() "
+                    f"ELSE transform(sequence(0, size(_t) - {ngram_n}), "
+                    f"i -> array_join(slice(_t, i + 1, {ngram_n}), ' ')) END"
+                )
+            ).alias("_g"),
+        )
+
+    bench_grams = grams(bench).select(F.explode("_g").alias("_g")).distinct()
+    tg = grams(train)
+    hits = (
+        tg.select(id_col, F.explode("_g").alias("_g"))
+        .join(F.broadcast(bench_grams), on="_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        tg.select(id_col, F.size("_g").alias("_n"))
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    *,
+    train_pred: str,
+    bench_pred: str,
+    ngram_n: int = 4,
+    min_overlap: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB rendering of :func:`decontaminate` where train/bench are
+    predicates over the same table."""
+    from pyrope_spark.functions.text import word_ngrams_from_tokens_sql
+
+    ng = word_ngrams_from_tokens_sql("t", ngram_n)
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM {table}),
+ng AS (SELECT doc_id, list_distinct({ng}) AS g FROM tk),
+bg AS (SELECT DISTINCT unnest(g) AS gram FROM ng WHERE {bench_pred}),
+tr AS (SELECT doc_id, g FROM ng WHERE {train_pred}),
+ex AS (SELECT doc_id, unnest(g) AS gram FROM tr),
+h AS (SELECT doc_id, COUNT(*) AS n_hits FROM ex JOIN bg USING (gram) GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(t.g) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_hits, 0) >= {min_overlap} AS contaminated
+FROM tr t LEFT JOIN h USING (doc_id)
+"""
+
+
+# ------------------------------------------------------ shuffle + sharding
+
+def shuffle_shards(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "sh42",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: each doc gets a
+    pseudo-random 60-bit key ``md5(seed|id)``; shard = key mod n_shards,
+    ``pos`` = the doc's position within its shard in key order. Re-runs (and
+    any cluster layout) give the byte-identical shard manifest — the
+    reproducibility property training pipelines need.
+
+    Scale shape: one hash-partitioned sort per shard — exactly the shuffle a
+    global reshuffle requires, executed as Spark's disk-backed sort. The
+    writing form is ``df.repartition(n_shards, shard).sortWithinPartitions
+    (key)`` + parquet write; this operator returns the (id, shard, pos)
+    manifest that audits it.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")).cast("binary")
+    )
+    d = docs.select(F.col(id_col)).withColumn("_h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return d.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def shuffle_shards_oracle_sql(
+    *, n_shards: int = 8, seed: str = "sh42", table: str = "documents"
+) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5('{seed}|' || CAST(doc_id AS VARCHAR)) AS hh FROM {table}
+), s AS (
+  SELECT doc_id, hh,
+         CAST(CAST(('0x' || substring(hh, 1, 15)) AS BIGINT) % {n_shards} AS INT)
+           AS shard
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT)
+         AS pos
+FROM s
+"""
+
+
 # ---------------------------------------------------------- mixture weights
 
 def corpus_mix_weights(

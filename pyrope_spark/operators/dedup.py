@@ -612,3 +612,79 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("ia", "ib", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# -------------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.9,
+    nlist: int = 16,
+    block_seed_ids: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then within each cluster keep one representative
+    per near-duplicate group — a row is a duplicate iff a lower-id row in
+    its cluster has cosine similarity >= ``threshold``.
+
+    Returns every input row with ``cluster_id``, ``is_dup`` and ``dup_of``
+    (the smallest qualifying lower id, NULL for keepers). Downstream, the
+    training corpus is ``filter(~is_dup)``.
+
+    Scale shape: this composes :func:`embedding_neardup_pairs` blocked mode
+    — pairwise work is confined to cluster cells (the SemDeDup recipe:
+    k-means cells sized so a cell fits one executor), then one groupBy(ib)
+    min-aggregation and a broadcast-size join back onto the corpus. With
+    ``block_seed_ids`` the cells come from fixed seed vectors, making the
+    whole output deterministic and SQL-replicable (the driver-oracle path).
+    """
+    pairs = embedding_neardup_pairs(
+        emb,
+        id_col=id_col,
+        vector_col=vector_col,
+        threshold=threshold,
+        blocked=True,
+        nlist=nlist,
+        block_seed_ids=block_seed_ids,
+    )
+    dup_of = pairs.groupBy(F.col("ib").alias(id_col)).agg(
+        F.min("ia").alias("dup_of")
+    )
+    if block_seed_ids is not None:
+        from pyrope_spark.operators.ivf import assign_by_centroids, fixed_ivf_model
+
+        model = fixed_ivf_model(
+            emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
+            block_seed_ids,
+            metric="cosine",
+            id_col="_id",
+            vector_col="_v",
+        )
+        assigned = assign_by_centroids(
+            emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
+            model,
+            id_col="_id",
+            vector_col="_v",
+        ).select(F.col("_id").alias(id_col), "cluster_id")
+    else:
+        from pyrope_spark.operators.ivf import build_ivf
+
+        assigned, _ = build_ivf(
+            emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
+            nlist=nlist,
+            metric="cosine",
+            vector_col="_v",
+        )
+        assigned = assigned.select(F.col("_id").alias(id_col), "cluster_id")
+    return (
+        assigned.join(dup_of, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

@@ -204,3 +204,80 @@ def ann_topk(
             ef_search=ef_search,
         )
     raise ValueError(f"unknown method {index.method!r}")
+
+
+def sq8_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 30,
+    metric: str = "l2",
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    impl: str = "segments",
+) -> DataFrame:
+    """Two-stage search: SQ8 coarse scan -> exact float re-rank.
+
+    The standard production ANN recipe the reference applies implicitly
+    (quantized scan for bandwidth, reference ScalarQuantizer.cs +
+    VectorMath.cs byte kernels; full-precision confirm): stage 1 scores the
+    4x-smaller quantized representation and keeps ``rerank`` candidates per
+    query; stage 2 re-scores only those against the float32 vectors and
+    returns top-``k``. Recall loss from quantization is confined to
+    candidates ranked below ``rerank`` in the coarse pass.
+
+    Scale shape: stage 1 is the packed-SQ8 segment scan (byte-domain
+    kernels); stage 2 touches ``|Q| * rerank`` rows — a candidate-side
+    shuffle join against the corpus keyed on id, negligible next to the
+    scan. ``impl='expr'`` runs both stages as column expressions (the
+    SQL-replicable driver-oracle path).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyrope_spark.functions.vector import score as score_expr
+
+    metric = normalize_metric(metric)
+    if impl == "expr":
+        from pyrope_spark.operators.knn import knn_bruteforce
+        from pyrope_spark.operators.quantize import sq8_dequantize, with_sq8
+
+        deq = with_sq8(vectors, vector_col).select(
+            F.col(id_col).alias("id"),
+            sq8_dequantize(
+                F.col("sq8_codes"), F.col("sq8_min"), F.col("sq8_max")
+            ).alias("vector"),
+        )
+        coarse = knn_bruteforce(
+            deq, queries, k=rerank, metric=metric, impl="expr",
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        ).select(F.col(query_id_col).alias("query_id"), "id")
+    elif impl == "segments":
+        from pyrope_spark.operators.segments import pack_segments_sq8, segment_knn_sq8
+
+        seg = pack_segments_sq8(vectors, id_col=id_col, vector_col=vector_col)
+        qrows = [
+            (r[query_id_col], np.asarray(r[query_vector_col]))
+            for r in queries.select(query_id_col, query_vector_col).collect()
+        ]
+        coarse = segment_knn_sq8(seg, qrows, rerank, metric, scoring="byte").select(
+            "query_id", "id"
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_v"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        coarse.join(v, "id")
+        .join(q, "query_id")
+        .withColumn("score", score_expr(metric, F.col("_qv"), F.col("_v")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "rank", "score")
+    )

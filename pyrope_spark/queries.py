@@ -1945,3 +1945,181 @@ def _mix_oracle() -> str:
 
 
 register("corpus_mix_weights", _mix_oracle())(_mix_spark)
+
+
+# --------------------------------------------------------------------------
+# Round-3 curation additions: benchmark decontamination, deterministic
+# shuffle-sharding, SemDeDup semantic dedup, SQ8 coarse->exact re-rank.
+# --------------------------------------------------------------------------
+
+_DECON_N = 4
+_DECON_BENCH_PRED = "doc_id % 41 = 0"
+_DECON_TRAIN_PRED = "doc_id % 41 <> 0"
+
+
+def _decon_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import decontaminate
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    train = docs.filter(F.expr(_DECON_TRAIN_PRED))
+    out = decontaminate(train, bench, ngram_n=_DECON_N)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _decon_oracle() -> str:
+    from pyrope_spark.operators.curation import decontaminate_oracle_sql
+
+    return decontaminate_oracle_sql(
+        train_pred=_DECON_TRAIN_PRED, bench_pred=_DECON_BENCH_PRED, ngram_n=_DECON_N
+    )
+
+
+register("decontaminate_ngram", _decon_oracle())(_decon_spark)
+
+
+def _shards_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import shuffle_shards
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, n_shards=8, seed="sh42")
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _shards_oracle() -> str:
+    from pyrope_spark.operators.curation import shuffle_shards_oracle_sql
+
+    return shuffle_shards_oracle_sql(n_shards=8, seed="sh42")
+
+
+register("shuffle_shards", _shards_oracle())(_shards_spark)
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import semantic_dedup
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, threshold=_SEMDEDUP_TAU, block_seed_ids=FIXED_IVF_SEEDS
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_dup",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    cos_asg = oracle_score_sql("cosine", "CAST(v.embedding AS DOUBLE[])", "c.cv")
+    cos_pair = oracle_score_sql("cosine", "va.embedding", "vb.embedding")
+    return f"""
+WITH {_cent_cte(FIXED_IVF_SEEDS)},
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos_asg} DESC, c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN cent c) WHERE rn = 1
+),
+p AS (
+  SELECT a1.vec_id AS ia, a2.vec_id AS ib
+  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+),
+s AS (
+  SELECT p.ia, p.ib
+  FROM p
+  JOIN embeddings va ON va.vec_id = p.ia
+  JOIN embeddings vb ON vb.vec_id = p.ib
+  WHERE {cos_pair} >= {_SEMDEDUP_TAU}
+),
+d AS (SELECT ib, MIN(ia) AS dup_of FROM s GROUP BY 1)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.cid AS BIGINT) AS cluster_id,
+       d.dup_of IS NOT NULL AS is_dup,
+       CAST(d.dup_of AS BIGINT) AS dup_of
+FROM asg a LEFT JOIN d ON d.ib = a.vec_id
+"""
+
+
+register("semantic_dedup", _semdedup_oracle())(_semdedup_spark)
+
+
+_RERANK_R = 30
+
+
+def _sq8_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.similarity import sq8_rerank_topk
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    hits = sq8_rerank_topk(
+        vectors, qs, k=TOP_K, rerank=_RERANK_R, metric="l2", impl="expr"
+    )
+    return hits.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _sq8_rerank_oracle() -> str:
+    from pyrope_spark.operators.quantize import sq8_oracle_sql
+
+    o = sq8_oracle_sql("embedding")
+    coarse = oracle_score_sql("l2", "q.qv", "dq.dv")
+    exact = oracle_score_sql("l2", "q.qv", "v.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+dq AS (
+  SELECT vec_id,
+         list_transform({o['codes']},
+            c -> {o['vmin']} + CAST(c AS DOUBLE) * ({o['vmax']} - {o['vmin']}) / 255.0)
+           AS dv
+  FROM embeddings
+),
+cs AS (
+  SELECT q.qid, dq.vec_id, {coarse} AS s FROM q CROSS JOIN dq
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC,
+                              CAST(vec_id AS VARCHAR) ASC) AS rn
+    FROM cs) WHERE rn <= {_RERANK_R}
+),
+ex AS (
+  SELECT c.qid, c.vec_id, {exact} AS score
+  FROM cand c
+  JOIN q ON q.qid = c.qid
+  JOIN embeddings v ON v.vec_id = c.vec_id
+),
+r AS (
+  SELECT CAST(qid AS VARCHAR) AS query_id, CAST(vec_id AS VARCHAR) AS id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC,
+                            CAST(vec_id AS VARCHAR) ASC) AS rnk
+  FROM ex
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+register("sq8_rerank_search", _sq8_rerank_oracle())(_sq8_rerank_spark)

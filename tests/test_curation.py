@@ -124,3 +124,48 @@ def test_corpus_mix_weights(spark, docs):
         assert r["actual_frac"] == pytest.approx(r["n_tokens"] / total, abs=1e-6)
     # weight pushes under-represented strata up
     assert out["de"]["weight"] > 1.0  # tiny token share vs target 0.3
+
+
+def test_decontaminate(spark):
+    from pyrope_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix"),  # shares a 4-gram
+            (2, "alpha beta gamma zeta delta"),            # only 3-gram overlap
+            (3, "totally different words here now"),
+            (4, "xy"),                                     # too short for 4-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, ngram_n=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] == 1
+    assert not out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+    assert out[4]["n_ngrams"] == 0 and not out[4]["contaminated"]
+
+
+def test_shuffle_shards_deterministic(spark):
+    from pyrope_spark.operators.curation import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = shuffle_shards(df, n_shards=4, seed="s1")
+    b = shuffle_shards(df.repartition(13), n_shards=4, seed="s1")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # layout-independent manifest
+    n = len(ra)
+    shards = {}
+    for _, shard, pos in ra:
+        shards.setdefault(shard, []).append(pos)
+    assert set(shards) == {0, 1, 2, 3}
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # roughly balanced (hash-uniform): no shard takes more than half
+    assert max(len(p) for p in shards.values()) < n / 2
+    c = shuffle_shards(df, n_shards=4, seed="s2")
+    assert sorted(map(tuple, c.collect())) != ra  # seed reshuffles

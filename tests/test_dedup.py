@@ -142,3 +142,35 @@ def test_simhash_pairs_hash_bits_validation_and_64bit(spark):
     rotated = simhash_pairs(df64, max_hamming=3, prefix_bits=8, rotations=8, hash_bits=64)
     got8 = {(r["ia"], r["ib"]) for r in rotated.collect()}
     assert {(1, 2), (1, 3), (2, 3)} <= got8
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    from pyrope_spark.operators.dedup import semantic_dedup
+
+    # two tight groups on opposite axes + one isolated point; within-group
+    # cosine ~1, cross-group ~0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # dup of 0
+        (2, [0.998, 0.02, 0.0, 0.0]),   # dup of 0
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.999, 0.01, 0.0]),  # dup of 10
+        (20, [0.0, 0.0, 0.0, 1.0]),     # isolated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.95, block_seed_ids=[0, 10, 20]
+        ).collect()
+    }
+    assert len(out) == 6
+    assert not out[0]["is_dup"] and out[0]["dup_of"] is None
+    assert out[1]["is_dup"] and out[1]["dup_of"] == 0
+    assert out[2]["is_dup"] and out[2]["dup_of"] == 0
+    assert not out[10]["is_dup"]
+    assert out[11]["is_dup"] and out[11]["dup_of"] == 10
+    assert not out[20]["is_dup"]
+    # kept set = one representative per near-dup group
+    kept = sorted(v for v, r in out.items() if not r["is_dup"])
+    assert kept == [0, 10, 20]

@@ -117,3 +117,46 @@ def test_auto_switch_never_materializes_large_batches(spark, monkeypatch):
     for idx in (seg_idx, ivf_idx, sq_idx):
         out = ann_topk(idx, queries, k=5)
         assert out.count() == n_q * 5
+
+
+def test_sq8_rerank_exact_when_rerank_covers_all(spark):
+    """With rerank >= n every candidate survives the coarse stage, so the
+    exact re-rank must equal brute force bit-for-bit."""
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.similarity import sq8_rerank_topk
+
+    vectors = make_vectors_df(spark, n=60, dim=8, seed=7).select("id", "vector")
+    queries = make_queries_df(spark, n=5, dim=8, seed=17).select("query_id", "vector")
+    got = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in sq8_rerank_topk(
+            vectors, queries, k=5, rerank=60, metric="l2", impl="segments"
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in knn_bruteforce(vectors, queries, k=5, metric="l2").collect()
+    )
+    assert got == want
+
+
+def test_sq8_rerank_recall(spark):
+    """Quantized coarse stage + small rerank still recovers nearly all exact
+    top-k (SQ8 error is tiny relative to neighbor gaps)."""
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.similarity import sq8_rerank_topk
+
+    vectors = make_vectors_df(spark, n=400, dim=16, seed=3).select("id", "vector")
+    queries = make_queries_df(spark, n=10, dim=16, seed=23).select("query_id", "vector")
+    approx = sq8_rerank_topk(
+        vectors, queries, k=10, rerank=30, metric="l2", impl="segments"
+    )
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["id"])
+    hits = tot = 0
+    for r in exact.collect():
+        tot += 1
+        hits += r["id"] in a[r["query_id"]]
+    assert hits / tot >= 0.95
