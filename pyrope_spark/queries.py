@@ -2123,3 +2123,132 @@ FROM r WHERE rnk <= {TOP_K}
 
 
 register("sq8_rerank_search", _sq8_rerank_oracle())(_sq8_rerank_spark)
+
+
+# --------------------------------------------------------------------------
+# G8 RBAC batch authorization (reference: RbacAuthorizationService.cs:23-87,
+# Permission.cs, Role.cs). Registries + request log are synthesized
+# deterministically from `events` so the decision surface is SQL-replicable:
+# user-key hits (tenant match and mismatch), legacy tenant keys, unknown
+# keys, blank keys, unknown tenants.
+# --------------------------------------------------------------------------
+
+def _rbac_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.rbac import (
+        ROLE_OPERATOR,
+        ROLE_READER,
+        ROLE_TENANT_ADMIN,
+        TENANT_ADMIN_PERMS,
+        rbac_decisions,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    perms = F.array(*[F.lit(p) for p in TENANT_ADMIN_PERMS])
+    roles = F.array(
+        F.lit(ROLE_READER), F.lit(ROLE_OPERATOR), F.lit(ROLE_TENANT_ADMIN)
+    )
+    users = spark.range(50).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tenant_id"),
+        F.concat(F.lit("uk"), F.col("id").cast("string")).alias("api_key"),
+        F.element_at(roles, (F.col("id") % 3).cast("int") + 1).alias("role"),
+    )
+    tenants = spark.range(5).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("tenant_id"),
+        F.concat(F.lit("tk"), F.col("id").cast("string")).alias("api_key"),
+    )
+    req = ev.select(
+        F.col("event_id"),
+        F.concat(F.lit("t"), (F.col("user_id") % 6).cast("string")).alias(
+            "tenant_id"
+        ),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("uk"), (F.col("user_id") % 50).cast("string")),
+        )
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(F.lit("uk"), ((F.col("user_id") + 1) % 50).cast("string")),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit("tk"), (F.col("user_id") % 5).cast("string")),
+        )
+        .when(F.col("event_id") % 5 == 3, F.lit("bad"))
+        .otherwise(F.lit(""))
+        .alias("api_key"),
+        F.element_at(
+            perms, (F.col("event_id") % len(TENANT_ADMIN_PERMS)).cast("int") + 1
+        ).alias("permission"),
+    )
+    out = rbac_decisions(req, users, tenants)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "permission",
+        "role",
+        "resolved_user_id",
+        "allowed",
+    )
+
+
+def _rbac_oracle() -> str:
+    from pyrope_spark.operators.rbac import (
+        TENANT_ADMIN_PERMS,
+        rbac_case_sql,
+    )
+
+    perm_list = ", ".join(f"'{p}'" for p in TENANT_ADMIN_PERMS)
+    n_perms = len(TENANT_ADMIN_PERMS)
+    return f"""
+WITH u AS (
+  SELECT 'u' || CAST(i AS VARCHAR) AS user_id,
+         't' || CAST(i % 5 AS VARCHAR) AS tenant_id,
+         'uk' || CAST(i AS VARCHAR) AS api_key,
+         (['Reader','Operator','TenantAdmin'])[CAST(i % 3 AS INT) + 1] AS role
+  FROM range(50) t(i)
+), tn AS (
+  SELECT 't' || CAST(i AS VARCHAR) AS tenant_id,
+         'tk' || CAST(i AS VARCHAR) AS api_key
+  FROM range(5) t(i)
+), req AS (
+  SELECT event_id,
+         't' || CAST(user_id % 6 AS VARCHAR) AS tenant_id,
+         CASE CAST(event_id % 5 AS INT)
+           WHEN 0 THEN 'uk' || CAST(user_id % 50 AS VARCHAR)
+           WHEN 1 THEN 'uk' || CAST((user_id + 1) % 50 AS VARCHAR)
+           WHEN 2 THEN 'tk' || CAST(user_id % 5 AS VARCHAR)
+           WHEN 3 THEN 'bad'
+           ELSE '' END AS api_key,
+         ([{perm_list}])[CAST(event_id % {n_perms} AS INT) + 1] AS permission
+  FROM events
+), j AS (
+  SELECT r.event_id, r.tenant_id, r.api_key, r.permission,
+         u.user_id AS uid, u.tenant_id AS utenant, u.role AS urole,
+         tn.api_key AS tkey
+  FROM req r
+  LEFT JOIN u ON u.api_key = r.api_key
+  LEFT JOIN tn ON tn.tenant_id = r.tenant_id
+), res AS (
+  SELECT event_id, permission,
+         CASE WHEN tenant_id IS NULL OR trim(tenant_id) = ''
+                   OR api_key IS NULL OR trim(api_key) = '' THEN NULL
+              WHEN uid IS NOT NULL THEN
+                   CASE WHEN utenant = tenant_id THEN urole END
+              WHEN tkey IS NOT NULL AND tkey = api_key THEN 'TenantAdmin'
+         END AS role,
+         CASE WHEN tenant_id IS NULL OR trim(tenant_id) = ''
+                   OR api_key IS NULL OR trim(api_key) = '' THEN NULL
+              WHEN uid IS NOT NULL THEN
+                   CASE WHEN utenant = tenant_id THEN uid END
+              WHEN tkey IS NOT NULL AND tkey = api_key THEN 'admin'
+         END AS resolved_user_id
+  FROM j
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, permission, role, resolved_user_id,
+       (role IS NOT NULL AND {rbac_case_sql('role', 'permission')}) AS allowed
+FROM res
+"""
+
+
+register("rbac_decisions", _rbac_oracle())(_rbac_spark)
