@@ -137,6 +137,10 @@ def main() -> None:
         knn_bruteforce_packed(state["seg_bf"], big_queries, k=TOP_K, metric="l2").count()
 
     timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q1000", bf_1k, repeat=3)
+    # release the float32 bf segments before the IVF section — leftover
+    # cached blocks + worker state measurably inflate the MLlib fit and the
+    # later sub-second scan entries (suite-order interference, PLANS.md r3)
+    state.pop("seg_bf").unpersist()
 
     from pyrope_spark.operators.ivf import build_ivf
 
@@ -157,6 +161,7 @@ def main() -> None:
         (r["query_id"], np.asarray(r["vector"]))
         for r in big_queries.select("query_id", "vector").collect()
     ]
+    big_queries.unpersist()
 
     from pyrope_spark.operators.segments import ivf_search_packed_single_job
 
@@ -387,6 +392,11 @@ def main() -> None:
         "sessionize_events",
         "asof_join_last_signup",
         "pricing_summary",
+        "decontaminate_ngram",
+        "semantic_dedup",
+        "shuffle_shards",
+        "sq8_rerank_search",
+        "rbac_decisions",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

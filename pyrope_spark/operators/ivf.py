@@ -73,7 +73,11 @@ def build_ivf(
     ``fit_fraction``: fit the KMeans on a seeded sample of the data and
     transform (assign) everything — the large-N build path. Centroid
     quality degrades negligibly once the sample is >> k (rule of thumb
-    >= 100*k rows); assignment cost is unchanged.
+    >= 100*k rows); assignment cost is unchanged. When ``fit_fraction`` is
+    not given, builds over large tables automatically cap the training set
+    at ``max(10k, 256*k)`` seeded-sampled rows — the faiss convention
+    (256 points per centroid saturates centroid quality); pass
+    ``fit_fraction=1.0`` to force a full fit.
     """
     metric = normalize_metric(metric)
     n = vectors.count()
@@ -84,6 +88,10 @@ def build_ivf(
     fit_src = feat
     if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
         fit_src = feat.sample(fraction=fit_fraction, seed=seed)
+    elif fit_fraction is None:
+        cap = max(10_000, 256 * k)
+        if n > cap:
+            fit_src = feat.sample(fraction=cap / n, seed=seed)
     km = KMeans(
         k=k,
         maxIter=max_iter,
