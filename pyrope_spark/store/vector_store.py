@@ -95,6 +95,19 @@ class VectorStore:
         partitions — equality predicates on the partition columns, so the
         scan prunes to only the touched directories (verified by
         ``tests/test_store.py`` plan assertion)."""
+        df = self._scan(tenant_id, index_name, pairs)
+        w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_seq"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+        )
+
+    def _scan(
+        self,
+        tenant_id: str | None = None,
+        index_name: str | None = None,
+        pairs: list[tuple[str, str]] | None = None,
+    ) -> DataFrame:
+        """Raw (unresolved) head ∪ tail scan with partition pruning."""
         df = self._read(self.head_path).unionByName(self._read(self.tail_path))
         if tenant_id is not None:
             df = df.filter(F.col("tenant_id") == tenant_id)
@@ -105,10 +118,7 @@ class VectorStore:
             for t, i in pairs:
                 cond = cond | ((F.col("tenant_id") == t) & (F.col("index_name") == i))
             df = df.filter(cond)
-        w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_seq"))
-        return (
-            df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
-        )
+        return df
 
     def _touched(self, df: DataFrame) -> list[tuple[str, str]]:
         return sorted(
@@ -127,7 +137,9 @@ class VectorStore:
 
     # --------------------------------------------------------------- writes
 
-    def _prep(self, df: DataFrame, seq: int, now: datetime) -> DataFrame:
+    def _prep(
+        self, df: DataFrame, seq: int, now: datetime, extra_cols: tuple[str, ...] = ()
+    ) -> DataFrame:
         out = df
         if "meta" not in out.columns:
             out = out.withColumn("meta", F.lit(None).cast("string"))
@@ -141,7 +153,7 @@ class VectorStore:
             .withColumn("updated_at", F.lit(now))
             .withColumn("deleted", F.lit(False))
             .withColumn("_seq", F.lit(seq).cast("long"))
-            .select(*DATA_COLS)
+            .select(*DATA_COLS, *extra_cols)
         )
 
     def _check_dims(self, df: DataFrame) -> None:
@@ -189,6 +201,7 @@ class VectorStore:
         order_col: str | None = None,
         validate_dims: bool = True,
         return_count: bool = True,
+        touched_pairs: list[tuple[str, str]] | None = None,
     ) -> int:
         """Insert-or-replace preserving created_at; resurrects tombstones
         (reference: VectorStore.Upsert, Services/VectorStore.cs:23-33).
@@ -210,31 +223,52 @@ class VectorStore:
         pays redundantly on every micro-batch (the stream's schema cannot
         drift); the batch API keeps them on by default. A batch touching a
         NOT-YET-REGISTERED index always runs the validating scan (it is
-        what registers the index + its dim)."""
-        touched = self._touched(df)
+        what registers the index + its dim).
+
+        ``touched_pairs``: the (tenant_id, index_name) pairs present in
+        ``df``, when the caller knows them (a single-index streaming sink
+        does) — skips the per-batch distinct+collect job that otherwise
+        discovers them. Rows outside the declared pairs would land in
+        unregistered partitions, so only pass what is actually true."""
+        touched = touched_pairs if touched_pairs is not None else self._touched(df)
         if validate_dims or any(self.registry.get(t, i) is None for t, i in touched):
             self._check_dims(df)
-        if order_col is not None:
-            w = Window.partitionBy(*KEY_COLS).orderBy(F.desc(order_col))
-            df = df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
-        else:
-            w = Window.partitionBy(*KEY_COLS).orderBy(F.desc("_mono"))
-            df = (
-                df.withColumn("_mono", F.monotonically_increasing_id())
-                .withColumn("_rn", F.row_number().over(w))
-                .filter("_rn = 1")
-                .drop("_mono", "_rn")
-            )
         seq = self.registry.next_seq()
         now = datetime.now(timezone.utc)
-        prepped = self._prep(df, seq, now)
-        old = self.snapshot(pairs=touched).select(
-            *KEY_COLS, F.col("created_at").alias("_old_created")
+        # ONE shuffle resolves everything: in-batch last-write-wins, the
+        # winning row per key, and created_at preservation. New rows carry
+        # (_seq = seq, _o2 = input order); raw store history rides along
+        # slim (keys + created_at + its _seq, _o2 NULL). Per key: the
+        # row_number window picks the newest row (new beats old via _seq,
+        # _o2 breaks in-batch ties) and min(created_at) over the SAME
+        # partitioning recovers the original creation time (created_at is
+        # copied forward on every upsert, so the min IS the original) — both
+        # windows share one Exchange, where the previous shape paid a dedup
+        # window, a snapshot-resolution window AND a merge join.
+        src = df.withColumn(
+            "_o2",
+            F.col(order_col) if order_col is not None else F.monotonically_increasing_id(),
         )
+        prepped = self._prep(src, seq, now, extra_cols=("_o2",))
+        o2_type = prepped.schema["_o2"].dataType
+        old = self._scan(pairs=touched).select(
+            *KEY_COLS,
+            "created_at",
+            "_seq",
+            F.lit(None).cast(o2_type).alias("_o2"),
+        )
+        uni = prepped.withColumn("_is_new", F.lit(True)).unionByName(
+            old.withColumn("_is_new", F.lit(False)), allowMissingColumns=True
+        )
+        w = Window.partitionBy(*KEY_COLS).orderBy(
+            F.col("_seq").desc(), F.col("_o2").desc_nulls_last()
+        )
+        wk = Window.partitionBy(*KEY_COLS)
         merged = (
-            prepped.join(old, KEY_COLS, "left")
-            .withColumn("created_at", F.coalesce("_old_created", "created_at"))
-            .drop("_old_created")
+            uni.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_orig_created", F.min("created_at").over(wk))
+            .filter((F.col("_rn") == 1) & F.col("_is_new"))
+            .withColumn("created_at", F.col("_orig_created"))
             .select(*DATA_COLS)
         )
         merged.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)

@@ -30,6 +30,7 @@ def stream_upsert_to_store(
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
     validate_dims: bool = False,
+    touched_pairs: list[tuple[str, str]] | None = None,
 ):
     """Start a streaming query that upserts each micro-batch into the store
     head table. ``stream_df`` must carry the record columns
@@ -41,6 +42,10 @@ def stream_upsert_to_store(
     nothing — but it means the target (tenant, index) pairs must already be
     registered (seed the store or create the index before starting the
     stream). Pass ``validate_dims=True`` to restore the batch-API checks.
+    ``touched_pairs`` (e.g. ``[("t", "i")]`` for a single-index stream)
+    additionally skips the per-batch distinct+collect that discovers which
+    indexes a batch touches — together these make the micro-batch cost one
+    dedup+merge+write plan instead of four jobs.
 
     Returns the StreamingQuery; callers own stop()/awaitTermination.
     """
@@ -48,7 +53,12 @@ def stream_upsert_to_store(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.upsert(batch_df, validate_dims=validate_dims, return_count=False)
+        store.upsert(
+            batch_df,
+            validate_dims=validate_dims,
+            return_count=False,
+            touched_pairs=touched_pairs,
+        )
 
     writer = (
         stream_df.writeStream.outputMode("update")
