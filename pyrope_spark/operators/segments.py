@@ -817,3 +817,99 @@ def ivf_search_packed(
     return segment_knn(
         segments, qnp, k, model.metric, probes=probes, exclude_ids=exclude_ids
     )
+
+
+def ivf_pq_search_distributed(
+    segments: DataFrame,
+    model,  # IvfPqModel
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    *,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Fully distributed IVF-PQ ADC search for LARGE query batches:
+    executor-side probe selection over the coarse centroids, then a
+    cogrouped per-cluster ADC — each group builds the (Q x M x K) residual
+    distance tables for ITS cluster ONCE and fancy-indexes them against the
+    packed uint8 code blocks. The driver never materializes queries or
+    tables (contrast :func:`ivf_pq_search_packed`, the low-latency
+    small-batch path). Reference semantics: IvfPqVectorIndex.cs:118-212 at
+    batch scale.
+
+    Scale shape: the shuffle carries the query table x nprobe; the PQ
+    segment side is shuffle-free when bucketed by cluster_id
+    (:func:`write_segments_bucketed` works unchanged on PQ segments). One
+    table build per (cluster, query-group) amortizes across every code
+    block of that cluster, and only per-(cluster, query) top-K rows reach
+    the global top-K.
+    """
+    from pyrope_spark.operators.ivf import select_probes_distributed
+
+    spark = segments.sparkSession
+    probed = select_probes_distributed(
+        queries, model.ivf, nprobe,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
+    )
+    bm = spark.sparkContext.broadcast(
+        (
+            model.ivf.centroids,
+            [np.asarray(cb, dtype=np.float64) for cb in model.pq.codebooks],
+            model.pq.m,
+            model.pq.dsub,
+            model.pq.k,
+        )
+    )
+    kk = max(k, 1)
+
+    def score_group(seg_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(seg_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "id": [], "score": []})
+        centroids, codebooks, m, dsub, kcode = bm.value
+        c = int(seg_pdf["cluster_id"].iloc[0])
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.vstack(q_pdf["vector"].to_numpy()).astype(np.float64)
+        rq = qmat - centroids[c][None, :]
+        tabs = np.empty((m, len(qids), kcode), dtype=np.float64)
+        for sub in range(m):
+            qs = rq[:, sub * dsub : (sub + 1) * dsub]
+            cb = codebooks[sub]
+            tabs[sub] = (
+                np.einsum("ij,ij->i", qs, qs)[:, None]
+                - 2.0 * (qs @ cb.T)
+                + np.einsum("ij,ij->i", cb, cb)[None, :]
+            )
+        out = []
+        for row in seg_pdf.itertuples(index=False):
+            codes = (
+                np.frombuffer(row.codes, dtype=np.uint8)
+                .reshape(row.n, row.m)
+                .astype(np.int64)
+            )
+            ids = np.asarray(row.ids, dtype=object)
+            dist = np.zeros((len(qids), row.n), dtype=np.float64)
+            for sub in range(m):
+                dist += tabs[sub][:, codes[:, sub]]
+            scores = -dist
+            top = min(kk, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, top),
+                        "id": ids[idx.ravel()],
+                        "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    scored = (
+        segments.groupby("cluster_id")
+        .cogroup(probed.groupby("cluster_id"))
+        .applyInPandas(score_group, RESULT_SCHEMA)
+    )
+    return topk_per_group(
+        scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
+    )

@@ -71,6 +71,7 @@ def build_similarity_index(
     vector_col: str = "vector",
     nlist: int = 100,
     rows_per_segment: int = 65536,
+    pq_m: int = 8,
 ) -> SimilarityIndex:
     """Prepare (and cache) the scan structure for repeated query batches."""
     metric = normalize_metric(metric)
@@ -107,6 +108,18 @@ def build_similarity_index(
             assigned, id_col=id_col, vector_col=vector_col,
             cluster_col="cluster_id", rows_per_segment=rows_per_segment,
         ).cache()
+        seg.count()
+        return SimilarityIndex(method, metric, (seg, model))
+    if method == "ivf_pq":
+        from pyrope_spark.operators.pq import build_ivf_pq
+        from pyrope_spark.operators.segments import pack_pq_segments
+
+        if metric != "l2":
+            raise ValueError("ivf_pq supports metric='l2' (residual ADC)")
+        encoded, model = build_ivf_pq(
+            corpus, nlist=nlist, m=pq_m, id_col=id_col, vector_col=vector_col
+        )
+        seg = pack_pq_segments(encoded, rows_per_segment=rows_per_segment).cache()
         seg.count()
         return SimilarityIndex(method, metric, (seg, model))
     if method == "hnsw":
@@ -192,6 +205,21 @@ def ann_topk(
         from pyrope_spark.operators.segments import ivf_search_packed
 
         return ivf_search_packed(
+            seg, model, queries, k=k, nprobe=nprobe,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+    if index.method == "ivf_pq":
+        seg, model = index.handle
+        if _pick_distributed(distributed, queries):
+            from pyrope_spark.operators.segments import ivf_pq_search_distributed
+
+            return ivf_pq_search_distributed(
+                seg, model, queries, k=k, nprobe=nprobe,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
+        from pyrope_spark.operators.segments import ivf_pq_search_packed
+
+        return ivf_pq_search_packed(
             seg, model, queries, k=k, nprobe=nprobe,
             query_id_col=query_id_col, query_vector_col=query_vector_col,
         )

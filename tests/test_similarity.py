@@ -160,3 +160,28 @@ def test_sq8_rerank_recall(spark):
         tot += 1
         hits += r["id"] in a[r["query_id"]]
     assert hits / tot >= 0.95
+
+
+def test_ivf_pq_distributed_matches_packed(spark):
+    """The cogrouped distributed ADC path must agree with the
+    driver-broadcast packed path: identical probes (diff-based l2 parity)
+    and the same float64 table math, modulo GEMV-vs-GEMM last-ulp rounding."""
+    from pyrope_spark.operators.similarity import ann_topk, build_similarity_index
+
+    vectors = make_vectors_df(spark, n=400, dim=16, seed=11, del_frac=0.0).select(
+        "id", "vector"
+    )
+    queries = make_queries_df(spark, n=8, dim=16, seed=29).select(
+        "query_id", "vector"
+    )
+    idx = build_similarity_index(
+        vectors, method="ivf_pq", metric="l2", nlist=8, pq_m=4,
+        rows_per_segment=64,
+    )
+    got_d = ann_topk(idx, queries, k=5, nprobe=3, distributed=True).collect()
+    got_p = ann_topk(idx, queries, k=5, nprobe=3, distributed=False).collect()
+    d = {(r["query_id"], r["id"]): r["score"] for r in got_d}
+    p = {(r["query_id"], r["id"]): r["score"] for r in got_p}
+    assert set(d) == set(p)
+    for key, s in d.items():
+        assert abs(s - p[key]) < 1e-9
