@@ -260,6 +260,52 @@ def main() -> None:
 
     timed(f"hnsw_bulk_build_search_{N_VECTORS}v_1shard", hnsw_bulk)
 
+    # IVF-PQ: the 64x-compressed scan unit (m=8 bytes/vector vs 512 B
+    # float32) — build (coarse KMeans + residual PQ codebooks + encode +
+    # pack), the small-batch ADC path, and the cogrouped distributed path
+    from pyrope_spark.operators.pq import build_ivf_pq
+    from pyrope_spark.operators.segments import (
+        ivf_pq_search_distributed,
+        ivf_pq_search_packed,
+        pack_pq_segments,
+    )
+
+    def pq_build():
+        encoded, pq_model = build_ivf_pq(vectors, nlist=100, m=8)
+        pseg = pack_pq_segments(encoded, rows_per_segment=8192).cache()
+        pseg.count()
+        state["ivf_pq"] = (pseg, pq_model)
+
+    timed(f"ivf_pq_build_{N_VECTORS}v_nlist100_m8", pq_build)
+    if "ivf_pq" not in state and (not only or any("ivf_pq" in n for n in only)):
+        pq_build()
+    if "ivf_pq" in state:
+        pseg, pq_model = state["ivf_pq"]
+        ivf_pq_search_packed(pseg, pq_model, queries.limit(4), k=TOP_K, nprobe=3).count()
+
+        pq_queries_1k = spark.createDataFrame(
+            [(q, [float(x) for x in v]) for q, v in qnp_1k],
+            "query_id string, vector array<float>",
+        )
+
+        def pq_q1000():
+            ivf_pq_search_packed(pseg, pq_model, pq_queries_1k, k=TOP_K, nprobe=3).count()
+
+        timed(f"ivf_pq_nprobe3_{N_VECTORS}v_q1000", pq_q1000, repeat=2)
+
+        pq_huge = (
+            synth_vectors(spark, 20_000, DIM, seed=778)
+            .withColumnRenamed("id", "query_id")
+        )
+
+        def pq_dist():
+            ivf_pq_search_distributed(
+                pseg, pq_model, pq_huge, k=TOP_K, nprobe=3
+            ).count()
+
+        timed(f"ivf_pq_dist_nprobe3_{N_VECTORS}v_q20000", pq_dist)
+        state.pop("ivf_pq")[0].unpersist()
+
     from pyrope_spark.operators.quantize import with_sq8
 
     def sq8():

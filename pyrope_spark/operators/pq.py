@@ -63,9 +63,16 @@ def train_pq(
     vector_col: str = "vector",
     seed: int = PQ_SEED,
     max_iter: int = DEFAULT_MAX_ITER,
+    fit_fraction: float | None = None,
 ) -> PqModel:
     """Per-subspace KMeans (reference ProductQuantizer.cs:16-58: dim % M == 0,
-    K <= 256, seed 42+m)."""
+    K <= 256, seed 42+m).
+
+    Codebook training follows the faiss convention: when ``fit_fraction``
+    is not given and the table exceeds ``max(10k, 256*k)`` rows, each
+    subspace fits on that seeded sample (codebook quality saturates well
+    below it; the m sub-fits dominate IVF-PQ build cost). Encoding always
+    covers every row."""
     if k > 256:
         raise ValueError("PQ K must be <= 256 (codes are bytes)")
     dim = len(vectors.select(vector_col).first()[0])
@@ -74,8 +81,15 @@ def train_pq(
     dsub = dim // m
     n = vectors.count()
     kk = min(k, n)
+    fit_src = vectors
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        fit_src = vectors.sample(fraction=fit_fraction, seed=seed)
+    elif fit_fraction is None:
+        cap = max(10_000, 256 * kk)
+        if n > cap:
+            fit_src = vectors.sample(fraction=cap / n, seed=seed)
     books = []
-    cached = vectors.select(vector_col).cache()
+    cached = fit_src.select(vector_col).cache()
     try:
         for sub in range(m):
             sl = cached.select(
