@@ -40,16 +40,21 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens with empties dropped."""
+    """Lowercased whitespace tokens with empties dropped. NULL text tokenizes
+    to an EMPTY array (not NULL): Spark's legacy ``size(NULL) = -1`` would
+    otherwise leak -1 token counts and phantom ``sequence(0, -1)`` chunks
+    into every operator built on this helper, diverging from the DuckDB
+    oracles."""
     return F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
     )
 
 
 def tokens_sql(text_expr: str) -> str:
     return (
-        f"list_filter(string_split_regex(lower(trim({text_expr})), '\\s+'), "
-        f"t -> length(t) > 0)"
+        f"list_filter(string_split_regex(lower(trim(coalesce({text_expr}, ''))), "
+        f"'\\s+'), t -> length(t) > 0)"
     )
 
 

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pyrope_spark.functions.text import tokens, tokens_sql
+from pyrope_spark.functions.text import tokens, tokens_sql, word_ngrams_from_tokens
 
 # --------------------------------------------------------------- repetition
 
@@ -65,11 +65,7 @@ def repetition_stats(
     ).select(
         id_col,
         F.size("_t").alias("n_tokens"),
-        F.expr(
-            f"CASE WHEN size(_t) < {ngram_n} THEN array() "
-            f"ELSE transform(sequence(0, size(_t) - {ngram_n}), "
-            f"i -> array_join(slice(_t, i + 1, {ngram_n}), ' ')) END"
-        ).alias("_ngrams"),
+        word_ngrams_from_tokens(F.col("_t"), ngram_n).alias("_ngrams"),
     )
     exploded = toks.select(id_col, "n_tokens", F.explode_outer("_ngrams").alias("_g"))
     per_gram = exploded.groupBy(id_col, "n_tokens", "_g").agg(F.count("*").alias("_c"))
@@ -236,7 +232,7 @@ def pii_scrub(
     counts. Both patterns are RE2-safe (no backtracking constructs), so the
     same regexes run under Spark's Java engine and DuckDB's RE2 — and at
     scale the whole operator is a codegen'd projection over the scan."""
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text scrubs to ""
     # patterns go in as Column literals (not through the SQL parser, whose
     # string-literal unescaping would mangle \+ and \-)
     email = F.lit(EMAIL_RE)
@@ -253,6 +249,7 @@ def pii_scrub(
 
 
 def pii_scrub_oracle_sql(*, text_expr: str = "text", table: str = "documents") -> str:
+    text_expr = f"coalesce({text_expr}, '')"
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all({text_expr}, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
@@ -391,11 +388,7 @@ def decontaminate(
         ).select(
             id_col,
             F.array_distinct(
-                F.expr(
-                    f"CASE WHEN size(_t) < {ngram_n} THEN array() "
-                    f"ELSE transform(sequence(0, size(_t) - {ngram_n}), "
-                    f"i -> array_join(slice(_t, i + 1, {ngram_n}), ' ')) END"
-                )
+                word_ngrams_from_tokens(F.col("_t"), ngram_n)
             ).alias("_g"),
         )
 

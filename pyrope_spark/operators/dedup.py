@@ -641,46 +641,49 @@ def semantic_dedup(
     ``block_seed_ids`` the cells come from fixed seed vectors, making the
     whole output deterministic and SQL-replicable (the driver-oracle path).
     """
-    pairs = embedding_neardup_pairs(
-        emb,
-        id_col=id_col,
-        vector_col=vector_col,
-        threshold=threshold,
-        blocked=True,
-        nlist=nlist,
-        block_seed_ids=block_seed_ids,
-    )
-    dup_of = pairs.groupBy(F.col("ib").alias(id_col)).agg(
-        F.min("ia").alias("dup_of")
-    )
+    from pyrope_spark.functions.vector import cosine_sim
+    from pyrope_spark.functions.vector import norm as norm_expr
+
+    cols = emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+    # ONE assignment pass feeds both the pair blocking and the output
+    # cluster_id (assigning twice would double the operator's most
+    # expensive stage — and in the learned-model branch, refit KMeans)
     if block_seed_ids is not None:
         from pyrope_spark.operators.ivf import assign_by_centroids, fixed_ivf_model
 
         model = fixed_ivf_model(
-            emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
-            block_seed_ids,
-            metric="cosine",
-            id_col="_id",
-            vector_col="_v",
+            cols, block_seed_ids, metric="cosine", id_col="_id", vector_col="_v"
         )
-        assigned = assign_by_centroids(
-            emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
-            model,
-            id_col="_id",
-            vector_col="_v",
-        ).select(F.col("_id").alias(id_col), "cluster_id")
+        assigned = assign_by_centroids(cols, model, id_col="_id", vector_col="_v")
     else:
         from pyrope_spark.operators.ivf import build_ivf
 
-        assigned, _ = build_ivf(
-            emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
-            nlist=nlist,
-            metric="cosine",
-            vector_col="_v",
+        assigned, _ = build_ivf(cols, nlist=nlist, metric="cosine", vector_col="_v")
+    # within-cell pair scoring (the embedding_neardup_pairs blocked shape),
+    # norms materialized once per side below the self-join
+    withn = assigned.withColumn("_n", norm_expr(F.col("_v")))
+    a = withn.select(
+        F.col("_id").alias("ia"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "cluster_id",
+    )
+    b = withn.select(
+        F.col("_id").alias("ib"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "cluster_id",
+    )
+    dup_of = (
+        a.join(b, "cluster_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "cosine",
+            cosine_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
         )
-        assigned = assigned.select(F.col("_id").alias(id_col), "cluster_id")
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(F.col("ib").alias(id_col))
+        .agg(F.min("ia").alias("dup_of"))
+    )
     return (
-        assigned.join(dup_of, on=id_col, how="left")
+        assigned.select(F.col("_id").alias(id_col), "cluster_id")
+        .join(dup_of, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.col("cluster_id"),

@@ -223,7 +223,9 @@ class NumpyHnsw:
             own = L[lo:hi]                                        # (b, k)
             # neighbors-of-neighbors; -1 rows gather junk, masked below
             non = L[np.maximum(own, 0)][:, :, :expand].reshape(b, k * expand)
-            non[np.repeat(own < 0, expand, axis=0).reshape(b, k * expand)] = -1
+            # mask junk gathered via -1 slots: non[i, j*expand + e] belongs
+            # to own[i, j], so the (b, k) mask repeats along the LAST axis
+            non[np.repeat(own < 0, expand, axis=1)] = -1
             cand = np.concatenate([own, non], axis=1)             # (b, C)
             invalid = (cand < 0) | (cand == np.arange(lo, hi)[:, None])
             # mask duplicates: sort ids per row, equal-to-previous -> invalid
@@ -454,6 +456,7 @@ def hnsw_partition_search(
     fallback_bruteforce: bool = False,
     seed: int = 42,
     max_shard_rows: int = 100_000,
+    num_rows: int | None = None,
 ) -> DataFrame:
     """Per-partition ANN: each task builds a local HNSW graph over its shard
     and answers every query against it; the global window keeps the best K.
@@ -468,12 +471,17 @@ def hnsw_partition_search(
     task builds at most that many rows — shards above
     :attr:`NumpyHnsw.BULK_THRESHOLD` use the vectorized bulk build (budget:
     a 100k x dim-128 shard builds in GEMM-bound seconds; bench entry
-    ``hnsw_bulk_build_search_100000v_1shard``)."""
+    ``hnsw_bulk_build_search_100000v_1shard``).
+
+    ``num_rows``: pass the (possibly approximate) corpus row count when the
+    caller already knows it — it only sizes the repartition, and skipping
+    the ``count()`` action removes a full table scan from every repeated
+    search call over an uncached corpus."""
     if impl == "hnswlib" and not HAVE_HNSWLIB:
         raise NotImplementedError("hnswlib is not installed; use impl='numpy'")
     if max_shard_rows < 1:
         raise ValueError("max_shard_rows must be >= 1")
-    n_total = vectors.count()
+    n_total = vectors.count() if num_rows is None else num_rows
     if n_total > max_shard_rows:
         target = -(-n_total // max_shard_rows)  # ceil
         vectors = vectors.repartition(target)

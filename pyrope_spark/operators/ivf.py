@@ -338,8 +338,10 @@ def _ivf_score_gemm(
                     vdir = vmat / np.where(vn < 1e-6, 1.0, vn)[:, None]
                     scores = vdir @ qdir[sub].T
                     scores[vn < 1e-6, :] = 0.0
+                from pyrope_spark.operators.segments import topk_rows_det
+
                 top = min(kk, scores.shape[0])
-                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                idx = topk_rows_det(scores, ids, top)
                 for j, qi in enumerate(sub):
                     rows = idx[:, j]
                     out_q.extend([qids_b[qi]] * len(rows))
@@ -489,8 +491,10 @@ def ivf_search_packed_distributed(
                 scores = vdir @ qdir.T
                 scores[vn < 1e-6, :] = 0.0
                 scores[:, qn < 1e-6] = 0.0
+            from pyrope_spark.operators.segments import topk_rows_det
+
             top = min(kk, scores.shape[0])
-            idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+            idx = topk_rows_det(scores, ids, top)
             flat = idx.T.ravel()
             out.append(
                 pd.DataFrame(

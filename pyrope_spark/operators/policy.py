@@ -180,6 +180,18 @@ class LlmPolicyEngine:
             except Exception:
                 parsed = None
             if parsed is not None:
-                self._cache[key] = (parsed, self._clock())
+                # bound the bucket cache: expired entries are swept (not
+                # only on re-hit) and drifting metrics can't grow the
+                # bucket space without limit in an always-on refresh loop
+                now = self._clock()
+                if len(self._cache) >= 1024:
+                    self._cache = {
+                        k: v
+                        for k, v in self._cache.items()
+                        if now - v[1] < self._cache_ttl
+                    }
+                    while len(self._cache) >= 1024:
+                        self._cache.pop(next(iter(self._cache)))
+                self._cache[key] = (parsed, now)
                 return parsed
         return heuristic_policy(metrics.miss_rate)

@@ -45,6 +45,40 @@ SQ8_SEGMENT_SCHEMA = (
 DEFAULT_ROWS_PER_SEGMENT = 65536
 
 
+def topk_rows_det(scores: np.ndarray, ids: np.ndarray, top: int) -> np.ndarray:
+    """Indices (top, q) of the best ``top`` rows per column under the TOTAL
+    order (score desc, id asc). argpartition fast path; only columns with
+    score ties at the k-th boundary pay the exact re-resolution — so
+    duplicate vectors (ubiquitous in real corpora) cannot make two scan
+    paths retain different candidates (single-job vs shuffle, collect vs
+    distributed: top-k of a union equals top-k of per-part top-ks only
+    under a total order)."""
+    n, q = scores.shape
+    if top >= n:
+        return np.tile(np.arange(n)[:, None], (1, q))
+    idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+    bound = np.take_along_axis(scores, idx, axis=0).min(axis=0)
+    ge = (scores >= bound[None, :]).sum(axis=0)
+    for j in np.nonzero(ge > top)[0]:
+        cand = np.nonzero(scores[:, j] >= bound[j])[0]
+        order = np.lexsort((ids[cand].astype("U"), -scores[cand, j]))
+        idx[:, j] = cand[order[:top]]
+    return idx
+
+
+def topk_flat_det(s: np.ndarray, i: np.ndarray, top: int) -> np.ndarray:
+    """1-d variant of :func:`topk_rows_det`: kept indices, same total order."""
+    if top >= len(s):
+        return np.arange(len(s))
+    keep = np.argpartition(-s, top - 1)[:top]
+    bound = s[keep].min()
+    if (s >= bound).sum() > top:
+        cand = np.nonzero(s >= bound)[0]
+        order = np.lexsort((i[cand].astype("U"), -s[cand]))
+        keep = cand[order[:top]]
+    return keep
+
+
 def pack_segments(
     df: DataFrame,
     *,
@@ -52,9 +86,13 @@ def pack_segments(
     vector_col: str = "vector",
     cluster_col: str | None = None,
     rows_per_segment: int = DEFAULT_ROWS_PER_SEGMENT,
+    dtype: str = "float32",
 ) -> DataFrame:
     """Pack (id, vector[, cluster_id]) rows into segment rows. Without a
-    cluster column everything lands in cluster -1 (brute-force segments)."""
+    cluster column everything lands in cluster -1 (brute-force segments).
+    ``dtype`` sets the packed element width — float32 for corpus segments
+    (bandwidth), float64 where full input precision must survive packing
+    (the query side of the block join)."""
     cols = [F.col(id_col).cast("string").alias("id"), F.col(vector_col).alias("vector")]
     if cluster_col is not None:
         cols.append(F.col(cluster_col).cast("int").alias("cluster_id"))
@@ -68,8 +106,10 @@ def pack_segments(
         acc: dict[int, tuple[list, list]] = {}
         seg_no: dict[int, int] = {}
 
+        np_dtype = np.float64 if dtype == "float64" else np.float32
+
         def emit(c: int, ids: list, vecs: list) -> pd.DataFrame:
-            mat = np.vstack(vecs).astype(np.float32)
+            mat = np.vstack(vecs).astype(np_dtype)
             no = seg_no.get(c, 0)
             seg_no[c] = no + 1
             return pd.DataFrame(
@@ -239,7 +279,7 @@ def segment_knn_sq8(
                         scores = vc @ qc.T
                     ids = np.asarray(row.ids, dtype=object)
                     top = min(kk, scores.shape[0])
-                    idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                    idx = topk_rows_det(scores, ids, top)
                     flat = idx.T.ravel()
                     yield pd.DataFrame(
                         {
@@ -275,7 +315,7 @@ def segment_knn_sq8(
                     # cosine_sim (ref VectorMath zero-norm -> 0.0)
                     scores[:, qn < 1e-6] = 0.0
                 top = min(kk, scores.shape[0])
-                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                idx = topk_rows_det(scores, ids, top)
                 flat = idx.T.ravel()
                 yield pd.DataFrame(
                     {
@@ -409,7 +449,7 @@ def ivf_pq_search_packed(
                     dist = tabs_b[ti][sub_idx, codes].sum(axis=1)
                     scores = -dist
                     top = min(topn, len(scores))
-                    sel = np.argpartition(-scores, top - 1)[:top]
+                    sel = topk_flat_det(scores, ids, top)
                     out_q.extend([qid] * len(sel))
                     out_i.extend(ids[sel])
                     out_s.extend(scores[sel])
@@ -488,7 +528,7 @@ def segment_knn(
                     # zero-norm QUERY guard, matching knn._score_gemm
                     scores[:, qn[sub] < 1e-6] = 0.0
                 top = min(kk, scores.shape[0])
-                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                idx = topk_rows_det(scores, ids, top)
                 flat = idx.T.ravel()
                 yield pd.DataFrame(
                     {
@@ -526,15 +566,18 @@ def pack_query_segments(
     query_vector_col: str = "vector",
     rows_per_chunk: int = 4096,
 ) -> DataFrame:
-    """Pack the QUERY table into contiguous float32 chunks (the same layout
+    """Pack the QUERY table into contiguous float64 chunks (the same layout
     trick as :func:`pack_segments`, applied to the query side) so a large
     batch can meet the segment table in a block join without ever
-    collecting to the driver."""
+    collecting to the driver. Queries pack at FULL precision — the
+    small-batch collect path scores float64, and the auto ``distributed``
+    switch must not change results as a batch crosses the size threshold;
+    the query side is tiny, so the 2x bytes are irrelevant."""
     q = queries.select(
         F.col(query_id_col).cast("string").alias("id"),
         F.col(query_vector_col).alias("vector"),
     )
-    chunks = pack_segments(q, rows_per_segment=rows_per_chunk)
+    chunks = pack_segments(q, rows_per_segment=rows_per_chunk, dtype="float64")
     return chunks.select(
         F.col("segment_no").alias("q_chunk"),
         F.col("n").alias("qn"),
@@ -580,9 +623,9 @@ def segment_knn_distributed(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                qmat = np.frombuffer(row.qvecs, dtype=np.float32).reshape(
+                qmat = np.frombuffer(row.qvecs, dtype=np.float64).reshape(
                     row.qn, row.qdim
-                ).astype(np.float64)
+                )
                 qids = np.asarray(row.qids, dtype=object)
                 ids = np.asarray(row.ids, dtype=object)
                 if scoring == "byte":
@@ -624,7 +667,7 @@ def segment_knn_distributed(
                         scores[vn < 1e-6, :] = 0.0
                         scores[:, qn < 1e-6] = 0.0
                 top = min(kk, scores.shape[0])
-                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                idx = topk_rows_det(scores, ids, top)
                 flat = idx.T.ravel()
                 yield pd.DataFrame(
                     {
@@ -708,7 +751,7 @@ def segment_knn_partials(
                     scores[vn < 1e-6, :] = 0.0
                     scores[:, qn[sub] < 1e-6] = 0.0
                 top = min(kk, scores.shape[0])
-                idx = np.argpartition(-scores, top - 1, axis=0)[:top, :]
+                idx = topk_rows_det(scores, ids, top)
                 for j, qi in enumerate(sub):
                     s = scores[idx[:, j], j]
                     i = ids[idx[:, j]]
@@ -716,7 +759,7 @@ def segment_knn_partials(
                         s = np.concatenate([best_s[qi], s])
                         i = np.concatenate([best_i[qi], i])
                         if len(s) > kk:
-                            keep_top = np.argpartition(-s, kk - 1)[:kk]
+                            keep_top = topk_flat_det(s, i, kk)
                             s, i = s[keep_top], i[keep_top]
                     best_s[qi] = s
                     best_i[qi] = i
@@ -893,7 +936,7 @@ def ivf_pq_search_distributed(
                 dist += tabs[sub][:, codes[:, sub]]
             scores = -dist
             top = min(kk, scores.shape[1])
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            idx = topk_rows_det(scores.T, ids, top).T
             out.append(
                 pd.DataFrame(
                     {

@@ -153,7 +153,13 @@ def ann_topk(
         )
 
         if _pick_distributed(distributed, queries):
-            seg = pack_segments(index.handle, id_col="id", vector_col="vector")
+            # pack once per index, not per query batch (the index contract
+            # is "prepare and cache the scan structure")
+            seg = getattr(index, "_packed", None)
+            if seg is None:
+                seg = pack_segments(index.handle, id_col="id", vector_col="vector").cache()
+                seg.count()
+                index._packed = seg
             return segment_knn_distributed(
                 seg, queries, k, index.metric, scoring="float",
                 query_id_col=query_id_col, query_vector_col=query_vector_col,

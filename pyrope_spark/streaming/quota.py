@@ -74,6 +74,12 @@ LEASE_OUTPUT_SCHEMA = (
     "tenant_id string, request_id string, event string, granted boolean, "
     "active long, error_code string"
 )
+# NOTE state-schema migration: pre-round-3 checkpoints stored the state as
+# "active long"; the granted-id set replaced it (denied/unknown releases
+# must not decrement). applyInPandasWithState cannot read the old state
+# shape — restart an existing leases query from a FRESH checkpoint after
+# upgrading (in-flight lease counts reset to empty, matching a restart of
+# the reference's in-memory enforcer).
 LEASE_STATE_SCHEMA = "granted array<string>"
 
 

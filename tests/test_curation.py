@@ -169,3 +169,22 @@ def test_shuffle_shards_deterministic(spark):
     assert max(len(p) for p in shards.values()) < n / 2
     c = shuffle_shards(df, n_shards=4, seed="s2")
     assert sorted(map(tuple, c.collect())) != ra  # seed reshuffles
+
+
+def test_null_text_is_inert(spark):
+    """NULL text must behave as empty text everywhere (Spark's legacy
+    size(NULL) = -1 would otherwise leak phantom chunks / -1 counts)."""
+    from pyrope_spark.operators.curation import chunk_documents, decontaminate
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real words here")], "doc_id long, text string"
+    )
+    chunks = chunk_documents(df, chunk_tokens=4).collect()
+    assert {r["doc_id"] for r in chunks} == {2}
+    stats = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert stats[1]["n_tokens"] == 0 and stats[1]["n_ngrams"] == 0
+    pii = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert pii[1]["n_emails"] == 0 and pii[1]["scrubbed"] == ""
+    bench_df = spark.createDataFrame([(9, "eval set words")], "doc_id long, text string")
+    dec = {r["doc_id"]: r for r in decontaminate(df, bench_df, ngram_n=2).collect()}
+    assert dec[1]["n_ngrams"] == 0 and not dec[1]["contaminated"]

@@ -157,3 +157,57 @@ def test_sq8_byte_domain_recall(data, spark):
     # dequant scoring should be at least as good
     deq = segment_knn_sq8(seg, qrows, 10, "l2")
     assert ivf_recall(deq, exact, 10) >= r - 1e-9
+
+
+def test_tie_heavy_corpus_paths_agree(spark):
+    """Duplicate vectors produce exact score ties at every top-K boundary;
+    the deterministic (score desc, id asc) cut must make the single-job,
+    shuffle, and distributed block-join paths retain identical ids."""
+    import numpy as np
+
+    from pyrope_spark.operators.segments import (
+        ivf_search_packed_single_job,
+        knn_bruteforce_packed,
+        segment_knn_distributed,
+    )
+
+    # 120 rows but only 6 distinct vectors -> 20-way ties everywhere
+    base = np.random.default_rng(5).random((6, 8)).astype(np.float32)
+    rows = [
+        (f"v{i:03d}", [float(x) for x in base[i % 6]]) for i in range(120)
+    ]
+    vectors = spark.createDataFrame(rows, "id string, vector array<float>")
+    queries = make_queries_df(spark, n=5, dim=8, seed=77).select("query_id", "vector")
+    seg = pack_segments(vectors, rows_per_segment=16).cache()
+    seg.count()
+
+    shuffle = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in knn_bruteforce_packed(seg, queries, k=10, metric="l2").collect()
+    }
+    dist = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in segment_knn_distributed(
+            seg, queries, 10, "l2", rows_per_chunk=2
+        ).collect()
+    }
+    assert shuffle == dist
+
+    assigned, model = build_ivf(vectors, nlist=4, metric="l2")
+    iseg = pack_segments(assigned, cluster_col="cluster_id", rows_per_segment=16).cache()
+    iseg.count()
+    qnp = [
+        (r["query_id"], np.asarray(r["vector"]))
+        for r in queries.select("query_id", "vector").collect()
+    ]
+    single = {
+        (r.query_id, r.rank): r.id
+        for r in ivf_search_packed_single_job(
+            iseg, model, qnp, k=10, nprobe=4
+        ).itertuples(index=False)
+    }
+    ivf_shuffle = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in ivf_search_packed(iseg, model, queries, k=10, nprobe=4).collect()
+    }
+    assert single == ivf_shuffle
