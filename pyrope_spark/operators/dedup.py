@@ -634,7 +634,7 @@ def semantic_dedup(
     (the smallest qualifying lower id, NULL for keepers). Downstream, the
     training corpus is ``filter(~is_dup)``.
 
-    Scale shape: this composes :func:`embedding_neardup_pairs` blocked mode
+    Scale shape: the :func:`embedding_neardup_pairs` blocked-mode shape
     — pairwise work is confined to cluster cells (the SemDeDup recipe:
     k-means cells sized so a cell fits one executor), then one groupBy(ib)
     min-aggregation and a broadcast-size join back onto the corpus. With
