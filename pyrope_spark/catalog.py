@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # both ts and ts_ns are only correct with the session tz pinned
+        # UTC; enforce it here rather than relying on the caller having
+        # gone through configure_for_oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if isinstance(df.schema["ts"].dataType, LongType):  # nanos-as-long
             return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(

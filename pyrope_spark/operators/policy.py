@@ -172,6 +172,11 @@ class LlmPolicyEngine:
         if hit is not None:
             config, ts = hit
             if self._clock() - ts < self._cache_ttl:
+                # re-insert so dict order tracks recency: the size-bound
+                # eviction below pops oldest-inserted, which without this
+                # would evict hot long-lived buckets before cold new ones
+                del self._cache[key]
+                self._cache[key] = (config, ts)
                 return config
             del self._cache[key]
         if self._client is not None:

@@ -24,7 +24,7 @@ role->permission closure is a literal CASE expression (codegen, no join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROLE_READER = "Reader"
@@ -93,11 +93,20 @@ def rbac_decisions(
     unmatched keys fall through to the legacy tenant key (TenantAdmin,
     user_id "admin").
     """
-    u = users.select(
-        F.col("api_key").alias("_ukey"),
-        F.col("tenant_id").alias("_utenant"),
-        F.col("user_id").alias("_uid"),
-        F.col("role").alias("_urole"),
+    # The reference registry is a dict keyed by api_key, so one user per key
+    # is structural there; enforce it here (deterministic winner: lowest
+    # user_id) so a duplicate key in the table can't fan a request row out
+    # into multiple decision rows.
+    uw = Window.partitionBy("api_key").orderBy("user_id")
+    u = (
+        users.withColumn("_udup", F.row_number().over(uw))
+        .filter(F.col("_udup") == 1)
+        .select(
+            F.col("api_key").alias("_ukey"),
+            F.col("tenant_id").alias("_utenant"),
+            F.col("user_id").alias("_uid"),
+            F.col("role").alias("_urole"),
+        )
     )
     t = tenants.select(
         F.col("tenant_id").alias("_ttenant"),

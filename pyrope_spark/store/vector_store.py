@@ -240,9 +240,11 @@ class VectorStore:
         # (_seq = seq, _o2 = input order); raw store history rides along
         # slim (keys + created_at + its _seq, _o2 NULL). Per key: the
         # row_number window picks the newest row (new beats old via _seq,
-        # _o2 breaks in-batch ties) and min(created_at) over the SAME
-        # partitioning recovers the original creation time (created_at is
-        # copied forward on every upsert, so the min IS the original) — both
+        # _o2 breaks in-batch ties) and a struct-max over the SAME
+        # partitioning recovers created_at from the LATEST old version
+        # (max _seq among store rows) — exact latest-version semantics, so
+        # rows stamped out of order by external writers or clock skew still
+        # preserve what the previous snapshot actually carried — both
         # windows share one Exchange, where the previous shape paid a dedup
         # window, a snapshot-resolution window AND a merge join.
         src = df.withColumn(
@@ -266,9 +268,17 @@ class VectorStore:
         wk = Window.partitionBy(*KEY_COLS)
         merged = (
             uni.withColumn("_rn", F.row_number().over(w))
-            .withColumn("_orig_created", F.min("created_at").over(wk))
+            .withColumn(
+                "_prev",
+                F.max(
+                    F.when(~F.col("_is_new"), F.struct("_seq", "created_at"))
+                ).over(wk),
+            )
             .filter((F.col("_rn") == 1) & F.col("_is_new"))
-            .withColumn("created_at", F.col("_orig_created"))
+            .withColumn(
+                "created_at",
+                F.coalesce(F.col("_prev.created_at"), F.col("created_at")),
+            )
             .select(*DATA_COLS)
         )
         merged.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
