@@ -19,8 +19,9 @@ Round-2 switches on ``ann_topk``:
   batch size — small batches take the low-latency driver-broadcast scan,
   batches above :data:`DISTRIBUTED_QUERY_THRESHOLD` take the fully
   distributed path (executor-side probe selection + cogrouped per-cluster
-  GEMM for ivf; packed-query block join for brute/segments/sq8) where
-  queries never touch the driver. Pass ``True``/``False`` to force.
+  GEMM for ivf; packed-query block join for brute/segments/sq8; packed
+  graph-shard block join for hnsw) where queries never touch the driver.
+  Pass ``True``/``False`` to force.
   (Pair ivf with ``segments.write_segments_bucketed`` for a shuffle-free
   segment side.)
 - ``scoring='byte'`` (sq8): the reference's integer byte-domain kernels
@@ -230,8 +231,27 @@ def ann_topk(
             query_id_col=query_id_col, query_vector_col=query_vector_col,
         )
     if index.method == "hnsw":
-        from pyrope_spark.operators.hnsw import hnsw_partition_search
+        from pyrope_spark.operators.hnsw import (
+            hnsw_partition_search,
+            hnsw_search_packed_distributed,
+            pack_hnsw_shards,
+        )
 
+        if _pick_distributed(distributed, queries):
+            # shard graphs are built ONCE per index and cached as a table
+            # (index-as-a-table), so large batches neither rebuild graphs
+            # nor materialize the query table on the driver
+            graphs = getattr(index, "_graphs", None)
+            if graphs is None:
+                graphs = pack_hnsw_shards(
+                    index.handle, metric=index.metric
+                ).cache()
+                graphs.count()
+                index._graphs = graphs
+            return hnsw_search_packed_distributed(
+                graphs, queries, k, index.metric, ef_search=ef_search,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
         return hnsw_partition_search(
             index.handle, queries, k=k, metric=index.metric,
             query_id_col=query_id_col, query_vector_col=query_vector_col,

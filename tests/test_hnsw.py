@@ -130,3 +130,41 @@ def test_hnsw_recall_hnswlib(spark):
     got = hnsw_partition_search(vectors, queries, k=10, impl="hnswlib")
     exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
     assert ivf_recall(got, exact, 10) >= 0.7
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_state_roundtrip_bit_identical(metric):
+    """to_state/from_state: the rehydrated graph must score every query
+    bit-identically to the freshly built one (the raw float32 matrix is
+    stored and the __init__ matrix pipeline re-applied, so this holds for
+    cosine's normalized matrix too)."""
+    rng = np.random.default_rng(11)
+    raw = rng.random((500, 12)).astype(np.float32)
+    queries = rng.random((10, 12)).astype(np.float32)
+    graph = NumpyHnsw(raw, metric=metric, m=8, ef_construction=50, seed=42)
+    back = NumpyHnsw.from_state(graph.to_state(raw))
+    assert np.array_equal(back.mat, graph.mat)
+    assert np.array_equal(back._levels, graph._levels)
+    assert back._adj == graph._adj
+    assert (back.entry, back.max_layer) == (graph.entry, graph.max_layer)
+    for q in queries:
+        assert graph.search(q, 10, ef_search=40) == back.search(q, 10, ef_search=40)
+
+
+def test_pack_hnsw_shards_distributed_search_exact(spark):
+    """pack_hnsw_shards + hnsw_search_packed_distributed with ef covering
+    the shard == exhaustive exact top-K (same equivalence the driver oracle
+    uses for the fused path)."""
+    from pyrope_spark.operators.hnsw import (
+        hnsw_search_packed_distributed,
+        pack_hnsw_shards,
+    )
+
+    vectors = make_vectors_df(spark, n=300, dim=8, del_frac=0.0)
+    queries = make_queries_df(spark, n=6, dim=8)
+    graphs = pack_hnsw_shards(vectors, metric="l2")
+    got = hnsw_search_packed_distributed(
+        graphs, queries, 10, "l2", ef_search=300
+    )
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
+    assert ivf_recall(got, exact, 10) == 1.0

@@ -107,6 +107,7 @@ def test_auto_switch_never_materializes_large_batches(spark, monkeypatch):
                                      rows_per_segment=128)
     sq_idx = build_similarity_index(vectors, method="sq8", metric="l2",
                                     rows_per_segment=128)
+    hn_idx = build_similarity_index(vectors, method="hnsw", metric="l2")
 
     import pyspark.sql.dataframe as df_mod
 
@@ -114,9 +115,25 @@ def test_auto_switch_never_materializes_large_batches(spark, monkeypatch):
         raise AssertionError("driver collect() during auto-distributed ann_topk")
 
     monkeypatch.setattr(df_mod.DataFrame, "collect", no_collect)
-    for idx in (seg_idx, ivf_idx, sq_idx):
+    for idx in (seg_idx, ivf_idx, sq_idx, hn_idx):
         out = ann_topk(idx, queries, k=5)
         assert out.count() == n_q * 5
+
+
+def test_hnsw_distributed_matches_collect_path(spark):
+    """With ef_search covering the whole (single) shard both HNSW paths are
+    exhaustive-exact, so the graph-shard block join must return exactly what
+    the collect+broadcast path returns — the auto switch cannot change
+    results as a batch crosses the size threshold."""
+    vectors = make_vectors_df(spark, n=400, dim=16, del_frac=0.0)
+    queries = make_queries_df(spark, n=7, dim=16, k=10)
+    idx = build_similarity_index(vectors, method="hnsw", metric="l2")
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in df.collect()
+    )
+    small = ann_topk(idx, queries, k=10, ef_search=400, distributed=False)
+    dist = ann_topk(idx, queries, k=10, ef_search=400, distributed=True)
+    assert key(small) == key(dist)
 
 
 def test_sq8_rerank_exact_when_rerank_covers_all(spark):
