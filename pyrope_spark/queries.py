@@ -2252,3 +2252,61 @@ FROM res
 
 
 register("rbac_decisions", _rbac_oracle())(_rbac_spark)
+
+
+def _policy_labels_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy-training label extraction (train_model.py:36-63) over
+    windowed system metrics derived from the raw event log — the batch front
+    half of the sidecar's GBDT training job (operators/policy_train.py)."""
+    from pyrope_spark.operators.policy_train import (
+        policy_training_examples,
+        system_metrics_windows,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    m = system_metrics_windows(
+        ev,
+        miss_expr=F.col("event_type") == "error",
+        window_secs=3600,
+        p99_scale=0.2,
+        cpu_scale=1.8,
+    )
+    ex = policy_training_examples(m)
+    return ex.select(
+        F.col("win").cast("long").alias("win"),
+        F.round("qps", 6).alias("qps"),
+        F.round("miss_rate", 6).alias("miss_rate"),
+        F.round("latency", 6).alias("latency"),
+        F.round("cpu", 6).alias("cpu"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+register(
+    "policy_training_labels",
+    """
+WITH r AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS win,
+         value, event_type,
+         row_number() OVER (
+           PARTITION BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+           ORDER BY value) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)) AS n
+  FROM events
+), m AS (
+  SELECT win,
+         COUNT(*) / 3600.0 AS qps,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS miss_rate,
+         MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) * 0.2 AS latency,
+         AVG(value) * 1.8 AS cpu
+  FROM r GROUP BY win
+)
+SELECT win, round(qps, 6) AS qps, round(miss_rate, 6) AS miss_rate,
+       round(latency, 6) AS latency, round(cpu, 6) AS cpu,
+       CAST(CASE WHEN miss_rate > 0.3 OR cpu > 80.0 OR latency > 50.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM m
+""",
+)(_policy_labels_spark)
