@@ -2310,3 +2310,97 @@ SELECT win, round(qps, 6) AS qps, round(miss_rate, 6) AS miss_rate,
 FROM m
 """,
 )(_policy_labels_spark)
+
+
+def _canary_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary p99 degradation evaluation (model_manager.py:22-25,160-196
+    semantics, batch form) over the event log: user cohort 'user_id % 4 == 0'
+    plays the canary arm, event value plays the request latency, and a
+    synthetic regression episode (canary latency x1.6 on days 10-13)
+    exercises the degradation/streak/rollback branches — the same
+    log-synthesis approach as the rbac_decisions request log."""
+    from pyrope_spark.operators.canary import canary_p99_evaluation
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    canary = F.col("user_id") % 4 == 0
+    ev = ev.withColumn(
+        "latency_ms",
+        F.col("value")
+        * F.when(
+            canary & F.dayofmonth("ts").between(10, 13), F.lit(1.6)
+        ).otherwise(F.lit(1.0)),
+    )
+    out = canary_p99_evaluation(
+        ev,
+        ts_col="ts",
+        latency_col="latency_ms",
+        canary_expr=canary,
+        window_secs=3600,
+    )
+    return out.select(
+        F.col("win").cast("long").alias("win"),
+        F.col("baseline_n").cast("long").alias("baseline_n"),
+        F.col("canary_n").cast("long").alias("canary_n"),
+        F.round("baseline_p99", 6).alias("baseline_p99"),
+        F.round("canary_p99", 6).alias("canary_p99"),
+        "degraded",
+        F.col("streak").cast("long").alias("streak"),
+        "rollback",
+    )
+
+
+register(
+    "canary_p99_windows",
+    """
+WITH lat AS (
+  SELECT ts,
+         value * (CASE WHEN user_id % 4 = 0 AND day(ts) BETWEEN 10 AND 13
+                       THEN 1.6 ELSE 1.0 END) AS value,
+         (user_id % 4 = 0) AS canary
+  FROM events
+), r AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS win,
+         value, canary,
+         row_number() OVER (
+           PARTITION BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT),
+                        canary
+           ORDER BY value) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT),
+                        canary) AS n
+  FROM lat
+), arm AS (
+  SELECT win, canary, COUNT(*) AS cnt,
+         MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+  FROM r GROUP BY win, canary
+), s AS (
+  SELECT win,
+         COALESCE(SUM(CASE WHEN NOT canary THEN cnt END), 0) AS baseline_n,
+         COALESCE(SUM(CASE WHEN canary THEN cnt END), 0) AS canary_n,
+         MAX(CASE WHEN NOT canary THEN p99 END) AS baseline_p99,
+         MAX(CASE WHEN canary THEN p99 END) AS canary_p99
+  FROM arm GROUP BY win
+), d AS (
+  SELECT *,
+         COALESCE(baseline_n >= 10 AND canary_n > 0
+                  AND canary_p99 > baseline_p99 * 1.2, FALSE) AS degraded,
+         row_number() OVER (ORDER BY win) AS rn
+  FROM s
+), e AS (
+  SELECT *,
+         MAX(CASE WHEN NOT degraded THEN rn END) OVER (
+           ORDER BY win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ok
+  FROM d
+)
+SELECT CAST(win AS BIGINT) AS win,
+       CAST(baseline_n AS BIGINT) AS baseline_n,
+       CAST(canary_n AS BIGINT) AS canary_n,
+       round(baseline_p99, 6) AS baseline_p99,
+       round(canary_p99, 6) AS canary_p99,
+       degraded,
+       CAST(CASE WHEN degraded THEN rn - COALESCE(last_ok, 0) ELSE 0 END AS BIGINT) AS streak,
+       (CASE WHEN degraded THEN rn - COALESCE(last_ok, 0) ELSE 0 END) >= 3 AS rollback
+FROM e
+""",
+)(_canary_spark)
