@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness. Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "derived": {...}}
+   "queries": {name: sec, ...}, "samples": {name: [sec, ...]},
+   "min_n": {name: sec, ...}, "sf": <sf>, "derived": {...}}
+
+"queries" carries the in-suite timings (suite-position effects included,
+min over in-place repeats); "samples" the individual repeat timings;
+"min_n" post-suite isolated re-timings of the entries that have shown
+suite-position sensitivity — compare rounds on "min_n" first.
 
 Two groups:
 - BASELINE-comparable vector workloads on synthetic data mirroring the
@@ -74,22 +80,44 @@ def main() -> None:
     only = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
     spark = get_spark("pyrope_bench")
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    min_n: dict[str, float] = {}
     derived: dict[str, float] = {}
 
     def timed(name, fn, repeat: int = 1):
         """Time fn; with repeat > 1 report the min (steady-state — local
-        timings are noisy under 32-way thread contention)."""
+        timings are noisy under 32-way thread contention). Every individual
+        sample is recorded in the artifact's "samples" map so
+        round-over-round comparisons can see the spread, not just the min
+        (VERDICT r3 What's-wrong #2)."""
         if only and name not in only:
             return None
         best = None
         out = None
+        runs = []
         for _ in range(repeat):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            runs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        samples[name] = runs
         return out
+
+    def reverify(name, fn, repeat: int = 3):
+        """Post-suite isolated re-timing: records min-of-N into the
+        artifact's "min_n" map (NOT in the suite total). Run after
+        clearCache so the entry is measured without suite-order cache /
+        memory interference — the attribution tool for suite-position
+        regressions (PLANS.md measured 4-5x position effects on this
+        shared host)."""
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            fn()
+            best = min(best or 1e9, time.time() - t0)
+        min_n[name] = round(best, 3)
 
     # ---------------- BASELINE-comparable synthetic vector workloads
     vectors = synth_vectors(spark, N_VECTORS, DIM).cache()
@@ -421,6 +449,57 @@ def main() -> None:
             derived["concurrent_search_p99_s"] = round(
                 lat[min(len(lat) - 1, int(0.99 * len(lat)))], 3
             )
+
+            # reference-load variant (VERDICT r3 Next #7): the phase-6 S1
+            # protocol is 5,000 vectors upserted with 100 SINGLE-query
+            # searches total (search QPS 1,861 -> ~0.05 s of search work
+            # across the whole run) — not our continuous 10-query batch
+            # pressure. Fresh store (same 10k-row built tail, so the head
+            # merge starts empty exactly like the first entry), 100 1-query
+            # searches spread across the ingest: the apples-to-apples vec/s.
+            store2 = VectorStore(spark, base + "/store2")
+            store2.add(spark.createDataFrame(rows(20_000, 20_000 + tail_n), schema))
+            build_delta_index(store2, "t", "i", nlist=32, rows_per_segment=8192)
+            src2 = base + "/incoming2"
+            os.makedirs(src2)
+            for b in range(5):
+                spark.createDataFrame(
+                    rows(30_000 + b * 1000, 30_000 + (b + 1) * 1000), schema
+                ).coalesce(1).write.mode("append").parquet(src2)
+            stream2 = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src2)
+            )
+            q1 = qdf.limit(1).cache()
+            q1.count()
+            delta_search(store2, "t", "i", q1, k=TOP_K, nprobe=8).count()  # warm
+            lat2 = []
+            t0 = time.time()
+            q = stream_upsert_to_store(
+                stream2, store2, checkpoint_dir=base + "/ckpt2",
+                touched_pairs=[("t", "i")],
+            )
+            try:
+                while store2.count("t", "i") < tail_n + 5000:
+                    if len(lat2) < 100:
+                        s0 = time.time()
+                        delta_search(store2, "t", "i", q1, k=TOP_K, nprobe=8).count()
+                        lat2.append(time.time() - s0)
+                    else:
+                        time.sleep(0.05)
+                    if time.time() - t0 > 600:
+                        raise TimeoutError("streaming ingest did not finish")
+                ingest2_s = time.time() - t0
+            finally:
+                q.stop()
+            lat2.sort()
+            timings[stream_name + "_ref_load"] = round(ingest2_s, 3)
+            derived["streaming_ref_load_vec_per_s"] = round(5000 / ingest2_s, 1)
+            derived["streaming_ref_load_search_n"] = len(lat2)
+            derived["streaming_ref_load_search_mean_s"] = round(
+                sum(lat2) / len(lat2), 3
+            )
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
@@ -450,6 +529,47 @@ def main() -> None:
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
+    # ---------------- post-suite isolated re-timings
+    # The r3 artifact showed suite-position regressions (minhash_lsh_dedup
+    # 1.18->3.00 s, ivf_dist 15.0->18.5 s, pack_sq8 0.65->1.07 s) that the
+    # isolated PLANS.md harness did not reproduce. Re-time those entries
+    # HERE, in the same artifact, after dropping every cached block — the
+    # "min_n" map is the noise-proof number; "queries" keeps the
+    # suite-position number for continuity.
+    if not only:
+        from pyrope_spark.operators.ivf import ivf_search_packed_distributed
+        from pyrope_spark.operators.segments import pack_segments_sq8
+
+        spark.catalog.clearCache()
+        vectors.cache().count()
+
+        def re_pack_sq8():
+            seg = pack_segments_sq8(vectors, rows_per_segment=8192)
+            seg.cache().count()
+            seg.unpersist()
+
+        reverify(f"pack_sq8_segments_{N_VECTORS}v", re_pack_sq8)
+        reverify(
+            "minhash_lsh_dedup",
+            lambda: qs["minhash_lsh_dedup"](spark, SF_DIR).count(),
+        )
+        if "ivf_bucketed" in state:
+            huge2 = (
+                synth_vectors(spark, 100_000, DIM, seed=777)
+                .withColumnRenamed("id", "query_id")
+                .cache()
+            )
+            huge2.count()
+            segb, model = state["ivf_bucketed"]
+            reverify(
+                f"ivf_dist_nprobe3_{N_VECTORS}v_q100000",
+                lambda: ivf_search_packed_distributed(
+                    segb, model, huge2, k=TOP_K, nprobe=3
+                ).count(),
+                repeat=2,
+            )
+            huge2.unpersist()
+
     total = round(sum(timings.values()), 3)
     if f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}" in timings:
         derived["bf_batch_qps"] = round(
@@ -475,6 +595,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "min_n": min_n,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "derived": derived,
             }

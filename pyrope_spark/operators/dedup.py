@@ -275,10 +275,14 @@ def minhash_lsh_pairs(
     wide operation is the groupBy on band keys — no all-pairs join ever.
 
     When verifying, the signature stage is persisted for the duration of the
-    call and the (much smaller) verified-pairs result is eagerly
-    materialized via ``localCheckpoint`` so the corpus-sized signature cache
-    can be released before returning — repeated invocations do not
-    accumulate cached signature blocks."""
+    call and the (much smaller) verified-pairs result is cached + eagerly
+    materialized so the corpus-sized signature cache can be released before
+    returning — repeated invocations do not accumulate corpus-sized cached
+    blocks (the caller may ``unpersist()`` the returned pairs when done).
+    Measured note (PLANS.md r4): ``localCheckpoint(eager=True)`` was tried
+    first and cost 2-3x the whole pipeline — the DataFrame->RDD
+    materialization replans without AQE, so the verify joins ran as
+    shuffle joins instead of broadcasts."""
     rows_per_band = num_hashes // bands
     # ONE fingerprint pass feeds both banding and verify: the arrow kernel
     # emits the shingle fps next to the signature; persist so the verify
@@ -334,7 +338,8 @@ def minhash_lsh_pairs(
     )
     # materialize pairs (small: post-verify survivors only), then free the
     # corpus-sized signature cache before handing the result back
-    out = out.localCheckpoint(eager=True)
+    out = out.cache()
+    out.count()
     sig.unpersist()
     return out
 
