@@ -27,6 +27,7 @@ each operator has a bit-exact DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -629,6 +630,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     nlist: int = 16,
     block_seed_ids: list | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space, then within each cluster keep one representative
@@ -645,10 +647,23 @@ def semantic_dedup(
     min-aggregation and a broadcast-size join back onto the corpus. With
     ``block_seed_ids`` the cells come from fixed seed vectors, making the
     whole output deterministic and SQL-replicable (the driver-oracle path).
-    """
+
+    ``impl``: ``'expr'`` scores pairs with column expressions (interpreted
+    HOFs — SQL-replicable, the oracle path); ``'gemm'`` cogroups each cell
+    into one ``applyInPandas`` task and scores it with a column-chunked
+    numpy GEMM (memory bounded to cell_rows x 4096 floats however skewed
+    the cell). ``'auto'`` picks gemm for the learned-clustering branch (not
+    SQL-replicable anyway) and expr for the seeded oracle branch. Measured
+    at 1M x d64, nlist=1000 (PLANS.md r4): the expr self-join needs ~5e8
+    interpreted dot products; the GEMM path runs the same cells
+    BLAS-bound."""
     from pyrope_spark.functions.vector import cosine_sim
     from pyrope_spark.functions.vector import norm as norm_expr
 
+    if impl not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "auto":
+        impl = "expr" if block_seed_ids is not None else "gemm"
     cols = emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
     # ONE assignment pass feeds both the pair blocking and the output
     # cluster_id (assigning twice would double the operator's most
@@ -664,28 +679,63 @@ def semantic_dedup(
         from pyrope_spark.operators.ivf import build_ivf
 
         assigned, _ = build_ivf(cols, nlist=nlist, metric="cosine", vector_col="_v")
-    # within-cell pair scoring (the embedding_neardup_pairs blocked shape),
-    # norms materialized once per side below the self-join
-    withn = assigned.withColumn("_n", norm_expr(F.col("_v")))
-    a = withn.select(
-        F.col("_id").alias("ia"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"), "cluster_id",
-    )
-    b = withn.select(
-        F.col("_id").alias("ib"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"), "cluster_id",
-    )
-    dup_of = (
-        a.join(b, "cluster_id")
-        .filter(F.col("ia") < F.col("ib"))
-        .withColumn(
-            "cosine",
-            cosine_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+    if impl == "gemm":
+        id_type = emb.schema[id_col].dataType.simpleString()
+        thr = float(threshold)
+
+        def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)[order]
+            norms = np.linalg.norm(mat, axis=1)
+            zero = norms < 1e-6  # cosine_sim guard -> 0, never a dup hit
+            unit = mat / np.where(zero, 1.0, norms)[:, None]
+            unit[zero] = 0.0
+            n = len(ids)
+            out_ids, out_dup = [], []
+            # column-chunked upper-triangle GEMM: memory is n x CHUNK
+            # however skewed the cell, and ids are sorted so the FIRST
+            # qualifying row index is the minimal lower id
+            CHUNK = 4096
+            for j0 in range(1, n, CHUNK):
+                j1 = min(j0 + CHUNK, n)
+                sims = unit @ unit[j0:j1].T  # (n, j1-j0)
+                cols_idx = np.arange(j0, j1)
+                sims[cols_idx[None, :] <= np.arange(n)[:, None]] = -2.0
+                hit = sims >= thr
+                any_dup = hit.any(axis=0)
+                first = hit.argmax(axis=0)
+                out_ids.extend(ids[cols_idx[any_dup]])
+                out_dup.extend(ids[first[any_dup]])
+            return pd.DataFrame({id_col: out_ids, "dup_of": out_dup})
+
+        dup_of = assigned.groupBy("cluster_id").applyInPandas(
+            cell, f"{id_col} {id_type}, dup_of {id_type}"
         )
-        .filter(F.col("cosine") >= threshold)
-        .groupBy(F.col("ib").alias(id_col))
-        .agg(F.min("ia").alias("dup_of"))
-    )
+    else:
+        # within-cell pair scoring (the embedding_neardup_pairs blocked
+        # shape), norms materialized once per side below the self-join
+        withn = assigned.withColumn("_n", norm_expr(F.col("_v")))
+        a = withn.select(
+            F.col("_id").alias("ia"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "cluster_id",
+        )
+        b = withn.select(
+            F.col("_id").alias("ib"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "cluster_id",
+        )
+        dup_of = (
+            a.join(b, "cluster_id")
+            .filter(F.col("ia") < F.col("ib"))
+            .withColumn(
+                "cosine",
+                cosine_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .groupBy(F.col("ib").alias(id_col))
+            .agg(F.min("ia").alias("dup_of"))
+        )
     return (
         assigned.select(F.col("_id").alias(id_col), "cluster_id")
         .join(dup_of, on=id_col, how="left")

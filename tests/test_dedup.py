@@ -174,3 +174,34 @@ def test_semantic_dedup_keeps_one_per_group(spark):
     # kept set = one representative per near-dup group
     kept = sorted(v for v, r in out.items() if not r["is_dup"])
     assert kept == [0, 10, 20]
+
+
+def test_semantic_dedup_gemm_matches_expr(spark):
+    """The per-cell GEMM scorer must agree with the expression path on
+    (is_dup, dup_of) — planted near-dups with wide margins, plus a
+    zero-vector row exercising the cosine guard (never a dup)."""
+    import numpy as np
+
+    from pyrope_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.random((120, 8))
+    rows = []
+    for i in range(120):
+        rows.append((i, [float(x) for x in base[i]]))
+    for i in range(40):  # near-copies of the first 40, ids 200+
+        rows.append((200 + i, [float(x) for x in base[i] + rng.normal(0, 1e-5, 8)]))
+    rows.append((999, [0.0] * 8))  # zero vector: guard -> cosine 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = [0, 7, 33, 61]
+    key = lambda out: sorted(
+        (r["vec_id"], r["is_dup"], r["dup_of"]) for r in out.collect()
+    )
+    g = key(semantic_dedup(df, threshold=0.98, block_seed_ids=seeds, impl="gemm"))
+    e = key(semantic_dedup(df, threshold=0.98, block_seed_ids=seeds, impl="expr"))
+    assert g == e
+    # every planted copy is flagged (positive-orthant dim-8 vectors also
+    # produce a few organic near-dups — fine, both paths agree on them)
+    dup_ids = {vid for vid, d, _ in g if d}
+    assert set(range(200, 240)) <= dup_ids
+    assert 999 not in dup_ids  # zero vector: guard -> cosine 0, never a dup
