@@ -55,6 +55,43 @@ class PqModel:
         return self.m * self.dsub
 
 
+def _lloyd_fit(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
+    """Seeded random-init Lloyd iterations, vectorized. Random init is the
+    REFERENCE's own choice (KMeansUtils.cs:18-20: "K-Means++ is preferred,
+    but random is OK for MVP"). Assignment is a row-chunked float32 GEMM
+    (bounded memory under any n), updates are per-dim bincounts (np.add.at
+    is unbuffered and ~10x slower). Deterministic for a given
+    (x, k, seed, iters); empty clusters keep their previous center."""
+    x32 = np.ascontiguousarray(x, dtype=np.float32)
+    n, d = x32.shape
+    rng = np.random.default_rng(seed)
+    centers = x32[rng.choice(n, size=min(k, n), replace=False)].copy()
+    assign = np.empty(n, dtype=np.int64)
+    CH = 16384
+    for _ in range(iters):
+        # argmin_c |x-c|^2 == argmin_c (|c|^2 - 2 x.c): the |x|^2 term is
+        # row-constant. np.dot with a CONTIGUOUS transposed operand — the
+        # `x @ centers.T` form hits a 20x slower non-contiguous BLAS path
+        # on this OpenBLAS build (measured, PLANS.md r4).
+        cT = np.ascontiguousarray(centers.T)
+        c2 = np.einsum("ij,ij->i", centers, centers)
+        for i0 in range(0, n, CH):
+            i1 = min(i0 + CH, n)
+            dch = np.dot(x32[i0:i1], cT)
+            dch *= -2.0
+            dch += c2[None, :]
+            assign[i0:i1] = dch.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty((k, d), dtype=np.float64)
+        for t in range(d):
+            sums[:, t] = np.bincount(assign, weights=x32[:, t], minlength=k)
+        live = counts > 0
+        upd = centers.astype(np.float64)
+        upd[live] = sums[live] / counts[live, None]
+        centers = upd.astype(np.float32)
+    return centers.astype(np.float64)
+
+
 def train_pq(
     vectors: DataFrame,
     m: int,
@@ -64,6 +101,7 @@ def train_pq(
     seed: int = PQ_SEED,
     max_iter: int = DEFAULT_MAX_ITER,
     fit_fraction: float | None = None,
+    impl: str = "numpy",
 ) -> PqModel:
     """Per-subspace KMeans (reference ProductQuantizer.cs:16-58: dim % M == 0,
     K <= 256, seed 42+m).
@@ -71,8 +109,16 @@ def train_pq(
     Codebook training follows the faiss convention: when ``fit_fraction``
     is not given and the table exceeds ``max(10k, 256*k)`` rows, each
     subspace fits on that seeded sample (codebook quality saturates well
-    below it; the m sub-fits dominate IVF-PQ build cost). Encoding always
-    covers every row."""
+    below it). Encoding always covers every row.
+
+    ``impl='numpy'`` (default) collects the BOUNDED sample once and fits all
+    M codebooks driver-side with seeded k-means++/Lloyd — the faiss recipe:
+    the training set is capped by construction (<= max(10k, 256k) rows x
+    dim floats, tens of MB), so M distributed MLlib jobs over it are pure
+    scheduling overhead. Measured at 100k x d128 M=8: the 8 sequential
+    MLlib fits were ~25-30 s of the 35-45 s IVF-PQ build; the numpy fit is
+    GEMM-bound seconds (PLANS.md r4). ``impl='mllib'`` keeps the
+    distributed fits (the path to use if the cap is ever lifted)."""
     if k > 256:
         raise ValueError("PQ K must be <= 256 (codes are bytes)")
     dim = len(vectors.select(vector_col).first()[0])
@@ -89,6 +135,10 @@ def train_pq(
         if n > cap:
             fit_src = vectors.sample(fraction=cap / n, seed=seed)
     books = []
+    if impl == "numpy":
+        pdf = fit_src.select(F.col(vector_col).alias("_v")).toPandas()
+        mat = np.asarray(pdf["_v"].tolist(), dtype=np.float32)
+        return train_pq_np(mat, m, kk, seed=seed, max_iter=max_iter)
     cached = fit_src.select(vector_col).cache()
     try:
         for sub in range(m):
@@ -114,6 +164,37 @@ def train_pq(
     return PqModel(codebooks=np.stack(books), m=m, k=kk, dsub=dsub)
 
 
+def train_pq_np(
+    mat: np.ndarray,
+    m: int,
+    k: int = 256,
+    *,
+    seed: int = PQ_SEED,
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> PqModel:
+    """Fit all M subspace codebooks from an in-memory (bounded) training
+    matrix. Subspaces fit concurrently: BLAS releases the GIL and each
+    worker process pins BLAS to 1 thread, so M fits use M cores."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n, dim = mat.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by M={m}")
+    dsub = dim // m
+    kk = min(k, n)
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as ex:
+        books = list(
+            ex.map(
+                lambda sub: _lloyd_fit(
+                    mat[:, sub * dsub : (sub + 1) * dsub], kk,
+                    seed=seed + sub, iters=max_iter,
+                ),
+                range(m),
+            )
+        )
+    return PqModel(codebooks=np.stack(books), m=m, k=kk, dsub=dsub)
+
+
 def _codes_schema(id_col: str) -> T.StructType:
     return T.StructType(
         [
@@ -130,13 +211,28 @@ def pq_encode(
     id_col: str = "id",
     vector_col: str = "vector",
     extra_cols: list[str] | None = None,
+    centroids: np.ndarray | None = None,
+    cluster_col: str = "cluster_id",
 ) -> DataFrame:
     """Vector -> M byte codes (reference ProductQuantizer.cs:60-80), one
-    argmin per subspace over the broadcast codebook, Arrow-batched."""
+    argmin per subspace over the broadcast codebook, Arrow-batched.
+
+    ``centroids``: when given, the kernel encodes RESIDUALS — it subtracts
+    ``centroids[row[cluster_col]]`` inside the Arrow batch (float64
+    subtract, float32 round-trip — the same arithmetic as the column-level
+    ``zip_with`` + ``cast('array<float>')`` it replaces, which was an
+    interpreted per-element HOF over the whole corpus)."""
     spark = vectors.sparkSession
     bcb = spark.sparkContext.broadcast(model.codebooks)
+    bcent = (
+        spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+        if centroids is not None
+        else None
+    )
     m, dsub = model.m, model.dsub
     extra = extra_cols or []
+    if centroids is not None and cluster_col not in extra:
+        extra = [cluster_col, *extra]
 
     out_schema = T.StructType(
         [f for f in vectors.schema.fields if f.name in [id_col, *extra]]
@@ -149,6 +245,13 @@ def pq_encode(
             if len(pdf) == 0:
                 continue
             vmat = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            if bcent is not None:
+                cid = pdf[cluster_col].to_numpy().astype(np.int64)
+                vmat = (
+                    (vmat - bcent.value[cid])
+                    .astype(np.float32)
+                    .astype(np.float64)
+                )
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for sub in range(m):
                 x = vmat[:, sub * dsub : (sub + 1) * dsub]  # B x dsub
@@ -260,20 +363,30 @@ def build_ivf_pq(
     assigned, ivf_model = build_ivf(
         vectors, nlist, metric="l2", vector_col=vector_col, seed=coarse_seed
     )
-    spark = vectors.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(ivf_model.centroids)],
-        "cluster_id int, _centroid array<double>",
+    cents = np.asarray(ivf_model.centroids, dtype=np.float64)
+    # train on a bounded seeded sample with residuals computed driver-side,
+    # encode with residuals computed inside the Arrow kernel — the previous
+    # shape ran an interpreted per-element zip_with HOF over the corpus
+    # twice (train sample + full encode); measured as a large share of the
+    # build at 100k x d128 (PLANS.md r4)
+    n = assigned.count()
+    kk = min(k, n)
+    cap = max(10_000, 256 * kk)
+    fit_src = assigned
+    if n > cap:
+        fit_src = assigned.sample(fraction=cap / n, seed=PQ_SEED)
+    pdf = fit_src.select(
+        F.col("cluster_id").alias("_c"), F.col(vector_col).alias("_v")
+    ).toPandas()
+    sample = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+    resid_sample = (
+        (sample - cents[pdf["_c"].to_numpy().astype(np.int64)])
+        .astype(np.float32)
     )
-    resid = assigned.join(F.broadcast(cent), "cluster_id").withColumn(
-        "_residual",
-        F.zip_with(
-            F.col(vector_col), F.col("_centroid"), lambda v, c: v.cast("double") - c
-        ).cast("array<float>"),
-    )
-    pq_model = train_pq(resid, m=m, k=k, vector_col="_residual")
+    pq_model = train_pq_np(resid_sample, m=m, k=k, seed=PQ_SEED)
     encoded = pq_encode(
-        resid, pq_model, id_col=id_col, vector_col="_residual", extra_cols=["cluster_id"]
+        assigned, pq_model, id_col=id_col, vector_col=vector_col,
+        centroids=cents, cluster_col="cluster_id",
     )
     return encoded, IvfPqModel(ivf=ivf_model, pq=pq_model)
 
