@@ -61,6 +61,9 @@ class SimilarityIndex:
     method: str
     metric: str
     handle: object  # method-specific state
+    # lazy (id, vector) view of the float corpus — no materialization; kept
+    # so ann_topk(rerank=...) can exact-confirm any approximate method
+    corpus: object = None
 
 
 def build_similarity_index(
@@ -77,9 +80,11 @@ def build_similarity_index(
     """Prepare (and cache) the scan structure for repeated query batches."""
     metric = normalize_metric(metric)
     method = method.lower()
+    cview = corpus.select(
+        corpus[id_col].alias("id"), corpus[vector_col].alias("vector")
+    )
     if method == "brute":
-        return SimilarityIndex(method, metric, corpus.select(
-            corpus[id_col].alias("id"), corpus[vector_col].alias("vector")))
+        return SimilarityIndex(method, metric, cview, corpus=cview)
     if method == "segments":
         from pyrope_spark.operators.segments import pack_segments
 
@@ -88,7 +93,7 @@ def build_similarity_index(
             rows_per_segment=rows_per_segment,
         ).cache()
         seg.count()
-        return SimilarityIndex(method, metric, seg)
+        return SimilarityIndex(method, metric, seg, corpus=cview)
     if method == "sq8":
         from pyrope_spark.operators.segments import pack_segments_sq8
 
@@ -97,7 +102,7 @@ def build_similarity_index(
             rows_per_segment=rows_per_segment,
         ).cache()
         seg.count()
-        return SimilarityIndex(method, metric, seg)
+        return SimilarityIndex(method, metric, seg, corpus=cview)
     if method == "ivf":
         from pyrope_spark.operators.ivf import build_ivf
         from pyrope_spark.operators.segments import pack_segments
@@ -110,7 +115,7 @@ def build_similarity_index(
             cluster_col="cluster_id", rows_per_segment=rows_per_segment,
         ).cache()
         seg.count()
-        return SimilarityIndex(method, metric, (seg, model))
+        return SimilarityIndex(method, metric, (seg, model), corpus=cview)
     if method == "ivf_pq":
         from pyrope_spark.operators.pq import build_ivf_pq
         from pyrope_spark.operators.segments import pack_pq_segments
@@ -122,10 +127,9 @@ def build_similarity_index(
         )
         seg = pack_pq_segments(encoded, rows_per_segment=rows_per_segment).cache()
         seg.count()
-        return SimilarityIndex(method, metric, (seg, model))
+        return SimilarityIndex(method, metric, (seg, model), corpus=cview)
     if method == "hnsw":
-        return SimilarityIndex(method, metric, corpus.select(
-            corpus[id_col].alias("id"), corpus[vector_col].alias("vector")))
+        return SimilarityIndex(method, metric, cview, corpus=cview)
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -140,12 +144,31 @@ def ann_topk(
     distributed: bool | str = "auto",
     scoring: str = "dequant",
     ef_search: int = 64,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Top-K per query over a built index -> (query_id, id, score, rank).
 
     ``distributed='auto'`` (default) switches to the no-driver-collect path
     when the query table exceeds :data:`DISTRIBUTED_QUERY_THRESHOLD` rows —
-    a user with a large query table no longer needs to know the flag."""
+    a user with a large query table no longer needs to know the flag.
+
+    ``rerank=R`` (any method) adds an exact float confirm stage: the chosen
+    path supplies ``R`` candidates per query and the final top-``k`` is
+    re-scored against the float32 corpus (:func:`exact_rerank`) — the
+    standard recall repair for the quantized/probed methods at
+    ``|Q| * R`` extra row touches."""
+    if rerank is not None:
+        if rerank < k:
+            raise ValueError(f"rerank={rerank} must be >= k={k}")
+        coarse = ann_topk(
+            index, queries, k=rerank, query_id_col=query_id_col,
+            query_vector_col=query_vector_col, nprobe=nprobe,
+            distributed=distributed, scoring=scoring, ef_search=ef_search,
+        )
+        return exact_rerank(
+            coarse, index.corpus, queries, k, index.metric,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
     if index.method == "brute":
         from pyrope_spark.operators.knn import knn_bruteforce
         from pyrope_spark.operators.segments import (
@@ -322,16 +345,89 @@ def sq8_rerank_topk(
         )
     else:
         raise ValueError(f"unknown impl {impl!r}")
+    return exact_rerank(
+        coarse, vectors, queries, k, metric,
+        id_col=id_col, vector_col=vector_col,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
+    )
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """Exact-confirm stage shared by the two-stage searches: re-score
+    ``(query_id, id)`` candidate pairs against the float32 vectors and keep
+    top-``k`` per query with the engine-wide deterministic ``(score desc,
+    id asc)`` boundary cut.
+
+    Scale shape: touches only ``|candidates|`` rows — a candidate-keyed
+    shuffle join against the corpus plus a broadcast-sized query join,
+    negligible next to any coarse scan that produced the candidates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyrope_spark.functions.vector import score as score_expr
+
+    metric = normalize_metric(metric)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_v"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vector_col).alias("_qv")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (
-        coarse.join(v, "id")
+        candidates.select("query_id", "id")
+        .join(v, "id")
         .join(q, "query_id")
         .withColumn("score", score_expr(metric, F.col("_qv"), F.col("_v")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "rank", "score")
+    )
+
+
+def ivf_pq_rerank_topk(
+    encoded: DataFrame,
+    model,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 30,
+    nprobe: int = 3,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    """IVF-PQ search with an exact float re-rank (the faiss
+    ``IndexRefineFlat`` recipe over the reference's IVF-PQ semantics,
+    IvfPqVectorIndex.cs:118-212): stage 1 probes ``nprobe`` coarse cells and
+    ADC-scores the 16-32x-compressed codes keeping ``rerank`` candidates per
+    query; stage 2 re-scores only those against the float32 vectors. PQ
+    reconstruction error is confined to candidates the ADC pass ranks below
+    ``rerank`` — at 100 TB this buys the compressed scan's bandwidth with
+    near-exact final ordering, for ``|Q| * rerank`` extra row touches.
+
+    ``metric`` is L2 (the reference's IVF-PQ metric); ``encoded``/``model``
+    come from :func:`pyrope_spark.operators.pq.build_ivf_pq` or the fixed
+    seed-codebook constructors."""
+    from pyrope_spark.operators.pq import ivf_pq_search
+
+    coarse = ivf_pq_search(
+        encoded, model, queries, k=rerank, nprobe=nprobe, id_col=id_col,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
+    )
+    return exact_rerank(
+        coarse, vectors, queries, k, "l2",
+        id_col=id_col, vector_col=vector_col,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
     )

@@ -447,7 +447,7 @@ def _ivf_pq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_oracle(nprobe: int) -> str:
+def _ivf_pq_oracle(nprobe: int, k: int = TOP_K) -> str:
     dsub = EMB_DIM // FIXED_PQ_M
     subs = ", ".join(str(m) for m in range(FIXED_PQ_M))
     idx8 = _idx_list(dsub)
@@ -518,11 +518,88 @@ r2 AS (SELECT query_id, id, score,
               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk
        FROM s)
 SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
-FROM r2 WHERE rnk <= {TOP_K}
+FROM r2 WHERE rnk <= {k}
 """
 
 
 register("ivf_pq_search", _ivf_pq_oracle(3))(_ivf_pq_spark)
+
+
+# candidate-list size for the two-stage (coarse -> exact confirm) searches
+_RERANK_R = 30
+
+
+def _ivf_pq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import IvfModel, assign_by_centroids
+    from pyrope_spark.operators.pq import IvfPqModel, PqModel, pq_encode
+    from pyrope_spark.operators.similarity import ivf_pq_rerank_topk
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    coarse = _seed_mat(spark, sf_dir, FIXED_COARSE_SEEDS)
+    ivf_model = IvfModel(centroids=coarse, metric="l2", nlist=len(FIXED_COARSE_SEEDS))
+    seedmat = _seed_mat(spark, sf_dir, FIXED_PQ_SEEDS)
+    d = ((seedmat[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    rseed = seedmat - coarse[np.argmin(d, axis=1)]
+    dsub = EMB_DIM // FIXED_PQ_M
+    books = np.stack([rseed[:, m * dsub : (m + 1) * dsub] for m in range(FIXED_PQ_M)])
+    pq_model = PqModel(codebooks=books, m=FIXED_PQ_M, k=rseed.shape[0], dsub=dsub)
+
+    assigned = assign_by_centroids(vectors, ivf_model, id_col="id")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
+        "cluster_id int, _centroid array<double>",
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cluster_id").withColumn(
+        "_residual",
+        F.zip_with(F.col("vector"), F.col("_centroid"), lambda v, c: v.cast("double") - c),
+    )
+    encoded = pq_encode(
+        resid, pq_model, id_col="id", vector_col="_residual", extra_cols=["cluster_id"]
+    )
+    hits = ivf_pq_rerank_topk(
+        encoded, IvfPqModel(ivf=ivf_model, pq=pq_model), vectors, qs,
+        k=TOP_K, rerank=_RERANK_R, nprobe=3,
+    )
+    return hits.select(
+        "query_id", "id", F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _ivf_pq_rerank_oracle() -> str:
+    exact = oracle_score_sql("l2", "q.qv", "v.embedding")
+    return f"""
+WITH cand AS (
+  SELECT query_id, id FROM ({_ivf_pq_oracle(3, k=_RERANK_R)})
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+ex AS (
+  SELECT c.query_id, c.id, {exact} AS score
+  FROM cand c
+  JOIN q ON CAST(q.qid AS VARCHAR) = c.query_id
+  JOIN embeddings v ON CAST(v.vec_id AS VARCHAR) = c.id
+),
+r AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk
+  FROM ex
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+register("ivf_pq_rerank_search", _ivf_pq_rerank_oracle())(_ivf_pq_rerank_spark)
 
 
 # --------------------------------------------------------------------------
@@ -2049,9 +2126,6 @@ FROM asg a LEFT JOIN d ON d.ib = a.vec_id
 
 
 register("semantic_dedup", _semdedup_oracle())(_semdedup_spark)
-
-
-_RERANK_R = 30
 
 
 def _sq8_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -202,3 +202,82 @@ def test_ivf_pq_distributed_matches_packed(spark):
     assert set(d) == set(p)
     for key, s in d.items():
         assert abs(s - p[key]) < 1e-9
+
+
+def test_ivf_pq_rerank_exact_when_full_coverage(spark):
+    """nprobe = nlist and rerank >= n degrade the two-stage search to exact
+    brute force: every cell probed, every candidate exactly re-scored."""
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.pq import build_ivf_pq
+    from pyrope_spark.operators.similarity import ivf_pq_rerank_topk
+
+    vectors = make_vectors_df(spark, n=120, dim=8, seed=5, del_frac=0.0).select(
+        "id", "vector"
+    )
+    queries = make_queries_df(spark, n=5, dim=8, seed=13).select("query_id", "vector")
+    encoded, model = build_ivf_pq(vectors, nlist=4, m=4, k=16)
+    got = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in ivf_pq_rerank_topk(
+            encoded, model, vectors, queries, k=5, rerank=120, nprobe=4
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in knn_bruteforce(vectors, queries, k=5, metric="l2").collect()
+    )
+    assert got == want
+
+
+def test_ivf_pq_rerank_recall_at_least_adc(spark):
+    """With rerank covering every probed candidate, stage 2 returns the exact
+    best k within the probe set — recall can only improve on raw ADC order."""
+    from pyrope_spark.operators.ivf import ivf_recall
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.pq import build_ivf_pq, ivf_pq_search
+    from pyrope_spark.operators.similarity import ivf_pq_rerank_topk
+
+    vectors = make_vectors_df(spark, n=400, dim=16, seed=9, del_frac=0.0).select(
+        "id", "vector"
+    )
+    queries = make_queries_df(spark, n=8, dim=16, seed=31).select("query_id", "vector")
+    encoded, model = build_ivf_pq(vectors, nlist=8, m=4, k=32)
+    encoded = encoded.cache()
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2").cache()
+    adc = ivf_pq_search(encoded, model, queries, k=10, nprobe=3)
+    rr = ivf_pq_rerank_topk(
+        encoded, model, vectors, queries, k=10, rerank=400, nprobe=3
+    )
+    r_adc = ivf_recall(adc, exact, 10)
+    r_rr = ivf_recall(rr, exact, 10)
+    assert r_rr >= r_adc
+    assert r_rr >= 0.5
+
+
+def test_facade_rerank_switch(spark):
+    """ann_topk(rerank=R) exact-confirms any approximate method's coarse
+    candidates; with R = n and full probe coverage it equals brute force."""
+    from pyrope_spark.operators.knn import knn_bruteforce
+
+    vectors = make_vectors_df(spark, n=200, dim=8, seed=21, del_frac=0.0).select(
+        "id", "vector"
+    )
+    queries = make_queries_df(spark, n=5, dim=8, seed=37).select("query_id", "vector")
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in knn_bruteforce(vectors, queries, k=5, metric="l2").collect()
+    )
+    for method in ("sq8", "ivf_pq"):
+        idx = build_similarity_index(
+            vectors, method=method, metric="l2", nlist=4, pq_m=4,
+            rows_per_segment=64,
+        )
+        got = sorted(
+            (r["query_id"], r["rank"], r["id"])
+            for r in ann_topk(
+                idx, queries, k=5, nprobe=4, rerank=200
+            ).collect()
+        )
+        assert got == want, method
+    with pytest.raises(ValueError, match="rerank"):
+        ann_topk(idx, queries, k=5, rerank=3)
