@@ -746,3 +746,111 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# --------------------------------------------------- connected components
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (id, component),
+    component = min node id in the component (one row per node that appears
+    in any edge).
+
+    Turns pairwise near-dup evidence (MinHash/SimHash/Jaccard/embedding
+    pairs) into transitive duplicate GROUPS — pairs alone under-merge: a~b
+    and b~c must collapse a, b, c into one group even when (a, c) was never
+    emitted by the blocked pair search.
+
+    Algorithm: iterative min-label propagation. Each round is one
+    shuffle-agg (min over neighbor labels) plus one label join; labels only
+    decrease, so the fixpoint is exact CC. Rounds needed = graph diameter.
+    Blocked near-dup graphs are near-cliques within buckets (every member
+    pairs with the bucket minimum), so diameter is small and bounded by the
+    blocking, not the corpus — the giant-path worst case that motivates
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") does not arise from pair-blocking output. Each
+    round caches its labels AQE-preservingly (cache+count, not
+    localCheckpoint — see minhash_lsh_pairs history) and unpersists the
+    previous round.
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning partially-merged groups silently.
+    """
+    a = F.col(src_col).alias("id")
+    b = F.col(dst_col).alias("nbr")
+    sym = edges.select(a, b).union(
+        edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
+    )
+    labels = (
+        sym.select("id").distinct().withColumn("label", F.col("id")).cache()
+    )
+    labels.count()
+    sym = sym.cache()
+    try:
+        for _ in range(max_iter):
+            # min label among neighbors, via the neighbor's current label
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+                .groupBy("id")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            nxt = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                    (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                        "_chg"
+                    ),
+                )
+            ).cache()
+            changed = nxt.filter("_chg").limit(1).count()
+            labels.unpersist()
+            labels = nxt.select("id", "label")
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
+    finally:
+        sym.unpersist()
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_a_col: str = "ia",
+    pair_b_col: str = "ib",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Every doc with its transitive duplicate group: (id_col, group_id,
+    group_size, is_duplicate). group_id = min doc id in the component
+    (singletons map to themselves, size 1); is_duplicate = not the group
+    representative — the row a keep-one-per-group curation pass drops.
+
+    Composes any pair operator's output with :func:`connected_components`;
+    the docs side stays a broadcast-or-shuffle left join keyed on id."""
+    comp = connected_components(
+        pairs, src_col=pair_a_col, dst_col=pair_b_col, max_iter=max_iter
+    ).withColumnRenamed("id", id_col)
+    joined = docs.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("group_id"),
+    )
+    w = Window.partitionBy("group_id")
+    return joined.select(
+        id_col,
+        "group_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col(id_col) != F.col("group_id")).alias("is_duplicate"),
+    )

@@ -1096,6 +1096,59 @@ def _minhash_lsh_oracle() -> str:
 register("minhash_lsh_dedup", _minhash_lsh_oracle())(_minhash_lsh_spark)
 
 
+# --------------------------------------------------------------------------
+# Transitive dedup groups: MinHash-LSH pairs -> connected components.
+# Pairwise output under-merges (a~b, b~c must collapse {a,b,c} even when
+# (a,c) never surfaced from banding); the group table is what a
+# keep-one-per-group curation pass actually consumes. Oracle: the banded
+# LSH pair pipeline as a derived table + WITH RECURSIVE transitive closure
+# with min-label components.
+# --------------------------------------------------------------------------
+
+def _dedup_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.9)
+    out = dedup_groups(docs, pairs, id_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+        "is_duplicate",
+    )
+
+
+def _dedup_groups_oracle() -> str:
+    from pyrope_spark.operators.dedup import minhash_lsh_oracle_sql
+
+    pairs = minhash_lsh_oracle_sql(verify_threshold=0.9)
+    return f"""
+WITH RECURSIVE p AS (SELECT ia, ib FROM ({pairs})),
+sym AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE s.b <> r.a
+),
+comp AS (SELECT a AS did, LEAST(a, MIN(b)) AS gid FROM reach GROUP BY a),
+g AS (
+  SELECT d.doc_id, COALESCE(c.gid, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.did = d.doc_id
+),
+sz AS (SELECT group_id, COUNT(*) AS group_size FROM g GROUP BY group_id)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(g.group_id AS BIGINT) AS group_id,
+       CAST(sz.group_size AS BIGINT) AS group_size,
+       g.doc_id <> g.group_id AS is_duplicate
+FROM g JOIN sz ON sz.group_id = g.group_id
+"""
+
+
+register("dedup_groups_cc", _dedup_groups_oracle())(_dedup_groups_spark)
+
+
 def _simhash_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrope_spark.operators.dedup import with_simhash_text
 

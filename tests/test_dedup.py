@@ -205,3 +205,45 @@ def test_semantic_dedup_gemm_matches_expr(spark):
     dup_ids = {vid for vid, d, _ in g if d}
     assert set(range(200, 240)) <= dup_ids
     assert 999 not in dup_ids  # zero vector: guard -> cosine 0, never a dup
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 7-node path forces label propagation across multiple rounds
+    (diameter 6); islands and a separate triangle must stay separate."""
+    from pyrope_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 7)]            # path 1..7
+    edges += [(10, 11), (11, 12), (10, 12)]              # triangle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {**{i: 1 for i in range(1, 8)}, **{i: 10 for i in (10, 11, 12)}}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from pyrope_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_groups_transitive_merge(spark):
+    """a~b and b~c (no (a,c) pair) must land in ONE group; untouched docs
+    are singleton groups with is_duplicate = false."""
+    from pyrope_spark.operators.dedup import dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], "ia long, ib long")
+    rows = {
+        r["doc_id"]: (r["group_id"], r["group_size"], r["is_duplicate"])
+        for r in dedup_groups(docs, pairs).collect()
+    }
+    assert rows[2] == (2, 3, False)
+    assert rows[5] == (2, 3, True)
+    assert rows[6] == (2, 3, True)
+    for d in (1, 3, 4, 7):
+        assert rows[d] == (d, 1, False)
