@@ -548,3 +548,110 @@ SELECT stratum,
              / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 6) AS weight
 FROM agg
 """
+
+
+# --------------------------------------------------------- sequence packing
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_tokens: int = 64,
+    n_shards: int = 8,
+    seed: str = "sh42",
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-size training
+    sequences -> (id_col, shard, seq_id, tok_offset, n_tokens).
+
+    The last pipeline stage before tokenized shard writing: walk each
+    shard's documents in the deterministic :func:`shuffle_shards` order and
+    append to the current ``ctx_tokens`` sequence, starting a new sequence
+    when the document would overflow it. Documents are atomic (no splitting
+    — pair with :func:`chunk_documents` upstream to bound lengths first);
+    an oversized document occupies a sequence alone. ``tok_offset`` is the
+    doc's first-token position inside its sequence.
+
+    Scale shape: the shard assignment + ordering is the shuffle_shards
+    hash-partitioned sort; packing itself is inherently sequential *within*
+    a shard (each bin decision depends on the running fill), so it runs as
+    one `applyInPandas` pass per shard — shards are independent, so
+    parallelism = n_shards, which a 100 TB pipeline sizes in the thousands
+    anyway for writer parallelism. Determinism: byte-identical output for
+    any cluster layout, like shuffle_shards.
+    """
+    import pandas as pd
+
+    toks = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    manifest = shuffle_shards(docs, id_col=id_col, n_shards=n_shards, seed=seed)
+    src = manifest.join(toks, id_col)
+
+    schema = (
+        f"{id_col} long, shard int, seq_id long, tok_offset long, n_tokens long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        seqs, offs = [], []
+        fill = 0
+        seq = 0
+        first = True
+        for t in pdf["n_tokens"].to_numpy():
+            if not first and fill + t > ctx_tokens:
+                seq += 1
+                fill = 0
+            offs.append(fill)
+            seqs.append(seq)
+            fill += t
+            first = False
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "seq_id": seqs,
+                "tok_offset": offs,
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+            }
+        )
+
+    return src.groupBy("shard").applyInPandas(pack, schema)
+
+
+def pack_sequences_oracle_sql(
+    *,
+    ctx_tokens: int = 64,
+    n_shards: int = 8,
+    seed: str = "sh42",
+    table: str = "documents",
+) -> str:
+    """Recursive-CTE rendering of the per-shard greedy scan: step through
+    each shard's docs in shuffle-order, carrying (fill, seq_id)."""
+    shards = shuffle_shards_oracle_sql(n_shards=n_shards, seed=seed, table=table)
+    return f"""
+WITH RECURSIVE sh AS ({shards}),
+tk AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+       FROM {table}),
+base AS (
+  SELECT sh.doc_id, sh.shard, sh.pos, tk.n_tokens
+  FROM sh JOIN tk ON tk.doc_id = sh.doc_id
+),
+step AS (
+  SELECT doc_id, shard, pos, n_tokens,
+         n_tokens AS fill, CAST(0 AS BIGINT) AS seq_id
+  FROM base WHERE pos = 1
+  UNION ALL
+  SELECT b.doc_id, b.shard, b.pos, b.n_tokens,
+         CASE WHEN s.fill + b.n_tokens > {ctx_tokens}
+              THEN b.n_tokens ELSE s.fill + b.n_tokens END,
+         CASE WHEN s.fill + b.n_tokens > {ctx_tokens}
+              THEN s.seq_id + 1 ELSE s.seq_id END
+  FROM step s JOIN base b ON b.shard = s.shard AND b.pos = s.pos + 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(fill - n_tokens AS BIGINT) AS tok_offset,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM step
+"""

@@ -2127,6 +2127,30 @@ def _shards_oracle() -> str:
 register("shuffle_shards", _shards_oracle())(_shards_spark)
 
 
+# --------------------------------------------------------------------------
+# Greedy sequence packing: the stage after shuffle_shards — pack docs into
+# fixed-ctx training sequences per shard. Inherently sequential within a
+# shard (running-fill carry), so Spark runs one applyInPandas scan per
+# shard and DuckDB replicates the scan as a recursive CTE.
+# --------------------------------------------------------------------------
+
+def _pack_seq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import pack_sequences
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, ctx_tokens=64, n_shards=8)
+
+
+def _pack_seq_oracle() -> str:
+    from pyrope_spark.operators.curation import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql(ctx_tokens=64, n_shards=8)
+
+
+register("sequence_packing", _pack_seq_oracle())(_pack_seq_spark)
+
+
 _SEMDEDUP_TAU = 0.4
 
 

@@ -188,3 +188,54 @@ def test_null_text_is_inert(spark):
     bench_df = spark.createDataFrame([(9, "eval set words")], "doc_id long, text string")
     dec = {r["doc_id"]: r for r in decontaminate(df, bench_df, ngram_n=2).collect()}
     assert dec[1]["n_ngrams"] == 0 and not dec[1]["contaminated"]
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Docs pack greedily in shuffle order; overflow starts a new sequence;
+    an oversized doc sits alone; offsets are running fills."""
+    from pyrope_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(1, 3), (2, 4), (3, 5), (4, 20), (5, 2), (6, 1)]],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, ctx_tokens=8, n_shards=1, seed="t")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # reconstruct the shuffle order and simulate greedy packing in python
+    order = sorted(rows.values(), key=lambda r: (r["seq_id"], r["tok_offset"]))
+    fill = seq = 0
+    first = True
+    for r in order:
+        t = r["n_tokens"]
+        if not first and fill + t > 8:
+            seq += 1
+            fill = 0
+        assert (r["seq_id"], r["tok_offset"]) == (seq, fill), r
+        fill += t
+        first = False
+    # the 20-token doc exceeds ctx and must be alone in its sequence
+    big = rows[4]
+    mates = [r for r in rows.values()
+             if r["seq_id"] == big["seq_id"] and r["doc_id"] != 4]
+    assert big["tok_offset"] == 0 and not mates
+    # every in-ctx sequence respects the budget
+    by_seq = {}
+    for r in rows.values():
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += r["n_tokens"]
+    for s, tot in by_seq.items():
+        assert tot <= 8 or s == big["seq_id"]
+
+
+def test_pack_sequences_deterministic_across_layouts(spark):
+    from pyrope_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    a = pack_sequences(docs, ctx_tokens=16, n_shards=4)
+    b = pack_sequences(docs.repartition(13), ctx_tokens=16, n_shards=4)
+    assert key(a) == key(b)
