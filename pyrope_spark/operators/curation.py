@@ -655,3 +655,67 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM step
 """
+
+
+# ------------------------------------------------- cluster-balanced sample
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    model,
+    target_per_cluster: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    seed: str = "cb42",
+) -> DataFrame:
+    """Diversity-preserving downsampling over an embedding space ->
+    (id_col, cluster_id, cluster_size, kept): assign each vector to its
+    nearest centroid, then keep each row with probability
+    ``min(1, target_per_cluster / cluster_size)`` via a deterministic
+    md5-hash Bernoulli — head clusters shrink toward the target, tail
+    clusters survive whole, so the sample's cluster histogram flattens
+    (the cluster-balanced selection used to de-bias web-scale corpora
+    toward rare content).
+
+    Determinism: the keep decision is ``hash60(seed|id) < rate * 2^60`` —
+    no RNG state, layout-independent, and exactly replicable in SQL (both
+    engines compute the same 60-bit integer from the md5 hex and the same
+    IEEE-double threshold). Scale shape: one broadcast-assignment pass
+    (``assign_by_centroids``; swap in MLlib transform for learned models),
+    one tiny cluster-count aggregate broadcast back, zero extra shuffles
+    on the corpus.
+    """
+    from pyrope_spark.operators.ivf import assign_by_centroids
+
+    assigned = assign_by_centroids(
+        vectors, model, id_col=id_col, vector_col=vector_col
+    )
+    cnt = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + "|"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_per_cluster)) / F.col("cluster_size").cast("double"),
+    )
+    return (
+        assigned.join(F.broadcast(cnt), "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "cluster_size",
+            (h60.cast("double") < rate * F.lit(float(1 << 60))).alias("kept"),
+        )
+    )

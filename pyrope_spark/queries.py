@@ -2151,6 +2151,66 @@ def _pack_seq_oracle() -> str:
 register("sequence_packing", _pack_seq_oracle())(_pack_seq_spark)
 
 
+# --------------------------------------------------------------------------
+# Cluster-balanced sampling over embeddings: fixed seed-centroid assignment
+# (same asg construction as the IVF oracles) + per-cluster deterministic
+# hash Bernoulli at rate min(1, target/cluster_size).
+# --------------------------------------------------------------------------
+
+_CB_TARGET = 40
+
+
+def _cluster_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import cluster_balanced_sample
+    from pyrope_spark.operators.ivf import IvfModel
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(F.col("vec_id"), F.col("embedding").alias("vector"))
+    coarse = _seed_mat(spark, sf_dir, FIXED_COARSE_SEEDS)
+    model = IvfModel(centroids=coarse, metric="l2", nlist=len(FIXED_COARSE_SEEDS))
+    out = cluster_balanced_sample(
+        vectors, model, _CB_TARGET, id_col="vec_id", vector_col="vector"
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "kept",
+    )
+
+
+def _cluster_sample_oracle() -> str:
+    return f"""
+WITH {_cent_cte(FIXED_COARSE_SEEDS)},
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_distance(CAST(v.embedding AS DOUBLE[]), c.cv) ASC,
+                      c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN cent c) WHERE rn = 1
+),
+cnt AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY cid),
+h AS (
+  SELECT a.vec_id, a.cid, c.n,
+         CAST(CAST(('0x' || substring(
+             md5('cb42|' || CAST(a.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS DOUBLE) AS h60
+  FROM asg a JOIN cnt c ON c.cid = a.cid
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cid AS BIGINT) AS cluster_id,
+       CAST(n AS BIGINT) AS cluster_size,
+       h60 < LEAST(1.0, {float(_CB_TARGET)} / CAST(n AS DOUBLE))
+               * {float(1 << 60)!r} AS kept
+FROM h
+"""
+
+
+register("cluster_balanced_sample", _cluster_sample_oracle())(_cluster_sample_spark)
+
+
 _SEMDEDUP_TAU = 0.4
 
 

@@ -239,3 +239,34 @@ def test_pack_sequences_deterministic_across_layouts(spark):
     a = pack_sequences(docs, ctx_tokens=16, n_shards=4)
     b = pack_sequences(docs.repartition(13), ctx_tokens=16, n_shards=4)
     assert key(a) == key(b)
+
+
+def test_cluster_balanced_sample_flattens_and_is_deterministic(spark):
+    """Head cluster shrinks toward target in expectation, tail cluster kept
+    whole (rate 1 exact, not probabilistic); byte-identical across layouts."""
+    import numpy as np
+
+    from pyrope_spark.operators.curation import cluster_balanced_sample
+    from pyrope_spark.operators.ivf import IvfModel
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(400):  # head cluster near origin
+        rows.append((i, [float(x) for x in rng.normal(0, 0.05, 4)]))
+    for i in range(400, 420):  # tail cluster near (10,10,10,10)
+        rows.append((i, [float(x) for x in 10 + rng.normal(0, 0.05, 4)]))
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    model = IvfModel(
+        centroids=np.array([[0.0] * 4, [10.0] * 4]), metric="l2", nlist=2
+    )
+    out = cluster_balanced_sample(df, model, 50, id_col="id").cache()
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == 420
+    head_kept = sum(1 for r in got.values() if r["cluster_id"] == 0 and r["kept"])
+    tail = [r for r in got.values() if r["cluster_id"] == 1]
+    assert all(r["kept"] for r in tail) and len(tail) == 20  # rate 1 -> all
+    assert got[0]["cluster_size"] == 400
+    # Bernoulli(50/400) over 400 rows: 3-sigma band around 50
+    assert 20 <= head_kept <= 80
+    b = cluster_balanced_sample(df.repartition(7), model, 50, id_col="id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, b.collect()))
