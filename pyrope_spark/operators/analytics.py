@@ -246,3 +246,35 @@ def latency_histogram(
         for b in buckets
     ] + [F.count("*").alias("le_inf")]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def multi_granularity_rollup(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup in ONE aggregation pass:
+    (event_type, day) -> per-type daily, per-type total, and grand total
+    levels via ROLLUP — the continuous-aggregate ladder a time-series store
+    materializes, expressed as Spark's native grouping-sets operator so
+    Catalyst plans a single shuffle (Expand + one hash aggregate) instead of
+    three separate scans + union.
+
+    Rolled-up dimensions surface as the literal ``(all)`` (not NULL) so the
+    output is totally ordered and hash-comparable; ``lvl`` is the
+    grouping_id (0 = leaf, 1 = per-type total, 3 = grand total)."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    g = events.rollup(F.col(type_col).alias("etype"), day.alias("day")).agg(
+        F.grouping_id().alias("lvl"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+    )
+    return g.select(
+        F.coalesce("etype", F.lit("(all)")).alias("event_type"),
+        F.coalesce("day", F.lit("(all)")).alias("day"),
+        F.col("lvl").cast("long").alias("lvl"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )

@@ -2211,6 +2211,38 @@ FROM h
 register("cluster_balanced_sample", _cluster_sample_oracle())(_cluster_sample_spark)
 
 
+# --------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup over events: one Expand + one
+# hash aggregate (Spark ROLLUP) instead of three scans + union.
+# --------------------------------------------------------------------------
+
+def _rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import multi_granularity_rollup
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    return multi_granularity_rollup(events)
+
+
+def _rollup_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, "value" FROM events
+)
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)' ELSE event_type END
+         AS event_type,
+       CASE WHEN GROUPING(d) = 1 THEN '(all)' ELSE d END AS day,
+       CAST(GROUPING(event_type, d) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM("value"), 6) AS sum_value
+FROM e
+GROUP BY ROLLUP (event_type, d)
+"""
+
+
+register("events_rollup", _rollup_oracle())(_rollup_spark)
+
+
 _SEMDEDUP_TAU = 0.4
 
 

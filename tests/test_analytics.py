@@ -98,3 +98,30 @@ def test_latency_histogram_cumulative(spark):
     assert row["le_50_0"] == 3
     assert row["le_500_0"] == 3
     assert row["le_inf"] == 4
+
+
+def test_multi_granularity_rollup_levels_and_plan(spark):
+    """All three ladder levels agree with their separate-aggregate values,
+    and the plan is ONE Expand + aggregates — not a union of scans."""
+    from datetime import datetime
+
+    from pyrope_spark.operators.analytics import multi_granularity_rollup
+
+    rows = [
+        ("click", datetime(2024, 1, 1, 5), 1.0),
+        ("click", datetime(2024, 1, 1, 9), 2.0),
+        ("click", datetime(2024, 1, 2, 5), 4.0),
+        ("view", datetime(2024, 1, 1, 6), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {(r["event_type"], r["day"]): r for r in multi_granularity_rollup(df).collect()}
+    assert out[("click", "2024-01-01")]["n_events"] == 2
+    assert out[("click", "2024-01-01")]["sum_value"] == 3.0
+    assert out[("click", "(all)")]["n_events"] == 3
+    assert out[("click", "(all)")]["sum_value"] == 7.0
+    assert out[("(all)", "(all)")]["n_events"] == 4
+    assert out[("(all)", "(all)")]["sum_value"] == 15.0
+    assert out[("(all)", "(all)")]["lvl"] == 3
+    assert out[("click", "2024-01-02")]["lvl"] == 0
+    plan = multi_granularity_rollup(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1 and "Union" not in plan

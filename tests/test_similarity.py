@@ -281,3 +281,38 @@ def test_facade_rerank_switch(spark):
         assert got == want, method
     with pytest.raises(ValueError, match="rerank"):
         ann_topk(idx, queries, k=5, rerank=3)
+
+
+def test_facade_rerank_distributed_no_collect(spark, monkeypatch):
+    """rerank composes with the distributed coarse path without ever
+    materializing the query table on the driver (exact_rerank is pure
+    joins)."""
+    from pyspark.sql import DataFrame as _DF
+
+    vectors = make_vectors_df(spark, n=300, dim=8, seed=41, del_frac=0.0).select(
+        "id", "vector"
+    )
+    queries = make_queries_df(spark, n=9, dim=8, seed=43).select("query_id", "vector")
+    idx = build_similarity_index(
+        vectors, method="ivf", metric="l2", nlist=4, rows_per_segment=64
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in ann_topk(
+            idx, queries, k=5, nprobe=4, rerank=300, distributed=False
+        ).collect()
+    )
+    seen = []
+    orig = _DF.collect
+
+    def spy(self):
+        seen.append(self)
+        return orig(self)
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    got = ann_topk(idx, queries, k=5, nprobe=4, rerank=300, distributed=True)
+    monkeypatch.undo()
+    assert not seen, "distributed rerank path collected a DataFrame"
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in got.collect()
+    ) == want

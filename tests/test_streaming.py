@@ -246,3 +246,52 @@ def test_streaming_leases_denied_end_does_not_release(spark, tmp_path):
         assert got[("r5", "begin")] == (True, 2, None)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_to_corpus(spark, tmp_path):
+    """Ingest-time dedup: in-batch, cross-batch, and vs already-accepted
+    corpus docs — only first-seen fingerprints land in the corpus."""
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.streaming import streaming_dedup_to_corpus
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    base = datetime(2024, 1, 1)
+    schema = "doc_id long, text string, ts timestamp"
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta", base),
+            (2, "alpha beta", base + timedelta(seconds=1)),  # in-batch dup
+            (3, "gamma", base + timedelta(seconds=2)),
+        ],
+        schema,
+    )
+    b1.write.mode("append").parquet(str(src_dir))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src_dir))
+    q = streaming_dedup_to_corpus(
+        stream, corpus, str(tmp_path / "ckpt_dedup")
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert len(got1) == 2 and 3 in got1 and (1 in got1 or 2 in got1)
+        # batch 2: dup of accepted doc (vs corpus), plus a new one
+        spark.createDataFrame(
+            [
+                (4, "  ALPHA BETA ", base + timedelta(seconds=3)),  # normalized dup
+                (5, "delta", base + timedelta(seconds=4)),
+            ],
+            schema,
+        ).write.mode("append").parquet(str(src_dir))
+        q.processAllAvailable()
+        rows = spark.read.parquet(corpus).collect()
+        ids = {r["doc_id"] for r in rows}
+        assert 5 in ids and 4 not in ids
+        assert len(rows) == 3
+        fps = [r["fp"] for r in rows]
+        assert len(set(fps)) == 3
+    finally:
+        q.stop()
