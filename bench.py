@@ -526,6 +526,12 @@ def main() -> None:
         "shuffle_shards",
         "sq8_rerank_search",
         "rbac_decisions",
+        # round 4 additions
+        "ivf_pq_rerank_search",
+        "dedup_groups_cc",
+        "sequence_packing",
+        "cluster_balanced_sample",
+        "events_rollup",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
