@@ -1,0 +1,214 @@
+"""BM25 full-text search over a documents table (beyond-reference, per the
+BASELINE.json north star: the retrieval-side complement of the vector search
+operators — a training-data pipeline needs keyword retrieval for eval-set
+construction, targeted corpus slicing, and hybrid lexical+vector search).
+
+Spark-first design (all native expressions, zero Python UDFs):
+
+1. **Postings build** (:func:`build_postings`): one projection computes the
+   token array and doc length, one ``explode`` + ``groupBy(term, doc_id)``
+   produces term frequencies — a single shuffle keyed ``(term, doc_id)`` with
+   map-side partial aggregation. At 100 TB the postings table is written
+   partitioned/bucketed by ``term`` so repeated query batches join without
+   re-shuffling the corpus.
+2. **Document-frequency table**: ``groupBy(term).count()`` over the postings
+   — map-side partials make this cheap; its size is the vocabulary, not the
+   corpus.
+3. **Scoring** (:func:`bm25_topk`): query terms are exploded and de-duplicated
+   (classic BM25 ignores query-side tf), joined to the per-term df stats
+   (small: |query terms|), and that tiny enriched query-term table is
+   **broadcast** against the postings — the only corpus-sized work is one
+   map-side hash join + one ``groupBy(query_id, doc_id)`` partial-agg shuffle
+   whose input is already cut to matching postings rows. Corpus scalars
+   (N, avgdl) ride along via a 1-row broadcast cross join, never a driver
+   collect.
+4. **Top-K**: shared :func:`~pyrope_spark.operators.topk.topk_per_group`
+   window, ranked on the ROUNDED score (6 dp) with ascending ``doc_id``
+   tiebreak so ranks are reproducible bit-for-bit across engines and layouts
+   (last-ulp summation-order differences cannot flip an order decided on
+   rounded values).
+
+Scoring math (Lucene-style BM25, identical rendering in the DuckDB oracle):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))          # always > 0
+    tfnorm(t,d) = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(q,d)  = sum over distinct t in q of idf(t) * tfnorm(t, d)
+
+Defaults k1=1.2, b=0.75. Tokenization is the engine-wide deterministic
+``functions.text.tokens`` (lowercase, whitespace split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrope_spark.functions.text import tokens, tokens_sql
+from pyrope_spark.operators.topk import topk_per_group
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings list ``(term, doc_id, tf, dl)`` — one corpus scan, one shuffle.
+
+    ``dl`` (document token length) is carried through the explode so no second
+    join against the documents table is needed downstream.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    return (
+        toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """1-row DataFrame ``(n_docs, avgdl)`` derived from the postings (each
+    doc contributes one distinct ``(doc_id, dl)``). Kept as a DataFrame so
+    the scoring plan stays collect-free (broadcast cross join)."""
+    return (
+        postings.select("doc_id", "dl")
+        .dropDuplicates(["doc_id"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+    )
+
+
+def bm25_topk(
+    docs_or_postings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    prebuilt: bool = False,
+) -> DataFrame:
+    """Top-``k`` BM25 matches per query: ``(query_id, doc_id, rank, score)``.
+
+    ``prebuilt=True`` treats the first argument as an existing postings table
+    (term, doc_id, tf, dl) — the steady-state shape at scale, where postings
+    are materialized once and re-queried.
+    """
+    postings = (
+        docs_or_postings
+        if prebuilt
+        else build_postings(docs_or_postings, text_col=text_col, id_col=id_col)
+    )
+    stats = corpus_stats(postings)
+    termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+    )
+    # small side: |distinct query terms| rows, enriched with df + corpus stats
+    q_enriched = (
+        qterms.join(termdf, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .select("term", "query_id", "idf", "avgdl")
+    )
+
+    tf = F.col("tf").cast("double")
+    scored = (
+        postings.join(F.broadcast(q_enriched), "term")
+        .withColumn(
+            "_contrib",
+            F.col("idf")
+            * (
+                tf
+                * F.lit(k1 + 1.0)
+                / (
+                    tf
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_contrib"), 6).alias("score"))
+    )
+    return topk_per_group(
+        scored, ["query_id"], k, score_col="score", tiebreak_col="doc_id"
+    ).select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "score")
+
+
+def bm25_oracle_sql(
+    query_rows: list[tuple[int, str]],
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering of the same pipeline for the correctness gate.
+
+    ``query_rows`` are inlined as VALUES so the oracle is self-contained.
+    Rank ordering matches Spark: rounded score desc, doc_id asc.
+    """
+    vals = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in query_rows)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS t FROM {docs_table}
+),
+postings AS (
+  SELECT doc_id, len(t) AS dl, u.term, count(*) AS tf
+  FROM toks, unnest(t) AS u(term)
+  GROUP BY doc_id, dl, u.term
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+  FROM (SELECT DISTINCT doc_id, dl FROM postings)
+),
+termdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+q(query_id, query_text) AS (VALUES {vals}),
+qterms AS (
+  SELECT DISTINCT query_id, u.term
+  FROM (SELECT query_id, {tokens_sql('query_text')} AS t FROM q), unnest(t) AS u(term)
+),
+q_enriched AS (
+  SELECT qt.term, qt.query_id,
+         ln(1.0 + (s.n_docs - td.df + 0.5) / (td.df + 0.5)) AS idf,
+         s.avgdl
+  FROM qterms qt JOIN termdf td USING (term) CROSS JOIN stats s
+),
+scored AS (
+  SELECT qe.query_id, p.doc_id,
+         round(sum(qe.idf * (CAST(p.tf AS DOUBLE) * {k1 + 1.0}
+                / (CAST(p.tf AS DOUBLE) + {k1} * ({1.0 - b} + {b} * CAST(p.dl AS DOUBLE) / qe.avgdl)))), 6) AS score
+  FROM postings p JOIN q_enriched qe USING (term)
+  GROUP BY qe.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk,
+         score
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, score
+FROM ranked WHERE rnk <= {k}
+"""

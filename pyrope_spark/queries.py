@@ -2647,3 +2647,39 @@ SELECT CAST(win AS BIGINT) AS win,
 FROM e
 """,
 )(_canary_spark)
+
+
+# --------------------------------------------------------------------------
+# BM25 full-text search over documents (operators/fulltext.py)
+# --------------------------------------------------------------------------
+
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join merge"),
+    (2, "window agg spark"),
+    (3, "fast scan filter table"),
+    (4, "vector stream data"),
+]
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import bm25_topk
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string")
+    out = bm25_topk(docs, queries_df, k=TOP_K)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    )
+
+
+def _bm25_oracle() -> str:
+    from pyrope_spark.operators.fulltext import bm25_oracle_sql
+
+    return bm25_oracle_sql(BM25_QUERIES, k=TOP_K)
+
+
+register("bm25_search", _bm25_oracle())(_bm25_spark)

@@ -1,0 +1,94 @@
+"""BM25 full-text search (operators/fulltext.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.fulltext import (
+    bm25_topk,
+    build_postings,
+    corpus_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark shuffle join join join"),
+        (2, "spark window agg"),
+        (3, "the quick brown fox"),
+        (4, "join order optimizer join"),
+        (5, "spark spark spark spark spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_tf_and_dl(spark):
+    p = build_postings(_docs(spark)).collect()
+    by = {(r.term, r.doc_id): (r.tf, r.dl) for r in p}
+    assert by[("join", 1)] == (3, 5)
+    assert by[("spark", 5)] == (5, 5)
+    assert by[("fox", 3)] == (1, 4)
+    # one row per (term, doc)
+    assert len(by) == len(p)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """'fox' appears in one doc, 'spark' in three — a query for both must rank
+    the fox doc first (idf dominates), and docs without any query term are
+    absent."""
+    docs = _docs(spark)
+    q = spark.createDataFrame([(1, "fox spark")], "query_id long, query_text string")
+    out = bm25_topk(docs, q, k=10).orderBy("rank").collect()
+    assert out[0].doc_id == 3
+    assert {r.doc_id for r in out} == {1, 2, 3, 5}  # doc 4 has neither term
+
+
+def test_bm25_score_matches_closed_form(spark):
+    """Hand-computed Lucene BM25 for a single (term, doc) pair."""
+    docs = _docs(spark)
+    q = spark.createDataFrame([(1, "fox")], "query_id long, query_text string")
+    row = bm25_topk(docs, q, k=1).collect()[0]
+    n_docs, avgdl = 5, (5 + 3 + 4 + 4 + 5) / 5.0
+    idf = math.log(1 + (n_docs - 1 + 0.5) / (1 + 0.5))
+    tf, dl, k1, b = 1.0, 4.0, 1.2, 0.75
+    expected = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(row.score - expected) < 1e-6
+    assert row.doc_id == 3 and row.rank == 1
+
+
+def test_bm25_prebuilt_postings_parity(spark):
+    """The steady-state path (materialized postings) returns identical rows."""
+    docs = _docs(spark)
+    q = spark.createDataFrame(
+        [(1, "spark join"), (2, "fox")], "query_id long, query_text string"
+    )
+    direct = bm25_topk(docs, q, k=10)
+    pre = bm25_topk(build_postings(docs), q, k=10, prebuilt=True)
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, pre.collect()))
+
+
+def test_bm25_query_tf_ignored_and_corpus_stats(spark):
+    """Repeating a query term must not change scores (distinct-term BM25),
+    and corpus_stats stays a 1-row collect-free aggregate."""
+    docs = _docs(spark)
+    q1 = spark.createDataFrame([(1, "spark")], "query_id long, query_text string")
+    q2 = spark.createDataFrame(
+        [(1, "spark spark spark")], "query_id long, query_text string"
+    )
+    r1 = sorted(map(tuple, bm25_topk(docs, q1, k=10).collect()))
+    r2 = sorted(map(tuple, bm25_topk(docs, q2, k=10).collect()))
+    assert r1 == r2
+    s = corpus_stats(build_postings(docs)).collect()
+    assert len(s) == 1 and s[0].n_docs == 5
+    assert abs(s[0].avgdl - 21 / 5.0) < 1e-9
+
+
+def test_bm25_plan_broadcasts_query_side(spark):
+    """The corpus-sized join must be a broadcast hash join (query terms are
+    the small side) — no shuffle of the postings for the join itself."""
+    docs = _docs(spark)
+    q = spark.createDataFrame([(1, "spark join")], "query_id long, query_text string")
+    plan = bm25_topk(docs, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
