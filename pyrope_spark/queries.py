@@ -2683,3 +2683,30 @@ def _bm25_oracle() -> str:
 
 
 register("bm25_search", _bm25_oracle())(_bm25_spark)
+
+
+# --------------------------------------------------------------------------
+# Stupid-Backoff bigram LM quality scoring (operators/lm.py)
+# --------------------------------------------------------------------------
+
+def _lm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.lm import score_stupid_backoff, train_bigram_lm
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return score_stupid_backoff(docs.filter(F.col("doc_id") % 2 == 1), lm).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_positions",
+        "avg_logp",
+        "backoff_ratio",
+    )
+
+
+def _lm_oracle() -> str:
+    from pyrope_spark.operators.lm import stupid_backoff_oracle_sql
+
+    return stupid_backoff_oracle_sql()
+
+
+register("ngram_lm_score", _lm_oracle())(_lm_spark)

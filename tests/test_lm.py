@@ -1,0 +1,78 @@
+"""Stupid-Backoff bigram LM scoring (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.lm import (
+    score_stupid_backoff,
+    train_bigram_lm,
+)
+
+
+def _train(spark):
+    rows = [
+        (1, "a b a b a"),  # bigrams: (a,b)x2, (b,a)x2
+        (2, "a c"),  # (a,c)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_count_tables(spark):
+    lm = train_bigram_lm(_train(spark))
+    uni = {r.w: r.c1 for r in lm.unigrams.collect()}
+    assert uni == {"a": 4, "b": 2, "c": 1}
+    big = {(r.w1, r.w2): r.c12 for r in lm.bigrams.collect()}
+    assert big == {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 1}
+    assert lm.totals.collect()[0].total_tokens == 7
+
+
+def test_three_branches_closed_form(spark):
+    """One doc exercising bigram hit, unigram backoff, and the OOV floor."""
+    lm = train_bigram_lm(_train(spark))
+    # positions: (a,b) seen bigram; (b,c) unseen bigram, c seen unigram;
+    # (c,zzz) unseen bigram, zzz OOV
+    docs = spark.createDataFrame([(10, "a b c zzz")], "doc_id long, text string")
+    row = score_stupid_backoff(docs, lm).collect()[0]
+    t, alpha = 7.0, 0.4
+    expected = [
+        math.log(2 / 4),  # c(a,b)/c(a)
+        math.log(alpha * 1 / t),  # backoff to c(c)/T
+        math.log(alpha / t),  # OOV floor
+    ]
+    assert row.n_positions == 3
+    assert abs(row.avg_logp - round(sum(expected) / 3, 6)) < 2e-6
+    assert abs(row.backoff_ratio - round(2 / 3, 6)) < 2e-6
+
+
+def test_short_and_empty_docs_kept(spark):
+    lm = train_bigram_lm(_train(spark))
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in score_stupid_backoff(docs, lm).collect()}
+    assert len(out) == 4
+    for d in (1, 2, 3):
+        assert out[d].n_positions == 0
+        assert out[d].avg_logp is None and out[d].backoff_ratio is None
+    assert out[4].n_positions == 1
+    assert abs(out[4].avg_logp - round(math.log(2 / 4), 6)) < 2e-6
+
+
+def test_reference_like_scores_higher(spark):
+    """A doc made of common training bigrams must outscore a doc of rare /
+    unseen transitions — the filtering property the operator exists for."""
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)] + [(99, "rare token pair")],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(train)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_logp for r in score_stupid_backoff(docs, lm).collect()}
+    assert out[1] > out[2]
