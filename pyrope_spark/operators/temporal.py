@@ -49,6 +49,63 @@ def sessionize(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    key_cols: list[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_s: int = 3600,
+    closed: str = "both",
+) -> DataFrame:
+    """Join point events to the intervals containing them (same key), the
+    scalable way: Spark plans a raw ``l.ts BETWEEN r.start AND r.end``
+    predicate join as per-key nested loops (O(points x intervals) per key),
+    so both sides are first mapped onto coarse time buckets of ``bucket_s``
+    seconds — intervals explode into every bucket they overlap, points into
+    exactly one — turning the range join into an equi-join on
+    ``(key, bucket)`` plus a residual range filter. Each qualifying
+    (point, interval) pair meets in exactly one bucket (the point's), so no
+    dedup pass is needed.
+
+    The shuffle carries points + sum(interval spans)/bucket_s rows; pick
+    ``bucket_s`` near the typical interval length so intervals explode into
+    O(1) buckets. Long stragglers fan out linearly (documented trade — cap
+    them upstream or raise ``bucket_s``).
+
+    ``closed``: 'both' (default) keeps start <= ts <= end; 'left' start <=
+    ts < end; 'right' start < ts <= end.
+    """
+    if closed not in ("both", "left", "right"):
+        raise ValueError(f"closed must be both|left|right, got {closed!r}")
+    b = float(bucket_s)
+    ivals = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / b).cast("long"),
+                F.floor(F.col(end_col).cast("double") / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bkt", F.floor(F.col(point_ts).cast("double") / b).cast("long")
+    )
+    lo = (
+        F.col(point_ts) >= F.col(start_col)
+        if closed in ("both", "left")
+        else F.col(point_ts) > F.col(start_col)
+    )
+    hi = (
+        F.col(point_ts) <= F.col(end_col)
+        if closed in ("both", "right")
+        else F.col(point_ts) < F.col(end_col)
+    )
+    return pts.join(ivals, [*key_cols, "_bkt"]).filter(lo & hi).drop("_bkt")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

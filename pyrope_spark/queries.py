@@ -2710,3 +2710,63 @@ def _lm_oracle() -> str:
 
 
 register("ngram_lm_score", _lm_oracle())(_lm_spark)
+
+
+# --------------------------------------------------------------------------
+# Bucketed interval join (operators/temporal.py::interval_join)
+# --------------------------------------------------------------------------
+
+def _interval_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import interval_join
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    iv = bounds.select(
+        "user_id",
+        F.lit("first10m").alias("win"),
+        F.col("mn").alias("start_ts"),
+        (F.col("mn") + F.expr("INTERVAL 600 SECONDS")).alias("end_ts"),
+    ).unionByName(
+        bounds.select(
+            "user_id",
+            F.lit("last10m").alias("win"),
+            (F.col("mx") - F.expr("INTERVAL 600 SECONDS")).alias("start_ts"),
+            F.col("mx").alias("end_ts"),
+        )
+    )
+    joined = interval_join(
+        events.select("user_id", "ts", "value"),
+        iv,
+        key_cols=["user_id"],
+        bucket_s=600,
+    )
+    return joined.groupBy("user_id", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH bounds AS (
+  SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY user_id
+),
+iv AS (
+  SELECT user_id, 'first10m' AS win, mn AS start_ts,
+         mn + INTERVAL 600 SECOND AS end_ts FROM bounds
+  UNION ALL
+  SELECT user_id, 'last10m' AS win, mx - INTERVAL 600 SECOND AS start_ts,
+         mx AS end_ts FROM bounds
+)
+SELECT e.user_id, iv.win,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM events e
+JOIN iv ON e.user_id = iv.user_id
+       AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+GROUP BY e.user_id, iv.win
+"""
+
+register("interval_join_events", _INTERVAL_JOIN_ORACLE)(_interval_join_spark)
