@@ -1,0 +1,84 @@
+"""Table profiling: per-column null/distinct/min/max stats in one pass.
+
+Beyond the reference (its only stats surface is per-index ``{Count,
+Dimension, Metric}``, Q9 — ``Vector/IVectorIndex.cs:31``); a data-curation
+engine needs a profiling primitive for schema drift checks, join-key sanity
+(the ADVICE round-3 RBAC fan-out class of bug), and corpus intake reports.
+
+Spark-first shape: ONE ``agg`` computes every column's stats in a single
+scan; the 1-row result is unpivoted in-plan with ``stack()`` into one row
+per column — the unpivot touches ncols values, never data. Exact
+``count_distinct`` over k columns makes Catalyst plan an Expand (k x rows
+through the distinct shuffle); at 100 TB pass ``exact_distinct=False`` to
+use ``approx_count_distinct`` (HLL++, relativeSD 0.05 default) which keeps
+the whole profile a map-side-partial single-shuffle job. Min/max are emitted
+as strings so one schema fits every column type; numeric formatting is the
+engine's string cast (the driver oracle profiles only integer/string
+columns, where casts agree across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column stats: ``(column, n_rows, n_nulls, n_distinct, min_value,
+    max_value)`` — one scan, one aggregate."""
+    cols = columns or df.columns
+    aggs: list = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"_nn_{c}")
+        )
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).cast("long").alias(f"_nd_{c}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(col, rsd=rsd).cast("long").alias(f"_nd_{c}")
+            )
+        aggs.append(F.min(col).cast("string").alias(f"_mi_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_ma_{c}"))
+    wide = df.agg(*aggs)
+
+    # unpivot the 1-row aggregate with stack(): ncols output rows from ONE
+    # aggregate over ONE scan. (A union of per-column projections would make
+    # Catalyst prune each branch into its own aggregate and re-scan the
+    # source ncols times — measured, not hypothetical.)
+    stack_args = ", ".join(
+        f"'{c}', `_nn_{c}`, `_nd_{c}`, `_mi_{c}`, `_ma_{c}`" for c in cols
+    )
+    return wide.select(
+        F.col("_n_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "as (column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def profile_oracle_sql(table: str, columns: list[str]) -> str:
+    """DuckDB rendering: one UNION ALL branch per column over the same
+    aggregate shape. min/max string casts agree for integer and varchar
+    columns (the gate profiles only those)."""
+    parts = []
+    for c in columns:
+        parts.append(
+            f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)

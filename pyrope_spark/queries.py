@@ -2770,3 +2770,27 @@ GROUP BY e.user_id, iv.win
 """
 
 register("interval_join_events", _INTERVAL_JOIN_ORACLE)(_interval_join_spark)
+
+
+# --------------------------------------------------------------------------
+# Table profiling (operators/profile.py)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import profile_table
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    from pyrope_spark.operators.profile import profile_oracle_sql
+
+    return profile_oracle_sql("documents", _PROFILE_COLS)
+
+
+register("documents_profile", _profile_oracle())(_profile_spark)
