@@ -155,9 +155,8 @@ def bm25_topk(
     ).select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "score")
 
 
-def bm25_oracle_sql(
+def bm25_ranked_cte(
     query_rows: list[tuple[int, str]],
-    k: int = 10,
     *,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
@@ -165,14 +164,14 @@ def bm25_oracle_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB rendering of the same pipeline for the correctness gate.
+    """The DuckDB CTE chain ending at ``bm25_ranked(query_id, doc_id, rnk,
+    score)`` — composable into larger oracles (e.g. hybrid RRF fusion).
 
     ``query_rows`` are inlined as VALUES so the oracle is self-contained.
     Rank ordering matches Spark: rounded score desc, doc_id asc.
     """
     vals = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in query_rows)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS t FROM {docs_table}
 ),
 postings AS (
@@ -203,12 +202,74 @@ scored AS (
   FROM postings p JOIN q_enriched qe USING (term)
   GROUP BY qe.query_id, p.doc_id
 ),
-ranked AS (
+bm25_ranked AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk,
          score
   FROM scored
-)
+)"""
+
+
+def bm25_oracle_sql(
+    query_rows: list[tuple[int, str]],
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Standalone DuckDB oracle for :func:`bm25_topk`."""
+    ctes = bm25_ranked_cte(
+        query_rows, k1=k1, b=b, docs_table=docs_table, text_col=text_col, id_col=id_col
+    )
+    return f"""
+WITH {ctes}
 SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, score
-FROM ranked WHERE rnk <= {k}
+FROM bm25_ranked WHERE rnk <= {k}
 """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    *,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked result sets:
+    ``rrf(d) = sum over arms of 1 / (k0 + rank_arm(d))``, re-ranked top-k.
+
+    The standard hybrid lexical+vector merge — rank-based, so BM25 scores and
+    cosine similarities need no calibration onto one scale. Input frames each
+    carry ``(query_col, id_col, rank_col)`` with ranks 1-based; docs missing
+    from an arm simply contribute nothing (no imputation). One union + one
+    ``groupBy(query, doc)`` partial-agg shuffle over candidate lists already
+    cut to per-arm top-k — at 100 TB this fuses k*arms rows per query, never
+    corpus-sized data. Contributions ``1/(k0+rank)`` are exact rationals of
+    small integers — bit-identical across engines, so the rounded fused score
+    is hash-stable."""
+    contribs = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for df in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_c"), 6).alias("rrf_score")
+    )
+    return topk_per_group(
+        fused, ["query_id"], k, score_col="rrf_score", tiebreak_col="doc_id"
+    ).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "rrf_score"
+    )

@@ -2794,3 +2794,80 @@ def _profile_oracle() -> str:
 
 
 register("documents_profile", _profile_oracle())(_profile_spark)
+
+
+# --------------------------------------------------------------------------
+# Hybrid lexical+vector retrieval via reciprocal-rank fusion
+# (operators/fulltext.py::rrf_fuse)
+# --------------------------------------------------------------------------
+
+RRF_K0 = 60
+
+
+def _hybrid_rrf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import bm25_topk, rrf_fuse
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string")
+
+    lex = bm25_topk(docs, queries_df, k=TOP_K)
+
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    vec = knn_bruteforce(vectors, qs, k=TOP_K, metric="cosine", impl="expr").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("id").cast("long").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex.select("query_id", "doc_id", "rank"), vec], k=TOP_K, k0=RRF_K0)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from pyrope_spark.operators.fulltext import bm25_ranked_cte
+
+    qids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    score = oracle_score_sql("cosine", "vq.qv", "v.embedding")
+    return f"""
+WITH {bm25_ranked_cte(BM25_QUERIES)},
+vq AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({qids})
+),
+vs AS (
+  SELECT vq.qid AS query_id, v.vec_id AS doc_id, {score} AS score
+  FROM vq CROSS JOIN embeddings v
+),
+vec_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM vs
+),
+contribs AS (
+  SELECT query_id, doc_id, 1.0 / ({RRF_K0} + rnk) AS c
+  FROM bm25_ranked WHERE rnk <= {TOP_K}
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({RRF_K0} + rnk) AS c
+  FROM vec_ranked WHERE rnk <= {TOP_K}
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+  FROM contribs GROUP BY query_id, doc_id
+),
+final_ranked AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, rrf_score
+FROM final_ranked WHERE rnk <= {TOP_K}
+"""
+
+
+register("hybrid_rrf_search", _hybrid_rrf_oracle())(_hybrid_rrf_spark)

@@ -92,3 +92,39 @@ def test_bm25_plan_broadcasts_query_side(spark):
     q = spark.createDataFrame([(1, "spark join")], "query_id long, query_text string")
     plan = bm25_topk(docs, q, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fusion_semantics(spark):
+    """A doc ranked well by BOTH arms must outrank docs ranked top by only
+    one arm; contributions are 1/(k0+rank); missing-arm docs get no
+    imputation."""
+    from pyrope_spark.operators.fulltext import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2), (1, 10, 3)], "query_id long, doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, vec], k=10, k0=60).collect()}
+    # doc 20: 1/62 + 1/61 (both arms); doc 10: 1/61 + 1/63
+    assert abs(out[20].rrf_score - round(1 / 62 + 1 / 61, 6)) < 2e-6
+    assert abs(out[10].rrf_score - round(1 / 61 + 1 / 63, 6)) < 2e-6
+    assert out[20].rank == 1 and out[10].rank == 2
+    # single-arm docs: exactly one contribution
+    assert abs(out[30].rrf_score - round(1 / 63, 6)) < 2e-6
+    assert abs(out[40].rrf_score - round(1 / 62, 6)) < 2e-6
+
+
+def test_rrf_tie_breaks_by_doc_id(spark):
+    from pyrope_spark.operators.fulltext import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 7, 1), (1, 3, 2)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 3, 1), (1, 7, 2)], "query_id long, doc_id long, rank long"
+    )
+    out = rrf_fuse([a, b], k=10).orderBy("rank").collect()
+    # identical fused scores -> ascending doc_id decides
+    assert [r.doc_id for r in out] == [3, 7]
