@@ -532,6 +532,10 @@ def main() -> None:
         "sequence_packing",
         "cluster_balanced_sample",
         "events_rollup",
+        "bm25_search",
+        "ngram_lm_score",
+        "hybrid_rrf_search",
+        "interval_join_events",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
