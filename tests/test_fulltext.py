@@ -128,3 +128,28 @@ def test_rrf_tie_breaks_by_doc_id(spark):
     out = rrf_fuse([a, b], k=10).orderBy("rank").collect()
     # identical fused scores -> ascending doc_id decides
     assert [r.doc_id for r in out] == [3, 7]
+
+
+def test_bm25_index_store_roundtrip_and_pruning(spark, tmp_path):
+    """write/load the bucketed index; search results identical to the inline
+    path; the scan carries a PartitionFilters entry on term_bucket."""
+    from pyrope_spark.operators.fulltext import (
+        build_bm25_index,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = _docs(spark)
+    q = spark.createDataFrame(
+        [(1, "spark join"), (2, "fox")], "query_id long, query_text string"
+    )
+    inline = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+
+    idx = write_bm25_index(build_bm25_index(docs), str(tmp_path / "bm25"), n_buckets=8)
+    assert idx.n_buckets == 8
+    stored = sorted(map(tuple, bm25_topk(idx, q, k=10).collect()))
+    assert inline == stored
+
+    pruned = bm25_topk(idx, q, k=10)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan and "PartitionFilters: [" in plan
