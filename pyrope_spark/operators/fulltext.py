@@ -208,16 +208,21 @@ def bm25_topk(
     ):
         # partition pruning: the distinct buckets of the query terms are a
         # handful of int literals — collect them (NOT the terms' postings)
-        # and filter, so the parquet scan skips every other bucket
-        buckets = [
-            r.b
-            for r in qterms.select(
+        # and filter, so the parquet scan skips every other bucket. The
+        # distinct-bucket set is bounded by n_buckets (pmod range), so the
+        # collect is never large; when a wide batch covers EVERY bucket the
+        # filter would be a no-op IN-list — skip it.
+        bucket_rows = (
+            qterms.select(
                 F.pmod(F.xxhash64("term"), F.lit(index.n_buckets)).alias("b")
             )
             .distinct()
             .collect()
-        ]
-        postings = postings.filter(F.col("term_bucket").isin(buckets))
+        )
+        if len(bucket_rows) < index.n_buckets:
+            postings = postings.filter(
+                F.col("term_bucket").isin([r.b for r in bucket_rows])
+            )
 
     tf = F.col("tf").cast("double")
     scored = (

@@ -2871,3 +2871,26 @@ FROM final_ranked WHERE rnk <= {TOP_K}
 
 
 register("hybrid_rrf_search", _hybrid_rrf_oracle())(_hybrid_rrf_spark)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (operators/dsir.py)
+# --------------------------------------------------------------------------
+
+def _dsir_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dsir import dsir_log_ratio, train_bucket_model
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    target = train_bucket_model(docs.filter(F.col("lang") == "en"))
+    raw = train_bucket_model(docs)
+    return dsir_log_ratio(docs, target, raw)
+
+
+def _dsir_oracle() -> str:
+    from pyrope_spark.operators.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql()
+
+
+register("dsir_importance_weights", _dsir_oracle())(_dsir_spark)
