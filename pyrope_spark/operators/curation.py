@@ -719,3 +719,97 @@ def cluster_balanced_sample(
             (h60.cast("double") < rate * F.lit(float(1 << 60))).alias("kept"),
         )
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_size: int = 50_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency vocabulary ``(term, token_id, count)`` — ids 1..max_size by
+    (count desc, term asc) rank; id 0 is reserved for OOV (emitted by
+    :func:`tokens_to_ids`, never present here). Deterministic across engines
+    and layouts: the tie order is total.
+
+    One explode + groupBy(term) shuffle (map-side partials carry the vocab,
+    not the corpus) + one top-``max_size`` cut. At 100 TB the cut is a
+    single-partition window over ~vocab-sized counts — if the raw term
+    universe itself is huge, pre-filter with ``min_count`` (the usual
+    practice) so the ranked set stays bounded."""
+    from pyrope_spark.functions.text import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= max_size)
+        .select("term", "token_id", "count")
+    )
+
+
+def tokens_to_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Map documents to token-id streams: ``(doc_id, pos, token_id)`` with
+    0-based positions and OOV terms mapped to ``oov_id`` — the id-encoding
+    stage between curation and :func:`pack_sequences`. One posexplode + one
+    vocab join (AQE broadcasts a bounded vocab)."""
+    from pyrope_spark.functions.text import tokens
+
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    return exploded.join(vocab.select("term", "token_id"), "term", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(oov_id).cast("long")).alias("token_id"),
+    )
+
+
+def tokens_to_ids_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_size: int = 50_000,
+    min_count: int = 1,
+    oov_id: int = 0,
+) -> str:
+    """DuckDB rendering of build_vocab + tokens_to_ids."""
+    from pyrope_spark.functions.text import tokens_sql
+
+    t = tokens_sql(text_col)
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS doc_id, {t} AS t FROM {table}
+),
+counts AS (
+  SELECT u.term, count(*) AS cnt
+  FROM tk, unnest(t) AS u(term)
+  GROUP BY u.term HAVING count(*) >= {min_count}
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS token_id
+  FROM counts QUALIFY token_id <= {max_size}
+),
+exploded AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS term
+  FROM tk, unnest(range(1, len(t) + 1)) AS u(i)
+)
+SELECT e.doc_id, e.pos,
+       CAST(COALESCE(v.token_id, {oov_id}) AS BIGINT) AS token_id
+FROM exploded e LEFT JOIN vocab v USING (term)
+"""

@@ -2894,3 +2894,29 @@ def _dsir_oracle() -> str:
 
 
 register("dsir_importance_weights", _dsir_oracle())(_dsir_spark)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary build + token-id encoding (operators/curation.py)
+# --------------------------------------------------------------------------
+
+VOCAB_MAX = 40
+VOCAB_MIN_COUNT = 2
+
+
+def _tok_ids_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import build_vocab, tokens_to_ids
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_size=VOCAB_MAX, min_count=VOCAB_MIN_COUNT)
+    return tokens_to_ids(docs, vocab)
+
+
+def _tok_ids_oracle() -> str:
+    from pyrope_spark.operators.curation import tokens_to_ids_oracle_sql
+
+    return tokens_to_ids_oracle_sql(max_size=VOCAB_MAX, min_count=VOCAB_MIN_COUNT)
+
+
+register("tokenize_to_ids", _tok_ids_oracle())(_tok_ids_spark)

@@ -270,3 +270,31 @@ def test_cluster_balanced_sample_flattens_and_is_deterministic(spark):
     assert 20 <= head_kept <= 80
     b = cluster_balanced_sample(df.repartition(7), model, 50, id_col="id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_build_vocab_rank_and_ties(spark):
+    from pyrope_spark.operators.curation import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c c z")], "doc_id long, text string"
+    )
+    v = {r.term: (r.token_id, r["count"]) for r in build_vocab(docs).collect()}
+    assert v["b"] == (1, 3)
+    # a/c tie at count 2 -> term asc: a before c
+    assert v["a"] == (2, 2) and v["c"] == (3, 2)
+    assert v["z"] == (4, 1)
+    # min_count prunes; max_size cuts after ranking
+    v2 = {r.term for r in build_vocab(docs, min_count=2).collect()}
+    assert v2 == {"a", "b", "c"}
+    v3 = {r.term for r in build_vocab(docs, max_size=2).collect()}
+    assert v3 == {"b", "a"}
+
+
+def test_tokens_to_ids_positions_and_oov(spark):
+    from pyrope_spark.operators.curation import build_vocab, tokens_to_ids
+
+    train = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    vocab = build_vocab(train)  # x=1, y=2
+    docs = spark.createDataFrame([(7, "y x zzz y")], "doc_id long, text string")
+    rows = sorted(tokens_to_ids(docs, vocab).collect(), key=lambda r: r.pos)
+    assert [(r.pos, r.token_id) for r in rows] == [(0, 2), (1, 1), (2, 0), (3, 2)]
