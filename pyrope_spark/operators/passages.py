@@ -1,0 +1,217 @@
+"""Duplicate-passage detection — exact substring-level dedup at corpus scale.
+
+The substring-dedup recipe of Lee et al. 2021 ("Deduplicating Training Data
+Makes Language Models Better") finds verbatim passages repeated anywhere in
+the corpus and marks their spans for removal. The published implementation
+builds a monolithic suffix array; that is a single-machine shape. The
+standard distributed equivalent (used here) is sliding-window fingerprinting:
+
+1. slide a ``window``-token window over every document (stride 1) and
+   fingerprint each window;
+2. a window whose fingerprint occurs more than once corpus-wide is part of a
+   duplicated passage (any repeat of >= ``window`` tokens produces at least
+   one repeated window, so recall is exact for passages of that length —
+   modulo fingerprint collisions);
+3. merge overlapping/adjacent duplicated windows per document into maximal
+   spans (gaps-and-islands).
+
+Scale shape (100 TB): the window explode is linear in corpus tokens
+(one row per token position — same order as the corpus itself); duplicate
+marking is ONE hash shuffle on the fingerprint (window functions, no
+groupBy+join-back second shuffle); span merging is ONE shuffle on doc_id.
+No all-pairs anywhere. Stride > 1 trades recall for an s-fold explode
+reduction when passages are long.
+
+Fingerprints: ``portable`` (default) uses the repo's engine-portable
+position-weighted char fingerprint so the DuckDB oracle replicates the
+pipeline bit-for-bit; ``xxhash64`` is the production path (64-bit, collision
+odds ~n²/2⁶⁵) — span-set equality of the two modes is pytest-gated.
+
+Reference behavior anchor: the corpus-dedup north star in BASELINE.json;
+no reference-engine analog (the reference dedups whole keys only,
+VectorStore.cs upsert semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyrope_spark.functions.text import (
+    char_fp,
+    char_fp_sql,
+    tokens,
+    tokens_sql,
+    word_ngrams_from_tokens,
+    word_ngrams_from_tokens_sql,
+)
+
+
+def _window_fp(shingle: Column, fingerprint: str) -> Column:
+    if fingerprint == "portable":
+        return char_fp(shingle)
+    if fingerprint == "xxhash64":
+        return F.xxhash64(shingle)
+    raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
+
+
+def duplicate_window_positions(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 1,
+    fingerprint: str = "portable",
+) -> DataFrame:
+    """Every window position that is part of a corpus-wide duplicated passage.
+
+    Returns (doc_id, pos, fp, n_occurrences, cross_doc): ``pos`` is the
+    1-based token index of the window start, ``n_occurrences`` the global
+    fingerprint count (> 1 by construction), ``cross_doc`` whether the
+    repeat spans more than one document (min(doc) != max(doc) over the
+    fingerprint — no collect_set, stays a streaming window aggregate).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") >= window)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(word_ngrams_from_tokens(F.col("t"), window)).alias(
+            "pos0", "shingle"
+        ),
+    )
+    if stride > 1:
+        wins = wins.where(F.col("pos0") % stride == 0)
+    wins = wins.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        _window_fp(F.col("shingle"), fingerprint).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    marked = wins.select(
+        "doc_id",
+        "pos",
+        "fp",
+        F.count(F.lit(1)).over(w).alias("n_occurrences"),
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("cross_doc"),
+    )
+    return marked.where(F.col("n_occurrences") > 1)
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    fingerprint: str = "portable",
+) -> DataFrame:
+    """Maximal duplicated-passage spans per document.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_windows,
+    cross_doc) — token indices 1-based inclusive; a span at [s, e] means
+    tokens s..e verbatim-repeat somewhere in the corpus (each constituent
+    window does; the maximal repeated passage is within ±(window-1) tokens
+    of the span bounds — the standard sliding-window resolution bound).
+    ``cross_doc`` is true if ANY window in the span repeats outside this
+    document. Spans are merged when windows overlap or touch
+    (next.pos <= prev_end + 1), i.e. duplicated token coverage is
+    contiguous. Stride is fixed at 1 here: span merging assumes full
+    coverage; use :func:`duplicate_window_positions` directly for strided
+    scans.
+    """
+    dup = duplicate_window_positions(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        window=window,
+        stride=1,
+        fingerprint=fingerprint,
+    ).select(
+        "doc_id", "pos", (F.col("pos") + window - 1).alias("end"), "cross_doc"
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        "end",
+        "cross_doc",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(prev), F.lit(-1)) + 1, 1
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    grouped = flagged.select(
+        "doc_id",
+        "pos",
+        "end",
+        "cross_doc",
+        F.sum("new_span").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
+    )
+    return grouped.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        F.max("end").alias("span_end"),
+        (F.max("end") - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.max(F.col("cross_doc").cast("int")).cast("boolean").alias("cross_doc"),
+    ).drop("grp")
+
+
+def duplicate_passages_oracle_sql(
+    *, table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", window: int = 8,
+) -> str:
+    """DuckDB rendering of the full portable-fingerprint pipeline
+    (tokenize -> windows -> char_fp -> global count/min/max windows ->
+    gaps-and-islands), kept in lockstep with the Spark plan above."""
+    wins_expr = word_ngrams_from_tokens_sql("t", window)
+    # NB: the shingle must be materialized as a plain column BEFORE char_fp_sql
+    # is applied — that helper's list_transform lambda binds `i`, which would
+    # shadow an unnest ordinal of the same name inside `w[i]`.
+    fp_expr = char_fp_sql("shingle")
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS t FROM {table}
+), tw AS (
+  SELECT doc_id, {wins_expr} AS w FROM tk WHERE len(t) >= {window}
+), sh AS (
+  SELECT doc_id, i AS pos, w[i] AS shingle
+  FROM tw, unnest(range(1, len(w) + 1)) AS u(i)
+), pos AS (
+  SELECT doc_id, pos, {fp_expr} AS fp FROM sh
+), marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY fp) AS n_occurrences,
+         (min(doc_id) OVER (PARTITION BY fp)
+          != max(doc_id) OVER (PARTITION BY fp)) AS cross_doc
+  FROM pos
+), dup AS (
+  SELECT doc_id, pos, pos + {window} - 1 AS e, cross_doc
+  FROM marked WHERE n_occurrences > 1
+), flagged AS (
+  SELECT doc_id, pos, e, cross_doc,
+         CASE WHEN pos > COALESCE(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+), grouped AS (
+  SELECT doc_id, pos, e, cross_doc,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(max(CAST(cross_doc AS INT)) AS BOOLEAN) AS cross_doc
+FROM grouped
+GROUP BY doc_id, grp
+"""

@@ -2920,3 +2920,28 @@ def _tok_ids_oracle() -> str:
 
 
 register("tokenize_to_ids", _tok_ids_oracle())(_tok_ids_spark)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-passage detection (operators/passages.py; Lee et al. 2021
+# substring dedup, sliding-window fingerprint formulation)
+# --------------------------------------------------------------------------
+
+PASSAGE_WINDOW = 8
+
+
+def _passages_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.passages import duplicate_passages
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_passages(docs, window=PASSAGE_WINDOW)
+
+
+def _passages_oracle() -> str:
+    from pyrope_spark.operators.passages import duplicate_passages_oracle_sql
+
+    return duplicate_passages_oracle_sql(window=PASSAGE_WINDOW)
+
+
+register("duplicate_passages", _passages_oracle())(_passages_spark)

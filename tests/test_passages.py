@@ -1,0 +1,105 @@
+"""Duplicate-passage detection (operators/passages.py) — planted-passage
+semantics, span merging, cross-doc attribution, and fingerprint-mode parity."""
+
+from __future__ import annotations
+
+from pyrope_spark.operators.passages import (
+    duplicate_passages,
+    duplicate_window_positions,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+UNIQ_A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+UNIQ_B = "kilo lima mike november oscar papa quebec romeo sierra tango"
+SHARED = "one two three four five six seven eight nine ten eleven twelve"
+
+
+def test_planted_cross_doc_passage(spark):
+    # 12 shared tokens at different offsets; window=8 -> windows 1..5 of the
+    # shared region duplicate. Doc 10: tokens 11..22 shared; doc 20: 1..12.
+    docs = _docs(
+        spark,
+        [
+            (10, UNIQ_A + " " + SHARED),
+            (20, SHARED + " " + UNIQ_B),
+        ],
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in duplicate_passages(docs, window=8).collect()
+    }
+    assert set(spans) == {10, 20}
+    s10, s20 = spans[10], spans[20]
+    # doc 20's shared passage starts at token 1, spans its full 12 tokens
+    assert (s20["span_start"], s20["span_end"]) == (1, 12)
+    assert s20["span_tokens"] == 12 and s20["n_windows"] == 5
+    # doc 10's copy sits after the 10 unique tokens
+    assert (s10["span_start"], s10["span_end"]) == (11, 22)
+    assert s10["cross_doc"] and s20["cross_doc"]
+
+
+def test_within_doc_repeat_not_cross_doc(spark):
+    text = SHARED + " " + UNIQ_A + " " + SHARED
+    other = UNIQ_B + " unique filler tokens continue here onward still more"
+    docs = _docs(spark, [(1, text), (2, other)])
+    rows = duplicate_passages(docs, window=8).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert all(not r["cross_doc"] for r in rows)
+    # both copies of the repeated region are flagged
+    starts = sorted(r["span_start"] for r in rows)
+    assert starts == [1, 23]
+
+
+def test_no_duplicates_empty(spark):
+    docs = _docs(spark, [(1, UNIQ_A), (2, UNIQ_B)])
+    assert duplicate_passages(docs, window=8).count() == 0
+
+
+def test_adjacent_windows_merge_to_one_span(spark):
+    # 16 shared tokens -> 9 overlapping windows at window=8, one merged span.
+    long_shared = SHARED + " thirteen fourteen fifteen sixteen"
+    docs = _docs(
+        spark,
+        [(1, long_shared + " " + UNIQ_A), (2, UNIQ_B + " " + long_shared)],
+    )
+    rows = duplicate_passages(docs, window=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 1 for v in per_doc.values())
+    assert per_doc[1][0]["span_tokens"] == 16
+    assert per_doc[1][0]["n_windows"] == 9
+
+
+def test_xxhash64_mode_matches_portable(spark):
+    docs = _docs(
+        spark,
+        [
+            (10, UNIQ_A + " " + SHARED),
+            (20, SHARED + " " + UNIQ_B),
+            (30, UNIQ_B + " " + UNIQ_A),
+        ],
+    )
+    def key(rows):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["cross_doc"])
+            for r in rows
+        )
+    portable = key(duplicate_passages(docs, window=8, fingerprint="portable").collect())
+    fast = key(duplicate_passages(docs, window=8, fingerprint="xxhash64").collect())
+    assert portable == fast and portable
+
+
+def test_stride_subsamples_positions(spark):
+    docs = _docs(spark, [(1, SHARED + " " + UNIQ_A), (2, SHARED + " " + UNIQ_B)])
+    full = duplicate_window_positions(docs, window=8, stride=1)
+    strided = duplicate_window_positions(docs, window=8, stride=2)
+    full_pos = {(r["doc_id"], r["pos"]) for r in full.collect()}
+    strided_pos = {(r["doc_id"], r["pos"]) for r in strided.collect()}
+    assert strided_pos <= full_pos
+    # stride 2 keeps pos0 % 2 == 0 i.e. odd 1-based positions
+    assert all(p % 2 == 1 for _, p in strided_pos)
