@@ -156,3 +156,209 @@ def as_of_join(
     for c in rvals:
         sel.append(F.col(f"_r_{c}").alias(f"right_{c}"))
     return out.select(*sel)
+
+
+def gapfill(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    agg: str = "avg",
+    observation_round: int | None = None,
+) -> DataFrame:
+    """Dense time-bucket aggregation with gap filling — the hypertable
+    ``time_bucket_gapfill`` + ``locf`` / ``interpolate`` recipe (TimescaleDB
+    semantics) as a batch operator.
+
+    Per key: bucket events into ``bucket_s``-second epoch buckets, aggregate
+    ``value_col`` with ``agg`` (avg|sum|min|max|count), then densify the
+    bucket axis from each key's first to last bucket and fill the gaps two
+    ways at once:
+
+    - ``v_locf``  — last observation carried forward (NULL before the first
+      observation);
+    - ``v_lerp`` — linear interpolation between the surrounding
+      observations (NULL outside them).
+
+    Output: (*key_cols, bucket_ts_s BIGINT epoch seconds, v_raw, v_locf,
+    v_lerp, is_gap). Epoch-second buckets (not timestamps) keep the output
+    timezone-free — the cross-engine timestamp pitfall documented in
+    catalog.py.
+
+    Scale shape: bucket agg is one (key, bucket) hash shuffle with map-side
+    partials; the spine is generated distributed (per-key sequence explode —
+    rows = time-span/bucket_s per key, no driver range); fills are window
+    functions over one (key) sort. A key whose span/bucket_s is huge
+    produces a proportionally huge spine — that is the semantics of
+    densification; bound it by bucketing coarser, not by sampling.
+
+    ``observation_round``: round the aggregated observation to this many
+    decimals BEFORE computing the fills. Float aggregation is not
+    associative, so two engines (or two partitionings) can disagree on the
+    last ulp of ``avg``; interpolating from unrounded endpoints amplifies
+    that ulp across every gap row (measured: 101 of 1M rows flipped a
+    6-decimal rounding boundary vs the DuckDB oracle at sf0.1). In this mode
+    the interpolation itself runs in exact integer micro-units
+    (value * 10^r as BIGINT, half-away-from-zero rational rounding) — from
+    6-decimal endpoints and small-rational time fractions the interpolated
+    value lands on an exact 7th-digit 5 so often that even bit-identical
+    input doubles diverge under the engines' different round() tie paths
+    (Spark shortest-repr HALF_UP vs DuckDB scale-multiply std::round; still
+    101/1M mismatches after endpoint rounding alone). Integer math sidesteps
+    float ties entirely. Leave None when layout-exact reproducibility is not
+    needed.
+    """
+    aggs = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c).cast("double"),
+    }
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    bucket = (
+        F.floor(F.col(ts_col).cast("double") / bucket_s).cast("long") * bucket_s
+    )
+    per_bucket = (
+        events.select(*key_cols, bucket.alias("bucket_ts_s"), F.col(value_col))
+        .groupBy(*key_cols, "bucket_ts_s")
+        .agg(aggs[agg](F.col(value_col)).alias("v_raw"))
+    )
+    if observation_round is not None:
+        per_bucket = per_bucket.withColumn(
+            "v_raw", F.round("v_raw", observation_round)
+        )
+    spine = (
+        per_bucket.groupBy(*key_cols)
+        .agg(F.min("bucket_ts_s").alias("_mn"), F.max("bucket_ts_s").alias("_mx"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(bucket_s))
+            ).alias("bucket_ts_s"),
+        )
+    )
+    dense = spine.join(per_bucket, [*key_cols, "bucket_ts_s"], "left")
+    w = Window.partitionBy(*key_cols).orderBy("bucket_ts_s")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_t = F.when(F.col("v_raw").isNotNull(), F.col("bucket_ts_s"))
+    prev_v = F.last("v_raw", ignorenulls=True).over(back)
+    prev_t = F.last(obs_t, ignorenulls=True).over(back)
+    next_v = F.first("v_raw", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(fwd)
+    if observation_round is not None:
+        # Exact rational path: v_lerp = num/den in micro-units with
+        # half-away-from-zero rounding, then one exact BIGINT / 10^r
+        # division — identical IEEE result in any engine. Magnitude bound:
+        # |num| <= max|v|*10^r * span_s; keep below 2^62 by bucketing
+        # coarser or lowering observation_round for extreme spans.
+        scale = 10 ** observation_round
+        pv_i = F.round(prev_v * scale).cast("long")
+        nv_i = F.round(next_v * scale).cast("long")
+        den = next_t - prev_t
+        num = pv_i * den + (nv_i - pv_i) * (F.col("bucket_ts_s") - prev_t)
+        half_up = (2 * num + den).cast("long")
+        half_dn = (-2 * num + den).cast("long")
+        # floor-division on guaranteed-positive operands == truncation in
+        # every engine; the negative branch mirrors to positive first.
+        # The double division inside floor() is exact: operands stay under
+        # 2^53, so quotient ties/integers are represented exactly.
+        lerp_i = F.when(
+            num >= 0, F.floor(half_up / (2 * den)).cast("long")
+        ).otherwise(-F.floor(half_dn / (2 * den)).cast("long"))
+        lerp = F.when(F.col("v_raw").isNotNull(), F.col("v_raw")).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                lerp_i.cast("double") / F.lit(float(scale)),
+            )
+        )
+    else:
+        lerp = F.when(F.col("v_raw").isNotNull(), F.col("v_raw")).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v
+                + (next_v - prev_v)
+                * (F.col("bucket_ts_s") - prev_t)
+                / (next_t - prev_t),
+            )
+        )
+    return dense.select(
+        *key_cols,
+        "bucket_ts_s",
+        "v_raw",
+        prev_v.alias("v_locf"),
+        lerp.alias("v_lerp"),
+        F.col("v_raw").isNull().alias("is_gap"),
+    )
+
+
+def gapfill_oracle_sql(
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    round_to: int = 6,
+) -> str:
+    """DuckDB rendering of :func:`gapfill` (avg aggregation, single key),
+    column-for-column, with the same epoch-second buckets and rounding."""
+    return f"""
+WITH pb AS (
+  SELECT {key},
+         CAST(floor(epoch({ts_col}) / {bucket_s}) AS BIGINT) * {bucket_s} AS bucket_ts_s,
+         round(avg({value_col}), {round_to}) AS v_raw
+  FROM {table}
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT {key}, min(bucket_ts_s) AS mn, max(bucket_ts_s) AS mx FROM pb GROUP BY 1
+), spine AS (
+  SELECT {key}, CAST(i AS BIGINT) AS bucket_ts_s
+  FROM bounds, unnest(range(mn, mx + 1, {bucket_s})) AS u(i)
+), dense AS (
+  SELECT s.{key}, s.bucket_ts_s, pb.v_raw
+  FROM spine s LEFT JOIN pb ON s.{key} = pb.{key} AND s.bucket_ts_s = pb.bucket_ts_s
+), filled AS (
+  SELECT {key}, bucket_ts_s, v_raw,
+    last_value(v_raw IGNORE NULLS) OVER (
+      PARTITION BY {key} ORDER BY bucket_ts_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN v_raw IS NOT NULL THEN bucket_ts_s END IGNORE NULLS) OVER (
+      PARTITION BY {key} ORDER BY bucket_ts_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    first_value(v_raw IGNORE NULLS) OVER (
+      PARTITION BY {key} ORDER BY bucket_ts_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN v_raw IS NOT NULL THEN bucket_ts_s END IGNORE NULLS) OVER (
+      PARTITION BY {key} ORDER BY bucket_ts_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM dense
+), lint AS (
+  -- exact integer micro-unit interpolation, mirroring gapfill()'s
+  -- observation_round path: num/den rational, half-away-from-zero
+  SELECT *,
+         CAST(round(prev_v * {10 ** round_to}) AS BIGINT) AS pv_i,
+         CAST(round(next_v * {10 ** round_to}) AS BIGINT) AS nv_i,
+         next_t - prev_t AS den
+  FROM filled
+), num AS (
+  SELECT *, pv_i * den + (nv_i - pv_i) * (bucket_ts_s - prev_t) AS num
+  FROM lint
+)
+SELECT {key}, bucket_ts_s,
+       round(v_raw, {round_to}) AS v_raw,
+       round(prev_v, {round_to}) AS v_locf,
+       CASE WHEN v_raw IS NOT NULL THEN round(v_raw, {round_to})
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+            THEN (CASE WHEN num >= 0
+                       THEN CAST(floor((2 * num + den) / (2.0 * den)) AS BIGINT)
+                       ELSE -CAST(floor((-2 * num + den) / (2.0 * den)) AS BIGINT)
+                  END) / {float(10 ** round_to)}
+       END AS v_lerp,
+       (v_raw IS NULL) AS is_gap
+FROM num
+"""

@@ -2945,3 +2945,44 @@ def _passages_oracle() -> str:
 
 
 register("duplicate_passages", _passages_oracle())(_passages_spark)
+
+
+# --------------------------------------------------------------------------
+# Time-bucket gap-fill + LOCF / linear interpolation (operators/temporal.py;
+# TimescaleDB time_bucket_gapfill semantics)
+# --------------------------------------------------------------------------
+
+GAPFILL_BUCKET_S = 3600
+
+
+def _gapfill_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import gapfill
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    dense = gapfill(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        bucket_s=GAPFILL_BUCKET_S,
+        agg="avg",
+        observation_round=6,
+    )
+    return dense.select(
+        "user_id",
+        "bucket_ts_s",
+        F.round("v_raw", 6).alias("v_raw"),
+        F.round("v_locf", 6).alias("v_locf"),
+        F.round("v_lerp", 6).alias("v_lerp"),
+        "is_gap",
+    )
+
+
+def _gapfill_oracle() -> str:
+    from pyrope_spark.operators.temporal import gapfill_oracle_sql
+
+    return gapfill_oracle_sql(bucket_s=GAPFILL_BUCKET_S)
+
+
+register("events_gapfill", _gapfill_oracle())(_gapfill_spark)

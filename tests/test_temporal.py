@@ -113,3 +113,58 @@ def test_interval_join_no_duplicate_pairs_and_plan(spark):
     assert len(rows) == 10 == len({r.v for r in rows})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_gapfill_locf_and_lerp(spark):
+    """One key, hourly buckets with observations at hours 0, 3 (gap 1-2) and
+    a trailing observation at 5: locf carries, lerp interpolates linearly."""
+    from pyrope_spark.operators.temporal import gapfill
+
+    base = datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base + timedelta(hours=0), 10.0),
+            (1, base + timedelta(hours=0, minutes=30), 20.0),  # avg h0 = 15
+            (1, base + timedelta(hours=3), 30.0),
+            (1, base + timedelta(hours=5), 50.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    res = gapfill(ev, key_cols=["user_id"]).orderBy("bucket_ts_s").collect()
+    assert len(res) == 6  # hours 0..5 dense
+    h = {i: res[i] for i in range(6)}
+    assert h[0]["v_raw"] == 15.0 and not h[0]["is_gap"]
+    assert h[1]["v_raw"] is None and h[1]["is_gap"]
+    # locf: gap hours 1-2 carry 15.0
+    assert h[1]["v_locf"] == 15.0 and h[2]["v_locf"] == 15.0
+    # lerp between (h0,15) and (h3,30): h1=20, h2=25
+    assert abs(h[1]["v_lerp"] - 20.0) < 1e-9
+    assert abs(h[2]["v_lerp"] - 25.0) < 1e-9
+    # gap h4 between (h3,30) and (h5,50) -> 40
+    assert abs(h[4]["v_lerp"] - 40.0) < 1e-9
+    assert h[5]["v_raw"] == 50.0
+
+
+def test_gapfill_edges_and_multi_key(spark):
+    """Leading gaps have NULL locf/lerp; keys densify independently; count
+    aggregation supported."""
+    from pyrope_spark.operators.temporal import gapfill
+
+    base = datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base + timedelta(hours=1), 1.0),
+            (1, base + timedelta(hours=3), 3.0),
+            (2, base + timedelta(hours=10), 7.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    res = gapfill(ev, key_cols=["user_id"], agg="count").collect()
+    by_key = {}
+    for r in res:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert len(by_key[1]) == 3 and len(by_key[2]) == 1  # h1..h3; h10 only
+    k1 = sorted(by_key[1], key=lambda r: r["bucket_ts_s"])
+    assert k1[0]["v_raw"] == 1.0 and k1[1]["is_gap"] and k1[2]["v_raw"] == 1.0
+    # single-observation key: no gaps, locf == raw (count of 1 event = 1.0)
+    assert by_key[2][0]["v_locf"] == 1.0 and not by_key[2][0]["is_gap"]
