@@ -1,0 +1,150 @@
+"""Windowed funnel analysis over event streams.
+
+The ClickHouse ``windowFunnel`` / product-analytics staple: how far does
+each user progress through an ordered chain of event types, with the whole
+chain constrained to a time window anchored at the first step.
+
+Semantics here are **greedy-from-earliest** (documented deviation from
+ClickHouse's any-anchor sliding scan): the chain anchors at the user's
+EARLIEST step-1 event; each subsequent step matches its earliest event
+STRICTLY after the previous step (and within ``within_s`` of the anchor).
+Greedy-earliest is deterministic and exactly SQL-replicable; the any-anchor
+variant can only convert MORE users when a window is set and a later anchor
+would fit — for window-free funnels the two agree exactly.
+
+Scale shape: one filtered aggregate per step — step i is a groupBy(key)
+min() over events filtered to that step's type, joined to the accumulated
+chain on the key. k steps = k key-hash shuffles over *filtered* subsets
+(each far smaller than the corpus; the event scan pushes the type filter
+down). No collect_list of a user's full history (unbounded per-key memory),
+no per-key nested loop.
+
+No reference analog (the reference has no event-sequence operator); this is
+part of the engine's general OLAP surface alongside sessionize/gapfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    *,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Per-key funnel progression.
+
+    Output: (key, t1_us .. tk_us BIGINT epoch-micros of each matched step
+    — NULL from the first unmatched step on, max_step, completed,
+    duration_us between anchor and final step for completed chains).
+    Epoch-micros keep the output timezone-free and exact.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    us = F.unix_micros(F.col(ts_col))
+    chain = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(us).alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(key_col), us.alias("_ts_us")
+        )
+        cond = (ev["_ts_us"] > chain[f"t{i - 1}_us"])
+        if within_s is not None:
+            cond = cond & (ev["_ts_us"] <= chain["t1_us"] + within_s * 1_000_000)
+        nxt = (
+            chain.join(ev, on=(chain[key_col] == ev[key_col]) & cond, how="inner")
+            .groupBy(chain[key_col])
+            .agg(F.min("_ts_us").alias(f"t{i}_us"))
+        )
+        chain = chain.join(nxt, on=key_col, how="left")
+    k = len(steps)
+    max_step = sum(
+        (F.col(f"t{i}_us").isNotNull().cast("int") for i in range(2, k + 1)),
+        F.lit(1),
+    ).cast("long")
+    completed = F.col(f"t{k}_us").isNotNull()
+    return chain.select(
+        key_col,
+        *[f"t{i}_us" for i in range(1, k + 1)],
+        max_step.alias("max_step"),
+        completed.alias("completed"),
+        F.when(completed, F.col(f"t{k}_us") - F.col("t1_us")).alias("duration_us"),
+    )
+
+
+def funnel_counts(funnel_df: DataFrame) -> DataFrame:
+    """Conversion summary: users reaching at least each level (classic
+    monotone funnel chart), one tiny aggregate over the per-key table."""
+    per_level = funnel_df.groupBy("max_step").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_level")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("max_step"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_level.select(
+        "max_step",
+        "n_at_level",
+        F.sum("n_at_level").over(w).cast("long").alias("n_reached"),
+    )
+
+
+def funnel_oracle_sql(
+    *,
+    steps: list[str],
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+) -> str:
+    """DuckDB rendering of :func:`funnel`, step-for-step."""
+    k = len(steps)
+    ctes = [
+        f"""s1 AS (
+  SELECT {key}, min(epoch_us({ts_col})) AS t1_us
+  FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY 1
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        win = (
+            f" AND epoch_us(e.{ts_col}) <= c.t1_us + {within_s * 1_000_000}"
+            if within_s is not None
+            else ""
+        )
+        prev_chain = "s1" if i == 2 else f"c{i - 1}"
+        ctes.append(
+            f"""c{i} AS (
+  SELECT p.*, n.t{i}_us FROM {prev_chain} p
+  LEFT JOIN (
+    SELECT c.{key}, min(epoch_us(e.{ts_col})) AS t{i}_us
+    FROM {prev_chain} c JOIN {table} e ON e.{key} = c.{key}
+    WHERE e.{type_col} = '{step}'
+      AND epoch_us(e.{ts_col}) > c.t{i - 1}_us{win}
+    GROUP BY 1
+  ) n USING ({key})
+)"""
+        )
+    max_step = " + ".join(
+        [f"CASE WHEN t{i}_us IS NOT NULL THEN 1 ELSE 0 END" for i in range(2, k + 1)]
+    )
+    tcols = ", ".join(f"t{i}_us" for i in range(1, k + 1))
+    return f"""
+WITH {', '.join(ctes)}
+SELECT {key}, {tcols},
+       CAST(1 + {max_step} AS BIGINT) AS max_step,
+       (t{k}_us IS NOT NULL) AS completed,
+       CASE WHEN t{k}_us IS NOT NULL THEN t{k}_us - t1_us END AS duration_us
+FROM c{k}
+"""

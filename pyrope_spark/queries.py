@@ -2986,3 +2986,29 @@ def _gapfill_oracle() -> str:
 
 
 register("events_gapfill", _gapfill_oracle())(_gapfill_spark)
+
+
+# --------------------------------------------------------------------------
+# Windowed funnel analysis (operators/funnel.py; ClickHouse windowFunnel
+# family, greedy-from-earliest semantics)
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN_S = 86400
+
+
+def _funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.funnel import funnel
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, steps=FUNNEL_STEPS, within_s=FUNNEL_WITHIN_S)
+
+
+def _funnel_oracle() -> str:
+    from pyrope_spark.operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(steps=FUNNEL_STEPS, within_s=FUNNEL_WITHIN_S)
+
+
+register("funnel_view_click_purchase", _funnel_oracle())(_funnel_spark)

@@ -1,0 +1,95 @@
+"""Funnel analysis (operators/funnel.py) — progression, strict ordering,
+window anchoring, greedy-from-earliest semantics, and the counts rollup."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyrope_spark.operators.funnel import funnel, funnel_counts
+
+
+def _ev(spark, rows):
+    base = datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [(u, base + timedelta(seconds=s), t) for (u, s, t) in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_progression_levels(spark):
+    ev = _ev(
+        spark,
+        [
+            # u1 completes in order
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            # u2 stops after click
+            (2, 0, "view"), (2, 10, "click"),
+            # u3 only views
+            (3, 0, "view"),
+            # u4 purchase BEFORE click: strict ordering blocks level 3
+            (4, 0, "view"), (4, 10, "purchase"), (4, 20, "click"),
+            # u5 never views -> absent from output
+            (5, 0, "click"), (5, 10, "purchase"),
+        ],
+    )
+    out = {r["user_id"]: r for r in
+           funnel(ev, steps=["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["max_step"] == 3 and out[1]["completed"]
+    assert out[1]["duration_us"] == 20_000_000
+    assert out[2]["max_step"] == 2 and not out[2]["completed"]
+    assert out[3]["max_step"] == 1
+    assert out[4]["max_step"] == 2  # click matched at t=20, no purchase after
+    assert out[4]["t3_us"] is None
+
+
+def test_funnel_window_anchored_at_first_step(spark):
+    ev = _ev(
+        spark,
+        [
+            # chain completes but purchase lands outside the 60s anchor window
+            (1, 0, "view"), (1, 10, "click"), (1, 100, "purchase"),
+            # inside window
+            (2, 0, "view"), (2, 10, "click"), (2, 50, "purchase"),
+        ],
+    )
+    out = {r["user_id"]: r for r in
+           funnel(ev, steps=["view", "click", "purchase"], within_s=60).collect()}
+    assert out[1]["max_step"] == 2 and out[2]["max_step"] == 3
+
+
+def test_funnel_greedy_anchors_at_earliest_first_step(spark):
+    # Documented deviation: anchor = earliest 'view' (t=0); with window 30s
+    # the purchase at t=40 is out of window even though anchoring at the
+    # second view (t=20) would convert. Greedy reports level 2.
+    ev = _ev(
+        spark,
+        [(1, 0, "view"), (1, 25, "click"), (1, 20, "view"), (1, 40, "purchase")],
+    )
+    out = funnel(ev, steps=["view", "click", "purchase"], within_s=30).collect()[0]
+    assert out["t1_us"] is not None and out["max_step"] == 2
+
+
+def test_funnel_equal_timestamps_not_matched(spark):
+    # strictly-after: click at the same instant as view does not count
+    ev = _ev(spark, [(1, 0, "view"), (1, 0, "click")])
+    out = funnel(ev, steps=["view", "click"]).collect()[0]
+    assert out["max_step"] == 1
+
+
+def test_funnel_counts_monotone(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (2, 0, "view"), (2, 1, "click"),
+            (3, 0, "view"),
+            (4, 0, "view"),
+        ],
+    )
+    f = funnel(ev, steps=["view", "click", "purchase"])
+    counts = {r["max_step"]: r for r in funnel_counts(f).collect()}
+    assert counts[1]["n_at_level"] == 2
+    assert counts[1]["n_reached"] == 4  # everyone reached level 1
+    assert counts[2]["n_reached"] == 2
+    assert counts[3]["n_reached"] == 1
