@@ -1,0 +1,153 @@
+"""Count-min sketch frequency estimation and heavy hitters.
+
+The Cormode-Muthukrishnan count-min sketch (2005) as a DataFrame operator:
+``d`` independent hash rows of ``width`` counters; a term's estimate is the
+min over rows of its bucket's counter — always an over-estimate, with error
+<= eps * total_count at width = ceil(e/eps) w.h.p. The sketch TABLE (d *
+width rows, term-free) is the shippable artifact: at 100 TB the token
+stream aggregates into a fixed-size table with map-side partial counts
+(one hash shuffle of at most d*width distinct keys per partition), and
+estimation is a broadcast join of query terms against it — the raw corpus
+is never re-scanned per query.
+
+Hashing is the repo's engine-portable affine scheme over ``char_fp`` (small
+multipliers keep every intermediate far inside int64), so the whole sketch
+replicates bit-for-bit in the DuckDB oracle. An ``xxhash64`` mode would cut
+collision correlation at production scale; the affine family over distinct
+multipliers is already pairwise-independent enough for the CMS bound and is
+what the correctness gate can check.
+
+No reference analog (nearest is the reference's fixed-bound latency
+histogram, MetricsService.cs); this extends the engine's sketch surface
+alongside HLL distinct (profile.py) for training-data corpus statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyrope_spark.functions.text import FP_PRIME, char_fp, char_fp_sql, tokens, tokens_sql
+
+# distinct small odd multipliers per hash row (affine family mod FP_PRIME);
+# offsets break the shared fixed point at fp=0
+CMS_MULTS = [31, 37, 41, 43, 47, 53, 59, 61]
+CMS_OFFS = [17, 257, 4099, 65537, 262147, 524309, 1048583, 2097169]
+
+
+def _bucket(fp: Column, d: int, width: int) -> Column:
+    return F.pmod(fp * CMS_MULTS[d] + CMS_OFFS[d], F.lit(FP_PRIME)) % width
+
+
+def _bucket_sql(fp_expr: str, d: int, width: int) -> str:
+    return (
+        f"(((({fp_expr}) * {CMS_MULTS[d]} + {CMS_OFFS[d]}) % {FP_PRIME} "
+        f"+ {FP_PRIME}) % {FP_PRIME}) % {width}"
+    )
+
+
+def cms_build(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the sketch table (d, bucket, cnt) over the corpus token stream.
+
+    One explode + one (d, bucket) hash shuffle; the shuffle carries at most
+    depth * width distinct keys per map partition (partial aggregation
+    collapses the token stream to counter increments executor-side).
+    """
+    if not 1 <= depth <= len(CMS_MULTS):
+        raise ValueError(f"depth must be in 1..{len(CMS_MULTS)}")
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).select(char_fp(F.col("term")).alias("fp"))
+    rows = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"), _bucket(F.col("fp"), d, width).alias("bucket")
+                )
+                for d in range(depth)
+            ])
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    *,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated count per query term: min over the d bucket counters.
+
+    The d lookups are one join of (term, d, bucket) rows against the
+    fixed-size sketch — broadcast the sketch side (d*width rows) so the
+    estimate is shuffle-free relative to the query set.
+    """
+    probes = terms.select(
+        F.col(term_col).alias("term"), char_fp(F.col(term_col)).alias("fp")
+    ).select(
+        "term",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"), _bucket(F.col("fp"), d, width).alias("bucket")
+                )
+                for d in range(depth)
+            ])
+        ).alias("db"),
+    ).select("term", "db.d", "db.bucket")
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    return joined.groupBy("term").agg(F.min("cnt").cast("long").alias("est_count"))
+
+
+def cms_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    min_exact: int = 1,
+) -> str:
+    """DuckDB rendering of build + estimate over every distinct corpus term
+    with exact count >= min_exact, alongside the exact count."""
+    fp_term = char_fp_sql("term")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, {_bucket_sql('fp', d, width)} AS bucket, cnt FROM tf"
+        for d in range(depth)
+    )
+    probe_unions = "\nUNION ALL\n".join(
+        f"SELECT term, cnt AS exact_count, {d} AS d, "
+        f"{_bucket_sql('fp', d, width)} AS bucket FROM tf"
+        for d in range(depth)
+    )
+    return f"""
+WITH tk AS (
+  SELECT {tokens_sql(text_col)} AS t FROM {table}
+), terms AS (
+  SELECT u.term FROM tk, unnest(t) AS u(term)
+), tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt, {fp_term} AS fp
+  FROM terms GROUP BY term
+), sketch AS (
+  SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+  FROM ({unions}) GROUP BY d, bucket
+), probes AS (
+{probe_unions}
+), est AS (
+  SELECT p.term, p.exact_count,
+         CAST(min(COALESCE(s.bcnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+  GROUP BY p.term, p.exact_count
+)
+SELECT term, est_count, exact_count FROM est WHERE exact_count >= {min_exact}
+"""

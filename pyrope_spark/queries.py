@@ -3012,3 +3012,38 @@ def _funnel_oracle() -> str:
 
 
 register("funnel_view_click_purchase", _funnel_oracle())(_funnel_spark)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/sketch.py; Cormode &
+# Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.sketch import cms_build, cms_estimate
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = cms_build(docs, depth=CMS_DEPTH, width=CMS_WIDTH)
+    from pyrope_spark.functions.text import tokens
+
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    est = cms_estimate(sketch, exact.select("term"), depth=CMS_DEPTH, width=CMS_WIDTH)
+    return est.join(exact, "term").select("term", "est_count", "exact_count")
+
+
+def _cms_oracle() -> str:
+    from pyrope_spark.operators.sketch import cms_oracle_sql
+
+    return cms_oracle_sql(depth=CMS_DEPTH, width=CMS_WIDTH)
+
+
+register("heavy_hitters_cms", _cms_oracle())(_cms_spark)
