@@ -148,3 +148,82 @@ SELECT {key}, {tcols},
        CASE WHEN t{k}_us IS NOT NULL THEN t{k}_us - t1_us END AS duration_us
 FROM c{k}
 """
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period, then
+    the fraction of each cohort active again k periods later.
+
+    Output: (cohort_s BIGINT epoch-seconds of the cohort period start,
+    offset BIGINT periods since the cohort period, n_cohort, n_active,
+    retention DOUBLE rounded 6). offset 0 is the cohort period itself
+    (retention 1.0 by construction).
+
+    Scale shape: first-activity is one key-hash groupBy; per-period activity
+    is one distinct over (key, period) — both with map-side partials; the
+    cohort join shuffles on the key; the matrix aggregate is trivial
+    (cohorts x offsets rows). All linear, no windows over the raw stream.
+    """
+    period = F.floor(F.col(ts_col).cast("double") / period_s).cast("long")
+    first = (
+        events.select(F.col(key_col).alias("k"), period.alias("p"))
+        .groupBy("k")
+        .agg(F.min("p").alias("cohort_p"))
+    )
+    active = (
+        events.select(F.col(key_col).alias("k"), period.alias("p")).distinct()
+    )
+    joined = active.join(first, "k").select(
+        "k", "cohort_p", (F.col("p") - F.col("cohort_p")).alias("offset")
+    )
+    sizes = first.groupBy("cohort_p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    matrix = (
+        joined.groupBy("cohort_p", "offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(sizes, "cohort_p")
+    )
+    return matrix.select(
+        (F.col("cohort_p") * period_s).alias("cohort_s"),
+        F.col("offset").cast("long").alias("offset"),
+        "n_cohort",
+        "n_active",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
+def cohort_retention_oracle_sql(
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86400,
+) -> str:
+    """DuckDB rendering of :func:`cohort_retention`."""
+    p = f"CAST(floor(epoch({ts_col}) / {period_s}) AS BIGINT)"
+    return f"""
+WITH first AS (
+  SELECT {key} AS k, min({p}) AS cohort_p FROM {table} GROUP BY 1
+), active AS (
+  SELECT DISTINCT {key} AS k, {p} AS p FROM {table}
+), joined AS (
+  SELECT a.k, f.cohort_p, a.p - f.cohort_p AS offset
+  FROM active a JOIN first f ON a.k = f.k
+), sizes AS (
+  SELECT cohort_p, CAST(count(*) AS BIGINT) AS n_cohort FROM first GROUP BY 1
+)
+SELECT j.cohort_p * {period_s} AS cohort_s,
+       CAST(j.offset AS BIGINT) AS offset,
+       s.n_cohort,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(count(*) * 1.0 / s.n_cohort, 6) AS retention
+FROM joined j JOIN sizes s ON j.cohort_p = s.cohort_p
+GROUP BY j.cohort_p, j.offset, s.n_cohort
+"""

@@ -3047,3 +3047,24 @@ def _cms_oracle() -> str:
 
 
 register("heavy_hitters_cms", _cms_oracle())(_cms_spark)
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix (operators/funnel.py)
+# --------------------------------------------------------------------------
+
+def _cohort_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.funnel import cohort_retention
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, period_s=7 * 86400)
+
+
+def _cohort_oracle() -> str:
+    from pyrope_spark.operators.funnel import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql(period_s=7 * 86400)
+
+
+register("cohort_retention_weekly", _cohort_oracle())(_cohort_spark)

@@ -93,3 +93,31 @@ def test_funnel_counts_monotone(spark):
     assert counts[1]["n_reached"] == 4  # everyone reached level 1
     assert counts[2]["n_reached"] == 2
     assert counts[3]["n_reached"] == 1
+
+
+def test_cohort_retention_matrix(spark):
+    from pyrope_spark.operators.funnel import cohort_retention
+
+    # period 100s; u1,u2 start period 0; u2 returns period 1; u3 starts period 1
+    ev = _ev(
+        spark,
+        [
+            (1, 10, "view"),
+            (2, 20, "view"), (2, 130, "click"), (2, 250, "view"),
+            (3, 110, "view"),
+        ],
+    )
+    rows = {(r["cohort_s"], r["offset"]): r
+            for r in cohort_retention(ev, period_s=100).collect()}
+    base = rows[min(c for c, _ in rows), 0]
+    # cohort of period containing t=10: u1+u2 -> size 2
+    assert base["n_cohort"] == 2 and base["n_active"] == 2
+    assert base["retention"] == 1.0
+    c0 = base["cohort_s"]
+    assert rows[(c0, 1)]["n_active"] == 1  # only u2 returns next period
+    assert rows[(c0, 1)]["retention"] == 0.5
+    assert rows[(c0, 2)]["n_active"] == 1  # u2 again at t=250
+    # u3's cohort is the next period, size 1, offset 0 only
+    c1 = c0 + 100
+    assert rows[(c1, 0)]["n_cohort"] == 1
+    assert (c1, 1) not in rows
