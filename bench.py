@@ -536,6 +536,12 @@ def main() -> None:
         "ngram_lm_score",
         "hybrid_rrf_search",
         "interval_join_events",
+        # round 4 session 3 additions
+        "duplicate_passages",
+        "events_gapfill",
+        "funnel_view_click_purchase",
+        "heavy_hitters_cms",
+        "cohort_retention_weekly",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
