@@ -189,3 +189,83 @@ SELECT d.doc_id, COALESCE(s.n_positions, 0) AS n_positions,
        s.avg_logp, s.backoff_ratio
 FROM score_docs d LEFT JOIN stats s USING (doc_id)
 """
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    n_buckets: int = 3,
+    mode: str = "exact",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split scored
+    documents into quality buckets by LM score — bucket 1 = most
+    reference-like (highest avg_logp = lowest perplexity), as CCNet's
+    head/middle/tail with ``n_buckets=3``.
+
+    ``mode='exact'``: global ntile over (avg_logp DESC, doc_id) — fully
+    deterministic and SQL-replicable, but a single global sort; right for
+    oracle runs and moderate corpora.
+    ``mode='cutoff'``: the 100 TB path — bucket boundaries from
+    approx_percentile on avg_logp, then a pure comparison map (no global
+    sort, no shuffle beyond the tiny cutoff aggregate). Bucket populations
+    are approximate at the boundaries (ties and sketch error), which is the
+    published pipeline's own behavior (CCNet computes cutoffs on a sample).
+
+    Unscoreable docs (NULL avg_logp) keep a NULL bucket in both modes.
+    """
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+        bucketed = (
+            scored.where(F.col("avg_logp").isNotNull())
+            .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        )
+        return scored.join(
+            bucketed.select("doc_id", "bucket"), "doc_id", "left"
+        )
+    if mode == "cutoff":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts_row = (
+            scored.where(F.col("avg_logp").isNotNull())
+            .agg(
+                F.expr(
+                    f"approx_percentile(avg_logp, array({', '.join(str(1 - q) for q in qs)}), 10000)"
+                ).alias("cuts")
+            )
+        )
+        cuts = F.col("cuts")
+        # bucket = 1 + number of cutoffs the score falls below
+        expr = F.lit(1)
+        for i in range(len(qs)):
+            expr = expr + (F.col("avg_logp") < F.element_at(cuts, i + 1)).cast("int")
+        return (
+            scored.crossJoin(F.broadcast(cuts_row))
+            .withColumn(
+                "bucket",
+                F.when(F.col("avg_logp").isNotNull(), expr.cast("long")),
+            )
+            .drop("cuts")
+        )
+    raise ValueError(f"mode must be exact|cutoff, got {mode!r}")
+
+
+def perplexity_buckets_oracle_sql(
+    *,
+    n_buckets: int = 3,
+    alpha: float = ALPHA_DEFAULT,
+    **kwargs,
+) -> str:
+    """DuckDB rendering of LM scoring + exact-mode bucketing."""
+    inner = stupid_backoff_oracle_sql(alpha=alpha, **kwargs)
+    return f"""
+WITH scored_docs AS ({inner})
+SELECT s.*, b.bucket
+FROM scored_docs s
+LEFT JOIN (
+  SELECT doc_id,
+         CAST(ntile({n_buckets}) OVER (ORDER BY avg_logp DESC, doc_id) AS BIGINT)
+           AS bucket
+  FROM scored_docs WHERE avg_logp IS NOT NULL
+) b USING (doc_id)
+"""

@@ -3068,3 +3068,35 @@ def _cohort_oracle() -> str:
 
 
 register("cohort_retention_weekly", _cohort_oracle())(_cohort_spark)
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity bucketing (operators/lm.py; Wenzek et al. 2020)
+# --------------------------------------------------------------------------
+
+def _ppl_buckets_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.lm import (
+        perplexity_buckets,
+        score_stupid_backoff,
+        train_bigram_lm,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = score_stupid_backoff(docs.filter(F.col("doc_id") % 2 == 1), lm).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_positions",
+        "avg_logp",
+        "backoff_ratio",
+    )
+    return perplexity_buckets(scored, n_buckets=3, mode="exact")
+
+
+def _ppl_buckets_oracle() -> str:
+    from pyrope_spark.operators.lm import perplexity_buckets_oracle_sql
+
+    return perplexity_buckets_oracle_sql(n_buckets=3)
+
+
+register("ccnet_perplexity_buckets", _ppl_buckets_oracle())(_ppl_buckets_spark)

@@ -76,3 +76,38 @@ def test_reference_like_scores_higher(spark):
     )
     out = {r.doc_id: r.avg_logp for r in score_stupid_backoff(docs, lm).collect()}
     assert out[1] > out[2]
+
+
+def test_perplexity_buckets_exact_ordering(spark):
+    from pyrope_spark.operators.lm import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(1, 5, -1.0, 0.0), (2, 5, -2.0, 0.0), (3, 5, -3.0, 0.0),
+         (4, 5, -4.0, 0.0), (5, 5, -5.0, 0.0), (6, 5, -6.0, 0.0),
+         (7, 0, None, None)],
+        "doc_id long, n_positions long, avg_logp double, backoff_ratio double",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in
+           perplexity_buckets(scored, n_buckets=3, mode="exact").collect()}
+    # highest avg_logp -> bucket 1 (CCNet head), NULL score -> NULL bucket
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: None}
+
+
+def test_perplexity_buckets_cutoff_mode_agrees_on_clean_split(spark):
+    from pyrope_spark.operators.lm import perplexity_buckets
+
+    rows = [(i, 5, float(-i), 0.0) for i in range(1, 31)] + [(99, 0, None, None)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, n_positions long, avg_logp double, backoff_ratio double"
+    )
+    exact = {r["doc_id"]: r["bucket"] for r in
+             perplexity_buckets(scored, n_buckets=3, mode="exact").collect()}
+    cutoff = {r["doc_id"]: r["bucket"] for r in
+              perplexity_buckets(scored, n_buckets=3, mode="cutoff").collect()}
+    # the distributed cutoff path may flip docs exactly at a boundary;
+    # on 30 evenly-spread scores at most the 2 boundary docs differ
+    diffs = [k for k in exact if exact[k] != cutoff[k]]
+    assert len(diffs) <= 2
+    assert cutoff[99] is None
+    # extremes always agree
+    assert cutoff[1] == 1 and cutoff[30] == 3
