@@ -151,3 +151,115 @@ WITH tk AS (
 )
 SELECT term, est_count, exact_count FROM est WHERE exact_count >= {min_exact}
 """
+
+
+def bloom_build(
+    items: DataFrame,
+    *,
+    col: str = "term",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter over a key set, materialized as the sparse table of SET
+    BIT positions (bit BIGINT) — distinct'd, so the artifact is bounded by
+    n_bits rows regardless of corpus size and ships as a tiny parquet.
+
+    The scale role: a membership pre-filter for incremental dedup
+    (curation.dedup_against_index) — probing new keys against the bloom
+    table is a broadcast join that discards the (typically dominant)
+    never-seen majority without shuffling the historical index. No false
+    negatives ever; false-positive rate ~ (1 - e^(-kn/m))^k, so survivors
+    still confirm against the exact index.
+
+    Same engine-portable affine hash family as the CMS (multiplier/offset
+    rows over char_fp), so the filter replicates bit-for-bit in SQL.
+    """
+    if not 1 <= n_hashes <= len(CMS_MULTS):
+        raise ValueError(f"n_hashes must be in 1..{len(CMS_MULTS)}")
+    fp = items.select(char_fp(F.col(col)).alias("fp"))
+    bits = fp.select(
+        F.explode(
+            F.array(*[_bucket(F.col("fp"), d, n_bits) for d in range(n_hashes)])
+        ).alias("bit")
+    )
+    return bits.distinct()
+
+
+def bloom_might_contain(
+    bloom_bits: DataFrame,
+    probes: DataFrame,
+    *,
+    col: str = "term",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """(probe, might_contain) — true iff every hash position is set.
+
+    The bloom side is broadcast (<= n_bits rows); the probe stream joins
+    map-side and reduces with one groupBy(probe) count — no shuffle of the
+    historical key set.
+    """
+    pos = probes.select(
+        F.col(col).alias("probe"), char_fp(F.col(col)).alias("fp")
+    ).select(
+        "probe",
+        F.explode(
+            F.array(*[_bucket(F.col("fp"), d, n_bits) for d in range(n_hashes)])
+        ).alias("bit"),
+    )
+    hit = pos.join(F.broadcast(bloom_bits), "bit", "left_semi")
+    counts = hit.groupBy("probe").agg(F.count(F.lit(1)).alias("_nhit"))
+    return probes.select(F.col(col).alias("probe")).distinct().join(
+        counts, "probe", "left"
+    ).select(
+        "probe",
+        (F.coalesce(F.col("_nhit"), F.lit(0)) == n_hashes).alias("might_contain"),
+    )
+
+
+def bloom_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    build_pred: str = "doc_id % 2 = 0",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> str:
+    """DuckDB rendering: bloom over the build split's terms, probed with
+    every distinct corpus term, alongside exact membership."""
+    fp = char_fp_sql("term")
+    build_bits = "\nUNION\n".join(
+        f"SELECT DISTINCT {_bucket_sql('fp', d, n_bits)} AS bit FROM bt"
+        for d in range(n_hashes)
+    )
+    probe_pos = "\nUNION ALL\n".join(
+        f"SELECT term, {_bucket_sql('fp', d, n_bits)} AS bit FROM pt"
+        for d in range(n_hashes)
+    )
+    return f"""
+WITH build_terms AS (
+  SELECT DISTINCT u.term
+  FROM (SELECT {tokens_sql(text_col)} AS t FROM {table} WHERE {build_pred}) s,
+       unnest(t) AS u(term)
+), bt AS (
+  SELECT term, {fp} AS fp FROM build_terms
+), bits AS (
+{build_bits}
+), all_terms AS (
+  SELECT DISTINCT u.term
+  FROM (SELECT {tokens_sql(text_col)} AS t FROM {table}) s, unnest(t) AS u(term)
+), pt AS (
+  SELECT term, {fp} AS fp FROM all_terms
+), pos AS (
+{probe_pos}
+), hits AS (
+  SELECT p.term, count(*) AS nhit
+  FROM pos p JOIN bits b ON p.bit = b.bit
+  GROUP BY p.term
+)
+SELECT t.term AS probe,
+       (COALESCE(h.nhit, 0) = {n_hashes}) AS might_contain,
+       (t.term IN (SELECT term FROM build_terms)) AS in_build
+FROM all_terms t LEFT JOIN hits h USING (term)
+"""

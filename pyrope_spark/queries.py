@@ -3100,3 +3100,48 @@ def _ppl_buckets_oracle() -> str:
 
 
 register("ccnet_perplexity_buckets", _ppl_buckets_oracle())(_ppl_buckets_spark)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 4
+
+
+def _bloom_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import tokens
+    from pyrope_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    build_terms = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    all_terms = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term")).distinct()
+    )
+    bloom = bloom_build(build_terms, n_bits=BLOOM_BITS, n_hashes=BLOOM_HASHES)
+    mc = bloom_might_contain(
+        bloom, all_terms, n_bits=BLOOM_BITS, n_hashes=BLOOM_HASHES
+    )
+    exact = build_terms.select(F.col("term").alias("probe")).withColumn(
+        "in_build", F.lit(True)
+    )
+    return mc.join(exact, "probe", "left").select(
+        "probe",
+        "might_contain",
+        F.coalesce(F.col("in_build"), F.lit(False)).alias("in_build"),
+    )
+
+
+def _bloom_oracle() -> str:
+    from pyrope_spark.operators.sketch import bloom_oracle_sql
+
+    return bloom_oracle_sql(n_bits=BLOOM_BITS, n_hashes=BLOOM_HASHES)
+
+
+register("bloom_membership", _bloom_oracle())(_bloom_spark)

@@ -78,3 +78,34 @@ def test_cms_sketch_table_bounded(spark):
     per_d = {r["d"]: r["s"] for r in
              sketch.groupBy("d").agg(F.sum("cnt").alias("s")).collect()}
     assert set(per_d) == {0, 1, 2} and all(v == 100 for v in per_d.values())
+
+
+def test_bloom_no_false_negatives(spark):
+    from pyrope_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    terms = spark.createDataFrame(
+        [("t%d" % i,) for i in range(200)], "term string"
+    )
+    bloom = bloom_build(terms, n_bits=1 << 14, n_hashes=4)
+    out = bloom_might_contain(bloom, terms, n_bits=1 << 14, n_hashes=4)
+    assert all(r["might_contain"] for r in out.collect())
+
+
+def test_bloom_rejects_most_unseen(spark):
+    from pyrope_spark.operators.sketch import bloom_build, bloom_might_contain
+
+    build = spark.createDataFrame([("in%d" % i,) for i in range(100)], "term string")
+    probes = spark.createDataFrame([("out%d" % i,) for i in range(500)], "term string")
+    bloom = bloom_build(build, n_bits=1 << 16, n_hashes=4)
+    out = bloom_might_contain(bloom, probes, n_bits=1 << 16, n_hashes=4)
+    hits = sum(1 for r in out.collect() if r["might_contain"])
+    # 100 keys in 65536 bits, 4 hashes: fp rate << 1%; allow slack
+    assert hits <= 5
+
+
+def test_bloom_bits_bounded(spark):
+    from pyrope_spark.operators.sketch import bloom_build
+
+    terms = spark.createDataFrame([("x%d" % i,) for i in range(1000)], "term string")
+    bloom = bloom_build(terms, n_bits=64, n_hashes=3)
+    assert bloom.count() <= 64
