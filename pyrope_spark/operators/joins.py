@@ -1,0 +1,50 @@
+"""Join-strategy utilities for skewed keys.
+
+AQE's skew-join handling (spark.sql.adaptive.skewJoin) splits oversized
+sort-merge partitions at runtime and is the first line of defense — leave it
+on. ``salted_join`` is the explicit fallback for shapes AQE cannot rescue:
+a stream-static join (no runtime re-plan), a skewed key feeding a
+groupBy-on-the-same-key right after (the exchange is reused, so splitting
+never happens), or a hot key so large that even a split partition blows an
+executor.
+
+Mechanics: the skewed (big) side gets a deterministic salt in [0, n_salts)
+(xxhash64 of the whole row — no RNG, layout-independent), the small side is
+replicated n_salts times with an inline explode, and the equi-join runs on
+(key, salt). Same result set as the plain join — the hot key's rows now
+spread across n_salts reducers instead of one. Cost: small side shuffle
+volume x n_salts; pick n_salts ~ (hot-key rows / average-partition rows).
+
+No reference analog (single-node engine); this is 100 TB plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    ``how`` supports inner and left (left = big side preserved); the
+    replicated-side outer variants are not meaningful (a right row matching
+    zero salts would duplicate n_salts times) and raise.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")

@@ -3145,3 +3145,35 @@ def _bloom_oracle() -> str:
 
 
 register("bloom_membership", _bloom_oracle())(_bloom_spark)
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join (operators/joins.py)
+# --------------------------------------------------------------------------
+
+def _salted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.joins import salted_join
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = salted_join(li, part, ["p_partkey"], n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+register("salted_join_brand_revenue", _SALTED_JOIN_ORACLE)(_salted_join_spark)
