@@ -3177,3 +3177,96 @@ GROUP BY p.p_brand
 """
 
 register("salted_join_brand_revenue", _SALTED_JOIN_ORACLE)(_salted_join_spark)
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-rank (operators/mmr.py; Carbonell & Goldstein 1998)
+# --------------------------------------------------------------------------
+
+MMR_POOL = 10
+MMR_K = 3
+MMR_LAM = 0.5
+
+
+def _mmr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.mmr import mmr_rerank
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    cand = knn_bruteforce(vectors, qs, k=MMR_POOL, metric="cosine", impl="expr")
+    pool = cand.join(
+        emb.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").alias("embedding"),
+        ),
+        "id",
+    ).select("query_id", "id", "embedding", "score")
+    return mmr_rerank(
+        pool, k=MMR_K, lam=MMR_LAM, round_to=6
+    ).select("query_id", "id", F.col("rank").cast("long").alias("rank"), "mmr_score")
+
+
+def _mmr_oracle() -> str:
+    lam, om = MMR_LAM, 1.0 - MMR_LAM
+    rel = oracle_score_sql("cosine", "q.qv", "v.embedding")
+    s1 = oracle_score_sql("cosine", "c.vec", "p1.vec")
+    s2 = oracle_score_sql("cosine", "c.vec", "p2.vec")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), s AS (
+  SELECT CAST(q.qid AS VARCHAR) AS query_id,
+         CAST(v.vec_id AS VARCHAR) AS id,
+         {rel} AS score, v.embedding AS vec
+  FROM q CROSS JOIN embeddings v
+), cand AS (
+  SELECT query_id, id, score, vec FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, id ASC) AS rnk FROM s
+  ) WHERE rnk <= {MMR_POOL}
+), p1 AS (
+  SELECT query_id, id, vec, round(score, 6) AS m FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY round(score, 6) DESC, id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), r2 AS (
+  SELECT c.query_id, c.id, c.vec, c.score,
+         round({lam} * c.score - {om} * ({s1}), 6) AS m
+  FROM cand c JOIN p1 ON c.query_id = p1.query_id AND c.id != p1.id
+), p2 AS (
+  SELECT query_id, id, vec, m FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY m DESC, id ASC) AS rn FROM r2
+  ) WHERE rn = 1
+), r3 AS (
+  SELECT c.query_id, c.id,
+         round({lam} * c.score
+               - {om} * GREATEST(({s1}), ({s2})), 6) AS m
+  FROM cand c
+  JOIN p1 ON c.query_id = p1.query_id
+  JOIN p2 ON c.query_id = p2.query_id
+  WHERE c.id != p1.id AND c.id != p2.id
+), p3 AS (
+  SELECT query_id, id, m FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY m DESC, id ASC) AS rn FROM r3
+  ) WHERE rn = 1
+)
+SELECT query_id, id, CAST(1 AS BIGINT) AS rank, m AS mmr_score FROM p1
+UNION ALL
+SELECT query_id, id, CAST(2 AS BIGINT) AS rank, m FROM p2
+UNION ALL
+SELECT query_id, id, CAST(3 AS BIGINT) AS rank, m FROM p3
+"""
+
+
+register("mmr_diversified_rerank", _mmr_oracle())(_mmr_spark)
