@@ -542,6 +542,10 @@ def main() -> None:
         "funnel_view_click_purchase",
         "heavy_hitters_cms",
         "cohort_retention_weekly",
+        "ccnet_perplexity_buckets",
+        "mmr_diversified_rerank",
+        "bloom_membership",
+        "salted_join_brand_revenue",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
