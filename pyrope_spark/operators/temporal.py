@@ -231,6 +231,12 @@ def gapfill(
         per_bucket = per_bucket.withColumn(
             "v_raw", F.round("v_raw", observation_round)
         )
+    # Densify via a spine left-join. The lead()+explode union alternative
+    # (gap rows generated from consecutive-observation pairs, no join) was
+    # measured 3x SLOWER at 5M events / 7.2M dense rows (1.44 s vs 0.44 s
+    # warm): it pays a full sort for lead() plus a re-sort of the union for
+    # the fills, while here the (key, bucket) aggregation partitioning is
+    # reused by the join and the spine side is tiny (bounds + sequence).
     spine = (
         per_bucket.groupBy(*key_cols)
         .agg(F.min("bucket_ts_s").alias("_mn"), F.max("bucket_ts_s").alias("_mx"))
@@ -246,10 +252,21 @@ def gapfill(
     back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     obs_t = F.when(F.col("v_raw").isNotNull(), F.col("bucket_ts_s"))
-    prev_v = F.last("v_raw", ignorenulls=True).over(back)
-    prev_t = F.last(obs_t, ignorenulls=True).over(back)
-    next_v = F.first("v_raw", ignorenulls=True).over(fwd)
-    next_t = F.first(obs_t, ignorenulls=True).over(fwd)
+    # Materialize the four fill inputs ONCE, then build lerp from the
+    # materialized columns: referencing the raw window Columns inside the
+    # lerp expression instantiates a separate window expression per
+    # reference (measured: 28 _we slots in the Window operator vs 4).
+    dense = dense.select(
+        *key_cols,
+        "bucket_ts_s",
+        "v_raw",
+        F.last("v_raw", ignorenulls=True).over(back).alias("_pv"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("_pt"),
+        F.first("v_raw", ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("_nt"),
+    )
+    prev_v, prev_t = F.col("_pv"), F.col("_pt")
+    next_v, next_t = F.col("_nv"), F.col("_nt")
     if observation_round is not None:
         # Exact rational path: v_lerp = num/den in micro-units with
         # half-away-from-zero rounding, then one exact BIGINT / 10^r
