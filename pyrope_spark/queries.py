@@ -3270,3 +3270,38 @@ SELECT query_id, id, CAST(3 AS BIGINT) AS rank, m FROM p3
 
 
 register("mmr_diversified_rerank", _mmr_oracle())(_mmr_spark)
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension build (operators/scd.py)
+# --------------------------------------------------------------------------
+
+def _scd2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.scd import scd2_build
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return dim.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+def _scd2_oracle() -> str:
+    from pyrope_spark.operators.scd import scd2_oracle_sql
+
+    return scd2_oracle_sql()
+
+
+register("scd2_user_status", _scd2_oracle())(_scd2_spark)

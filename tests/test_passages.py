@@ -103,3 +103,15 @@ def test_stride_subsamples_positions(spark):
     assert strided_pos <= full_pos
     # stride 2 keeps pos0 % 2 == 0 i.e. odd 1-based positions
     assert all(p % 2 == 1 for _, p in strided_pos)
+
+
+def test_passages_plan_shape(spark):
+    """Exactly two exchanges (fp-partition dup mark, doc-partition islands):
+    the final groupBy(doc_id, grp) must reuse the doc_id window partitioning
+    and the dup mark must be window functions, not a groupBy+join-back."""
+    docs = _docs(spark, [(1, UNIQ_A + " " + SHARED), (2, SHARED + " " + UNIQ_B)])
+    out = duplicate_passages(docs, window=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 exchanges, plan has {n_exchanges}"
+    assert "Join" not in plan
