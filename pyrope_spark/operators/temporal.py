@@ -379,3 +379,84 @@ SELECT {key}, bucket_ts_s,
        (v_raw IS NULL) AS is_gap
 FROM num
 """
+
+
+def rolling_zscore(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+    window_n: int = 24,
+    min_obs: int = 5,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each point judged against the
+    trailing ``window_n`` observations EXCLUDING itself (a spike must not
+    inflate its own baseline). z is NULL while history is shorter than
+    ``min_obs`` or the trailing std is ~0; ``is_anomaly`` = |z| > thresh.
+
+    One key-hash shuffle + one sort; mean/std/count are three aggregates
+    over the same row frame, one Window operator. The trailing frame is
+    O(window_n) state per row — constant memory at any corpus size.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    frame = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(-window_n, -1)
+    )
+    mean = F.avg(value_col).over(frame)
+    std = F.stddev_samp(value_col).over(frame)
+    cnt = F.count(F.col(value_col)).over(frame)
+    z = F.when(
+        (cnt >= min_obs) & std.isNotNull() & (std > 1e-12),
+        (F.col(value_col) - mean) / std,
+    )
+    return events.select(
+        *key_cols,
+        *[F.col(c) for c in (tiebreak_cols or [])],
+        F.col(ts_col),
+        F.col(value_col),
+        # + 0.0 normalizes -0.0 from rounding tiny negatives (engines and
+        # value-hashes render the two zeros differently)
+        (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
+        F.coalesce(F.abs(z) > z_thresh, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def rolling_zscore_oracle_sql(
+    *,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    window_n: int = 24,
+    min_obs: int = 5,
+    z_thresh: float = 3.0,
+) -> str:
+    """DuckDB rendering of :func:`rolling_zscore` (epoch-micro ts output)."""
+    frame = (
+        f"OVER (PARTITION BY {key} ORDER BY {ts_col}, {tiebreak} "
+        f"ROWS BETWEEN {window_n} PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH r AS (
+  SELECT {key}, {tiebreak}, epoch_us({ts_col}) AS ts_us, {value_col},
+         avg({value_col}) {frame} AS m,
+         stddev_samp({value_col}) {frame} AS s,
+         count({value_col}) {frame} AS c
+  FROM {table}
+), z AS (
+  SELECT {key}, {tiebreak}, ts_us, {value_col},
+         CASE WHEN c >= {min_obs} AND s IS NOT NULL AND s > 1e-12
+              THEN ({value_col} - m) / s END AS zraw
+  FROM r
+)
+SELECT {key}, {tiebreak}, ts_us, {value_col},
+       round(zraw, 6) + 0.0 AS zscore,
+       COALESCE(abs(zraw) > {z_thresh}, FALSE) AS is_anomaly
+FROM z
+"""

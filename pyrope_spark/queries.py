@@ -3305,3 +3305,41 @@ def _scd2_oracle() -> str:
 
 
 register("scd2_user_status", _scd2_oracle())(_scd2_spark)
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection (operators/temporal.py)
+# --------------------------------------------------------------------------
+
+def _zscore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import rolling_zscore
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = rolling_zscore(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_cols=["event_id"],
+        window_n=24,
+        min_obs=5,
+        z_thresh=3.0,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "zscore",
+        "is_anomaly",
+    )
+
+
+def _zscore_oracle() -> str:
+    from pyrope_spark.operators.temporal import rolling_zscore_oracle_sql
+
+    return rolling_zscore_oracle_sql()
+
+
+register("rolling_zscore_anomalies", _zscore_oracle())(_zscore_spark)

@@ -168,3 +168,43 @@ def test_gapfill_edges_and_multi_key(spark):
     assert k1[0]["v_raw"] == 1.0 and k1[1]["is_gap"] and k1[2]["v_raw"] == 1.0
     # single-observation key: no gaps, locf == raw (count of 1 event = 1.0)
     assert by_key[2][0]["v_locf"] == 1.0 and not by_key[2][0]["is_gap"]
+
+
+def test_rolling_zscore_flags_spike_not_warmup(spark):
+    from pyrope_spark.operators.temporal import rolling_zscore
+
+    base = datetime(2026, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 100.0, 10.0]
+    ev = spark.createDataFrame(
+        [(1, base + timedelta(minutes=i), v, i) for i, v in enumerate(vals)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    rows = rolling_zscore(
+        ev, key_cols=["user_id"], tiebreak_cols=["event_id"],
+        window_n=24, min_obs=5, z_thresh=3.0,
+    ).orderBy("event_id").collect()
+    # first min_obs rows have no z (insufficient trailing history)
+    assert all(r["zscore"] is None for r in rows[:5])
+    assert not any(r["is_anomaly"] for r in rows[:5])
+    spike = rows[7]
+    assert spike["is_anomaly"] and spike["zscore"] > 3
+    # the spike is EXCLUDED from its own baseline, and later points are
+    # judged against a baseline that now contains it -> not anomalous
+    assert not rows[8]["is_anomaly"]
+    # steady values before the spike are not anomalous
+    assert not rows[6]["is_anomaly"]
+
+
+def test_rolling_zscore_constant_series_no_flags(spark):
+    from pyrope_spark.operators.temporal import rolling_zscore
+
+    base = datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base + timedelta(minutes=i), 5.0, i) for i in range(10)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    rows = rolling_zscore(
+        ev, key_cols=["user_id"], tiebreak_cols=["event_id"], min_obs=3
+    ).collect()
+    # zero variance -> z undefined everywhere, nothing flagged
+    assert all(r["zscore"] is None and not r["is_anomaly"] for r in rows)
