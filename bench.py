@@ -546,6 +546,8 @@ def main() -> None:
         "mmr_diversified_rerank",
         "bloom_membership",
         "salted_join_brand_revenue",
+        "scd2_user_status",
+        "rolling_zscore_anomalies",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

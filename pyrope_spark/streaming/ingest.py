@@ -118,3 +118,42 @@ def streaming_latency_slo(
         "p99_est_ms",
         (F.col("p99_est_ms") > F.lit(slo_p99_ms)).alias("over_slo"),
     )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+    agg_cols: dict | None = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization: Spark's native ``session_window``
+    (dynamic-gap merging state) with a late-data watermark — the streaming
+    twin of ``temporal.sessionize``. A session closes (and emits, in append
+    mode) once the watermark passes its end + gap; events later than the
+    watermark are dropped by the engine.
+
+    Output: (user, session_start, session_end, n_events, *agg_cols).
+    State per key is one interval set, merged incrementally — no per-event
+    state growth, the scale-correct streaming shape.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    for name, expr in (agg_cols or {}).items():
+        aggs.append(expr.alias(name))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_s} seconds").alias("w"),
+            F.col(user_col),
+        )
+        .agg(*aggs)
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            *[F.col(n) for n in (agg_cols or {})],
+        )
+    )

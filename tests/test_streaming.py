@@ -295,3 +295,68 @@ def test_streaming_dedup_to_corpus(spark, tmp_path):
         assert len(set(fps)) == 3
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_gap_merge_and_late_drop(spark, tmp_path):
+    """session_window merges events within the gap into one session, splits
+    across the gap, and finalizes sessions once the watermark passes; a row
+    older than the watermark is dropped by the engine."""
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.streaming.ingest import streaming_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "user_id string, ts timestamp, value double"
+    base = datetime(2026, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # session A: two events 10 min apart (same session at 30-min gap);
+    # u2: one event
+    write([
+        ("u1", base, 1.0),
+        ("u1", base + timedelta(minutes=10), 2.0),
+        ("u2", base, 5.0),
+    ])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_sessionize(
+        stream, gap_s=1800, watermark="30 minutes",
+        agg_cols={"sum_value": F.sum("value")},
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing finalized yet (watermark at max_ts - 30min < session ends)
+        # now: an event 2 hours later closes u1/u2 sessions via watermark,
+        # plus a LATE event from before the watermark that must be dropped
+        write([
+            ("u1", base + timedelta(hours=2), 3.0),
+        ])
+        q.processAllAvailable()
+        write([
+            ("u3", base - timedelta(hours=1), 9.0),  # far behind watermark
+            ("u1", base + timedelta(hours=2, minutes=5), 4.0),
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+        done = {(r["user_id"], r["session_start"].isoformat()): r for r in rows}
+        # u1's first session: 2 events, 40-min span (end = last + gap)
+        u1 = done[("u1", base.isoformat())]
+        assert u1["n_events"] == 2 and u1["sum_value"] == 3.0
+        assert u1["session_end"] == base + timedelta(minutes=40)
+        u2 = done[("u2", base.isoformat())]
+        assert u2["n_events"] == 1 and u2["sum_value"] == 5.0
+        # the late u3 row was dropped: no u3 session ever appears
+        assert not any(r["user_id"] == "u3" for r in rows)
+    finally:
+        q.stop()
