@@ -813,3 +813,71 @@ SELECT e.doc_id, e.pos,
        CAST(COALESCE(v.token_id, {oov_id}) AS BIGINT) AS token_id
 FROM exploded e LEFT JOIN vocab v USING (term)
 """
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    *,
+    temperature: float = 0.5,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-sampling
+    rule of XLM-R / mT5: sample stratum i with probability proportional to
+    p_i^alpha, alpha = temperature): derives the target shares from the
+    corpus's own token distribution instead of a hand-written dict
+    (:func:`corpus_mix_weights` takes the explicit-target path).
+
+    temperature 1.0 = natural distribution (all weights 1), -> 0 pushes
+    toward uniform over strata, upweighting the tail. Output mirrors
+    corpus_mix_weights: (stratum, n_docs, n_tokens, actual_frac,
+    target_frac, weight = target/actual). One hash aggregation; the result
+    is strata-sized — broadcast it wherever the weights are applied (e.g.
+    as per-stratum rates for stratified_hash_sample).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    agg = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    frac = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    powed = F.pow(frac, F.lit(temperature))
+    target = powed / F.sum(powed).over(w_all)
+    return agg.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(frac, 6).alias("actual_frac"),
+        F.round(target, 6).alias("target_frac"),
+        F.round(target / frac, 6).alias("weight"),
+    )
+
+
+def temperature_mix_weights_oracle_sql(
+    *,
+    temperature: float = 0.5,
+    stratum_col: str = "lang",
+    table: str = "documents",
+) -> str:
+    return f"""
+WITH tk AS (
+  SELECT {stratum_col} AS stratum, len({tokens_sql('text')}) AS nt FROM {table}
+), agg AS (
+  SELECT stratum, COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM tk GROUP BY 1
+), f AS (
+  SELECT stratum, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS frac
+  FROM agg
+), p AS (
+  SELECT *, pow(frac, {temperature}) AS powed FROM f
+)
+SELECT stratum,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(frac, 6) AS actual_frac,
+       round(powed / SUM(powed) OVER (), 6) AS target_frac,
+       round((powed / SUM(powed) OVER ()) / frac, 6) AS weight
+FROM p
+"""

@@ -3343,3 +3343,24 @@ def _zscore_oracle() -> str:
 
 
 register("rolling_zscore_anomalies", _zscore_oracle())(_zscore_spark)
+
+
+# --------------------------------------------------------------------------
+# Temperature mixture reweighting (operators/curation.py; XLM-R sampling)
+# --------------------------------------------------------------------------
+
+def _temp_mix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import temperature_mix_weights
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, temperature=0.5)
+
+
+def _temp_mix_oracle() -> str:
+    from pyrope_spark.operators.curation import temperature_mix_weights_oracle_sql
+
+    return temperature_mix_weights_oracle_sql(temperature=0.5)
+
+
+register("temperature_mix_weights", _temp_mix_oracle())(_temp_mix_spark)

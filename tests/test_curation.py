@@ -298,3 +298,28 @@ def test_tokens_to_ids_positions_and_oov(spark):
     docs = spark.createDataFrame([(7, "y x zzz y")], "doc_id long, text string")
     rows = sorted(tokens_to_ids(docs, vocab).collect(), key=lambda r: r.pos)
     assert [(r.pos, r.token_id) for r in rows] == [(0, 2), (1, 1), (2, 0), (3, 2)]
+
+
+def test_temperature_mix_weights_properties(spark):
+    from pyrope_spark.operators.curation import temperature_mix_weights
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (90 if i < 9 else 10), "en" if i < 9 else "rare")
+         for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    # T=1: natural distribution, every weight 1
+    nat = {r["stratum"]: r for r in
+           temperature_mix_weights(docs, temperature=1.0).collect()}
+    assert abs(nat["en"]["weight"] - 1.0) < 1e-6
+    assert abs(nat["rare"]["weight"] - 1.0) < 1e-6
+    # T=0.5: tail stratum upweighted, head downweighted; targets sum to 1
+    t5 = {r["stratum"]: r for r in
+          temperature_mix_weights(docs, temperature=0.5).collect()}
+    assert t5["rare"]["weight"] > 1.0 > t5["en"]["weight"]
+    assert abs(sum(r["target_frac"] for r in t5.values()) - 1.0) < 1e-5
+    # temperature must be positive
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_mix_weights(docs, temperature=0.0)
