@@ -216,3 +216,34 @@ def lang_id_from_scores_sql(score_cols: dict[str, str]) -> str:
         case = f"CASE WHEN {expr} > {best} THEN '{lang}' ELSE {case} END"
         best = f"CASE WHEN {expr} > {best} THEN {expr} ELSE {best} END"
     return case
+
+
+# Rolling polynomial fingerprint (Rabin-Karp form). Stronger than char_fp
+# for dedup-critical paths: char_fp's position weights form an arithmetic
+# progression ((i+1)*A mod P), so adjacent weights differ by a CONSTANT and
+# structured vocabularies (tokens differing only in digits, e.g. "w3 w5" vs
+# "w4 w4") produce systematic collisions — demonstrated by the passages
+# brute-force reference check. Horner weights r^i mod p have no such
+# linear structure; collisions are ~|corpus|^2 / 1e15 random.
+FP_ROLL_R = 131
+FP_ROLL_P = 999999999999989  # prime ~1e15; acc*r + c stays far inside int64
+FP_ROLL_SEED = 7
+
+
+def char_fp_rolling(token: Column) -> Column:
+    """Horner-chain rolling hash over characters: acc = (acc*r + code) mod p,
+    seeded — order-sensitive, pure integer math, identical in any engine."""
+    return F.aggregate(
+        F.transform(F.split(token, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(FP_ROLL_SEED).cast("long"),
+        lambda acc, c: (acc * FP_ROLL_R + c) % FP_ROLL_P,
+    )
+
+
+def char_fp_rolling_sql(token_expr: str) -> str:
+    """DuckDB rendering via list_reduce (v1.0+), seed prepended."""
+    chars = f"list_transform(string_split({token_expr}, ''), c -> CAST(ascii(c) AS BIGINT))"
+    return (
+        f"list_reduce(list_prepend(CAST({FP_ROLL_SEED} AS BIGINT), {chars}), "
+        f"(acc, c) -> (acc * {FP_ROLL_R} + c) % {FP_ROLL_P})"
+    )

@@ -38,8 +38,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyrope_spark.functions.text import (
-    char_fp,
-    char_fp_sql,
+    char_fp_rolling,
+    char_fp_rolling_sql,
     tokens,
     tokens_sql,
     word_ngrams_from_tokens,
@@ -48,8 +48,13 @@ from pyrope_spark.functions.text import (
 
 
 def _window_fp(shingle: Column, fingerprint: str) -> Column:
+    # portable = the Horner rolling hash, NOT char_fp: char_fp's
+    # arithmetic-progression weights collide systematically on structured
+    # vocabularies (found by the brute-force reference check — 8 phantom
+    # spans on a 30-doc 12-token corpus), which for THIS operator is a
+    # correctness failure (false duplicate passages), not hash noise.
     if fingerprint == "portable":
-        return char_fp(shingle)
+        return char_fp_rolling(shingle)
     if fingerprint == "xxhash64":
         return F.xxhash64(shingle)
     raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
@@ -172,10 +177,10 @@ def duplicate_passages_oracle_sql(
     (tokenize -> windows -> char_fp -> global count/min/max windows ->
     gaps-and-islands), kept in lockstep with the Spark plan above."""
     wins_expr = word_ngrams_from_tokens_sql("t", window)
-    # NB: the shingle must be materialized as a plain column BEFORE char_fp_sql
-    # is applied — that helper's list_transform lambda binds `i`, which would
-    # shadow an unnest ordinal of the same name inside `w[i]`.
-    fp_expr = char_fp_sql("shingle")
+    # NB: the shingle must be materialized as a plain column BEFORE the
+    # fingerprint SQL is applied — its lambdas bind their own variables,
+    # which would shadow an unnest ordinal of the same name inside `w[i]`.
+    fp_expr = char_fp_rolling_sql("shingle")
     return f"""
 WITH tk AS (
   SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS t FROM {table}
