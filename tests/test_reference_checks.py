@@ -151,3 +151,77 @@ def test_scd2_matches_bruteforce_on_random_changelog(spark):
             nxt = kept[v][0] if v < len(kept) else None
             exp.append((k, v, st_, ts, nxt))
     assert got == sorted(exp)
+
+
+def test_gapfill_matches_bruteforce_on_random_events(spark):
+    from pyrope_spark.operators.temporal import gapfill
+
+    rng = random.Random(11)
+    base = datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(5), base + timedelta(seconds=rng.randrange(40) * 900),
+         round(rng.uniform(-50, 50), 3))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    got = {
+        (r["k"], r["bucket_ts_s"]): r
+        for r in gapfill(df, key_cols=["k"], bucket_s=3600,
+                         observation_round=6).collect()
+    }
+    # brute force
+    per = defaultdict(lambda: defaultdict(list))
+    for k, ts, v in rows:
+        per[k][int(ts.timestamp() // 3600) * 3600].append(v)
+    import math
+    for k, buckets in per.items():
+        obs = {b: round(sum(vs) / len(vs), 6) for b, vs in buckets.items()}
+        bs = sorted(obs)
+        dense = range(bs[0], bs[-1] + 1, 3600)
+        assert {b for kk, b in got if kk == k} == set(dense)
+        for b in dense:
+            r = got[(k, b)]
+            assert (r["v_raw"] is None) == (b not in obs)
+            prevs = [x for x in bs if x <= b]
+            assert r["v_locf"] == (obs[max(prevs)] if prevs else None)
+            if b in obs:
+                assert r["v_lerp"] == obs[b]
+            elif prevs and any(x > b for x in bs):
+                p, n = max(prevs), min(x for x in bs if x > b)
+                lo, hi = obs[p], obs[n]
+                exp = lo + (hi - lo) * (b - p) / (n - p)
+                assert abs(r["v_lerp"] - exp) < 1e-6, (k, b, r["v_lerp"], exp)
+
+
+def test_cms_matches_bruteforce_hash_family(spark):
+    from pyrope_spark.functions.text import FP_PRIME
+    from pyrope_spark.operators.sketch import CMS_MULTS, CMS_OFFS, cms_build, cms_estimate
+
+    rng = random.Random(5)
+    texts = [" ".join(f"t{rng.randrange(40)}" for _ in range(20)) for _ in range(25)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    depth, width = 3, 64
+    sketch = cms_build(docs, depth=depth, width=width)
+    exact = Counter(w for t in texts for w in t.split())
+
+    def fp(token):  # python mirror of char_fp
+        return sum(
+            ord(c) * (((i + 1) * 2654435761) % 1000003)
+            for i, c in enumerate(token)
+        )
+
+    table = defaultdict(int)
+    for term, cnt in exact.items():
+        for d in range(depth):
+            table[(d, (fp(term) * CMS_MULTS[d] + CMS_OFFS[d]) % FP_PRIME % width)] += cnt
+    terms = spark.createDataFrame([(t,) for t in exact], "term string")
+    est = {r["term"]: r["est_count"] for r in
+           cms_estimate(sketch, terms, depth=depth, width=width).collect()}
+    for term, cnt in exact.items():
+        expected = min(
+            table[(d, (fp(term) * CMS_MULTS[d] + CMS_OFFS[d]) % FP_PRIME % width)]
+            for d in range(depth)
+        )
+        assert est[term] == expected and expected >= cnt
