@@ -31,7 +31,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyrope_spark.functions.text import FP_PRIME, char_fp, tokens, word_ngrams
+from pyrope_spark.functions.text import (
+    FP_PRIME,
+    char_fp_rolling,
+    tokens,
+    word_ngrams,
+)
 
 MINHASH_SEED = 42
 DEFAULT_NUM_HASHES = 16
@@ -130,7 +135,11 @@ def token_fps(text: Column, ngram_n: int = 1) -> Column:
     (the right granularity when the corpus shares a small vocabulary —
     token-level minhash buckets collide pathologically there)."""
     units = tokens(text) if ngram_n <= 1 else word_ngrams(text, ngram_n)
-    return F.array_distinct(F.transform(units, lambda t: char_fp(t)))
+    # rolling Horner hash, not char_fp: the arithmetic-progression weights
+    # of char_fp collide systematically on structured vocabularies, and a
+    # base-fp collision here propagates to EVERY minhash function at once
+    # (the signature hashes only re-mix the shared fp)
+    return F.array_distinct(F.transform(units, lambda t: char_fp_rolling(t)))
 
 
 def minhash_signature(
@@ -153,7 +162,7 @@ def minhash_signature(
 
 import re as _re
 
-from pyrope_spark.functions.text import FP_WEIGHT_MULT
+from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
 
 # Java-regex \s (no unicode classes) — keeps Python tokenization identical
 # to the Spark/DuckDB expression path on ASCII corpora
@@ -161,9 +170,9 @@ _WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _token_fps_py(text: str, ngram_n: int = 1) -> np.ndarray:
-    """Exact integer mirror of :func:`token_fps` (functions.text.char_fp over
-    distinct shingles). Same arithmetic in int64 — bit-identical to the
-    expression/oracle path."""
+    """Exact integer mirror of :func:`token_fps` (functions.text.char_fp_rolling
+    over distinct shingles). Same Horner arithmetic in int64 — bit-identical
+    to the expression/oracle path."""
     if not text:
         return np.empty(0, dtype=np.int64)
     toks = [t for t in _WS_RE.split(text.strip().lower()) if t]
@@ -175,12 +184,23 @@ def _token_fps_py(text: str, ngram_n: int = 1) -> np.ndarray:
         units = {
             " ".join(toks[i : i + ngram_n]) for i in range(len(toks) - ngram_n + 1)
         }
-    out = []
-    for t in units:
-        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-        idx = np.arange(1, len(cps) + 1, dtype=np.int64)
-        out.append(int((cps * ((idx * FP_WEIGHT_MULT) % FP_PRIME)).sum()))
-    return np.unique(np.asarray(out, dtype=np.int64))
+    # Vectorized Horner: iterate CHAR POSITIONS (bounded, ~token length)
+    # with the fold applied to all units at once — a per-unit python char
+    # loop would put ~chars-per-doc interpreter steps in the corpus-scale
+    # Arrow pass. acc*131 + cp stays < 1.4e17, far inside int64.
+    ulist = list(units)
+    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in ulist]
+    n = len(ulist)
+    maxlen = max((len(c) for c in cps), default=0)
+    mat = np.full((n, maxlen), -1, dtype=np.int64)
+    for i, c in enumerate(cps):
+        mat[i, : len(c)] = c
+    acc = np.full(n, FP_ROLL_SEED, dtype=np.int64)
+    for j in range(maxlen):
+        col = mat[:, j]
+        live = col >= 0
+        acc[live] = (acc[live] * FP_ROLL_R + col[live]) % FP_ROLL_P
+    return np.unique(acc)
 
 
 def with_minhash(
@@ -246,9 +266,9 @@ def minhash_oracle_sql(
 ) -> dict[str, str]:
     """DuckDB renderings per signature column, expecting a tokens column
     (build with tokens_sql in a CTE)."""
-    from pyrope_spark.functions.text import char_fp_sql
+    from pyrope_spark.functions.text import char_fp_rolling_sql
 
-    fp = char_fp_sql("x")
+    fp = char_fp_rolling_sql("x")
     fps = f"list_distinct(list_transform({tokens_col}, x -> {fp}))"
     out = {}
     for i, (a, b) in enumerate(minhash_params(num_hashes, seed)):
@@ -358,11 +378,15 @@ def minhash_lsh_oracle_sql(
     integer/deterministic, so the whole LSH pipeline hash-compares exactly
     (the banding itself is not approximate; only its *recall* vs all-pairs
     is — which is the semantics both engines share here)."""
-    from pyrope_spark.functions.text import char_fp_sql, tokens_sql, word_ngrams_from_tokens_sql
+    from pyrope_spark.functions.text import (
+        char_fp_rolling_sql,
+        tokens_sql,
+        word_ngrams_from_tokens_sql,
+    )
 
     rows = num_hashes // bands
     ng = word_ngrams_from_tokens_sql("t", ngram_n)
-    fp = char_fp_sql("x")
+    fp = char_fp_rolling_sql("x")
     mh_exprs = ", ".join(
         f"CAST(COALESCE(list_min(list_transform(fps, f -> "
         f"({a} * (f % {FP_PRIME}) + {b}) % {FP_PRIME})), {FP_PRIME}) AS BIGINT) AS mh_{i}"
@@ -433,9 +457,9 @@ def simhash_text(
 def simhash_text_oracle_sql(
     tokens_col: str = "t", bits: int = SIMHASH_TEXT_BITS, seed: int = MINHASH_SEED
 ) -> str:
-    from pyrope_spark.functions.text import char_fp_sql
+    from pyrope_spark.functions.text import char_fp_rolling_sql
 
-    fp = char_fp_sql("x")
+    fp = char_fp_rolling_sql("x")
     fps = f"list_distinct(list_transform({tokens_col}, x -> {fp}))"
     terms = []
     for b, (a, off) in enumerate(minhash_params(bits, seed + 1000)):

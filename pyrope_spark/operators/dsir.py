@@ -8,9 +8,11 @@ weights shifts the mixture toward the target distribution.
 
 Features are word unigrams + bigrams hashed into ``n_buckets`` (the paper
 uses hashed n-grams precisely so the model is two count arrays). The hash
-is the engine-portable ``char_fp`` (position-weighted integer fingerprint,
-``functions/text.py``) mod n_buckets — NOT an engine-native hash — so the
-DuckDB oracle replicates bucketing bit-for-bit. Laplace (+1) smoothing
+is the engine-portable ``char_fp_rolling`` (Horner rolling fingerprint,
+``functions/text.py`` — upgraded from char_fp, whose arithmetic-progression
+weights collide systematically on structured vocabularies and would bias
+bucket counts) mod n_buckets — NOT an engine-native hash — so the DuckDB
+oracle replicates bucketing bit-for-bit. Laplace (+1) smoothing
 makes unseen buckets finite:
 
     contrib(b) = ln(c_target[b]+1) - ln(T_target+B)
@@ -32,8 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyrope_spark.functions.text import (
-    char_fp,
-    char_fp_sql,
+    char_fp_rolling,
+    char_fp_rolling_sql,
     tokens,
     tokens_sql,
     word_ngrams_from_tokens,
@@ -63,7 +65,7 @@ def doc_features(
     )
     feats = F.concat(F.col("_t"), word_ngrams_from_tokens(F.col("_t"), 2))
     return toks.select("doc_id", F.explode(feats).alias("_f")).select(
-        "doc_id", F.pmod(char_fp(F.col("_f")), F.lit(n_buckets)).alias("bucket")
+        "doc_id", F.pmod(char_fp_rolling(F.col("_f")), F.lit(n_buckets)).alias("bucket")
     )
 
 
@@ -133,11 +135,11 @@ def dsir_oracle_sql(
     id_col: str = "doc_id",
     target_pred: str = "lang = 'en'",
 ) -> str:
-    """DuckDB rendering: same char_fp bucketing, counts, smoothing, and
+    """DuckDB rendering: same rolling-fp bucketing, counts, smoothing, and
     branch-free contribution sum. Raw model = the full table."""
     t = tokens_sql(text_col)
     ngrams = word_ngrams_from_tokens_sql("tk", 2)
-    fp = char_fp_sql("u.f")
+    fp = char_fp_rolling_sql("u.f")
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {target_pred} AS is_target, {t} AS tk

@@ -10,12 +10,11 @@ stream aggregates into a fixed-size table with map-side partial counts
 estimation is a broadcast join of query terms against it — the raw corpus
 is never re-scanned per query.
 
-Hashing is the repo's engine-portable affine scheme over ``char_fp`` (small
-multipliers keep every intermediate far inside int64), so the whole sketch
-replicates bit-for-bit in the DuckDB oracle. An ``xxhash64`` mode would cut
-collision correlation at production scale; the affine family over distinct
-multipliers is already pairwise-independent enough for the CMS bound and is
-what the correctness gate can check.
+Hashing is the engine-portable affine family over the Horner rolling
+fingerprint (see the collision notes at CMS_MULTS below — both the base
+hash and the mixing modulus are chosen so no single collision can defeat
+every row at once), so the whole sketch replicates bit-for-bit in the
+DuckDB oracle.
 
 No reference analog (nearest is the reference's fixed-bound latency
 histogram, MetricsService.cs); this extends the engine's sketch surface
@@ -27,22 +26,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pyrope_spark.functions.text import FP_PRIME, char_fp, char_fp_sql, tokens, tokens_sql
+from pyrope_spark.functions.text import (
+    FP_ROLL_P,
+    char_fp_rolling,
+    char_fp_rolling_sql,
+    tokens,
+    tokens_sql,
+)
 
-# distinct small odd multipliers per hash row (affine family mod FP_PRIME);
-# offsets break the shared fixed point at fp=0
+# distinct small odd multipliers per hash row (affine family mod the LARGE
+# rolling-hash prime); offsets break the shared fixed point at fp=0.
+# Two deliberate choices against correlated collisions:
+# - the base fp is the Horner rolling hash, not char_fp (whose
+#   arithmetic-progression weights collide systematically on structured
+#   vocabularies — a base collision defeats every row at once);
+# - the affine mix reduces mod FP_ROLL_P (~1e15), not a small prime: with a
+#   small modulus, fp1 = fp2 (mod m) collides in ALL rows simultaneously
+#   for any multiplier, silently breaking the min-over-rows rescue.
+# fp * 61 stays under 6.2e16 — far inside int64.
 CMS_MULTS = [31, 37, 41, 43, 47, 53, 59, 61]
 CMS_OFFS = [17, 257, 4099, 65537, 262147, 524309, 1048583, 2097169]
 
 
 def _bucket(fp: Column, d: int, width: int) -> Column:
-    return F.pmod(fp * CMS_MULTS[d] + CMS_OFFS[d], F.lit(FP_PRIME)) % width
+    return F.pmod(fp * CMS_MULTS[d] + CMS_OFFS[d], F.lit(FP_ROLL_P)) % width
 
 
 def _bucket_sql(fp_expr: str, d: int, width: int) -> str:
     return (
-        f"(((({fp_expr}) * {CMS_MULTS[d]} + {CMS_OFFS[d]}) % {FP_PRIME} "
-        f"+ {FP_PRIME}) % {FP_PRIME}) % {width}"
+        f"(((({fp_expr}) * {CMS_MULTS[d]} + {CMS_OFFS[d]}) % {FP_ROLL_P} "
+        f"+ {FP_ROLL_P}) % {FP_ROLL_P}) % {width}"
     )
 
 
@@ -63,7 +76,7 @@ def cms_build(
         raise ValueError(f"depth must be in 1..{len(CMS_MULTS)}")
     toks = docs.select(
         F.explode(tokens(F.col(text_col))).alias("term")
-    ).select(char_fp(F.col("term")).alias("fp"))
+    ).select(char_fp_rolling(F.col("term")).alias("fp"))
     rows = toks.select(
         F.explode(
             F.array(*[
@@ -92,7 +105,7 @@ def cms_estimate(
     estimate is shuffle-free relative to the query set.
     """
     probes = terms.select(
-        F.col(term_col).alias("term"), char_fp(F.col(term_col)).alias("fp")
+        F.col(term_col).alias("term"), char_fp_rolling(F.col(term_col)).alias("fp")
     ).select(
         "term",
         F.explode(
@@ -120,7 +133,7 @@ def cms_oracle_sql(
 ) -> str:
     """DuckDB rendering of build + estimate over every distinct corpus term
     with exact count >= min_exact, alongside the exact count."""
-    fp_term = char_fp_sql("term")
+    fp_term = char_fp_rolling_sql("term")
     unions = "\nUNION ALL\n".join(
         f"SELECT {d} AS d, {_bucket_sql('fp', d, width)} AS bucket, cnt FROM tf"
         for d in range(depth)
@@ -172,11 +185,12 @@ def bloom_build(
     still confirm against the exact index.
 
     Same engine-portable affine hash family as the CMS (multiplier/offset
-    rows over char_fp), so the filter replicates bit-for-bit in SQL.
+    rows over the rolling fingerprint), so the filter replicates
+    bit-for-bit in SQL.
     """
     if not 1 <= n_hashes <= len(CMS_MULTS):
         raise ValueError(f"n_hashes must be in 1..{len(CMS_MULTS)}")
-    fp = items.select(char_fp(F.col(col)).alias("fp"))
+    fp = items.select(char_fp_rolling(F.col(col)).alias("fp"))
     bits = fp.select(
         F.explode(
             F.array(*[_bucket(F.col("fp"), d, n_bits) for d in range(n_hashes)])
@@ -200,7 +214,7 @@ def bloom_might_contain(
     historical key set.
     """
     pos = probes.select(
-        F.col(col).alias("probe"), char_fp(F.col(col)).alias("fp")
+        F.col(col).alias("probe"), char_fp_rolling(F.col(col)).alias("fp")
     ).select(
         "probe",
         F.explode(
@@ -228,7 +242,7 @@ def bloom_oracle_sql(
 ) -> str:
     """DuckDB rendering: bloom over the build split's terms, probed with
     every distinct corpus term, alongside exact membership."""
-    fp = char_fp_sql("term")
+    fp = char_fp_rolling_sql("term")
     build_bits = "\nUNION\n".join(
         f"SELECT DISTINCT {_bucket_sql('fp', d, n_bits)} AS bit FROM bt"
         for d in range(n_hashes)

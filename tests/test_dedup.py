@@ -62,7 +62,15 @@ def test_minhash_identical_signatures(docs):
 
 
 def test_minhash_lsh_finds_planted_pairs(docs):
-    pairs = {(r["ia"], r["ib"]) for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    # token shingles + 8 narrow bands: the near-dup pair (token Jaccard
+    # ~0.85) collides w.p. ~1-0.28^8 — robust to hash-family changes. The
+    # default 3-gram/4-band config puts a 0.6-Jaccard pair at ~40% banding
+    # recall BY DESIGN (that is the LSH curve, not a bug) and made this
+    # assertion a coin flip across hash migrations.
+    pairs = {(r["ia"], r["ib"]) for r in
+             minhash_lsh_pairs(
+                 docs, bands=8, ngram_n=1, verify_threshold=0.5
+             ).collect()}
     assert (1, 2) in pairs
     assert (1, 3) in pairs
     assert all(4 not in p for p in pairs)

@@ -194,7 +194,7 @@ def test_gapfill_matches_bruteforce_on_random_events(spark):
 
 
 def test_cms_matches_bruteforce_hash_family(spark):
-    from pyrope_spark.functions.text import FP_PRIME
+    from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
     from pyrope_spark.operators.sketch import CMS_MULTS, CMS_OFFS, cms_build, cms_estimate
 
     rng = random.Random(5)
@@ -206,22 +206,22 @@ def test_cms_matches_bruteforce_hash_family(spark):
     sketch = cms_build(docs, depth=depth, width=width)
     exact = Counter(w for t in texts for w in t.split())
 
-    def fp(token):  # python mirror of char_fp
-        return sum(
-            ord(c) * (((i + 1) * 2654435761) % 1000003)
-            for i, c in enumerate(token)
-        )
+    def fp(token):  # python mirror of char_fp_rolling
+        acc = FP_ROLL_SEED
+        for c in token:
+            acc = (acc * FP_ROLL_R + ord(c)) % FP_ROLL_P
+        return acc
 
     table = defaultdict(int)
     for term, cnt in exact.items():
         for d in range(depth):
-            table[(d, (fp(term) * CMS_MULTS[d] + CMS_OFFS[d]) % FP_PRIME % width)] += cnt
+            table[(d, (fp(term) * CMS_MULTS[d] + CMS_OFFS[d]) % FP_ROLL_P % width)] += cnt
     terms = spark.createDataFrame([(t,) for t in exact], "term string")
     est = {r["term"]: r["est_count"] for r in
            cms_estimate(sketch, terms, depth=depth, width=width).collect()}
     for term, cnt in exact.items():
         expected = min(
-            table[(d, (fp(term) * CMS_MULTS[d] + CMS_OFFS[d]) % FP_PRIME % width)]
+            table[(d, (fp(term) * CMS_MULTS[d] + CMS_OFFS[d]) % FP_ROLL_P % width)]
             for d in range(depth)
         )
         assert est[term] == expected and expected >= cnt
