@@ -22,10 +22,11 @@ groupBy+join-back second shuffle); span merging is ONE shuffle on doc_id.
 No all-pairs anywhere. Stride > 1 trades recall for an s-fold explode
 reduction when passages are long.
 
-Fingerprints: ``portable`` (default) uses the repo's engine-portable
-position-weighted char fingerprint so the DuckDB oracle replicates the
-pipeline bit-for-bit; ``xxhash64`` is the production path (64-bit, collision
-odds ~n²/2⁶⁵) — span-set equality of the two modes is pytest-gated.
+Fingerprints: ``portable`` (default) uses the engine-portable Horner
+rolling hash (mod a ~1e15 prime) so the DuckDB oracle replicates the
+pipeline bit-for-bit; ``xxhash64`` is the production path (64-bit) — the
+two modes' span sets are pytest-gated equal, and a brute-force reference
+check guards against structured-collision regressions.
 
 Reference behavior anchor: the corpus-dedup north star in BASELINE.json;
 no reference-engine analog (the reference dedups whole keys only,
@@ -219,4 +220,111 @@ SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
        CAST(max(CAST(cross_doc AS INT)) AS BOOLEAN) AS cross_doc
 FROM grouped
 GROUP BY doc_id, grp
+"""
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    fingerprint: str = "portable",
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Remove flagged duplicated passages from each document's text — the
+    removal half of the Lee et al. substring-dedup recipe.
+
+    ``spans`` defaults to :func:`duplicate_passages` over the same corpus;
+    pass a pre-computed/filtered span table to control policy (e.g. only
+    spans above a length, only cross-doc). ``cross_doc_only=True`` keeps
+    within-document repetition (some pipelines treat that as a quality
+    signal handled elsewhere). Policy note: this removes EVERY flagged
+    occurrence — the published "keep one copy" refinement is a caller-side
+    span filter (drop the span of the minimum (doc_id, span_start) holder
+    from the table before stripping).
+
+    Output: (doc_id, clean_text, n_tokens, n_tokens_removed). Docs with no
+    flagged span pass through with their tokenized text re-joined (single
+    spacing — byte-identical only for single-space corpora; tokenization is
+    the engine's normal form).
+
+    Scale shape: tokens posexplode once; the span table joins on doc_id
+    (spans per doc are few — the join fans out by spans-per-doc, not
+    corpus x corpus) and the containment test is a filter; reassembly is
+    one groupBy(doc) with an order-struct sort_array — no windows, two
+    shuffles total beyond the span build.
+    """
+    if spans is None:
+        spans = duplicate_passages(
+            docs, id_col=id_col, text_col=text_col, window=window,
+            fingerprint=fingerprint,
+        )
+    if cross_doc_only:
+        spans = spans.where(F.col("cross_doc"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).select(
+        "doc_id", F.posexplode("t").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    sp = spans.select("doc_id", "span_start", "span_end")
+    flagged = toks.join(sp, "doc_id", "left").withColumn(
+        "_in_span",
+        F.col("span_start").isNotNull()
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+    )
+    # a token may match several spans of its doc -> reduce to any-match
+    per_tok = flagged.groupBy("doc_id", "pos", "token").agg(
+        F.max(F.col("_in_span").cast("int")).alias("_dup")
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_dup") == 0, F.struct("pos", "token"))
+                    )
+                ),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.lit(1) - F.col("_dup")).cast("long").alias("n_tokens"),
+        F.sum("_dup").cast("long").alias("n_tokens_removed"),
+    )
+
+
+def strip_duplicate_spans_oracle_sql(
+    *, table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", window: int = 8,
+) -> str:
+    """DuckDB rendering: spans CTE (the duplicate_passages oracle) + token
+    containment + string_agg reassembly."""
+    spans_sql = duplicate_passages_oracle_sql(
+        table=table, id_col=id_col, text_col=text_col, window=window
+    )
+    return f"""
+WITH spans AS ({spans_sql}),
+tk2 AS (
+  SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS t FROM {table}
+), tok AS (
+  SELECT doc_id, i AS pos, t[i] AS token
+  FROM tk2, unnest(range(1, len(t) + 1)) AS u(i)
+), marked AS (
+  SELECT tok.doc_id, tok.pos, tok.token,
+         max(CASE WHEN s.span_start IS NOT NULL
+                   AND tok.pos BETWEEN s.span_start AND s.span_end
+                  THEN 1 ELSE 0 END) AS dup
+  FROM tok LEFT JOIN spans s ON tok.doc_id = s.doc_id
+  GROUP BY tok.doc_id, tok.pos, tok.token
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN dup = 0 THEN token END, ' ' ORDER BY pos), '')
+         AS clean_text,
+       CAST(sum(1 - dup) AS BIGINT) AS n_tokens,
+       CAST(sum(dup) AS BIGINT) AS n_tokens_removed
+FROM marked
+GROUP BY doc_id
 """

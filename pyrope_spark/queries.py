@@ -3364,3 +3364,24 @@ def _temp_mix_oracle() -> str:
 
 
 register("temperature_mix_weights", _temp_mix_oracle())(_temp_mix_spark)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-passage stripping (operators/passages.py)
+# --------------------------------------------------------------------------
+
+def _strip_passages_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.passages import strip_duplicate_spans
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, window=PASSAGE_WINDOW)
+
+
+def _strip_passages_oracle() -> str:
+    from pyrope_spark.operators.passages import strip_duplicate_spans_oracle_sql
+
+    return strip_duplicate_spans_oracle_sql(window=PASSAGE_WINDOW)
+
+
+register("strip_duplicate_passages", _strip_passages_oracle())(_strip_passages_spark)

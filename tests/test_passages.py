@@ -3,6 +3,8 @@ semantics, span merging, cross-doc attribution, and fingerprint-mode parity."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pyrope_spark.operators.passages import (
     duplicate_passages,
     duplicate_window_positions,
@@ -115,3 +117,50 @@ def test_passages_plan_shape(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, f"expected 2 exchanges, plan has {n_exchanges}"
     assert "Join" not in plan
+
+
+def test_strip_duplicate_spans(spark):
+    from pyrope_spark.operators.passages import strip_duplicate_spans
+
+    docs = _docs(
+        spark,
+        [
+            (10, UNIQ_A + " " + SHARED),
+            (20, SHARED + " " + UNIQ_B),
+            (30, UNIQ_B + " extra tokens here padding words continue onward"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in
+            strip_duplicate_spans(docs, window=8).collect()}
+    # doc 10: the 12 shared tokens removed, the 10 unique remain
+    assert rows[10]["clean_text"] == UNIQ_A
+    assert rows[10]["n_tokens"] == 10 and rows[10]["n_tokens_removed"] == 12
+    # doc 20 shares SHARED with doc 10 AND UNIQ_B with doc 30 -> fully gone
+    assert rows[20]["clean_text"] == "" and rows[20]["n_tokens"] == 0
+    assert rows[20]["n_tokens_removed"] == 22
+    # doc 30's UNIQ_B prefix is flagged; its unique tail remains
+    assert rows[30]["n_tokens_removed"] == 10
+    assert rows[30]["clean_text"].startswith("extra")
+
+
+def test_strip_with_explicit_span_policy(spark):
+    from pyrope_spark.operators.passages import (
+        duplicate_passages,
+        strip_duplicate_spans,
+    )
+
+    docs = _docs(spark, [(1, UNIQ_A + " " + SHARED), (2, SHARED + " " + UNIQ_B)])
+    spans = duplicate_passages(docs, window=8)
+    # keep-one-copy policy: drop the minimum (doc_id, span_start) holder
+    # from the span table before stripping
+    from pyspark.sql import Window as W
+
+    keep = spans.withColumn(
+        "_rk",
+        F.row_number().over(W.orderBy("doc_id", "span_start")),
+    ).where(F.col("_rk") > 1).drop("_rk")
+    rows = {r["doc_id"]: r for r in
+            strip_duplicate_spans(docs, spans=keep, window=8).collect()}
+    # doc 1 keeps its copy (its span was the dropped one), doc 2 stripped
+    assert rows[1]["n_tokens_removed"] == 0
+    assert rows[2]["n_tokens_removed"] == 12
