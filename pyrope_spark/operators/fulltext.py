@@ -369,3 +369,94 @@ def rrf_fuse(
     ).select(
         "query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "rrf_score"
     )
+
+
+def update_bm25_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Bm25Index:
+    """Incrementally merge a delta corpus into a stored index
+    (:func:`write_bm25_index` layout) without touching existing postings.
+
+    PRECONDITION: ``new_docs`` ids are disjoint from the indexed corpus
+    (the steady-state ingest contract — run ``curation.dedup_against_index``
+    /a Bloom pre-filter upstream). Re-adding an id would double-count its
+    postings; this function does not scan the corpus to check.
+
+    Work is delta-sized: the delta's postings append into the SAME
+    term-bucket partition layout (only the touched bucket directories gain
+    files); termdf merges via a vocabulary-sized outer-sum and stats via a
+    2-row weighted average, both rewritten with the tmp+swap discipline
+    (the postings append itself is the usual eventually-visible parquet
+    append). Periodic compaction of hot buckets is ordinary parquet file
+    compaction — the layout doesn't change.
+    """
+    import os
+    import shutil
+    import uuid
+
+    old = load_bm25_index(spark, path)
+    n_buckets = old.n_buckets or 256
+    delta = build_bm25_index(new_docs, text_col=text_col, id_col=id_col)
+    (
+        delta.postings.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(path + "/postings")
+    )
+    merged_termdf = (
+        old.termdf.select("term", F.col("df").alias("_df_a"))
+        .join(
+            delta.termdf.select("term", F.col("df").alias("_df_b")),
+            "term",
+            "full_outer",
+        )
+        .select(
+            "term",
+            (F.coalesce("_df_a", F.lit(0)) + F.coalesce("_df_b", F.lit(0))).alias(
+                "df"
+            ),
+        )
+    )
+    o = old.stats.select(
+        F.col("n_docs").alias("n_a"), F.col("avgdl").alias("avg_a")
+    )
+    d = delta.stats.select(
+        F.col("n_docs").alias("n_b"), F.col("avgdl").alias("avg_b")
+    )
+    merged_stats = o.crossJoin(d).select(
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n_docs"),
+        (
+            (F.col("n_a") * F.col("avg_a") + F.col("n_b") * F.col("avg_b"))
+            / (F.col("n_a") + F.col("n_b"))
+        ).alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+
+    def swap(df, sub):
+        tmp = f"{path}/{sub}_new_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
+        oldp = f"{path}/{sub}"
+        bak = f"{path}/{sub}_old_{uuid.uuid4().hex}"
+        if os.path.exists(oldp):
+            os.replace(oldp, bak)
+        os.replace(tmp, oldp)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+
+    # materialize BEFORE swapping (the plans read the old files)
+    merged_termdf = merged_termdf.cache()
+    merged_termdf.count()
+    merged_stats = merged_stats.cache()
+    merged_stats.count()
+    swap(merged_termdf, "termdf")
+    swap(merged_stats, "stats")
+    merged_termdf.unpersist()
+    merged_stats.unpersist()
+    return load_bm25_index(spark, path)

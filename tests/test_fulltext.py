@@ -153,3 +153,46 @@ def test_bm25_index_store_roundtrip_and_pruning(spark, tmp_path):
     pruned = bm25_topk(idx, q, k=10)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "term_bucket" in plan and "PartitionFilters: [" in plan
+
+
+def test_incremental_index_update_equals_full_rebuild(spark, tmp_path):
+    """write(half) + update(other half) must produce search results
+    identical to an index built on the full corpus — postings, termdf, and
+    weighted-avgdl stats all merge correctly."""
+    from pyrope_spark.operators.fulltext import (
+        bm25_topk,
+        build_bm25_index,
+        update_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i % 7} gamma" + (" delta" * (i % 3)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    first, second = docs.where("doc_id < 25"), docs.where("doc_id >= 25")
+    path = str(tmp_path / "bm25_inc")
+    write_bm25_index(build_bm25_index(first), path, n_buckets=16)
+    updated = update_bm25_index(spark, path, second)
+
+    full = build_bm25_index(docs)
+    queries = spark.createDataFrame(
+        [("q1", "alpha delta"), ("q2", "w3 gamma"), ("q3", "beta w26")],
+        "query_id string, query_text string",
+    )
+    def run(idx):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(idx, queries, k=5).collect()
+        )
+    assert run(updated) == run(full)
+    # stats merged exactly
+    s_u = updated.stats.first()
+    s_f = full.stats.first()
+    assert s_u["n_docs"] == s_f["n_docs"] == 40
+    assert abs(s_u["avgdl"] - s_f["avgdl"]) < 1e-12
+    # termdf merged exactly
+    tu = {r["term"]: r["df"] for r in updated.termdf.collect()}
+    tf_ = {r["term"]: r["df"] for r in full.termdf.collect()}
+    assert tu == tf_
