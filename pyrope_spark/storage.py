@@ -1,0 +1,65 @@
+"""Bucketed-table storage — the co-located-join layout for repeated joins.
+
+At 100 TB the dominant cost of a recurring equi-join (facts x facts on a
+shared key, postings x postings, store tail x delta) is re-shuffling both
+sides every run. Spark's bucketing persists the shuffle INTO the layout:
+``bucketBy(n, key)`` hash-splits each side's files by key at write time, and
+a join between two tables bucketed the same way (same key, same n) needs no
+Exchange at all — the plan goes straight to sort-merge over matching
+buckets. The shuffle is paid once at write, amortized over every later join
+and same-key aggregation.
+
+Bucketed writes require the session catalog (``saveAsTable``) — plain
+``.parquet(path)`` silently drops bucket metadata. These helpers wrap the
+catalog plumbing so operators stay path-like.
+
+Sizing: pick ``n_buckets`` so a bucket's rows fit one task comfortably
+(~100-500 MB of parquet per bucket per table); both join sides MUST use the
+same n or Spark falls back to shuffling the mismatched side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (optionally bucket-sorted) catalog table.
+
+    Sorting within buckets (``sortBy``) additionally removes the per-task
+    Sort from later sort-merge joins — worth it for tables joined far more
+    often than written.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata only survives the catalog
+    path — ``spark.read.parquet`` on the files would lose it)."""
+    return spark.table(table)
+
+
+def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
+    """True when both catalog tables exist with identical bucket specs —
+    the precondition for the exchange-free join."""
+    cat = spark.catalog
+    if not (cat.tableExists(left) and cat.tableExists(right)):
+        return False
+
+    def spec(t):
+        rows = spark.sql(f"DESCRIBE EXTENDED {t}").collect()
+        info = {r["col_name"]: r["data_type"] for r in rows}
+        return info.get("Num Buckets"), info.get("Bucket Columns")
+
+    return spec(left) == spec(right) and spec(left)[0] is not None
