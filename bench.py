@@ -365,6 +365,37 @@ def main() -> None:
 
         timed(f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8_byte, repeat=3)
 
+    # BQ sign-bit segments (32x less scan bandwidth than f32; Hamming
+    # coarse cut + exact float re-rank — operators/bq.py)
+    from pyrope_spark.operators.bq import pack_segments_bq, segment_knn_bq
+
+    def pack_bq():
+        seg = pack_segments_bq(vectors, rows_per_segment=65536).cache()
+        seg.count()
+        state["seg_bq"] = seg
+
+    timed(f"pack_bq_segments_{N_VECTORS}v", pack_bq)
+    if "seg_bq" not in state and (
+        not only or any(n.startswith(("bf_bq", "bq_rerank_1")) for n in only)
+    ):
+        pack_bq()
+    if "seg_bq" in state:
+        def bq_coarse():
+            segment_knn_bq(state["seg_bq"], qnp, 3 * TOP_K).count()
+
+        timed(f"bf_bq_hamming_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bq_coarse, repeat=3)
+
+        from pyrope_spark.operators.similarity import exact_rerank
+
+        def bq_rerank():
+            coarse = segment_knn_bq(state["seg_bq"], qnp, 3 * TOP_K).select(
+                "query_id", "id"
+            )
+            exact_rerank(coarse, vectors, queries, TOP_K, "cosine").count()
+
+        timed(f"bq_rerank_{N_VECTORS}v_q{N_QUERIES}", bq_rerank, repeat=3)
+        state.pop("seg_bq").unpersist()
+
     # ---------------- streaming end-to-end: sustained ingest + search
     # during writes (VERDICT r2 item 7; reference phase-6 S1: 5,000 vectors
     # upserted at 1,165 vec/s with 100 concurrent searches,
@@ -548,6 +579,8 @@ def main() -> None:
         "salted_join_brand_revenue",
         "scd2_user_status",
         "rolling_zscore_anomalies",
+        # round 4 session 4 additions
+        "bq_rerank_search",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -277,3 +277,190 @@ SELECT t.term AS probe,
        (t.term IN (SELECT term FROM build_terms)) AS in_build
 FROM all_terms t LEFT JOIN hits h USING (term)
 """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) as a TABLE
+# --------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct gives a one-shot HLL *estimate*; what a
+# 100 TB pipeline additionally needs is the HLL *state* as a first-class
+# mergeable artifact: per-shard register tables that union+max into the
+# corpus-wide sketch (incremental ingest, per-partition profiles, cross-
+# snapshot set sizes) without re-scanning history. One register table is
+# m = 2^p rows max per group — trivially broadcastable.
+#
+# Engine-portable construction (replicates bit-for-bit in the DuckDB
+# oracle): the register input is a DOUBLE Horner pass —
+# h = char_fp_rolling(string(char_fp_rolling(key || salt))). One pass is
+# not enough: fp(key || salt) is AFFINE in the key's own fingerprint
+# (suffix chars only multiply-and-add a constant mod P), so sequential
+# keys land on a stride-M lattice whose per-bucket leading-zero maxima are
+# systematically biased (measured +25..-37% at p=8..11 on sequential ids
+# — far beyond the 6.5%/2.3% theoretical sigma). Re-fingerprinting the
+# DECIMAL STRING of the first hash is nonlinear (digit decomposition has
+# carries), which breaks the lattice; measured errors drop inside the
+# paper's sigma at p=8 and p=11. The salt guarantees the first chain
+# saturates mod P for short keys.
+#
+# From h: u = h mod 2^40 (near-uniform 40-bit value: FP_ROLL_P/2^40 ~ 909
+# wraps, residual nonuniformity ~0.1%) -> bucket = u mod m, w = u div m
+# treated as a bw = (40-p)-bit value -> rho = bw + 1 - bitlen(w) (bitlen
+# via length(bin(w)), identical in Spark and DuckDB; rho = bw+1 at w = 0).
+# The estimator's 1/2^Mj sum is computed EXACTLY as a BIGINT (sum of
+# 2^(bw+1-Mj), bounded by m * 2^bw <= 2^41), so the order-insensitive
+# value hash is safe — the only float ops are one division and the final
+# round, identical IEEE in both engines. The 32-bit upper-range
+# correction does not apply (hash space 2^40 with the ~2^50 source).
+
+HLL_DEFAULT_P = 5
+HLL_SALT = "#hll#"
+HLL_UBITS = 40
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_DEFAULT_P,
+) -> DataFrame:
+    """Register table (group..., bucket, rho) — max-rho per bucket. One hash
+    shuffle of at most m distinct buckets per group (map-side max partials
+    collapse the key stream executor-side); duplicates need no pre-distinct
+    (max absorbs them)."""
+    m = 1 << p
+    bw = HLL_UBITS - p
+    h1 = char_fp_rolling(
+        F.concat(F.col(key_col).cast("string"), F.lit(HLL_SALT))
+    )
+    h = char_fp_rolling(h1.cast("string"))
+    u = F.pmod(h, F.lit(1 << HLL_UBITS))
+    rows = df.select(*group_cols, u.alias("_u")).select(
+        *group_cols,
+        F.pmod(F.col("_u"), F.lit(m)).cast("int").alias("bucket"),
+        F.expr(
+            f"CASE WHEN (_u div {m}) = 0 THEN {bw + 1} "
+            f"ELSE {bw} + 1 - length(bin(_u div {m})) END"
+        ).cast("int").alias("_rho"),
+    )
+    return rows.groupBy(*group_cols, "bucket").agg(F.max("_rho").alias("rho"))
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, *, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two register tables into one sketch: groupBy max — the lossless
+    merge that makes per-shard sketches composable (build(x) U build(y) ==
+    build(x U y), exactly)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_DEFAULT_P,
+) -> DataFrame:
+    """(group..., m, zero_registers, s_scaled, est_distinct) from a register
+    table. ``s_scaled`` is the EXACT integer ``2^(bw+1) * sum(2^-Mj)``
+    (absent registers contribute ``2^(bw+1)`` each); the estimate is
+    ``alpha * m^2 * 2^(bw+1) / s_scaled`` with the paper's linear-counting
+    small-range correction (raw <= 2.5m and empty registers present)."""
+    m = 1 << p
+    bw = HLL_UBITS - p
+    num = _hll_alpha(m) * m * m * float(1 << (bw + 1))  # exact double literal
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({bw + 1} - rho as int))")
+        ).alias("_s_hit"),
+    )
+    out = agg.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("_present")).cast("long").alias("zero_registers"),
+        (
+            F.col("_s_hit")
+            + (F.lit(m) - F.col("_present")).cast("long") * F.lit(1 << (bw + 1)).cast("long")
+        ).cast("long").alias("s_scaled"),
+    )
+    raw = F.lit(num) / F.col("s_scaled").cast("double")
+    v = F.col("zero_registers")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return out.withColumn("est_distinct", F.round(est, 3))
+
+
+def hll_oracle_sql(
+    *,
+    table: str = "events",
+    key_expr: str = "CAST(user_id AS VARCHAR)",
+    group_col: str = "event_type",
+    p: int = HLL_DEFAULT_P,
+) -> str:
+    """DuckDB rendering of build + estimate per group, with the exact
+    distinct count side-by-side."""
+    m = 1 << p
+    bw = HLL_UBITS - p
+    num = repr(_hll_alpha(m) * m * m * float(1 << (bw + 1)))
+    fp1 = char_fp_rolling_sql(f"k || '{HLL_SALT}'")
+    fp2 = char_fp_rolling_sql("CAST(h1 AS VARCHAR)")
+    return f"""
+WITH keys AS (
+  SELECT {group_col} AS g, {key_expr} AS k FROM {table}
+), h1t AS (
+  SELECT g, {fp1} AS h1 FROM keys
+), hashed AS (
+  SELECT g, ({fp2}) % {1 << HLL_UBITS} AS u FROM h1t
+), rr AS (
+  SELECT g, CAST(u % {m} AS INT) AS bucket,
+         CAST(CASE WHEN (u // {m}) = 0 THEN {bw + 1}
+              ELSE {bw} + 1 - length(bin(u // {m})) END AS INT) AS rho
+  FROM hashed
+), reg AS (
+  SELECT g, bucket, MAX(rho) AS rho FROM rr GROUP BY g, bucket
+), agg AS (
+  SELECT g, COUNT(*) AS present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({bw + 1} - rho)) AS BIGINT) AS s_hit
+  FROM reg GROUP BY g
+), est AS (
+  SELECT g, CAST({m} AS BIGINT) AS m,
+         CAST({m} - present AS BIGINT) AS zero_registers,
+         CAST(s_hit + ({m} - present) * (CAST(1 AS BIGINT) << {bw + 1})
+              AS BIGINT) AS s_scaled
+  FROM agg
+), fin AS (
+  SELECT g, m, zero_registers, s_scaled,
+         CASE WHEN ({num} / CAST(s_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND zero_registers > 0
+              THEN round({float(m)!r} * ln({float(m)!r} /
+                         CAST(zero_registers AS DOUBLE)), 3)
+              ELSE round({num} / CAST(s_scaled AS DOUBLE), 3) END
+           AS est_distinct
+  FROM est
+), exact AS (
+  SELECT {group_col} AS g, CAST(COUNT(DISTINCT {key_expr}) AS BIGINT)
+           AS exact_distinct
+  FROM {table} GROUP BY {group_col}
+)
+SELECT fin.g AS {group_col}, fin.m, fin.zero_registers, fin.s_scaled,
+       fin.est_distinct, exact.exact_distinct
+FROM fin JOIN exact ON fin.g = exact.g
+"""

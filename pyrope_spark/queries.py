@@ -3385,3 +3385,103 @@ def _strip_passages_oracle() -> str:
 
 
 register("strip_duplicate_passages", _strip_passages_oracle())(_strip_passages_spark)
+
+
+# --------------------------------------------------------------------------
+# Binary quantization: Hamming coarse scan + exact cosine re-rank
+# (operators/bq.py; extends the reference's quantization ladder beyond SQ8,
+# ScalarQuantizer.cs / VectorMath.cs:435-681)
+# --------------------------------------------------------------------------
+
+def _bq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.bq import bq_rerank_topk
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    hits = bq_rerank_topk(
+        vectors, qs, k=TOP_K, rerank=_RERANK_R, metric="cosine", impl="expr"
+    )
+    return hits.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _bq_rerank_oracle() -> str:
+    from pyrope_spark.operators.bq import bq_words_sql, hamming_sql
+
+    exact = oracle_score_sql("cosine", "q2.qv", "v.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+         {bq_words_sql('embedding')} AS qw
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id, {bq_words_sql('embedding')} AS cw FROM embeddings
+),
+h AS (
+  SELECT q.qid, c.vec_id, {hamming_sql('q.qw', 'c.cw')} AS ham
+  FROM q CROSS JOIN c
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ham ASC,
+                              CAST(vec_id AS VARCHAR) ASC) AS rn
+    FROM h) WHERE rn <= {_RERANK_R}
+),
+ex AS (
+  SELECT c.qid, c.vec_id, {exact} AS score
+  FROM cand c
+  JOIN q q2 ON q2.qid = c.qid
+  JOIN embeddings v ON v.vec_id = c.vec_id
+),
+r AS (
+  SELECT CAST(qid AS VARCHAR) AS query_id, CAST(vec_id AS VARCHAR) AS id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC,
+                            CAST(vec_id AS VARCHAR) ASC) AS rnk
+  FROM ex
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+register("bq_rerank_search", _bq_rerank_oracle())(_bq_rerank_spark)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch-as-a-table (operators/sketch.py; mergeable
+# register state beyond Spark's one-shot approx_count_distinct)
+# --------------------------------------------------------------------------
+
+def _hll_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.sketch import hll_build, hll_estimate
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sk = hll_build(ev, "user_id", group_cols=("event_type",))
+    est = hll_estimate(sk, group_cols=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+def _hll_oracle() -> str:
+    from pyrope_spark.operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql()
+
+
+register("hll_distinct_users", _hll_oracle())(_hll_spark)

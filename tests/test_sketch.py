@@ -109,3 +109,72 @@ def test_bloom_bits_bounded(spark):
     terms = spark.createDataFrame([("x%d" % i,) for i in range(1000)], "term string")
     bloom = bloom_build(terms, n_bits=64, n_hashes=3)
     assert bloom.count() <= 64
+
+
+# ---------------------------------------------------------------- HLL
+
+def _keys_df(spark, n, prefix="k", group=None):
+    rows = [(group or "g", f"{prefix}{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "grp string, key string")
+
+
+def test_hll_merge_equals_full_build(spark):
+    """build(even) merged with build(odd) == build(all) EXACTLY (register
+    tables are integer state; merge is lossless)."""
+    from pyrope_spark.operators.sketch import hll_build, hll_merge
+
+    df = _keys_df(spark, 400)
+    even = df.filter(F.expr("substring(key, 2) % 2 = 0"))
+    odd = df.filter(F.expr("substring(key, 2) % 2 = 1"))
+    merged = hll_merge(
+        hll_build(even, "key", group_cols=("grp",), p=8),
+        hll_build(odd, "key", group_cols=("grp",), p=8),
+        group_cols=("grp",),
+    )
+    full = hll_build(df, "key", group_cols=("grp",), p=8)
+    key = lambda d: sorted((r["grp"], r["bucket"], r["rho"]) for r in d.collect())
+    assert key(merged) == key(full)
+
+
+def test_hll_estimate_accuracy_p8(spark):
+    """p=8 (m=256, sigma ~6.5%): estimate within 20% of 2000 distinct keys,
+    duplicates absorbed."""
+    from pyrope_spark.operators.sketch import hll_build, hll_estimate
+
+    df = _keys_df(spark, 2000)
+    df = df.union(df.limit(500))  # duplicates must not inflate
+    est = hll_estimate(
+        hll_build(df, "key", group_cols=("grp",), p=8), group_cols=("grp",), p=8
+    ).collect()[0]
+    assert abs(est["est_distinct"] - 2000) / 2000 < 0.20
+    assert est["m"] == 256
+
+
+def test_hll_linear_counting_small_range(spark):
+    """30 distinct keys at p=8: the small-range correction branch (raw <=
+    2.5m, empty registers) engages and lands near exact."""
+    from pyrope_spark.operators.sketch import hll_build, hll_estimate
+
+    df = _keys_df(spark, 30)
+    est = hll_estimate(
+        hll_build(df, "key", group_cols=("grp",), p=8), group_cols=("grp",), p=8
+    ).collect()[0]
+    assert est["zero_registers"] > 0
+    assert abs(est["est_distinct"] - 30) / 30 < 0.30
+
+
+def test_hll_grouped_and_register_ranges(spark):
+    from pyrope_spark.operators.sketch import HLL_UBITS, hll_build, hll_estimate
+
+    a = _keys_df(spark, 100, group="a")
+    b = _keys_df(spark, 1000, prefix="x", group="b")
+    sk = hll_build(a.union(b), "key", group_cols=("grp",), p=6)
+    regs = sk.collect()
+    bw = HLL_UBITS - 6
+    assert all(0 <= r["bucket"] < 64 for r in regs)
+    assert all(1 <= r["rho"] <= bw + 1 for r in regs)
+    est = {r["grp"]: r["est_distinct"] for r in hll_estimate(
+        sk, group_cols=("grp",), p=6
+    ).collect()}
+    # group separation: b's estimate must be well above a's
+    assert est["b"] > 3 * est["a"]
