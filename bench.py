@@ -581,6 +581,8 @@ def main() -> None:
         "rolling_zscore_anomalies",
         # round 4 session 4 additions
         "bq_rerank_search",
+        "domain_capped_corpus",
+        "embedding_cluster_drift",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -881,3 +881,78 @@ SELECT stratum,
        round((powed / SUM(powed) OVER ()) / frac, 6) AS weight
 FROM p
 """
+
+
+# ------------------------------------------------------ per-domain caps
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "dc42",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document cap — the C4 / RefinedWeb over-representation
+    guard: a handful of template-heavy domains otherwise dominate a crawl
+    corpus. Keeps at most ``cap`` docs per domain; selection is a
+    deterministic md5 rank over (seed | id) (layout- and run-independent,
+    the same snapshot-reproducibility contract as stratified_hash_sample),
+    or highest-``quality_col``-first when given.
+
+    Scale shape: the naive per-domain window shuffles EVERY row of a hot
+    domain into one partition — exactly the skew this operator exists to
+    fight. So it is two-phase (the topk_per_group pattern): a local cut to
+    ``cap`` rows per (input-partition, domain) bounds the global window's
+    input at cap * partitions per domain regardless of domain skew.
+
+    Returns the kept rows (id, domain, rank 1..cap).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = F.md5(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")).cast("binary")
+    )
+    src = docs.select(
+        F.col(id_col), F.col(domain_col).alias("domain"),
+        *( [F.col(quality_col)] if quality_col else [] ),
+    ).withColumn("_h", h)
+    if quality_col is None:
+        order = [F.asc("_h"), F.asc(id_col)]
+    else:
+        order = [F.desc(quality_col), F.asc("_h"), F.asc(id_col)]
+    local_w = Window.partitionBy(F.spark_partition_id(), "domain").orderBy(*order)
+    pruned = (
+        src.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= cap)
+        .drop("_lr")
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .select(id_col, "domain", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def domain_cap_oracle_sql(
+    cap: int,
+    *,
+    domain_col: str = "source",
+    seed: str = "dc42",
+    table: str = "documents",
+) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {domain_col} AS domain,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, {domain_col},
+         row_number() OVER (
+           PARTITION BY {domain_col}
+           ORDER BY md5('{seed}|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM {table}
+)
+WHERE rn <= {cap}
+"""

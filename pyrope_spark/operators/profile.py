@@ -82,3 +82,56 @@ SELECT '{c}' AS "column",
 FROM {table}"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------------------------ snapshot drift
+
+def cluster_drift(
+    assign_a: DataFrame,
+    assign_b: DataFrame,
+    *,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, measured on their
+    cluster-assignment histograms (the embedding-space analog of a
+    chi-square drift monitor): per cluster, observed count in snapshot B vs
+    the count expected if B followed A's distribution, and the cluster's
+    chi-square contribution ``(obs - exp)^2 / exp``.
+
+    The training-pipeline use: assign BOTH snapshots to the SAME fixed
+    centroids (a k-means model trained once on the reference snapshot —
+    ``ivf.assign_by_centroids``), then alarm when the statistic jumps: a
+    new crawl whose topic/language mix shifted shows up as mass moving
+    between cells before any model metric degrades.
+
+    Scale shape: each input collapses to its <= nlist-row histogram with
+    one map-side-partial hash aggregate (the corpus is scanned once, no
+    row-level join); the full-outer join + total-sum window run on
+    histogram-sized data. Clusters absent from A (``new_cluster``) have no
+    expected mass — their contribution is NULL and the flag is the signal;
+    ``vanished_cluster`` marks A-only cells (contribution = expected_b).
+
+    All float ops (one multiply, one divide, the squared residual) are
+    written in a fixed order on integer inputs, so the output replicates
+    bit-for-bit in the DuckDB oracle.
+    """
+    from pyspark.sql.window import Window
+
+    ha = assign_a.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("count_a"))
+    hb = assign_b.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("count_b"))
+    j = ha.join(hb, cluster_col, "full_outer").fillna(0, ["count_a", "count_b"])
+    w = Window.partitionBy()  # histogram-sized input (<= nlist rows)
+    ta = F.sum("count_a").over(w)
+    tb = F.sum("count_b").over(w)
+    e = tb.cast("double") * F.col("count_a") / ta
+    resid = F.col("count_b") - e
+    contrib = F.when(F.col("count_a") > 0, (resid * resid) / e)
+    return j.select(
+        F.col(cluster_col),
+        F.col("count_a").cast("long").alias("count_a"),
+        F.col("count_b").cast("long").alias("count_b"),
+        F.round(e, 6).alias("expected_b"),
+        F.round(contrib, 6).alias("chi2_contribution"),
+        (F.col("count_a") == 0).alias("new_cluster"),
+        (F.col("count_b") == 0).alias("vanished_cluster"),
+    )

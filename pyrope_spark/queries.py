@@ -3485,3 +3485,104 @@ def _hll_oracle() -> str:
 
 
 register("hll_distinct_users", _hll_oracle())(_hll_spark)
+
+
+# --------------------------------------------------------------------------
+# Per-domain cap (C4 / RefinedWeb over-representation guard,
+# operators/curation.py)
+# --------------------------------------------------------------------------
+
+_DOMAIN_CAP = 10
+
+
+def _domain_cap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import domain_cap
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(docs, _DOMAIN_CAP)
+
+
+def _domain_cap_oracle() -> str:
+    from pyrope_spark.operators.curation import domain_cap_oracle_sql
+
+    return domain_cap_oracle_sql(_DOMAIN_CAP)
+
+
+register("domain_capped_corpus", _domain_cap_oracle())(_domain_cap_spark)
+
+
+# --------------------------------------------------------------------------
+# Embedding-snapshot drift monitor: chi-square contributions on fixed
+# seed-centroid histograms (operators/profile.py); snapshots = even/odd
+# vec_id halves so the drift surface is deterministic.
+# --------------------------------------------------------------------------
+
+def _drift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.ivf import IvfModel, assign_by_centroids
+    from pyrope_spark.operators.profile import cluster_drift
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    coarse = _seed_mat(spark, sf_dir, FIXED_COARSE_SEEDS)
+    model = IvfModel(
+        centroids=coarse, metric="l2", nlist=len(FIXED_COARSE_SEEDS)
+    )
+    a = assign_by_centroids(vectors.filter(F.col("id") % 2 == 0), model)
+    b = assign_by_centroids(vectors.filter(F.col("id") % 2 == 1), model)
+    out = cluster_drift(
+        a.select("cluster_id"), b.select("cluster_id")
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "count_a",
+        "count_b",
+        "expected_b",
+        "chi2_contribution",
+        "new_cluster",
+        "vanished_cluster",
+    )
+
+
+def _drift_oracle() -> str:
+    return f"""
+WITH {_cent_cte(FIXED_COARSE_SEEDS)},
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_distance(CAST(v.embedding AS DOUBLE[]), c.cv) ASC,
+                      c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN cent c) WHERE rn = 1
+),
+ha AS (SELECT cid, COUNT(*) AS count_a FROM asg WHERE vec_id % 2 = 0 GROUP BY cid),
+hb AS (SELECT cid, COUNT(*) AS count_b FROM asg WHERE vec_id % 2 = 1 GROUP BY cid),
+j AS (
+  SELECT COALESCE(ha.cid, hb.cid) AS cid,
+         COALESCE(count_a, 0) AS count_a,
+         COALESCE(count_b, 0) AS count_b
+  FROM ha FULL OUTER JOIN hb ON ha.cid = hb.cid
+),
+t AS (
+  SELECT cid, count_a, count_b,
+         CAST(SUM(count_b) OVER () AS DOUBLE) * count_a
+           / SUM(count_a) OVER () AS e
+  FROM j
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(count_a AS BIGINT) AS count_a,
+       CAST(count_b AS BIGINT) AS count_b,
+       round(e, 6) AS expected_b,
+       CASE WHEN count_a > 0
+            THEN round(((count_b - e) * (count_b - e)) / e, 6) END
+         AS chi2_contribution,
+       count_a = 0 AS new_cluster,
+       count_b = 0 AS vanished_cluster
+FROM t
+"""
+
+
+register("embedding_cluster_drift", _drift_oracle())(_drift_spark)

@@ -323,3 +323,66 @@ def test_temperature_mix_weights_properties(spark):
 
     with pytest.raises(ValueError):
         temperature_mix_weights(docs, temperature=0.0)
+
+
+# ---------------------------------------------------------------- domain cap
+
+def test_domain_cap_bounds_and_determinism(spark):
+    from pyrope_spark.operators.curation import domain_cap
+
+    rows = [(i, f"d{i % 3}") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(docs, 5).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append((r["rank"], r["doc_id"]))
+    assert set(by_dom) == {"d0", "d1", "d2"}
+    assert all(len(v) == 5 for v in by_dom.values())
+    assert all(sorted(r for r, _ in v) == [1, 2, 3, 4, 5] for v in by_dom.values())
+    # repeated run picks the identical subset (hash rank, no RNG state)
+    again = domain_cap(docs, 5).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in out) == sorted(
+        (r["doc_id"], r["rank"]) for r in again
+    )
+    # repartitioned layout picks the identical subset too
+    relay = domain_cap(docs.repartition(7), 5).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in out) == sorted(
+        (r["doc_id"], r["rank"]) for r in relay
+    )
+
+
+def test_domain_cap_small_domain_kept_whole(spark):
+    from pyrope_spark.operators.curation import domain_cap
+
+    docs = spark.createDataFrame(
+        [(1, "big")] + [(i, "big") for i in range(2, 30)] + [(99, "tiny")],
+        "doc_id long, source string",
+    )
+    out = domain_cap(docs, 10)
+    counts = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+    assert counts == {"big": 10, "tiny": 1}
+
+
+def test_domain_cap_quality_order(spark):
+    from pyrope_spark.operators.curation import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, "d", float(i)) for i in range(20)],
+        "doc_id long, source string, quality double",
+    )
+    out = domain_cap(docs, 3, quality_col="quality").collect()
+    # highest-quality docs win, rank follows quality desc
+    assert sorted(r["doc_id"] for r in out) == [17, 18, 19]
+    assert {r["doc_id"]: r["rank"] for r in out} == {19: 1, 18: 2, 17: 3}
+
+
+def test_domain_cap_invalid(spark):
+    import pytest
+
+    from pyrope_spark.operators.curation import domain_cap
+
+    docs = spark.createDataFrame([(1, "d")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap(docs, 0)

@@ -42,3 +42,49 @@ def test_profile_single_scan(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
     assert n_scans == 1, plan
+
+
+# ---------------------------------------------------------------- drift
+
+def _asg(spark, pairs):
+    return spark.createDataFrame(pairs, "cluster_id int")
+
+
+def test_cluster_drift_no_drift_zero_contribution(spark):
+    from pyrope_spark.operators.profile import cluster_drift
+
+    a = _asg(spark, [(0,)] * 50 + [(1,)] * 50)
+    b = _asg(spark, [(0,)] * 20 + [(1,)] * 20)  # same proportions, half size
+    rows = {r["cluster_id"]: r for r in cluster_drift(a, b).collect()}
+    assert rows[0]["chi2_contribution"] == 0.0
+    assert rows[1]["chi2_contribution"] == 0.0
+    assert rows[0]["expected_b"] == 20.0
+
+
+def test_cluster_drift_detects_shift_and_flags(spark):
+    from pyrope_spark.operators.profile import cluster_drift
+
+    a = _asg(spark, [(0,)] * 60 + [(1,)] * 40)
+    b = _asg(spark, [(0,)] * 10 + [(1,)] * 80 + [(2,)] * 10)
+    rows = {r["cluster_id"]: r for r in cluster_drift(a, b).collect()}
+    # cluster 0 lost mass, cluster 1 gained: both contribute
+    assert rows[0]["chi2_contribution"] > 0
+    assert rows[1]["chi2_contribution"] > 0
+    # expected under A's mix: 0 -> 0.6*100=60, 1 -> 40
+    assert rows[0]["expected_b"] == 60.0
+    assert rows[1]["expected_b"] == 40.0
+    # cluster 2 is new in B: flagged, no expected mass to score against
+    assert rows[2]["new_cluster"] is True
+    assert rows[2]["chi2_contribution"] is None
+
+
+def test_cluster_drift_vanished_cluster(spark):
+    from pyrope_spark.operators.profile import cluster_drift
+
+    a = _asg(spark, [(0,)] * 10 + [(7,)] * 10)
+    b = _asg(spark, [(0,)] * 10)
+    rows = {r["cluster_id"]: r for r in cluster_drift(a, b).collect()}
+    assert rows[7]["vanished_cluster"] is True
+    assert rows[7]["count_b"] == 0
+    # vanished cell still contributes (obs 0 vs expected 5)
+    assert rows[7]["chi2_contribution"] == 5.0
