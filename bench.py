@@ -534,6 +534,25 @@ def main() -> None:
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
+    # quality classifier train + full-corpus score (operators/quality_model.py)
+    qcn = "quality_clf_train_score_docs"
+    if not only or qcn in only:
+        from pyrope_spark.catalog import load_table as _load_table
+        from pyrope_spark.operators.quality_model import (
+            score_quality_model,
+            train_quality_classifier,
+        )
+
+        docs_q = _load_table(spark, SF_DIR, "documents").withColumn(
+            "label", (F.col("lang") == "en").cast("int")
+        )
+
+        def qclf():
+            res = train_quality_classifier(docs_q)
+            score_quality_model(res, docs_q.select("doc_id", "text")).count()
+
+        timed(qcn, qclf)
+
     # ---------------- engine queries over the sf testdata
     import pyrope_spark.queries as Q
 
@@ -583,6 +602,8 @@ def main() -> None:
         "bq_rerank_search",
         "domain_capped_corpus",
         "embedding_cluster_drift",
+        "sampled_value_quantiles",
+        "hll_distinct_users",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -180,6 +180,63 @@ def assign_by_centroids(
     )
 
 
+def assign_by_centroids_gemm(
+    vectors: DataFrame,
+    model: IvfModel,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Bulk nearest-centroid assignment: one ``mapInPandas`` pass with a
+    numpy GEMM per Arrow batch against the broadcast centroid matrix —
+    the scale path for FIXED centroid sets (the expression path above is
+    oracle-grade but interpreter-bound: measured 109 s vs 3 s at 1M x d64
+    x 64 centroids in the round-4 drift probe). Tie -> lowest centroid id
+    (argmax/argmin take the first), matching :func:`assign_by_centroids`;
+    near-tie float divergence between the two paths is possible in theory
+    (GEMM computes -2xc + ||c||^2 rather than sum((x-c)^2)) — parity is
+    pytest-gated on random data. For model-trained bulk assignment prefer
+    ``build_ivf``'s MLlib transform; this one serves drift monitors and
+    re-assignment jobs that must reuse an EXISTING centroid table."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cents = np.asarray(model.centroids, dtype=np.float64)
+    metric = model.metric
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cn2 = (c * c).sum(axis=1)
+        cnorm = np.sqrt(cn2)
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.vstack(b[vector_col].to_numpy()).astype(np.float64)
+            dots = x @ c.T
+            if metric == "l2":
+                best = np.argmin(cn2[None, :] - 2.0 * dots, axis=1)
+            elif metric == "ip":
+                best = np.argmax(dots, axis=1)
+            else:  # cosine (zero-norm guard -> score 0, like score_expr)
+                xn = np.linalg.norm(x, axis=1)
+                denom = np.outer(xn, cnorm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(denom < 1e-6, 0.0, dots / denom)
+                best = np.argmax(sim, axis=1)
+            yield pd.DataFrame(
+                {"id": b[id_col].to_numpy(), "cid": best.astype("int32")}
+            )
+
+    out = vectors.select(F.col(id_col), F.col(vector_col)).mapInPandas(
+        assign, schema=f"id {dict(vectors.select(id_col).dtypes)[id_col]}, cid int"
+    )
+    return out.select(F.col("id").alias(id_col), F.col("cid").alias(cluster_col))
+
+
 def write_ivf_table(assigned: DataFrame, path: str, cluster_col: str = "cluster_id") -> None:
     """Persist partitioned by cluster so probe filters prune at the file level
     (the Spark analog of the reference's atomic list swap,
@@ -583,3 +640,57 @@ def ivf_recall(
     joined = denom.join(inter, query_id_col, "left").fillna(0, ["count"])
     row = joined.select(F.avg(F.col("count") / F.col("total")).alias("r")).collect()[0]
     return float(row["r"] or 0.0)
+
+
+def ivf_append_segments(
+    new_vectors: DataFrame,
+    model: IvfModel,
+    existing_segments: DataFrame,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    rows_per_segment: int = 65536,
+) -> DataFrame:
+    """Incremental IVF ingest: pack NEW vectors into segment rows that
+    slot into an EXISTING packed-segment table without rebuilding it — the
+    IVF analog of the incremental BM25 postings update. Assignment reuses
+    the index's centroids (``assign_by_centroids_gemm`` — the index
+    contract is that search probes those exact cells), and each cluster's
+    new ``segment_no`` continues after its current maximum, so the union
+    (or a bucketed-table append) is a valid segment table: search results
+    are independent of segment boundaries (per-segment partial top-k under
+    the engine-wide total order, then global merge — parity tested).
+
+    Precondition (same as the BM25 delta): new ids are disjoint from the
+    stored ones — run the Bloom/exact dedup upstream. Centroid DRIFT is the
+    monitoring concern appends create: watch ``profile.cluster_drift`` of
+    the appended batches against the build-time assignment histogram and
+    rebuild when the statistic jumps.
+
+    Returns ONLY the new segment rows; append them with
+    ``storage.write_bucketed(..., mode='append')`` (bucketed layout keeps
+    the cogrouped distributed search shuffle-free) or union in memory.
+    """
+    from pyrope_spark.operators.segments import pack_segments
+
+    assigned = assign_by_centroids_gemm(
+        new_vectors, model, id_col=id_col, vector_col=vector_col
+    ).join(
+        new_vectors.select(F.col(id_col), F.col(vector_col)), id_col
+    )
+    packed = pack_segments(
+        assigned, id_col=id_col, vector_col=vector_col,
+        cluster_col="cluster_id", rows_per_segment=rows_per_segment,
+    )
+    base = existing_segments.groupBy("cluster_id").agg(
+        F.max("segment_no").alias("_max_seg")
+    )
+    return (
+        packed.join(F.broadcast(base), "cluster_id", "left")
+        .withColumn(
+            "segment_no",
+            F.col("segment_no") + F.coalesce(F.col("_max_seg") + 1, F.lit(0)),
+        )
+        .drop("_max_seg")
+        .select(*existing_segments.columns)
+    )

@@ -465,3 +465,135 @@ def ivf_pq_search(
         F.col(id_col).cast("string").alias(id_col), "cluster_id", "pq_codes"
     ).mapInPandas(scan, RESULT_SCHEMA)
     return topk_per_group(scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False)
+
+
+# --------------------------------------------------------------------------
+# OPQ-lite: PCA rotation with eigenvalue-balanced subspace allocation
+# (Ge et al. 2013 "Optimized Product Quantization", the non-parametric
+# init faiss ships as OPQMatrix's PCA start). No reference analog — the
+# reference's PQ trains on raw axes (ProductQuantizer.cs); a rotation
+# applied before encoding is a pure pre-processing step that leaves the
+# ADC search machinery untouched.
+# --------------------------------------------------------------------------
+
+def train_opq_rotation(
+    vectors: DataFrame,
+    m: int,
+    *,
+    vector_col: str = "vector",
+    seed: int = PQ_SEED,
+    fit_cap: int = 65536,
+) -> np.ndarray:
+    """(dim x dim) orthonormal rotation: PCA basis with principal
+    directions allocated to the M subspaces so the PRODUCT of per-subspace
+    variances balances (greedy: visit eigendirections by decreasing
+    eigenvalue, place each into the non-full subspace with the smallest
+    log-variance sum). Correlated/anisotropic inputs are the case where
+    plain PQ's axis-aligned subspaces waste codebook capacity; rotating
+    first decorrelates and spreads the energy.
+
+    Driver-side eigendecomposition on a bounded seeded sample (the same
+    faiss-convention cap as codebook training): covariance is dim x dim,
+    tiny at any corpus size. Apply with :func:`rotate_vectors` to BOTH the
+    corpus (before ``build_ivf_pq``) and every query batch.
+    """
+    n = vectors.count()
+    src = vectors
+    if n > fit_cap:
+        src = vectors.sample(fraction=fit_cap / n, seed=seed)
+    x = np.vstack([
+        np.asarray(r[vector_col], dtype=np.float64) for r in src.collect()
+    ])
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by M={m}")
+    dsub = dim // m
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / max(len(x) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # greedy balanced allocation by log-eigenvalue sum
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = np.zeros(m)
+    for i in range(dim):
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_b, key=lambda j: sums[j])
+        buckets[b].append(i)
+        sums[b] += np.log(max(evals[i], 1e-12))
+    perm = [i for b in buckets for i in b]
+    # rows of R are the (permuted) principal directions: y = R @ x
+    return evecs[:, perm].T.copy()
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: np.ndarray,
+    *,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Apply ``y = R x`` to a vector column — one mapInPandas GEMM pass
+    against the broadcast rotation matrix; all other columns pass through.
+    Orthonormal R preserves L2 distances and inner products up to float
+    round-off, so ADC search over rotated codes needs no other change."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(rotation, dtype=np.float64))
+    cols = df.columns
+
+    def rot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.vstack(b[vector_col].to_numpy()).astype(np.float64)
+            y = x @ r.T
+            out = b.copy()
+            out[vector_col] = list(y.astype(np.float32))
+            yield out
+
+    return df.mapInPandas(rot, schema=df.schema).select(*cols)
+
+
+def build_ivf_pq_opq(
+    vectors: DataFrame,
+    nlist: int,
+    m: int,
+    *,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    **kwargs,
+):
+    """``build_ivf_pq`` over the OPQ-rotated corpus. Returns
+    (encoded, model, rotation); search queries must pass through
+    :func:`rotate_vectors` with the same rotation
+    (:func:`ivf_pq_search_opq` does exactly that)."""
+    rot = train_opq_rotation(vectors, m, vector_col=vector_col)
+    rotated = rotate_vectors(vectors, rot, vector_col=vector_col)
+    encoded, model = build_ivf_pq(
+        rotated, nlist=nlist, m=m, id_col=id_col, vector_col=vector_col,
+        **kwargs,
+    )
+    return encoded, model, rot
+
+
+def ivf_pq_search_opq(
+    encoded: DataFrame,
+    model: IvfPqModel,
+    rotation: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    *,
+    nprobe: int = 3,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+) -> DataFrame:
+    q = rotate_vectors(queries, rotation, vector_col=query_vector_col)
+    return ivf_pq_search(
+        encoded, model, q, k, nprobe=nprobe, id_col=id_col,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
+    )

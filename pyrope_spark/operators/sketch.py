@@ -464,3 +464,133 @@ SELECT fin.g AS {group_col}, fin.m, fin.zero_registers, fin.s_scaled,
        fin.est_distinct, exact.exact_distinct
 FROM fin JOIN exact ON fin.g = exact.g
 """
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sample sketch (deterministic mergeable uniform sample)
+# --------------------------------------------------------------------------
+#
+# The k rows with the smallest md5(seed|id) form a uniform-without-
+# replacement sample of the population — and the sketch is MERGEABLE with
+# no information loss: bottomk(A U B) == bottomk(bottomk(A) U bottomk(B)),
+# because the k globally smallest hashes are necessarily among each side's
+# k smallest. That makes it the quantile/sample counterpart of the HLL
+# register table: per-shard sketches union+cut into the corpus sketch
+# without re-scanning history, deterministically (same id set -> same
+# sample, any layout, any run).
+#
+# Use with ``analytics.nearest_rank_percentiles`` over the sample for
+# mergeable approximate quantiles at 100 TB: the exact nearest-rank path
+# sorts the full column; the sketch path sorts k rows per group after a
+# two-phase cut, with sampling error ~ O(1/sqrt(k)) on quantile ranks.
+
+BOTTOMK_SEED = "bk42"
+
+
+def _bk_hash(id_col: str, seed: str):
+    return F.md5(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")).cast("binary")
+    )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+    group_cols: tuple[str, ...] = (),
+    seed: str = BOTTOMK_SEED,
+) -> DataFrame:
+    """(group..., id, _bk_h, keep...) — the k hash-smallest rows per group.
+    Two-phase cut (the domain_cap / topk_per_group shape): a local cut per
+    (input partition, group) bounds the global per-group window at
+    k * partitions rows, so a hot group cannot melt one reducer."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    src = df.select(
+        *group_cols,
+        F.col(id_col).cast("string").alias("_bk_id"),
+        _bk_hash(id_col, seed).alias("_bk_h"),
+        *keep_cols,
+    )
+    order = [F.asc("_bk_h"), F.asc("_bk_id")]
+    local_w = Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy(*order)
+    pruned = (
+        src.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_merge(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    *,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge two bottom-k sketches (disjoint id sets): union + global cut.
+    Equals the sketch of the unioned population exactly."""
+    from pyspark.sql.window import Window
+
+    order = [F.asc("_bk_h"), F.asc("_bk_id")]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        a.unionByName(b)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_quantiles_oracle_sql(
+    k: int,
+    *,
+    table: str = "events",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    seed: str = BOTTOMK_SEED,
+) -> str:
+    """DuckDB rendering: per-group bottom-k sample -> nearest-rank quantiles
+    on the sample, exact nearest-rank quantiles side-by-side."""
+
+    def _nr(src: str, prefix: str) -> str:
+        cols = ", ".join(
+            f"MAX(CASE WHEN vrn = CEIL({p} * n) THEN round({value_col}, 6) END)"
+            f" AS {prefix}p{int(p * 100)}"
+            for p in percentiles
+        )
+        return (
+            f"SELECT {group_col}, {cols} FROM ("
+            f"SELECT {group_col}, {value_col}, "
+            f"row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) AS vrn, "
+            f"COUNT(*) OVER (PARTITION BY {group_col}) AS n FROM {src}) "
+            f"GROUP BY {group_col}"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT {group_col}, {value_col} FROM (
+    SELECT {group_col}, {value_col},
+           row_number() OVER (
+             PARTITION BY {group_col}
+             ORDER BY md5('{seed}|' || CAST({id_col} AS VARCHAR)) ASC,
+                      CAST({id_col} AS VARCHAR) ASC) AS rn
+    FROM {table}) WHERE rn <= {k}
+),
+sq AS ({_nr('s', '')}),
+eq AS ({_nr(table, 'exact_')})
+SELECT sq.*, {', '.join(f'eq.exact_p{int(p * 100)}' for p in percentiles)}
+FROM sq JOIN eq USING ({group_col})
+"""

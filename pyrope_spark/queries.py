@@ -3586,3 +3586,45 @@ FROM t
 
 
 register("embedding_cluster_drift", _drift_oracle())(_drift_spark)
+
+
+# --------------------------------------------------------------------------
+# Bottom-k mergeable sample sketch -> nearest-rank quantiles on the sample,
+# exact quantiles side-by-side (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+_BK_K = 200
+
+
+def _bottomk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import nearest_rank_percentiles
+    from pyrope_spark.operators.sketch import bottomk_sample
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = bottomk_sample(
+        ev, _BK_K, id_col="event_id", keep_cols=("value",),
+        group_cols=("event_type",),
+    )
+    pcts = [0.5, 0.9, 0.99]
+    sq = nearest_rank_percentiles(s, "value", ["event_type"], pcts)
+    eq = nearest_rank_percentiles(ev, "value", ["event_type"], pcts)
+    names = [f"p{int(p * 100)}" for p in pcts]
+    return sq.select(
+        "event_type", *[F.round(F.col(n), 6).alias(n) for n in names]
+    ).join(
+        eq.select(
+            "event_type",
+            *[F.round(F.col(n), 6).alias(f"exact_{n}") for n in names],
+        ),
+        "event_type",
+    )
+
+
+def _bottomk_oracle() -> str:
+    from pyrope_spark.operators.sketch import bottomk_quantiles_oracle_sql
+
+    return bottomk_quantiles_oracle_sql(_BK_K)
+
+
+register("sampled_value_quantiles", _bottomk_oracle())(_bottomk_spark)

@@ -1,0 +1,123 @@
+"""Streaming sketch maintenance + stream-stream joins.
+
+Two streaming twins of batch capabilities:
+
+- :func:`streaming_hll_update` — incremental HLL distinct state: each
+  micro-batch's keys fold into a durable register table (union + max —
+  the lossless merge), so "distinct users ever seen (per group)" is
+  maintained at a bounded state size (m registers per group) no matter
+  how many events stream through. The pattern generalizes to any
+  sketch-as-a-table artifact in this engine (CMS: sum counters;
+  bottom-k: union + cut; bloom: union of set bits).
+- :func:`streaming_attribution_join` — the canonical watermarked
+  stream-stream interval join (impression -> click within a window),
+  Spark's native stream-stream join with event-time bounds so both
+  sides' state stores are GC-ed by the watermark.
+
+State swap discipline (same as the incremental BM25 postings update,
+fulltext.update_bm25_index): the merged registers are written to a tmp
+dir while the plan still reads the old files, then swapped in — never an
+in-place overwrite of inputs the running plan depends on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_hll_update(
+    stream_df: DataFrame,
+    state_dir: str,
+    *,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+):
+    """Maintain an HLL register table under ``state_dir`` from a stream.
+
+    Each micro-batch: build the batch's registers (bounded: m = 2^p rows
+    per group regardless of batch size), merge with the stored table
+    (groupBy max — exactly ``hll_merge``), tmp+swap the result. Estimates
+    at any time via ``hll_estimate(spark.read.parquet(state_dir), p=p)``.
+
+    Returns the StreamingQuery handle.
+    """
+    from pyrope_spark.operators.sketch import hll_build, hll_merge
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        regs = hll_build(batch, key_col, group_cols=group_cols, p=p)
+        if os.path.isdir(state_dir):
+            old = spark.read.parquet(state_dir)
+            regs = hll_merge(old, regs, group_cols=group_cols)
+        tmp = state_dir.rstrip("/") + ".tmp"
+        regs.write.mode("overwrite").parquet(tmp)  # materialized off old files
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+
+    w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def streaming_attribution_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    key_col: str = "user_id",
+    imp_ts_col: str = "ts",
+    click_ts_col: str = "ts",
+    window_s: int = 600,
+    watermark: str = "20 minutes",
+    imp_cols: tuple[str, ...] = (),
+    click_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click matches the
+    impressions of the same key in the ``window_s`` seconds before it.
+
+    Both sides carry a watermark AND the join condition bounds event time
+    in both directions — the two requirements for Spark to GC each side's
+    join state (otherwise the state store grows without bound). Late rows
+    beyond the watermark drop.
+
+    Output: (key, impression_ts, click_ts, imp_cols..., click_cols...).
+    """
+    imp = (
+        impressions.select(
+            F.col(key_col).alias("_k"),
+            F.col(imp_ts_col).alias("impression_ts"),
+            *[F.col(c).alias(f"imp_{c}") for c in imp_cols],
+        )
+        .withWatermark("impression_ts", watermark)
+    )
+    clk = (
+        clicks.select(
+            F.col(key_col).alias("_ck"),
+            F.col(click_ts_col).alias("click_ts"),
+            *[F.col(c).alias(f"click_{c}") for c in click_cols],
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("_k") == F.col("_ck"))
+        & (F.col("click_ts") >= F.col("impression_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("impression_ts") + F.expr(f"INTERVAL {window_s} SECONDS")
+        )
+    )
+    return (
+        imp.join(clk, cond, "inner")
+        .drop("_ck")
+        .withColumnRenamed("_k", key_col)
+    )

@@ -187,3 +187,86 @@ def test_auto_nprobe_caps_oversized_sample(spark):
     )
     with pytest.raises(ValueError, match="max_sample"):
         auto_nprobe(assigned, model, queries, k=10, max_sample=0)
+
+
+def test_assign_gemm_matches_expr_path(spark):
+    """Bulk GEMM assignment == expression-path assignment on random data
+    (all three metrics)."""
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import (
+        IvfModel,
+        assign_by_centroids,
+        assign_by_centroids_gemm,
+    )
+
+    r = np.random.default_rng(3)
+    vecs = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in (r.random(8) - 0.5)]) for i in range(300)],
+        "id string, vector array<float>",
+    )
+    cents = r.random((7, 8)) - 0.5
+    for metric in ("l2", "ip", "cosine"):
+        model = IvfModel(centroids=cents, metric=metric, nlist=7)
+        a = {
+            row["id"]: row["cluster_id"]
+            for row in assign_by_centroids(vecs, model).collect()
+        }
+        g = {
+            row["id"]: row["cluster_id"]
+            for row in assign_by_centroids_gemm(vecs, model).collect()
+        }
+        assert a == g, metric
+
+
+def test_ivf_append_segments_matches_full_rebuild(spark):
+    """Search over (old segments UNION appended-new segments) == search over
+    a single pack of ALL vectors assigned with the same model."""
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import (
+        IvfModel,
+        assign_by_centroids_gemm,
+        ivf_append_segments,
+    )
+    from pyrope_spark.operators.segments import ivf_search_packed, pack_segments
+
+    r = np.random.default_rng(11)
+    mat = (r.random((400, 16), dtype=np.float32) - 0.5)
+    rows = [(f"v{i:04d}", [float(x) for x in mat[i]]) for i in range(400)]
+    old = spark.createDataFrame(rows[:300], "id string, vector array<float>")
+    new = spark.createDataFrame(rows[300:], "id string, vector array<float>")
+    model = IvfModel(centroids=(r.random((8, 16)) - 0.5), metric="l2", nlist=8)
+
+    def packed(df):
+        return pack_segments(
+            assign_by_centroids_gemm(df, model).join(df, "id"),
+            cluster_col="cluster_id", rows_per_segment=64,
+        )
+
+    old_seg = packed(old)
+    appended = ivf_append_segments(
+        new, model, old_seg, rows_per_segment=64
+    )
+    combined = old_seg.unionByName(appended)
+    full = packed(old.unionByName(new))
+
+    # segment_no continuity: appended rows continue after each cluster's max
+    per_cluster_old = {
+        r2["cluster_id"]: r2["m"]
+        for r2 in old_seg.groupBy("cluster_id").agg(
+            F.max("segment_no").alias("m")
+        ).collect()
+    }
+    for r2 in appended.collect():
+        lo = per_cluster_old.get(r2["cluster_id"])
+        assert r2["segment_no"] >= (0 if lo is None else lo + 1)
+
+    qs = spark.createDataFrame(rows[:6], "query_id string, vector array<float>")
+    a = ivf_search_packed(combined, model, qs, k=10, nprobe=8)
+    b = ivf_search_packed(full, model, qs, k=10, nprobe=8)
+    key = lambda d: sorted(
+        (x["query_id"], x["rank"], x["id"]) for x in d.collect()
+    )
+    assert key(a) == key(b)
+    assert combined.count() >= full.count()  # more, smaller segments is fine

@@ -178,3 +178,67 @@ def test_hll_grouped_and_register_ranges(spark):
     ).collect()}
     # group separation: b's estimate must be well above a's
     assert est["b"] > 3 * est["a"]
+
+
+# ---------------------------------------------------------------- bottom-k
+
+def test_bottomk_merge_equals_full(spark):
+    """bottomk(A U B) == merge(bottomk(A), bottomk(B)) EXACTLY."""
+    from pyrope_spark.operators.sketch import bottomk_merge, bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(500)], "id long, value double"
+    )
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+    merged = bottomk_merge(
+        bottomk_sample(a, 50, id_col="id", keep_cols=("value",)),
+        bottomk_sample(b, 50, id_col="id", keep_cols=("value",)),
+        50,
+    )
+    full = bottomk_sample(df, 50, id_col="id", keep_cols=("value",))
+    key = lambda d: sorted((r["_bk_id"], r["value"]) for r in d.collect())
+    assert key(merged) == key(full)
+    assert merged.count() == 50
+
+
+def test_bottomk_layout_independent_and_grouped(spark):
+    from pyrope_spark.operators.sketch import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(300)],
+        "id long, grp string, value double",
+    )
+    s1 = bottomk_sample(df, 20, id_col="id", keep_cols=("value",), group_cols=("grp",))
+    s2 = bottomk_sample(
+        df.repartition(11), 20, id_col="id", keep_cols=("value",), group_cols=("grp",)
+    )
+    key = lambda d: sorted((r["grp"], r["_bk_id"]) for r in d.collect())
+    assert key(s1) == key(s2)
+    counts = {r["grp"]: r["n"] for r in s1.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+    assert counts == {"g0": 20, "g1": 20, "g2": 20}
+
+
+def test_bottomk_quantile_accuracy(spark):
+    """Sample quantiles land near exact on a 10k-row uniform column
+    (k=400 -> rank error ~ 1/sqrt(k) ~ 5%)."""
+    from pyrope_spark.operators.analytics import nearest_rank_percentiles
+    from pyrope_spark.operators.sketch import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7919) % 10000)) for i in range(10000)],
+        "id long, value double",
+    )
+    s = bottomk_sample(df, 400, id_col="id", keep_cols=("value",))
+    got = nearest_rank_percentiles(s, "value", None, [0.5, 0.9]).collect()[0]
+    assert abs(got["p50"] - 5000) < 800
+    assert abs(got["p90"] - 9000) < 800
+
+
+def test_bottomk_k_larger_than_population(spark):
+    from pyrope_spark.operators.sketch import bottomk_sample
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    assert bottomk_sample(df, 100, id_col="id").count() == 5

@@ -360,3 +360,95 @@ def test_streaming_sessionize_gap_merge_and_late_drop(spark, tmp_path):
         assert not any(r["user_id"] == "u3" for r in rows)
     finally:
         q.stop()
+
+
+def test_streaming_hll_update_matches_full_build(spark, tmp_path):
+    """Two micro-batches folded into the register state == one batch build
+    over all keys (the lossless-merge property, streamed)."""
+    from pyrope_spark.operators.sketch import hll_build, hll_estimate
+    from pyrope_spark.streaming.sketches import streaming_hll_update
+
+    src = tmp_path / "hll_src"
+    state = str(tmp_path / "hll_state")
+    schema = "grp string, key string"
+    b1 = spark.createDataFrame([("g", f"k{i}") for i in range(200)], schema)
+    b1.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = streaming_hll_update(
+        stream, state, key_col="key", group_cols=("grp",), p=8,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [("g", f"k{i}") for i in range(150, 400)], schema
+        )
+        b2.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["grp"], r["bucket"], r["rho"])
+        for r in spark.read.parquet(state).collect()
+    )
+    full = hll_build(b1.unionByName(b2), "key", group_cols=("grp",), p=8)
+    want = sorted((r["grp"], r["bucket"], r["rho"]) for r in full.collect())
+    assert got == want
+    est = hll_estimate(
+        spark.read.parquet(state), group_cols=("grp",), p=8
+    ).collect()[0]
+    assert abs(est["est_distinct"] - 400) / 400 < 0.25
+
+
+def test_streaming_attribution_join_window(spark, tmp_path):
+    """Clicks match impressions of the same user within the window; a
+    click outside the window does not match."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.streaming.sketches import streaming_attribution_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    ischema = "user_id long, ts timestamp, ad string"
+    cschema = "user_id long, ts timestamp, item string"
+    t0 = "2026-01-01 10:00:00"
+    imps = spark.createDataFrame(
+        [
+            (1, t0, "adA"),
+            (2, "2026-01-01 10:01:00", "adB"),
+            (3, "2026-01-01 10:00:00", "adC"),
+        ],
+        "user_id long, ts string, ad string",
+    ).select(F.col("user_id"), F.col("ts").cast("timestamp"), "ad")
+    clks = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:05:00", "x"),   # in window (300s after)
+            (2, "2026-01-01 10:20:00", "y"),   # out of window (>600s)
+            (4, "2026-01-01 10:02:00", "z"),   # no impression
+        ],
+        "user_id long, ts string, item string",
+    ).select(F.col("user_id"), F.col("ts").cast("timestamp"), "item")
+    imps.write.parquet(str(imp_dir))
+    clks.write.parquet(str(clk_dir))
+
+    imp_s = spark.readStream.schema(imps.schema).parquet(str(imp_dir))
+    clk_s = spark.readStream.schema(clks.schema).parquet(str(clk_dir))
+    joined = streaming_attribution_join(
+        imp_s, clk_s, window_s=600, imp_cols=("ad",), click_cols=("item",)
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from attr_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["imp_ad"] == "adA" and r["click_item"] == "x"
