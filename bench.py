@@ -604,6 +604,13 @@ def main() -> None:
         "embedding_cluster_drift",
         "sampled_value_quantiles",
         "hll_distinct_users",
+        "colbert_maxsim_search",
+        "corpus_snapshot_diff",
+        "matryoshka_rerank_search",
+        "bm25_prf_search",
+        "doc_vector_pooling",
+        "key_skew_report",
+        "zorder_clustering_key",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1,0 +1,272 @@
+"""Late-interaction (ColBERT-style MaxSim) retrieval.
+
+Khattab & Zaharia 2020: documents and queries are BAGS of token
+embeddings; relevance is the sum over query tokens of the maximum dot
+product against any document token. MaxSim preserves token-level matching
+that single-vector search collapses, at the cost of multi-vector storage —
+exactly the trade a 100 TB retrieval corpus makes when recall quality
+pays for itself.
+
+Spark-first shapes:
+
+- ``impl='expr'`` (oracle-grade): token-pair join -> per-(query, doc,
+  query-token) MAX -> per-(query, doc) SUM -> top-k. The sum runs in
+  EXACT INTEGER MICRO-UNITS (half-away-from-zero rounding of each max,
+  the ``temporal.gapfill`` discipline): float sums are order-dependent
+  across engines/partitionings, integer sums are not, so the score —
+  and therefore the rank cut — replicates bit-for-bit in DuckDB.
+- ``impl='grouped'`` (bulk): one shuffle groups each document's token
+  matrix; per doc a single GEMM against the broadcast query-token matrix
+  computes every (query token x doc token) dot at BLAS speed, followed by
+  segment-max/sum in numpy. Work per doc is O(|doc tokens| x |query
+  tokens| x dim); the shuffle carries the corpus once per query batch.
+  Both paths round through the same micro-unit grid, so they agree
+  except on exact half-boundary dots (probability ~ulp; parity tested).
+
+No reference analog (the reference is single-vector VEC.SEARCH); this is
+the retrieval-quality tier above it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCORE_SCALE = 1_000_000  # micro-unit grid for the cross-engine-exact sum
+
+
+def _half_away_micro(col):
+    """half-away-from-zero integer micro-units — floor-based, so Spark and
+    DuckDB agree on ties (their round() tie paths differ)."""
+    x = col * SCORE_SCALE
+    return F.when(
+        col >= 0, F.floor(x + F.lit(0.5))
+    ).otherwise(-F.floor(-x + F.lit(0.5))).cast("long")
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int,
+    *,
+    doc_col: str = "doc_id",
+    vector_col: str = "vector",
+    query_col: str = "query_id",
+    qtoken_col: str = "token_no",
+    impl: str = "grouped",
+) -> DataFrame:
+    """Top-``k`` documents per query under MaxSim ->
+    (query_id, doc_id, rank, score); score = micro-unit sum / 1e6.
+
+    ``doc_tokens``: (doc_col, vector_col) — one row per document token.
+    ``query_tokens``: (query_col, qtoken_col, vector_col).
+    """
+    from pyrope_spark.functions.vector import score as score_expr
+
+    if impl == "expr":
+        # ids as strings in BOTH paths so the (micro desc, doc asc) tie
+        # order is identical (string order != numeric order)
+        dt = doc_tokens.select(
+            F.col(doc_col).cast("string").alias("_d"),
+            F.col(vector_col).alias("_dv"),
+        )
+        qt = query_tokens.select(
+            F.col(query_col).cast("string").alias("_q"),
+            F.col(qtoken_col).alias("_qt"),
+            F.col(vector_col).alias("_qv"),
+        )
+        pair = (
+            dt.crossJoin(F.broadcast(qt))
+            .withColumn("_dot", score_expr("ip", F.col("_qv"), F.col("_dv")))
+            .groupBy("_q", "_qt", "_d")
+            .agg(F.max("_dot").alias("_mx"))
+        )
+        scored = (
+            pair.withColumn("_mi", _half_away_micro(F.col("_mx")))
+            .groupBy("_q", "_d")
+            .agg(F.sum("_mi").alias("_micro"))
+        )
+    elif impl == "grouped":
+        qrows = query_tokens.select(query_col, qtoken_col, vector_col).collect()
+        qids = [(str(r[query_col]), r[qtoken_col]) for r in qrows]
+        qmat = np.vstack([
+            np.asarray(r[vector_col], dtype=np.float64) for r in qrows
+        ])
+        # group token rows per query for the segment-max
+        by_q: dict[str, list[int]] = {}
+        for i, (qid, _) in enumerate(qids):
+            by_q.setdefault(qid, []).append(i)
+        spark = doc_tokens.sparkSession
+        bc = spark.sparkContext.broadcast((by_q, qmat))
+
+        def per_doc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            by_q_b, qm = bc.value
+            d = np.vstack(pdf["_dv"].to_numpy()).astype(np.float64)
+            dots = qm @ d.T  # (q_tokens_total, doc_tokens)
+            mx = dots.max(axis=1)  # max over doc tokens, per query token
+            mi = np.where(
+                mx >= 0,
+                np.floor(mx * SCORE_SCALE + 0.5),
+                -np.floor(-mx * SCORE_SCALE + 0.5),
+            ).astype(np.int64)
+            rows = [
+                {"_q": qid, "_d": key[0], "_micro": int(mi[idx].sum())}
+                for qid, idx in by_q_b.items()
+            ]
+            return pd.DataFrame(rows)
+
+        dt = doc_tokens.select(
+            F.col(doc_col).cast("string").alias("_d"),
+            F.col(vector_col).alias("_dv"),
+        )
+        scored = dt.groupBy("_d").applyInPandas(
+            per_doc, schema="_q string, _d string, _micro long"
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    w = Window.partitionBy("_q").orderBy(F.desc("_micro"), F.asc("_d"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_d").alias(doc_col),
+            F.col("rank"),
+            F.round(F.col("_micro") / SCORE_SCALE, 6).alias("score"),
+        )
+    )
+
+
+def maxsim_oracle_sql(
+    k: int,
+    *,
+    tokens_per_doc: int = 4,
+    n_query_docs: int = 2,
+) -> str:
+    """DuckDB rendering over the embeddings table: doc = vec_id div
+    ``tokens_per_doc`` (multi-vector docs synthesized from the flat table),
+    queries = the first ``n_query_docs`` docs' token bags."""
+    tpd = tokens_per_doc
+    return f"""
+WITH dt AS (
+  SELECT vec_id // {tpd} AS doc_id, CAST(embedding AS DOUBLE[]) AS dv
+  FROM embeddings
+), qt AS (
+  SELECT vec_id // {tpd} AS query_id, vec_id % {tpd} AS token_no,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_query_docs * tpd}
+), pair AS (
+  SELECT qt.query_id, qt.token_no, dt.doc_id,
+         MAX(list_dot_product(qt.qv, dt.dv)) AS mx
+  FROM qt CROSS JOIN dt GROUP BY 1, 2, 3
+), mi AS (
+  SELECT query_id, doc_id,
+         SUM(CASE WHEN mx >= 0
+             THEN CAST(floor(mx * {SCORE_SCALE} + 0.5) AS BIGINT)
+             ELSE -CAST(floor(-mx * {SCORE_SCALE} + 0.5) AS BIGINT) END)
+           AS micro
+  FROM pair GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY micro DESC,
+                                     CAST(doc_id AS VARCHAR) ASC) AS rnk
+  FROM mi
+)
+SELECT CAST(query_id AS VARCHAR) AS query_id,
+       CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(rnk AS BIGINT) AS rank,
+       round(micro / {SCORE_SCALE}.0, 6) AS score
+FROM r WHERE rnk <= {k}
+"""
+
+
+POOL_SCALE = 1 << 24  # component quantization grid for the exact mean fold
+
+
+def pool_embeddings(
+    token_vecs: DataFrame,
+    *,
+    group_col: str = "doc_id",
+    vector_col: str = "vector",
+    mode: str = "mean",
+) -> DataFrame:
+    """Pool a group's token embeddings into one vector, emitted LONG-form:
+    (group, dim_no 0-based, value) — mean or max per dimension.
+
+    The multi-vector <-> single-vector bridge: mean-pool ColBERT-style
+    token bags into a coarse doc vector for the cheap ANN pre-filter, then
+    MaxSim only the survivors (the standard late-interaction serving
+    stack).
+
+    ``mean`` runs on a 2^24 integer grid (half-away-from-zero per
+    component, exact integer sum, ONE final division): float sums are
+    partitioning/order-dependent, integer sums are not, so the pooled
+    value replicates bit-for-bit in the DuckDB oracle and across cluster
+    layouts. Grid error ~6e-8 per component — invisible at the engine's
+    6-decimal output convention. ``max`` is order-insensitive already and
+    pools the raw doubles.
+
+    Shape: one posexplode (rows x dim) + one (group, dim) hash aggregate
+    with map-side partials — the same linear shape as every token-stream
+    aggregate here.
+    """
+    exploded = token_vecs.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(F.col(vector_col)).alias("dim_no", "_x"),
+    ).withColumn("_x", F.col("_x").cast("double"))
+    if mode == "mean":
+        xi = F.col("_x") * POOL_SCALE
+        qi = F.when(
+            F.col("_x") >= 0, F.floor(xi + F.lit(0.5))
+        ).otherwise(-F.floor(-xi + F.lit(0.5))).cast("long")
+        agg = (
+            exploded.withColumn("_q", qi)
+            .groupBy("_g", "dim_no")
+            .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .withColumn(
+                "value",
+                F.round(
+                    F.col("_s") / (F.col("_n") * F.lit(float(POOL_SCALE))), 6
+                ),
+            )
+        )
+    elif mode == "max":
+        agg = exploded.groupBy("_g", "dim_no").agg(
+            F.round(F.max("_x"), 6).alias("value")
+        )
+    else:
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    return agg.select(F.col("_g").alias(group_col), "dim_no", "value")
+
+
+def pool_oracle_sql(
+    *,
+    tokens_per_doc: int = 4,
+    mode: str = "mean",
+) -> str:
+    """DuckDB rendering over embeddings (doc = vec_id div tokens_per_doc)."""
+    if mode == "mean":
+        val = (
+            f"round(SUM(CASE WHEN x >= 0 "
+            f"THEN CAST(floor(x * {POOL_SCALE} + 0.5) AS BIGINT) "
+            f"ELSE -CAST(floor(-x * {POOL_SCALE} + 0.5) AS BIGINT) END) "
+            f"/ (COUNT(*) * {float(POOL_SCALE)!r}), 6)"
+        )
+    else:
+        val = "round(MAX(x), 6)"
+    return f"""
+WITH t AS (
+  SELECT vec_id // {tokens_per_doc} AS doc_id,
+         u.i AS dim_no, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dim_no AS INT) AS dim_no,
+       {val} AS value
+FROM t GROUP BY doc_id, dim_no
+"""

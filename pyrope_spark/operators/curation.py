@@ -956,3 +956,76 @@ FROM (
 )
 WHERE rn <= {cap}
 """
+
+
+# ------------------------------------------------------ snapshot diff
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: per doc id,
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by content
+    fingerprint (md5 of normalized text — the dedup family's
+    ``text_fingerprint``). The audit table a reproducible training run
+    stores next to each corpus version; aggregate it for the release-note
+    counts, join it to filter a pipeline down to changed docs only
+    (incremental re-processing).
+
+    One full-outer hash join on the id — both sides collapse to
+    (id, fingerprint) in their scans, so the shuffle carries two slim
+    columns, not the text.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), text_fingerprint(F.col(text_col)).alias("_ofp")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), text_fingerprint(F.col(text_col)).alias("_nfp")
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") == F.col("_nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        F.col("_ofp").alias("old_fp"),
+        F.col("_nfp").alias("new_fp"),
+    )
+
+
+def corpus_diff_oracle_sql(
+    *,
+    table: str = "documents",
+    old_pred: str = "doc_id % 10 != 0",
+    new_pred: str = "doc_id % 7 != 0",
+    change_pred: str = "doc_id % 5 = 0",
+    change_suffix: str = " v2",
+) -> str:
+    """DuckDB rendering over two deterministic synthetic snapshots of the
+    documents table (old = old_pred rows; new = new_pred rows, with
+    change_pred rows' text suffixed)."""
+    return f"""
+WITH o AS (
+  SELECT doc_id, md5(lower(trim(text))) AS ofp FROM {table} WHERE {old_pred}
+), n AS (
+  SELECT doc_id,
+         md5(lower(trim(
+           CASE WHEN {change_pred} THEN text || '{change_suffix}'
+                ELSE text END))) AS nfp
+  FROM {table} WHERE {new_pred}
+)
+SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+       CASE WHEN o.ofp IS NULL THEN 'added'
+            WHEN n.nfp IS NULL THEN 'removed'
+            WHEN o.ofp = n.nfp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.ofp AS old_fp, n.nfp AS new_fp
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""

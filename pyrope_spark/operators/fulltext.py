@@ -460,3 +460,167 @@ def update_bm25_index(
     merged_termdf.unpersist()
     merged_stats.unpersist()
     return load_bm25_index(spark, path)
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio-family PRF, the classic IR expansion:
+# terms frequent in the first round's top documents join the query for a
+# second round). Expansion selection is INTEGER-ordered (feedback df desc,
+# feedback tf desc, term asc) so the chosen term set — and therefore the
+# whole second round — is deterministic across engines and layouts.
+# --------------------------------------------------------------------------
+
+def prf_expansion_terms(
+    index: Bm25Index,
+    round1: DataFrame,
+    orig_qterms: DataFrame,
+    *,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+) -> DataFrame:
+    """(query_id, term) — top ``fb_terms`` expansion terms per query from
+    the ``fb_docs`` first-round hits, excluding the original query terms.
+    The candidate pool is |fb hits| x doc-length rows (feedback-sized, not
+    corpus-sized): postings join on the tiny (query, doc) hit list."""
+    from pyspark.sql.window import Window
+
+    fb = round1.filter(F.col("rank") <= fb_docs).select("query_id", "doc_id")
+    cand = (
+        index.postings.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(
+            F.countDistinct("doc_id").alias("_fb_df"),
+            F.sum("tf").cast("long").alias("_fb_tf"),
+        )
+        .join(orig_qterms, ["query_id", "term"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_fb_df"), F.desc("_fb_tf"), F.asc("term")
+    )
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= fb_terms)
+        .select("query_id", "term")
+    )
+
+
+def bm25_prf_topk(
+    docs_or_index: DataFrame | Bm25Index,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Two-round BM25 with pseudo-relevance feedback: round 1 retrieves
+    ``fb_docs`` hits per query, the expansion terms join the query text,
+    round 2 scores the widened term set. Both rounds run against the SAME
+    index (built once here if raw docs are passed) — the second round adds
+    one feedback-sized join and a re-score, not an index rebuild."""
+    if isinstance(docs_or_index, Bm25Index):
+        index = docs_or_index
+    else:
+        index = build_bm25_index(docs_or_index, text_col=text_col, id_col=id_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_text_col).alias("query_text"),
+    )
+    round1 = bm25_topk(index, q, fb_docs, k1=k1, b=b)
+    orig_qterms = q.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens(F.col("query_text")))).alias("term"),
+    )
+    exp = prf_expansion_terms(
+        index, round1, orig_qterms, fb_docs=fb_docs, fb_terms=fb_terms
+    )
+    # expanded text: original || ' ' || expansion terms (sorted for a
+    # deterministic string; bm25_topk re-tokenizes and dedups, so this is
+    # exactly the union term set)
+    exp_agg = exp.groupBy("query_id").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("term"))).alias("_exp")
+    )
+    q2 = q.join(exp_agg, "query_id", "left").select(
+        "query_id",
+        F.when(
+            F.col("_exp").isNotNull(),
+            F.concat_ws(" ", F.col("query_text"), F.col("_exp")),
+        ).otherwise(F.col("query_text")).alias("query_text"),
+    )
+    return bm25_topk(index, q2, k, k1=k1, b=b)
+
+
+def bm25_prf_oracle_sql(
+    query_rows: list[tuple[int, str]],
+    k: int = 10,
+    *,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: extends the bm25 ranked CTE chain with the feedback
+    round — reuses its postings/termdf/stats/qterms tables for round 2."""
+    ctes = bm25_ranked_cte(
+        query_rows, k1=k1, b=b, docs_table=docs_table,
+        text_col=text_col, id_col=id_col,
+    )
+    return f"""
+WITH {ctes},
+fb AS (
+  SELECT query_id, doc_id FROM bm25_ranked WHERE rnk <= {fb_docs}
+),
+cand AS (
+  SELECT f.query_id, p.term,
+         count(DISTINCT p.doc_id) AS fb_df,
+         CAST(sum(p.tf) AS BIGINT) AS fb_tf
+  FROM fb f JOIN postings p USING (doc_id)
+  GROUP BY f.query_id, p.term
+),
+fresh AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN qterms qt ON qt.query_id = c.query_id AND qt.term = c.term
+  WHERE qt.term IS NULL
+),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY fb_df DESC, fb_tf DESC, term ASC) AS r
+    FROM fresh) WHERE r <= {fb_terms}
+),
+qterms2 AS (
+  SELECT query_id, term FROM qterms
+  UNION
+  SELECT query_id, term FROM exp
+),
+q_enriched2 AS (
+  SELECT qt.term, qt.query_id,
+         ln(1.0 + (s.n_docs - td.df + 0.5) / (td.df + 0.5)) AS idf,
+         s.avgdl
+  FROM qterms2 qt JOIN termdf td USING (term) CROSS JOIN stats s
+),
+scored2 AS (
+  SELECT qe.query_id, p.doc_id,
+         round(sum(qe.idf * (CAST(p.tf AS DOUBLE) * {k1 + 1.0}
+                / (CAST(p.tf AS DOUBLE) + {k1} * ({1.0 - b} + {b} * CAST(p.dl AS DOUBLE) / qe.avgdl)))), 6) AS score
+  FROM postings p JOIN q_enriched2 qe USING (term)
+  GROUP BY qe.query_id, p.doc_id
+),
+ranked2 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk,
+         score
+  FROM scored2
+)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, score
+FROM ranked2 WHERE rnk <= {k}
+"""

@@ -135,3 +135,49 @@ def cluster_drift(
         (F.col("count_a") == 0).alias("new_cluster"),
         (F.col("count_b") == 0).alias("vanished_cluster"),
     )
+
+
+# ------------------------------------------------------ key skew report
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_n: int = 10,
+) -> DataFrame:
+    """The pre-join skew diagnostic: the ``top_n`` heaviest keys with
+    count, share of all rows, and skew ratio (count / mean-count-per-key).
+    A ratio far above 1 on a join/aggregation key predicts a straggler
+    reducer — the operator to run BEFORE deciding on `joins.salted_join`
+    or AQE skew hints, and the one a 100 TB pipeline schedules nightly
+    over its fact-table keys.
+
+    One hash aggregate (map-side partials) collapses the table to its key
+    histogram; totals ride a single-partition window over top_n + 1
+    summary values, never the histogram itself. Float ops are two
+    divisions on integers — deterministic, SQL-replicable.
+    """
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.agg(
+        F.sum("cnt").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    top = (
+        hist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(tot))
+    )
+    return top.select(
+        "key",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") / F.col("_rows"), 6).alias("share"),
+        F.round(F.col("cnt") * F.col("_keys") / F.col("_rows"), 6).alias(
+            "skew_ratio"
+        ),
+        F.col("_keys").cast("long").alias("n_keys"),
+    )

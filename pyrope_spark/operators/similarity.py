@@ -130,6 +130,14 @@ def build_similarity_index(
         return SimilarityIndex(method, metric, (seg, model), corpus=cview)
     if method == "hnsw":
         return SimilarityIndex(method, metric, cview, corpus=cview)
+    if method == "bq":
+        from pyrope_spark.operators.bq import pack_segments_bq
+
+        seg = pack_segments_bq(
+            corpus, id_col=id_col, vector_col=vector_col,
+        ).cache()
+        seg.count()
+        return SimilarityIndex(method, metric, seg, corpus=cview)
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -280,6 +288,28 @@ def ann_topk(
             query_id_col=query_id_col, query_vector_col=query_vector_col,
             ef_search=ef_search,
         )
+    if index.method == "bq":
+        # sign-bit Hamming coarse scan; meaningful results want rerank=R
+        # (the coarse score is -hamming, not the float metric)
+        from pyrope_spark.operators.bq import bq_topk_distributed, segment_knn_bq
+
+        if _pick_distributed(distributed, queries):
+            hits = bq_topk_distributed(
+                index.handle, queries, k,
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
+        else:
+            qrows = [
+                (r[query_id_col], np.asarray(r[query_vector_col]))
+                for r in queries.select(query_id_col, query_vector_col).collect()
+            ]
+            hits = segment_knn_bq(index.handle, qrows, k)
+        from pyspark.sql import functions as F
+
+        return hits.select(
+            "query_id", "id", "rank",
+            (-F.col("hamming").cast("double")).alias("score"),
+        )
     raise ValueError(f"unknown method {index.method!r}")
 
 
@@ -428,6 +458,58 @@ def ivf_pq_rerank_topk(
     )
     return exact_rerank(
         coarse, vectors, queries, k, "l2",
+        id_col=id_col, vector_col=vector_col,
+        query_id_col=query_id_col, query_vector_col=query_vector_col,
+    )
+
+
+def matryoshka_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dims: int,
+    *,
+    rerank: int | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "vector",
+    impl: str = "expr",
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncated-dimension search:
+    score cosine on the FIRST ``dims`` components only — embeddings
+    trained with matryoshka loss concentrate semantics in the prefix, so
+    a dims/d-bandwidth coarse pass loses little recall; ``rerank=R`` adds
+    the full-dimension exact confirm (the same two-stage recipe as the
+    SQ8/BQ paths, here cutting the coarse scan's bandwidth by d/dims
+    instead of by quantizing).
+
+    Pure column expressions (``slice`` + the cosine scorer), so the
+    whole pipeline replicates in the DuckDB oracle. For packed-segment
+    scale the truncation composes upstream: ``pack_segments`` over the
+    sliced column gives prefix-dim blobs and the standard GEMM path.
+    """
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.knn import knn_bruteforce
+
+    tv = vectors.select(
+        F.col(id_col).alias("id"),
+        F.slice(F.col(vector_col), 1, dims).alias("vector"),
+    )
+    tq = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.slice(F.col(query_vector_col), 1, dims).alias("vector"),
+    )
+    if rerank is None:
+        return knn_bruteforce(tv, tq, k=k, metric="cosine", impl=impl)
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    coarse = knn_bruteforce(tv, tq, k=rerank, metric="cosine", impl=impl).select(
+        "query_id", "id"
+    )
+    return exact_rerank(
+        coarse, vectors, queries, k, "cosine",
         id_col=id_col, vector_col=vector_col,
         query_id_col=query_id_col, query_vector_col=query_vector_col,
     )

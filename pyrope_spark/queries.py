@@ -3628,3 +3628,283 @@ def _bottomk_oracle() -> str:
 
 
 register("sampled_value_quantiles", _bottomk_oracle())(_bottomk_spark)
+
+
+# --------------------------------------------------------------------------
+# ColBERT-style MaxSim late-interaction retrieval (operators/colbert.py):
+# multi-vector docs synthesized from the flat embeddings table
+# (doc = vec_id div 4; queries = first 2 docs' token bags)
+# --------------------------------------------------------------------------
+
+_MAXSIM_TPD = 4
+_MAXSIM_NQ = 2
+
+
+def _maxsim_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.colbert import maxsim_topk
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dt = emb.select(
+        (F.col("vec_id") / _MAXSIM_TPD).cast("long").alias("doc_id"),
+        F.col("embedding").alias("vector"),
+    )
+    qt = emb.filter(F.col("vec_id") < _MAXSIM_NQ * _MAXSIM_TPD).select(
+        (F.col("vec_id") / _MAXSIM_TPD).cast("long").alias("query_id"),
+        (F.col("vec_id") % _MAXSIM_TPD).alias("token_no"),
+        F.col("embedding").alias("vector"),
+    )
+    return maxsim_topk(dt, qt, TOP_K, impl="expr")
+
+
+def _maxsim_oracle() -> str:
+    from pyrope_spark.operators.colbert import maxsim_oracle_sql
+
+    return maxsim_oracle_sql(TOP_K, tokens_per_doc=_MAXSIM_TPD,
+                             n_query_docs=_MAXSIM_NQ)
+
+
+register("colbert_maxsim_search", _maxsim_oracle())(_maxsim_spark)
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diff (operators/curation.py): two deterministic synthetic
+# snapshots of documents (old = id%10!=0; new = id%7!=0 with id%5==0 texts
+# suffixed ' v2')
+# --------------------------------------------------------------------------
+
+def _corpus_diff_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import corpus_diff
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+def _corpus_diff_oracle() -> str:
+    from pyrope_spark.operators.curation import corpus_diff_oracle_sql
+
+    return corpus_diff_oracle_sql()
+
+
+register("corpus_snapshot_diff", _corpus_diff_oracle())(_corpus_diff_spark)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dimension search (operators/similarity.py): cosine on
+# the first 16 of 64 dims -> exact full-dim rerank
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+
+
+def _mrl_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.similarity import matryoshka_topk
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    hits = matryoshka_topk(
+        vectors, qs, TOP_K, _MRL_DIMS, rerank=_RERANK_R, impl="expr"
+    )
+    return hits.select(
+        "query_id",
+        "id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+def _mrl_oracle() -> str:
+    coarse = oracle_score_sql("cosine", "q.qv", "c.cv")
+    exact = oracle_score_sql("cosine", "q2.fv", "v.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid,
+         (CAST(embedding AS DOUBLE[]))[1:{_MRL_DIMS}] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+qf AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS fv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{_MRL_DIMS}] AS cv
+  FROM embeddings
+),
+cs AS (
+  SELECT q.qid, c.vec_id, {coarse} AS s FROM q CROSS JOIN c
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC,
+                              CAST(vec_id AS VARCHAR) ASC) AS rn
+    FROM cs) WHERE rn <= {_RERANK_R}
+),
+ex AS (
+  SELECT cand.qid, cand.vec_id, {exact} AS score
+  FROM cand
+  JOIN qf q2 ON q2.qid = cand.qid
+  JOIN embeddings v ON v.vec_id = cand.vec_id
+),
+r AS (
+  SELECT CAST(qid AS VARCHAR) AS query_id, CAST(vec_id AS VARCHAR) AS id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC,
+                            CAST(vec_id AS VARCHAR) ASC) AS rnk
+  FROM ex
+)
+SELECT query_id, id, CAST(rnk AS BIGINT) AS rank, round(score, 6) AS score
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+register("matryoshka_rerank_search", _mrl_oracle())(_mrl_spark)
+
+
+# --------------------------------------------------------------------------
+# BM25 + pseudo-relevance feedback (operators/fulltext.py): round-1 top-5
+# docs contribute 3 integer-ranked expansion terms per query, round 2
+# scores the widened term set against the same index
+# --------------------------------------------------------------------------
+
+def _bm25_prf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import bm25_prf_topk
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string")
+    out = bm25_prf_topk(docs, queries_df, k=TOP_K)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    )
+
+
+def _bm25_prf_oracle() -> str:
+    from pyrope_spark.operators.fulltext import bm25_prf_oracle_sql
+
+    return bm25_prf_oracle_sql(BM25_QUERIES, k=TOP_K)
+
+
+register("bm25_prf_search", _bm25_prf_oracle())(_bm25_prf_spark)
+
+
+# --------------------------------------------------------------------------
+# Embedding pooling (operators/colbert.py): mean-pool each synthesized
+# multi-vector doc's token bag into one vector, long-form output
+# --------------------------------------------------------------------------
+
+def _pool_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.colbert import pool_embeddings
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dt = emb.select(
+        (F.col("vec_id") / _MAXSIM_TPD).cast("long").alias("doc_id"),
+        F.col("embedding").alias("vector"),
+    )
+    out = pool_embeddings(dt)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dim_no").cast("int").alias("dim_no"),
+        "value",
+    )
+
+
+def _pool_oracle() -> str:
+    from pyrope_spark.operators.colbert import pool_oracle_sql
+
+    return pool_oracle_sql(tokens_per_doc=_MAXSIM_TPD)
+
+
+register("doc_vector_pooling", _pool_oracle())(_pool_spark)
+
+
+# --------------------------------------------------------------------------
+# Key-skew report (operators/profile.py): heaviest events.user_id keys
+# --------------------------------------------------------------------------
+
+def _skew_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import key_skew_report
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_n=10)
+
+
+_SKEW_ORACLE = """
+WITH hist AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS rows_, COUNT(*) AS keys_ FROM hist),
+top AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+  FROM hist
+)
+SELECT key, CAST(rnk AS BIGINT) AS rank, CAST(cnt AS BIGINT) AS cnt,
+       round(cnt / rows_, 6) AS share,
+       round(cnt * keys_ / rows_, 6) AS skew_ratio,
+       CAST(keys_ AS BIGINT) AS n_keys
+FROM top, tot WHERE rnk <= 10
+"""
+
+register("key_skew_report", _SKEW_ORACLE)(_skew_spark)
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering key (storage.py): Morton interleave of two bucketed
+# order dimensions — the multi-dim data-skipping layout key
+# --------------------------------------------------------------------------
+
+def _zorder_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.storage import zorder_key
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(1024)).alias("_a"),
+        F.pmod(F.col("o_orderkey"), F.lit(1024)).alias("_b"),
+    )
+    return src.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        zorder_key(["_a", "_b"], bits=10).cast("long").alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from pyrope_spark.storage import zorder_key_sql
+
+    zk = zorder_key_sql(["_a", "_b"], bits=10)
+    return f"""
+WITH src AS (
+  SELECT o_orderkey,
+         ((o_custkey % 1024) + 1024) % 1024 AS _a,
+         ((o_orderkey % 1024) + 1024) % 1024 AS _b
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       {zk} AS zkey
+FROM src
+"""
+
+
+register("zorder_clustering_key", _zorder_oracle())(_zorder_spark)

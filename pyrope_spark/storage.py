@@ -63,3 +63,49 @@ def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
         return info.get("Num Buckets"), info.get("Bucket Columns")
 
     return spec(left) == spec(right) and spec(left)[0] is not None
+
+
+def zorder_key(cols: list, bits: int = 21):
+    """Z-order (Morton) interleave of 2-3 NON-NEGATIVE integer columns into
+    one BIGINT sort key — the multi-dimensional clustering layout (Delta
+    OPTIMIZE ZORDER): writing files range-partitioned/sorted by this key
+    gives every interleaved dimension locality, so min/max row-group
+    pruning skips on ANY of them, not just the first sort column.
+
+    ``bits`` low bits per column are interleaved (bits * ncols <= 63);
+    values must fit ``bits`` (pre-bucket wider domains: ``pmod``, epoch
+    div, or a rank). Pure integer bit expressions — identical in Spark and
+    DuckDB, so layouts derived from it are reproducible anywhere.
+
+    Use: ``df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)
+    .write...`` — one range shuffle buys multi-dimension skipping for
+    every later scan.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if not 2 <= n <= 3:
+        raise ValueError("zorder_key interleaves 2 or 3 columns")
+    if bits * n > 63:
+        raise ValueError(f"bits={bits} * {n} cols exceeds 63")
+    if not all(isinstance(c, str) for c in cols):
+        raise TypeError("zorder_key takes column NAMES (SQL expr strings)")
+    exprs = [
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        f"(acc, i) -> acc + shiftleft(shiftright(cast({c} as bigint), i) & 1, "
+        f"i * {n} + {j}))"
+        for j, c in enumerate(cols)
+    ]
+    return F.expr(" + ".join(f"({e})" for e in exprs))
+
+
+def zorder_key_sql(cols: list[str], bits: int = 21) -> str:
+    """DuckDB rendering of :func:`zorder_key` — identical bit layout."""
+    n = len(cols)
+    exprs = []
+    for j, c in enumerate(cols):
+        exprs.append(
+            f"list_sum(list_transform(range(0, {bits}), "
+            f"i -> ((CAST({c} AS BIGINT) >> i) & 1) << (i * {n} + {j})))"
+        )
+    return "CAST(" + " + ".join(f"({e})" for e in exprs) + " AS BIGINT)"

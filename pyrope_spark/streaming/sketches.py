@@ -121,3 +121,41 @@ def streaming_attribution_join(
         .drop("_ck")
         .withColumnRenamed("_k", key_col)
     )
+
+
+def streaming_bottomk_update(
+    stream_df: DataFrame,
+    state_dir: str,
+    k: int,
+    *,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+    group_cols: tuple[str, ...] = (),
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a bottom-k sample sketch under ``state_dir`` from a stream:
+    per batch, cut the batch to its bottom-k, merge with the stored sketch
+    (union + global cut — ``bottomk_merge``, lossless), tmp+swap. The
+    durable uniform sample of everything ever streamed, at k rows per
+    group of state. Quantiles at any time via
+    ``nearest_rank_percentiles(spark.read.parquet(state_dir), ...)``."""
+    from pyrope_spark.operators.sketch import bottomk_merge, bottomk_sample
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sk = bottomk_sample(
+            batch, k, id_col=id_col, keep_cols=keep_cols, group_cols=group_cols
+        )
+        if os.path.isdir(state_dir):
+            old = spark.read.parquet(state_dir)
+            sk = bottomk_merge(old, sk, k, group_cols=group_cols)
+        tmp = state_dir.rstrip("/") + ".tmp"
+        sk.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+
+    w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -386,3 +386,26 @@ def test_domain_cap_invalid(spark):
     docs = spark.createDataFrame([(1, "d")], "doc_id long, source string")
     with pytest.raises(ValueError, match="cap"):
         domain_cap(docs, 0)
+
+
+def test_corpus_diff_statuses(spark):
+    from pyrope_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA changed"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_corpus_diff_normalization_invariant(spark):
+    """Case/whitespace changes are NOT 'changed' (fingerprint normalizes)."""
+    from pyrope_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame([(1, "Hello World ")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "  hello world")], "doc_id long, text string")
+    assert corpus_diff(old, new).collect()[0]["status"] == "unchanged"

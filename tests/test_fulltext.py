@@ -196,3 +196,54 @@ def test_incremental_index_update_equals_full_rebuild(spark, tmp_path):
     tu = {r["term"]: r["df"] for r in updated.termdf.collect()}
     tf_ = {r["term"]: r["df"] for r in full.termdf.collect()}
     assert tu == tf_
+
+
+def test_prf_expansion_and_search(spark):
+    """PRF pulls co-occurring vocabulary into the query: a query matching
+    doc A must also surface doc B that shares A's OTHER terms but none of
+    the original query's."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.fulltext import bm25_prf_topk, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum computing qubits entanglement"),
+            (2, "qubits entanglement decoherence superposition"),
+            (3, "qubits entanglement decoherence superposition"),
+            (4, "cooking pasta tomato sauce"),
+            (5, "gardening roses soil compost"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "quantum computing")], "query_id long, query_text string"
+    )
+    base = bm25_topk(docs, qs, k=5)
+    base_docs = {r["doc_id"] for r in base.collect()}
+    assert base_docs == {1}  # only doc 1 has the original terms
+    prf = bm25_prf_topk(docs, qs, k=5, fb_docs=2, fb_terms=3)
+    prf_docs = {r["doc_id"] for r in prf.collect()}
+    # expansion via doc 1's other terms (qubits/entanglement) reaches 2,3
+    assert {1, 2, 3}.issubset(prf_docs)
+    assert 4 not in prf_docs and 5 not in prf_docs
+    # original-terms docs still rank first
+    top = {r["doc_id"] for r in prf.filter(F.col("rank") == 1).collect()}
+    assert top == {1}
+
+
+def test_prf_no_feedback_terms_falls_back(spark):
+    """A query whose hits add no new terms returns plain BM25 results."""
+    from pyrope_spark.operators.fulltext import bm25_prf_topk, bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, query_text string"
+    )
+    a = bm25_topk(docs, qs, k=3).collect()
+    b = bm25_prf_topk(docs, qs, k=3, fb_docs=1, fb_terms=5).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in a) == sorted(
+        (r["doc_id"], r["rank"]) for r in b
+    )

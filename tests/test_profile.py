@@ -88,3 +88,20 @@ def test_cluster_drift_vanished_cluster(spark):
     assert rows[7]["count_b"] == 0
     # vanished cell still contributes (obs 0 vs expected 5)
     assert rows[7]["chi2_contribution"] == 5.0
+
+
+def test_key_skew_report_planted_skew(spark):
+    from pyrope_spark.operators.profile import key_skew_report
+
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    rep = key_skew_report(df, "k", top_n=3).collect()
+    top = rep[0] if rep[0]["rank"] == 1 else None
+    by_rank = {r["rank"]: r for r in rep}
+    assert by_rank[1]["key"] == "hot"
+    assert by_rank[1]["cnt"] == 900
+    assert by_rank[1]["share"] == 0.9
+    # 101 keys, 1000 rows: mean ~9.9 -> ratio ~90.9
+    assert abs(by_rank[1]["skew_ratio"] - 900 * 101 / 1000) < 1e-6
+    assert by_rank[1]["n_keys"] == 101
+    assert len(rep) == 3

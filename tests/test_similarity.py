@@ -316,3 +316,63 @@ def test_facade_rerank_distributed_no_collect(spark, monkeypatch):
     assert sorted(
         (r["query_id"], r["rank"], r["id"]) for r in got.collect()
     ) == want
+
+
+def test_facade_bq_with_rerank_and_distributed(spark):
+    """method='bq': coarse Hamming via the facade, exact via rerank=R;
+    distributed switch returns the identical candidate set."""
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import ivf_recall
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.similarity import ann_topk, build_similarity_index
+
+    r = np.random.default_rng(21)
+    vectors = spark.createDataFrame(
+        [(f"v{i:04d}", [float(x) for x in (r.random(16) - 0.5)]) for i in range(300)],
+        "id string, vector array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(f"q{i}", [float(x) for x in (r.random(16) - 0.5)]) for i in range(5)],
+        "query_id string, vector array<float>",
+    )
+    idx = build_similarity_index(vectors, method="bq", metric="cosine")
+    small = ann_topk(idx, queries, k=12, distributed=False)
+    dist = ann_topk(idx, queries, k=12, distributed=True)
+    key = lambda d: sorted(
+        (x["query_id"], x["rank"], x["id"]) for x in d.collect()
+    )
+    assert key(small) == key(dist)
+
+    exact = knn_bruteforce(vectors, queries, k=10, metric="cosine")
+    reranked = ann_topk(idx, queries, k=10, rerank=60)
+    assert ivf_recall(reranked, exact, 10) >= 0.6
+
+
+def test_matryoshka_full_dims_is_exact_and_rerank_recovers(spark):
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import ivf_recall
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.similarity import matryoshka_topk
+
+    r = np.random.default_rng(31)
+    # prefix dims carry most variance (the MRL training property, synthesized)
+    scale = np.concatenate([np.ones(8), 0.15 * np.ones(24)])
+    mat = ((r.random((250, 32)) - 0.5) * scale[None, :]).astype(np.float32)
+    vectors = spark.createDataFrame(
+        [(f"v{i:04d}", [float(x) for x in mat[i]]) for i in range(250)],
+        "id string, vector array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(f"q{i}", [float(x) for x in mat[i]]) for i in range(5)],
+        "query_id string, vector array<float>",
+    )
+    exact = knn_bruteforce(vectors, queries, k=10, metric="cosine")
+    # dims == full width -> identical to exact cosine
+    full = matryoshka_topk(vectors, queries, 10, 32)
+    key = lambda d: sorted((x["query_id"], x["rank"], x["id"]) for x in d.collect())
+    assert key(full) == key(exact)
+    # truncated coarse + rerank recovers high recall at 1/4 the scan width
+    rr = matryoshka_topk(vectors, queries, 10, 8, rerank=40)
+    assert ivf_recall(rr, exact, 10) >= 0.8

@@ -54,3 +54,48 @@ def test_bucketed_aggregate_reuses_layout(spark):
         assert got == exp
     finally:
         spark.sql("DROP TABLE IF EXISTS t_agg")
+
+
+def test_zorder_key_bit_exact(spark):
+    """Morton interleave vs a python reference on a small grid."""
+    from pyrope_spark.storage import zorder_key
+
+    def z_ref(a, b, bits=10):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in range(8) for b in range(8)] + [(1023, 1023), (512, 3)]
+    df = spark.createDataFrame(rows, "_a long, _b long")
+    got = df.select("_a", "_b", zorder_key(["_a", "_b"], bits=10).alias("z")).collect()
+    for r in got:
+        assert r["z"] == z_ref(r["_a"], r["_b"]), (r["_a"], r["_b"])
+    # canonical low-order values
+    z = {(r["_a"], r["_b"]): r["z"] for r in got}
+    assert z[(0, 0)] == 0 and z[(1, 0)] == 1 and z[(0, 1)] == 2 and z[(1, 1)] == 3
+    assert z[(2, 0)] == 4
+
+
+def test_zorder_key_guards(spark):
+    import pytest
+
+    from pyrope_spark.storage import zorder_key
+
+    with pytest.raises(ValueError, match="2 or 3"):
+        zorder_key(["a"])
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(["a", "b", "c"], bits=22)
+
+
+def test_zorder_three_columns(spark):
+    from pyrope_spark.storage import zorder_key
+
+    df = spark.createDataFrame([(1, 1, 1), (0, 0, 2)], "_a long, _b long, _c long")
+    z = {
+        (r["_a"], r["_b"], r["_c"]): r["z"]
+        for r in df.select("_a", "_b", "_c", zorder_key(["_a", "_b", "_c"], bits=4).alias("z")).collect()
+    }
+    assert z[(1, 1, 1)] == 7      # bits 0,1,2
+    assert z[(0, 0, 2)] == 32     # c bit1 -> position 1*3+2 = 5

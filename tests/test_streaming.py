@@ -452,3 +452,38 @@ def test_streaming_attribution_join_window(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r["user_id"] == 1 and r["imp_ad"] == "adA" and r["click_item"] == "x"
+
+
+def test_streaming_bottomk_update_matches_full(spark, tmp_path):
+    from pyrope_spark.operators.sketch import bottomk_sample
+    from pyrope_spark.streaming.sketches import streaming_bottomk_update
+
+    src = tmp_path / "bk_src"
+    state = str(tmp_path / "bk_state")
+    schema = "id long, value double"
+    b1 = spark.createDataFrame([(i, float(i)) for i in range(300)], schema)
+    b1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = streaming_bottomk_update(
+        stream, state, 40, id_col="id", keep_cols=("value",),
+        checkpoint_dir=str(tmp_path / "bk_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [(i, float(i)) for i in range(300, 700)], schema
+        )
+        b2.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["_bk_id"], r["value"]) for r in spark.read.parquet(state).collect()
+    )
+    want = sorted(
+        (r["_bk_id"], r["value"])
+        for r in bottomk_sample(
+            b1.unionByName(b2), 40, id_col="id", keep_cols=("value",)
+        ).collect()
+    )
+    assert got == want and len(got) == 40
