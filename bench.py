@@ -611,6 +611,8 @@ def main() -> None:
         "doc_vector_pooling",
         "key_skew_report",
         "zorder_clustering_key",
+        "cms_join_cardinality",
+        "ranking_quality_metrics",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -594,3 +594,86 @@ eq AS ({_nr(table, 'exact_')})
 SELECT sq.*, {', '.join(f'eq.exact_p{int(p * 100)}' for p in percentiles)}
 FROM sq JOIN eq USING ({group_col})
 """
+
+
+# --------------------------------------------------------------------------
+# CMS inner product: equi-join cardinality estimation from sketches
+# --------------------------------------------------------------------------
+
+def cms_join_cardinality(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    depth: int = 4,
+) -> DataFrame:
+    """Estimated equi-join row count |A JOIN B ON key| from the two sides'
+    CMS sketches: the true size is sum_k cntA(k) * cntB(k) — the inner
+    product of the frequency vectors — and each CMS row's bucket-wise dot
+    product over-estimates it (collisions only ADD mass), so the MIN over
+    the d rows is the classic AMS/CMS join-size estimator (Cormode &
+    Muthukrishnan 2005, section 4.2).
+
+    The planner use: estimate a join's output before running it, from two
+    fixed-size tables (d x width each), no scan of either input — the
+    input to a broadcast-vs-shuffle or salt-or-not decision at 100 TB.
+    All-integer arithmetic: replicates exactly in SQL.
+    """
+    a = sketch_a.select("d", "bucket", F.col("cnt").alias("_ca"))
+    b = sketch_b.select("d", "bucket", F.col("cnt").alias("_cb"))
+    per_row = (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    return per_row.agg(
+        F.min("_dot").cast("long").alias("est_join_rows"),
+        F.count(F.lit(1)).cast("long").alias("rows_used"),
+    )
+
+
+def cms_join_cardinality_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    split_pred_a: str = "doc_id % 2 = 0",
+    split_pred_b: str = "doc_id % 2 = 1",
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB rendering: CMS over each half's token stream, the min-dot
+    estimate, and the exact token-equi-join size side-by-side."""
+
+    def side(name: str, pred: str) -> str:
+        unions = "\nUNION ALL\n".join(
+            f"SELECT {d} AS d, {_bucket_sql('fp', d, width)} AS bucket, cnt "
+            f"FROM tf_{name}"
+            for d in range(depth)
+        )
+        return f"""tk_{name} AS (
+  SELECT {tokens_sql(text_col)} AS t FROM {table} WHERE {pred}
+), tf_{name} AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+         {char_fp_rolling_sql('term')} AS fp
+  FROM (SELECT u.term FROM tk_{name}, unnest(t) AS u(term)) GROUP BY term
+), sk_{name} AS (
+  SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM ({unions})
+  GROUP BY d, bucket
+)"""
+
+    return f"""
+WITH {side('a', split_pred_a)},
+{side('b', split_pred_b)},
+dots AS (
+  SELECT a.d, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+  FROM sk_a a JOIN sk_b b ON a.d = b.d AND a.bucket = b.bucket
+  GROUP BY a.d
+),
+exact AS (
+  SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_join_rows
+  FROM tf_a a JOIN tf_b b USING (term)
+)
+SELECT CAST(MIN(dot) AS BIGINT) AS est_join_rows,
+       CAST(COUNT(*) AS BIGINT) AS rows_used,
+       (SELECT exact_join_rows FROM exact) AS exact_join_rows
+FROM dots
+"""

@@ -3908,3 +3908,122 @@ FROM src
 
 
 register("zorder_clustering_key", _zorder_oracle())(_zorder_spark)
+
+
+# --------------------------------------------------------------------------
+# CMS join-cardinality estimation (operators/sketch.py): token equi-join
+# size of the two document halves, estimate vs exact
+# --------------------------------------------------------------------------
+
+def _cms_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import tokens
+    from pyrope_spark.operators.sketch import cms_build, cms_join_cardinality
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    a = cms_build(docs.filter(F.col("doc_id") % 2 == 0))
+    b = cms_build(docs.filter(F.col("doc_id") % 2 == 1))
+    est = cms_join_cardinality(a, b)
+    ta = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("ca"))
+    tb = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("cb"))
+    exact = ta.join(tb, "term").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_join_rows")
+    )
+    return est.crossJoin(exact)
+
+
+def _cms_join_oracle() -> str:
+    from pyrope_spark.operators.sketch import cms_join_cardinality_oracle_sql
+
+    return cms_join_cardinality_oracle_sql()
+
+
+register("cms_join_cardinality", _cms_join_oracle())(_cms_join_spark)
+
+
+# --------------------------------------------------------------------------
+# Ranking-metrics evaluation (operators/ranking.py): BQ coarse Hamming
+# ranking evaluated against banded exact-cosine ground truth — recall/
+# MRR/nDCG@10 per query, the retrieval-evaluation stage as an operator
+# --------------------------------------------------------------------------
+
+def _ranking_metrics_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.bq import bq_encode, bq_topk, bq_words
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.ranking import ranking_metrics
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    results = bq_topk(
+        bq_encode(vectors), qs.select("query_id", bq_words("vector").alias("bq_words")),
+        TOP_K,
+    ).select("query_id", F.col("id").alias("doc_id"), "rank")
+    truth = knn_bruteforce(vectors, qs, k=20, metric="cosine", impl="expr")
+    qrels = truth.select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        F.when(F.col("rank") <= 5, F.lit(3))
+        .when(F.col("rank") <= 10, F.lit(2))
+        .otherwise(F.lit(1)).alias("rel"),
+    )
+    return ranking_metrics(results, qrels, TOP_K)
+
+
+def _ranking_metrics_oracle() -> str:
+    from pyrope_spark.operators.bq import bq_words_sql, hamming_sql
+    from pyrope_spark.operators.ranking import ranking_metrics_oracle_sql
+
+    results_cte = f"""qc AS (
+  SELECT vec_id AS qid, {bq_words_sql('embedding')} AS qw
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+cc AS (
+  SELECT vec_id, {bq_words_sql('embedding')} AS cw FROM embeddings
+),
+hamm AS (
+  SELECT qc.qid, cc.vec_id, {hamming_sql('qc.qw', 'cc.cw')} AS ham
+  FROM qc CROSS JOIN cc
+),
+results AS (
+  SELECT CAST(qid AS VARCHAR) AS query_id, CAST(vec_id AS VARCHAR) AS doc_id,
+         rn AS rank
+  FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ham ASC,
+                              CAST(vec_id AS VARCHAR) ASC) AS rn
+    FROM hamm) WHERE rn <= {TOP_K}
+)"""
+    score = oracle_score_sql("cosine", "q.qv", "v.embedding")
+    qrels_cte = f"""qv AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {score.replace('q.qv', 'q.qv').replace('v.embedding', 'v.embedding')} DESC,
+                      CAST(v.vec_id AS VARCHAR) ASC) AS rn
+    FROM qv q CROSS JOIN embeddings v) WHERE rn <= 20
+),
+qrels AS (
+  SELECT CAST(qid AS VARCHAR) AS query_id, CAST(vec_id AS VARCHAR) AS doc_id,
+         CASE WHEN rn <= 5 THEN 3 WHEN rn <= 10 THEN 2 ELSE 1 END AS rel
+  FROM exact
+)"""
+    return ranking_metrics_oracle_sql(
+        TOP_K, results_cte=results_cte, qrels_cte=qrels_cte
+    )
+
+
+register("ranking_quality_metrics", _ranking_metrics_oracle())(_ranking_metrics_spark)

@@ -159,3 +159,43 @@ def streaming_bottomk_update(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def streaming_cms_update(
+    stream_df: DataFrame,
+    state_dir: str,
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a count-min sketch under ``state_dir`` from a document
+    stream: per batch, build the batch's (d, bucket, cnt) increments and
+    SUM-merge with the stored counters (CMS merge = counter addition —
+    lossless, like every sketch in this family), tmp+swap. Heavy-hitter
+    estimates at any time via ``cms_estimate(spark.read.parquet(state_dir),
+    terms, depth=depth, width=width)``. State is bounded at d x width rows
+    forever."""
+    from pyrope_spark.operators.sketch import cms_build
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sk = cms_build(batch, text_col=text_col, depth=depth, width=width)
+        if os.path.isdir(state_dir):
+            old = spark.read.parquet(state_dir)
+            sk = (
+                old.unionByName(sk)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        tmp = state_dir.rstrip("/") + ".tmp"
+        sk.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+
+    w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -97,3 +97,81 @@ def test_score_convention_self_is_best(vec):
             no = np.linalg.norm(o)
             if no > 1e-6:
                 assert self_cos >= float(v @ o / (nv * no)) - 1e-12
+
+
+# ---- round-4 session-4 kernels ----
+
+
+def bq_pack_py(vec: list[float]) -> list[int]:
+    """Word-path mirror of operators/bq.bq_words (32-bit words in longs)."""
+    words = []
+    for j in range((len(vec) + 31) // 32):
+        w = 0
+        for i in range(32):
+            p = 32 * j + i
+            if p < len(vec) and vec[p] > 0:
+                w |= 1 << i
+        words.append(w)
+    return words
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=1,
+        max_size=70,
+    )
+)
+@settings(max_examples=200)
+def test_bq_pack_bits_match_numpy_path(vec):
+    """The numpy byte packing and the word packing carry identical bits."""
+    from pyrope_spark.operators.bq import _pack_bits
+
+    arr = np.asarray([vec], dtype=np.float32)
+    bytes_path = np.unpackbits(_pack_bits(arr), axis=1, bitorder="little")[
+        0, : len(vec)
+    ]
+    words = bq_pack_py([float(np.float32(x)) for x in vec])
+    word_bits = [(words[p // 32] >> (p % 32)) & 1 for p in range(len(vec))]
+    assert list(bytes_path) == word_bits
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 21) - 1), min_size=2, max_size=2),
+    st.lists(st.integers(min_value=0, max_value=(1 << 21) - 1), min_size=2, max_size=2),
+)
+@settings(max_examples=100)
+def test_zorder_preserves_quadrant_order(a, b):
+    """If every coordinate of A <= the same coordinate of B AND they share
+    the same high bits above any differing position... simplest sound
+    property: z is a bijection on the grid and equals the bit-interleave
+    reference."""
+
+    def z_ref(x, y, bits=21):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    z1 = z_ref(a[0], a[1])
+    z2 = z_ref(b[0], b[1])
+    assert (z1 == z2) == (a == b)  # injective
+
+
+def hll_rho_py(u: int, p: int) -> tuple[int, int]:
+    """Mirror of the bucket/rho split in sketch.hll_build."""
+    bw = 40 - p
+    m = 1 << p
+    bucket = u % m
+    w = u // m
+    rho = bw + 1 if w == 0 else bw + 1 - w.bit_length()
+    return bucket, rho
+
+
+@given(st.integers(min_value=0, max_value=(1 << 40) - 1), st.integers(min_value=4, max_value=12))
+@settings(max_examples=300)
+def test_hll_rho_ranges(u, p):
+    bucket, rho = hll_rho_py(u, p)
+    assert 0 <= bucket < (1 << p)
+    assert 1 <= rho <= (40 - p) + 1

@@ -242,3 +242,16 @@ def test_bottomk_k_larger_than_population(spark):
 
     df = spark.createDataFrame([(i,) for i in range(5)], "id long")
     assert bottomk_sample(df, 100, id_col="id").count() == 5
+
+
+def test_cms_join_cardinality_overestimates_and_tracks_exact(spark):
+    from pyrope_spark.operators.sketch import cms_build, cms_join_cardinality
+
+    a_docs = _docs(spark, ["apple banana cherry"] * 5 + ["durian fig"])
+    b_docs = _docs(spark, ["apple apple banana", "grape melon"])
+    a, b = cms_build(a_docs, width=4096), cms_build(b_docs, width=4096)
+    est = cms_join_cardinality(a, b).collect()[0]["est_join_rows"]
+    # exact inner product: apple 5*2=10? a has 5 'apple', b has 2 -> 10;
+    # banana 5*1=5 -> total 15
+    assert est >= 15           # CMS never underestimates the inner product
+    assert est <= 15 + 40      # and stays near it at this width

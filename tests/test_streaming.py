@@ -487,3 +487,38 @@ def test_streaming_bottomk_update_matches_full(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 40
+
+
+def test_streaming_cms_update_matches_full(spark, tmp_path):
+    from pyrope_spark.operators.sketch import cms_build
+    from pyrope_spark.streaming.sketches import streaming_cms_update
+
+    src = tmp_path / "cms_src"
+    state = str(tmp_path / "cms_state")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(i, "apple banana") for i in range(50)], schema
+    )
+    b1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = streaming_cms_update(
+        stream, state, checkpoint_dir=str(tmp_path / "cms_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [(100 + i, "banana cherry") for i in range(30)], schema
+        )
+        b2.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["d"], r["bucket"], r["cnt"])
+        for r in spark.read.parquet(state).collect()
+    )
+    want = sorted(
+        (r["d"], r["bucket"], r["cnt"])
+        for r in cms_build(b1.unionByName(b2)).collect()
+    )
+    assert got == want
