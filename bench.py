@@ -613,6 +613,7 @@ def main() -> None:
         "zorder_clustering_key",
         "cms_join_cardinality",
         "ranking_quality_metrics",
+        "events_props_metrics",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

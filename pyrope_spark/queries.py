@@ -4027,3 +4027,43 @@ qrels AS (
 
 
 register("ranking_quality_metrics", _ranking_metrics_oracle())(_ranking_metrics_spark)
+
+
+# --------------------------------------------------------------------------
+# JSON schema-on-read over events.props (operators/semistructured.py):
+# typed extraction + per-key metrics; value sums on the exact 1-decimal
+# integer grid the generator uses
+# --------------------------------------------------------------------------
+
+def _props_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.semistructured import parse_json_column
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    parsed = parse_json_column(ev, "props", "k INT")
+    v10 = F.floor(F.col("value") * 10 + F.lit(0.5)).cast("long")
+    return (
+        parsed.withColumn("_v10", v10)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("props_corrupt").cast("long")).cast("long").alias("n_corrupt"),
+            F.round(F.sum("_v10") / 10.0, 6).alias("value_sum"),
+            F.round(F.min("value"), 6).alias("value_min"),
+            F.round(F.max("value"), 6).alias("value_max"),
+        )
+    )
+
+
+_PROPS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS n_corrupt,
+       round(SUM(CAST(floor(value * 10 + 0.5) AS BIGINT)) / 10.0, 6) AS value_sum,
+       round(MIN(value), 6) AS value_min,
+       round(MAX(value), 6) AS value_max
+FROM events
+GROUP BY 1
+"""
+
+register("events_props_metrics", _PROPS_ORACLE)(_props_spark)

@@ -109,3 +109,82 @@ def zorder_key_sql(cols: list[str], bits: int = 21) -> str:
             f"i -> ((CAST({c} AS BIGINT) >> i) & 1) << (i * {n} + {j})))"
         )
     return "CAST(" + " + ".join(f"({e})" for e in exprs) + " AS BIGINT)"
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    *,
+    note: str | None = None,
+) -> int:
+    """Append-only versioned parquet: each call writes ``path/v=N`` (next
+    N) plus a ``manifest-N.json`` (version, row count, schema, note) and
+    repoints ``LATEST``. Readers pin a version for reproducibility
+    (:func:`read_versioned`) — the corpus-snapshot counterpart of the
+    engine's tmp+swap state dirs, with history retained instead of
+    replaced. Paired with ``curation.corpus_diff`` between two versions it
+    is the dataset-versioning loop: write v(N), diff vs v(N-1), reprocess
+    only the changed docs.
+
+    Returns the version number written. Writes are atomic at the manifest
+    level: data lands first, the manifest (and LATEST) only after — a
+    crashed write leaves an unreferenced directory, never a half-visible
+    version.
+    """
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    versions = [
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and os.path.isdir(os.path.join(path, d))
+    ]
+    n = max(versions) + 1 if versions else 1
+    vdir = os.path.join(path, f"v={n}")
+    df.write.mode("errorifexists").parquet(vdir)
+    spark = df.sparkSession
+    count = spark.read.parquet(vdir).count()
+    manifest = {
+        "version": n,
+        "count": count,
+        "schema": df.schema.jsonValue(),
+        "note": note,
+    }
+    mtmp = os.path.join(path, f".manifest-{n}.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, os.path.join(path, f"manifest-{n}.json"))
+    ltmp = os.path.join(path, ".LATEST.tmp")
+    with open(ltmp, "w") as f:
+        f.write(str(n))
+    os.replace(ltmp, os.path.join(path, "LATEST"))
+    return n
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (default: LATEST). Refuses versions without a
+    manifest (half-written data is invisible by construction)."""
+    import os
+
+    if version is None:
+        with open(os.path.join(path, "LATEST")) as f:
+            version = int(f.read().strip())
+    if not os.path.isfile(os.path.join(path, f"manifest-{version}.json")):
+        raise FileNotFoundError(f"version {version} has no manifest under {path}")
+    return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def list_versions(path: str) -> list[dict]:
+    """Manifests, ascending by version."""
+    import json
+    import os
+
+    out = []
+    for fn in os.listdir(path):
+        if fn.startswith("manifest-") and fn.endswith(".json"):
+            with open(os.path.join(path, fn)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["version"])

@@ -99,3 +99,36 @@ def test_zorder_three_columns(spark):
     }
     assert z[(1, 1, 1)] == 7      # bits 0,1,2
     assert z[(0, 0, 2)] == 32     # c bit1 -> position 1*3+2 = 5
+
+
+def test_versioned_write_read_and_pinning(spark, tmp_path):
+    from pyrope_spark.storage import list_versions, read_versioned, write_versioned
+
+    p = str(tmp_path / "corpus")
+    v1 = write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, t string"), p, note="first"
+    )
+    v2 = write_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string"), p
+    )
+    assert (v1, v2) == (1, 2)
+    assert read_versioned(spark, p).count() == 2          # LATEST
+    assert read_versioned(spark, p, version=1).count() == 1  # pinned
+    ms = list_versions(p)
+    assert [m["version"] for m in ms] == [1, 2]
+    assert ms[0]["note"] == "first" and ms[0]["count"] == 1
+
+
+def test_versioned_read_requires_manifest(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from pyrope_spark.storage import read_versioned, write_versioned
+
+    p = str(tmp_path / "corpus2")
+    write_versioned(spark.createDataFrame([(1,)], "id long"), p)
+    # simulate a crashed write: data dir without manifest
+    os.makedirs(os.path.join(p, "v=2"))
+    with pytest.raises(FileNotFoundError, match="no manifest"):
+        read_versioned(spark, p, version=2)

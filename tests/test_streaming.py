@@ -522,3 +522,43 @@ def test_streaming_cms_update_matches_full(spark, tmp_path):
         for r in cms_build(b1.unionByName(b2)).collect()
     )
     assert got == want
+
+
+def test_streaming_neardup_to_corpus(spark, tmp_path):
+    """Near-dups drop at ingest: vs earlier batches (index join) and
+    in-flight (smaller id wins); distinct docs pass."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.streaming.curation import streaming_neardup_to_corpus
+
+    src = tmp_path / "nd_src"
+    corpus = str(tmp_path / "nd_corpus")
+    index = str(tmp_path / "nd_index")
+    schema = "doc_id long, text string, ts timestamp"
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    t0 = "2026-01-01 00:00:00"
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, t, t0) for i, t in rows], "doc_id long, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp"))
+
+    b1 = df([(1, base), (2, "one two three four five six seven eight")])
+    b1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(df([(0, "x")]).schema).parquet(str(src))
+    q = streaming_neardup_to_corpus(
+        stream, corpus, index, str(tmp_path / "nd_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        b2 = df([
+            (10, base + " iota"),                      # near-dup of accepted 1
+            (11, "cat dog bird fish mouse horse cow hen"),   # new
+            (12, "cat dog bird fish mouse horse cow pig"),   # in-flight near-dup of 11
+        ])
+        b2.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == [1, 2, 11]
