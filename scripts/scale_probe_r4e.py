@@ -59,6 +59,10 @@ def main() -> None:
         lambda: maxsim_topk(toks, qt, 10, impl="grouped").count(),
     )
     timed(
+        f"maxsim_packed_{N_TOKENS}tok_q16",
+        lambda: maxsim_topk(toks, qt, 10, impl="packed").count(),
+    )
+    timed(
         f"pool_mean_{N_TOKENS}tok",
         lambda: pool_embeddings(toks).count(),
     )

@@ -50,7 +50,8 @@ def test_maxsim_expr_grouped_parity(spark):
     )
     a = maxsim_topk(dt, qt, 5, impl="expr")
     b = maxsim_topk(dt, qt, 5, impl="grouped")
-    assert key(a) == key(b)
+    c = maxsim_topk(dt, qt, 5, impl="packed")
+    assert key(a) == key(b) == key(c)
 
 
 def test_maxsim_single_vector_degenerates_to_ip_knn(spark):
