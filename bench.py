@@ -614,6 +614,7 @@ def main() -> None:
         "cms_join_cardinality",
         "ranking_quality_metrics",
         "events_props_metrics",
+        "cleaned_documents",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

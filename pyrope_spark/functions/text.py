@@ -247,3 +247,22 @@ def char_fp_rolling_sql(token_expr: str) -> str:
         f"list_reduce(list_prepend(CAST({FP_ROLL_SEED} AS BIGINT), {chars}), "
         f"(acc, c) -> (acc * {FP_ROLL_R} + c) % {FP_ROLL_P})"
     )
+
+
+def clean_text(text: Column) -> Column:
+    """Curation-stage text normalization: strip C0/C1 control characters
+    (keeping \\t \\n), collapse runs of whitespace to single spaces, trim.
+    Pure regexp_replace chain (codegen; the character classes used behave
+    identically under Java regex and RE2, so the DuckDB oracle replicates).
+    Case is NOT folded here — tokenizers downstream already lower();
+    fingerprints fold case themselves."""
+    out = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "")
+    out = F.regexp_replace(out, "\\s+", " ")
+    return F.trim(out)
+
+
+def clean_text_sql(text_expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({text_expr}, "
+        f"'[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'), '\\s+', ' ', 'g'))"
+    )

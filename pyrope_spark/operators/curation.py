@@ -33,6 +33,7 @@ Design notes per operator (100 TB framing):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1029,3 +1030,45 @@ SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
        o.ofp AS old_fp, n.nfp AS new_fp
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+# ------------------------------------------------------ compression signal
+
+def compression_ratio(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, compression_ratio) — zlib ratio per doc,
+    the classic template/junk detector the heuristic filters reference
+    (Gopher/RefinedWeb discussions): boilerplate and SEO spam compress far
+    below natural text; random gibberish barely compresses at all. Score
+    it next to `quality_features` and threshold both tails.
+
+    Arrow-batched pandas UDF (zlib is deterministic at a fixed level, so
+    the column is layout/run-stable); no SQL oracle — DuckDB has no zlib —
+    the pytest gate pins known-ratio fixtures instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    raw_len = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    out = docs.select(
+        F.col(id_col),
+        raw_len.alias("n_bytes"),
+        _clen(F.col(text_col)).alias("n_compressed"),
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.when(F.col("n_bytes") > 0,
+               F.round(F.col("n_compressed") / F.col("n_bytes"), 6))
+        .otherwise(F.lit(None).cast("double")),
+    )

@@ -956,3 +956,34 @@ def ivf_pq_search_distributed(
     return topk_per_group(
         scored, ["query_id"], k, score_col="score", tiebreak_col="id", two_phase=False
     )
+
+
+def index_health(seg: DataFrame) -> DataFrame:
+    """Per-cluster index health over a packed-segment table: vector count,
+    segment count, packed bytes, share of the corpus, and skew ratio
+    (count / mean-per-cluster) — the rebuild/repartition trigger a standing
+    IVF deployment reviews next to ``profile.cluster_drift``. A cluster far
+    above ratio 1 makes its probes expensive (cell scan cost is linear in
+    cell size); many sub-segment-size clusters mean compaction is due
+    (small blobs lose the GEMM's bandwidth advantage).
+
+    Histogram-shaped work only: one aggregate over segment METADATA rows
+    (never the vectors), then totals over <= nlist rows."""
+    from pyspark.sql.window import Window
+
+    per = seg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.sum(F.length("vecs")).cast("long").alias("packed_bytes"),
+    )
+    w = Window.partitionBy()
+    tot_v = F.sum("n_vectors").over(w)
+    n_clusters = F.count(F.lit(1)).over(w)
+    return per.select(
+        "cluster_id",
+        "n_segments",
+        "n_vectors",
+        "packed_bytes",
+        F.round(F.col("n_vectors") / tot_v, 6).alias("share"),
+        F.round(F.col("n_vectors") * n_clusters / tot_v, 6).alias("skew_ratio"),
+    )

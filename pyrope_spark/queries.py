@@ -4067,3 +4067,38 @@ GROUP BY 1
 """
 
 register("events_props_metrics", _PROPS_ORACLE)(_props_spark)
+
+
+# --------------------------------------------------------------------------
+# Text cleaning (functions/text.py clean_text): deterministic dirt appended
+# to every doc, then control-strip + whitespace-collapse + trim
+# --------------------------------------------------------------------------
+
+def _clean_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import clean_text
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit("  \x07\x1b tail  \x00"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_text(dirty).alias("cleaned"),
+        F.length(dirty).cast("long").alias("n_raw"),
+        F.length(clean_text(dirty)).cast("long").alias("n_clean"),
+    )
+
+
+def _clean_text_oracle() -> str:
+    from pyrope_spark.functions.text import clean_text_sql
+
+    dirty = "text || '  ' || chr(7) || chr(27) || ' tail  ' || chr(0)"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {clean_text_sql(dirty)} AS cleaned,
+       CAST(length({dirty}) AS BIGINT) AS n_raw,
+       CAST(length({clean_text_sql(dirty)}) AS BIGINT) AS n_clean
+FROM documents
+"""
+
+
+register("cleaned_documents", _clean_text_oracle())(_clean_text_spark)

@@ -409,3 +409,33 @@ def test_corpus_diff_normalization_invariant(spark):
     old = spark.createDataFrame([(1, "Hello World ")], "doc_id long, text string")
     new = spark.createDataFrame([(1, "  hello world")], "doc_id long, text string")
     assert corpus_diff(old, new).collect()[0]["status"] == "unchanged"
+
+
+def test_compression_ratio_separates_template_from_random(spark):
+    from pyrope_spark.operators.curation import compression_ratio
+
+    import random
+
+    random.seed(7)
+    template = "click here to buy now " * 50                     # compresses hard
+    natural = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and every sentence adds "
+        "a little new content to the mix "
+    ) * 8
+    gibberish = "".join(
+        random.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(1000)
+    )
+    df = spark.createDataFrame(
+        [(1, template), (2, natural), (3, gibberish), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert rows[1]["compression_ratio"] < 0.1          # template
+    assert rows[3]["compression_ratio"] > 0.6          # gibberish
+    assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"] < rows[3]["compression_ratio"]
+    assert rows[4]["compression_ratio"] is None and rows[5]["compression_ratio"] is None
+    # deterministic across runs/layouts
+    again = {r["doc_id"]: r["n_compressed"]
+             for r in compression_ratio(df.repartition(3)).collect()}
+    assert again == {k: v["n_compressed"] for k, v in rows.items()}

@@ -284,3 +284,23 @@ def test_opq_beats_plain_pq_on_anisotropic_data(spark):
     r_opq = recall_for(rotate_vectors(vecs, R), rotate_vectors(queries, R))
     assert r_opq >= 0.85, r_opq
     assert r_opq >= r_plain + 0.1, (r_plain, r_opq)
+
+
+def test_index_health_report(spark):
+    import numpy as np
+
+    from pyrope_spark.operators.segments import index_health, pack_segments
+
+    r = np.random.default_rng(2)
+    rows = []
+    # cluster 0 heavy (300), cluster 1 light (30)
+    for i in range(330):
+        rows.append((f"v{i:04d}", [float(x) for x in r.random(8)], 0 if i < 300 else 1))
+    df = spark.createDataFrame(rows, "id string, vector array<float>, cluster_id int")
+    seg = pack_segments(df, cluster_col="cluster_id", rows_per_segment=64)
+    rep = {x["cluster_id"]: x for x in index_health(seg).collect()}
+    assert rep[0]["n_vectors"] == 300 and rep[1]["n_vectors"] == 30
+    assert rep[0]["n_segments"] >= 5 and rep[1]["n_segments"] >= 1
+    assert abs(rep[0]["share"] - 300 / 330) < 1e-6
+    assert rep[0]["skew_ratio"] > 1.5 > rep[1]["skew_ratio"]
+    assert rep[0]["packed_bytes"] == 300 * 8 * 4  # n * dim * f32
