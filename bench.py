@@ -615,6 +615,7 @@ def main() -> None:
         "ranking_quality_metrics",
         "events_props_metrics",
         "cleaned_documents",
+        "ewma_user_values",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -460,3 +460,91 @@ SELECT {key}, {tiebreak}, ts_us, {value_col},
        COALESCE(abs(zraw) > {z_thresh}, FALSE) AS is_anomaly
 FROM z
 """
+
+
+# ------------------------------------------------------ EWMA smoothing
+
+def ewma(
+    events: DataFrame,
+    alpha: float,
+    *,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponential smoothing: ``s_1 = x_1; s_t = alpha * x_t +
+    (1 - alpha) * s_{t-1}`` over the (ts, id) total order — the baseline
+    smoother/forecaster for metric streams (next-value forecast = current
+    s_t), and the denominator for simple deviation alarms.
+
+    A sequential recurrence has no native window form, so each key's
+    series runs in one ``applyInPandas`` group — keys are parallel across
+    executors; state per key is one double. Python floats ARE IEEE
+    doubles, and the DuckDB oracle's recursive CTE evaluates literally the
+    same ``alpha * x + (1 - alpha) * s`` per step, so the two agree
+    bit-for-bit (same ops, same order; only + and * — no transcendental).
+
+    Output: key cols + (id, value, out_col rounded 6).
+    """
+    import pandas as pd
+
+    keyc = list(key_cols)
+    a = float(alpha)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts_ns", id_col])
+        s = None
+        out = []
+        for x in pdf[value_col].tolist():
+            s = x if s is None else a * x + (1.0 - a) * s
+            out.append(round(s, 6))
+        pdf = pdf.copy()
+        pdf[out_col] = out
+        return pdf[keyc + [id_col, value_col, out_col]]
+
+    src = events.select(
+        *keyc,
+        F.col(id_col),
+        F.col(value_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_ns"),
+    )
+    schema = ", ".join(
+        f"{c} {t}" for c, t in src.drop("_ts_ns").dtypes
+    ) + f", {out_col} double"
+    return src.groupBy(*keyc).applyInPandas(smooth, schema=schema)
+
+
+def ewma_oracle_sql(
+    alpha: float,
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """Recursive-CTE rendering: one recursion level per within-key rank
+    (depth = max series length per key; all keys advance together)."""
+    a = repr(float(alpha))
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {key_col}, {id_col}, {value_col},
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY {ts_col}, {id_col}) AS rn
+  FROM {table}
+), rec AS (
+  SELECT {key_col}, {id_col}, {value_col}, rn,
+         CAST({value_col} AS DOUBLE) AS s
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.{key_col}, o.{id_col}, o.{value_col}, o.rn,
+         {a} * CAST(o.{value_col} AS DOUBLE) + (1.0 - {a}) * r.s
+  FROM ordered o JOIN rec r
+    ON o.{key_col} = r.{key_col} AND o.rn = r.rn + 1
+)
+SELECT {key_col}, CAST({id_col} AS BIGINT) AS {id_col},
+       {value_col}, round(s, 6) AS ewma
+FROM rec
+"""

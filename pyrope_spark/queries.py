@@ -4102,3 +4102,38 @@ FROM documents
 
 
 register("cleaned_documents", _clean_text_oracle())(_clean_text_spark)
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing over per-user event values (operators/temporal.py):
+# sequential recurrence, python-double == recursive-CTE-double parity
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def _ewma_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import ewma
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, _EWMA_ALPHA)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value"), 6).alias("value"),
+        "ewma",
+    )
+
+
+def _ewma_oracle() -> str:
+    from pyrope_spark.operators.temporal import ewma_oracle_sql
+
+    sql = ewma_oracle_sql(_EWMA_ALPHA)
+    return sql.replace(
+        "SELECT user_id, CAST(event_id AS BIGINT) AS event_id,\n       value, round(s, 6) AS ewma",
+        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,\n       round(value, 6) AS value, round(s, 6) AS ewma",
+    )
+
+
+register("ewma_user_values", _ewma_oracle())(_ewma_spark)

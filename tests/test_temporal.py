@@ -2,6 +2,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+from pyspark.sql import functions as F
+
 from pyrope_spark.operators.temporal import as_of_join, sessionize
 
 
@@ -208,3 +210,36 @@ def test_rolling_zscore_constant_series_no_flags(spark):
     ).collect()
     # zero variance -> z undefined everywhere, nothing flagged
     assert all(r["zscore"] is None and not r["is_anomaly"] for r in rows)
+
+
+def test_ewma_closed_form_and_order(spark):
+    from pyrope_spark.operators.temporal import ewma
+
+    rows = [
+        (1, 1, "2026-01-01 00:00:00", 10.0),
+        (1, 2, "2026-01-01 00:01:00", 20.0),
+        (1, 3, "2026-01-01 00:02:00", 30.0),
+        (2, 4, "2026-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["ewma"] for r in ewma(df, 0.5).collect()}
+    assert out[1] == 10.0
+    assert out[2] == 15.0            # 0.5*20 + 0.5*10
+    assert out[3] == 22.5            # 0.5*30 + 0.5*15
+    assert out[4] == 5.0             # independent key
+
+
+def test_ewma_tie_order_by_id(spark):
+    from pyrope_spark.operators.temporal import ewma
+
+    rows = [
+        (1, 2, "2026-01-01 00:00:00", 100.0),   # same ts: id 1 first
+        (1, 1, "2026-01-01 00:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["ewma"] for r in ewma(df, 0.5).collect()}
+    assert out[1] == 0.0 and out[2] == 50.0
