@@ -13,6 +13,15 @@ One entry point over the engine's ANN strategies, so a user of the reference
                  calls via the returned handle).
 - ``hnsw``     : approximate; per-partition numpy HNSW graphs, global
                  top-K merge (reference HnswVectorIndex semantics).
+- ``bq``       : approximate; sign-bit codes + XOR/popcount Hamming scan
+                 (32x less bandwidth) — pair with ``rerank=R`` for the
+                 exact confirm (round 4).
+- ``ivf_pq``   : approximate; residual ADC over 16-32x compressed codes;
+                 ``opq=True`` at build rotates first (recall repair for
+                 anisotropic embeddings, round 4).
+
+``matryoshka_topk`` (module-level) adds the truncated-prefix-dim coarse
+path for MRL-style embeddings.
 
 Round-2 switches on ``ann_topk``:
 - ``distributed`` (default ``'auto'``): the façade picks the path by query
@@ -76,8 +85,13 @@ def build_similarity_index(
     nlist: int = 100,
     rows_per_segment: int = 65536,
     pq_m: int = 8,
+    opq: bool = False,
 ) -> SimilarityIndex:
-    """Prepare (and cache) the scan structure for repeated query batches."""
+    """Prepare (and cache) the scan structure for repeated query batches.
+
+    ``opq=True`` (ivf_pq only): learn the balanced-PCA rotation and build
+    the index over rotated vectors; ``ann_topk`` rotates query batches
+    automatically (the rotation rides on the index handle)."""
     metric = normalize_metric(metric)
     method = method.lower()
     cview = corpus.select(
@@ -117,17 +131,28 @@ def build_similarity_index(
         seg.count()
         return SimilarityIndex(method, metric, (seg, model), corpus=cview)
     if method == "ivf_pq":
-        from pyrope_spark.operators.pq import build_ivf_pq
+        from pyrope_spark.operators.pq import (
+            build_ivf_pq,
+            rotate_vectors,
+            train_opq_rotation,
+        )
         from pyrope_spark.operators.segments import pack_pq_segments
 
         if metric != "l2":
             raise ValueError("ivf_pq supports metric='l2' (residual ADC)")
+        src = corpus
+        rot = None
+        if opq:
+            rot = train_opq_rotation(corpus, pq_m, vector_col=vector_col)
+            src = rotate_vectors(corpus, rot, vector_col=vector_col)
         encoded, model = build_ivf_pq(
-            corpus, nlist=nlist, m=pq_m, id_col=id_col, vector_col=vector_col
+            src, nlist=nlist, m=pq_m, id_col=id_col, vector_col=vector_col
         )
         seg = pack_pq_segments(encoded, rows_per_segment=rows_per_segment).cache()
         seg.count()
-        return SimilarityIndex(method, metric, (seg, model), corpus=cview)
+        idx = SimilarityIndex(method, metric, (seg, model), corpus=cview)
+        idx._opq_rotation = rot
+        return idx
     if method == "hnsw":
         return SimilarityIndex(method, metric, cview, corpus=cview)
     if method == "bq":
@@ -248,6 +273,11 @@ def ann_topk(
         )
     if index.method == "ivf_pq":
         seg, model = index.handle
+        rot = getattr(index, "_opq_rotation", None)
+        if rot is not None:
+            from pyrope_spark.operators.pq import rotate_vectors
+
+            queries = rotate_vectors(queries, rot, vector_col=query_vector_col)
         if _pick_distributed(distributed, queries):
             from pyrope_spark.operators.segments import ivf_pq_search_distributed
 

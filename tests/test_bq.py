@@ -130,3 +130,18 @@ def test_bq_zero_vector_codes_to_zero(spark):
     row = bq_encode(df).collect()[0]
     assert row["bq_words"] == [0, 0]
     assert encode_queries_np(np.zeros((1, 40), dtype=np.float32)).sum() == 0
+
+
+def test_bq_distributed_plan_no_corpus_shuffle(spark):
+    """The distributed coarse scan broadcast-joins packed query blocks
+    against code segments: the corpus-sized side never hash-shuffles before
+    scoring; the only hash exchange is the final per-query top-k merge."""
+    vecs, _ = make_centered_vectors(spark, n=200, dim=16)
+    queries, _ = make_centered_queries(spark, n=5, dim=16)
+    seg = pack_segments_bq(vecs, rows_per_segment=64)
+    out = bq_topk_distributed(seg, queries, 10)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange" in final
+    assert final.count("Exchange hashpartitioning") <= 1

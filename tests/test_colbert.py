@@ -125,3 +125,22 @@ def test_pool_bad_mode(spark):
 
     with pytest.raises(ValueError, match="mode"):
         pool_embeddings(_dt(spark, [("d", [1.0])]), mode="median")
+
+
+def test_maxsim_packed_plan_shape(spark):
+    """The packed path's only wide ops: ONE doc-hash exchange (collect_list)
+    plus the final per-query window — no join of the corpus anywhere."""
+    import numpy as np
+
+    r = np.random.default_rng(3)
+    dt = _dt(spark, [
+        (f"d{i % 40:02d}", [float(x) for x in (r.random(8) - 0.5)])
+        for i in range(160)
+    ])
+    qt = _qt(spark, [("q0", 0, [0.1] * 8), ("q0", 1, [0.2] * 8)])
+    out = maxsim_topk(dt, qt, 5, impl="packed")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in final

@@ -376,3 +376,39 @@ def test_matryoshka_full_dims_is_exact_and_rerank_recovers(spark):
     # truncated coarse + rerank recovers high recall at 1/4 the scan width
     rr = matryoshka_topk(vectors, queries, 10, 8, rerank=40)
     assert ivf_recall(rr, exact, 10) >= 0.8
+
+
+def test_facade_ivf_pq_opq_recall(spark):
+    """opq=True at build transparently rotates query batches; recall on the
+    anisotropic corpus is at least plain ivf_pq's (measured better)."""
+    import numpy as np
+
+    from pyrope_spark.operators.ivf import ivf_recall
+    from pyrope_spark.operators.knn import knn_bruteforce
+    from pyrope_spark.operators.similarity import ann_topk, build_similarity_index
+
+    r = np.random.default_rng(17)
+    dim = 32
+    A = (
+        r.standard_normal((dim, dim)) * (1.5 ** -np.arange(dim))[None, :]
+    ) @ r.standard_normal((dim, dim)) * 0.3
+    x = (r.standard_normal((800, dim)) @ A).astype(np.float32)
+    vectors = spark.createDataFrame(
+        [(f"v{i:04d}", [float(v) for v in x[i]]) for i in range(800)],
+        "id string, vector array<float>",
+    ).cache()
+    queries = spark.createDataFrame(
+        [(f"q{i}", [float(v) for v in x[i]]) for i in range(8)],
+        "query_id string, vector array<float>",
+    )
+    exact = knn_bruteforce(vectors, queries, k=10, metric="l2").cache()
+    exact.count()
+
+    plain = build_similarity_index(vectors, method="ivf_pq", nlist=4, pq_m=8)
+    opq = build_similarity_index(
+        vectors, method="ivf_pq", nlist=4, pq_m=8, opq=True
+    )
+    r_plain = ivf_recall(ann_topk(plain, queries, k=10, nprobe=4), exact, 10)
+    r_opq = ivf_recall(ann_topk(opq, queries, k=10, nprobe=4), exact, 10)
+    assert r_opq >= r_plain - 0.05, (r_plain, r_opq)
+    assert r_opq >= 0.5, r_opq
