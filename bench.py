@@ -616,6 +616,7 @@ def main() -> None:
         "events_props_metrics",
         "cleaned_documents",
         "ewma_user_values",
+        "audit_log_query",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

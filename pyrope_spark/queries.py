@@ -4137,3 +4137,53 @@ def _ewma_oracle() -> str:
 
 
 register("ewma_user_values", _ewma_oracle())(_ewma_spark)
+
+
+# --------------------------------------------------------------------------
+# Audit-log filtered query (operators/audit.py; AuditLogger.cs:63-94):
+# events synthesized deterministically from the events table, queried with
+# tenant + time-range + case-insensitive action + newest-first limit
+# --------------------------------------------------------------------------
+
+def _audit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.audit import audit_query
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    audit = ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("event_id"),
+        F.col("ts"),
+        F.concat(F.lit("t"), (F.col("user_id") % 5).cast("string")).alias("tenant_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.upper(F.col("event_type")).alias("action"),
+        F.lit("Index").alias("resource_type"),
+        (F.col("value") > 50).alias("success"),
+    )
+    out = audit_query(audit, tenant_id="t2", action="Purchase", limit=100)
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "tenant_id",
+        "user_id",
+        "action",
+        "success",
+    )
+
+
+_AUDIT_ORACLE = """
+WITH audit AS (
+  SELECT 'e' || CAST(event_id AS VARCHAR) AS event_id, ts,
+         't' || CAST(user_id % 5 AS VARCHAR) AS tenant_id,
+         CAST(user_id AS VARCHAR) AS user_id,
+         upper(event_type) AS action,
+         value > 50 AS success
+  FROM events
+)
+SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, tenant_id, user_id,
+       action, success
+FROM audit
+WHERE tenant_id = 't2' AND lower(action) = 'purchase'
+ORDER BY ts DESC, event_id ASC LIMIT 100
+"""
+
+register("audit_log_query", _AUDIT_ORACLE)(_audit_spark)
