@@ -1072,3 +1072,111 @@ def compression_ratio(
                F.round(F.col("n_compressed") / F.col("n_bytes"), 6))
         .otherwise(F.lit(None).cast("double")),
     )
+
+
+# ------------------------------------------------------ binary shard export
+
+def write_token_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_tokens: int = 64,
+    n_shards: int = 8,
+    pad_id: int = 0,
+    seed: str = "sh42",
+    vocab: DataFrame | None = None,
+) -> list[dict]:
+    """The pipeline's last mile: tokenized, packed, FIXED-WIDTH binary
+    training shards — ``shard-<n>.bin`` of little-endian uint32 token ids
+    (every sequence exactly ``ctx_tokens`` ids, short sequences padded with
+    ``pad_id``), plus ``manifest.json`` rows (shard, n_seqs, n_bytes,
+    crc32) a training loader verifies before reading.
+
+    Composes the deterministic stages: :func:`build_vocab` (or a supplied
+    vocab) -> :func:`tokens_to_ids` -> :func:`pack_sequences` placement ->
+    per-shard assembly. Each shard's bytes are written by exactly ONE
+    task (``applyInPandas`` over the shard key), in (seq_id, tok_offset,
+    pos) order — byte-identical output for any input layout or rerun, so
+    a re-derived corpus snapshot reproduces the same shard files bit for
+    bit (checksums included). Parallelism = n_shards; a 100 TB export
+    sizes n_shards in the thousands for writer parallelism anyway.
+
+    Returns the manifest (also persisted), ascending by shard.
+
+    ``path`` must be visible to executors AND the driver (shared FS /
+    object-store mount / local mode); ``pad_id`` defaults to the OOV id 0
+    (the GPT-style convention — loaders mask padding by position, the
+    packer never splits docs so trailing ids of a sequence are the only
+    pads).
+    """
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+
+    ids = tokens_to_ids(
+        docs, vocab if vocab is not None else build_vocab(docs, text_col=text_col),
+        text_col=text_col, id_col=id_col,
+    )
+    placement = pack_sequences(
+        docs, id_col=id_col, text_col=text_col, ctx_tokens=ctx_tokens,
+        n_shards=n_shards, seed=seed,
+    )
+    joined = placement.join(ids, id_col).select(
+        "shard", "seq_id", "tok_offset", F.col("pos"), F.col("token_id")
+    )
+    os.makedirs(path, exist_ok=True)
+
+    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values(["seq_id", "tok_offset", "pos"])
+        n_seqs = int(pdf["seq_id"].max()) + 1
+        mat = np.full((n_seqs, ctx_tokens), pad_id, dtype=np.uint32)
+        rows = pdf["seq_id"].to_numpy()
+        cols = pdf["tok_offset"].to_numpy() + pdf["pos"].to_numpy()
+        mat[rows, cols] = pdf["token_id"].to_numpy().astype(np.uint32)
+        blob = mat.tobytes()
+        with open(os.path.join(path, f"shard-{shard}.bin"), "wb") as f:
+            f.write(blob)
+        return pd.DataFrame({
+            "shard": [shard],
+            "n_seqs": [n_seqs],
+            "n_bytes": [len(blob)],
+            "crc32": [zlib.crc32(blob)],
+        })
+
+    manifest_df = joined.groupBy("shard").applyInPandas(
+        write_shard, schema="shard int, n_seqs long, n_bytes long, crc32 long"
+    )
+    manifest = sorted(
+        (r.asDict() for r in manifest_df.collect()), key=lambda m: m["shard"]
+    )
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_token_shards(path: str) -> dict[int, "pd.DataFrame"]:
+    """Loader-side helper: {shard: (n_seqs x ctx) uint32 matrix}, verifying
+    each file against the manifest's byte count and crc32 first."""
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    out = {}
+    for m in manifest:
+        with open(os.path.join(path, f"shard-{m['shard']}.bin"), "rb") as f:
+            blob = f.read()
+        if len(blob) != m["n_bytes"] or zlib.crc32(blob) != m["crc32"]:
+            raise IOError(f"shard {m['shard']} fails manifest verification")
+        out[m["shard"]] = np.frombuffer(blob, dtype=np.uint32).reshape(
+            m["n_seqs"], -1
+        )
+    return out

@@ -439,3 +439,50 @@ def test_compression_ratio_separates_template_from_random(spark):
     again = {r["doc_id"]: r["n_compressed"]
              for r in compression_ratio(df.repartition(3)).collect()}
     assert again == {k: v["n_compressed"] for k, v in rows.items()}
+
+
+def test_write_token_shards_roundtrip_and_determinism(spark, tmp_path):
+    from pyrope_spark.operators.curation import (
+        build_vocab,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 7} delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_token_shards(docs, p1, ctx_tokens=16, n_shards=3)
+    m2 = write_token_shards(docs.repartition(9), p2, ctx_tokens=16, n_shards=3)
+    assert m1 == m2  # byte-identical across layouts (crc32 included)
+    shards = read_token_shards(p1)
+    assert set(shards) == {0, 1, 2}
+    total_seqs = sum(m["n_seqs"] for m in m1)
+    assert all(mat.shape[1] == 16 for mat in shards.values())
+    assert sum(mat.shape[0] for mat in shards.values()) == total_seqs
+    # every doc contributes 5 tokens; non-pad count must equal 40 * 5
+    nonpad = sum(int((mat != 0).sum()) for mat in shards.values())
+    vocab_terms = {r["term"] for r in build_vocab(docs).collect()}
+    assert "alpha" in vocab_terms
+    assert nonpad == 40 * 5
+
+
+def test_read_token_shards_detects_corruption(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from pyrope_spark.operators.curation import read_token_shards, write_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "s3")
+    write_token_shards(docs, p, ctx_tokens=8, n_shards=1)
+    fn = next(f for f in os.listdir(p) if f.endswith(".bin"))
+    with open(os.path.join(p, fn), "r+b") as f:
+        f.seek(0)
+        f.write(b"\xff")
+    with pytest.raises(IOError, match="manifest verification"):
+        read_token_shards(p)
