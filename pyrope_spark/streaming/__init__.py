@@ -10,6 +10,7 @@ from pyrope_spark.streaming.ingest import (  # noqa: F401
 )
 from pyrope_spark.streaming.sketches import (  # noqa: F401
     streaming_attribution_join,
+    streaming_ewma,
     streaming_bottomk_update,
     streaming_cms_update,
     streaming_hll_update,

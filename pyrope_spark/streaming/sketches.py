@@ -199,3 +199,68 @@ def streaming_cms_update(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def streaming_ewma(
+    stream_df: DataFrame,
+    alpha: float,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    deviation_threshold: float | None = None,
+):
+    """Stateful streaming twin of ``temporal.ewma``: one smoothed value per
+    key maintained across micro-batches via ``applyInPandasWithState``
+    (state = a single double per key — the minimal stateful-operator
+    shape). Emits (key, ts_us, value, ewma[, deviates]) per event;
+    ``deviation_threshold`` additionally flags |value - prior ewma| >
+    threshold — the smoothed-baseline alarm, online.
+
+    Within a batch events order by (ts, value) for a deterministic fold;
+    cross-batch order is arrival order (streaming semantics — the batch
+    operator is the oracle-grade path).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+    out_schema = f"{key_col} string, ts_us long, value double, ewma double, deviates boolean"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        s = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", value_col])
+            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+            for t, x in zip(ts_us, pdf[value_col].tolist()):
+                dev = (
+                    s is not None
+                    and deviation_threshold is not None
+                    and abs(x - s) > deviation_threshold
+                )
+                s = x if s is None else a * x + (1.0 - a) * s
+                rows.append((k, t, x, round(s, 6), bool(dev)))
+        if s is not None:
+            state.update((float(s),))
+        yield pd.DataFrame(
+            rows, columns=[key_col, "ts_us", "value", "ewma", "deviates"]
+        )
+
+    src = stream_df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias(value_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

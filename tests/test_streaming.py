@@ -562,3 +562,43 @@ def test_streaming_neardup_to_corpus(spark, tmp_path):
         q.stop()
     ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert ids == [1, 2, 11]
+
+
+def test_streaming_ewma_state_across_batches(spark, tmp_path):
+    """The smoothed value carries across micro-batches (one double of state
+    per key) and matches the hand recurrence; deviation flag fires against
+    the PRIOR baseline."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.streaming.sketches import streaming_ewma
+
+    src = tmp_path / "ewma_src"
+    schema = "user_id long, ts timestamp, value double"
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(u, t, v) for u, t, v in rows], "user_id long, ts string, value double"
+        ).select("user_id", F.col("ts").cast("timestamp"), "value")
+
+    b1 = df([(1, "2026-01-01 00:00:00", 10.0), (1, "2026-01-01 00:01:00", 20.0)])
+    b1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = (
+        streaming_ewma(stream, 0.5, deviation_threshold=50.0)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df([(1, "2026-01-01 00:02:00", 100.0)]).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = {
+            r["ts_us"]: r for r in spark.sql("select * from ewma_out").collect()
+        }
+    finally:
+        q.stop()
+    vals = [rows[k] for k in sorted(rows)]
+    assert [v["ewma"] for v in vals] == [10.0, 15.0, 57.5]  # state crossed batches
+    assert [v["deviates"] for v in vals] == [False, False, True]  # |100-15|>50
