@@ -243,3 +243,27 @@ def test_ewma_tie_order_by_id(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {r["event_id"]: r["ewma"] for r in ewma(df, 0.5).collect()}
     assert out[1] == 0.0 and out[2] == 50.0
+
+
+def test_ewma_partitioned_matches_grouped(spark):
+    """The partitioned fast path == the per-key grouped path exactly,
+    including when a key's rows split across input partitions."""
+    import numpy as np
+
+    from pyrope_spark.operators.temporal import ewma
+
+    r = np.random.default_rng(13)
+    rows = [
+        (int(i % 17), int(i), f"2026-01-01 {i % 24:02d}:{(i * 7) % 60:02d}:00",
+         float(r.integers(0, 100)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(11)
+    key = lambda d: sorted(
+        (x["user_id"], x["event_id"], x["ewma"]) for x in d.collect()
+    )
+    assert key(ewma(df, 0.3, impl="partitioned")) == key(
+        ewma(df, 0.3, impl="grouped")
+    )
