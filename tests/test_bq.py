@@ -145,3 +145,20 @@ def test_bq_distributed_plan_no_corpus_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange" in final
     assert final.count("Exchange hashpartitioning") <= 1
+
+
+def test_bq_empty_corpus_and_empty_queries(spark):
+    vecs, _ = make_centered_vectors(spark, n=10, dim=8)
+    empty_v = vecs.filter("1=0")
+    queries, _ = make_centered_queries(spark, n=2, dim=8)
+    assert bq_topk(
+        bq_encode(empty_v),
+        queries.select("query_id", bq_words("vector").alias("bq_words")),
+        5,
+    ).count() == 0
+    empty_q = queries.filter("1=0")
+    assert bq_topk(
+        bq_encode(vecs),
+        empty_q.select("query_id", bq_words("vector").alias("bq_words")),
+        5,
+    ).count() == 0

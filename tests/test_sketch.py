@@ -255,3 +255,28 @@ def test_cms_join_cardinality_overestimates_and_tracks_exact(spark):
     # banana 5*1=5 -> total 15
     assert est >= 15           # CMS never underestimates the inner product
     assert est <= 15 + 40      # and stays near it at this width
+
+
+def test_hll_empty_and_single_key(spark):
+    from pyrope_spark.operators.sketch import hll_build, hll_estimate
+
+    one = spark.createDataFrame([("g", "k")], "grp string, key string")
+    est = hll_estimate(
+        hll_build(one, "key", group_cols=("grp",), p=8), group_cols=("grp",), p=8
+    ).collect()[0]
+    # linear counting: m*ln(m/(m-1)) ~ 1
+    assert 0.5 < est["est_distinct"] < 2.5
+    empty = one.filter("1=0")
+    assert hll_build(empty, "key", group_cols=("grp",), p=8).count() == 0
+
+
+def test_bottomk_keeps_extra_columns(spark):
+    from pyrope_spark.operators.sketch import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i), f"m{i}") for i in range(50)],
+        "id long, value double, meta string",
+    )
+    s = bottomk_sample(df, 10, id_col="id", keep_cols=("value", "meta"))
+    row = s.collect()[0]
+    assert row["meta"].startswith("m") and isinstance(row["value"], float)
