@@ -1137,7 +1137,13 @@ def write_token_shards(
         mat = np.full((n_seqs, ctx_tokens), pad_id, dtype=np.uint32)
         rows = pdf["seq_id"].to_numpy()
         cols = pdf["tok_offset"].to_numpy() + pdf["pos"].to_numpy()
-        mat[rows, cols] = pdf["token_id"].to_numpy().astype(np.uint32)
+        # oversize docs occupy a sequence ALONE (pack_sequences contract)
+        # but can exceed ctx; the fixed-width format TRUNCATES their tail
+        # (chunk_documents upstream to keep the text instead)
+        keep = cols < ctx_tokens
+        mat[rows[keep], cols[keep]] = (
+            pdf["token_id"].to_numpy()[keep].astype(np.uint32)
+        )
         blob = mat.tobytes()
         with open(os.path.join(path, f"shard-{shard}.bin"), "wb") as f:
             f.write(blob)

@@ -486,3 +486,35 @@ def test_read_token_shards_detects_corruption(spark, tmp_path):
         f.write(b"\xff")
     with pytest.raises(IOError, match="manifest verification"):
         read_token_shards(p)
+
+
+def test_write_token_shards_truncates_oversize_docs(spark, tmp_path):
+    from pyrope_spark.operators.curation import read_token_shards, write_token_shards
+
+    long_text = " ".join(f"t{i}" for i in range(30))   # 30 tokens > ctx 8
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "a b c")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "ovs")
+    m = write_token_shards(docs, p, ctx_tokens=8, n_shards=1)
+    shards = read_token_shards(p)
+    mat = shards[0]
+    assert mat.shape[1] == 8
+    # the oversize doc's sequence is full (8 kept ids), no crash, no overflow
+    assert (mat != 0).sum(axis=1).max() == 8
+
+
+def test_pipeline_demo_end_to_end(spark):
+    """The composition script survives as stages evolve (it caught a real
+    oversize-doc writer crash when first run)."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from pipeline_demo import run
+
+    stats = run(spark, "/root/testdata/sf0.001", tempfile.mkdtemp(prefix="dm_"))
+    assert stats["raw"] > 0
+    assert stats["after_near_dedup"] <= stats["after_exact_dedup"] <= stats["raw"]
+    assert stats["after_domain_cap"] <= stats["after_quality_gate"]
+    assert stats["shards"] >= 1 and stats["sequences"] >= 1
