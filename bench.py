@@ -617,6 +617,8 @@ def main() -> None:
         "cleaned_documents",
         "ewma_user_values",
         "audit_log_query",
+        "order_priority_checkpoint",
+        "promo_revenue_share",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

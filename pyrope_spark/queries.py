@@ -4187,3 +4187,95 @@ ORDER BY ts DESC, event_id ASC LIMIT 100
 """
 
 register("audit_log_query", _AUDIT_ORACLE)(_audit_spark)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4-flavor order-priority checkpoint: EXISTS (left-semi join) against
+# late lineitems; and Q14-flavor promo revenue share (conditional decimal
+# aggregate ratio) — the two relational shapes (semi-join, CASE-aggregate
+# ratio) not yet exercised by the SS2.7 query set
+# --------------------------------------------------------------------------
+
+def _priority_checkpoint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # Q4 semantics: orders in the window having >=1 lineitem with
+    # commitdate < receiptdate; this schema has l_shipdate only, so the
+    # "late" predicate is shipdate beyond the order quarter's end
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+    )
+    late_items = li.filter(
+        F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-10-01 00:00:00"))
+    ).select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    out = (
+        window_orders.join(late_items, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+    return out.select("o_orderpriority", "order_count")
+
+
+_PRIORITY_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= TIMESTAMP '1996-10-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+register("order_priority_checkpoint", _PRIORITY_ORACLE)(_priority_checkpoint_spark)
+
+
+def _promo_share_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    j = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), rev
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    out = j.agg(
+        F.sum(promo).alias("_p"), F.sum(rev).alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return out.select(
+        F.round(
+            F.lit(100.0) * F.col("_p").cast("double") / F.col("_t").cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.round(F.col("_t").cast("double"), 4).alias("total_revenue"),
+        "n_items",
+    )
+
+
+_PROMO_ORACLE = """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+           AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+              / CAST(SUM(rev) AS DOUBLE), 6) AS promo_revenue_pct,
+       round(CAST(SUM(rev) AS DOUBLE), 4) AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM j
+"""
+
+register("promo_revenue_share", _PROMO_ORACLE)(_promo_share_spark)
