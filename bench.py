@@ -619,6 +619,7 @@ def main() -> None:
         "audit_log_query",
         "order_priority_checkpoint",
         "promo_revenue_share",
+        "media_payload_stats",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -53,12 +53,16 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def with_media_metadata(
+    df: DataFrame, payload_col: str = "payload", hash_fn: str = "sha1"
+) -> DataFrame:
     """Cheap metadata derivable without a codec: byte size + content hash
-    (native expressions — no Python)."""
-    return df.withColumn("payload_bytes", F.length(F.col(payload_col)).cast("long")).withColumn(
-        "payload_sha1", F.sha1(F.col(payload_col))
-    )
+    (native expressions — no Python). ``hash_fn='md5'`` selects the hash
+    the DuckDB oracle can replicate (its sha1 is absent in 1.0)."""
+    h = F.md5(F.col(payload_col)) if hash_fn == "md5" else F.sha1(F.col(payload_col))
+    return df.withColumn(
+        "payload_bytes", F.length(F.col(payload_col)).cast("long")
+    ).withColumn(f"payload_{hash_fn}", h)
 
 
 def media_stats(df: DataFrame, kind_col: str = "kind") -> DataFrame:

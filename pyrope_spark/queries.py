@@ -4279,3 +4279,68 @@ FROM j
 """
 
 register("promo_revenue_share", _PROMO_ORACLE)(_promo_share_spark)
+
+
+# --------------------------------------------------------------------------
+# Multimodal payload stats (multimodal/columns.py): binary payloads
+# synthesized deterministically from documents (magic prefix by lang),
+# kind-sniffed, hashed, aggregated per kind — the codec-free metadata
+# pass gated in the driver (decode paths stay pytest-gated: no codec libs)
+# --------------------------------------------------------------------------
+
+_MAGICS = [("en", "PNGX"), ("es", "JPGX"), ("fr", "GIFX"), ("de", "WAVX")]
+
+
+def _media_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import with_media_metadata
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    magic = F.lit("BINX")
+    for lang, m in _MAGICS:
+        magic = F.when(F.col("lang") == lang, F.lit(m)).otherwise(magic)
+    media = docs.select(
+        F.col("doc_id"),
+        F.concat(magic, F.col("text")).cast("binary").alias("payload"),
+    )
+    kind = F.when(
+        F.col("payload").substr(1, 3).cast("string") == "PNG", "image/png"
+    ).when(
+        F.col("payload").substr(1, 3).cast("string") == "JPG", "image/jpeg"
+    ).when(
+        F.col("payload").substr(1, 3).cast("string") == "GIF", "image/gif"
+    ).when(
+        F.col("payload").substr(1, 3).cast("string") == "WAV", "audio/wav"
+    ).otherwise("application/octet-stream")
+    meta = with_media_metadata(media.withColumn("kind", kind), hash_fn="md5")
+    return meta.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("payload_bytes").cast("long").alias("total_bytes"),
+        F.round(F.sum("payload_bytes") / F.count(F.lit(1)), 6).alias("avg_bytes"),
+        F.countDistinct("payload_md5").cast("long").alias("distinct_payloads"),
+    )
+
+
+_MEDIA_ORACLE = """
+WITH media AS (
+  SELECT doc_id,
+         (CASE lang WHEN 'en' THEN 'PNGX' WHEN 'es' THEN 'JPGX'
+                    WHEN 'fr' THEN 'GIFX' WHEN 'de' THEN 'WAVX'
+                    ELSE 'BINX' END) || text AS payload
+  FROM documents
+), k AS (
+  SELECT doc_id, payload,
+         CASE substring(payload, 1, 3)
+              WHEN 'PNG' THEN 'image/png' WHEN 'JPG' THEN 'image/jpeg'
+              WHEN 'GIF' THEN 'image/gif' WHEN 'WAV' THEN 'audio/wav'
+              ELSE 'application/octet-stream' END AS kind
+  FROM media
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(payload)) AS BIGINT) AS total_bytes,
+       round(SUM(length(payload)) / COUNT(*), 6) AS avg_bytes,
+       CAST(COUNT(DISTINCT md5(payload)) AS BIGINT) AS distinct_payloads
+FROM k GROUP BY kind
+"""
+
+register("media_payload_stats", _MEDIA_ORACLE)(_media_spark)
