@@ -620,6 +620,7 @@ def main() -> None:
         "order_priority_checkpoint",
         "promo_revenue_share",
         "media_payload_stats",
+        "hll_merged_distinct",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -4344,3 +4344,98 @@ FROM k GROUP BY kind
 """
 
 register("media_payload_stats", _MEDIA_ORACLE)(_media_spark)
+
+
+# --------------------------------------------------------------------------
+# HLL merge in the gate (operators/sketch.py): two half-corpus sketches
+# union+max-merged, estimated, vs the exact distinct of the union — the
+# mergeability contract itself driver-verified (pytest proves merge ==
+# full build; this proves the merged ESTIMATE replicates in SQL)
+# --------------------------------------------------------------------------
+
+def _hll_merge_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.sketch import hll_build, hll_estimate, hll_merge
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a = hll_build(ev.filter(F.col("event_id") % 2 == 0), "user_id",
+                  group_cols=("event_type",))
+    b = hll_build(ev.filter(F.col("event_id") % 2 == 1), "user_id",
+                  group_cols=("event_type",))
+    est = hll_estimate(hll_merge(a, b, group_cols=("event_type",)),
+                       group_cols=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+def _hll_merge_oracle() -> str:
+    from pyrope_spark.functions.text import char_fp_rolling_sql
+    from pyrope_spark.operators.sketch import (
+        HLL_DEFAULT_P,
+        HLL_SALT,
+        HLL_UBITS,
+        _hll_alpha,
+    )
+
+    p = HLL_DEFAULT_P
+    m = 1 << p
+    bw = HLL_UBITS - p
+    num = repr(_hll_alpha(m) * m * m * float(1 << (bw + 1)))
+    fp1 = char_fp_rolling_sql(f"k || '{HLL_SALT}'")
+    fp2 = char_fp_rolling_sql("CAST(h1 AS VARCHAR)")
+
+    def side(name: str, pred: str) -> str:
+        return f"""k_{name} AS (
+  SELECT event_type AS g, CAST(user_id AS VARCHAR) AS k FROM events WHERE {pred}
+), h1_{name} AS (
+  SELECT g, {fp1} AS h1 FROM k_{name}
+), u_{name} AS (
+  SELECT g, ({fp2}) % {1 << HLL_UBITS} AS u FROM h1_{name}
+), reg_{name} AS (
+  SELECT g, CAST(u % {m} AS INT) AS bucket,
+         MAX(CAST(CASE WHEN (u // {m}) = 0 THEN {bw + 1}
+              ELSE {bw} + 1 - length(bin(u // {m})) END AS INT)) AS rho
+  FROM u_{name} GROUP BY g, bucket
+)"""
+
+    return f"""
+WITH {side('a', 'event_id % 2 = 0')},
+{side('b', 'event_id % 2 = 1')},
+merged AS (
+  SELECT g, bucket, MAX(rho) AS rho FROM (
+    SELECT * FROM reg_a UNION ALL SELECT * FROM reg_b
+  ) GROUP BY g, bucket
+), agg AS (
+  SELECT g, COUNT(*) AS present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({bw + 1} - rho)) AS BIGINT) AS s_hit
+  FROM merged GROUP BY g
+), est AS (
+  SELECT g, CAST({m} AS BIGINT) AS m,
+         CAST({m} - present AS BIGINT) AS zero_registers,
+         CAST(s_hit + ({m} - present) * (CAST(1 AS BIGINT) << {bw + 1})
+              AS BIGINT) AS s_scaled
+  FROM agg
+), fin AS (
+  SELECT g, m, zero_registers, s_scaled,
+         CASE WHEN ({num} / CAST(s_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND zero_registers > 0
+              THEN round({float(m)!r} * ln({float(m)!r} /
+                         CAST(zero_registers AS DOUBLE)), 3)
+              ELSE round({num} / CAST(s_scaled AS DOUBLE), 3) END
+           AS est_distinct
+  FROM est
+), exact AS (
+  SELECT event_type AS g,
+         CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+           AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT fin.g AS event_type, fin.m, fin.zero_registers, fin.s_scaled,
+       fin.est_distinct, exact.exact_distinct
+FROM fin JOIN exact ON fin.g = exact.g
+"""
+
+
+register("hll_merged_distinct", _hll_merge_oracle())(_hll_merge_spark)
