@@ -267,3 +267,38 @@ def test_ewma_partitioned_matches_grouped(spark):
     assert key(ewma(df, 0.3, impl="partitioned")) == key(
         ewma(df, 0.3, impl="grouped")
     )
+
+
+def test_ewma_partitioned_survives_tiny_arrow_batches(spark):
+    """Force multi-batch partitions (arrow batch = 16 rows) so keys split
+    across batches inside a task; the carried {key: s} dict must keep the
+    recurrence exact."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(conf, "16")
+    try:
+        import numpy as np
+
+        from pyrope_spark.operators.temporal import ewma
+
+        r = np.random.default_rng(4)
+        rows = [
+            (int(i % 3), int(i),
+             f"2026-01-01 {i % 24:02d}:{(i * 13) % 60:02d}:00",
+             float(r.integers(0, 50)))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        key = lambda d: sorted(
+            (x["user_id"], x["event_id"], x["ewma"]) for x in d.collect()
+        )
+        assert key(ewma(df, 0.4, impl="partitioned")) == key(
+            ewma(df, 0.4, impl="grouped")
+        )
+    finally:
+        if old is not None:
+            spark.conf.set(conf, old)
+        else:
+            spark.conf.unset(conf)
