@@ -648,6 +648,19 @@ def main() -> None:
             "minhash_lsh_dedup",
             lambda: qs["minhash_lsh_dedup"](spark, SF_DIR).count(),
         )
+        # the heaviest entry shows the widest suite-position spread
+        # (26-65 s observed under concurrent load); one isolated sample
+        # post-clearCache is the attribution number without paying 3x ~30 s
+        from pyrope_spark.operators.hnsw import hnsw_partition_search as _hps
+
+        reverify(
+            f"hnsw_bulk_build_search_{N_VECTORS}v_1shard",
+            lambda: _hps(
+                vectors.repartition(1), queries.limit(4), k=TOP_K,
+                metric="l2", max_shard_rows=100_000,
+            ).count(),
+            repeat=1,
+        )
         if "ivf_bucketed" in state:
             huge2 = (
                 synth_vectors(spark, 100_000, DIM, seed=777)
