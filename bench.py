@@ -621,6 +621,7 @@ def main() -> None:
         "promo_revenue_share",
         "media_payload_stats",
         "hll_merged_distinct",
+        "supplier_diversity",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -4439,3 +4439,37 @@ FROM fin JOIN exact ON fin.g = exact.g
 
 
 register("hll_merged_distinct", _hll_merge_oracle())(_hll_merge_spark)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16-flavor supplier diversity: per part size-bucket, count DISTINCT
+# suppliers EXCLUDING a blocklist (left-anti join) — the anti-join +
+# count-distinct relational shape
+# --------------------------------------------------------------------------
+
+def _supplier_diversity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    blocked = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(blocked, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        j.groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select("p_type", "supplier_cnt")
+    )
+
+
+_SUPPLIER_DIVERSITY_ORACLE = """
+SELECT p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type
+"""
+
+register("supplier_diversity", _SUPPLIER_DIVERSITY_ORACLE)(_supplier_diversity_spark)
