@@ -622,6 +622,7 @@ def main() -> None:
         "media_payload_stats",
         "hll_merged_distinct",
         "supplier_diversity",
+        "fuzzy_name_resolution",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

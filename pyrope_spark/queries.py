@@ -4473,3 +4473,55 @@ GROUP BY p_type
 """
 
 register("supplier_diversity", _SUPPLIER_DIVERSITY_ORACLE)(_supplier_diversity_spark)
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity-resolution join (operators/joins.py): supplier names with a
+# deterministically dropped character matched back to the registry within
+# edit distance 1 (levenshtein is identical classic edit distance in both
+# engines; blocking = length bands, lossless by the length lower bound)
+# --------------------------------------------------------------------------
+
+def _fuzzy_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.joins import fuzzy_levenshtein_join
+
+    configure_for_oracle(spark)
+    supplier = load_table(spark, sf_dir, "supplier")
+    pos = (F.col("s_suppkey") % F.length("s_name")) + 1
+    corrupted = supplier.select(
+        F.col("s_suppkey").alias("left_key"),
+        F.concat(
+            F.expr("substring(s_name, 1, cast((s_suppkey % length(s_name)) as int))"),
+            F.expr(
+                "substring(s_name, cast((s_suppkey % length(s_name)) as int) + 2, "
+                "length(s_name))"
+            ),
+        ).alias("name"),
+    )
+    originals = supplier.select(F.col("s_name").alias("name"))
+    out = fuzzy_levenshtein_join(
+        corrupted, originals, 1, left_keep=("left_key",)
+    )
+    return out.select(
+        F.col("left_key").cast("long").alias("left_key"),
+        "left_name", "right_name", "distance",
+    )
+
+
+_FUZZY_ORACLE = """
+WITH corrupted AS (
+  SELECT s_suppkey AS left_key,
+         substring(s_name, 1, CAST(s_suppkey % length(s_name) AS INT))
+           || substring(s_name, CAST(s_suppkey % length(s_name) AS INT) + 2,
+                        length(s_name)) AS lname
+  FROM supplier
+)
+SELECT CAST(c.left_key AS BIGINT) AS left_key,
+       c.lname AS left_name, s.s_name AS right_name,
+       CAST(levenshtein(c.lname, s.s_name) AS BIGINT) AS distance
+FROM corrupted c
+JOIN supplier s ON abs(length(c.lname) - length(s.s_name)) <= 1
+WHERE levenshtein(c.lname, s.s_name) <= 1
+"""
+
+register("fuzzy_name_resolution", _FUZZY_ORACLE)(_fuzzy_join_spark)

@@ -38,3 +38,48 @@ def test_salted_join_rejects_outer(spark):
 
     with pytest.raises(ValueError):
         salted_join(big, big, ["k"], how="full")
+
+
+def test_fuzzy_levenshtein_join_matches_and_blocks(spark):
+    from pyrope_spark.operators.joins import fuzzy_levenshtein_join
+
+    left = spark.createDataFrame(
+        [("acme corp",), ("acme c0rp",), ("globex",), ("x",)], "name string"
+    )
+    right = spark.createDataFrame(
+        [("acme corp",), ("globexx",), ("completely different inc",)],
+        "name string",
+    )
+    out = fuzzy_levenshtein_join(left, right, 2).collect()
+    pairs = {(r["left_name"], r["right_name"]): r["distance"] for r in out}
+    assert pairs[("acme corp", "acme corp")] == 0
+    assert pairs[("acme c0rp", "acme corp")] == 1
+    assert pairs[("globex", "globexx")] == 1
+    assert all(d <= 2 for d in pairs.values())
+    assert ("x", "completely different inc") not in pairs
+
+
+def test_fuzzy_join_equals_brute_force(spark):
+    """Blocked candidates == the exhaustive cross-join result (length
+    banding loses nothing: |len diff| <= distance)."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.joins import fuzzy_levenshtein_join
+
+    words = ["alpha", "alphaa", "alpa", "beta", "betta", "gamma", "gam",
+             "delta", "dleta", "epsilon"]
+    left = spark.createDataFrame([(w,) for w in words], "name string")
+    right = spark.createDataFrame([(w + "x",) for w in words] +
+                                  [(w,) for w in words[:5]], "name string")
+    got = {
+        (r["left_name"], r["right_name"])
+        for r in fuzzy_levenshtein_join(left, right, 2).collect()
+    }
+    brute = {
+        (r["a"], r["b"])
+        for r in left.withColumnRenamed("name", "a")
+        .crossJoin(right.withColumnRenamed("name", "b"))
+        .filter(F.levenshtein("a", "b") <= 2)
+        .collect()
+    }
+    assert got == brute
