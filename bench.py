@@ -623,6 +623,7 @@ def main() -> None:
         "hll_merged_distinct",
         "supplier_diversity",
         "fuzzy_name_resolution",
+        "two_pass_exact_quantiles",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -278,3 +278,84 @@ def multi_granularity_rollup(
         F.col("n_events").cast("long").alias("n_events"),
         "sum_value",
     )
+
+
+def exact_quantiles_two_pass(
+    df: DataFrame,
+    value_col: str,
+    percentiles: list[float] = (0.5, 0.95, 0.99),
+    *,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT nearest-rank quantiles (rank = ceil(p*n), 1-indexed ascending —
+    identical semantics to :func:`nearest_rank_percentiles`) WITHOUT a
+    global sort: the 100 TB shape.
+
+    Pass 1: (min, max, n) + an equi-width bucket histogram — two linear
+    map-side-partial aggregates. The cumulative histogram locates the
+    bucket containing each requested rank (driver work on n_buckets rows).
+    Pass 2: ONE filtered scan of just the candidate buckets; within each,
+    a window ranks its (n/n_buckets expected) rows and picks the exact
+    offset = rank - cumulative-count-below-bucket. Sort cost is per-bucket,
+    bounded by the densest bucket, never n log n over the full column.
+    Heavily duplicated values concentrate a bucket — the documented
+    residual hotspot (raise n_buckets, or fall back to the sort path for
+    pathological single-value columns).
+
+    Output: (p, value) per requested percentile — hash-comparable with the
+    sort-based oracle because both implement the same rank function.
+    """
+    from pyspark.sql.window import Window
+
+    stats = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(value_col).alias("n"),
+    ).collect()[0]
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("cannot take quantiles of an empty column")
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    spark = df.sparkSession
+    if hi == lo:
+        return spark.createDataFrame(
+            [(float(p), lo) for p in percentiles], "p double, value double"
+        )
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    hist = {
+        r["b"]: r["c"]
+        for r in df.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # driver-side cumulative walk over <= n_buckets entries
+    import math
+
+    targets = []  # (p, rank, bucket, offset_in_bucket)
+    for p in percentiles:
+        rank = max(1, math.ceil(p * n))
+        cum = 0
+        for b in range(n_buckets):
+            c = hist.get(b, 0)
+            if cum + c >= rank:
+                targets.append((float(p), rank, b, rank - cum))
+                break
+            cum += c
+    cand_buckets = sorted({t[2] for t in targets})
+    w = Window.partitionBy("_b").orderBy(F.col(value_col))
+    ranked = (
+        df.select(F.col(value_col), bucket.alias("_b"))
+        .filter(F.col("_b").isin(cand_buckets))
+        .withColumn("_r", F.row_number().over(w))
+    )
+    rows = [(p, b, off) for p, rank, b, off in targets]
+    probe = spark.createDataFrame(rows, "p double, _b int, _r long")
+    out = probe.join(ranked, ["_b", "_r"]).select(
+        "p", F.col(value_col).cast("double").alias("value")
+    )
+    return out

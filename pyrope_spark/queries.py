@@ -4525,3 +4525,35 @@ WHERE levenshtein(c.lname, s.s_name) <= 1
 """
 
 register("fuzzy_name_resolution", _FUZZY_ORACLE)(_fuzzy_join_spark)
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles WITHOUT a global sort (operators/analytics.py
+# exact_quantiles_two_pass): histogram refinement, oracled against the
+# same nearest-rank definition the sort path implements
+# --------------------------------------------------------------------------
+
+def _two_pass_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import exact_quantiles_two_pass
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = exact_quantiles_two_pass(ev, "value", [0.5, 0.9, 0.95, 0.99])
+    return out.select(F.round("p", 2).alias("p"), F.round("value", 6).alias("value"))
+
+
+_TWO_PASS_ORACLE = """
+WITH r AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT p, round(value, 6) AS value FROM (
+  SELECT 0.5 AS p, value FROM r WHERE rn = CEIL(0.5 * n)
+  UNION ALL SELECT 0.9, value FROM r WHERE rn = CEIL(0.9 * n)
+  UNION ALL SELECT 0.95, value FROM r WHERE rn = CEIL(0.95 * n)
+  UNION ALL SELECT 0.99, value FROM r WHERE rn = CEIL(0.99 * n)
+)
+"""
+
+register("two_pass_exact_quantiles", _TWO_PASS_ORACLE)(_two_pass_quantiles_spark)

@@ -125,3 +125,43 @@ def test_multi_granularity_rollup_levels_and_plan(spark):
     assert out[("click", "2024-01-02")]["lvl"] == 0
     plan = multi_granularity_rollup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") == 1 and "Union" not in plan
+
+
+def test_two_pass_quantiles_match_sort_based(spark):
+    """The histogram-refinement path == the full-sort nearest-rank path on
+    awkward inputs (duplicates, skew, tiny buckets)."""
+    import numpy as np
+
+    from pyrope_spark.operators.analytics import (
+        exact_quantiles_two_pass,
+        nearest_rank_percentiles,
+    )
+
+    r = np.random.default_rng(9)
+    vals = np.concatenate([
+        r.integers(0, 50, 3000).astype(float),      # duplicates
+        r.normal(1000, 1, 200),                     # far-away cluster
+        np.full(500, 7.0),                          # heavy single value
+    ])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    ps = [0.1, 0.5, 0.9, 0.95, 0.99]
+    two = {r2["p"]: r2["value"] for r2 in exact_quantiles_two_pass(
+        df, "v", ps, n_buckets=64
+    ).collect()}
+    ref = nearest_rank_percentiles(df, "v", None, ps).collect()[0]
+    for p in ps:
+        assert two[p] == ref[f"p{int(p * 100)}"], p
+
+
+def test_two_pass_quantiles_constant_and_empty(spark):
+    import pytest
+
+    from pyrope_spark.operators.analytics import exact_quantiles_two_pass
+
+    const = spark.createDataFrame([(5.0,)] * 20, "v double")
+    got = {r["p"]: r["value"] for r in exact_quantiles_two_pass(
+        const, "v", [0.5, 0.99]
+    ).collect()}
+    assert got == {0.5: 5.0, 0.99: 5.0}
+    with pytest.raises(ValueError, match="empty"):
+        exact_quantiles_two_pass(const.filter("1=0"), "v")
