@@ -624,6 +624,7 @@ def main() -> None:
         "supplier_diversity",
         "fuzzy_name_resolution",
         "two_pass_exact_quantiles",
+        "dsir_importance_resample",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1186,3 +1186,69 @@ def read_token_shards(path: str) -> dict[int, "pd.DataFrame"]:
             m["n_seqs"], -1
         )
     return out
+
+
+# ------------------------------------------------------ weighted resampling
+
+def weighted_gumbel_topk(
+    df: DataFrame,
+    n: int,
+    *,
+    weight_log_col: str,
+    id_col: str = "doc_id",
+    seed: str = "gk42",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the Gumbel
+    top-k trick (Vieira 2014): key_i = log w_i + Gumbel(u_i); the top-``n``
+    keys are an exact sample proportional to the weights. This is DSIR's
+    missing second half — feed ``dsir_log_ratio``'s log weights straight in
+    (they are already log-space) and the kept set IS the importance-
+    resampled corpus.
+
+    Gumbel noise comes from the engine-portable md5 60-bit uniform
+    (``(h60 + 0.5) / 2^60`` — never exactly 0 or 1), so the sample is
+    layout/run-identical and replicates in SQL: ln is the only
+    transcendental, evaluated on identical doubles in both engines; an
+    order flip would need two keys within ~1 ulp (continuous keys —
+    measure-zero in practice).
+
+    Rows with NULL log weight are excluded (no mass). One scan + a top-n
+    (TakeOrderedAndProject via the window cut on bounded candidates is
+    avoided — plain ORDER BY LIMIT lowers to per-partition heads).
+    Output: (id, log_weight, gumbel_key, rank 1..n).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h60.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    src = df.filter(F.col(weight_log_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(weight_log_col).alias("log_weight"),
+        (F.col(weight_log_col) + gumbel).alias("gumbel_key"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("gumbel_key"), F.asc(id_col))
+    top = (
+        src.orderBy(F.desc("gumbel_key"), F.col(id_col).asc())
+        .limit(n)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return top.select(
+        id_col, F.round("log_weight", 6).alias("log_weight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+        F.col("rank").cast("long").alias("rank"),
+    )

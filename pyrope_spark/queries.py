@@ -4557,3 +4557,59 @@ SELECT p, round(value, 6) AS value FROM (
 """
 
 register("two_pass_exact_quantiles", _TWO_PASS_ORACLE)(_two_pass_quantiles_spark)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance RESAMPLING (curation.weighted_gumbel_topk over
+# dsir_log_ratio): the paper's second half — the kept set IS the
+# importance-resampled corpus
+# --------------------------------------------------------------------------
+
+_DSIR_SAMPLE_N = 100
+
+
+def _dsir_resample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import weighted_gumbel_topk
+    from pyrope_spark.operators.dsir import dsir_log_ratio, train_bucket_model
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    target = train_bucket_model(docs.filter(F.col("lang") == "en"))
+    raw = train_bucket_model(docs)
+    lr = dsir_log_ratio(docs, target, raw)
+    return weighted_gumbel_topk(
+        lr, _DSIR_SAMPLE_N, weight_log_col="log_ratio"
+    )
+
+
+def _dsir_resample_oracle() -> str:
+    from pyrope_spark.operators.dsir import dsir_oracle_sql
+
+    inner = dsir_oracle_sql()
+    u60 = (
+        "CAST(CAST(('0x' || substring(md5('gk42|' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT) AS DOUBLE)"
+    )
+    return f"""
+WITH dsir AS (
+{inner}
+),
+g AS (
+  SELECT doc_id, log_ratio,
+         log_ratio + (- ln(- ln(({u60} + 0.5) / {float(1 << 60)!r}))) AS gk
+  FROM dsir WHERE log_ratio IS NOT NULL
+),
+r AS (
+  SELECT doc_id, log_ratio, gk,
+         row_number() OVER (ORDER BY gk DESC, doc_id ASC) AS rnk
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(log_ratio, 6) AS log_weight,
+       round(gk, 6) AS gumbel_key,
+       CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= {_DSIR_SAMPLE_N}
+"""
+
+
+register("dsir_importance_resample", _dsir_resample_oracle())(_dsir_resample_spark)
