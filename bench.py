@@ -625,6 +625,7 @@ def main() -> None:
         "fuzzy_name_resolution",
         "two_pass_exact_quantiles",
         "dsir_importance_resample",
+        "concurrency_curve",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -587,3 +587,48 @@ SELECT {key_col}, CAST({id_col} AS BIGINT) AS {id_col},
        {value_col}, round(s, 6) AS ewma
 FROM rec
 """
+
+
+# ------------------------------------------------------ concurrency curve
+
+def concurrency_curve(
+    intervals: DataFrame,
+    *,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """How many intervals are active at every moment — the capacity-planning
+    curve (peak concurrent sessions/leases/jobs) over any (start, end)
+    interval table, half-open ``[start, end)``.
+
+    Boundary events (+1 at start, -1 at end) collapse per distinct
+    timestamp FIRST (so ordering among same-instant boundaries can never
+    matter), then one running sum over the distinct-boundary table yields
+    ``concurrent`` = active count during ``[ts, next_ts)``. All-integer —
+    replicates exactly in SQL.
+
+    Scale note: the running sum is a global prefix sum over the
+    DISTINCT-boundary table (already collapsed — bounded by 2x intervals,
+    typically far less). For calendar-scale inputs, bucket by day and seed
+    each day's curve with the prior day's closing count — the standard
+    prefix-sum partitioning; the one-window form here is the
+    correctness-grade path.
+    """
+    from pyspark.sql.window import Window
+
+    starts = intervals.select(F.col(start_col).alias("ts")).groupBy("ts").agg(
+        F.count(F.lit(1)).alias("n_starts")
+    )
+    ends = intervals.select(F.col(end_col).alias("ts")).groupBy("ts").agg(
+        F.count(F.lit(1)).alias("n_ends")
+    )
+    b = starts.join(ends, "ts", "full_outer").fillna(0, ["n_starts", "n_ends"])
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "ts",
+        F.col("n_starts").cast("long").alias("n_starts"),
+        F.col("n_ends").cast("long").alias("n_ends"),
+        F.sum(F.col("n_starts") - F.col("n_ends")).over(w).cast("long").alias(
+            "concurrent"
+        ),
+    )

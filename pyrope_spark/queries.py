@@ -4613,3 +4613,46 @@ FROM r WHERE rnk <= {_DSIR_SAMPLE_N}
 
 
 register("dsir_importance_resample", _dsir_resample_oracle())(_dsir_resample_spark)
+
+
+# --------------------------------------------------------------------------
+# Concurrency curve (operators/temporal.py): active-interval count at every
+# boundary — intervals = per (user, event_type) activity spans
+# --------------------------------------------------------------------------
+
+def _concurrency_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import concurrency_curve
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    out = concurrency_curve(iv)
+    return out.select(
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "n_starts", "n_ends", "concurrent",
+    )
+
+
+_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_type, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM events GROUP BY user_id, event_type
+), b AS (
+  SELECT ts, SUM(s) AS n_starts, SUM(e) AS n_ends FROM (
+    SELECT start_ts AS ts, 1 AS s, 0 AS e FROM iv
+    UNION ALL
+    SELECT end_ts AS ts, 0 AS s, 1 AS e FROM iv
+  ) GROUP BY ts
+)
+SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(n_starts AS BIGINT) AS n_starts,
+       CAST(n_ends AS BIGINT) AS n_ends,
+       CAST(SUM(n_starts - n_ends) OVER (ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS concurrent
+FROM b
+"""
+
+register("concurrency_curve", _CONCURRENCY_ORACLE)(_concurrency_spark)

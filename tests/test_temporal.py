@@ -302,3 +302,26 @@ def test_ewma_partitioned_survives_tiny_arrow_batches(spark):
             spark.conf.set(conf, old)
         else:
             spark.conf.unset(conf)
+
+
+def test_concurrency_curve_half_open(spark):
+    from pyrope_spark.operators.temporal import concurrency_curve
+
+    iv = spark.createDataFrame(
+        [
+            ("2026-01-01 10:00:00", "2026-01-01 10:10:00"),
+            ("2026-01-01 10:05:00", "2026-01-01 10:15:00"),
+            # starts exactly when the first ends: half-open -> no overlap
+            ("2026-01-01 10:10:00", "2026-01-01 10:20:00"),
+        ],
+        "start_ts string, end_ts string",
+    ).select(
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    rows = {str(r["ts"]): r["concurrent"] for r in concurrency_curve(iv).collect()}
+    assert rows["2026-01-01 10:00:00"] == 1
+    assert rows["2026-01-01 10:05:00"] == 2          # peak
+    assert rows["2026-01-01 10:10:00"] == 2          # one ends, one starts
+    assert rows["2026-01-01 10:15:00"] == 1
+    assert rows["2026-01-01 10:20:00"] == 0
