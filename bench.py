@@ -626,6 +626,7 @@ def main() -> None:
         "two_pass_exact_quantiles",
         "dsir_importance_resample",
         "concurrency_curve",
+        "counter_rate_per_user",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -632,3 +632,43 @@ def concurrency_curve(
             "concurrent"
         ),
     )
+
+
+def counter_rate(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-sample rate of change of a (mostly) monotone counter — the
+    PromQL ``rate()`` primitive as a batch operator: per key ordered by
+    (ts, id), ``rate = delta_value / delta_seconds`` against the previous
+    sample, with COUNTER RESETS handled the Prometheus way (a negative
+    delta means the counter restarted; the increase since the reset is the
+    current value). First sample per key and zero-gap duplicates emit NULL.
+
+    One key-hash shuffle, one window pass (lag x2) — no self-join; the
+    only float op is a single division, deterministic cross-engine.
+    Output: key cols + (id, ts, value, rate rounded 6).
+    """
+    from pyspark.sql.window import Window
+
+    keyc = list(key_cols)
+    w = Window.partitionBy(*keyc).orderBy(F.col(ts_col), F.col(id_col))
+    prev_v = F.lag(F.col(value_col)).over(w)
+    prev_t = F.lag(F.col(ts_col).cast("double")).over(w)
+    dt = F.col(ts_col).cast("double") - prev_t
+    raw_delta = F.col(value_col) - prev_v
+    inc = F.when(raw_delta < 0, F.col(value_col)).otherwise(raw_delta)
+    rate = F.when(
+        prev_v.isNull() | (dt <= 0), F.lit(None).cast("double")
+    ).otherwise(inc / dt)
+    return events.select(
+        *keyc,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(rate, 6).alias("rate"),
+    )

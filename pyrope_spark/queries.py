@@ -4656,3 +4656,42 @@ FROM b
 """
 
 register("concurrency_curve", _CONCURRENCY_ORACLE)(_concurrency_spark)
+
+
+# --------------------------------------------------------------------------
+# Counter rate (operators/temporal.py counter_rate): PromQL rate() with
+# reset handling over per-user event values
+# --------------------------------------------------------------------------
+
+def _counter_rate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import counter_rate
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = counter_rate(ev)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("value", 6).alias("value"),
+        "rate",
+    )
+
+
+_COUNTER_RATE_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_id, value,
+         LAG(value) OVER w AS pv,
+         epoch(ts) - LAG(epoch(ts)) OVER w AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       round(value, 6) AS value,
+       round(CASE WHEN pv IS NULL OR dt <= 0 THEN NULL
+                  WHEN value - pv < 0 THEN value / dt
+                  ELSE (value - pv) / dt END, 6) AS rate
+FROM l
+"""
+
+register("counter_rate_per_user", _COUNTER_RATE_ORACLE)(_counter_rate_spark)

@@ -325,3 +325,22 @@ def test_concurrency_curve_half_open(spark):
     assert rows["2026-01-01 10:10:00"] == 2          # one ends, one starts
     assert rows["2026-01-01 10:15:00"] == 1
     assert rows["2026-01-01 10:20:00"] == 0
+
+
+def test_counter_rate_resets_and_first(spark):
+    from pyrope_spark.operators.temporal import counter_rate
+
+    rows = [
+        (1, 1, "2026-01-01 00:00:00", 100.0),
+        (1, 2, "2026-01-01 00:00:10", 150.0),   # +50 over 10s -> 5.0
+        (1, 3, "2026-01-01 00:00:20", 30.0),    # reset: rate = 30/10 = 3.0
+        (2, 4, "2026-01-01 00:00:00", 7.0),     # first for key 2 -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["rate"] for r in counter_rate(df).collect()}
+    assert out[1] is None
+    assert out[2] == 5.0
+    assert out[3] == 3.0
+    assert out[4] is None
