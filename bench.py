@@ -627,6 +627,7 @@ def main() -> None:
         "dsir_importance_resample",
         "concurrency_curve",
         "counter_rate_per_user",
+        "value_histogram_events",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

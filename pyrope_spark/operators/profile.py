@@ -181,3 +181,53 @@ def key_skew_report(
         ),
         F.col("_keys").cast("long").alias("n_keys"),
     )
+
+
+# ------------------------------------------------------ value histogram
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Generic equi-width histogram: (bin_no, bin_lo, bin_hi, cnt) over the
+    observed [min, max] — the distribution-profiling companion to
+    `profile_table` (which does min/max/nulls) and the fixed-bound
+    `analytics.latency_histogram`. Two linear passes (bounds, then one
+    map-side-partial bucket count); the top value clamps into the last bin.
+    Bin edges are min + i*width — one multiply+add per edge, deterministic
+    cross-engine."""
+    stats = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
+        F.count(value_col).alias("n"),
+    ).collect()[0]
+    if int(stats["n"]) == 0:
+        raise ValueError("cannot histogram an empty column")
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    spark = df.sparkSession
+    if hi == lo:
+        return spark.createDataFrame(
+            [(0, lo, lo, int(stats["n"]))],
+            "bin_no int, bin_lo double, bin_hi double, cnt long",
+        )
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    counts = df.select(b.alias("bin_no")).groupBy("bin_no").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin_no"))
+    return (
+        bins.join(counts, "bin_no", "left")
+        .fillna(0, ["cnt"])
+        .select(
+            "bin_no",
+            F.round(F.lit(lo) + F.col("bin_no") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin_no") + 1) * F.lit(width), 6).alias(
+                "bin_hi"
+            ),
+            "cnt",
+        )
+    )

@@ -4695,3 +4695,36 @@ FROM l
 """
 
 register("counter_rate_per_user", _COUNTER_RATE_ORACLE)(_counter_rate_spark)
+
+
+# --------------------------------------------------------------------------
+# Equi-width value histogram (operators/profile.py value_histogram)
+# --------------------------------------------------------------------------
+
+def _value_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import value_histogram
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", n_bins=20)
+
+
+_VALUE_HIST_ORACLE = """
+WITH s AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), c AS (
+  SELECT LEAST(19, CAST(floor((value - s.lo) / ((s.hi - s.lo) / 20)) AS INT))
+           AS bin_no,
+         COUNT(*) AS cnt
+  FROM events, s GROUP BY 1
+)
+SELECT CAST(base.bin_no AS INT) AS bin_no,
+       round(base.lo + base.bin_no * ((base.hi - base.lo) / 20), 6) AS bin_lo,
+       round(base.lo + (base.bin_no + 1) * ((base.hi - base.lo) / 20), 6)
+         AS bin_hi,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+FROM (SELECT b.range AS bin_no, s.lo, s.hi FROM range(20) b, s) base
+LEFT JOIN c ON c.bin_no = base.bin_no
+"""
+
+register("value_histogram_events", _VALUE_HIST_ORACLE)(_value_hist_spark)

@@ -105,3 +105,21 @@ def test_key_skew_report_planted_skew(spark):
     assert abs(by_rank[1]["skew_ratio"] - 900 * 101 / 1000) < 1e-6
     assert by_rank[1]["n_keys"] == 101
     assert len(rep) == 3
+
+
+def test_value_histogram_counts_and_edges(spark):
+    import pytest
+
+    from pyrope_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    rows = {r["bin_no"]: r for r in value_histogram(df, "v", n_bins=10).collect()}
+    assert len(rows) == 10
+    assert rows[0]["bin_lo"] == 0.0 and rows[9]["bin_hi"] == 99.0
+    assert sum(r["cnt"] for r in rows.values()) == 100
+    assert rows[9]["cnt"] == 10  # max value clamps into the last bin
+    const = spark.createDataFrame([(3.0,)] * 5, "v double")
+    c = value_histogram(const, "v").collect()
+    assert len(c) == 1 and c[0]["cnt"] == 5
+    with pytest.raises(ValueError, match="empty"):
+        value_histogram(const.filter("1=0"), "v")
