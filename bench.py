@@ -628,6 +628,7 @@ def main() -> None:
         "concurrency_curve",
         "counter_rate_per_user",
         "value_histogram_events",
+        "data_quality_expectations",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -231,3 +231,64 @@ def value_histogram(
             "cnt",
         )
     )
+
+
+# ------------------------------------------------------ data-quality rules
+
+def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Data-quality gate: evaluate declarative expectations and report
+    (rule, violations, total, passed) — the contract check a pipeline runs
+    before promoting a corpus version (pair with ``storage.write_versioned``:
+    only a fully-passed snapshot gets a manifest note).
+
+    Rule kinds:
+      {"name", "kind": "not_null",  "col"}
+      {"name", "kind": "min",      "col", "value"}   # violations: col < value
+      {"name", "kind": "max",      "col", "value"}   # violations: col > value
+      {"name", "kind": "regex",    "col", "pattern"} # non-matching, nulls count
+      {"name", "kind": "unique",   "col"}            # rows beyond first per value
+
+    All non-unique rules fold into ONE aggregate over ONE scan (conditional
+    counts); each ``unique`` rule adds one count-distinct on the same scan.
+    Violations are exact row counts — integer, SQL-replicable.
+    """
+    aggs = []
+    uniques = []
+    for r in rules:
+        kind = r["kind"]
+        c = F.col(r["col"])
+        if kind == "not_null":
+            cond = c.isNull()
+        elif kind == "min":
+            cond = c < F.lit(r["value"])
+        elif kind == "max":
+            cond = c > F.lit(r["value"])
+        elif kind == "regex":
+            cond = ~c.rlike(r["pattern"]) | c.isNull()
+        elif kind == "unique":
+            uniques.append(r)
+            continue
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        aggs.append(
+            F.sum(cond.cast("long")).alias(f"_v_{r['name']}")
+        )
+    aggs.append(F.count(F.lit(1)).alias("_total"))
+    for r in uniques:
+        aggs.append(F.countDistinct(F.col(r["col"])).alias(f"_d_{r['name']}"))
+        aggs.append(
+            F.count(F.col(r["col"])).alias(f"_n_{r['name']}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    total = int(row["_total"])
+    out = []
+    for r in rules:
+        if r["kind"] == "unique":
+            v = int(row[f"_n_{r['name']}"]) - int(row[f"_d_{r['name']}"])
+        else:
+            v = int(row[f"_v_{r['name']}"] or 0)
+        out.append((r["name"], v, total, v == 0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "rule string, violations long, total long, passed boolean"
+    )

@@ -4728,3 +4728,51 @@ LEFT JOIN c ON c.bin_no = base.bin_no
 """
 
 register("value_histogram_events", _VALUE_HIST_ORACLE)(_value_hist_spark)
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations gate (operators/profile.py check_expectations)
+# --------------------------------------------------------------------------
+
+_EXPECTATION_RULES = [
+    {"name": "user_not_null", "kind": "not_null", "col": "user_id"},
+    {"name": "value_min_0", "kind": "min", "col": "value", "value": 0.0},
+    {"name": "value_max_50", "kind": "max", "col": "value", "value": 50.0},
+    {"name": "type_shape", "kind": "regex", "col": "event_type",
+     "pattern": "^[a-z]+$"},
+    {"name": "event_id_unique", "kind": "unique", "col": "event_id"},
+]
+
+
+def _expectations_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import check_expectations
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return check_expectations(ev, _EXPECTATION_RULES)
+
+
+_EXPECTATIONS_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS total,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_null,
+         SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS v_min,
+         SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS v_max,
+         SUM(CASE WHEN event_type IS NULL
+                  OR NOT regexp_matches(event_type, '^[a-z]+$')
+             THEN 1 ELSE 0 END) AS v_re,
+         COUNT(event_id) - COUNT(DISTINCT event_id) AS v_uni
+  FROM events
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations,
+       CAST(total AS BIGINT) AS total, violations = 0 AS passed
+FROM (
+  SELECT 'user_not_null' AS rule, v_null AS violations, total FROM s
+  UNION ALL SELECT 'value_min_0', v_min, total FROM s
+  UNION ALL SELECT 'value_max_50', v_max, total FROM s
+  UNION ALL SELECT 'type_shape', v_re, total FROM s
+  UNION ALL SELECT 'event_id_unique', v_uni, total FROM s
+)
+"""
+
+register("data_quality_expectations", _EXPECTATIONS_ORACLE)(_expectations_spark)

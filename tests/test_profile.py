@@ -123,3 +123,31 @@ def test_value_histogram_counts_and_edges(spark):
     assert len(c) == 1 and c[0]["cnt"] == 5
     with pytest.raises(ValueError, match="empty"):
         value_histogram(const.filter("1=0"), "v")
+
+
+def test_check_expectations_kinds(spark):
+    import pytest
+
+    from pyrope_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, -1.0, "ok"), (2, 200.0, None), (3, 5.0, "BAD1")],
+        "id long, v double, s string",
+    )
+    rules = [
+        {"name": "s_not_null", "kind": "not_null", "col": "s"},
+        {"name": "v_min", "kind": "min", "col": "v", "value": 0.0},
+        {"name": "v_max", "kind": "max", "col": "v", "value": 100.0},
+        {"name": "s_lower", "kind": "regex", "col": "s", "pattern": "^[a-z]+$"},
+        {"name": "id_unique", "kind": "unique", "col": "id"},
+    ]
+    out = {r["rule"]: r for r in check_expectations(df, rules).collect()}
+    assert out["s_not_null"]["violations"] == 1
+    assert out["v_min"]["violations"] == 1
+    assert out["v_max"]["violations"] == 1
+    assert out["s_lower"]["violations"] == 2   # null + 'BAD1'
+    assert out["id_unique"]["violations"] == 1  # id 2 twice
+    assert not out["id_unique"]["passed"]
+    assert all(r["total"] == 4 for r in out.values())
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        check_expectations(df, [{"name": "x", "kind": "nope", "col": "id"}])
