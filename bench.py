@@ -629,6 +629,7 @@ def main() -> None:
         "counter_rate_per_user",
         "value_histogram_events",
         "data_quality_expectations",
+        "user_category_profile",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -359,3 +359,50 @@ def exact_quantiles_two_pass(
         "p", F.col(value_col).cast("double").alias("value")
     )
     return out
+
+
+def categorical_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group categorical profile: the MODE (most frequent value, ties
+    broken lexicographically — deterministic), its count and share, the
+    distinct-category count, and the GINI IMPURITY ``1 - sum(p_i^2)``.
+
+    Gini is computed EXACTLY: ``1 - sum(c_i^2) / n^2`` keeps every term an
+    integer until one final division — unlike entropy (whose ``p log p``
+    terms hit cross-engine log ulp), it is bit-replicable in SQL by
+    construction. Shape: one (group, category) hash aggregate with
+    map-side partials, then a group-level rollup over category-count rows
+    (bounded by the category cardinality, not the table).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*group_cols, cat_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_c"), F.asc(cat_col)
+    )
+    ranked = counts.withColumn("_r", F.row_number().over(w))
+    per_group = counts.groupBy(*group_cols).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    mode = ranked.filter(F.col("_r") == 1).select(
+        *group_cols,
+        F.col(cat_col).alias("mode_value"),
+        F.col("_c").alias("mode_count"),
+    )
+    return per_group.join(mode, group_cols).select(
+        *group_cols,
+        "mode_value",
+        F.col("mode_count").cast("long").alias("mode_count"),
+        F.round(F.col("mode_count") / F.col("_n"), 6).alias("mode_share"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(
+            F.lit(1.0) - F.col("_ss") / (F.col("_n") * F.col("_n")), 6
+        ).alias("gini_impurity"),
+    )

@@ -4776,3 +4776,45 @@ FROM (
 """
 
 register("data_quality_expectations", _EXPECTATIONS_ORACLE)(_expectations_spark)
+
+
+# --------------------------------------------------------------------------
+# Per-user categorical profile (operators/analytics.py categorical_stats):
+# mode with deterministic ties + exact-rational Gini impurity
+# --------------------------------------------------------------------------
+
+def _cat_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import categorical_stats
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = categorical_stats(ev, ["user_id"], "event_type")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "mode_value", "mode_count", "mode_share", "n_categories",
+        "gini_impurity",
+    )
+
+
+_CAT_STATS_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), g AS (
+  SELECT user_id, SUM(c) AS n, SUM(c * c) AS ss, COUNT(*) AS n_categories
+  FROM c GROUP BY user_id
+), m AS (
+  SELECT user_id, event_type AS mode_value, c AS mode_count FROM (
+    SELECT user_id, event_type, c,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, event_type ASC) AS r
+    FROM c) WHERE r = 1
+)
+SELECT CAST(g.user_id AS BIGINT) AS user_id, m.mode_value,
+       CAST(m.mode_count AS BIGINT) AS mode_count,
+       round(m.mode_count / g.n, 6) AS mode_share,
+       CAST(g.n_categories AS BIGINT) AS n_categories,
+       round(1.0 - g.ss / (g.n * g.n), 6) AS gini_impurity
+FROM g JOIN m USING (user_id)
+"""
+
+register("user_category_profile", _CAT_STATS_ORACLE)(_cat_stats_spark)

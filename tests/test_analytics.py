@@ -165,3 +165,21 @@ def test_two_pass_quantiles_constant_and_empty(spark):
     assert got == {0.5: 5.0, 0.99: 5.0}
     with pytest.raises(ValueError, match="empty"):
         exact_quantiles_two_pass(const.filter("1=0"), "v")
+
+
+def test_categorical_stats_mode_ties_and_gini(spark):
+    from pyrope_spark.operators.analytics import categorical_stats
+
+    df = spark.createDataFrame(
+        [("u1", "a"), ("u1", "a"), ("u1", "b"), ("u1", "b"), ("u1", "c"),
+         ("u2", "z")],
+        "g string, cat string",
+    )
+    out = {r["g"]: r for r in categorical_stats(df, ["g"], "cat").collect()}
+    # tie a/b at 2 -> lexicographic winner 'a'
+    assert out["u1"]["mode_value"] == "a" and out["u1"]["mode_count"] == 2
+    assert out["u1"]["mode_share"] == 0.4
+    assert out["u1"]["n_categories"] == 3
+    # gini = 1 - (4+4+1)/25 = 0.64
+    assert out["u1"]["gini_impurity"] == 0.64
+    assert out["u2"]["gini_impurity"] == 0.0 and out["u2"]["mode_share"] == 1.0
