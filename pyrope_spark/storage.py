@@ -188,3 +188,67 @@ def list_versions(path: str) -> list[dict]:
             with open(os.path.join(path, fn)) as f:
                 out.append(json.load(f))
     return sorted(out, key=lambda m: m["version"])
+
+
+def forget_keys(
+    spark: SparkSession,
+    table_paths: dict[str, str],
+    keys_df: DataFrame,
+    *,
+    key_col: str,
+    audit_log_path: str | None = None,
+) -> dict[str, int]:
+    """Right-to-be-forgotten batch job: remove every row matching the key
+    set from each parquet table, atomically per table (tmp + swap — the
+    engine's state-dir discipline), and append one audit event per table
+    when ``audit_log_path`` is given (the reference's AuditLogger pattern:
+    compliance deletes must leave a trail).
+
+    ``table_paths``: {logical name: parquet dir}. Tables missing the key
+    column are skipped (reported as -1). The rewrite is one anti-join per
+    table — broadcast when the key set is small, the common GDPR case.
+
+    Returns {table: rows_removed} (and writes the audit trail). At 100 TB,
+    run against partition-pruned paths (partition the tables by a key hash
+    range so each forget touches only matching partitions) — the full
+    rewrite here is the correctness-grade path.
+    """
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    keys = keys_df.select(F.col(key_col)).distinct().cache()
+    n_keys = keys.count()
+    removed: dict[str, int] = {}
+    audit_rows = []
+    for name, path in table_paths.items():
+        df = spark.read.parquet(path)
+        if key_col not in df.columns:
+            removed[name] = -1
+            continue
+        before = df.count()
+        kept = df.join(F.broadcast(keys), key_col, "left_anti")
+        tmp = path.rstrip("/") + ".tmp-forget"
+        kept.write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        removed[name] = before - after
+        audit_rows.append((
+            uuid.uuid4().hex,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+            None, None, "FORGET_KEYS", "Table", name,
+            f'{{"keys": {n_keys}, "rows_removed": {before - after}}}',
+            None, True,
+        ))
+    keys.unpersist()
+    if audit_log_path and audit_rows:
+        from pyrope_spark.operators.audit import AUDIT_SCHEMA, append_audit_events
+
+        append_audit_events(
+            spark.createDataFrame(audit_rows, AUDIT_SCHEMA), audit_log_path
+        )
+    return removed

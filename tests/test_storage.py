@@ -132,3 +132,31 @@ def test_versioned_read_requires_manifest(spark, tmp_path):
     os.makedirs(os.path.join(p, "v=2"))
     with pytest.raises(FileNotFoundError, match="no manifest"):
         read_versioned(spark, p, version=2)
+
+
+def test_forget_keys_removes_and_audits(spark, tmp_path):
+    from pyrope_spark.operators.audit import read_audit_log
+    from pyrope_spark.storage import forget_keys
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "user_id long, v string"
+    ).write.parquet(t1)
+    spark.createDataFrame(
+        [(10, 2), (11, 2), (12, 9)], "row long, user_id long"
+    ).write.parquet(t2)
+    nokey = str(tmp_path / "t3")
+    spark.createDataFrame([(5,)], "other long").write.parquet(nokey)
+
+    keys = spark.createDataFrame([(2,), (99,)], "user_id long")
+    audit = str(tmp_path / "audit")
+    removed = forget_keys(
+        spark, {"t1": t1, "t2": t2, "t3": nokey}, keys,
+        key_col="user_id", audit_log_path=audit,
+    )
+    assert removed == {"t1": 1, "t2": 2, "t3": -1}
+    assert {r["user_id"] for r in spark.read.parquet(t1).collect()} == {1, 3}
+    assert {r["user_id"] for r in spark.read.parquet(t2).collect()} == {9}
+    trail = read_audit_log(spark, audit).collect()
+    assert {r["resource_id"] for r in trail} == {"t1", "t2"}
+    assert all(r["action"] == "FORGET_KEYS" and r["success"] for r in trail)
