@@ -1,13 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE COMPACT JSON line (last stdout line):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "samples": {name: [sec, ...]},
-   "min_n": {name: sec, ...}, "sf": <sf>, "derived": {...}}
+   "queries": {<headline entries only>}, "min_n": {...}, "sf": <sf>,
+   "derived": {...}, "full": "BENCH_full.json"}
 
-"queries" carries the in-suite timings (suite-position effects included,
-min over in-place repeats); "samples" the individual repeat timings;
-"min_n" post-suite isolated re-timings of the entries that have shown
-suite-position sensitivity — compare rounds on "min_n" first.
+The FULL artifact — every suite entry's timing plus per-repeat "samples" —
+is written to BENCH_full.json at the repo root (committed per-round as
+BENCH_full_r{N}.json). Round 4's full-fat final line exceeded the driver's
+~2,000-char stdout-tail capture and left BENCH_r04.json unparseable; the
+final line is now budgeted ≤1,800 chars (VERDICT r4 What's-wrong #1).
+"queries" carries in-suite timings (suite-position effects included, min
+over in-place repeats); "min_n" post-suite isolated re-timings — compare
+rounds on "min_n" first.
 
 Two groups:
 - BASELINE-comparable vector workloads on synthetic data mirroring the
@@ -705,8 +709,20 @@ def main() -> None:
             1000 / timings[f"ivf_search_nprobe3_{N_VECTORS}v_q1000"], 1
         )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full artifact (every suite entry + per-repeat samples) goes to a SIDE
+    # FILE: the driver captures only a ~2,000-char stdout tail, and round 4's
+    # samples-in-the-final-line pushed the JSON past that window, leaving
+    # BENCH_r04.json unparseable (VERDICT r4 What's-wrong #1). The last
+    # stdout line is a COMPACT subset — the BASELINE-comparable vector /
+    # streaming entries plus min_n + derived — budgeted well under the tail
+    # window; "full" points at the committed side file with everything.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_full.json" if not only else "BENCH_full_subset.json",
+    )
+    with open(full_path, "w") as f:
+        json.dump(
             {
                 "metric": "pyrope_spark_batch_suite_seconds",
                 "value": total,
@@ -714,11 +730,48 @@ def main() -> None:
                 "queries": timings,
                 "samples": samples,
                 "min_n": min_n,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "derived": derived,
-            }
+            },
+            f,
+            indent=1,
         )
-    )
+        f.write("\n")
+    headline = [
+        f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
+        f"bf_l2_{N_VECTORS}v_d{DIM}_q1000",
+        f"ivf_build_{N_VECTORS}v_nlist100",
+        f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}",
+        f"ivf_search_nprobe3_{N_VECTORS}v_q1000",
+        f"ivf_dist_nprobe3_{N_VECTORS}v_q100000",
+        f"hnsw_bulk_build_search_{N_VECTORS}v_1shard",
+        f"ivf_pq_build_{N_VECTORS}v_nlist100_m8",
+        f"ivf_pq_nprobe3_{N_VECTORS}v_q1000",
+        f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
+        f"bf_bq_hamming_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
+        f"bq_rerank_{N_VECTORS}v_q{N_QUERIES}",
+        "streaming_ingest_5000v_concurrent_search",
+        "streaming_ingest_5000v_concurrent_search_ref_load",
+        "minhash_lsh_dedup",
+        "semantic_dedup",
+        "bm25_search",
+    ]
+    compact = {
+        "metric": "pyrope_spark_batch_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": {k: timings[k] for k in headline if k in timings},
+        "min_n": min_n,
+        "derived": derived,
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(compact)
+    # hard budget: never exceed the driver's tail-capture window again
+    while len(line) > 1800 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
