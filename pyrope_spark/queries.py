@@ -39,12 +39,37 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def _gate_order() -> list[str]:
+    """Registry order for the driver's correctness gate: the driver samples
+    the FIRST 50 registered queries (CORRECTNESS_r04.json == registry[:50]),
+    so queries WITHOUT a prior driver-artifact green row come first —
+    rotating driver coverage across rounds (VERDICT r4 What's-wrong #2).
+    ``coverage_gate.json`` maps query -> first driver-green round and is
+    folded forward each round by ``scripts/update_coverage_gate.py``; a
+    query absent from the map (including anything newly registered) sorts
+    to the front in registration order."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "coverage_gate.json")
+    try:
+        with open(path) as f:
+            first_green = json.load(f)
+    except (OSError, ValueError):
+        first_green = {}
+    names = list(_REGISTRY)
+    return ([n for n in names if n not in first_green]
+            + [n for n in names if n in first_green])
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _gate_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {name: _REGISTRY[name][1] for name in _gate_order()
+            if _REGISTRY[name][1] is not None}
 
 
 # --------------------------------------------------------------------------
