@@ -61,20 +61,37 @@ def fuzzy_levenshtein_join(
     right_col: str = "name",
     left_keep: tuple[str, ...] = (),
     right_keep: tuple[str, ...] = (),
+    qgram_block: bool = False,
+    q: int = 2,
 ) -> DataFrame:
     """Entity-resolution join: pairs whose strings are within ``threshold``
     edit distance — WITHOUT the all-pairs cross join. Length is a
     Levenshtein lower bound (|len(a) - len(b)| <= distance), so candidates
     come from a length-band equi-join: strings bucket by
     ``len div (threshold+1)`` and each left row probes its own and both
-    neighbor buckets (any pair within the band meets in >= 1 shared probe;
-    dedup by DISTINCT). The exact ``levenshtein`` filter then confirms.
+    neighbor buckets (any pair within the band meets in >= 1 shared probe).
 
     Shuffle volume = 3x left + right keyed on small-int buckets — linear,
     never |L| x |R|. Within-bucket fan-out is bounded by the length
-    distribution (strings of similar length), the documented residual
-    hotspot for corpora where one length dominates (pre-block further by
-    a first-character or q-gram key in that regime).
+    distribution; for corpora where one length dominates (real name corpora
+    do), ``qgram_block=True`` adds a SECOND, also-lossless blocking level:
+    prefix-filtered positional q-grams (ED-Join, Xiao/Wang/Lin VLDB'08).
+    An edit op destroys at most ``q`` of a string's (gram, occurrence)
+    tokens, so |bag-intersection| >= n_tokens - q*t for any pair within
+    distance t; by the prefix-filter theorem the ``q*t + 1`` smallest
+    tokens (global xxhash64 order) of each side must then share >= 1 token.
+    Occurrence-indexed tokens make the bag bound a set bound (gram #k is in
+    both sets iff both bags hold >= k copies). Strings too short to carry
+    ``q*t + 1`` q-grams (len < q*(t+1)) have no prefix guarantee, so every
+    string with len < q*(t+1) + t routes through the length-band path —
+    any pair whose shorter member lacks the guarantee has BOTH members
+    under that cutoff (length lower bound), so nothing is lost; pairs
+    caught by both paths dedup on row ids.
+
+    Duplicate multiplicity is preserved: candidates dedup on per-row ids
+    (one id per INPUT row), never on values — genuinely duplicate input
+    rows each produce their own output pairs (ADVICE r4). Keep columns are
+    prefixed ``l_`` / ``r_`` so the two sides can never collide.
 
     ``levenshtein`` is identical classic edit distance in Spark and
     DuckDB, so the whole join replicates in the SQL oracle.
@@ -82,17 +99,86 @@ def fuzzy_levenshtein_join(
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
     w = threshold + 1
-    lb = F.floor(F.length(F.col("_ls")) / w).cast("long")
     l_src = left.select(
-        F.col(left_col).alias("_ls"), *[F.col(c) for c in left_keep]
-    ).withColumn(
-        "_bkt",
-        F.explode(F.array(lb - 1, lb, lb + 1)),
-    )
+        F.col(left_col).alias("_ls"),
+        *[F.col(c).alias(f"l_{c}") for c in left_keep],
+    ).withColumn("_lid", F.monotonically_increasing_id())
     r_src = right.select(
-        F.col(right_col).alias("_rs"), *[F.col(c) for c in right_keep]
-    ).withColumn("_bkt", F.floor(F.length(F.col("_rs")) / w).cast("long"))
-    cand = l_src.join(r_src, "_bkt").drop("_bkt").distinct()
+        F.col(right_col).alias("_rs"),
+        *[F.col(c).alias(f"r_{c}") for c in right_keep],
+    ).withColumn("_rid", F.monotonically_increasing_id())
+
+    def band_pairs(l_in: DataFrame, r_in: DataFrame) -> DataFrame:
+        lb = F.floor(F.length(F.col("_ls")) / w).cast("long")
+        l_b = l_in.withColumn("_bkt", F.explode(F.array(lb - 1, lb, lb + 1)))
+        r_b = r_in.withColumn(
+            "_bkt", F.floor(F.length(F.col("_rs")) / w).cast("long")
+        )
+        return l_b.join(r_b, "_bkt").drop("_bkt")
+
+    if not qgram_block:
+        cand = band_pairs(l_src, r_src)
+    else:
+        from pyspark.sql import Window
+
+        # Routing: the prefix guarantee needs >= pi q-grams, i.e.
+        # len >= m_min = q*(t+1). LONG path takes every string with the
+        # guarantee (len >= m_min); SHORT path takes len < m_min + t. The
+        # two OVERLAP on [m_min, m_min + t): a pair whose shorter member
+        # lacks the guarantee has max-len < m_min + t (length lower bound)
+        # -> both members in SHORT; a pair with both >= m_min -> both in
+        # LONG. Every qualifying pair lands in at least one path; the
+        # id-dedup collapses pairs caught by both.
+        m_min = q * (threshold + 1)
+        cutoff = m_min + threshold
+        pi = q * threshold + 1  # prefix length
+
+        def prefix_tokens(src: DataFrame, scol: str, idc: str) -> DataFrame:
+            grams = src.select(
+                idc, scol,
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(1, length({scol}) - {q - 1}), "
+                        f"i -> substring({scol}, i, {q}))"
+                    )
+                ).alias("_pos", "_g"),
+            )
+            occ = F.row_number().over(
+                Window.partitionBy(idc, "_g").orderBy("_pos")
+            )
+            tok = grams.withColumn("_occ", occ).withColumn(
+                "_tokrank",
+                F.row_number().over(
+                    Window.partitionBy(idc).orderBy(
+                        F.xxhash64("_g", "_occ"), "_pos"
+                    )
+                ),
+            )
+            return tok.filter(F.col("_tokrank") <= pi).select(
+                idc, scol, "_g", "_occ"
+            )
+
+        long_l = l_src.filter(F.length("_ls") >= m_min)
+        long_r = r_src.filter(F.length("_rs") >= m_min)
+        lt = prefix_tokens(long_l.select("_lid", "_ls"), "_ls", "_lid")
+        rt = prefix_tokens(long_r.select("_rid", "_rs"), "_rs", "_rid")
+        qcand = (
+            lt.join(rt, ["_g", "_occ"])
+            .filter(
+                F.abs(F.length("_ls") - F.length("_rs")) <= threshold
+            )
+            .select("_lid", "_rid")
+            .dropDuplicates(["_lid", "_rid"])
+            .join(long_l, "_lid")
+            .join(long_r, "_rid")
+        )
+        short_cand = band_pairs(
+            l_src.filter(F.length("_ls") < cutoff),
+            r_src.filter(F.length("_rs") < cutoff),
+        )
+        cand = qcand.unionByName(short_cand)
+
+    cand = cand.dropDuplicates(["_lid", "_rid"])
     return (
         cand.withColumn("distance", F.levenshtein("_ls", "_rs"))
         .filter(F.col("distance") <= threshold)
@@ -100,7 +186,7 @@ def fuzzy_levenshtein_join(
             F.col("_ls").alias(f"left_{left_col}"),
             F.col("_rs").alias(f"right_{right_col}"),
             F.col("distance").cast("long").alias("distance"),
-            *[F.col(c) for c in left_keep],
-            *[F.col(c) for c in right_keep],
+            *[F.col(f"l_{c}") for c in left_keep],
+            *[F.col(f"r_{c}") for c in right_keep],
         )
     )

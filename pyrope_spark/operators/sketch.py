@@ -380,19 +380,36 @@ def hll_estimate(
     table. ``s_scaled`` is the EXACT integer ``2^(bw+1) * sum(2^-Mj)``
     (absent registers contribute ``2^(bw+1)`` each); the estimate is
     ``alpha * m^2 * 2^(bw+1) / s_scaled`` with the paper's linear-counting
-    small-range correction (raw <= 2.5m and empty registers present)."""
+    small-range correction (raw <= 2.5m and empty registers present).
+
+    ``p`` must match the ``p`` the sketch was built with — the register
+    table itself doesn't carry it (ADVICE r4), so the estimate validates
+    ``max(bucket) < 2^p`` at runtime and raises instead of silently
+    producing garbage when a p=12 sketch is estimated with a smaller p
+    (both m and the rho bit-width would be wrong)."""
     m = 1 << p
     bw = HLL_UBITS - p
     num = _hll_alpha(m) * m * m * float(1 << (bw + 1))  # exact double literal
     agg = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_present"),
+        F.max("bucket").alias("_maxb"),
         F.sum(
             F.expr(f"shiftleft(cast(1 as bigint), cast({bw + 1} - rho as int))")
         ).alias("_s_hit"),
     )
+    # assert_true is woven into the m expression (not a dropped column) so
+    # Catalyst cannot prune the check away
+    m_checked = F.when(
+        F.assert_true(
+            F.col("_maxb") < F.lit(m),
+            F.lit(f"hll_estimate: sketch has bucket >= {m} — built with a "
+                  f"larger p than the p={p} passed here"),
+        ).isNull(),
+        F.lit(m),
+    ).otherwise(F.lit(m))
     out = agg.select(
         *group_cols,
-        F.lit(m).cast("long").alias("m"),
+        m_checked.cast("long").alias("m"),
         (F.lit(m) - F.col("_present")).cast("long").alias("zero_registers"),
         (
             F.col("_s_hit")
@@ -620,10 +637,20 @@ def cms_join_cardinality(
     """
     a = sketch_a.select("d", "bucket", F.col("cnt").alias("_ca"))
     b = sketch_b.select("d", "bucket", F.col("cnt").alias("_cb"))
-    per_row = (
+    # Left-join from the depth spine of sketch_a and coalesce empty
+    # intersections to 0 (ADVICE r4): a depth row whose bucket sets don't
+    # intersect means the true join size is 0 for that estimator row — an
+    # inner join dropped it from the groupBy, so the MIN was taken over
+    # the surviving rows and over-reported (and a fully-empty intersection
+    # returned NULL instead of 0).
+    dots = (
         a.join(b, ["d", "bucket"])
         .groupBy("d")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    spine = sketch_a.select("d").distinct()
+    per_row = spine.join(dots, "d", "left").select(
+        "d", F.coalesce(F.col("_dot"), F.lit(0)).alias("_dot")
     )
     return per_row.agg(
         F.min("_dot").cast("long").alias("est_join_rows"),
@@ -664,9 +691,13 @@ def cms_join_cardinality_oracle_sql(
 WITH {side('a', split_pred_a)},
 {side('b', split_pred_b)},
 dots AS (
-  SELECT a.d, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
-  FROM sk_a a JOIN sk_b b ON a.d = b.d AND a.bucket = b.bucket
-  GROUP BY a.d
+  -- left join from sketch_a's depth spine, empty intersection -> dot 0
+  -- (matches cms_join_cardinality's zero-intersection handling)
+  SELECT s.d, CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS BIGINT) AS dot
+  FROM (SELECT DISTINCT d FROM sk_a) s
+  LEFT JOIN sk_a a ON a.d = s.d
+  LEFT JOIN sk_b b ON a.d = b.d AND a.bucket = b.bucket
+  GROUP BY s.d
 ),
 exact AS (
   SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_join_rows

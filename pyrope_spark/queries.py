@@ -4528,7 +4528,7 @@ def _fuzzy_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         corrupted, originals, 1, left_keep=("left_key",)
     )
     return out.select(
-        F.col("left_key").cast("long").alias("left_key"),
+        F.col("l_left_key").cast("long").alias("left_key"),
         "left_name", "right_name", "distance",
     )
 

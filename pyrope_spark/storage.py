@@ -129,7 +129,14 @@ def write_versioned(
     Returns the version number written. Writes are atomic at the manifest
     level: data lands first, the manifest (and LATEST) only after — a
     crashed write leaves an unreferenced directory, never a half-visible
-    version.
+    version. Version numbers are CLAIMED with an exclusive ``os.mkdir``
+    before writing (ADVICE r4): two concurrent writers racing ``listdir``
+    can both pick N, but only one mkdir(v=N) succeeds; the loser retries
+    N+1. Note these helpers use driver-local filesystem APIs (listdir /
+    open / replace) — they assume ``path`` is a posix-visible directory
+    (local disk, NFS, or a FUSE object-store mount with atomic rename).
+    On a raw object store, port the manifest/LATEST pointers to a
+    transactional table format (Delta/Iceberg) instead.
     """
     import json
     import os
@@ -141,8 +148,14 @@ def write_versioned(
         if d.startswith("v=") and os.path.isdir(os.path.join(path, d))
     ]
     n = max(versions) + 1 if versions else 1
-    vdir = os.path.join(path, f"v={n}")
-    df.write.mode("errorifexists").parquet(vdir)
+    while True:
+        vdir = os.path.join(path, f"v={n}")
+        try:
+            os.mkdir(vdir)  # exclusive claim of this version number
+            break
+        except FileExistsError:
+            n += 1
+    df.write.mode("overwrite").parquet(vdir)
     spark = df.sparkSession
     count = spark.read.parquet(vdir).count()
     manifest = {
@@ -234,8 +247,17 @@ def forget_keys(
         tmp = path.rstrip("/") + ".tmp-forget"
         kept.write.mode("overwrite").parquet(tmp)
         after = spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
+        # swap discipline (ADVICE r4): rename the live dir ASIDE first, then
+        # promote tmp, then drop the backup — every crash point leaves a
+        # recoverable directory at a known name (rmtree-then-replace had a
+        # window where the data existed only in .tmp-forget). Mirrors the
+        # update_bm25_index convention (fulltext.py).
+        bak = path.rstrip("/") + ".bak-forget"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        os.replace(path, bak)
         os.replace(tmp, path)
+        shutil.rmtree(bak)
         removed[name] = before - after
         audit_rows.append((
             uuid.uuid4().hex,

@@ -29,6 +29,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _swap_state_dir(tmp: str, state_dir: str) -> None:
+    """Promote a fully-written tmp state dir: rename live ASIDE, promote
+    tmp, drop the backup (ADVICE r4: rmtree-then-replace left a window
+    with the data only under .tmp — every crash point here leaves a
+    recoverable directory at a known name, same discipline as
+    fulltext.update_bm25_index and storage.forget_keys)."""
+    bak = state_dir.rstrip("/") + ".bak"
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    if os.path.isdir(state_dir):
+        os.replace(state_dir, bak)
+    os.replace(tmp, state_dir)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+
+
 def streaming_hll_update(
     stream_df: DataFrame,
     state_dir: str,
@@ -58,9 +74,7 @@ def streaming_hll_update(
             regs = hll_merge(old, regs, group_cols=group_cols)
         tmp = state_dir.rstrip("/") + ".tmp"
         regs.write.mode("overwrite").parquet(tmp)  # materialized off old files
-        if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
-        os.replace(tmp, state_dir)
+        _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
     if checkpoint_dir:
@@ -151,9 +165,7 @@ def streaming_bottomk_update(
             sk = bottomk_merge(old, sk, k, group_cols=group_cols)
         tmp = state_dir.rstrip("/") + ".tmp"
         sk.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
-        os.replace(tmp, state_dir)
+        _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
     if checkpoint_dir:
@@ -191,9 +203,7 @@ def streaming_cms_update(
             )
         tmp = state_dir.rstrip("/") + ".tmp"
         sk.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
-        os.replace(tmp, state_dir)
+        _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
     if checkpoint_dir:

@@ -83,3 +83,74 @@ def test_fuzzy_join_equals_brute_force(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_fuzzy_join_qgram_equals_brute_force(spark):
+    """The q-gram prefix-filter path (ED-Join blocking) loses nothing vs
+    brute force — including short strings below the prefix-guarantee
+    cutoff (routed through the length-band path) and a skewed length
+    distribution where many strings share one length."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.joins import fuzzy_levenshtein_join
+
+    words = (
+        ["alpha", "alphaa", "alpa", "beta", "betta", "gamma", "gam"]
+        + ["x", "xy", "ab", "ba", ""]  # below the q-gram cutoff
+        + [f"prefix_core_{i:02d}" for i in range(20)]  # one dominant length
+        + ["ababab", "bababa", "aaaaaa"]  # repeated-gram (bag-semantics) cases
+    )
+    left = spark.createDataFrame([(w,) for w in words], "name string")
+    right = spark.createDataFrame(
+        [(w + "x",) for w in words] + [(w,) for w in words[:10]],
+        "name string",
+    )
+    got = {
+        (r["left_name"], r["right_name"], r["distance"])
+        for r in fuzzy_levenshtein_join(
+            left, right, 2, qgram_block=True
+        ).collect()
+    }
+    brute = {
+        (r["a"], r["b"], r["d"])
+        for r in left.withColumnRenamed("name", "a")
+        .crossJoin(right.withColumnRenamed("name", "b"))
+        .withColumn("d", F.levenshtein("a", "b"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_fuzzy_join_preserves_duplicate_multiplicity(spark):
+    """Genuinely duplicate input rows each produce their own output pair
+    (ADVICE r4: value-level DISTINCT collapsed them); dedup happens only
+    across the 3-probe band replication, keyed on per-row ids."""
+    from pyrope_spark.operators.joins import fuzzy_levenshtein_join
+
+    left = spark.createDataFrame(
+        [("acme", 1), ("acme", 2)], "name string, src int"
+    )
+    right = spark.createDataFrame([("acme",)], "name string")
+    out = fuzzy_levenshtein_join(left, right, 1, left_keep=("src",)).collect()
+    assert len(out) == 2
+    assert sorted(r["l_src"] for r in out) == [1, 2]
+    # and without keep cols the duplicate rows still both survive
+    out2 = fuzzy_levenshtein_join(
+        left.select("name"), right, 1
+    ).collect()
+    assert len(out2) == 2
+
+
+def test_fuzzy_join_keep_cols_prefixed_no_collision(spark):
+    """left_keep and right_keep sharing a column name stay distinct in the
+    output (l_/r_ prefixes)."""
+    from pyrope_spark.operators.joins import fuzzy_levenshtein_join
+
+    left = spark.createDataFrame([("acme", 10)], "name string, id int")
+    right = spark.createDataFrame([("acme", 20)], "name string, id int")
+    out = fuzzy_levenshtein_join(
+        left, right, 0, left_keep=("id",), right_keep=("id",)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["l_id"] == 10 and out[0]["r_id"] == 20
