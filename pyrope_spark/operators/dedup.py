@@ -583,9 +583,11 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     threshold: float = 0.9,
-    blocked: bool = False,
+    blocked: bool | str = "auto",
     nlist: int = 16,
     block_seed_ids: list | None = None,
+    exact_max_rows: int = 50_000,
+    force_exact: bool = False,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
@@ -596,10 +598,32 @@ def embedding_neardup_pairs(
     KMeans by default; ``block_seed_ids`` instead uses the embeddings of
     those ids as fixed centroids (deterministic, SQL-replicable — the
     oracle-parity blocking used by the driver query).
+
+    ``blocked="auto"`` (the DEFAULT — VERDICT r4 What's-wrong #5): one
+    count decides; at most ``exact_max_rows`` rows runs exact, above it
+    the clustered path with ``nlist`` scaled so cells average ~4k rows.
+    An EXPLICIT ``blocked=False`` above the bound raises instead of
+    silently planning a corpus-scale cross join — pass
+    ``force_exact=True`` to override (the facade auto-switch discipline
+    from ``similarity.py``'s >= 4,096-query rule).
     """
     from pyrope_spark.functions.vector import cosine_sim
 
     cols = emb.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+    if blocked == "auto":
+        n = cols.count()
+        blocked = n > exact_max_rows
+        if blocked and block_seed_ids is None:
+            nlist = max(nlist, n // 4096 + 1)
+    elif blocked is False and not force_exact:
+        n = cols.count()
+        if n > exact_max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs: exact all-pairs over {n} rows "
+                f"(> exact_max_rows={exact_max_rows}) would cross-join "
+                f"O(N^2); use blocked=True/'auto', or force_exact=True "
+                f"if you really want the exact path"
+            )
     if blocked:
         if block_seed_ids is not None:
             from pyrope_spark.operators.ivf import assign_by_centroids, fixed_ivf_model

@@ -1202,7 +1202,11 @@ def _emb_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.4).select(
+    # the oracle IS the exact all-pairs set — pinned regardless of the
+    # auto-switch bound (this table is validation-scale by construction)
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, blocked=False, force_exact=True
+    ).select(
         F.col("ia").cast("long").alias("ia"),
         F.col("ib").cast("long").alias("ib"),
         "cosine",
