@@ -634,6 +634,8 @@ def main() -> None:
         "value_histogram_events",
         "data_quality_expectations",
         "user_category_profile",
+        # round 5 additions
+        "dynamic_policy_ttl",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -4847,3 +4847,117 @@ FROM g JOIN m USING (user_id)
 """
 
 register("user_category_profile", _CAT_STATS_ORACLE)(_cat_stats_spark)
+
+
+# --------------------------------------------------------------------------
+# Dynamic policy-config store (operators/policy_store.py): per-(tenant,
+# index) cache-policy table with CRUD resolution (base -> delete batch ->
+# upsert batch, DynamicPolicyEngine.cs:15-45 / CachePolicyStore.cs:6-17
+# generalized from one global config to a keyed table), evaluated over the
+# request-key population with the reference defaults (enable=true, ttl=60 —
+# CachePolicyConfig.cs) for keys without a config row. Config side is
+# broadcast; the request stream never shuffles for the decision join.
+# --------------------------------------------------------------------------
+
+def _dynamic_policy_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.policy_store import (
+        evaluate_policy_decisions,
+        resolve_policy_updates,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        (F.col("user_id") % 7).cast("string").alias("tenant_id"),
+        F.col("event_type").alias("index_name"),
+    )
+    counts = keys.groupBy("tenant_id", "index_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_requests")
+    )
+    t = F.col("tenant_id").cast("int")
+    base = counts.filter(F.col("n_requests") % 4 != 0).select(
+        "tenant_id",
+        "index_name",
+        ((t % 3) != 0).alias("enable_cache"),
+        F.when(t == 1, F.lit(0))
+        .otherwise(F.lit(30) + t * 15 + F.length("index_name") * 7)
+        .cast("int")
+        .alias("ttl_s"),
+        F.round(F.lit(0.05) + (t % 5) * F.lit(0.01), 6).alias(
+            "admission_threshold"
+        ),
+        (t % 3).cast("int").alias("eviction_priority"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    ups = keys.select("tenant_id").distinct().select(
+        "tenant_id",
+        F.lit("purchase").alias("index_name"),
+        F.lit(True).alias("enable_cache"),
+        F.lit(300).cast("int").alias("ttl_s"),
+        F.lit(0.05).alias("admission_threshold"),
+        F.lit(1).cast("int").alias("eviction_priority"),
+    )
+    dels = (
+        keys.filter(F.col("tenant_id") == "5")
+        .select("tenant_id", "index_name")
+        .distinct()
+    )
+    cfg = resolve_policy_updates(base, upserts=ups, deletes=dels)
+    dec = evaluate_policy_decisions(cfg, keys)
+    return dec.join(counts, ["tenant_id", "index_name"])
+
+
+_DYNAMIC_POLICY_ORACLE = """
+WITH keys AS (
+  SELECT DISTINCT CAST(user_id % 7 AS VARCHAR) AS tenant_id,
+         event_type AS index_name
+  FROM events
+), counts AS (
+  SELECT CAST(user_id % 7 AS VARCHAR) AS tenant_id,
+         event_type AS index_name, CAST(count(*) AS BIGINT) AS n_requests
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT tenant_id, index_name,
+         (CAST(tenant_id AS INT) % 3) <> 0 AS enable_cache,
+         CASE WHEN CAST(tenant_id AS INT) = 1 THEN 0
+              ELSE 30 + CAST(tenant_id AS INT) * 15 + length(index_name) * 7
+         END AS ttl_s,
+         round(0.05 + (CAST(tenant_id AS INT) % 5) * 0.01, 6)
+           AS admission_threshold,
+         CAST(tenant_id AS INT) % 3 AS eviction_priority
+  FROM counts WHERE n_requests % 4 <> 0
+), ups AS (
+  SELECT DISTINCT tenant_id, 'purchase' AS index_name, TRUE AS enable_cache,
+         300 AS ttl_s, 0.05 AS admission_threshold, 1 AS eviction_priority
+  FROM keys
+), cfg AS (
+  SELECT b.tenant_id, b.index_name, b.enable_cache, b.ttl_s,
+         b.admission_threshold, b.eviction_priority
+  FROM base b
+  WHERE b.tenant_id <> '5'  -- delete batch: every (tenant 5, index) key
+    AND NOT EXISTS (SELECT 1 FROM ups u WHERE u.tenant_id = b.tenant_id
+                    AND u.index_name = b.index_name)
+  UNION ALL
+  SELECT tenant_id, index_name, enable_cache, ttl_s, admission_threshold,
+         eviction_priority
+  FROM ups
+), dec AS (
+  SELECT k.tenant_id, k.index_name,
+         (COALESCE(c.enable_cache, TRUE) AND COALESCE(c.ttl_s, 60) > 0)
+           AS should_cache,
+         CAST(CASE WHEN COALESCE(c.enable_cache, TRUE)
+                        AND COALESCE(c.ttl_s, 60) > 0
+                   THEN COALESCE(c.ttl_s, 60) ELSE 0 END AS BIGINT) AS ttl_s,
+         round(COALESCE(c.admission_threshold, 0.1), 6)
+           AS admission_threshold,
+         CAST(COALESCE(c.eviction_priority, 0) AS INT) AS eviction_priority
+  FROM keys k
+  LEFT JOIN cfg c ON c.tenant_id = k.tenant_id AND c.index_name = k.index_name
+)
+SELECT d.tenant_id, d.index_name, d.should_cache, d.ttl_s,
+       d.admission_threshold, d.eviction_priority, n.n_requests
+FROM dec d JOIN counts n
+  ON n.tenant_id = d.tenant_id AND n.index_name = d.index_name
+"""
+
+register("dynamic_policy_ttl", _DYNAMIC_POLICY_ORACLE)(_dynamic_policy_spark)

@@ -75,3 +75,96 @@ def test_llm_policy_engine_parse_clamp_cache_fallback():
         raise TimeoutError("model timeout")
 
     assert LlmPolicyEngine(boom).compute_policy(hot) == AGGRESSIVE_POLICY
+
+
+# ------------------------------------------------- dynamic policy store
+
+def test_policy_store_crud_and_defaults(spark, tmp_path):
+    """PolicyConfigStore: upsert replaces whole rows with a version bump,
+    delete removes keys, get() falls back to the reference defaults
+    (CachePolicyConfig.cs: enable=true ttl=60) for missing keys, and a
+    disabled or ttl<=0 row evaluates to NoCache
+    (DynamicPolicyEngine.cs:17-27)."""
+    from pyrope_spark.operators.policy_store import (
+        CONFIG_SCHEMA,
+        PolicyConfigStore,
+    )
+
+    store = PolicyConfigStore(spark, str(tmp_path / "policy"))
+    assert store.current().count() == 0
+    # missing key -> reference defaults
+    d = store.get("t0", "idx")
+    assert d.should_cache and d.ttl_s == 60.0 and d.admission_threshold == 0.1
+
+    store.upsert(spark.createDataFrame(
+        [("t0", "idx", True, 120, 0.2, 1, 0),
+         ("t1", "idx", False, 120, 0.2, 1, 0),
+         ("t2", "idx", True, 0, 0.2, 1, 0)],
+        CONFIG_SCHEMA,
+    ))
+    assert store.get("t0", "idx").ttl_s == 120.0
+    assert not store.get("t1", "idx").should_cache  # disabled -> NoCache
+    assert not store.get("t2", "idx").should_cache  # ttl<=0 -> NoCache
+
+    # whole-row replace + version bump (UpdatePolicy semantics)
+    store.upsert(spark.createDataFrame(
+        [("t0", "idx", True, 300, 0.05, 2, 0)], CONFIG_SCHEMA
+    ))
+    rows = {(r["tenant_id"], r["index_name"]): r
+            for r in store.current().collect()}
+    assert rows[("t0", "idx")]["ttl_s"] == 300
+    assert rows[("t0", "idx")]["version"] > rows[("t1", "idx")]["version"]
+
+    store.delete(spark.createDataFrame([("t1", "idx")],
+                                       "tenant_id string, index_name string"))
+    assert ("t1", "idx") not in {
+        (r["tenant_id"], r["index_name"]) for r in store.current().collect()
+    }
+    # deleted key -> defaults again
+    assert store.get("t1", "idx").ttl_s == 60.0
+
+
+def test_policy_store_feeds_write_back(spark, tmp_path):
+    """The config-store lookup drives write_back's TTL — the
+    DynamicPolicyEngine -> cache wiring."""
+    from pyrope_spark.operators.cache import ResultCacheTable
+    from pyrope_spark.operators.policy_store import (
+        CONFIG_SCHEMA,
+        PolicyConfigStore,
+    )
+
+    store = PolicyConfigStore(spark, str(tmp_path / "policy"))
+    store.upsert(spark.createDataFrame(
+        [("t", "i", True, 300, 0.05, 1, 0)], CONFIG_SCHEMA
+    ))
+    cfg = store.get("t", "i")
+    cache = ResultCacheTable(spark, str(tmp_path / "cache"))
+    results = spark.createDataFrame(
+        [(11, 22, 10, 1, "r")],
+        "key_hash long, simhash long, round_k int, cluster_id int, "
+        "result string",
+    )
+    assert cfg.should_cache
+    cache.write_back(results, epoch=1, ttl_s=cfg.ttl_s)
+    row = spark.read.parquet(str(tmp_path / "cache")).collect()[0]
+    assert row["ttl_s"] == 300.0
+
+
+def test_evaluate_policy_decisions_broadcast_no_request_shuffle(spark):
+    """The decision join broadcasts the config side (the request stream
+    must not shuffle for a KB-scale dim)."""
+    from pyrope_spark.operators.policy_store import (
+        CONFIG_SCHEMA,
+        evaluate_policy_decisions,
+    )
+
+    cfg = spark.createDataFrame([("t", "i", True, 120, 0.1, 0, 1)],
+                                CONFIG_SCHEMA)
+    keys = spark.createDataFrame(
+        [(f"t{i % 3}", "i") for i in range(100)],
+        "tenant_id string, index_name string",
+    )
+    out = evaluate_policy_decisions(cfg, keys)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 3
