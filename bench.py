@@ -664,8 +664,9 @@ def main() -> None:
             lambda: qs["minhash_lsh_dedup"](spark, SF_DIR).count(),
         )
         # the heaviest entry shows the widest suite-position spread
-        # (26-65 s observed under concurrent load); one isolated sample
-        # post-clearCache is the attribution number without paying 3x ~30 s
+        # (26-65 s observed under concurrent load); VERDICT r4 What's-wrong
+        # #3: one isolated sample cannot attribute a 2x swing — pay the
+        # 3x ~30 s for a real min-of-3
         from pyrope_spark.operators.hnsw import hnsw_partition_search as _hps
 
         reverify(
@@ -674,7 +675,7 @@ def main() -> None:
                 vectors.repartition(1), queries.limit(4), k=TOP_K,
                 metric="l2", max_shard_rows=100_000,
             ).count(),
-            repeat=1,
+            repeat=3,
         )
         if "ivf_bucketed" in state:
             huge2 = (
