@@ -636,6 +636,9 @@ def main() -> None:
         "user_category_profile",
         # round 5 additions
         "dynamic_policy_ttl",
+        "llm_request_coalescing",
+        "llm_ttl_overrides",
+        "llm_prefetch_dispatch",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

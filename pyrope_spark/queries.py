@@ -4961,3 +4961,173 @@ FROM dec d JOIN counts n
 """
 
 register("dynamic_policy_ttl", _DYNAMIC_POLICY_ORACLE)(_dynamic_policy_spark)
+
+
+# --------------------------------------------------------------------------
+# Batch LLM dispatch (operators/dispatch.py — llm_worker.py budget/dedup +
+# llm_dispatcher.py parse contracts): in-flight request coalescing with a
+# deterministic budget cut and executor-side stub client; prefetch-
+# prediction and TTL-advice parsing as pure from_json expressions. The
+# oracle recomputes the stub client / advice construction in SQL, so the
+# whole dedup -> call -> fan-back -> parse pipeline is value-checked.
+# --------------------------------------------------------------------------
+
+def _llm_coalesce_client(prompt: str) -> str | None:
+    """Deterministic stub client (executor-side): fails (None) for prompts
+    whose length % 7 == 0 — exercising retry exhaustion — else a canned
+    JSON keyed on the prompt length."""
+    if len(prompt) % 7 == 0:
+        return None
+    return '{"cluster_id": ' + str(len(prompt) % 40) + ', "confidence": 0.8}'
+
+
+def _llm_coalesce_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dispatch import coalesce_dispatch
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    requests = docs.select(
+        F.col("doc_id").cast("long").alias("request_id"),
+        F.concat(
+            F.lit("classify:"), F.col("lang"), F.lit(":"),
+            (F.length("text") % 23).cast("string"),
+        ).alias("prompt"),
+    )
+    out = coalesce_dispatch(
+        requests, _llm_coalesce_client, max_calls=40, max_retries=2
+    )
+    return out.select("request_id", "prompt", "response", "status")
+
+
+_LLM_COALESCE_ORACLE = """
+WITH requests AS (
+  SELECT CAST(doc_id AS BIGINT) AS request_id,
+         'classify:' || lang || ':' || CAST(length(text) % 23 AS VARCHAR)
+           AS prompt
+  FROM documents
+), uniq AS (
+  SELECT prompt, row_number() OVER (ORDER BY prompt ASC) AS r
+  FROM (SELECT DISTINCT prompt FROM requests)
+), answered AS (
+  SELECT prompt,
+         CASE WHEN r > 40 THEN NULL
+              WHEN length(prompt) % 7 = 0 THEN NULL
+              ELSE '{"cluster_id": ' || CAST(length(prompt) % 40 AS VARCHAR)
+                   || ', "confidence": 0.8}' END AS response,
+         CASE WHEN r > 40 THEN 'budget_exceeded'
+              WHEN length(prompt) % 7 = 0 THEN 'failed'
+              ELSE 'ok' END AS status
+  FROM uniq
+)
+SELECT q.request_id, q.prompt, a.response, a.status
+FROM requests q JOIN answered a USING (prompt)
+"""
+
+register("llm_request_coalescing", _LLM_COALESCE_ORACLE)(_llm_coalesce_spark)
+
+
+def _llm_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic LLM responses derived from events: every advice shape the
+    dispatcher must handle, including malformed JSON and missing fields."""
+    ev = load_table(spark, sf_dir, "events")
+    cl = (F.col("user_id") % 20).cast("string")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("user_id") % 5).cast("string").alias("tenant_id"),
+        F.lit("main").alias("index_name"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit('{"action": "shorten", "ttl_seconds": '),
+                     F.floor(F.col("value") * 10).cast("string"),
+                     F.lit(', "cluster_id": '), cl, F.lit("}")),
+        ).when(
+            F.col("event_type") == "error",
+            F.concat(F.lit('{"action": "evict", "cluster_id": '), cl,
+                     F.lit("}")),
+        ).when(
+            F.col("event_type") == "click",
+            F.concat(F.lit('{"action": "keep", "cluster_id": '), cl,
+                     F.lit("}")),
+        ).when(
+            F.col("event_type") == "view",
+            F.concat(F.lit('{"action": "shorten", "cluster_id": '), cl,
+                     F.lit("}")),  # missing ttl_seconds -> ignored
+        ).otherwise(F.lit("not-json")).alias("response"),
+    )
+
+
+def _llm_ttl_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dispatch import parse_ttl_advice
+
+    configure_for_oracle(spark)
+    out = parse_ttl_advice(
+        _llm_responses(spark, sf_dir), order_col="event_id"
+    )
+    return out.select(
+        "tenant_id", "index_name",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "ttl_s_override",
+    )
+
+
+_LLM_TTL_ORACLE = """
+WITH eff AS (
+  SELECT CAST(user_id % 5 AS VARCHAR) AS tenant_id, 'main' AS index_name,
+         CAST(user_id % 20 AS BIGINT) AS cluster_id, event_id,
+         CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 10) AS BIGINT)
+              WHEN event_type = 'error' THEN 0 END AS ttl_s_override
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+)
+SELECT tenant_id, index_name, cluster_id, ttl_s_override FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY tenant_id, index_name, cluster_id
+    ORDER BY event_id DESC) AS rn
+  FROM eff) WHERE rn = 1
+"""
+
+register("llm_ttl_overrides", _LLM_TTL_ORACLE)(_llm_ttl_spark)
+
+
+def _llm_prefetch_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dispatch import parse_prefetch_predictions
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cl = (F.col("user_id") % 20).cast("string")
+    conf = F.round(0.3 + (F.col("user_id") % 7) / 10.0, 1)
+    responses = ev.select(
+        (F.col("user_id") % 5).cast("string").alias("tenant_id"),
+        F.lit("main").alias("index_name"),
+        F.when(
+            F.col("event_type") == "view",
+            F.concat(F.lit('{"prediction": "next", "confidence": '),
+                     conf.cast("string"),
+                     F.lit(', "cluster_id": '), cl, F.lit("}")),
+        ).when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit('{"cluster_id": '), cl, F.lit("}")),
+        ).when(
+            F.col("event_type") == "purchase",
+            F.lit('{"prediction": "p", "confidence": 0.9}'),
+        ).otherwise(F.lit("not-json")).alias("response"),
+    )
+    out = parse_prefetch_predictions(responses)
+    return out.groupBy(
+        "tenant_id", "index_name",
+        F.col("cluster_id").cast("long").alias("cluster_id"), "confidence",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_dispatched"))
+
+
+_LLM_PREFETCH_ORACLE = """
+SELECT CAST(user_id % 5 AS VARCHAR) AS tenant_id, 'main' AS index_name,
+       CAST(user_id % 20 AS BIGINT) AS cluster_id,
+       round(0.3 + (user_id % 7) / 10.0, 1) AS confidence,
+       CAST(count(*) AS BIGINT) AS n_dispatched
+FROM events
+WHERE event_type = 'view' AND 0.3 + (user_id % 7) / 10.0 > 0.5
+GROUP BY 1, 2, 3, 4
+"""
+
+register("llm_prefetch_dispatch", _LLM_PREFETCH_ORACLE)(_llm_prefetch_spark)
