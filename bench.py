@@ -639,6 +639,10 @@ def main() -> None:
         "llm_request_coalescing",
         "llm_ttl_overrides",
         "llm_prefetch_dispatch",
+        "order_count_distribution",
+        "large_volume_orders",
+        "top_revenue_supplier",
+        "dormant_rich_customers",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -5131,3 +5131,183 @@ GROUP BY 1, 2, 3, 4
 """
 
 register("llm_prefetch_dispatch", _LLM_PREFETCH_ORACLE)(_llm_prefetch_spark)
+
+
+# --------------------------------------------------------------------------
+# TPC-H relational flavors, round 5: Q13 (order-count distribution with
+# zero-order customers), Q18 (large-volume orders via HAVING on a grouped
+# sum, joined back), Q15 (top-revenue supplier via broadcast-max), Q22
+# (above-average balance + anti-join to orders). Decimal-exact sums per
+# the repo convention (order-independent across engines).
+# --------------------------------------------------------------------------
+
+def _q13_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-flavor: distribution of per-customer order counts,
+    INCLUDING zero-order customers (left join, count of non-null keys) —
+    the canonical left-join-then-histogram shape."""
+    configure_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left"
+    ).groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+register("order_count_distribution", _Q13_ORACLE)(_q13_spark)
+
+
+def _q18_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-flavor large-volume orders: orders whose summed lineitem
+    quantity clears a threshold, joined back to customer/order detail —
+    grouped-HAVING feeding a semi-join, all keyed on the natural join key
+    so the aggregate and the join share one shuffle."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sq")
+    ).filter(F.col("_sq") > 212)
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("_sq").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(CAST(b._sq AS DOUBLE), 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS _sq
+  FROM lineitem GROUP BY l_orderkey HAVING _sq > 212
+) b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+register("large_volume_orders", _Q18_ORACLE)(_q18_spark)
+
+
+def _q15_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-flavor top supplier: per-supplier revenue over one
+    quarter, keep the supplier(s) equal to the max — the max is a 1-row
+    aggregate broadcast back (never a global sort)."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["_rev"] == mx["_mx"])
+        .join(sup, rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+           AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       round(CAST(r._rev AS DOUBLE), 4) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r._rev = (SELECT MAX(_rev) FROM rev)
+"""
+
+register("top_revenue_supplier", _Q15_ORACLE)(_q15_spark)
+
+
+def _q22_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-flavor: customers with above-average account balance (avg
+    over positive balances — a broadcast scalar) and no RECENT orders
+    (anti-join against the 1998+ slice; this testdata's order stream is
+    dense enough that lifetime no-order customers don't exist), rolled up
+    per nation."""
+    configure_for_oracle(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,6)")).alias("_avg")
+    )
+    rich = cust.join(
+        F.broadcast(avg_bal), cust["c_acctbal"] > avg_bal["_avg"]
+    ).drop("_avg")
+    no_orders = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("totacctbal"),
+    ).select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "numcust", "totacctbal",
+    )
+
+
+_Q22_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,6)))
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+register("dormant_rich_customers", _Q22_ORACLE)(_q22_spark)
