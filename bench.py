@@ -643,6 +643,8 @@ def main() -> None:
         "large_volume_orders",
         "top_revenue_supplier",
         "dormant_rich_customers",
+        "train_val_test_split",
+        "curriculum_ordering",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

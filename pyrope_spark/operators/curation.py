@@ -1252,3 +1252,102 @@ def weighted_gumbel_topk(
         F.round("gumbel_key", 6).alias("gumbel_key"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ------------------------------------------------ deterministic splits
+
+def hash_split_bucket(id_expr: Column, seed: str, granularity: int = 10_000) -> Column:
+    """Layout-independent split bucket in [0, granularity): double rolling
+    fingerprint of (seed | id) — the HLL-proven de-lattice construction
+    (one affine pass leaves sequential ids on a stride lattice; re-
+    fingerprinting the DECIMAL STRING of the first hash is nonlinear, see
+    sketch.py) — mod granularity. Pure integer math, identical in SQL."""
+    from pyrope_spark.functions.text import char_fp_rolling
+
+    h1 = char_fp_rolling(F.concat(F.lit(seed + "|"), id_expr.cast("string")))
+    return F.pmod(char_fp_rolling(h1.cast("string")), F.lit(granularity))
+
+
+def hash_split_bucket_sql(id_expr: str, seed: str, granularity: int = 10_000) -> str:
+    from pyrope_spark.functions.text import char_fp_rolling_sql
+
+    h1 = char_fp_rolling_sql(f"'{seed}|' || CAST({id_expr} AS VARCHAR)")
+    h2 = char_fp_rolling_sql(f"CAST(({h1}) AS VARCHAR)")
+    return f"(({h2}) % {granularity} + {granularity}) % {granularity}"
+
+
+def train_val_test_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split1",
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Deterministic dataset split by content-independent id hash: every
+    row gains a ``split`` label, stable under any repartition / re-run /
+    engine (the property that keeps eval sets eval sets forever — a
+    sampled split would reshuffle membership whenever the layout moved).
+
+    Integer thresholds: row is split i iff bucket in
+    [floor(cum_{i-1} * granularity), floor(cum_i * granularity)). At
+    100 TB this is one projected expression — no shuffle, no state; the
+    split can be recomputed from the id alone anywhere in the pipeline.
+    """
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    total = sum(weights)
+    cuts = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        cuts.append(int(acc * granularity))
+    cuts[-1] = granularity  # guard float residue
+    bucket = hash_split_bucket(F.col(id_col), seed, granularity)
+    expr = None
+    for lab, hi in zip(labels, cuts):
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    return df.withColumn("split", expr)
+
+
+def curriculum_order(
+    df: DataFrame,
+    *,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    seed: str = "curr1",
+) -> DataFrame:
+    """Curriculum data ordering (easy -> hard): stage = ntile(n_stages)
+    over ascending difficulty score (ties broken by id — fully
+    deterministic), order WITHIN a stage by the content-independent id
+    hash (so each stage is internally shuffled but reproducibly), and
+    ``curriculum_rank`` is the global serving order.
+
+    ntile semantics (earlier tiles take the remainder) are identical in
+    Spark and ANSI SQL given the same total order. Scale shape: two
+    window passes over one sort order + one over (stage, hash) — at
+    100 TB use range partitioning on (score) for the first and (stage,
+    hash) for the second; no global single-partition sort is required to
+    MATERIALIZE the order, only to number it (write
+    ``repartitionByRange(stage, hash_key).sortWithinPartitions`` for the
+    shard layout and let the rank be per-shard offsets).
+    """
+    stage = F.ntile(n_stages).over(
+        Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    )
+    hkey = hash_split_bucket(F.col(id_col), seed, 1 << 30)
+    staged = df.select(
+        id_col, score_col,
+    ).withColumn("stage", stage).withColumn("_h", hkey)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("stage").asc(), F.col("_h").asc(),
+                       F.col(id_col).asc())
+    )
+    return staged.select(
+        id_col,
+        F.col("stage").cast("long").alias("stage"),
+        rank.cast("long").alias("curriculum_rank"),
+    )

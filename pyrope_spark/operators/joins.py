@@ -79,7 +79,9 @@ def fuzzy_levenshtein_join(
     An edit op destroys at most ``q`` of a string's (gram, occurrence)
     tokens, so |bag-intersection| >= n_tokens - q*t for any pair within
     distance t; by the prefix-filter theorem the ``q*t + 1`` smallest
-    tokens (global xxhash64 order) of each side must then share >= 1 token.
+    tokens — in a shared global order, here ascending document frequency
+    over both sides (rarest grams first, the order that bounds candidate
+    volume) — of each side must then share >= 1 token.
     Occurrence-indexed tokens make the bag bound a set bound (gram #k is in
     both sets iff both bags hold >= k copies). Strings too short to carry
     ``q*t + 1`` q-grams (len < q*(t+1)) have no prefix guarantee, so every
@@ -133,7 +135,7 @@ def fuzzy_levenshtein_join(
         cutoff = m_min + threshold
         pi = q * threshold + 1  # prefix length
 
-        def prefix_tokens(src: DataFrame, scol: str, idc: str) -> DataFrame:
+        def all_tokens(src: DataFrame, scol: str, idc: str) -> DataFrame:
             grams = src.select(
                 idc, scol,
                 F.posexplode(
@@ -146,22 +148,43 @@ def fuzzy_levenshtein_join(
             occ = F.row_number().over(
                 Window.partitionBy(idc, "_g").orderBy("_pos")
             )
-            tok = grams.withColumn("_occ", occ).withColumn(
-                "_tokrank",
-                F.row_number().over(
-                    Window.partitionBy(idc).orderBy(
-                        F.xxhash64("_g", "_occ"), "_pos"
-                    )
-                ),
-            )
-            return tok.filter(F.col("_tokrank") <= pi).select(
-                idc, scol, "_g", "_occ"
-            )
+            return grams.withColumn("_occ", occ)
 
         long_l = l_src.filter(F.length("_ls") >= m_min)
         long_r = r_src.filter(F.length("_rs") >= m_min)
-        lt = prefix_tokens(long_l.select("_lid", "_ls"), "_ls", "_lid")
-        rt = prefix_tokens(long_r.select("_rid", "_rs"), "_rs", "_rid")
+        lt_all = all_tokens(long_l.select("_lid", "_ls"), "_ls", "_lid")
+        rt_all = all_tokens(long_r.select("_rid", "_rs"), "_rs", "_rid")
+        # Global token order = ascending document frequency over BOTH
+        # sides (ties by hash) — the canonical prefix-filter order: the
+        # pi-prefix then holds each string's RAREST tokens, so candidate
+        # volume is bounded by rare-gram postings, not frequent-gram
+        # cross-products (hash order on a skewed or small-vocabulary gram
+        # distribution selects frequent grams and degenerates toward the
+        # all-pairs join this blocking exists to avoid). Any shared total
+        # order preserves correctness; both sides MUST use the same one,
+        # hence the union df table.
+        df_tab = (
+            lt_all.select("_g", "_occ")
+            .unionByName(rt_all.select("_g", "_occ"))
+            .groupBy("_g", "_occ")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+
+        def prefix_tokens(tok: DataFrame, scol: str, idc: str) -> DataFrame:
+            ranked = tok.join(F.broadcast(df_tab), ["_g", "_occ"]).withColumn(
+                "_tokrank",
+                F.row_number().over(
+                    Window.partitionBy(idc).orderBy(
+                        F.col("_df").asc(), F.xxhash64("_g", "_occ"), "_pos"
+                    )
+                ),
+            )
+            return ranked.filter(F.col("_tokrank") <= pi).select(
+                idc, scol, "_g", "_occ"
+            )
+
+        lt = prefix_tokens(lt_all, "_ls", "_lid")
+        rt = prefix_tokens(rt_all, "_rs", "_rid")
         qcand = (
             lt.join(rt, ["_g", "_occ"])
             .filter(

@@ -5311,3 +5311,70 @@ GROUP BY c_nationkey
 """
 
 register("dormant_rich_customers", _Q22_ORACLE)(_q22_spark)
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset split + curriculum ordering (operators/curation.py):
+# the split is a pure projected expression over the id hash (stable under
+# any repartition/re-run/engine — membership never reshuffles), curriculum
+# ordering is ntile-over-difficulty + reproducible within-stage shuffle.
+# --------------------------------------------------------------------------
+
+def _split_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import train_val_test_split
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = train_val_test_split(docs, id_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "split"
+    )
+
+
+def _split_oracle() -> str:
+    from pyrope_spark.operators.curation import hash_split_bucket_sql
+
+    b = hash_split_bucket_sql("doc_id", "split1")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CASE WHEN ({b}) < 8000 THEN 'train'
+            WHEN ({b}) < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+register("train_val_test_split", _split_oracle())(_split_spark)
+
+
+def _curriculum_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import curriculum_order
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "difficulty", F.length("text").cast("long")
+    )
+    return curriculum_order(docs, score_col="difficulty", n_stages=4)
+
+
+def _curriculum_oracle() -> str:
+    from pyrope_spark.operators.curation import hash_split_bucket_sql
+
+    h = hash_split_bucket_sql("doc_id", "curr1", 1 << 30)
+    return f"""
+WITH staged AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS difficulty,
+         CAST(ntile(4) OVER (ORDER BY length(text) ASC, doc_id ASC)
+              AS BIGINT) AS stage,
+         ({h}) AS _h
+  FROM documents
+)
+SELECT doc_id, stage,
+       CAST(row_number() OVER (ORDER BY stage ASC, _h ASC, doc_id ASC)
+            AS BIGINT) AS curriculum_rank
+FROM staged
+"""
+
+
+register("curriculum_ordering", _curriculum_oracle())(_curriculum_spark)

@@ -99,10 +99,16 @@ def main() -> None:
     )
     d["band_candidate_pairs_1M"] = band_candidates
 
-    # 2. q-gram path at full scale
+    # 2. q-gram path at full scale. q=3: these synthetic names are
+    # UNIFORM-random letters, the q-gram worst case — a bigram vocabulary
+    # is only 26^2=676 keys, so even rarest-first prefixes carry ~1.5k-row
+    # postings at 1M and the candidate join explodes (first attempt OOMed
+    # at ~1.3e9 candidates). Trigrams give 17,576 keys (~230-row
+    # postings). Real name corpora are Zipfy with far larger effective
+    # vocabularies, where q=2 + rarest-first order is the standard choice.
     t0 = time.time()
     out = fuzzy_levenshtein_join(
-        left, right, 1, qgram_block=True,
+        left, right, 1, qgram_block=True, q=3,
         left_keep=("lid",), right_keep=("rid",),
     )
     n_pairs = out.count()
@@ -122,7 +128,7 @@ def main() -> None:
     def pairset(qgram):
         t0 = time.time()
         rows = fuzzy_levenshtein_join(
-            l100, r100, 1, qgram_block=qgram,
+            l100, r100, 1, qgram_block=qgram, q=3,
             left_keep=("lid",), right_keep=("rid",),
         ).select("l_lid", "r_rid").collect()
         dt = round(time.time() - t0, 1)

@@ -552,3 +552,58 @@ def test_gumbel_topk_null_weights_excluded(spark):
         df, 3, weight_log_col="lw"
     ).collect()}
     assert ids == {1, 3}
+
+
+def test_train_val_test_split_deterministic_and_proportional(spark):
+    """Split labels are layout-independent (same under repartition),
+    proportions track weights, and membership is a pure function of id."""
+    from pyrope_spark.operators.curation import train_val_test_split
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r["split"]
+           for r in train_val_test_split(df, id_col="doc_id").collect()}
+    out2 = {r["doc_id"]: r["split"]
+            for r in train_val_test_split(
+                df.repartition(13), id_col="doc_id").collect()}
+    assert out == out2
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert 0.75 < c["train"] / 5000 < 0.85
+    assert 0.07 < c["val"] / 5000 < 0.13
+    assert 0.07 < c["test"] / 5000 < 0.13
+    # different seed -> different membership (not a constant function)
+    out3 = {r["doc_id"]: r["split"]
+            for r in train_val_test_split(
+                df, id_col="doc_id", seed="other").collect()}
+    assert out3 != out
+
+
+def test_curriculum_order_stages_monotone_in_score(spark):
+    """Stages partition ascending difficulty; curriculum_rank serves stage
+    1 fully before stage 2; within-stage order is a deterministic shuffle
+    (not score order)."""
+    from pyrope_spark.operators.curation import curriculum_order
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 400).alias("score")
+    )
+    rows = curriculum_order(df, score_col="score", n_stages=4).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    scores = {r["doc_id"]: (r["doc_id"] * 7) % 400 for r in rows}
+    # every stage-1 score <= every stage-2 score, etc.
+    import itertools
+
+    for a, b in itertools.combinations(range(1, 5), 2):
+        max_a = max(scores[i] for i, r in by_id.items() if r["stage"] == a)
+        min_b = min(scores[i] for i, r in by_id.items() if r["stage"] == b)
+        assert max_a <= min_b
+    # ranks 1..100 are exactly stage 1, etc.
+    ranked = sorted(rows, key=lambda r: r["curriculum_rank"])
+    assert [r["stage"] for r in ranked] == sorted(r["stage"] for r in rows)
+    # within stage 1, serving order is not simply score order
+    s1 = [r for r in ranked if r["stage"] == 1]
+    s1_scores = [scores[r["doc_id"]] for r in s1]
+    assert s1_scores != sorted(s1_scores)
