@@ -645,6 +645,7 @@ def main() -> None:
         "dormant_rich_customers",
         "train_val_test_split",
         "curriculum_ordering",
+        "k_anonymity_audit",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

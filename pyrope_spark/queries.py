@@ -5378,3 +5378,81 @@ FROM staged
 
 
 register("curriculum_ordering", _curriculum_oracle())(_curriculum_spark)
+
+
+# --------------------------------------------------------------------------
+# Privacy audit (operators/privacy.py): k-anonymity / l-diversity over
+# quasi-identifier classes of the events table (user bucket x event_type x
+# value decile as QIs, props-derived sensitive attribute) — the release
+# gate before sharing a corpus slice; one hash aggregate, class table
+# bounded by QI cardinality.
+# --------------------------------------------------------------------------
+
+def _kanon_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.privacy import k_anonymity_report
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        (F.col("user_id") % 50).cast("long").alias("user_bucket"),
+        F.col("event_type"),
+        F.floor(F.col("value") / 10).cast("long").alias("value_decile"),
+        (F.col("user_id") % 7).cast("long").alias("sensitive"),
+    )
+    rep = k_anonymity_report(
+        qi, ["user_bucket", "event_type", "value_decile"],
+        k=5, sensitive_col="sensitive", l=3,
+    )
+    return rep.select(
+        "user_bucket", "event_type", "value_decile", "class_size",
+        "distinct_sensitive", "k_violation", "l_violation",
+    )
+
+
+_KANON_ORACLE = """
+SELECT CAST(user_id % 50 AS BIGINT) AS user_bucket, event_type,
+       CAST(floor(value / 10) AS BIGINT) AS value_decile,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT user_id % 7) AS BIGINT) AS distinct_sensitive,
+       count(*) < 5 AS k_violation,
+       count(DISTINCT user_id % 7) < 3 AS l_violation
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+register("k_anonymity_audit", _KANON_ORACLE)(_kanon_spark)
+
+
+def _kanon_suppress_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.privacy import suppress_small_classes
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("user_id") % 50).cast("long").alias("user_bucket"),
+        F.col("event_type"),
+        F.floor(F.col("value") / 10).cast("long").alias("value_decile"),
+    )
+    return suppress_small_classes(
+        qi, ["user_bucket", "event_type", "value_decile"], k=5
+    )
+
+
+_KANON_SUPPRESS_ORACLE = """
+WITH qi AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id % 50 AS BIGINT) AS user_bucket, event_type,
+         CAST(floor(value / 10) AS BIGINT) AS value_decile
+  FROM events
+), ok AS (
+  SELECT user_bucket, event_type, value_decile
+  FROM qi GROUP BY 1, 2, 3 HAVING count(*) >= 5
+)
+SELECT q.event_id, q.user_bucket, q.event_type, q.value_decile
+FROM qi q SEMI JOIN ok o
+  ON q.user_bucket = o.user_bucket AND q.event_type = o.event_type
+ AND q.value_decile = o.value_decile
+"""
+
+register("k_anonymity_suppression", _KANON_SUPPRESS_ORACLE)(_kanon_suppress_spark)
