@@ -646,6 +646,8 @@ def main() -> None:
         "train_val_test_split",
         "curriculum_ordering",
         "k_anonymity_audit",
+        "returned_item_revenue",
+        "national_market_share",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

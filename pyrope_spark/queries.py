@@ -5456,3 +5456,155 @@ FROM qi q SEMI JOIN ok o
 """
 
 register("k_anonymity_suppression", _KANON_SUPPRESS_ORACLE)(_kanon_suppress_spark)
+
+
+# --------------------------------------------------------------------------
+# TPC-H flavors continued: Q10 (returned-item revenue per customer, top 20)
+# and Q8 (national market share inside a region for one part type) — the
+# multi-join + conditional-aggregate shapes; dims broadcast, fact tables
+# never re-shuffled beyond their join keys.
+# --------------------------------------------------------------------------
+
+def _q10_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-flavor: revenue lost to returns per customer over one
+    quarter, top 20 by revenue (TakeOrderedAndProject, never a global
+    sort); nation broadcast."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    return (
+        rev.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name", "n_name",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+_Q10_ORACLE = """
+WITH rev AS (
+  SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, n.n_name,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+           AS _rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name,
+       round(CAST(_rev AS DOUBLE), 4) AS revenue
+FROM rev ORDER BY _rev DESC, c_custkey ASC LIMIT 20
+"""
+
+register("returned_item_revenue", _Q10_ORACLE)(_q10_spark)
+
+
+def _q8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-flavor national market share: of the revenue a region's
+    customers spent on one part type per year, the share supplied by one
+    nation — conditional aggregate over a 6-table join, every dim
+    broadcast."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    cust_region = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    sup_nation = sup.join(
+        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    base = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("_vol"),
+            (F.col("supp_nation") == "CHINA").alias("_target"),
+        )
+    )
+    out = base.groupBy("o_year").agg(
+        F.sum(F.when(F.col("_target"), F.col("_vol")).otherwise(
+            F.lit(0).cast("decimal(18,6)"))).alias("_tv"),
+        F.sum("_vol").alias("_v"),
+    )
+    return out.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        F.round(F.col("_tv").cast("double"), 4).alias("target_volume"),
+        F.round(F.col("_v").cast("double"), 4).alias("total_volume"),
+        F.round(
+            (F.col("_tv").cast("double") / F.col("_v").cast("double")), 6
+        ).alias("mkt_share"),
+    )
+
+
+_Q8_ORACLE = """
+WITH base AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+           AS vol,
+         sn.n_name = 'CHINA' AS is_target
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round(CAST(SUM(CASE WHEN is_target THEN vol
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+         AS target_volume,
+       round(CAST(SUM(vol) AS DOUBLE), 4) AS total_volume,
+       round(CAST(SUM(CASE WHEN is_target THEN vol
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+register("national_market_share", _Q8_ORACLE)(_q8_spark)
