@@ -648,6 +648,7 @@ def main() -> None:
         "k_anonymity_audit",
         "returned_item_revenue",
         "national_market_share",
+        "join_strategy_advice",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

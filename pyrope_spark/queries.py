@@ -5608,3 +5608,117 @@ FROM base GROUP BY o_year
 """
 
 register("national_market_share", _Q8_ORACLE)(_q8_spark)
+
+
+# --------------------------------------------------------------------------
+# Join-strategy advisor (operators/planner.py): metadata-scale stats for
+# four candidate joins (two dim joins, a uniform self-join, a skewed
+# self-join) -> broadcast/salt/shuffle decision + n_salts sizing + blow-up
+# warning. broadcast_row_limit is lowered to 5k in the query so all three
+# strategy branches are exercised at gate scale.
+# --------------------------------------------------------------------------
+
+def _join_advice_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.planner import join_strategy_advice
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+
+    def stats_row(name, left, right, key_left, key_right):
+        ln, rn = left.count(), right.count()
+        big, bkey = (left, key_left) if ln >= rn else (right, key_right)
+        hist = big.groupBy(F.col(bkey).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        mx = hist.agg(F.max("_c").alias("m")).collect()[0]["m"]
+        est = (
+            left.select(F.col(key_left).alias("_k"))
+            .groupBy("_k").agg(F.count(F.lit(1)).alias("_cl"))
+            .join(
+                right.select(F.col(key_right).alias("_k"))
+                .groupBy("_k").agg(F.count(F.lit(1)).alias("_cr")),
+                "_k",
+            )
+            .agg(F.coalesce(F.sum(F.col("_cl") * F.col("_cr")), F.lit(0)))
+            .collect()[0][0]
+        )
+        n = max(ln, rn)
+        return (name, ln, rn, round(mx / n, 6), int(est))
+
+    skewed = ev.select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id")).alias("skey")
+    )
+    rows = [
+        stats_row("orders_x_customer", orders, cust, "o_custkey", "c_custkey"),
+        stats_row("lineitem_x_part", li, part, "l_partkey", "p_partkey"),
+        stats_row("events_self_user", ev, ev, "user_id", "user_id"),
+        stats_row("events_self_skewed", skewed, skewed, "skey", "skey"),
+    ]
+    stats = spark.createDataFrame(
+        rows,
+        "join_name string, left_rows long, right_rows long, "
+        "max_key_share double, est_join_rows long",
+    )
+    return join_strategy_advice(stats, broadcast_row_limit=5000)
+
+
+_JOIN_ADVICE_ORACLE = """
+WITH cand AS (
+  SELECT 'orders_x_customer' AS join_name,
+         (SELECT count(*) FROM orders) AS left_rows,
+         (SELECT count(*) FROM customer) AS right_rows,
+         (SELECT round(max(c) / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6)
+          FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey))
+           AS max_key_share,
+         (SELECT CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) FROM
+            (SELECT o_custkey AS k, count(*) AS cl FROM orders GROUP BY 1) a
+            JOIN (SELECT c_custkey AS k, count(*) AS cr FROM customer GROUP BY 1) b
+            USING (k)) AS est_join_rows
+  UNION ALL
+  SELECT 'lineitem_x_part',
+         (SELECT count(*) FROM lineitem), (SELECT count(*) FROM part),
+         (SELECT round(max(c) / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6)
+          FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)),
+         (SELECT CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) FROM
+            (SELECT l_partkey AS k, count(*) AS cl FROM lineitem GROUP BY 1) a
+            JOIN (SELECT p_partkey AS k, count(*) AS cr FROM part GROUP BY 1) b
+            USING (k))
+  UNION ALL
+  SELECT 'events_self_user',
+         (SELECT count(*) FROM events), (SELECT count(*) FROM events),
+         (SELECT round(max(c) / CAST((SELECT count(*) FROM events) AS DOUBLE), 6)
+          FROM (SELECT count(*) AS c FROM events GROUP BY user_id)),
+         (SELECT CAST(COALESCE(SUM(c * c), 0) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM events GROUP BY user_id))
+  UNION ALL
+  SELECT 'events_self_skewed',
+         (SELECT count(*) FROM events), (SELECT count(*) FROM events),
+         (SELECT round(max(c) / CAST((SELECT count(*) FROM events) AS DOUBLE), 6)
+          FROM (SELECT count(*) AS c FROM
+                (SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS k
+                 FROM events) GROUP BY k)),
+         (SELECT CAST(COALESCE(SUM(c * c), 0) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM
+                (SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS k
+                 FROM events) GROUP BY k))
+)
+SELECT join_name, left_rows, right_rows, max_key_share, est_join_rows,
+       CASE WHEN least(left_rows, right_rows) <= 5000 THEN 'broadcast'
+            WHEN max_key_share > 0.10 THEN 'salt'
+            ELSE 'shuffle' END AS strategy,
+       CAST(CASE WHEN NOT (least(left_rows, right_rows) <= 5000)
+                      AND max_key_share > 0.10
+                 THEN greatest(2, CAST(ceil(max_key_share
+                        * greatest(left_rows, right_rows)
+                        / (greatest(left_rows, right_rows) / 200)) AS BIGINT))
+                 ELSE 0 END AS BIGINT) AS n_salts,
+       est_join_rows > 4 * greatest(left_rows, right_rows) AS blowup_warning
+FROM cand
+"""
+
+register("join_strategy_advice", _JOIN_ADVICE_ORACLE)(_join_advice_spark)
