@@ -649,6 +649,7 @@ def main() -> None:
         "returned_item_revenue",
         "national_market_share",
         "join_strategy_advice",
+        "cdc_chunking",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1351,3 +1351,116 @@ def curriculum_order(
         F.col("stage").cast("long").alias("stage"),
         rank.cast("long").alias("curriculum_rank"),
     )
+
+
+# ------------------------------------------- content-defined chunking
+
+CDC_WINDOW = 8
+CDC_MODULUS = 48
+
+
+def cdc_chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    modulus: int = CDC_MODULUS,
+) -> DataFrame:
+    """Content-defined chunking: cut where the rolling fingerprint of the
+    trailing ``window`` chars hits ``fp % modulus == 0`` — so chunk
+    boundaries are a function of LOCAL CONTENT, not offsets. Insert or
+    delete text anywhere and boundaries downstream of the edit
+    re-synchronize within ~window chars: every untouched chunk keeps its
+    exact bytes (and therefore its exact-dedup hash), which is why CDC is
+    the re-chunking primitive for dedup over evolving corpora —
+    fixed-size chunking shifts EVERY later chunk on a one-char edit.
+
+    Chunk sizes are ~geometric with mean ``modulus``; no min/max bounds
+    are enforced (the classic unbounded CDC — document-level outliers are
+    bounded by the document itself). Docs shorter than ``window`` are one
+    chunk. Pure expression pipeline (per-position window fingerprints,
+    O(window) per char inside the scan stage, zero shuffles) with an
+    exact SQL twin: :func:`cdc_chunk_oracle_sql`.
+
+    Output: (id, chunk_no, chunk_start, chunk_text).
+    """
+    from pyrope_spark.functions.text import char_fp_rolling
+
+    w, m = window, modulus
+    # the fp expression inline: char_fp_rolling over the window ENDING at p
+    from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
+
+    fp_sql = (
+        f"aggregate(transform(split(substring(_s, p - {w - 1}, {w}), ''), "
+        f"c -> cast(ascii(c) as bigint)), cast({FP_ROLL_SEED} as bigint), "
+        f"(acc, c) -> (acc * {FP_ROLL_R} + c) % {FP_ROLL_P})"
+    )
+    # sequence(a, b) REVERSES when a > b in Spark — short docs must give
+    # an empty position list, not [w..len] backwards
+    cuts = F.expr(
+        f"filter(transform("
+        f"IF(length(_s) < {w}, array(), sequence({w}, length(_s))), "
+        f"p -> IF(({fp_sql}) % {m} = 0, p, NULL)), x -> x IS NOT NULL)"
+    )
+    src = docs.select(
+        F.col(id_col), F.col(text_col).alias("_s")
+    ).filter(F.length("_s") > 0)
+    bounded = src.withColumn("_cuts", cuts).withColumn(
+        "_bounds",
+        F.expr("array_distinct(concat(array(0), _cuts, array(length(_s))))"),
+    )
+    out = bounded.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(_bounds) - 1), "
+                "i -> struct(_bounds[i - 1] AS st, "
+                "substring(_s, _bounds[i - 1] + 1, _bounds[i] - _bounds[i - 1]) AS tx))"
+            )
+        ).alias("_i", "_c"),
+    )
+    return out.select(
+        id_col,
+        (F.col("_i") + 1).cast("long").alias("chunk_no"),
+        (F.col("_c.st") + 1).cast("long").alias("chunk_start"),
+        F.col("_c.tx").alias("chunk_text"),
+    )
+
+
+def cdc_chunk_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    modulus: int = CDC_MODULUS,
+) -> str:
+    from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
+
+    w, m = window, modulus
+    fp = (
+        f"list_reduce(list_prepend(CAST({FP_ROLL_SEED} AS BIGINT), "
+        f"list_transform(string_split(substring(s, p - {w - 1}, {w}), ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {FP_ROLL_R} + c) % {FP_ROLL_P})"
+    )
+    return f"""
+WITH src AS (
+  SELECT {id_col}, {text_col} AS s FROM {table} WHERE length({text_col}) > 0
+), cut AS (
+  SELECT {id_col}, s,
+         -- list_distinct does NOT preserve order in DuckDB; re-sort
+         list_sort(list_distinct(list_concat(list_concat([0],
+           list_filter(list_transform(range(ceil({w})::BIGINT, length(s) + 1),
+             p -> CASE WHEN ({fp}) % {m} = 0 THEN p END),
+             x -> x IS NOT NULL)),
+           [length(s)]))) AS bounds
+  FROM src
+)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_no,
+       CAST(bounds[i] + 1 AS BIGINT) AS chunk_start,
+       substring(s, bounds[i] + 1, bounds[i + 1] - bounds[i]) AS chunk_text
+FROM cut, unnest(range(1, len(bounds))) AS u(i)
+"""

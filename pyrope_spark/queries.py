@@ -5722,3 +5722,39 @@ FROM cand
 """
 
 register("join_strategy_advice", _JOIN_ADVICE_ORACLE)(_join_advice_spark)
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (operators/curation.py): boundaries from the
+# rolling fingerprint of the trailing window — edits re-synchronize within
+# ~window chars so untouched chunks keep their exact bytes (the
+# re-chunking primitive for dedup over evolving corpora). Exact SQL twin.
+# --------------------------------------------------------------------------
+
+def _cdc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import cdc_chunk_documents
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = cdc_chunk_documents(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_no", "chunk_start",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.substring("chunk_text", 1, 16).alias("chunk_head"),
+    )
+
+
+def _cdc_oracle() -> str:
+    from pyrope_spark.operators.curation import cdc_chunk_oracle_sql
+
+    inner = cdc_chunk_oracle_sql()
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_no, chunk_start,
+       CAST(length(chunk_text) AS BIGINT) AS chunk_len,
+       substring(chunk_text, 1, 16) AS chunk_head
+FROM ({inner})
+"""
+
+
+register("cdc_chunking", _cdc_oracle())(_cdc_spark)

@@ -607,3 +607,44 @@ def test_curriculum_order_stages_monotone_in_score(spark):
     s1 = [r for r in ranked if r["stage"] == 1]
     s1_scores = [scores[r["doc_id"]] for r in s1]
     assert s1_scores != sorted(s1_scores)
+
+
+def test_cdc_chunks_reassemble_and_resync_after_edit(spark):
+    """CDC property tests: chunks reassemble to the exact input, and a
+    prefix insertion leaves the downstream chunks byte-identical (the
+    boundary-resynchronization property fixed-size chunking lacks)."""
+    from pyrope_spark.operators.curation import cdc_chunk_documents
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua ut "
+            "enim ad minim veniam quis nostrud exercitation ullamco laboris")
+    docs = spark.createDataFrame(
+        [(1, base), (2, "EDITED " + base), (3, "tiny"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunk_documents(docs).collect()
+    chunks = {}
+    for r in rows:
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_no"], r["chunk_start"], r["chunk_text"])
+        )
+    # exact reassembly, contiguous starts
+    for did, text in [(1, base), (2, "EDITED " + base), (3, "tiny")]:
+        cs = sorted(chunks[did])
+        assert "".join(t for _, _, t in cs) == text
+        pos = 1
+        for _, st, t in cs:
+            assert st == pos
+            pos += len(t)
+    assert 4 not in chunks  # empty doc -> no chunks
+    # resync: chunk lists share a suffix after the edit
+    t1 = [t for _, _, t in sorted(chunks[1])]
+    t2 = [t for _, _, t in sorted(chunks[2])]
+    shared = 0
+    while (shared < min(len(t1), len(t2))
+           and t1[-1 - shared] == t2[-1 - shared]):
+        shared += 1
+    assert shared >= 1
+    # fixed-size chunking would shift everything: verify CDC kept most
+    # of the unedited tail
+    assert sum(len(t) for t in t1[-shared:]) >= len(base) // 3
