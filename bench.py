@@ -650,6 +650,11 @@ def main() -> None:
         "national_market_share",
         "join_strategy_advice",
         "cdc_chunking",
+        "volume_shipping",
+        "product_type_profit",
+        "suppliers_kept_waiting",
+        "min_cost_supplier_region",
+        "important_stock_value",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

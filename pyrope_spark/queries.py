@@ -5758,3 +5758,454 @@ FROM ({inner})
 
 
 register("cdc_chunking", _cdc_oracle())(_cdc_spark)
+
+
+# --------------------------------------------------------------------------
+# TPC-H flavors continued (round-5 session 2): Q7 volume shipping, Q9
+# product-type profit, Q17 small-quantity revenue, Q19 disjunctive
+# predicates, Q21 waiting suppliers, Q2 min-cost supplier, Q11 important
+# stock — adapted to the generator schema (no partsupp / shipmode /
+# commitdate columns), keeping each query's JOIN/SUBQUERY shape.  All
+# money math is exact decimal (or integer cents) until one final
+# round-to-double, per the cross-engine determinism rules.
+# --------------------------------------------------------------------------
+
+def _q7_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-flavor volume shipping: revenue between two nations in
+    either direction by ship year.  Both nation lookups broadcast; the
+    lineitem->orders join is the only big shuffle."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    sup_n = sup.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+        )
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    return out.select(
+        "supp_nation", "cust_nation",
+        F.col("l_year").cast("long").alias("l_year"),
+        F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+    )
+
+
+_Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+           AS DOUBLE), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+register("volume_shipping", _Q7_ORACLE)(_q7_spark)
+
+
+def _q9_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-flavor product-type profit by supplier nation and year.
+    No partsupp table in the generator schema, so supply cost is
+    p_retailprice * l_quantity (exact decimals); profit = revenue - cost.
+    part/supplier/nation broadcast; one agg shuffle."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    sup_n = sup.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    cost = dec("p_retailprice") * F.col("l_quantity").cast("decimal(9,2)")
+    out = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev - cost).alias("_profit"))
+    )
+    return out.select(
+        "nation", F.col("o_year").cast("long").alias("o_year"),
+        F.round(F.col("_profit").cast("double"), 4).alias("profit"),
+    )
+
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(SUM(
+         CAST(l.l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+         - CAST(p.p_retailprice AS DECIMAL(18,6))
+           * CAST(l.l_quantity AS DECIMAL(9,2))
+       ) AS DOUBLE), 4) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+register("product_type_profit", _Q9_ORACLE)(_q9_spark)
+
+
+def _q17_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-flavor small-quantity-order revenue: lineitems whose
+    quantity is below 20%% of the part's average quantity, for one brand.
+    The correlated AVG subquery becomes one grouped aggregate joined back;
+    the boundary compare is exact integer/decimal (5*qty*cnt < sum_qty) so
+    no float average can flip a row cross-engine."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    target = part.filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 25)
+    ).select("p_partkey")
+    li_t = li.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li_t.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    five_cnt = (F.col("cnt") * F.lit(5)).cast("decimal(12,0)")
+    small = li_t.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey")
+    ).filter(
+        F.col("l_quantity").cast("decimal(9,2)") * five_cnt < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+             .cast("double") / F.lit(7.0)),
+            4,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+_Q17_ORACLE = """
+WITH target AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#5' AND p_size < 25
+), li_t AS (
+  SELECT l.* FROM lineitem l JOIN target t ON l.l_partkey = t.p_partkey
+), per_part AS (
+  SELECT l_partkey AS agg_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM li_t GROUP BY 1
+)
+SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM li_t l
+JOIN per_part a ON l.l_partkey = a.agg_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(9,2)) * CAST(a.cnt * 5 AS DECIMAL(12,0))
+      < a.sum_qty
+"""
+
+register("small_quantity_revenue", _Q17_ORACLE)(_q17_spark)
+
+
+def _q19_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-flavor disjunctive-predicate revenue: three (brand, size
+    band, quantity band) OR-arms over a broadcast part join — the
+    pushdown-hostile shape Catalyst still prunes to one scan each side."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    arm1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) \
+        & qty.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) \
+        & qty.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) \
+        & qty.between(20, 30)
+    out = j.filter(arm1 | arm2 | arm3).agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+        ).alias("_rev"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return out.select(
+        F.round(F.col("_rev").cast("double"), 4).alias("revenue"), "n_lines"
+    )
+
+
+_Q19_ORACLE = """
+SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+         * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+       AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+register("disjunctive_filter_revenue", _Q19_ORACLE)(_q19_spark)
+
+
+def _q21_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavor suppliers-kept-waiting: late lines (shipdate >
+    orderdate + 90 days) on finished multi-supplier orders where the
+    supplier was the ONLY late one.  The textbook EXISTS / NOT-EXISTS pair
+    of correlated self-joins collapses to ONE grouped pass over lineitem:
+    per (order, supplier) lateness, then per order n_supp / n_late_supp —
+    the condition is n_supp > 1 AND n_late_supp == 1.  The oracle keeps
+    the textbook shape, proving the rewrite."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
+    )
+    asia_sup = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name")
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_orderkey"))
+            & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    return waiting.orderBy(F.col("numwait").desc(), F.col("s_name").asc()).limit(20)
+
+
+_Q21_ORACLE = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""
+
+register("suppliers_kept_waiting", _Q21_ORACLE)(_q21_spark)
+
+
+def _q2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavor min-cost supplier: no partsupp table, so the
+    (part, supplier) offer price is MIN(l_extendedprice) observed in
+    lineitem (pure MIN, no arithmetic — bit-identical cross-engine).  The
+    correlated MIN subquery becomes a grouped MIN joined back on equality;
+    suppliers restricted to one region, parts to one type/size band."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu_sup = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target = part.filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    costs = (
+        li.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    part_min = costs.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            F.broadcast(part_min),
+            (F.col("p_partkey") == F.col("mk")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name", "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("cost"), 2).alias("cost"),
+        )
+    )
+
+
+_Q2_ORACLE = """
+WITH eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), costs AS (
+  SELECT l.l_partkey AS p_partkey, e.s_suppkey, e.s_name, e.s_acctbal,
+         e.n_name, MIN(l.l_extendedprice) AS cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+             AND p.p_type = 'LARGE' AND p.p_size <= 5
+  JOIN eu e ON l.l_suppkey = e.s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT round(c.s_acctbal, 2) AS s_acctbal, c.s_name, c.n_name,
+       CAST(c.p_partkey AS BIGINT) AS p_partkey, round(c.cost, 2) AS cost
+FROM costs c
+WHERE c.cost = (SELECT MIN(c2.cost) FROM costs c2
+                WHERE c2.p_partkey = c.p_partkey)
+"""
+
+register("min_cost_supplier_region", _Q2_ORACLE)(_q2_spark)
+
+
+def _q11_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-flavor important stock: per-part shipped inventory value
+    for one nation's suppliers, kept where the part's value exceeds 3x the
+    MEAN part value (scale-free where Q11's fixed fraction would empty out
+    at 10x the part count).  All money in INTEGER CENTS (round(price*100)
+    as BIGINT, quantity integral) so the threshold compare
+    value_cents * n_parts > 3 * total_cents is exact integer arithmetic —
+    the scalar-subquery-vs-group-aggregate shape, zero float boundaries."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n7_sup = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    cents = (
+        li.join(F.broadcast(n7_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(part.select(
+                "p_partkey",
+                F.round(F.col("p_retailprice") * 100, 0).cast("long")
+                 .alias("retail_cents"),
+            )),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            (F.col("l_quantity").cast("long") * F.col("retail_cents"))
+            .alias("line_cents"),
+        )
+    )
+    per_part = cents.groupBy("p_partkey").agg(
+        F.sum("line_cents").alias("value_cents")
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("n_parts") > F.lit(3) * F.col("total_cents"))
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("value_cents") / 100.0, 2).alias("stock_value"),
+        )
+    )
+
+
+_Q11_ORACLE = """
+WITH cents AS (
+  SELECT l.l_partkey AS p_partkey,
+         CAST(l.l_quantity AS BIGINT)
+           * CAST(round(p.p_retailprice * 100) AS BIGINT) AS line_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+  JOIN part p ON l.l_partkey = p.p_partkey
+)
+, per_part AS (
+  SELECT p_partkey, SUM(line_cents) AS value_cents
+  FROM cents GROUP BY p_partkey
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       round(value_cents / 100.0, 2) AS stock_value
+FROM per_part
+WHERE value_cents * (SELECT COUNT(*) FROM per_part)
+      > 3 * (SELECT SUM(value_cents) FROM per_part)
+"""
+
+register("important_stock_value", _Q11_ORACLE)(_q11_spark)
