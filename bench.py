@@ -655,6 +655,7 @@ def main() -> None:
         "suppliers_kept_waiting",
         "min_cost_supplier_region",
         "important_stock_value",
+        "winnowing_fingerprints",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

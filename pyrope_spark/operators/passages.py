@@ -328,3 +328,114 @@ SELECT doc_id,
 FROM marked
 GROUP BY doc_id
 """
+
+
+# ----------------------------------------------------------- winnowing
+
+WINNOW_K = 8  # k-gram length in chars
+WINNOW_W = 8  # window of consecutive k-gram hashes
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a window of ``w``
+    consecutive hashes, and in each window select the MINIMUM hash
+    (rightmost on ties — robust winnowing).  Guarantees: at least one
+    selected fingerprint in every w consecutive positions (gap <= w), and
+    any shared substring of length >= w + k - 1 yields at least one
+    shared selected fingerprint — the local-selection property that makes
+    fingerprint-set overlap a sound plagiarism/near-dup signal at a
+    density of ~2/(w+1) instead of every position.
+
+    Distinct from the stride-1 full fingerprinting in
+    :func:`duplicate_window_positions` (exact recall, n rows/doc) and
+    from CDC chunking (boundary selection): winnowing SUBSAMPLES the
+    fingerprint stream content-deterministically, so two engines (or two
+    corpus versions) select identical (position, fp) pairs.
+
+    Pure expression pipeline — per-doc O(n*w) integer ops inside the scan
+    stage, zero shuffles before the caller's set operations; the Horner
+    rolling hash mod a ~1e15 prime keeps every value exact cross-engine
+    (:data:`pyrope_spark.functions.text.FP_ROLL_P`).  Docs shorter than k
+    produce no output; docs with fewer than w k-grams produce the single
+    global minimum.
+
+    Output: (id, gram_pos — 1-based char position of the k-gram, fp).
+    """
+    from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
+
+    fp_q = (
+        f"aggregate(transform(split(substring(_s, q, {k}), ''), "
+        f"c -> cast(ascii(c) as bigint)), cast({FP_ROLL_SEED} as bigint), "
+        f"(acc, c) -> (acc * {FP_ROLL_R} + c) % {FP_ROLL_P})"
+    )
+    src = docs.select(
+        F.col(id_col), F.col(text_col).alias("_s")
+    ).filter(F.length("_s") >= k)
+    hashed = src.withColumn(
+        "_hs",
+        F.expr(f"transform(sequence(1, length(_s) - {k} + 1), q -> {fp_q})"),
+    )
+    # windows i = 1 .. max(1, n_h - w + 1); rightmost argmin per window
+    sel = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, size(_hs) - {w} + 1)), "
+        f"i -> struct("
+        f"array_max(filter(sequence(i, least(i + {w} - 1, size(_hs))), "
+        f"j -> element_at(_hs, j) = array_min(slice(_hs, i, {w})))) AS pos, "
+        f"array_min(slice(_hs, i, {w})) AS fp)))"
+    )
+    out = hashed.select(id_col, F.explode(sel).alias("_sel"))
+    return out.select(
+        id_col,
+        F.col("_sel.pos").cast("long").alias("gram_pos"),
+        F.col("_sel.fp").alias("fp"),
+    )
+
+
+def winnow_fingerprints_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (list_* lambdas)."""
+    from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
+
+    fp_q = (
+        f"list_reduce(list_prepend(CAST({FP_ROLL_SEED} AS BIGINT), "
+        f"list_transform(string_split(substring(s, q, {k}), ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {FP_ROLL_R} + c) % {FP_ROLL_P})"
+    )
+    return f"""
+WITH src AS (
+  SELECT {id_col}, {text_col} AS s FROM {table} WHERE length({text_col}) >= {k}
+), hashed AS (
+  SELECT {id_col},
+         list_transform(range(1, length(s) - {k} + 2), q -> {fp_q}) AS hs
+  FROM src
+), sel AS (
+  SELECT {id_col},
+         list_transform(
+           range(1, greatest(1, len(hs) - {w} + 1) + 1),
+           i -> struct_pack(
+             pos := list_max(list_filter(
+               range(i, least(i + {w} - 1, len(hs)) + 1),
+               j -> hs[j] = list_min(list_slice(hs, i, least(i + {w} - 1, len(hs)))))),
+             fp := list_min(list_slice(hs, i, least(i + {w} - 1, len(hs))))
+           )) AS sels
+  FROM hashed
+)
+SELECT DISTINCT {id_col}, CAST(u.sel.pos AS BIGINT) AS gram_pos, u.sel.fp AS fp
+FROM sel, unnest(sels) AS u(sel)
+"""

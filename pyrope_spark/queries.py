@@ -6209,3 +6209,32 @@ WHERE value_cents * (SELECT COUNT(*) FROM per_part)
 """
 
 register("important_stock_value", _Q11_ORACLE)(_q11_spark)
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS local-minimum selection) — completes the
+# fingerprint family: full stride-1 (passages), boundary (CDC), and now
+# content-deterministic SUBSAMPLING at density ~2/(w+1).
+# --------------------------------------------------------------------------
+
+def _winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.passages import winnow_fingerprints
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "gram_pos", "fp"
+    )
+
+
+def _winnow_oracle() -> str:
+    from pyrope_spark.operators.passages import winnow_fingerprints_oracle_sql
+
+    inner = winnow_fingerprints_oracle_sql()
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, gram_pos, fp FROM ({inner})
+"""
+
+
+register("winnowing_fingerprints", _winnow_oracle())(_winnow_spark)

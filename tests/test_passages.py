@@ -164,3 +164,83 @@ def test_strip_with_explicit_span_policy(spark):
     # doc 1 keeps its copy (its span was the dropped one), doc 2 stripped
     assert rows[1]["n_tokens_removed"] == 0
     assert rows[2]["n_tokens_removed"] == 12
+
+
+# ----------------------------------------------------------- winnowing
+
+def _brute_winnow(text: str, k: int, w: int):
+    """Reference winnow: per-window rightmost argmin over k-gram Horner
+    hashes (Schleimer et al. Fig. 5 robust winnowing)."""
+    from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
+
+    if len(text) < k:
+        return set()
+    hs = []
+    for q in range(len(text) - k + 1):
+        acc = FP_ROLL_SEED
+        for c in text[q:q + k]:
+            acc = (acc * FP_ROLL_R + ord(c)) % FP_ROLL_P
+        hs.append(acc)
+    sel = set()
+    for i in range(max(1, len(hs) - w + 1)):
+        window = hs[i:i + w]
+        mn = min(window)
+        pos = max(j for j in range(i, min(i + w, len(hs))) if hs[j] == mn)
+        sel.add((pos + 1, mn))  # 1-based
+    return sel
+
+
+def test_winnow_matches_bruteforce(spark):
+    from pyrope_spark.operators.passages import winnow_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aaaaaaaaaaaaaaaaaaaaaa"),          # constant text, all ties
+        (3, "abcabcabcabcabcabcabcabc"),        # periodic
+        (4, "short"),                           # < k -> empty
+        (5, "exactlen8"),                       # one k-gram
+        (6, "a slightly longer sentence with mixed 1234 tokens!"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["gram_pos"], r["fp"])
+        for r in winnow_fingerprints(docs, k=8, w=8).collect()
+    }
+    want = {
+        (i, p, fp) for i, t in texts for (p, fp) in _brute_winnow(t, 8, 8)
+    }
+    assert got == want
+
+
+def test_winnow_density_gap_bound(spark):
+    """At least one selected fingerprint in every w consecutive k-gram
+    positions (the winnowing guarantee)."""
+    from pyrope_spark.operators.passages import winnow_fingerprints
+
+    import random
+
+    rng = random.Random(7)
+    text = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    pos = sorted(
+        r["gram_pos"] for r in winnow_fingerprints(docs, k=5, w=6).collect()
+    )
+    gaps = [b - a for a, b in zip(pos, pos[1:])]
+    assert pos[0] <= 6 and all(g <= 6 for g in gaps)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Two docs sharing a substring of length >= w + k - 1 share at least
+    one selected fingerprint VALUE."""
+    from pyrope_spark.operators.passages import winnow_fingerprints
+
+    shared = "XcommonQsubstringZpayload"  # 25 >= 8 + 8 - 1
+    docs = spark.createDataFrame(
+        [(1, "prefix one " + shared + " tail alpha"),
+         (2, "totally different head " + shared + " other ending")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs).collect()
+    fps1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    fps2 = {r["fp"] for r in rows if r["doc_id"] == 2}
+    assert fps1 & fps2
