@@ -656,6 +656,7 @@ def main() -> None:
         "min_cost_supplier_region",
         "important_stock_value",
         "winnowing_fingerprints",
+        "item_association_rules",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -406,3 +406,85 @@ def categorical_stats(
             F.lit(1.0) - F.col("_ss") / (F.col("_n") * F.col("_n")), 6
         ).alias("gini_impurity"),
     )
+
+
+def item_association_rules(
+    events: DataFrame,
+    *,
+    basket_col: str = "user_id",
+    item_col: str = "item",
+    min_support: int = 2,
+    max_basket_items: int | None = 200,
+) -> DataFrame:
+    """Market-basket association rules (the Apriori k=2 core): for every
+    pair of items co-occurring in a basket, exact support counts plus
+    confidence and lift.  Input is (basket, item) rows — callers project
+    whatever defines a basket (user, session, order).
+
+    Scale shape: one distinct-shuffle to basket sets, then the pair
+    generation is a SELF-JOIN ON THE BASKET KEY — cost is sum over
+    baskets of |basket|^2, which is why ``max_basket_items`` caps
+    pathological baskets (a crawler "user" with every item would
+    otherwise contribute |items|^2 pairs; the cap keeps the
+    most-FREQUENT items per basket, deterministic count-desc/item-asc
+    order, matching how FP-Growth prunes).  Counts are exact integers;
+    confidence/lift are one integer->double division each at the end, so
+    every value is cross-engine reproducible.  Pair counts aggregate
+    map-side before the pair shuffle; item supports broadcast back.
+
+    Output: (item_a < item_b, n_ab, n_a, n_b, n_baskets,
+    conf_a_to_b, conf_b_to_a, lift), filtered to n_ab >= min_support.
+    """
+    base = events.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).filter(F.col("_i").isNotNull())
+    if max_basket_items is not None:
+        freq = base.groupBy("_b", "_i").agg(F.count(F.lit(1)).alias("_n"))
+        rk = F.row_number().over(
+            Window.partitionBy("_b").orderBy(
+                F.col("_n").desc(), F.col("_i").asc()
+            )
+        )
+        baskets = (
+            freq.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= max_basket_items)
+            .select("_b", "_i")
+        )
+    else:
+        baskets = base.distinct()
+    n_baskets = baskets.select("_b").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_cnt = baskets.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    left = baskets.select(F.col("_b"), F.col("_i").alias("item_a"))
+    right = baskets.select(F.col("_b").alias("_b2"), F.col("_i").alias("item_b"))
+    pairs = (
+        left.join(right, (F.col("_b") == F.col("_b2"))
+                  & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    with_counts = (
+        pairs.join(
+            F.broadcast(item_cnt.select(F.col("_i").alias("item_a"),
+                                        F.col("_ni").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_cnt.select(F.col("_i").alias("item_b"),
+                                        F.col("_ni").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return with_counts.select(
+        "item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
+        F.round(
+            (F.col("n_ab") * F.col("n_baskets"))
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )

@@ -6238,3 +6238,71 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, gram_pos, fp FROM ({inner})
 
 
 register("winnowing_fingerprints", _winnow_oracle())(_winnow_spark)
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (Apriori k=2) over purchase events:
+# basket = user, item = props.k. The per-basket cap (top-15 most frequent
+# items) BINDS at gate scale so the FP-Growth-style pruning branch is
+# exercised, not just declared.
+# --------------------------------------------------------------------------
+
+def _assoc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import item_association_rules
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    out = item_association_rules(
+        purchases, min_support=2, max_basket_items=15
+    )
+    return out.select(
+        "item_a", "item_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_baskets").cast("long").alias("n_baskets"),
+        "conf_a_to_b", "conf_b_to_a", "lift",
+    )
+
+
+_ASSOC_ORACLE = """
+WITH base AS (
+  SELECT user_id AS b, CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+  FROM events WHERE event_type = 'purchase'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), freq AS (
+  SELECT b, i, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY COUNT(*) DESC, i ASC)
+           AS rk
+  FROM base GROUP BY b, i
+), baskets AS (
+  SELECT b, i FROM freq WHERE rk <= 15
+), item_cnt AS (
+  SELECT i, COUNT(*) AS ni FROM baskets GROUP BY i
+), nb AS (
+  SELECT COUNT(DISTINCT b) AS n_baskets FROM baskets
+), pairs AS (
+  SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS n_ab
+  FROM baskets l JOIN baskets r ON l.b = r.b AND l.i < r.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.item_a, p.item_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(ca.ni AS BIGINT) AS n_a,
+       CAST(cb.ni AS BIGINT) AS n_b,
+       CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+       round(p.n_ab / CAST(ca.ni AS DOUBLE), 6) AS conf_a_to_b,
+       round(p.n_ab / CAST(cb.ni AS DOUBLE), 6) AS conf_b_to_a,
+       round((p.n_ab * nb.n_baskets) / CAST(ca.ni * cb.ni AS DOUBLE), 6)
+         AS lift
+FROM pairs p
+JOIN item_cnt ca ON p.item_a = ca.i
+JOIN item_cnt cb ON p.item_b = cb.i
+CROSS JOIN nb
+"""
+
+register("item_association_rules", _ASSOC_ORACLE)(_assoc_spark)

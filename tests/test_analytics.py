@@ -183,3 +183,44 @@ def test_categorical_stats_mode_ties_and_gini(spark):
     # gini = 1 - (4+4+1)/25 = 0.64
     assert out["u1"]["gini_impurity"] == 0.64
     assert out["u2"]["gini_impurity"] == 0.0 and out["u2"]["mode_share"] == 1.0
+
+
+# ------------------------------------------------- association rules
+
+def test_association_rules_exact_counts(spark):
+    from pyrope_spark.operators.analytics import item_association_rules
+
+    rows = [
+        # basket 1: {10, 20, 30}; basket 2: {10, 20}; basket 3: {10, 40}
+        (1, 10), (1, 20), (1, 30), (1, 10),   # duplicate event collapses
+        (2, 10), (2, 20),
+        (3, 10), (3, 40),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, item long")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_association_rules(ev, min_support=1).collect()
+    }
+    r = out[(10, 20)]
+    assert (r["n_ab"], r["n_a"], r["n_b"], r["n_baskets"]) == (2, 3, 2, 3)
+    assert r["conf_a_to_b"] == round(2 / 3, 6)
+    assert r["conf_b_to_a"] == 1.0
+    assert r["lift"] == 1.0  # 2*3 / (3*2)
+    assert (10, 30) in out and (20, 30) in out and (10, 40) in out
+    # a<b canonicalization: no reversed duplicates
+    assert all(a < b for (a, b) in out)
+
+
+def test_association_rules_basket_cap_prunes_whale(spark):
+    from pyrope_spark.operators.analytics import item_association_rules
+
+    rows = [(1, i) for i in range(100)] + [(2, 1), (2, 2), (2, 3)]
+    ev = spark.createDataFrame(rows, "user_id long, item long")
+    out = item_association_rules(ev, min_support=1, max_basket_items=5)
+    pairs = out.count()
+    # whale basket contributes C(5,2)=10 pairs, small one C(3,2)=3;
+    # overlap {1,2} vs whale's kept top-5 {0..4} -> (1,2),(1,3),(2,3) shared
+    assert pairs <= 13
+    # deterministic cap: most-frequent then smallest item -> whale keeps 0..4
+    kept_a = {r["item_a"] for r in out.collect()}
+    assert max(kept_a) <= 4
