@@ -657,6 +657,7 @@ def main() -> None:
         "important_stock_value",
         "winnowing_fingerprints",
         "item_association_rules",
+        "incremental_agg_view",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -80,3 +80,66 @@ def compact_small_files(
         "bytes_after": bytes_after,
         "rows": rows_before,
     }
+
+
+# --------------------------------------- incremental aggregate maintenance
+
+def build_agg_view(
+    changes: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str = "value",
+    op_col: str | None = None,
+) -> DataFrame:
+    """Materialize a per-key (n, sum_value) aggregate from a changelog.
+    ``op_col`` (+1 insert / -1 retract) weights both the count and the
+    sum, so an update arrives as a delete+insert pair and cancels
+    exactly.  The sum is decimal(18,6) — exact, order-independent, and
+    therefore MERGEABLE: incremental maintenance produces bit-identical
+    state to a full recompute (a float sum would drift by fold order and
+    the parity guarantee below would be an approximation).
+    """
+    op = F.col(op_col) if op_col else F.lit(1)
+    return (
+        changes.groupBy(*keys)
+        .agg(
+            F.sum(op).cast("long").alias("n"),
+            F.sum(
+                op.cast("decimal(18,6)")
+                * F.col(value_col).cast("decimal(18,6)")
+            ).alias("sum_value"),
+        )
+    )
+
+
+def maintain_agg_view(
+    base_agg: DataFrame,
+    delta_changes: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str = "value",
+    op_col: str | None = None,
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a new changelog
+    batch into an existing (n, sum_value) aggregate WITHOUT touching
+    historical rows.  The merge is union + re-aggregate (one shuffle on
+    the view key, map-side partials) rather than a full-outer join — at
+    100 TB the base aggregate is keyed small relative to history, and the
+    union-agg shape lets AQE coalesce and never materializes null-padded
+    join sides.  Keys whose count reaches zero (fully retracted) drop out,
+    so the view stays the exact image of ``build_agg_view`` over the full
+    changelog — parity the registered oracle asserts literally.
+    """
+    delta_agg = build_agg_view(
+        delta_changes, keys=keys, value_col=value_col, op_col=op_col
+    )
+    merged = (
+        base_agg.select(*keys, "n", "sum_value")
+        .unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+        )
+    )
+    return merged.filter(F.col("n") > 0)

@@ -6306,3 +6306,65 @@ CROSS JOIN nb
 """
 
 register("item_association_rules", _ASSOC_ORACLE)(_assoc_spark)
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance: base aggregate built from the
+# first 2/3 of the changelog, the last 1/3 folded in incrementally
+# (union + re-agg merge, never a historical rescan); 'error' events with
+# value > 400 act as retractions (op = -1) so the cancel path is real.
+# Oracle = FULL RECOMPUTE over the whole changelog — the parity that
+# proves incremental == batch, exactly (decimal sums, no float drift).
+# --------------------------------------------------------------------------
+
+def _inc_agg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.maintenance import (
+        build_agg_view,
+        maintain_agg_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    changelog = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.when(
+            (F.col("event_type") == "error") & (F.col("value") > 400),
+            F.lit(-1),
+        ).otherwise(F.lit(1)).alias("op"),
+    )
+    cutoff = F.to_timestamp(F.lit("2024-01-21 00:00:00"))
+    base = build_agg_view(
+        changelog.filter(F.col("ts") < cutoff),
+        keys=["user_id", "event_type"], op_col="op",
+    )
+    updated = maintain_agg_view(
+        base,
+        changelog.filter(F.col("ts") >= cutoff),
+        keys=["user_id", "event_type"], op_col="op",
+    )
+    return updated.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+    )
+
+
+_INC_AGG_ORACLE = """
+WITH changelog AS (
+  SELECT user_id, event_type, value,
+         CASE WHEN event_type = 'error' AND value > 400 THEN -1 ELSE 1 END
+           AS op
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(SUM(op) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(op AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM changelog
+GROUP BY 1, 2
+HAVING SUM(op) > 0
+"""
+
+register("incremental_agg_view", _INC_AGG_ORACLE)(_inc_agg_spark)

@@ -48,3 +48,61 @@ def test_compaction_sorted_layout(spark, tmp_path):
         t = pq.read_table(f, columns=["k", "id"]).to_pydict()
         pairs = list(zip(t["k"], t["id"]))
         assert pairs == sorted(pairs)
+
+
+# ------------------------------------- incremental aggregate maintenance
+
+def test_incremental_equals_recompute_multi_batch(spark):
+    """Folding the changelog in N batches == one-shot build, exactly."""
+    from pyrope_spark.operators.maintenance import (
+        build_agg_view,
+        maintain_agg_view,
+    )
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(5), f"t{rng.randrange(3)}",
+         round(rng.uniform(0, 100), 2), rng.choice([1, 1, 1, -1]))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, g string, value double, op int"
+    )
+    keys = ["k", "g"]
+    full = build_agg_view(df, keys=keys, op_col="op")
+    # three incremental folds over row-id ranges
+    with_id = df.withColumn("_rid", F.monotonically_increasing_id())
+    ids = sorted(r["_rid"] for r in with_id.select("_rid").collect())
+    b1 = with_id.filter(F.col("_rid") <= ids[len(ids) // 3])
+    b2 = with_id.filter(
+        (F.col("_rid") > ids[len(ids) // 3])
+        & (F.col("_rid") <= ids[2 * len(ids) // 3])
+    )
+    b3 = with_id.filter(F.col("_rid") > ids[2 * len(ids) // 3])
+    acc = build_agg_view(b1, keys=keys, op_col="op")
+    acc = maintain_agg_view(acc, b2, keys=keys, op_col="op")
+    acc = maintain_agg_view(acc, b3, keys=keys, op_col="op")
+    want = {(r["k"], r["g"]): (r["n"], r["sum_value"])
+            for r in full.filter(F.col("n") > 0).collect()}
+    got = {(r["k"], r["g"]): (r["n"], r["sum_value"]) for r in acc.collect()}
+    assert got == want  # bit-identical decimals, not approx
+
+
+def test_full_retraction_drops_key(spark):
+    from pyrope_spark.operators.maintenance import (
+        build_agg_view,
+        maintain_agg_view,
+    )
+
+    base_rows = spark.createDataFrame(
+        [(1, "a", 10.0, 1), (2, "a", 5.0, 1)],
+        "k long, g string, value double, op int",
+    )
+    retract = spark.createDataFrame(
+        [(1, "a", 10.0, -1)], "k long, g string, value double, op int"
+    )
+    base = build_agg_view(base_rows, keys=["k", "g"], op_col="op")
+    out = maintain_agg_view(base, retract, keys=["k", "g"], op_col="op")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 2
