@@ -658,6 +658,7 @@ def main() -> None:
         "winnowing_fingerprints",
         "item_association_rules",
         "incremental_agg_view",
+        "blocklist_phrase_matches",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1464,3 +1464,56 @@ SELECT {id_col},
        substring(s, bounds[i] + 1, bounds[i + 1] - bounds[i]) AS chunk_text
 FROM cut, unnest(range(1, len(bounds))) AS u(i)
 """
+
+
+# ------------------------------------------------ blocklist phrase filter
+
+def blocklist_phrase_matches(
+    docs: DataFrame,
+    phrases: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+    phrase_id_col: str = "phrase_id",
+) -> DataFrame:
+    """Multi-token blocklist phrase matching — the safety/contamination
+    filter pass: find every occurrence of every blocklist phrase in every
+    document, at token granularity.
+
+    Spark-first Aho-Corasick analog: a document token produces a
+    candidate only when it equals the FIRST token of some phrase (the
+    root-transition test, a broadcast hash lookup), and each candidate is
+    verified with one array-slice equality against the full phrase — so
+    cost is corpus_tokens * P(first-token hit) + hits * phrase_len, never
+    corpus_tokens * n_phrases.  The phrase table is assumed
+    blocklist-sized (thousands) and is broadcast; tokenization is the
+    repo-wide ``tokens()`` (lowercase, whitespace), identical in the
+    DuckDB twin, so matches are exact cross-engine.
+
+    Output: (id, phrase_id, token_pos 1-based) — one row per occurrence.
+    Callers anti-join on id for filter semantics or aggregate for audit.
+    """
+    from pyrope_spark.functions.text import tokens
+
+    dt = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    pos = dt.select(
+        id_col, "_toks",
+        F.posexplode("_toks").alias("_p0", "_tok"),
+    )
+    ph = (
+        phrases.select(
+            F.col(phrase_id_col), tokens(F.col(phrase_col)).alias("_ptoks")
+        )
+        .filter(F.size("_ptoks") > 0)
+        .withColumn("_first", F.element_at("_ptoks", 1))
+        .withColumn("_plen", F.size("_ptoks"))
+    )
+    hits = pos.join(F.broadcast(ph), F.col("_tok") == F.col("_first")).filter(
+        F.expr("slice(_toks, _p0 + 1, _plen) = _ptoks")
+    )
+    return hits.select(
+        id_col,
+        phrase_id_col,
+        (F.col("_p0") + 1).cast("long").alias("token_pos"),
+    )

@@ -6368,3 +6368,60 @@ HAVING SUM(op) > 0
 """
 
 register("incremental_agg_view", _INC_AGG_ORACLE)(_inc_agg_spark)
+
+
+# --------------------------------------------------------------------------
+# Blocklist phrase matching: the blocklist is derived deterministically
+# from the corpus itself (3-token spans at token 5 of every doc_id % 97
+# == 0 doc) so hits are guaranteed non-trivial at any SF without shipping
+# a fixture table.
+# --------------------------------------------------------------------------
+
+def _blocklist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import tokens
+    from pyrope_spark.operators.curation import blocklist_phrase_matches
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.array_join(
+                F.slice(tokens(F.col("text")), 5, 3), " "
+            ).alias("phrase"),
+        )
+        .filter(F.size(F.split(F.col("phrase"), " ")) == 3)
+    )
+    out = blocklist_phrase_matches(docs, phrases)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("phrase_id").cast("long").alias("phrase_id"),
+        "token_pos",
+    )
+
+
+def _blocklist_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+WITH dt AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), ph AS (
+  SELECT doc_id AS phrase_id, list_slice(toks, 5, 7) AS ptoks
+  FROM dt WHERE doc_id % 97 = 0 AND len(list_slice(toks, 5, 7)) = 3
+), pos AS (
+  SELECT doc_id, toks, CAST(u.i AS BIGINT) AS i
+  FROM dt, unnest(range(1, len(toks) + 1)) AS u(i)
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(ph.phrase_id AS BIGINT) AS phrase_id,
+       i AS token_pos
+FROM pos p JOIN ph
+  ON p.toks[i] = ph.ptoks[1]
+ AND list_slice(p.toks, i, i + 2) = ph.ptoks
+"""
+
+
+register("blocklist_phrase_matches", _blocklist_oracle())(_blocklist_spark)

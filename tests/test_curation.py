@@ -648,3 +648,49 @@ def test_cdc_chunks_reassemble_and_resync_after_edit(spark):
     # fixed-size chunking would shift everything: verify CDC kept most
     # of the unedited tail
     assert sum(len(t) for t in t1[-shared:]) >= len(base) // 3
+
+
+# ------------------------------------------------ blocklist phrase filter
+
+def test_blocklist_finds_all_occurrences(spark):
+    from pyrope_spark.operators.curation import blocklist_phrase_matches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the bad phrase here and the bad phrase again"),
+            (2, "clean text with nothing listed"),
+            (3, "BAD PHRASE uppercase start bad phrase end"),
+            (4, "bad alone is fine, phrase alone is fine"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(100, "bad phrase"), (200, "nothing listed")],
+        "phrase_id long, phrase string",
+    )
+    got = {
+        (r["doc_id"], r["phrase_id"], r["token_pos"])
+        for r in blocklist_phrase_matches(docs, phrases).collect()
+    }
+    assert got == {
+        (1, 100, 2), (1, 100, 7),     # both occurrences
+        (3, 100, 1), (3, 100, 5),     # case-folded
+        (2, 200, 4),
+    }
+
+
+def test_blocklist_no_partial_or_spanning_matches(spark):
+    from pyrope_spark.operators.curation import blocklist_phrase_matches
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    phrases = spark.createDataFrame(
+        [(1, "beta gamma delta"),   # longer than remaining doc -> no match
+         (2, "gamma"),              # single-token phrase matches
+         (3, "")],                  # empty phrase dropped, never matches
+        "phrase_id long, phrase string",
+    )
+    got = {(r["phrase_id"], r["token_pos"])
+           for r in blocklist_phrase_matches(docs, phrases).collect()}
+    assert got == {(2, 3)}
