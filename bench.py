@@ -659,6 +659,7 @@ def main() -> None:
         "item_association_rules",
         "incremental_agg_view",
         "blocklist_phrase_matches",
+        "wav_decode_stats",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -447,3 +447,175 @@ def frame_sample_stub(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------- audio/WAV
+
+def pcm16_wav_bytes(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 samples (n,) or (n, ch) as a canonical RIFF/WAVE PCM16
+    payload — the fixture-side twin of :func:`wav_decoder` (tests and the
+    oracled round-trip query build payloads with this)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def wav_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
+    """Real dependency-free RIFF/WAVE parser: chunk walk (honoring the
+    even-byte padding rule, skipping LIST/fact/unknown chunks), fmt
+    formats PCM(1) at 8/16/24/32 bit and IEEE-float(3) at 32 bit,
+    interleaved multi-channel.  Returns ``(samples (n, ch), sample_rate)``
+    — int8/16/32 dtype for PCM (8-bit WAV is unsigned; recentred to
+    signed int16-compatible range by subtracting 128), float32 for
+    format 3.  Compressed formats (ADPCM, mu-law, ...) raise
+    ``NotImplementedError`` — honest env gate, same policy as JPEG."""
+    import struct
+
+    def dec(payload: bytes) -> tuple[np.ndarray, int]:
+        buf = bytes(payload)
+        if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, end = 12, min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0])
+        fmt = None
+        data = None
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body = buf[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks pad to even byte
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt, ch, rate, _brate, _align, bits = fmt
+        if audio_fmt == 1 and bits == 8:
+            s = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128)
+        elif audio_fmt == 1 and bits == 16:
+            s = np.frombuffer(data, dtype="<i2")
+        elif audio_fmt == 1 and bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int32)
+            s = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            s = (s ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+        elif audio_fmt == 1 and bits == 32:
+            s = np.frombuffer(data, dtype="<i4")
+        elif audio_fmt == 3 and bits == 32:
+            s = np.frombuffer(data, dtype="<f4")
+        else:
+            raise NotImplementedError(
+                f"WAV format {audio_fmt}/{bits}-bit needs a codec this "
+                "container does not ship (PCM 8/16/24/32 and float32 are "
+                "decoded natively)"
+            )
+        n = len(s) - len(s) % max(ch, 1)
+        return s[:n].reshape(-1, max(ch, 1)), rate
+
+    return dec
+
+
+def decode_audio(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], tuple[np.ndarray, int]] | None = None,
+) -> DataFrame:
+    """BINARY WAV -> per-file audio stats via the real RIFF parser in an
+    Arrow-batched ``mapInPandas`` stage (same plumbing contract as
+    :func:`decode_image`): sample_rate, n_channels, n_samples,
+    duration_s, peak_abs, sum_abs, rms.  Integer stats stay exact
+    (int64 sums over integer PCM), so the oracled round-trip query can
+    assert them bit-for-bit cross-engine; rms is one final
+    sqrt(int/int)."""
+    decoder = decoder or wav_decoder()
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("peak_abs", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(
+                pdf[id_col].tolist(), pdf[payload_col].tolist()
+            ):
+                s, rate = decoder(bytes(payload))
+                si = s.astype(np.int64) if s.dtype.kind == "i" else s
+                a = np.abs(si)
+                n = s.shape[0]
+                out[id_col].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(s.shape[1])
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate if rate else 0.0)
+                out["peak_abs"].append(int(a.max()) if n else 0)
+                out["sum_abs"].append(int(a.sum()) if s.dtype.kind == "i" else 0)
+                out["rms"].append(
+                    float(np.sqrt(float((si.astype(float) ** 2).sum())
+                                  / max(n * s.shape[1], 1)))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synth_wav_from_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic WAV fixture synth: PCM16 sample i = (codepoint_i -
+    100) * 128 — a pure function of the text, so a SQL oracle can compute
+    the decoded stats without parsing RIFF.  Pairs with
+    :func:`decode_audio` for the end-to-end parser round-trip."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                pcm16_wav_bytes(
+                    ((np.array([ord(c) for c in t], dtype=np.int32) - 100)
+                     * 128).astype(np.int16),
+                    sample_rate,
+                )
+                for t in pdf[text_col].tolist()
+            ]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                "payload": payloads,
+            })
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), text_col
+    ).mapInPandas(run, schema)

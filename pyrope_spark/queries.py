@@ -6425,3 +6425,55 @@ FROM pos p JOIN ph
 
 
 register("blocklist_phrase_matches", _blocklist_oracle())(_blocklist_spark)
+
+
+# --------------------------------------------------------------------------
+# WAV decode round-trip: text -> PCM16 RIFF bytes (synth_wav_from_text)
+# -> the real chunk-walking parser (wav_decoder) -> integer-exact stats.
+# The oracle computes the same stats straight from character codes —
+# agreement proves the encoder/parser pair byte-faithful, not just the
+# stats algebra.  Integer sums (peak/sum_abs/sum_sq) are exact; rms is
+# sqrt of exact ints (squares <= 4e8, sums << 2^53, so even the float64
+# path is order-independent-exact before the sqrt).
+# --------------------------------------------------------------------------
+
+def _audio_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import decode_audio, synth_wav_from_text
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    wavs = synth_wav_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    out = decode_audio(wavs)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        "peak_abs", "sum_abs",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+_AUDIO_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''),
+                        c -> (ascii(c) - 100) * 128) AS samp
+  FROM documents WHERE length(text) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(len(samp) AS BIGINT) AS n_samples,
+       round(len(samp) / 8000.0, 6) AS duration_s,
+       CAST(list_max(list_transform(samp, x -> abs(x))) AS BIGINT) AS peak_abs,
+       CAST(list_sum(list_transform(samp, x -> abs(x))) AS BIGINT) AS sum_abs,
+       round(sqrt(CAST(list_sum(list_transform(samp, x -> x * x)) AS DOUBLE)
+                  / len(samp)), 6) AS rms
+FROM s
+"""
+
+register("wav_decode_stats", _AUDIO_ORACLE)(_audio_spark)

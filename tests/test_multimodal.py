@@ -242,3 +242,85 @@ def test_decode_image_png_end_to_end(spark):
         expect = px[yi][:, xi].reshape(-1)
         assert r["h"] == 4 and r["w"] == 4
         np.testing.assert_array_equal(np.array(r["pixels"]), expect)
+
+
+# --------------------------------------------------------------- WAV
+
+def test_wav_parser_formats_and_chunk_walk():
+    """Hand-built RIFF payloads: extra LIST chunk before data, odd-size
+    chunk padding, 8/24/32-bit PCM and float32, stereo interleave."""
+    import struct
+
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import wav_decoder
+
+    dec = wav_decoder()
+
+    def riff(chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def fmt(audio_fmt, ch, rate, bits):
+        return chunk(b"fmt ", struct.pack(
+            "<HHIIHH", audio_fmt, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits))
+
+    # 8-bit PCM (unsigned), with a LIST chunk of ODD size before data
+    pay = riff([
+        chunk(b"LIST", b"INFOxyz"),                      # 7 bytes -> padded
+        fmt(1, 1, 1000, 8),
+        chunk(b"data", bytes([0, 128, 255])),
+    ])
+    s, rate = dec(pay)
+    assert rate == 1000 and s[:, 0].tolist() == [-128, 0, 127]
+
+    # 24-bit PCM incl. negative + extremes
+    vals = [-8388608, -1, 0, 1, 8388607]
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    s, _ = dec(riff([fmt(1, 1, 8000, 24), chunk(b"data", raw)]))
+    assert s[:, 0].tolist() == vals
+
+    # 32-bit PCM stereo: interleave -> (n, 2)
+    inter = np.array([1, -2, 3, -4, 5, -6], dtype="<i4")
+    s, _ = dec(riff([fmt(1, 2, 8000, 32), chunk(b"data", inter.tobytes())]))
+    assert s.shape == (3, 2) and s[2].tolist() == [5, -6]
+
+    # float32
+    f = np.array([0.5, -0.25], dtype="<f4")
+    s, _ = dec(riff([fmt(3, 1, 16000, 32), chunk(b"data", f.tobytes())]))
+    assert s.dtype == np.float32 and s[:, 0].tolist() == [0.5, -0.25]
+
+    # compressed format -> honest NotImplementedError
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        dec(riff([fmt(2, 1, 8000, 4), chunk(b"data", b"\x00\x01")]))
+
+
+def test_decode_audio_end_to_end(spark):
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import (
+        decode_audio,
+        pcm16_wav_bytes,
+    )
+
+    rows = [
+        ("a", pcm16_wav_bytes(np.array([3, -4, 0], dtype=np.int16), 8000)),
+        ("b", pcm16_wav_bytes(
+            np.array([[100, -100]] * 4, dtype=np.int16), 16000)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    a = got["a"]
+    assert (a["n_samples"], a["peak_abs"], a["sum_abs"]) == (3, 4, 7)
+    assert a["duration_s"] == 3 / 8000
+    b = got["b"]
+    assert (b["n_channels"], b["n_samples"], b["sample_rate"]) == (2, 4, 16000)
+    assert b["rms"] == 100.0
