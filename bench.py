@@ -660,6 +660,7 @@ def main() -> None:
         "incremental_agg_view",
         "blocklist_phrase_matches",
         "wav_decode_stats",
+        "pagerank_copurchase",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1,0 +1,137 @@
+"""Graph analytics over edge tables: fixed-iteration PageRank.
+
+An iterative algorithm on Spark is a LOOP OF JOINS — each iteration is
+one shuffle (contributions grouped by destination) against a static edge
+table.  The 100 TB shape: edges are hash-partitioned by ``src`` once and
+reused every iteration (no re-shuffle of the edge side; only the small
+rank table moves), dangling mass is ignored (the standard simplified
+variant), and the iteration count is FIXED so the plan is a finite DAG —
+convergence-driven loops belong in a driver while-loop with
+checkpointing every ~5 iterations to cut lineage.
+
+Determinism: ranks live in INTEGER MICRO-UNITS (scale 1e12) with floor
+division — ``pr' = floor(15*SCALE/(100*N)) + Σ floor(85*pr_u /
+(100*outdeg_u))`` — so every engine computes bit-identical ranks at
+every iteration; a float PageRank differs in ulps by reduce order and
+could flip ranking ties.  The DuckDB oracle unrolls the same recurrence
+as chained CTEs.
+
+No reference analog (the reference has no graph operators); this is
+beyond-reference surface for link-structure signals over training
+corpora (domain authority, co-purchase centrality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def pagerank_fixed_iters(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-``iters`` PageRank over a distinct directed edge set.
+
+    Nodes = src ∪ dst.  Initial rank = floor(scale / N).  Per iteration
+    every node gets ``floor((100-d)*scale / (100*N))`` base mass plus the
+    damped floor-divided contribution of each in-neighbor.  Dangling
+    nodes contribute nothing (their mass evaporates — documented
+    simplified variant; total mass is therefore not conserved, rankings
+    are).  Returns (node, rank_micro) with rank_micro the exact integer.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src")  # static, reused each iteration
+    n_nodes = nodes.count()  # scalar; node set is the small side by design
+    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    ranks = nodes.withColumn("rank_micro", F.lit(scale // n_nodes).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({damping_pct} * rank_micro AS BIGINT) "
+                    f"DIV (100 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    *,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin: the same integer recurrence unrolled as chained CTEs
+    (``edges_sql`` must yield columns src, dst)."""
+    d = damping_pct
+    parts = [
+        f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst
+),
+nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+),
+ew AS (
+  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST({scale} // n AS BIGINT) AS rank_micro FROM nodes, nn
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT ew.dst AS node,
+         SUM(({d} * r{i}.rank_micro) // (100 * ew.outdeg)) AS in_mass
+  FROM ew JOIN r{i} ON ew.src = r{i}.node
+  GROUP BY ew.dst
+),
+r{i + 1} AS (
+  SELECT nodes.node,
+         CAST((({100 - d} * {scale}) // (100 * nn.n))
+              + COALESCE(c{i}.in_mass, 0) AS BIGINT) AS rank_micro
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
+)"""
+        )
+    parts.append(f"\nSELECT node, rank_micro FROM r{iters}")
+    return "".join(parts)

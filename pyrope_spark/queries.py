@@ -6477,3 +6477,52 @@ FROM s
 """
 
 register("wav_decode_stats", _AUDIO_ORACLE)(_audio_spark)
+
+
+# --------------------------------------------------------------------------
+# Fixed-iteration PageRank over the co-purchase transition graph (edges =
+# consecutive purchase items per user). Integer micro-unit ranks with
+# floor division — bit-identical across engines at every iteration; the
+# oracle unrolls the same recurrence as chained CTEs.
+# --------------------------------------------------------------------------
+
+def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pyrope_spark.operators.graph import pagerank_fixed_iters
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            "ts", "event_id",
+        )
+    )
+    prev = F.lag("item").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    edges = seq.select(prev.alias("src"), F.col("item").alias("dst")).filter(
+        F.col("src").isNotNull()
+    )
+    out = pagerank_fixed_iters(edges, iters=3)
+    return out.select(F.col("node").cast("long").alias("node"), "rank_micro")
+
+
+def _pagerank_oracle() -> str:
+    from pyrope_spark.operators.graph import pagerank_oracle_sql
+
+    edges = """
+  SELECT LAG(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+  FROM events WHERE event_type = 'purchase'
+  QUALIFY src IS NOT NULL
+"""
+    inner = pagerank_oracle_sql(edges, iters=3)
+    return f"SELECT CAST(node AS BIGINT) AS node, rank_micro FROM ({inner})"
+
+
+register("pagerank_copurchase", _pagerank_oracle())(_pagerank_spark)

@@ -1,0 +1,60 @@
+"""PageRank (operators/graph.py) — known-graph values, mass/ranking
+properties, and the integer-recurrence determinism contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.graph import PR_SCALE, pagerank_fixed_iters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _brute_pr(pairs, iters=3, d=85, scale=PR_SCALE):
+    e = sorted({(s, t) for s, t in pairs if s != t})
+    nodes = sorted({x for p in e for x in p})
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    base = ((100 - d) * scale) // (100 * n)
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, t in e:
+            nxt[t] += (d * r[s]) // (100 * out[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (2, 3)]  # dup edge
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_fixed_iters(_edges(spark, pairs)).collect()
+    }
+    assert got == _brute_pr(pairs)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: everyone points at 0
+    pairs = [(i, 0) for i in range(1, 6)]
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_fixed_iters(_edges(spark, pairs)).collect()
+    }
+    assert got[0] == max(got.values())
+    leaves = {got[i] for i in range(1, 6)}
+    assert len(leaves) == 1  # symmetric leaves tie exactly (integer math)
+
+
+def test_pagerank_self_loops_dropped_and_deterministic(spark):
+    pairs = [(1, 1), (1, 2), (2, 1)]
+    df = _edges(spark, pairs)
+    a = {r["node"]: r["rank_micro"]
+         for r in pagerank_fixed_iters(df).collect()}
+    b = {r["node"]: r["rank_micro"]
+         for r in pagerank_fixed_iters(df.repartition(7)).collect()}
+    assert a == b == _brute_pr(pairs)
