@@ -661,6 +661,7 @@ def main() -> None:
         "blocklist_phrase_matches",
         "wav_decode_stats",
         "pagerank_copurchase",
+        "tfidf_top_terms",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

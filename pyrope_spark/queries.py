@@ -6526,3 +6526,90 @@ def _pagerank_oracle() -> str:
 
 
 register("pagerank_copurchase", _pagerank_oracle())(_pagerank_spark)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — keyword extraction with EXACT RATIONAL
+# scoring: score_micro = (tf * 1e6 * N) // df (monotone in tf and 1/df
+# like log-idf, but integer — ln() differs in ulps between libm builds
+# and could flip equal-score ranks cross-engine). Stopword cut at
+# df >= 0.9N (the synthetic corpus has a 31-term vocabulary with every
+# df >= 5%, so a classic df < N/2 cut would keep ONE term); top-5 per
+# doc by (score desc, term asc).
+# --------------------------------------------------------------------------
+
+def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pyrope_spark.functions.text import tokens
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    term_rows = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .filter(F.col("df") * 10 < F.lit(n_docs) * 9)
+        .withColumn(
+            "score_micro",
+            F.expr(f"(tf * 1000000 * CAST({n_docs} AS BIGINT)) DIV df"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.col("score_micro").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def _tfidf_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+WITH term_rows AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, {toks} AS toks FROM documents),
+       unnest(toks) AS u(term)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         (tf.tf * 1000000 * nd.n) // df.df AS score_micro
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+  WHERE df.df * 10 < nd.n * 9
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_micro AS BIGINT) AS score_micro, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+register("tfidf_top_terms", _tfidf_oracle())(_tfidf_spark)
