@@ -274,3 +274,51 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_agg_view_maintain(
+    stream_df: DataFrame,
+    state_dir: str,
+    *,
+    keys: list[str],
+    value_col: str = "value",
+    op_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+):
+    """Streaming twin of ``maintenance.maintain_agg_view``: each
+    micro-batch's changelog rows (op ±1 for retractions) fold into the
+    per-key (n, sum_value) table under ``state_dir`` via the union +
+    re-agg merge — the continuously-maintained materialized view.
+    Because the merged sum is exact decimal, the state after any prefix
+    of batches is BIT-IDENTICAL to a batch rebuild over the same rows —
+    the parity the pytest asserts — so batch and streaming paths can
+    audit each other.  State size is |view keys|, not |history|; the
+    tmp+swap keeps every crash point recoverable.
+    """
+    from pyrope_spark.operators.maintenance import (
+        build_agg_view,
+        maintain_agg_view,
+    )
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.isdir(state_dir):
+            base = spark.read.parquet(state_dir)
+            merged = maintain_agg_view(
+                base, batch, keys=keys, value_col=value_col, op_col=op_col
+            )
+        else:
+            merged = build_agg_view(
+                batch, keys=keys, value_col=value_col, op_col=op_col
+            ).filter(F.col("n") > 0)
+        tmp = state_dir.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_state_dir(tmp, state_dir)
+
+    w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

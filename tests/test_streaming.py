@@ -602,3 +602,51 @@ def test_streaming_ewma_state_across_batches(spark, tmp_path):
     vals = [rows[k] for k in sorted(rows)]
     assert [v["ewma"] for v in vals] == [10.0, 15.0, 57.5]  # state crossed batches
     assert [v["deviates"] for v in vals] == [False, False, True]  # |100-15|>50
+
+
+def test_streaming_agg_view_matches_batch_rebuild(spark, tmp_path):
+    """Micro-batched changelog folds (with retractions) == one-shot batch
+    build over all rows, bit-identical decimals — the batch/streaming
+    audit-each-other property."""
+    from pyrope_spark.operators.maintenance import build_agg_view
+    from pyrope_spark.streaming.sketches import streaming_agg_view_maintain
+
+    src = tmp_path / "cl_src"
+    state = str(tmp_path / "cl_state")
+    schema = "k long, g string, value double, op int"
+    b1 = spark.createDataFrame(
+        [(i % 7, "a" if i % 2 else "b", float(i) / 4, 1) for i in range(80)],
+        schema,
+    )
+    b1.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = streaming_agg_view_maintain(
+        stream, state, keys=["k", "g"], op_col="op",
+        checkpoint_dir=str(tmp_path / "cl_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 retracts half of batch 1 and adds new keys
+        b2 = spark.createDataFrame(
+            [(i % 7, "a" if i % 2 else "b", float(i) / 4, -1)
+             for i in range(0, 80, 2)]
+            + [(100, "z", 5.5, 1), (100, "z", 4.5, 1)],
+            schema,
+        )
+        b2.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["k"], r["g"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    full = build_agg_view(
+        b1.unionByName(b2), keys=["k", "g"], op_col="op"
+    ).filter(F.col("n") > 0)
+    want = {(r["k"], r["g"]): (r["n"], r["sum_value"])
+            for r in full.collect()}
+    assert got == want
+    assert got[(100, "z")][0] == 2
