@@ -662,6 +662,7 @@ def main() -> None:
         "wav_decode_stats",
         "pagerank_copurchase",
         "tfidf_top_terms",
+        "avi_decode_stats",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

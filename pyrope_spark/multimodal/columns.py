@@ -619,3 +619,172 @@ def synth_wav_from_text(
     return df.select(
         F.col(id_col).cast("string").alias(id_col), text_col
     ).mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------- video/AVI
+
+def raw_avi_bytes(
+    frames: np.ndarray, fps: int = 10
+) -> bytes:
+    """Encode uint8 frames (n, h, w, 3) as a minimal uncompressed RIFF/AVI
+    ('00db' raw RGB24 chunks, row-major top-down — orientation pinned by
+    this encoder/decoder pair).  Fixture twin of :func:`avi_decoder`."""
+    import struct
+
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, _ = f.shape
+    usec = 1_000_000 // fps
+    # 56-byte body: usec/frame, max_bytes_per_sec, padding, flags,
+    # total_frames, initial_frames, streams, suggested_buffer, width,
+    # height, reserved[4]
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", usec, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", f[i].nbytes) + f[i].tobytes()
+        for i in range(n)
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
+    """Minimal real RIFF/AVI parser for the uncompressed profile
+    :func:`raw_avi_bytes` writes (and anything shaped like it): walks the
+    top-level chunks, reads (w, h, usec/frame, n) from 'avih', collects
+    raw RGB24 '00db' frames from the 'movi' LIST.  Compressed streams
+    ('00dc' with a codec) raise ``NotImplementedError`` — same honest
+    env-gate policy as JPEG/ADPCM.  Returns (frames (n, h, w, 3), fps)."""
+    import struct
+
+    def dec(payload: bytes) -> tuple[np.ndarray, int]:
+        buf = bytes(payload)
+        if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI payload")
+        w = h = usec = None
+        frames: list[bytes] = []
+
+        def walk(pos: int, end: int) -> None:
+            nonlocal w, h, usec
+            while pos + 8 <= end:
+                cid = buf[pos:pos + 4]
+                size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+                body_start = pos + 8
+                if cid == b"LIST":
+                    walk(body_start + 4, body_start + size)  # skip list type
+                elif cid == b"avih":
+                    vals = struct.unpack("<14I", buf[body_start:body_start + 56])
+                    usec, w, h = vals[0], vals[8], vals[9]
+                elif cid == b"00db":
+                    frames.append(buf[body_start:body_start + size])
+                elif cid == b"00dc":
+                    raise NotImplementedError(
+                        "compressed AVI stream needs a codec this container "
+                        "does not ship (raw '00db' RGB24 decodes natively)"
+                    )
+                pos = body_start + size + (size & 1)
+
+        walk(12, min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0]))
+        if w is None or usec is None:
+            raise ValueError("missing avih header")
+        stack = (
+            np.frombuffer(b"".join(frames), dtype=np.uint8)
+            .reshape(len(frames), h, w, 3)
+            if frames else np.zeros((0, h, w, 3), dtype=np.uint8)
+        )
+        return stack, 1_000_000 // usec if usec else 0
+
+    return dec
+
+
+def decode_video_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], tuple[np.ndarray, int]] | None = None,
+) -> DataFrame:
+    """BINARY AVI -> per-clip stats via the real parser in mapInPandas
+    (decode_image/decode_audio contract): n_frames, width, height,
+    duration_s, sum_pixels (exact int64), peak_pixel."""
+    decoder = decoder or avi_decoder()
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("sum_pixels", T.LongType()),
+            T.StructField("peak_pixel", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(
+                pdf[id_col].tolist(), pdf[payload_col].tolist()
+            ):
+                fr, fps = decoder(bytes(payload))
+                out[id_col].append(mid)
+                out["n_frames"].append(fr.shape[0])
+                out["width"].append(fr.shape[2])
+                out["height"].append(fr.shape[1])
+                out["duration_s"].append(fr.shape[0] / fps if fps else 0.0)
+                out["sum_pixels"].append(int(fr.astype(np.int64).sum()))
+                out["peak_pixel"].append(int(fr.max()) if fr.size else 0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synth_avi_from_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "media_id",
+    h: int = 4,
+    w: int = 4,
+    max_frames: int = 8,
+    fps: int = 10,
+) -> DataFrame:
+    """Deterministic AVI fixture synth: frame f (from char f of the text)
+    has pixel (y, x, c) = (codepoint_f + y + x + c) % 256 — a pure
+    function of the text, so the SQL oracle computes decoded stats in
+    closed form (for ASCII codepoints <= 246 nothing wraps: per-frame sum
+    = 48*code + 192 at 4x4)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    yy, xx, cc = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+    )
+    offs = (yy + xx + cc).astype(np.int32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for t in pdf[text_col].tolist():
+                codes = np.array(
+                    [ord(c) for c in t[:max_frames]], dtype=np.int32
+                )
+                frames = (codes[:, None, None, None] + offs[None]) % 256
+                payloads.append(raw_avi_bytes(frames.astype(np.uint8), fps))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                "payload": payloads,
+            })
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), text_col
+    ).mapInPandas(run, schema)

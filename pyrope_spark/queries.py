@@ -6613,3 +6613,54 @@ FROM ranked WHERE rk <= 5
 
 
 register("tfidf_top_terms", _tfidf_oracle())(_tfidf_spark)
+
+
+# --------------------------------------------------------------------------
+# AVI decode round-trip: text -> raw-RGB24 RIFF/AVI clips (frame f pixel
+# (y,x,c) = (code_f + y + x + c) % 256, 4x4, <= 8 frames) -> the real
+# chunk-walking AVI parser -> exact integer stats. ASCII codepoints are
+# <= 121 so nothing wraps and the oracle is closed-form: per-frame pixel
+# sum = 48*code + 192, peak = max(code) + 8.
+# --------------------------------------------------------------------------
+
+def _video_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import (
+        decode_video_stats,
+        synth_avi_from_text,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    avis = synth_avi_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    out = decode_video_stats(avis)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("duration_s", 6).alias("duration_s"),
+        "sum_pixels",
+        F.col("peak_pixel").cast("long").alias("peak_pixel"),
+    )
+
+
+_VIDEO_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(substring(text, 1, 8), ''),
+                        c -> ascii(c)) AS codes
+  FROM documents WHERE length(text) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(codes) AS BIGINT) AS n_frames,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       round(len(codes) / 10.0, 6) AS duration_s,
+       CAST(48 * list_sum(codes) + 192 * len(codes) AS BIGINT) AS sum_pixels,
+       CAST(list_max(codes) + 8 AS BIGINT) AS peak_pixel
+FROM s
+"""
+
+register("avi_decode_stats", _VIDEO_ORACLE)(_video_spark)

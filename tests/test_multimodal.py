@@ -324,3 +324,49 @@ def test_decode_audio_end_to_end(spark):
     b = got["b"]
     assert (b["n_channels"], b["n_samples"], b["sample_rate"]) == (2, 4, 16000)
     assert b["rms"] == 100.0
+
+
+# --------------------------------------------------------------- AVI
+
+def test_avi_parser_roundtrip_and_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from pyrope_spark.multimodal.columns import avi_decoder, raw_avi_bytes
+
+    dec = avi_decoder()
+    fr = np.arange(3 * 2 * 5 * 3, dtype=np.uint8).reshape(3, 2, 5, 3)
+    out, fps = dec(raw_avi_bytes(fr, 25))
+    assert fps == 25 and out.shape == (3, 2, 5, 3) and (out == fr).all()
+
+    with _pytest.raises(ValueError):
+        dec(b"RIFF\x04\x00\x00\x00WAVE")  # wrong RIFF form
+
+    # compressed stream chunk -> honest NotImplementedError
+    import struct
+
+    good = raw_avi_bytes(fr[:1], 10)
+    hacked = good.replace(b"00db", b"00dc", 1)
+    with _pytest.raises(NotImplementedError):
+        dec(hacked)
+
+
+def test_decode_video_stats_end_to_end(spark):
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import (
+        decode_video_stats,
+        raw_avi_bytes,
+    )
+
+    f1 = np.full((4, 2, 2, 3), 7, dtype=np.uint8)
+    f2 = np.zeros((0, 2, 2, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", raw_avi_bytes(f1, 8)), ("b", raw_avi_bytes(f2, 8))],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_video_stats(df).collect()}
+    a = got["a"]
+    assert (a["n_frames"], a["width"], a["height"]) == (4, 2, 2)
+    assert a["duration_s"] == 0.5 and a["sum_pixels"] == 7 * 4 * 2 * 2 * 3
+    assert got["b"]["n_frames"] == 0 and got["b"]["sum_pixels"] == 0
