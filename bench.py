@@ -663,6 +663,7 @@ def main() -> None:
         "pagerank_copurchase",
         "tfidf_top_terms",
         "avi_decode_stats",
+        "user_event_pivot",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -6664,3 +6664,44 @@ FROM s
 """
 
 register("avi_decode_stats", _VIDEO_ORACLE)(_video_spark)
+
+
+# --------------------------------------------------------------------------
+# Pivot (long -> wide): per-user event-type count matrix. The value list
+# is PINNED (no pre-scan for distinct pivot values — at 100 TB that scan
+# costs as much as the pivot; a fixed schema also keeps downstream
+# consumers stable when a new event type appears upstream).
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    out = wide.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+    return out
+
+
+_PIVOT_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+register("user_event_pivot", _PIVOT_ORACLE)(_pivot_spark)
