@@ -79,22 +79,37 @@ def main() -> None:
     d["assoc_events"] = n_ev
     ev.unpersist()
 
-    # ---- 2. winnowing at 1M docs (~240 chars each): linear zero-shuffle
-    # expression pass, O(n*w) integer ops per doc inside the scan stage.
+    # ---- 2. winnowing: arrow (vectorized numpy, the 100 TB path) at 1M
+    # docs vs the expression oracle twin at 100k — same fingerprints
+    # (parity pytest-gated), ~order-of-magnitude throughput gap expected.
     from pyrope_spark.operators.passages import winnow_fingerprints
 
     docs = synth_docs(spark, 1_000_000).cache()
     docs.agg(F.sum(F.length("text"))).collect()
+
+    def _force(wf):
+        # force fp materialization without int64-overflowing the sum
+        # (~30M fingerprints x ~1e15 each): fold mod 1e6 first
+        return wf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.col("fp"), 1_000_000)).alias("s"),
+        ).collect()[0]
+
     t0 = time.time()
-    wf = winnow_fingerprints(docs)
-    # force fp materialization without int64-overflowing the sum (~30M
-    # fingerprints x ~1e15 each): fold mod 1e6 first
-    row = wf.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(F.col("fp"), 1_000_000)).alias("s"),
-    ).collect()[0]
-    t["winnow_1M_docs"] = round(time.time() - t0, 1)
-    d["winnow_fingerprints"] = row["n"]
+    row = _force(winnow_fingerprints(docs, mode="arrow"))
+    t["winnow_arrow_1M_docs"] = round(time.time() - t0, 1)
+    d["winnow_fingerprints_1M"] = row["n"]
+    sub = docs.filter(F.col("doc_id") < 100_000)
+    t0 = time.time()
+    row = _force(winnow_fingerprints(sub, mode="expr"))
+    t["winnow_expr_100k_docs"] = round(time.time() - t0, 1)
+    d["winnow_fingerprints_100k_expr"] = row["n"]
+    t0 = time.time()
+    row2 = _force(winnow_fingerprints(sub, mode="arrow"))
+    t["winnow_arrow_100k_docs"] = round(time.time() - t0, 1)
+    d["winnow_100k_paths_agree"] = (
+        row["n"] == row2["n"] and row["s"] == row2["s"]
+    )
 
     # ---- 3. blocklist: 10k 3-token phrases vs the same 1M docs.
     from pyrope_spark.operators.curation import blocklist_phrase_matches

@@ -244,3 +244,22 @@ def test_winnow_shared_substring_guarantee(spark):
     fps1 = {r["fp"] for r in rows if r["doc_id"] == 1}
     fps2 = {r["fp"] for r in rows if r["doc_id"] == 2}
     assert fps1 & fps2
+
+
+def test_winnow_arrow_matches_expr(spark):
+    """mode='arrow' (vectorized numpy) == mode='expr' (oracle twin),
+    including mixed lengths, short docs, and tie-heavy texts."""
+    import random
+
+    from pyrope_spark.operators.passages import winnow_fingerprints
+
+    rng = random.Random(99)
+    texts = [(i, "".join(rng.choice("abcde ") for _ in range(rng.randrange(3, 120))))
+             for i in range(60)]
+    texts += [(100, "aaaaaaaaaaaaaaaaaaaa"), (101, "x" * 7), (102, "y" * 8)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    expr = {(r["doc_id"], r["gram_pos"], r["fp"])
+            for r in winnow_fingerprints(docs, mode="expr").collect()}
+    arrow = {(r["doc_id"], r["gram_pos"], r["fp"])
+             for r in winnow_fingerprints(docs, mode="arrow").collect()}
+    assert arrow == expr
