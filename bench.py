@@ -664,6 +664,8 @@ def main() -> None:
         "tfidf_top_terms",
         "avi_decode_stats",
         "user_event_pivot",
+        "potential_part_promotion",
+        "rfm_segments",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

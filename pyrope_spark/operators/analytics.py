@@ -488,3 +488,65 @@ def item_association_rules(
             6,
         ).alias("lift"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary quintiles.
+
+    Per customer: recency = days between their last order and the corpus'
+    max order date, frequency = order count, monetary = total spend in
+    integer cents.  Each axis is scored with ``ntile(n_tiles)`` over a
+    TOTAL order (metric, then custkey as the unique tiebreak) so the tile
+    assignment is deterministic and identical across engines — the SQL
+    standard fixes ntile's bucket sizes given the ordering, so no
+    floating-point or hash ambiguity can flip a boundary row.
+
+    Scale shape (100 TB): one hash aggregate over orders (shuffle on
+    o_custkey), then three window passes over the AGGREGATED table —
+    |customers| rows, orders of magnitude smaller than the fact table.
+    The global max-date is a scalar broadcast, not a second scan (computed
+    in the same aggregate via a window-free grouped max + cross-join of a
+    1-row frame Catalyst collapses to a literal-like broadcast).
+    Reference: analytics surface parity (Pyrope metering/reporting jobs,
+    src/Pyrope.Service metering endpoints); RFM itself is the standard
+    marketing segmentation, beyond-reference training-data/BI surface.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    max_date = per_cust.agg(F.max("last_order").alias("corpus_max"))
+    per_cust = per_cust.join(F.broadcast(max_date))
+    per_cust = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.col("corpus_max"), F.col("last_order")).cast("long"),
+    ).drop("corpus_max", "last_order")
+
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("o_custkey").asc()
+    )
+    scored = (
+        per_cust.withColumn("r_score", F.ntile(n_tiles).over(w_r))
+        .withColumn("f_score", F.ntile(n_tiles).over(w_f))
+        .withColumn("m_score", F.ntile(n_tiles).over(w_m))
+    )
+    return scored.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long").alias("rfm_code"),
+    )

@@ -6705,3 +6705,134 @@ FROM events GROUP BY user_id
 """
 
 register("user_event_pivot", _PIVOT_ORACLE)(_pivot_spark)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 flavor — completes the 22-query TPC-H relational checklist.
+# No partsupp table in the generator schema, so "availqty" becomes the
+# supplier's own shipped quantity and the Q20 threshold becomes a
+# DOMINANCE test: a supplier qualifies if, for some promo-colored part,
+# their shipped share exceeds 10% of that part's total (10*qty > total,
+# exact DECIMAL compare — no division).  Correlated subquery -> grouped
+# total joined back on the part key, same decorrelation as Q2/Q17.
+# --------------------------------------------------------------------------
+
+
+def _q20_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavor: suppliers in ASIA dominating >=10% of shipped
+    volume of at least one 'red%' part.  lineitem is scanned ONCE
+    (grouped to (part, supplier) decimal sums); the per-part total is a
+    second grouped pass over the ALREADY-AGGREGATED rows (|parts x
+    suppliers|, not |lineitem|), broadcast back.  Region/nation/part
+    filters are broadcast dimension joins; at 100 TB only the first
+    aggregate shuffles fact-table volume."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    ps = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+        )
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total")
+    )
+    dominant = ps.join(
+        F.broadcast(tot), F.col("l_partkey") == F.col("pk")
+    ).filter(F.col("qty") * 10 > F.col("total"))
+    asia_sup = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        dominant.join(
+            F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count("*").cast("long").alias("n_dominated_parts"),
+            F.sum("qty").cast("decimal(18,2)").alias("dominated_qty"),
+        )
+        .select("s_name", "n_dominated_parts", "dominated_qty")
+    )
+
+
+_Q20_ORACLE = """
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN red ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey AS pk, SUM(qty) AS total FROM ps GROUP BY 1
+), asia_sup AS (
+  SELECT s.s_suppkey, s.s_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT a.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+       CAST(SUM(p.qty) AS DECIMAL(18,2)) AS dominated_qty
+FROM ps p
+JOIN tot t ON p.l_partkey = t.pk
+JOIN asia_sup a ON p.l_suppkey = a.s_suppkey
+WHERE p.qty * 10 > t.total
+GROUP BY 1
+"""
+
+register("potential_part_promotion", _Q20_ORACLE)(_q20_spark)
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles).
+# --------------------------------------------------------------------------
+
+
+def _rfm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import rfm_segments
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(orders, n_tiles=5)
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+), mx AS (SELECT MAX(last_order) AS corpus_max FROM per_cust)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(date_diff('day', last_order, corpus_max) AS BIGINT)
+         AS recency_days,
+       frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY date_diff('day', last_order, corpus_max),
+                           o_custkey) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+            AS BIGINT) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY date_diff('day', last_order, corpus_max),
+                           o_custkey) * 100
+            + ntile(5) OVER (ORDER BY frequency DESC, o_custkey) * 10
+            + ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+            AS BIGINT) AS rfm_code
+FROM per_cust, mx
+"""
+
+register("rfm_segments", _RFM_ORACLE)(_rfm_spark)

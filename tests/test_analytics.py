@@ -224,3 +224,40 @@ def test_association_rules_basket_cap_prunes_whale(spark):
     # deterministic cap: most-frequent then smallest item -> whale keeps 0..4
     kept_a = {r["item_a"] for r in out.collect()}
     assert max(kept_a) <= 4
+
+
+def test_rfm_segments_tiles_and_code(spark):
+    """RFM quintiles: known 10-customer frame -> deterministic tile
+    boundaries (ntile over metric+custkey total order), rfm_code packs
+    r*100+f*10+m, monetary in exact integer cents."""
+    from pyrope_spark.operators.analytics import rfm_segments
+
+    rows = []
+    base = datetime(2024, 1, 1)
+    for c in range(1, 11):
+        # customer c: c orders, each 10.50, last order day c
+        for k in range(c):
+            rows.append((100 + c, base + timedelta(days=c), 10.50))
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["custkey"]: r for r in rfm_segments(orders, n_tiles=5).collect()}
+    assert len(out) == 10
+    # customer 110: most recent (recency 0), most orders, most spend
+    top = out[110]
+    assert top["recency_days"] == 0
+    assert top["frequency"] == 10
+    assert top["monetary_cents"] == 10 * 1050
+    assert (top["r_score"], top["f_score"], top["m_score"]) == (1, 1, 1)
+    assert top["rfm_code"] == 111
+    # customer 101: oldest, fewest, least spend -> bottom tile on all axes
+    bot = out[101]
+    assert bot["recency_days"] == 9
+    assert (bot["r_score"], bot["f_score"], bot["m_score"]) == (5, 5, 5)
+    # ntile(5) over 10 rows -> exactly 2 per tile on every axis
+    from collections import Counter
+
+    for axis in ("r_score", "f_score", "m_score"):
+        assert Counter(r[axis] for r in out.values()) == {
+            1: 2, 2: 2, 3: 2, 4: 2, 5: 2
+        }
