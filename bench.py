@@ -666,6 +666,8 @@ def main() -> None:
         "user_event_pivot",
         "potential_part_promotion",
         "rfm_segments",
+        "mad_anomalies",
+        "histogram_drift",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

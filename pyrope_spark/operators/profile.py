@@ -292,3 +292,96 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     return spark.createDataFrame(
         out, "rule string, violations long, total long, passed boolean"
     )
+
+
+def histogram_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distribution drift between the first and second half of a stream.
+
+    The PSI/KL-style drift monitor a training-data pipeline runs before
+    trusting a new data window — recast exactly: split rows at the
+    midpoint of the observed time range, histogram the value column into
+    ``n_bins`` equal-width bins over the GLOBAL min/max, and report the
+    per-key L1 distance between the two halves' bin-share vectors in ppm
+    (total-variation distance x 2e6).  PSI proper multiplies by
+    ``ln(p_cur/p_base)`` — a libm call whose ulps differ across engines
+    and can flip a hash; L1-in-ppm ranks drifting keys identically for
+    monitoring purposes and is exact integer arithmetic end-to-end
+    (shares are ``count*1e6 // total`` floor divisions).
+
+    Scale shape (100 TB): one scalar min/max aggregate (broadcast back as
+    a 1-row frame), ONE hash aggregate over the fact table on
+    (key, half, bin), then arithmetic on the tiny aggregated table.  A
+    full-outer join of the two halves' bin vectors covers bins empty on
+    one side (share 0); bins empty on BOTH sides contribute 0 to the L1
+    and need no densified spine.  All shares are integer floor divisions
+    (``div``), never float — floor(a/b) on doubles can land one ulp below
+    an exact boundary and flip an engine-comparison hash.
+    """
+    mv = df.select(
+        F.col(key_col).alias("k"),
+        F.round(F.col(value_col) * scale).cast("long").alias("v"),
+        F.col(ts_col).cast("long").alias("ts"),
+    )
+    bounds = mv.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.min("ts").alias("tmin"),
+        F.max("ts").alias("tmax"),
+    )
+    binned = (
+        mv.join(F.broadcast(bounds))
+        .withColumn(
+            "half",
+            F.when(
+                F.col("ts") * 2 < F.col("tmin") + F.col("tmax"), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "bin",
+            F.expr(
+                f"(v - vmin) * {n_bins} div (vmax - vmin + 1)"
+            ).cast("long"),
+        )
+    )
+    counts = binned.groupBy("k", "half", "bin").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("k", "half").agg(F.sum("n").alias("total"))
+    shares = counts.join(totals, ["k", "half"]).select(
+        "k",
+        "half",
+        "bin",
+        F.expr(f"n * {scale} div total").alias("share_ppm"),
+    )
+    base = shares.filter(F.col("half") == 0).select(
+        "k", "bin", F.col("share_ppm").alias("base_ppm")
+    )
+    cur = shares.filter(F.col("half") == 1).select(
+        F.col("k").alias("ck"), F.col("bin").alias("cbin"),
+        F.col("share_ppm").alias("cur_ppm"),
+    )
+    joined = base.join(
+        cur,
+        (F.col("k") == F.col("ck")) & (F.col("bin") == F.col("cbin")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("k"), F.col("ck")).alias("k"),
+        F.coalesce(F.col("base_ppm"), F.lit(0)).alias("base_ppm"),
+        F.coalesce(F.col("cur_ppm"), F.lit(0)).alias("cur_ppm"),
+    )
+    return (
+        joined.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.sum(F.abs(F.col("cur_ppm") - F.col("base_ppm")))
+            .cast("long")
+            .alias("l1_drift_ppm"),
+            F.count("*").cast("long").alias("n_bins_observed"),
+        )
+    )

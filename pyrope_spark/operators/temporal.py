@@ -672,3 +672,67 @@ def counter_rate(
         F.col(value_col),
         F.round(rate, 6).alias("rate"),
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Median-absolute-deviation outliers per key, fully deterministic.
+
+    The robust twin of the rolling z-score (``rolling_zscore``): median and
+    MAD shrug off the very outliers a mean/stddev gate lets poison its own
+    threshold.  Both medians are NEAREST-RANK LOWER (row ``(n+1)//2`` of
+    the (value, id) total order), not interpolated — interpolation halves
+    are float-ulp hazards cross-engine, rank selection is exact.  Values
+    enter as integer micro-units (``round(v*scale)``), so the flag
+    ``|v - med| > k*MAD`` is a pure BIGINT compare.
+
+    Scale shape (100 TB): two window passes partitioned by key (each one
+    hash-shuffle of the fact table on the key) + two tiny per-key median
+    tables joined back (aggregated side, orders of magnitude smaller —
+    Spark broadcasts it under AQE when it fits).  No driver collect.
+    MAD == 0 (constant-majority key) flags every deviating row, the
+    standard MAD caveat — callers on near-constant streams should gate on
+    ``mad > 0`` downstream.
+    """
+    mv = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.round(F.col(value_col) * scale).cast("long").alias("v"),
+    )
+    w_rank = Window.partitionBy("k").orderBy("v", "id")
+    w_all = Window.partitionBy("k")
+    ranked = mv.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("k").alias("mk"), F.col("v").alias("med"))
+    )
+    dev = mv.join(med, F.col("k") == F.col("mk")).select(
+        "k", "id", "v", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    w_rank2 = Window.partitionBy("k").orderBy("dev", "id")
+    ranked2 = dev.withColumn("rn", F.row_number().over(w_rank2)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("k"))
+    )
+    mad = (
+        ranked2.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("k").alias("dk"), F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(mad, F.col("k") == F.col("dk"))
+        .filter(F.col("dev") > F.lit(k) * F.col("mad"))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("id").cast("long").alias(id_col),
+            F.col("v").alias("value_micro"),
+            F.col("med").alias("median_micro"),
+            F.col("mad").alias("mad_micro"),
+        )
+    )

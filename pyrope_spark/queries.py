@@ -6836,3 +6836,109 @@ FROM per_cust, mx
 """
 
 register("rfm_segments", _RFM_ORACLE)(_rfm_spark)
+
+
+# --------------------------------------------------------------------------
+# MAD anomaly detection: robust per-type outliers. Nearest-rank-lower
+# medians (row (n+1)//2 of the (value, id) total order) — rank selection
+# is exact where interpolated medians are float-ulp hazards; the flag
+# |v - med| > 3*MAD is a pure BIGINT compare on micro-units.
+# --------------------------------------------------------------------------
+
+
+def _mad_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import mad_anomalies
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return mad_anomalies(ev, "event_type", "value", "event_id", k=3)
+
+
+_MAD_ORACLE = """
+WITH mv AS (
+  SELECT event_type AS k, event_id AS id,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT k, id, v,
+         row_number() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM mv
+), med AS (
+  SELECT k AS mk, v AS med FROM ranked WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT mv.k, mv.id, mv.v, med.med, abs(mv.v - med.med) AS dev
+  FROM mv JOIN med ON mv.k = med.mk
+), ranked2 AS (
+  SELECT k, dev,
+         row_number() OVER (PARTITION BY k ORDER BY dev, id) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM dev
+), mad AS (
+  SELECT k AS dk, dev AS mad FROM ranked2 WHERE rn = (n + 1) // 2
+)
+SELECT dev.k AS event_type, CAST(dev.id AS BIGINT) AS event_id,
+       dev.v AS value_micro, dev.med AS median_micro,
+       mad.mad AS mad_micro
+FROM dev JOIN mad ON dev.k = mad.dk
+WHERE dev.dev > 3 * mad.mad
+"""
+
+register("mad_anomalies", _MAD_ORACLE)(_mad_spark)
+
+
+# --------------------------------------------------------------------------
+# Histogram drift (PSI-style monitor): first vs second half of the time
+# range, 10 equal-width bins over the global value range, per-type L1
+# distance between bin-share vectors in ppm. ln()-free by design.
+# --------------------------------------------------------------------------
+
+
+def _drift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import histogram_drift
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_drift(ev, "event_type", "value", "ts", n_bins=10)
+
+
+_DRIFT_ORACLE = """
+WITH mv AS (
+  SELECT event_type AS k,
+         CAST(round(value * 1000000) AS BIGINT) AS v,
+         CAST(epoch(ts) AS BIGINT) AS tse
+  FROM events
+), bounds AS (
+  SELECT MIN(v) AS vmin, MAX(v) AS vmax, MIN(tse) AS tmin, MAX(tse) AS tmax
+  FROM mv
+), binned AS (
+  SELECT k,
+         CASE WHEN tse * 2 < tmin + tmax THEN 0 ELSE 1 END AS half,
+         (v - vmin) * 10 // (vmax - vmin + 1) AS bin
+  FROM mv, bounds
+), counts AS (
+  SELECT k, half, bin, CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2, 3
+), totals AS (
+  SELECT k, half, SUM(n) AS total FROM counts GROUP BY 1, 2
+), shares AS (
+  SELECT c.k, c.half, c.bin, c.n * 1000000 // t.total AS share_ppm
+  FROM counts c JOIN totals t ON c.k = t.k AND c.half = t.half
+), base AS (
+  SELECT k, bin, share_ppm AS base_ppm FROM shares WHERE half = 0
+), cur AS (
+  SELECT k AS ck, bin AS cbin, share_ppm AS cur_ppm
+  FROM shares WHERE half = 1
+), joined AS (
+  SELECT COALESCE(k, ck) AS k,
+         COALESCE(base_ppm, 0) AS base_ppm,
+         COALESCE(cur_ppm, 0) AS cur_ppm
+  FROM base FULL OUTER JOIN cur ON k = ck AND bin = cbin
+)
+SELECT k AS event_type,
+       CAST(SUM(abs(cur_ppm - base_ppm)) AS BIGINT) AS l1_drift_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_observed
+FROM joined GROUP BY 1
+"""
+
+register("histogram_drift", _DRIFT_ORACLE)(_drift_spark)

@@ -344,3 +344,65 @@ def test_counter_rate_resets_and_first(spark):
     assert out[2] == 5.0
     assert out[3] == 3.0
     assert out[4] is None
+
+
+def test_mad_anomalies_matches_bruteforce(spark):
+    """MAD flags == brute-force nearest-rank median/MAD recomputed in
+    python; planted 100.0 outlier among ~1.0 values is flagged, the
+    inliers are not."""
+    from pyrope_spark.operators.temporal import mad_anomalies
+
+    vals = [1.0, 1.1, 0.9, 1.05, 0.95, 1.2, 0.8, 100.0, 1.0, 1.02]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("b", 100 + i, float(i)) for i in range(7)]  # spread-out key
+    df = spark.createDataFrame(rows, "k string, id long, value double")
+    out = {
+        (r["k"], r["id"]): r
+        for r in mad_anomalies(df, "k", "value", "id", k=3).collect()
+    }
+
+    def brute(kv):
+        sv = sorted((round(v * 1_000_000), i) for _, i, v in kv)
+        med = sv[(len(sv) + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), i) for v, i in sv)
+        mad = devs[(len(devs) + 1) // 2 - 1][0]
+        return {
+            (kv[0][0], i): (v, med, mad)
+            for v, i in sv
+            if abs(v - med) > 3 * mad
+        }
+
+    expect = {}
+    for key in ("a", "b"):
+        expect.update(brute([r for r in rows if r[0] == key]))
+    assert set(out) == set(expect)
+    assert ("a", 7) in out  # the planted 100.0
+    got = out[("a", 7)]
+    v, med, mad = expect[("a", 7)]
+    assert (got["value_micro"], got["median_micro"], got["mad_micro"]) == (
+        v, med, mad,
+    )
+
+
+def test_histogram_drift_detects_planted_shift(spark):
+    """A key whose value distribution shifts between halves drifts near
+    2e6 ppm; a stationary key stays at 0."""
+    from datetime import datetime
+
+    from pyrope_spark.operators.profile import histogram_drift
+
+    t0 = datetime(2024, 1, 1)
+    t1 = datetime(2024, 1, 10)
+    rows = []
+    # 'shift': all lows first half, all highs second half
+    for i in range(50):
+        rows.append(("shift", 0.0 + i * 0.001, t0))
+        rows.append(("shift", 100.0 + i * 0.001, t1))
+        # 'flat': identical values both halves
+        rows.append(("flat", 5.0, t0))
+        rows.append(("flat", 5.0, t1))
+    df = spark.createDataFrame(rows, "k string, value double, ts timestamp")
+    out = {r["k"]: r for r in histogram_drift(df, "k", "value", "ts").collect()}
+    assert out["flat"]["l1_drift_ppm"] == 0
+    # disjoint supports -> both halves' full mass moves: L1 = 2e6 exactly
+    assert out["shift"]["l1_drift_ppm"] == 2_000_000
