@@ -668,6 +668,8 @@ def main() -> None:
         "rfm_segments",
         "mad_anomalies",
         "histogram_drift",
+        "triangle_copurchase",
+        "referential_audit",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -135,3 +135,93 @@ r{i + 1} AS (
         )
     parts.append(f"\nSELECT node, rank_micro FROM r{iters}")
     return "".join(parts)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation.
+
+    Input: one row per UNDIRECTED edge as ``(a, b)`` with ``a < b`` (the
+    caller dedups).  Every edge is re-oriented from its lower-ranked to
+    its higher-ranked endpoint under the total order ``(degree, node)`` —
+    the classic orientation that bounds every out-neighborhood by
+    O(sqrt(E)), so the wedge self-join costs Sum(outdeg^2) <= E^1.5
+    instead of Sum(deg^2), which a power-law hub would otherwise blow up
+    quadratically.  Triangles close with a second join against the
+    oriented edge set; each triangle is found EXACTLY once (its nodes'
+    ranks form a unique chain u->v->w), then credited to all three
+    corners with an explode + re-aggregate.
+
+    Scale shape (100 TB): degrees are one aggregate over edges; the
+    orientation join broadcasts the degree table when small (else hash
+    join on node); wedge + closure are two hash joins whose volume the
+    orientation provably caps.  No iteration, no driver state.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("_b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        edges.join(da, F.col("a") == F.col("_a"))
+        .join(db, F.col("b") == F.col("_b"))
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e2 = oriented.select(F.col("u").alias("v2"), F.col("v").alias("w"))
+    wedges = oriented.join(e2, F.col("v") == F.col("v2")).select("u", "v", "w")
+    e3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = wedges.join(
+        e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3"))
+    ).select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``triangle_counts`` over an edge-list subquery
+    producing columns (a, b) with a < b, one row per undirected edge."""
+    return f"""
+WITH edges AS ({edges_sql}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v
+  FROM edges e
+  JOIN deg da ON e.a = da.node
+  JOIN deg db ON e.b = db.node
+), tri AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM oriented e1
+  JOIN oriented e2 ON e1.v = e2.u
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+) GROUP BY 1
+"""

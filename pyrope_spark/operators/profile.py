@@ -385,3 +385,58 @@ def histogram_drift(
             F.count("*").cast("long").alias("n_bins_observed"),
         )
     )
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit: orphan facts per declared relation.
+
+    ``relations`` is a list of ``(name, fact, fk_col, dim, pk_col)``.  For
+    each, ONE left join of the fact table against the dimension's DISTINCT
+    key column classifies every fact row as matched / orphan (fk present
+    but no dim row) / null-fk, aggregated to a single summary row:
+    counts, distinct orphan keys, and the min/max orphan key for triage.
+
+    The pipeline case: after dedup / filtering / right-to-be-forgotten
+    rewrites shrink a dimension, downstream fact tables silently dangle —
+    this is the gate that catches it before a training join drops rows.
+
+    Scale shape (100 TB): the dimension side is reduced to its distinct
+    key column BEFORE the join (column-pruned scan), which Spark
+    broadcasts when small; per-relation output is exactly one row, and
+    relations union into one tiny frame.  No driver data movement.
+    """
+    outs = []
+    for name, fact, fk_col, dim, pk_col in relations:
+        keys = dim.select(F.col(pk_col).alias("_pk")).distinct()
+        joined = fact.select(F.col(fk_col).alias("_fk")).join(
+            keys, F.col("_fk") == F.col("_pk"), "left"
+        )
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.count("*").cast("long").alias("n_fact"),
+                F.sum(
+                    F.when(
+                        F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1
+                    ).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+                F.sum(
+                    F.when(F.col("_fk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_null_fk"),
+                F.count_distinct(
+                    F.when(F.col("_pk").isNull(), F.col("_fk"))
+                ).cast("long").alias("n_distinct_orphan_keys"),
+                F.min(
+                    F.when(F.col("_pk").isNull(), F.col("_fk"))
+                ).cast("long").alias("min_orphan_key"),
+                F.max(
+                    F.when(F.col("_pk").isNull(), F.col("_fk"))
+                ).cast("long").alias("max_orphan_key"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

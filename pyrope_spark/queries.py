@@ -6942,3 +6942,129 @@ FROM joined GROUP BY 1
 """
 
 register("histogram_drift", _DRIFT_ORACLE)(_drift_spark)
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph (parts appearing in the
+# same order >= 2 times form an undirected edge). Degree-ordered
+# orientation caps the wedge join at E^1.5 — the shape that survives a
+# power-law hub where naive wedge enumeration goes quadratic.
+# --------------------------------------------------------------------------
+
+_TRI_EDGES_SQL = """
+  SELECT pa AS a, pb AS b FROM (
+    SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS w
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= 2
+"""
+
+
+def _triangle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import triangle_counts
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    out = triangle_counts(edges)
+    return out.select(F.col("node").cast("long").alias("node"), "n_triangles")
+
+
+def _triangle_oracle() -> str:
+    from pyrope_spark.operators.graph import triangle_oracle_sql
+
+    inner = triangle_oracle_sql(_TRI_EDGES_SQL)
+    return (
+        f"SELECT CAST(node AS BIGINT) AS node, n_triangles FROM ({inner})"
+    )
+
+
+register("triangle_copurchase", _triangle_oracle())(_triangle_spark)
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: orphan facts vs curated dimension
+# snapshots (the post-dedup / post-RTBF dangling-key gate).
+# --------------------------------------------------------------------------
+
+
+def _refaudit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import referential_audit
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    return referential_audit(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            (
+                "lineitem->supplier(acctbal>=0)",
+                li,
+                "l_suppkey",
+                sup.filter(F.col("s_acctbal") >= 0),
+                "s_suppkey",
+            ),
+            (
+                "lineitem->part(size<=40)",
+                li,
+                "l_partkey",
+                part.filter(F.col("p_size") <= 40),
+                "p_partkey",
+            ),
+        ]
+    )
+
+
+_REFAUDIT_ORACLE = """
+SELECT 'orders->customer' AS relation,
+       CAST(count(*) AS BIGINT) AS n_fact,
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_fk,
+       CAST(count(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END)
+            AS BIGINT) AS n_distinct_orphan_keys,
+       CAST(min(CASE WHEN c_custkey IS NULL THEN o_custkey END) AS BIGINT)
+         AS min_orphan_key,
+       CAST(max(CASE WHEN c_custkey IS NULL THEN o_custkey END) AS BIGINT)
+         AS max_orphan_key
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem->supplier(acctbal>=0)',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN s_suppkey IS NULL THEN l_suppkey END)
+            AS BIGINT),
+       CAST(min(CASE WHEN s_suppkey IS NULL THEN l_suppkey END) AS BIGINT),
+       CAST(max(CASE WHEN s_suppkey IS NULL THEN l_suppkey END) AS BIGINT)
+FROM lineitem LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0) s
+  ON l_suppkey = s_suppkey
+UNION ALL
+SELECT 'lineitem->part(size<=40)',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN p_partkey IS NULL THEN l_partkey END)
+            AS BIGINT),
+       CAST(min(CASE WHEN p_partkey IS NULL THEN l_partkey END) AS BIGINT),
+       CAST(max(CASE WHEN p_partkey IS NULL THEN l_partkey END) AS BIGINT)
+FROM lineitem LEFT JOIN (SELECT p_partkey FROM part WHERE p_size <= 40) p
+  ON l_partkey = p_partkey
+"""
+
+register("referential_audit", _REFAUDIT_ORACLE)(_refaudit_spark)

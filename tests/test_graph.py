@@ -58,3 +58,41 @@ def test_pagerank_self_loops_dropped_and_deterministic(spark):
     b = {r["node"]: r["rank_micro"]
          for r in pagerank_fixed_iters(df.repartition(7)).collect()}
     assert a == b == _brute_pr(pairs)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 -> every node in C(3,2)=3 triangles; a star hub adds wedges but
+    no triangles; each triangle counted exactly once per corner."""
+    from pyrope_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, x) for x in (11, 12, 13, 14, 15)]
+    edges = spark.createDataFrame(k4 + star, "a long, b long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # star nodes absent (0 triangles)
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Random-ish deterministic graph: degree-ordered count == brute-force
+    closed-wedge enumeration."""
+    from itertools import combinations
+
+    from pyrope_spark.operators.graph import triangle_counts
+
+    # deterministic pseudo-random edge set (no RNG): multiplicative hash
+    nodes = list(range(20))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if (a * 2654435761 + b * 40503) % 7 < 2
+    ]
+    es = set(edges)
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if ((a, b) in es) and ((b, c) in es) and ((a, c) in es):
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == expect
+    assert sum(expect.values()) % 3 == 0 and expect  # sanity: non-trivial

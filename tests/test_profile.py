@@ -151,3 +151,28 @@ def test_check_expectations_kinds(spark):
     assert all(r["total"] == 4 for r in out.values())
     with pytest.raises(ValueError, match="unknown rule kind"):
         check_expectations(df, [{"name": "x", "kind": "nope", "col": "id"}])
+
+
+def test_referential_audit_orphans_and_nulls(spark):
+    from pyrope_spark.operators.profile import referential_audit
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (7,), (9,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_audit([("f->d", fact, "fk", dim, "pk")]).collect()[0]
+    assert row["relation"] == "f->d"
+    assert row["n_fact"] == 6
+    assert row["n_orphans"] == 2          # 7 and 9
+    assert row["n_null_fk"] == 1
+    assert row["n_distinct_orphan_keys"] == 2
+    assert (row["min_orphan_key"], row["max_orphan_key"]) == (7, 9)
+
+
+def test_referential_audit_clean_relation(spark):
+    from pyrope_spark.operators.profile import referential_audit
+
+    fact = spark.createDataFrame([(1,), (2,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_audit([("clean", fact, "fk", dim, "pk")]).collect()[0]
+    assert row["n_orphans"] == 0 and row["min_orphan_key"] is None
