@@ -670,6 +670,8 @@ def main() -> None:
         "histogram_drift",
         "triangle_copurchase",
         "referential_audit",
+        "pmi_collocations",
+        "cluster_quality",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

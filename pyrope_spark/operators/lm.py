@@ -269,3 +269,58 @@ LEFT JOIN (
   FROM scored_docs WHERE avg_logp IS NOT NULL
 ) b USING (doc_id)
 """
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information, exact-rational.
+
+    PMI ranks bigrams by ``ln(P(w1,w2) / (P(w1)P(w2)))``; for a FIXED
+    corpus the total-bigram factor is a constant, so the ranking is
+    identical under the ln-free integer surrogate
+    ``score_ppb = c12 * 1e9 div (c1 * c2)`` — same move as the TF-IDF and
+    lift queries: ln() ulps differ across libm builds and can flip
+    equal-score ranks, floor division cannot.  ``c1``/``c2`` are the
+    bigram-slot marginals (times w appears as first / second element), the
+    2x2 contingency-table formulation.  ``min_count`` kills the
+    hapax-pair noise PMI is notorious for.
+
+    Scale shape (100 TB): one explode over adjacent token pairs, one hash
+    aggregate on (w1, w2); the marginals are re-aggregates of that
+    (already tiny) bigram table, broadcast back; the global top-n lowers
+    to TakeOrderedAndProject (per-partition heads, no full sort).  At
+    counts beyond ~1e9 pairs move the score to DECIMAL(38,0) to keep
+    ``c12 * 1e9`` inside 64 bits.
+    """
+    bi = _doc_bigrams(docs, text_col, id_col)
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .withColumn(
+            "score_ppb",
+            F.expr("c12 * CAST(1000000000 AS BIGINT) DIV (c1 * c2)"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("score_ppb").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(top_n)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            "score_ppb",
+        )
+    )

@@ -440,3 +440,88 @@ def referential_audit(
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+def cluster_quality_report(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+) -> DataFrame:
+    """Per-cluster quality: size, inertia, and max radius — all exact.
+
+    The k-means diagnostics loop (is cluster 7 twice as loose as the
+    rest? did the new crawl inflate one cell?) in integer micro-units:
+    coordinates round to ``v*scale`` BIGINTs, the per-cluster centroid is
+    the per-dimension FLOOR mean, inertia is the exact sum of squared
+    integer differences, radius the max per-vector squared distance.
+
+    Floor-division portability trap (the cross-engine-determinism rule):
+    Spark's ``div`` truncates toward zero, DuckDB's ``//`` floors toward
+    -inf — they disagree on negative numerators.  Coordinates here are
+    negative, so the centroid mean is computed as
+    ``(sum + offset*n) div n - offset`` with ``offset`` >= the magnitude
+    bound, making the numerator non-negative where truncation == floor in
+    both engines.
+
+    Scale shape (100 TB): ONE posexplode pass aggregates (label, dim)
+    sums — the only fact-table shuffle; centroids re-assemble to arrays
+    (n_labels x dim rows, tiny) and broadcast-join back; per-vector
+    distances are a zip_with/aggregate fold, no second explode.  Inertia
+    fits int64 up to ~1e18 / (scale^2 * dim) vectors per cluster — switch
+    scale to 1e3 (or sums to DECIMAL) beyond.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.transform(
+            F.col(vec_col),
+            # widen float32 -> double BEFORE the multiply on BOTH engines:
+            # DuckDB's FLOAT * INT stays float32 (458373.5 vs the double
+            # 458373.487) and would round to a different micro-unit
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("vm"),
+    )
+    dims = base.select(
+        "lbl", F.posexplode(F.col("vm")).alias("d", "x")
+    )
+    cent = (
+        dims.groupBy("lbl", "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "c",
+            F.expr(f"(s + CAST({offset} AS BIGINT) * n) DIV n")
+            - F.lit(offset),
+        )
+    )
+    cent_arr = (
+        cent.groupBy("lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("c")))
+            ).alias("dc")
+        )
+        .select(
+            F.col("lbl").alias("clbl"),
+            F.transform(F.col("dc"), lambda s: s["c"]).alias("cm"),
+        )
+    )
+    dist = base.join(
+        F.broadcast(cent_arr), F.col("lbl") == F.col("clbl")
+    ).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("vm"), F.col("cm"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return dist.groupBy(F.col("lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("d2").cast("long").alias("inertia"),
+        F.max("d2").cast("long").alias("max_radius_sq"),
+    )

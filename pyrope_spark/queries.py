@@ -7068,3 +7068,96 @@ FROM lineitem LEFT JOIN (SELECT p_partkey FROM part WHERE p_size <= 40) p
 """
 
 register("referential_audit", _REFAUDIT_ORACLE)(_refaudit_spark)
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: ln-free exact-rational ranking (c12*1e9 div (c1*c2) —
+# the corpus-constant total-bigram factor cannot change the order).
+# --------------------------------------------------------------------------
+
+
+def _pmi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.lm import pmi_collocations
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_n=50)
+
+
+def _pmi_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+
+    t = tokens_sql("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {t} AS tk FROM documents),
+pairs AS (
+  SELECT tk[i] AS w1, tk[i+1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+c2 AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY 1)
+SELECT x.w1, x.w2, x.c12, CAST(c1.c1 AS BIGINT) AS c1,
+       CAST(c2.c2 AS BIGINT) AS c2,
+       x.c12 * 1000000000 // (c1.c1 * c2.c2) AS score_ppb
+FROM c12 x JOIN c1 ON x.w1 = c1.w1 JOIN c2 ON x.w2 = c2.w2
+WHERE x.c12 >= 5
+ORDER BY score_ppb DESC, x.w1, x.w2
+LIMIT 50
+"""
+
+
+register("pmi_collocations", _pmi_oracle())(_pmi_spark)
+
+
+# --------------------------------------------------------------------------
+# Cluster quality report over the embeddings table (label = assignment):
+# exact integer inertia/radius, floor-mean centroids with the
+# offset-shifted div (Spark div truncates, DuckDB // floors — they only
+# agree on non-negative numerators).
+# --------------------------------------------------------------------------
+
+
+def _clusterq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import cluster_quality_report
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_quality_report(emb)
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vectors", "inertia", "max_radius_sq",
+    )
+
+
+_CLUSTERQ_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+  FROM embeddings
+), dims AS (
+  SELECT label, i - 1 AS d, vm[i] AS x
+  FROM base, unnest(range(1, len(vm) + 1)) AS r(i)
+), cent AS (
+  SELECT label, d,
+         (SUM(x) + 1000000 * COUNT(*)) // COUNT(*) - 1000000 AS c
+  FROM dims GROUP BY 1, 2
+), cent_arr AS (
+  SELECT label AS clbl, list(c ORDER BY d) AS cm FROM cent GROUP BY 1
+), dist AS (
+  SELECT b.label,
+         list_sum(list_transform(range(1, len(vm) + 1),
+                                 i -> (vm[i] - cm[i]) * (vm[i] - cm[i])))
+           AS d2
+  FROM base b JOIN cent_arr ON b.label = clbl
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(d2) AS BIGINT) AS inertia,
+       CAST(MAX(d2) AS BIGINT) AS max_radius_sq
+FROM dist GROUP BY 1
+"""
+
+register("cluster_quality", _CLUSTERQ_ORACLE)(_clusterq_spark)

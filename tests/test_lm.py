@@ -111,3 +111,41 @@ def test_perplexity_buckets_cutoff_mode_agrees_on_clean_split(spark):
     assert cutoff[99] is None
     # extremes always agree
     assert cutoff[1] == 1 and cutoff[30] == 3
+
+
+def test_pmi_collocations_ranking_and_counts(spark):
+    """Planted rigid collocation ('hong kong' always together) outranks a
+    frequent-but-promiscuous pair; counts are exact contingency
+    marginals."""
+    from pyrope_spark.operators.lm import pmi_collocations
+
+    docs = []
+    for i in range(6):
+        docs.append((i, "hong kong visit"))          # rigid pair
+    for i in range(6, 12):
+        docs.append((i, "the cat the dog the bird")) # 'the X' promiscuous
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    rows = {(r["w1"], r["w2"]): r for r in out}
+    hk = rows[("hong", "kong")]
+    assert hk["c12"] == 6
+    # 'hong' appears as w1 only in 'hong kong'; 'kong' as w2 only there
+    assert hk["c1"] == 6 and hk["c2"] == 6
+    assert hk["score_ppb"] == 6 * 1_000_000_000 // 36
+    # rigid pair ranks above every 'the X' pair (its marginals dilute it)
+    the_pairs = [r for r in out if r["w1"] == "the"]
+    assert the_pairs and all(
+        hk["score_ppb"] > r["score_ppb"] for r in the_pairs
+    )
+
+
+def test_pmi_min_count_prunes_hapax(spark):
+    from pyrope_spark.operators.lm import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "rare pair"), (2, "common word common word common word "
+                              "common word common word")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in out}

@@ -176,3 +176,24 @@ def test_referential_audit_clean_relation(spark):
     dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
     row = referential_audit([("clean", fact, "fk", dim, "pk")]).collect()[0]
     assert row["n_orphans"] == 0 and row["min_orphan_key"] is None
+
+
+def test_cluster_quality_exact_integers(spark):
+    """Hand-checkable 1-D-ish clusters: floor-mean centroid on negative
+    coords (the div-vs-// trap), exact inertia/radius."""
+    from pyrope_spark.operators.profile import cluster_quality_report
+
+    rows = [
+        (1, 0, [-0.000001, 0.0]),   # micro: (-1, 0)
+        (2, 0, [-0.000002, 0.0]),   # micro: (-2, 0)
+        (3, 1, [0.000004, 0.000002]),
+        (4, 1, [0.000002, 0.000002]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r["label"]: r for r in cluster_quality_report(df).collect()}
+    # label 0: sum=(-3), n=2 -> floor(-1.5) = -2 (floor, NOT truncate -1)
+    # d2: (-1-(-2))^2=1, (-2-(-2))^2=0 -> inertia 1, radius 1
+    assert out[0]["inertia"] == 1 and out[0]["max_radius_sq"] == 1
+    # label 1: centroid (3, 2); d2 = 1 and 1
+    assert out[1]["inertia"] == 2 and out[1]["max_radius_sq"] == 1
+    assert out[0]["n_vectors"] == out[1]["n_vectors"] == 2
