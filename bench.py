@@ -672,6 +672,8 @@ def main() -> None:
         "referential_audit",
         "pmi_collocations",
         "cluster_quality",
+        "zonemap_pruning",
+        "regex_kv_extract",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

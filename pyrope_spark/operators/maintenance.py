@@ -143,3 +143,38 @@ def maintain_agg_view(
         )
     )
     return merged.filter(F.col("n") > 0)
+
+
+def zonemap_stats(
+    df, bucket_col, value_cols: list[str]
+):
+    """Zonemap (min/max/count per storage bucket) — the scan-pruning index.
+
+    Parquet footers carry these per row-group; a table-level zonemap makes
+    the same decision BEFORE listing files: a predicate whose range misses
+    a bucket's [min, max] skips the bucket entirely.  This builds the
+    zonemap as a queryable table: one hash aggregate of the fact table on
+    the bucket key, min/max/count per value column.
+
+    Pair with ``prunable_flag`` to evaluate a candidate predicate against
+    the zonemap — the fraction of prunable rows is exactly the I/O a
+    range-partitioned layout saves, which is the number that justifies
+    (or rejects) a re-clustering job (``zorder_clustering_key``,
+    ``compact_small_files`` keep the sort that makes zonemaps tight).
+
+    Scale shape (100 TB): map-side-partial aggregate, output = |buckets|
+    rows.  No shuffle beyond the one hash agg; the zonemap table itself
+    is small enough to broadcast into every planner decision.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in value_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(bucket_col).agg(*aggs)
+
+
+def prunable_flag(lo_col: str, hi_col: str, lo, hi):
+    """Column expression: TRUE when a bucket's [min, max] is DISJOINT from
+    the query range [lo, hi] — the bucket can be skipped without reading a
+    row. Conservative by construction: overlap => not prunable."""
+    return (F.col(hi_col) < F.lit(lo)) | (F.col(lo_col) > F.lit(hi))

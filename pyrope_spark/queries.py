@@ -7161,3 +7161,119 @@ FROM dist GROUP BY 1
 """
 
 register("cluster_quality", _CLUSTERQ_ORACLE)(_clusterq_spark)
+
+
+# --------------------------------------------------------------------------
+# Zonemap pruning: month-bucket min/max/count over orders + disjointness
+# flags for a candidate price-range predicate — the I/O-skip fraction
+# that justifies (or rejects) a re-clustering job.
+# --------------------------------------------------------------------------
+
+
+def _zonemap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.maintenance import prunable_flag, zonemap_stats
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    zm = zonemap_stats(
+        orders.withColumn(
+            "month", F.date_format("o_orderdate", "yyyy-MM")
+        ),
+        "month",
+        ["price_cents", "o_orderkey"],
+    )
+    return zm.select(
+        "month",
+        "n_rows",
+        "min_price_cents",
+        "max_price_cents",
+        F.col("min_o_orderkey").cast("long").alias("min_key"),
+        F.col("max_o_orderkey").cast("long").alias("max_key"),
+        prunable_flag(
+            "min_price_cents", "max_price_cents", 10_000_000, 20_000_000
+        ).alias("prunable_10m_20m"),
+    )
+
+
+_ZONEMAP_ORACLE = """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderkey
+  FROM orders
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       MIN(price_cents) AS min_price_cents,
+       MAX(price_cents) AS max_price_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       (MAX(price_cents) < 10000000 OR MIN(price_cents) > 20000000)
+         AS prunable_10m_20m
+FROM o GROUP BY 1
+"""
+
+register("zonemap_pruning", _ZONEMAP_ORACLE)(_zonemap_spark)
+
+
+# --------------------------------------------------------------------------
+# Regex key=value extraction from semi-structured text: regexp_extract_all
+# pulls `k=v` tokens out of the raw line — the ETL workhorse for logs that
+# never saw a schema.
+# --------------------------------------------------------------------------
+
+
+def _kv_extract_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # synthesize a log line from typed columns, then parse it back out —
+    # proves the extraction path; the oracle extracts from the same line
+    line = F.concat(
+        F.lit("evt type="), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" value="), F.col("value").cast("string"),
+    )
+    kv = F.expr(
+        r"regexp_extract_all(line, '(\\w+)=([^ ]+)', 1)"
+    )
+    vv = F.expr(
+        r"regexp_extract_all(line, '(\\w+)=([^ ]+)', 2)"
+    )
+    return (
+        ev.select(F.col("event_id").cast("long").alias("event_id"), line.alias("line"))
+        .select(
+            "event_id",
+            F.map_from_arrays(kv, vv).alias("m"),
+            F.size(kv).cast("long").alias("n_pairs"),
+        )
+        .select(
+            "event_id",
+            "n_pairs",
+            F.col("m")["type"].alias("k_type"),
+            F.col("m")["user"].cast("long").alias("k_user"),
+        )
+    )
+
+
+_KV_ORACLE = r"""
+WITH lines AS (
+  SELECT event_id,
+         'evt type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+           || ' value=' || CAST(value AS VARCHAR) AS line
+  FROM events
+), ext AS (
+  SELECT event_id,
+         regexp_extract_all(line, '(\w+)=([^ ]+)', 1) AS ks,
+         regexp_extract_all(line, '(\w+)=([^ ]+)', 2) AS vs
+  FROM lines
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(len(ks) AS BIGINT) AS n_pairs,
+       vs[list_position(ks, 'type')] AS k_type,
+       CAST(vs[list_position(ks, 'user')] AS BIGINT) AS k_user
+FROM ext
+"""
+
+register("regex_kv_extract", _KV_ORACLE)(_kv_extract_spark)

@@ -106,3 +106,28 @@ def test_full_retraction_drops_key(spark):
     out = maintain_agg_view(base, retract, keys=["k", "g"], op_col="op")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["k"] == 2
+
+
+def test_zonemap_stats_and_prunable_flag(spark):
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.maintenance import prunable_flag, zonemap_stats
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 10), ("b", 20), ("c", 100)],
+        "bucket string, v long",
+    )
+    zm = zonemap_stats(df, "bucket", ["v"])
+    out = {
+        r["bucket"]: r
+        for r in zm.withColumn(
+            "prun", prunable_flag("min_v", "max_v", 8, 30)
+        ).collect()
+    }
+    assert out["a"]["n_rows"] == 2 and out["a"]["min_v"] == 1 and out["a"]["max_v"] == 5
+    assert out["a"]["prun"] is True      # [1,5] disjoint from [8,30]
+    assert out["b"]["prun"] is False     # [10,20] overlaps
+    assert out["c"]["prun"] is True      # [100,100] above
+    # boundary touch is NOT prunable (conservative)
+    touch = zm.withColumn("prun", prunable_flag("min_v", "max_v", 5, 7)).collect()
+    assert {r["bucket"]: r["prun"] for r in touch}["a"] is False
