@@ -674,6 +674,9 @@ def main() -> None:
         "cluster_quality",
         "zonemap_pruning",
         "regex_kv_extract",
+        "seasonal_profile",
+        "shipping_latency_percentiles",
+        "brand_revenue_running_share",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -736,3 +736,59 @@ def mad_anomalies(
             F.col("mad").alias("mad_micro"),
         )
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Day-of-week seasonal index per key — the seasonal-naive baseline.
+
+    For each (key, dow): mean value in micro-units (floor div — exact),
+    plus the key's overall mean and the seasonal index
+    ``dow_mean * 1e6 div key_mean`` (1e6 = flat).  A Monday that indexes
+    at 1.8e6 carries 80% more value than the key's average day; the
+    forecasting/anomaly baseline is then "compare against your dow
+    index", which needs no model and survives any scale.
+
+    Scale shape (100 TB): ONE hash aggregate on (key, dow) — map-side
+    partials — then a re-aggregate of that 7-rows-per-key table for the
+    key means; everything after the first aggregate is tiny.  Sums fit
+    int64 up to ~9e12 micro-unit value-sum per (key,dow) cell; beyond,
+    switch the sums to DECIMAL(38,0).
+
+    Assumes non-negative values (metering/usage series): the integer
+    means use ``div``, which truncates in Spark but floors in DuckDB —
+    identical only when numerators are non-negative (use the
+    offset-shift from ``profile.cluster_quality_report`` for signed
+    series).
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        # dayofweek is locale-pinned in Spark (1=Sunday); DuckDB's dow()
+        # is 0=Sunday — oracle maps dow()+1
+        F.dayofweek(F.col(ts_col)).cast("long").alias("dow"),
+        F.round(F.col(value_col) * scale).cast("long").alias("v"),
+    )
+    per_dow = base.groupBy("k", "dow").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_key = per_dow.groupBy(F.col("k").alias("kk")).agg(
+        F.sum("s").alias("ks"), F.sum("n").alias("kn")
+    )
+    return (
+        per_dow.join(per_key, F.col("k") == F.col("kk"))
+        .select(
+            F.col("k").alias(key_col),
+            "dow",
+            F.col("n").alias("n_obs"),
+            F.expr("s DIV n").alias("dow_mean_micro"),
+            F.expr("ks DIV kn").alias("key_mean_micro"),
+            F.expr(f"(s DIV n) * {scale} DIV (ks DIV kn)").alias(
+                "seasonal_index_micro"
+            ),
+        )
+    )

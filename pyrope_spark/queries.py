@@ -7277,3 +7277,190 @@ FROM ext
 """
 
 register("regex_kv_extract", _KV_ORACLE)(_kv_extract_spark)
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal profile per event type (seasonal-naive baseline).
+# Spark dayofweek() is 1=Sunday; DuckDB dow() is 0=Sunday -> oracle +1.
+# --------------------------------------------------------------------------
+
+
+def _seasonal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import seasonal_profile
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_profile(ev, "event_type", "value", "ts")
+
+
+_SEASONAL_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events
+), per_dow AS (
+  SELECT k, dow, SUM(v) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+), per_key AS (
+  SELECT k AS kk, SUM(s) AS ks, SUM(n) AS kn FROM per_dow GROUP BY 1
+)
+SELECT k AS event_type, dow, n AS n_obs,
+       CAST(s // n AS BIGINT) AS dow_mean_micro,
+       CAST(ks // kn AS BIGINT) AS key_mean_micro,
+       CAST((s // n) * 1000000 // (ks // kn) AS BIGINT)
+         AS seasonal_index_micro
+FROM per_dow JOIN per_key ON k = kk
+"""
+
+register("seasonal_profile", _SEASONAL_ORACLE)(_seasonal_spark)
+
+
+# --------------------------------------------------------------------------
+# Shipping-latency distribution per order priority: exact nearest-rank
+# p50/p90/p99 of (l_shipdate - o_orderdate) days — the SLA report as a
+# fact-to-fact join + one ranked pass.
+# --------------------------------------------------------------------------
+
+
+def _shiplat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lat_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("priority").orderBy(
+        "lat_days", "l_orderkey", "l_linenumber"
+    )
+    ranked = lat.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("priority"))
+    )
+    # nearest-rank (ceil) percentile: the chosen row is the SMALLEST rn
+    # with rn*100 >= n*p, i.e. the max lat_days over rows with
+    # (rn-1)*100 < n*p (values sorted ascending — pure integer compares)
+    agg = (
+        ranked.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.max(
+                F.when(
+                    (F.col("rn") - 1) * 100 < F.col("n") * 50, F.col("lat_days")
+                )
+            ).alias("p50_days"),
+            F.max(
+                F.when(
+                    (F.col("rn") - 1) * 100 < F.col("n") * 90, F.col("lat_days")
+                )
+            ).alias("p90_days"),
+            F.max(
+                F.when(
+                    (F.col("rn") - 1) * 100 < F.col("n") * 99, F.col("lat_days")
+                )
+            ).alias("p99_days"),
+        )
+    )
+    return agg
+
+
+_SHIPLAT_ORACLE = """
+WITH lat AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+           AS lat_days,
+         l_orderkey, l_linenumber
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), ranked AS (
+  SELECT priority, lat_days,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY lat_days, l_orderkey, l_linenumber)
+           AS rn,
+         count(*) OVER (PARTITION BY priority) AS n
+  FROM lat
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       MAX(CASE WHEN (rn - 1) * 100 < n * 50 THEN lat_days END) AS p50_days,
+       MAX(CASE WHEN (rn - 1) * 100 < n * 90 THEN lat_days END) AS p90_days,
+       MAX(CASE WHEN (rn - 1) * 100 < n * 99 THEN lat_days END) AS p99_days
+FROM ranked GROUP BY 1
+"""
+
+register("shipping_latency_percentiles", _SHIPLAT_ORACLE)(_shiplat_spark)
+
+
+# --------------------------------------------------------------------------
+# Cumulative revenue share per brand by month: running integer-cents sums
+# against the brand's fixed total — the "when does a brand cross 50% of
+# its annual revenue" BI staple, one window pass over a pre-aggregated
+# (brand, month) table.
+# --------------------------------------------------------------------------
+
+
+def _runshare_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w_cum = (
+        W.partitionBy("brand")
+        .orderBy("month")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("brand")
+    return rev.select(
+        "brand",
+        "month",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.expr(
+            "sum(rev_cents) OVER (PARTITION BY brand ORDER BY month "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 "
+            "DIV sum(rev_cents) OVER (PARTITION BY brand)"
+        ).alias("cum_share_micro"),
+    )
+
+
+_RUNSHARE_ORACLE = """
+WITH rev AS (
+  SELECT p_brand AS brand, strftime(l_shipdate, '%Y-%m') AS month,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT brand, month, rev_cents,
+       SUM(rev_cents) OVER (PARTITION BY brand ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+       SUM(rev_cents) OVER (PARTITION BY brand ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+         // SUM(rev_cents) OVER (PARTITION BY brand) AS cum_share_micro
+FROM rev
+"""
+
+register("brand_revenue_running_share", _RUNSHARE_ORACLE)(_runshare_spark)

@@ -406,3 +406,22 @@ def test_histogram_drift_detects_planted_shift(spark):
     assert out["flat"]["l1_drift_ppm"] == 0
     # disjoint supports -> both halves' full mass moves: L1 = 2e6 exactly
     assert out["shift"]["l1_drift_ppm"] == 2_000_000
+
+
+def test_seasonal_profile_closed_form(spark):
+    """Two dows with known means -> exact micro means and index."""
+    from datetime import datetime
+
+    from pyrope_spark.operators.temporal import seasonal_profile
+
+    sun = datetime(2024, 1, 7)   # Sunday  -> Spark dayofweek = 1
+    mon = datetime(2024, 1, 8)   # Monday  -> 2
+    rows = [("a", 10.0, sun), ("a", 20.0, sun), ("a", 60.0, mon)]
+    df = spark.createDataFrame(rows, "k string, value double, ts timestamp")
+    out = {r["dow"]: r for r in seasonal_profile(df, "k", "value", "ts").collect()}
+    assert out[1]["dow_mean_micro"] == 15_000_000     # (10+20)/2
+    assert out[2]["dow_mean_micro"] == 60_000_000
+    assert out[1]["key_mean_micro"] == 30_000_000     # 90/3
+    assert out[1]["seasonal_index_micro"] == 500_000  # 15/30
+    assert out[2]["seasonal_index_micro"] == 2_000_000
+    assert out[1]["n_obs"] == 2 and out[2]["n_obs"] == 1
