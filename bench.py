@@ -675,6 +675,8 @@ def main() -> None:
         "zonemap_pruning",
         "regex_kv_extract",
         "seasonal_profile",
+        "part_price_size_skyline",
+        "value_trend_by_type",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",
     ):

@@ -550,3 +550,101 @@ def rfm_segments(
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("long").alias("rfm_code"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows no other row dominates.
+
+    Row r dominates s when ``r.min <= s.min`` and ``r.max >= s.max`` with
+    at least one strict.  In two dimensions the skyline falls out of ONE
+    sorted window pass — sort by (minimize asc, maximize desc, tiebreak)
+    and keep a row iff its maximize value strictly exceeds the running
+    max over all PRIOR rows: every prior row has minimize <= ours (and at
+    equal minimize, maximize >= ours), so "not beaten on maximize" is
+    exactly "undominated".  Duplicate (min, max) pairs: the first by
+    tiebreak survives, the rest are dominated (weak dominance) — the
+    conventional skyline-set semantics.
+
+    Scale shape (100 TB): the window is GLOBAL (total order) — correct
+    first, and fine for dimension-table inputs (parts, suppliers).  For a
+    fact-scale skyline, pre-filter with a per-partition local skyline
+    (mapPartitions keep-undominated) which shrinks candidates to
+    O(frontier) per partition before the global pass — the standard
+    distributed-skyline two-phase; the local pass composes from this same
+    function applied per partition key.
+    """
+    w = Window.orderBy(
+        F.col(minimize_col).asc(),
+        F.col(maximize_col).desc(),
+        F.col(tiebreak_col).asc(),
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    run_max = F.max(F.col(maximize_col)).over(w)
+    return (
+        df.withColumn("_rm", run_max)
+        .filter(F.col("_rm").isNull() | (F.col(maximize_col) > F.col("_rm")))
+        .drop("_rm")
+    )
+
+
+def groupwise_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key OLS slope from exact integer sums (closed-form regression).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — every sum an exact BIGINT
+    over integer x/y, the division deferred to ONE final ``div`` in
+    micro-units, so the trend report replicates bit-for-bit cross-engine
+    (a float running regression would accumulate reduce-order noise).
+    Callers pass x as SMALL integers (days since epoch-min, not epoch
+    seconds) and y in cents — Sxy then stays within int64 to ~1e14 rows
+    per key; the docstring bound to check before scaling up.
+
+    Output: (key, n, slope_micro, num, den) — num/den kept so a consumer
+    can re-derive exact rational comparisons (slope_a > slope_b as
+    num_a*den_b > num_b*den_a) without ever dividing.
+
+    Scale shape: ONE map-side-partial hash aggregate; nothing else.
+    """
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    base = df.select(
+        F.col(key_col).alias("k"),
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # slope sign handling for div truncate-vs-floor: make the numerator
+    # non-negative by multiplying both by sign(num)*sign(den) — slope
+    # micro = sign * (|num| * scale div |den|), exact and portable
+    sgn = F.signum(num.cast("double")).cast("long") * F.signum(
+        den.cast("double")
+    ).cast("long")
+    slope = F.when(den == 0, F.lit(None).cast("long")).otherwise(
+        sgn * F.expr(
+            f"abs(n * sxy - sx * sy) * {scale} DIV abs(n * sxx - sx * sx)"
+        )
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n",
+        num.alias("num"),
+        den.alias("den"),
+        slope.alias("slope_micro"),
+    )

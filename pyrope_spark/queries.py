@@ -7464,3 +7464,96 @@ FROM rev
 """
 
 register("brand_revenue_running_share", _RUNSHARE_ORACLE)(_runshare_spark)
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) of parts: cheapest-for-their-size set
+# (minimize retail cents, maximize size). One sorted window pass.
+# --------------------------------------------------------------------------
+
+
+def _skyline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import skyline_2d
+
+    configure_for_oracle(spark)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    out = skyline_2d(part, "price_cents", "p_size", "p_partkey")
+    return out.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_brand", "p_size", "price_cents",
+    )
+
+
+_SKYLINE_ORACLE = """
+WITH base AS (
+  SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+), flagged AS (
+  SELECT *,
+         MAX(p_size) OVER (ORDER BY price_cents ASC, p_size DESC,
+                           p_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS rm
+  FROM base
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, p_size, price_cents
+FROM flagged WHERE rm IS NULL OR p_size > rm
+"""
+
+register("part_price_size_skyline", _SKYLINE_ORACLE)(_skyline_spark)
+
+
+# --------------------------------------------------------------------------
+# Group-wise OLS trend: per event type, the exact-rational slope of value
+# (cents) over days since the corpus' first event. Division deferred to
+# one final div; num/den kept for exact rational comparisons.
+# --------------------------------------------------------------------------
+
+
+def _trend_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import groupwise_trend
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    base = ev.join(F.broadcast(t0)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("d0")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return groupwise_trend(base, "event_type", "day", "cents")
+
+
+_TREND_ORACLE = """
+WITH t0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+base AS (
+  SELECT event_type AS k,
+         CAST(date_diff('day', d0, CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events, t0
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY 1
+)
+SELECT k AS event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(sign(n * sxy - sx * sy) * sign(n * sxx - sx * sx)
+                 AS BIGINT)
+                 * (abs(n * sxy - sx * sy) * 1000000
+                    // abs(n * sxx - sx * sx))
+       END AS slope_micro
+FROM agg
+"""
+
+register("value_trend_by_type", _TREND_ORACLE)(_trend_spark)

@@ -261,3 +261,49 @@ def test_rfm_segments_tiles_and_code(spark):
         assert Counter(r[axis] for r in out.values()) == {
             1: 2, 2: 2, 3: 2, 4: 2, 5: 2
         }
+
+
+def test_skyline_2d_frontier(spark):
+    """Hand frontier: dominated rows drop, duplicates keep first by
+    tiebreak, incomparable rows all survive."""
+    from pyrope_spark.operators.analytics import skyline_2d
+
+    rows = [
+        (1, 10, 5),   # frontier (cheapest)
+        (2, 10, 5),   # duplicate of 1 -> dominated (weak), id 1 wins
+        (3, 20, 9),   # frontier (bigger)
+        (4, 20, 7),   # dominated by 3 (same price, smaller)
+        (5, 30, 9),   # dominated by 3 (pricier, same size)
+        (6, 40, 12),  # frontier
+        (7, 5, 1),    # frontier (cheapest of all)
+    ]
+    df = spark.createDataFrame(rows, "id long, price long, size long")
+    out = {r["id"] for r in skyline_2d(df, "price", "size", "id").collect()}
+    assert out == {7, 1, 3, 6}
+
+
+def test_groupwise_trend_exact_slope(spark):
+    """y = 3x + 7 exactly -> slope_micro == 3e6, noisy flat key ~ 0,
+    single-x key -> NULL slope (den 0)."""
+    from pyrope_spark.operators.analytics import groupwise_trend
+
+    rows = [("up", x, 3 * x + 7) for x in range(10)]
+    rows += [("flat", x, 5) for x in range(10)]
+    rows += [("point", 4, 9), ("point", 4, 11)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r["k"]: r for r in groupwise_trend(df, "k", "x", "y").collect()}
+    assert out["up"]["slope_micro"] == 3_000_000
+    assert out["up"]["num"] == 3 * out["up"]["den"]
+    assert out["flat"]["slope_micro"] == 0 and out["flat"]["num"] == 0
+    assert out["point"]["slope_micro"] is None and out["point"]["den"] == 0
+
+
+def test_groupwise_trend_negative_slope_portable_div(spark):
+    """Negative slope: sign handled outside the div (truncate-vs-floor
+    portability) — -2x series gives exactly -2e6."""
+    from pyrope_spark.operators.analytics import groupwise_trend
+
+    rows = [("down", x, 100 - 2 * x) for x in range(7)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    r = groupwise_trend(df, "k", "x", "y").collect()[0]
+    assert r["slope_micro"] == -2_000_000
