@@ -677,6 +677,7 @@ def main() -> None:
         "seasonal_profile",
         "part_price_size_skyline",
         "value_trend_by_type",
+        "label_noise_scan",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",
     ):

@@ -7557,3 +7557,60 @@ FROM agg
 """
 
 register("value_trend_by_type", _TREND_ORACLE)(_trend_spark)
+
+
+# --------------------------------------------------------------------------
+# k-NN label-noise scan: rows whose 5 nearest neighbors (exact integer
+# L2² on micro-units, (d2, nid)-ordered) vote for a different label.
+# --------------------------------------------------------------------------
+
+
+def _labelnoise_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.similarity import label_noise_scan
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_noise_scan(emb, k=5, mode="arrow")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.col("majority_label").cast("long").alias("majority_label"),
+        "votes_for_majority",
+        "n_neighbors",
+        "flagged",
+    )
+
+
+_LABELNOISE_ORACLE = """
+WITH base AS (
+  SELECT vec_id AS id, label AS lbl,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS vm
+  FROM embeddings
+), pairs AS (
+  SELECT a.id, a.lbl, b.id AS nid, b.lbl AS nlbl,
+         list_sum(list_transform(range(1, len(a.vm) + 1),
+                  i -> (a.vm[i] - b.vm[i]) * (a.vm[i] - b.vm[i]))) AS d2
+  FROM base a JOIN base b ON a.id <> b.id
+), ranked AS (
+  SELECT id, lbl, nlbl,
+         row_number() OVER (PARTITION BY id ORDER BY d2, nid) AS rk
+  FROM pairs
+), votes AS (
+  SELECT id, lbl, nlbl, CAST(count(*) AS BIGINT) AS v
+  FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3
+), top AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY v DESC, nlbl)
+         AS vr
+  FROM votes
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(lbl AS BIGINT) AS label,
+       CAST(nlbl AS BIGINT) AS majority_label,
+       v AS votes_for_majority,
+       CAST(5 AS BIGINT) AS n_neighbors,
+       nlbl <> lbl AS flagged
+FROM top WHERE vr = 1
+"""
+
+register("label_noise_scan", _LABELNOISE_ORACLE)(_labelnoise_spark)

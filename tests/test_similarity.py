@@ -412,3 +412,59 @@ def test_facade_ivf_pq_opq_recall(spark):
     r_opq = ivf_recall(ann_topk(opq, queries, k=10, nprobe=4), exact, 10)
     assert r_opq >= r_plain - 0.05, (r_plain, r_opq)
     assert r_opq >= 0.5, r_opq
+
+
+def test_label_noise_scan_flags_planted_outlier(spark):
+    """A point labeled B sitting inside cluster A is flagged; clean
+    points are not; vote counts exact."""
+    from pyrope_spark.operators.similarity import label_noise_scan
+
+    rows = []
+    for i in range(6):  # tight cluster A near origin
+        rows.append((i, 0, [0.001 * i, 0.0]))
+    rows.append((100, 1, [0.0015, 0.0]))  # mislabeled: embedded in A
+    for i in range(6):  # cluster B far away
+        rows.append((200 + i, 1, [1.0 + 0.001 * i, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r["vec_id"]: r for r in label_noise_scan(df, k=5).collect()}
+    assert out[100]["flagged"] is True
+    assert out[100]["majority_label"] == 0
+    assert out[100]["votes_for_majority"] == 5
+    assert out[0]["flagged"] is False
+    assert out[200]["flagged"] is False
+
+
+def test_label_noise_scan_arrow_parity(spark):
+    """mode='arrow' (block-pair GEMM) returns BIT-IDENTICAL rows to the
+    expression twin, across block boundaries."""
+    from pyrope_spark.operators.similarity import label_noise_scan
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), int(i % 3), [float(x) for x in rng.random(8) * 0.5])
+        for i in range(57)  # not a multiple of rows_per_block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    a = sorted(
+        map(tuple, label_noise_scan(df, k=5, mode="expr").collect())
+    )
+    b = sorted(
+        map(tuple, label_noise_scan(df, k=5, mode="arrow", rows_per_block=16).collect())
+    )
+    assert a == b and len(a) == 57
+
+
+def test_label_noise_scan_guard(spark):
+    from pyrope_spark.operators.similarity import label_noise_scan
+
+    df = spark.createDataFrame(
+        [(i, 0, [0.0]) for i in range(10)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    try:
+        label_noise_scan(df, max_exact_rows=5)
+        raise AssertionError("guard did not trip")
+    except ValueError as e:
+        assert "bounded" in str(e)
