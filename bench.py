@@ -678,6 +678,7 @@ def main() -> None:
         "part_price_size_skyline",
         "value_trend_by_type",
         "label_noise_scan",
+        "cusum_changepoint",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",
     ):

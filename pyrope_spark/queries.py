@@ -7614,3 +7614,49 @@ FROM top WHERE vr = 1
 """
 
 register("label_noise_scan", _LABELNOISE_ORACLE)(_labelnoise_spark)
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point per event type: argmax |n*cumsum - i*total| (the
+# division-free centered CUSUM — argmax invariant to the n scaling).
+# --------------------------------------------------------------------------
+
+
+def _cusum_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import cusum_changepoint
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "event_type", "value", "ts", "event_id")
+
+
+_CUSUM_ORACLE = """
+WITH mv AS (
+  SELECT event_type AS k, event_id AS id, ts,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events
+), cum AS (
+  SELECT k, id, ts, v,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+         CAST(SUM(v) OVER (PARTITION BY k) AS BIGINT) AS total,
+         CAST(SUM(v) OVER (PARTITION BY k ORDER BY ts, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS csum,
+         CAST(count(*) OVER (PARTITION BY k ORDER BY ts, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS i
+  FROM mv
+), scored AS (
+  SELECT *, abs(n * csum - i * total) AS s_abs,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY abs(n * csum - i * total) DESC,
+                                     ts, id) AS rk
+  FROM cum
+)
+SELECT k AS event_type, CAST(id AS BIGINT) AS event_id, ts,
+       i AS position, n AS n_rows,
+       CAST(s_abs // n AS BIGINT) AS cusum_peak_micro
+FROM scored WHERE rk = 1
+"""
+
+register("cusum_changepoint", _CUSUM_ORACLE)(_cusum_spark)

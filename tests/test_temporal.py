@@ -425,3 +425,25 @@ def test_seasonal_profile_closed_form(spark):
     assert out[1]["seasonal_index_micro"] == 500_000  # 15/30
     assert out[2]["seasonal_index_micro"] == 2_000_000
     assert out[1]["n_obs"] == 2 and out[2]["n_obs"] == 1
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """Series 10,10,10,10,50,50,50,50 -> |CUSUM| peaks exactly at the
+    boundary (position 4); a constant key peaks at 0 magnitude."""
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.operators.temporal import cusum_changepoint
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate([10.0] * 4 + [50.0] * 4):
+        rows.append(("shift", i, t0 + timedelta(minutes=i), v))
+    for i in range(6):
+        rows.append(("const", 100 + i, t0 + timedelta(minutes=i), 7.0))
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp, value double")
+    out = {r["k"]: r for r in cusum_changepoint(df, "k", "value", "ts", "id").collect()}
+    assert out["shift"]["position"] == 4
+    # S_4 = n*cum4 - 4*total = 8*40e6 - 4*240e6 = -640e6 -> |S|/n = 80e6
+    assert out["shift"]["cusum_peak_micro"] == 80_000_000
+    assert out["const"]["cusum_peak_micro"] == 0
+    assert out["const"]["position"] == 1  # tie on |S|=0 -> earliest row
