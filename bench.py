@@ -679,6 +679,7 @@ def main() -> None:
         "value_trend_by_type",
         "label_noise_scan",
         "cusum_changepoint",
+        "winsorize_event_values",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",
     ):

@@ -1517,3 +1517,61 @@ def blocklist_phrase_matches(
         phrase_id_col,
         (F.col("_p0") + 1).cast("long").alias("token_pos"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key percentile clipping (winsorization) with EXACT bounds.
+
+    The preprocessing step before any mean/variance-sensitive training
+    signal: cap each key's values at its nearest-rank(ceil) lo/hi
+    percentiles.  Bounds are picked by pure integer rank inequality (the
+    smallest rank r with r*100 >= n*p over the (value, id) total order —
+    no interpolation, no float), and values travel as micro-unit BIGINTs,
+    so the clipped table replicates bit-for-bit cross-engine.
+
+    Scale shape (100 TB): one window-rank pass partitioned by key (single
+    hash shuffle), a per-key bounds aggregate (|keys| rows, broadcast
+    back), one projection.  Output keeps every row with the clipped
+    value, the raw value, and the clip flag for audit.
+    """
+    mv = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.round(F.col(value_col) * scale).cast("long").alias("v"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("v", "id")
+    ranked = mv.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("k"))
+    )
+    bounds = ranked.groupBy(F.col("k").alias("bk")).agg(
+        F.max(
+            F.when((F.col("rn") - 1) * 100 < F.col("n") * lo_pct, F.col("v"))
+        ).alias("lo_v"),
+        F.max(
+            F.when((F.col("rn") - 1) * 100 < F.col("n") * hi_pct, F.col("v"))
+        ).alias("hi_v"),
+    )
+    return (
+        mv.join(bounds, F.col("k") == F.col("bk"))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("id").cast("long").alias(id_col),
+            F.col("v").alias("raw_micro"),
+            F.greatest(
+                F.col("lo_v"), F.least(F.col("hi_v"), F.col("v"))
+            ).alias("clipped_micro"),
+            (
+                (F.col("v") < F.col("lo_v")) | (F.col("v") > F.col("hi_v"))
+            ).alias("was_clipped"),
+        )
+    )

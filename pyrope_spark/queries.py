@@ -7660,3 +7660,43 @@ FROM scored WHERE rk = 1
 """
 
 register("cusum_changepoint", _CUSUM_ORACLE)(_cusum_spark)
+
+
+# --------------------------------------------------------------------------
+# Winsorization: per-type exact nearest-rank p1/p99 clipping of event
+# values — the pre-training outlier cap, bit-replicable.
+# --------------------------------------------------------------------------
+
+
+def _winsor_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import winsorize
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return winsorize(ev, "event_type", "value", "event_id")
+
+
+_WINSOR_ORACLE = """
+WITH mv AS (
+  SELECT event_type AS k, event_id AS id,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM mv
+), bounds AS (
+  SELECT k AS bk,
+         MAX(CASE WHEN (rn - 1) * 100 < n * 1 THEN v END) AS lo_v,
+         MAX(CASE WHEN (rn - 1) * 100 < n * 99 THEN v END) AS hi_v
+  FROM ranked GROUP BY 1
+)
+SELECT mv.k AS event_type, CAST(mv.id AS BIGINT) AS event_id,
+       mv.v AS raw_micro,
+       GREATEST(b.lo_v, LEAST(b.hi_v, mv.v)) AS clipped_micro,
+       (mv.v < b.lo_v OR mv.v > b.hi_v) AS was_clipped
+FROM mv JOIN bounds b ON mv.k = b.bk
+"""
+
+register("winsorize_event_values", _WINSOR_ORACLE)(_winsor_spark)

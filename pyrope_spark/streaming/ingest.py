@@ -157,3 +157,54 @@ def streaming_sessionize(
             *[F.col(n) for n in (agg_cols or {})],
         )
     )
+
+
+def streaming_quarantine_sink(
+    stream_df: DataFrame,
+    payload_col: str,
+    schema: str,
+    clean_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    *,
+    prefix: str = "",
+):
+    """Dead-letter-queue routing for a streaming ingest: per micro-batch,
+    parse the JSON payload column (PERMISSIVE, corrupt-flagged — the
+    batch ``parse_json_column`` contract) and append clean rows to
+    ``clean_dir``, corrupt rows (original payload intact, stamped with
+    the batch id) to ``dlq_dir``.  NOTHING is dropped: clean + DLQ row
+    counts always sum to the input, and the DLQ keeps the raw payload so
+    a fixed parser can replay it later.
+
+    foreachBatch (not two sinks on one stream) so both writes share ONE
+    parse of the micro-batch and commit under the same batch id —
+    exactly-once via the checkpoint + idempotent parquet append.
+
+    Scale: per-batch work is one projection; appends are partitioned
+    parquet writes. The DLQ stays small by construction (corrupt fraction),
+    so its small-files pressure is handled by the existing
+    ``compact_small_files`` maintenance job.
+    """
+    from pyrope_spark.operators.semistructured import (
+        parse_json_column,
+        quarantine_split,
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = parse_json_column(
+            batch_df, payload_col, schema, prefix=prefix
+        )
+        clean, bad = quarantine_split(parsed, payload_col)
+        clean.drop(f"{payload_col}_corrupt").write.mode("append").parquet(
+            clean_dir
+        )
+        bad.select(
+            "*", F.lit(batch_id).cast("long").alias("dlq_batch_id")
+        ).drop(f"{payload_col}_corrupt").write.mode("append").parquet(dlq_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -694,3 +694,19 @@ def test_blocklist_no_partial_or_spanning_matches(spark):
     got = {(r["phrase_id"], r["token_pos"])
            for r in blocklist_phrase_matches(docs, phrases).collect()}
     assert got == {(2, 3)}
+
+
+def test_winsorize_exact_bounds_and_flags(spark):
+    """100-value key: p1/p99 nearest-rank(ceil) bounds == ranks 1 and 99;
+    only the extremes clip; inner values untouched."""
+    from pyrope_spark.operators.curation import winsorize
+
+    rows = [("a", i, float(i + 1)) for i in range(100)]  # values 1..100
+    df = spark.createDataFrame(rows, "k string, id long, value double")
+    out = {r["id"]: r for r in winsorize(df, "k", "value", "id").collect()}
+    # nearest-rank ceil: lo = value at rank ceil(100*0.01)=1 -> 1.0;
+    # hi = rank 99 -> 99.0; so only value 100 clips down to 99
+    assert out[99]["clipped_micro"] == 99_000_000 and out[99]["was_clipped"]
+    assert not out[0]["was_clipped"] and out[0]["clipped_micro"] == 1_000_000
+    assert not out[50]["was_clipped"]
+    assert sum(1 for r in out.values() if r["was_clipped"]) == 1

@@ -67,3 +67,23 @@ def test_synthetic_deterministic(spark):
     db = {r["id"]: r["vector"] for r in b}
     assert da == db
     assert all(0.0 <= x < 1.0 for v in da.values() for x in v)
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC source/sink parity: schema (incl. array + timestamp) and rows
+    survive a write/read round trip — the third columnar format next to
+    parquet (native Spark, no extra package)."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [0.5, 1.5], datetime(2024, 1, 1, 12)),
+            (2, "b", [], datetime(2024, 6, 30)),
+        ],
+        "id long, name string, vec array<double>, ts timestamp",
+    )
+    path = str(tmp_path / "t.orc")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -650,3 +650,46 @@ def test_streaming_agg_view_matches_batch_rebuild(spark, tmp_path):
             for r in full.collect()}
     assert got == want
     assert got[(100, "z")][0] == 2
+
+
+def test_streaming_quarantine_sink_routes_dlq(spark, tmp_path):
+    """Mixed clean/corrupt JSON stream: clean rows land parsed, corrupt
+    rows land in the DLQ with raw payload + batch id; counts sum to the
+    input (nothing dropped)."""
+    import json as _json
+
+    from pyrope_spark.streaming.ingest import streaming_quarantine_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"id": 1, "payload": _json.dumps({"k": 10, "device": "a"})},
+        {"id": 2, "payload": "{not json"},
+        {"id": 3, "payload": _json.dumps({"k": 30, "device": "c"})},
+        {"id": 4, "payload": "also broken}"},
+    ]
+    with open(src / "batch.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("id long, payload string")
+        .json(str(src))
+    )
+    q = streaming_quarantine_sink(
+        stream,
+        "payload",
+        "k INT, device STRING",
+        str(tmp_path / "clean"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert clean.count() + dlq.count() == 4
+    got = {r["id"]: r for r in clean.collect()}
+    assert set(got) == {1, 3} and got[1]["k"] == 10 and got[3]["device"] == "c"
+    bad = {r["id"]: r for r in dlq.collect()}
+    assert set(bad) == {2, 4}
+    assert bad[2]["payload"] == "{not json"          # raw payload preserved
+    assert bad[2]["dlq_batch_id"] is not None
