@@ -680,6 +680,7 @@ def main() -> None:
         "label_noise_scan",
         "cusum_changepoint",
         "winsorize_event_values",
+        "kcore_copurchase",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",
     ):

@@ -225,3 +225,80 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT w FROM tri
 ) GROUP BY 1
 """
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, iters: int = 2) -> DataFrame:
+    """Fixed-iteration k-core peeling: who survives ``iters`` rounds of
+    "drop every node with degree < k".
+
+    Each round recomputes degrees over the SURVIVING edge set and
+    semi-joins both endpoints against the keep-set — the classic peel,
+    deterministic because the round count is FIXED (the data-dependent
+    run-to-convergence variant can't be hash-compared across engines; the
+    caller picks ``iters`` and reads ``in_core`` to see whether the fix
+    point was reached, exactly the fixed-iteration contract PageRank uses
+    here).  Output: every node alive after the last peel with its final
+    degree and ``in_core`` (degree >= k — all true iff converged).
+
+    Scale shape (100 TB): per round, one degree aggregate + two hash
+    semi-joins on node — 3 shuffles/round, edge set shrinking
+    monotonically; the keep-set is usually broadcastable after round 1.
+    Community detection's cheap cousin: the k-core is where the dense
+    subgraphs (spam rings, bot clusters, bulk-duplicate part bundles)
+    live, and the peel is the 100 TB-safe way to find it without
+    iteration-to-convergence.
+    """
+    alive = edges
+    for _ in range(iters):
+        deg = (
+            alive.select(F.col("a").alias("node"))
+            .unionAll(alive.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        alive = (
+            alive.join(
+                keep.select(F.col("node").alias("_ka")),
+                F.col("a") == F.col("_ka"),
+                "left_semi",
+            )
+            .join(
+                keep.select(F.col("node").alias("_kb")),
+                F.col("b") == F.col("_kb"),
+                "left_semi",
+            )
+        )
+    final_deg = (
+        alive.select(F.col("a").alias("node"))
+        .unionAll(alive.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return final_deg.select(
+        "node", "deg", (F.col("deg") >= k).alias("in_core")
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 2, iters: int = 2) -> str:
+    """DuckDB twin: the same peel unrolled as chained CTEs."""
+    parts = [f"e0 AS ({edges_sql})"]
+    for i in range(iters):
+        parts.append(
+            f"""d{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+  ) GROUP BY 1
+), k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+e{i + 1} AS (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i})
+)"""
+        )
+    return f"""
+WITH {', '.join(parts)}
+SELECT node, CAST(count(*) AS BIGINT) AS deg,
+       count(*) >= {k} AS in_core
+FROM (SELECT a AS node FROM e{iters} UNION ALL SELECT b FROM e{iters})
+GROUP BY 1
+"""

@@ -7700,3 +7700,38 @@ FROM mv JOIN bounds b ON mv.k = b.bk
 """
 
 register("winsorize_event_values", _WINSOR_ORACLE)(_winsor_spark)
+
+
+# --------------------------------------------------------------------------
+# k-core peeling over the co-purchase graph: fixed-iteration drop of
+# degree-<k nodes (deterministic; run-to-convergence can't be
+# hash-compared) — the dense-subgraph finder.
+# --------------------------------------------------------------------------
+
+
+def _kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import kcore_peel
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    out = kcore_peel(edges, k=2, iters=2)
+    return out.select(F.col("node").cast("long").alias("node"), "deg", "in_core")
+
+
+def _kcore_oracle() -> str:
+    from pyrope_spark.operators.graph import kcore_oracle_sql
+
+    inner = kcore_oracle_sql(_TRI_EDGES_SQL, k=2, iters=2)
+    return f"SELECT CAST(node AS BIGINT) AS node, deg, in_core FROM ({inner})"
+
+
+register("kcore_copurchase", _kcore_oracle())(_kcore_spark)

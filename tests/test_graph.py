@@ -96,3 +96,21 @@ def test_triangle_counts_matches_bruteforce(spark):
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == expect
     assert sum(expect.values()) % 3 == 0 and expect  # sanity: non-trivial
+
+
+def test_kcore_peel_known_graph(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle; the
+    chain peels away over two rounds; in_core marks convergence."""
+    from pyrope_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 plus chain 3-4-5 (4 has deg 2 in round 0, dies in
+    # round 1 after 5 is peeled)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    out = {r["node"]: r for r in kcore_peel(edges, k=2, iters=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["deg"] == 2 and r["in_core"] for r in out.values())
+    # one round is NOT enough: 4 still alive (its degree was 2 pre-peel)
+    one = {r["node"] for r in kcore_peel(edges, k=2, iters=1).collect()}
+    assert 4 in one and 5 not in one
