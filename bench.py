@@ -681,6 +681,8 @@ def main() -> None:
         "cusum_changepoint",
         "winsorize_event_values",
         "kcore_copurchase",
+        "slo_burn_rate",
+        "sentence_stats",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",
     ):

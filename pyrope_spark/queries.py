@@ -7735,3 +7735,137 @@ def _kcore_oracle() -> str:
 
 
 register("kcore_copurchase", _kcore_oracle())(_kcore_spark)
+
+
+# --------------------------------------------------------------------------
+# SLO error-budget burn rate: hourly error ppm vs a fixed objective and
+# the cumulative budget consumed — the on-call dashboard query, exact.
+# --------------------------------------------------------------------------
+
+_SLO_TARGET_PPM = 120_000  # objective: <= 12% error events
+
+
+def _burnrate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("long").alias("n_errors"),
+        )
+    )
+    w = W.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hourly.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.expr("n_errors * 1000000 DIV n_events").alias("error_ppm"),
+        (
+            F.sum("n_errors").over(w) * 1_000_000
+            - F.lit(_SLO_TARGET_PPM) * F.sum("n_events").over(w)
+        ).alias("budget_balance_scaled"),
+        (
+            F.sum("n_errors").over(w) * 1_000_000
+            > F.lit(_SLO_TARGET_PPM) * F.sum("n_events").over(w)
+        ).alias("over_budget"),
+    )
+
+
+_BURNRATE_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT hour, n_events, n_errors,
+       n_errors * 1000000 // n_events AS error_ppm,
+       CAST(SUM(n_errors) OVER w * 1000000
+            - {_SLO_TARGET_PPM} * SUM(n_events) OVER w AS BIGINT)
+         AS budget_balance_scaled,
+       SUM(n_errors) OVER w * 1000000
+         > {_SLO_TARGET_PPM} * SUM(n_events) OVER w AS over_budget
+FROM hourly
+WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+register("slo_burn_rate", _BURNRATE_ORACLE)(_burnrate_spark)
+
+
+# --------------------------------------------------------------------------
+# Sentence-level stats per document: split on [.!?]+ boundaries, count
+# sentences and token lengths — quality-filter features (run-on text and
+# fragment spam sit at the tails of tokens-per-sentence).
+# --------------------------------------------------------------------------
+
+
+def _sentence_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    tok_counts = F.transform(
+        sents,
+        lambda s: F.size(
+            F.filter(F.split(F.trim(s), r"\s+"), lambda t: F.length(t) > 0)
+        ).cast("long"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.aggregate(
+            tok_counts, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_tokens"),
+        F.coalesce(F.array_max(tok_counts), F.lit(0).cast("long")).alias(
+            "max_sentence_tokens"
+        ),
+        F.when(
+            F.size(sents) > 0,
+            F.expr(
+                "aggregate(transform(filter(split(text, '[.!?]+'),"
+                " s -> length(trim(s)) > 0),"
+                " s -> cast(size(filter(split(trim(s), '\\\\s+'),"
+                " t -> length(t) > 0)) as bigint)),"
+                " cast(0 as bigint), (a, x) -> a + x)"
+                " * 1000000 DIV size(filter(split(text, '[.!?]+'),"
+                " s -> length(trim(s)) > 0))"
+            ),
+        ).otherwise(F.lit(None).cast("long")).alias("mean_tokens_micro"),
+    )
+
+
+_SENTENCE_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     x -> length(trim(x)) > 0) AS sents
+  FROM documents
+), t AS (
+  SELECT doc_id, sents,
+         list_transform(sents,
+           x -> CAST(len(list_filter(string_split_regex(trim(x), '\s+'),
+                                     w -> length(w) > 0)) AS BIGINT))
+           AS tok_counts
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_sum(tok_counts), 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_max(tok_counts), 0) AS BIGINT)
+         AS max_sentence_tokens,
+       CASE WHEN len(sents) > 0
+            THEN CAST(list_sum(tok_counts) * 1000000 // len(sents)
+                      AS BIGINT)
+       END AS mean_tokens_micro
+FROM t
+"""
+
+register("sentence_stats", _SENTENCE_ORACLE)(_sentence_spark)
