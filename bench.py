@@ -682,6 +682,7 @@ def main() -> None:
         "winsorize_event_values",
         "kcore_copurchase",
         "slo_burn_rate",
+        "scd2_point_in_time",
         "sentence_stats",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",

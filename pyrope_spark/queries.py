@@ -7869,3 +7869,90 @@ FROM t
 """
 
 register("sentence_stats", _SENTENCE_ORACLE)(_sentence_spark)
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup: each purchase event joined to the status
+# version (SCD2 over the user's non-purchase event history) valid AT its
+# timestamp — the dimension-usage half of the SCD2 story. The as-of
+# formulation (latest valid_from <= ts) equals interval containment
+# because SCD2 versions are contiguous by construction.
+# --------------------------------------------------------------------------
+
+
+def _scd2_pit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.scd import scd2_build
+    from pyrope_spark.operators.temporal import as_of_join
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        events.filter(F.col("event_type") != "purchase"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("vts"),
+        F.col("event_type").alias("status"),
+        "version",
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = as_of_join(
+        purchases,
+        dim,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="vts",
+        right_value_cols=["status", "version"],
+    )
+    return joined.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("right_status").alias("status_at_purchase"),
+        F.col("right_version").cast("long").alias("status_version"),
+    )
+
+
+_SCD2_PIT_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type <> 'purchase'
+), ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id AS tb,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_attr,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM src
+), collapsed AS (
+  SELECT user_id, event_type, ts_us, tb FROM ordered
+  WHERE prev_ts IS NULL OR (event_type IS DISTINCT FROM prev_attr)
+), dim AS (
+  SELECT user_id, event_type AS status,
+         ts_us AS valid_from_us,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, tb)
+           AS valid_to_us,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, tb)
+              AS BIGINT) AS version
+  FROM collapsed
+), purchases AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(p.event_id AS BIGINT) AS event_id,
+       p.ts_us,
+       d.status AS status_at_purchase,
+       d.version AS status_version
+FROM purchases p
+LEFT JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.valid_from_us <= p.ts_us
+ AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+"""
+
+register("scd2_point_in_time", _SCD2_PIT_ORACLE)(_scd2_pit_spark)
