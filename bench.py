@@ -683,6 +683,7 @@ def main() -> None:
         "kcore_copurchase",
         "slo_burn_rate",
         "scd2_point_in_time",
+        "rolling_7d_distinct_users",
         "sentence_stats",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",

@@ -708,3 +708,30 @@ SELECT CAST(MIN(dot) AS BIGINT) AS est_join_rows,
        (SELECT exact_join_rows FROM exact) AS exact_join_rows
 FROM dots
 """
+
+
+def hll_rolling_merge(
+    sketch: DataFrame,
+    day_col: str = "day",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window register merge: for each day in the sketch, the
+    MAX-rho union of the previous ``window_days`` days' registers.
+
+    THE argument for sketches-as-tables: per-day registers are built once
+    (one pass over the fact table, ~m rows/day); any trailing window is
+    then answered from the register table alone — a 7-day distinct over
+    100 TB costs a join of |days| x m rows, not a re-scan.  The range
+    join is on the tiny register table, so Spark broadcasts it; MAX(rho)
+    merging is exactly the HLL union (register tables are a semilattice —
+    the property the pytest asserts as merge == full rebuild).
+    """
+    spine = sketch.select(F.col(day_col).alias("_d")).distinct()
+    joined = spine.join(
+        sketch,
+        (F.col(day_col) > F.date_sub(F.col("_d"), window_days))
+        & (F.col(day_col) <= F.col("_d")),
+    )
+    return joined.groupBy(F.col("_d").alias(day_col), F.col("bucket")).agg(
+        F.max("rho").alias("rho")
+    )

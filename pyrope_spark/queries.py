@@ -7956,3 +7956,117 @@ LEFT JOIN dim d
 """
 
 register("scd2_point_in_time", _SCD2_PIT_ORACLE)(_scd2_pit_spark)
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users from per-day HLL registers: the mergeable
+# sketch answering any trailing window without re-scanning the facts.
+# Estimate replicated register-for-register in SQL; exact twin appended.
+# --------------------------------------------------------------------------
+
+
+def _hll_rolling_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_rolling_merge,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_build(ev, "user_id", group_cols=("day",))
+    merged = hll_rolling_merge(daily, "day", window_days=7)
+    est = hll_estimate(merged, group_cols=("day",))
+    exact = (
+        ev.select(F.col("day").alias("_d"))
+        .distinct()
+        .join(
+            ev.select("day", "user_id"),
+            (F.col("day") > F.date_sub(F.col("_d"), 7))
+            & (F.col("day") <= F.col("_d")),
+        )
+        .groupBy(F.col("_d"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .select(F.col("_d").alias("day"), "exact_distinct")
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "m",
+            "zero_registers",
+            "s_scaled",
+            "est_distinct",
+            "exact_distinct",
+        )
+    )
+
+
+def _hll_rolling_oracle() -> str:
+    from pyrope_spark.functions.text import char_fp_rolling_sql
+    from pyrope_spark.operators.sketch import (
+        HLL_DEFAULT_P,
+        HLL_SALT,
+        HLL_UBITS,
+        _hll_alpha,
+    )
+
+    p = HLL_DEFAULT_P
+    m = 1 << p
+    bw = HLL_UBITS - p
+    num = repr(_hll_alpha(m) * m * m * float(1 << (bw + 1)))
+    fp1 = char_fp_rolling_sql(f"k || '{HLL_SALT}'")
+    fp2 = char_fp_rolling_sql("CAST(h1 AS VARCHAR)")
+    return f"""
+WITH k AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS k FROM events
+), h1 AS (
+  SELECT day, {fp1} AS h1 FROM k
+), u AS (
+  SELECT day, ({fp2}) % {1 << HLL_UBITS} AS u FROM h1
+), reg AS (
+  SELECT day, CAST(u % {m} AS INT) AS bucket,
+         MAX(CAST(CASE WHEN (u // {m}) = 0 THEN {bw + 1}
+              ELSE {bw} + 1 - length(bin(u // {m})) END AS INT)) AS rho
+  FROM u GROUP BY day, bucket
+), spine AS (SELECT DISTINCT day FROM reg),
+merged AS (
+  SELECT s.day, r.bucket, MAX(r.rho) AS rho
+  FROM spine s JOIN reg r
+    ON r.day > s.day - INTERVAL 7 DAY AND r.day <= s.day
+  GROUP BY 1, 2
+), agg AS (
+  SELECT day, COUNT(*) AS present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({bw + 1} - rho)) AS BIGINT) AS s_hit
+  FROM merged GROUP BY day
+), est AS (
+  SELECT day, CAST({m} AS BIGINT) AS m,
+         CAST({m} - present AS BIGINT) AS zero_registers,
+         CAST(s_hit + ({m} - present) * (CAST(1 AS BIGINT) << {bw + 1})
+              AS BIGINT) AS s_scaled
+  FROM agg
+), fin AS (
+  SELECT day, m, zero_registers, s_scaled,
+         CASE WHEN ({num} / CAST(s_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND zero_registers > 0
+              THEN round({float(m)!r} * ln({float(m)!r} /
+                         CAST(zero_registers AS DOUBLE)), 3)
+              ELSE round({num} / CAST(s_scaled AS DOUBLE), 3) END
+           AS est_distinct
+  FROM est
+), exact AS (
+  SELECT s.day,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_distinct
+  FROM spine s JOIN (SELECT CAST(ts AS DATE) AS day, user_id FROM events) e
+    ON e.day > s.day - INTERVAL 7 DAY AND e.day <= s.day
+  GROUP BY 1
+)
+SELECT strftime(fin.day, '%Y-%m-%d') AS day, fin.m, fin.zero_registers,
+       fin.s_scaled, fin.est_distinct, exact.exact_distinct
+FROM fin JOIN exact ON fin.day = exact.day
+"""
+
+
+register("rolling_7d_distinct_users", _hll_rolling_oracle())(_hll_rolling_spark)

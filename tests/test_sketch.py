@@ -280,3 +280,37 @@ def test_bottomk_keeps_extra_columns(spark):
     s = bottomk_sample(df, 10, id_col="id", keep_cols=("value", "meta"))
     row = s.collect()[0]
     assert row["meta"].startswith("m") and isinstance(row["value"], float)
+
+
+def test_hll_rolling_merge_equals_window_rebuild(spark):
+    """Trailing-window register merge == registers built directly on the
+    window's rows (the semilattice property, rolling form)."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.sketch import hll_build, hll_rolling_merge
+
+    rows = []
+    for d in range(10):
+        for u in range(20 * (d + 1)):
+            rows.append((date(2024, 1, 1 + d), f"u{u % 97}-{d % 3}"))
+    df = spark.createDataFrame(rows, "day date, user string")
+    daily = hll_build(df, "user", group_cols=("day",))
+    merged = hll_rolling_merge(daily, "day", window_days=3)
+    # rebuild: per spine day, registers over the union of its 3-day rows
+    spine = [r["day"] for r in df.select("day").distinct().collect()]
+    for d in sorted(spine)[3:6]:
+        win = df.filter(
+            (F.col("day") > F.lit(d) - F.expr("INTERVAL 3 DAY"))
+            & (F.col("day") <= F.lit(d))
+        )
+        direct = {
+            (r["bucket"], r["rho"])
+            for r in hll_build(win, "user").collect()
+        }
+        got = {
+            (r["bucket"], r["rho"])
+            for r in merged.filter(F.col("day") == F.lit(d)).collect()
+        }
+        assert got == direct
