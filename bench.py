@@ -684,6 +684,7 @@ def main() -> None:
         "slo_burn_rate",
         "scd2_point_in_time",
         "rolling_7d_distinct_users",
+        "categorical_association",
         "sentence_stats",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",

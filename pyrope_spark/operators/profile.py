@@ -525,3 +525,58 @@ def cluster_quality_report(
         F.sum("d2").cast("long").alias("inertia"),
         F.max("d2").cast("long").alias("max_radius_sq"),
     )
+
+
+def categorical_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Chi-square contingency audit between two categorical columns.
+
+    Per (a, b) cell: observed count, expected-under-independence count
+    scaled to micro (row_total·col_total·1e6 div N — exact integer), and
+    the chi-square contribution ((N·obs − ra·cb)² ·1e6 div (N·ra·cb) —
+    the textbook (o−e)²/e multiplied through by N so EVERYTHING stays
+    integer until one final div).  Summing chi2_contrib_micro over cells
+    and comparing to the chi-square critical value is the independence
+    test; per-cell contributions localize WHICH combination drives the
+    association (the drift/monitoring use).
+
+    Scale shape (100 TB): one (a,b) hash aggregate over the fact table;
+    marginals re-aggregate the cell table; all joins broadcast.  The
+    N·ra·cb product needs headroom: with counts ≤ ~2e4 per margin and
+    N ≤ ~1e5 it is ~1e14·1e6 — cast through DECIMAL(38,0) for the
+    multiply, back to BIGINT after the div (documented; DuckDB's hugeint
+    does the same implicitly).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    ra = cells.groupBy("a").agg(F.sum("obs").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("obs").alias("cb"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    j = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .join(F.broadcast(tot))
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    expected = F.expr(
+        f"CAST({dec.format('ra')} * cb * {scale} DIV (n) AS BIGINT)"
+    )
+    chi2 = F.expr(
+        f"CAST((({dec.format('n')} * obs - {dec.format('ra')} * cb)"
+        f" * (CAST(n AS DECIMAL(38,0)) * obs - CAST(ra AS DECIMAL(38,0)) * cb))"
+        f" * {scale} DIV (CAST(n AS DECIMAL(38,0)) * ra * cb) AS BIGINT)"
+    )
+    return j.select(
+        F.col("a").alias(col_a),
+        F.col("b").alias(col_b),
+        "obs",
+        F.col("ra").cast("long").alias("row_total"),
+        F.col("cb").cast("long").alias("col_total"),
+        expected.alias("expected_micro"),
+        chi2.alias("chi2_contrib_micro"),
+    )

@@ -8070,3 +8070,41 @@ FROM fin JOIN exact ON fin.day = exact.day
 
 
 register("rolling_7d_distinct_users", _hll_rolling_oracle())(_hll_rolling_spark)
+
+
+# --------------------------------------------------------------------------
+# Chi-square association audit: event_type x day-of-week contingency with
+# integer-exact expected counts and chi2 contributions (multiplied
+# through by N so the only division is the final micro scaling).
+# --------------------------------------------------------------------------
+
+
+def _chisq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import categorical_association
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    )
+    return categorical_association(ev, "event_type", "dow")
+
+
+_CHISQ_ORACLE = """
+WITH base AS (
+  SELECT event_type AS a, CAST(dayofweek(ts) + 1 AS BIGINT) AS b FROM events
+), cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS obs FROM base GROUP BY 1, 2
+), ra AS (SELECT a, SUM(obs) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, SUM(obs) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT SUM(obs) AS n FROM cells)
+SELECT c.a AS event_type, c.b AS dow, c.obs,
+       CAST(ra.ra AS BIGINT) AS row_total,
+       CAST(cb.cb AS BIGINT) AS col_total,
+       CAST(ra.ra * cb.cb * 1000000 // n AS BIGINT) AS expected_micro,
+       CAST((n * c.obs - ra.ra * cb.cb) * (n * c.obs - ra.ra * cb.cb)
+            * 1000000 // (n * ra.ra * cb.cb) AS BIGINT)
+         AS chi2_contrib_micro
+FROM cells c JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b CROSS JOIN tot
+"""
+
+register("categorical_association", _CHISQ_ORACLE)(_chisq_spark)

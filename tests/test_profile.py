@@ -197,3 +197,29 @@ def test_cluster_quality_exact_integers(spark):
     # label 1: centroid (3, 2); d2 = 1 and 1
     assert out[1]["inertia"] == 2 and out[1]["max_radius_sq"] == 1
     assert out[0]["n_vectors"] == out[1]["n_vectors"] == 2
+
+
+def test_categorical_association_independence_and_planted(spark):
+    """Perfectly independent 2x2 -> all chi2 contributions 0; a fully
+    dependent table -> large contributions; integers exact."""
+    from pyrope_spark.operators.profile import categorical_association
+
+    indep = []
+    for a in ("x", "y"):
+        for b in ("p", "q"):
+            indep += [(a, b)] * 10
+    df = spark.createDataFrame(indep, "a string, b string")
+    out = categorical_association(df, "a", "b").collect()
+    assert all(r["chi2_contrib_micro"] == 0 for r in out)
+    assert all(r["expected_micro"] == 10_000_000 for r in out)
+
+    dep = [("x", "p")] * 10 + [("y", "q")] * 10
+    out2 = {
+        (r["a"], r["b"]): r
+        for r in categorical_association(
+            spark.createDataFrame(dep, "a string, b string"), "a", "b"
+        ).collect()
+    }
+    # 2x2 fully dependent, N=20, ra=cb=10: chi2 per cell = (o-e)^2/e = 5
+    assert out2[("x", "p")]["chi2_contrib_micro"] == 5_000_000
+    assert out2[("x", "p")]["expected_micro"] == 5_000_000
