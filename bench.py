@@ -685,6 +685,8 @@ def main() -> None:
         "scd2_point_in_time",
         "rolling_7d_distinct_users",
         "categorical_association",
+        "benford_first_digit",
+        "equal_frequency_binning",
         "sentence_stats",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",

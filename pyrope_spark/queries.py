@@ -8108,3 +8108,116 @@ FROM cells c JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b CROSS JOIN tot
 """
 
 register("categorical_association", _CHISQ_ORACLE)(_chisq_spark)
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit over order totals: observed first-digit ppm
+# vs the Benford expectation (log10 constants pinned as INTEGER ppm
+# literals — no engine computes a log), L1 deviation localizable per
+# digit. The classic books-cooking / synthetic-data smell test.
+# --------------------------------------------------------------------------
+
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = (
+        orders.select(digit.alias("first_digit"))
+        .filter(F.col("first_digit") >= 1)
+        .groupBy("first_digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    bend = spark.createDataFrame(
+        [(d, ppm) for d, ppm in _BENFORD_PPM.items()],
+        "bd long, benford_ppm long",
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .join(F.broadcast(bend), F.col("first_digit") == F.col("bd"))
+        .select(
+            "first_digit",
+            "n",
+            F.expr("n * 1000000 DIV total").alias("observed_ppm"),
+            "benford_ppm",
+            F.abs(
+                F.expr("n * 1000000 DIV total") - F.col("benford_ppm")
+            ).alias("abs_dev_ppm"),
+        )
+    )
+
+
+def _benford_oracle() -> str:
+    values = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+    return f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR), 1, 1) AS BIGINT) AS first_digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  GROUP BY 1 HAVING first_digit >= 1
+), tot AS (SELECT SUM(n) AS total FROM counts),
+bend(bd, benford_ppm) AS (VALUES {values})
+SELECT c.first_digit, c.n,
+       CAST(c.n * 1000000 // t.total AS BIGINT) AS observed_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(c.n * 1000000 // t.total - b.benford_ppm) AS BIGINT)
+         AS abs_dev_ppm
+FROM counts c CROSS JOIN tot t JOIN bend b ON c.first_digit = b.bd
+"""
+
+
+register("benford_first_digit", _benford_oracle())(_benford_spark)
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency binning (feature discretization): decile assignment per
+# event type via ntile over the (value, id) total order — the exact
+# integer-boundary binning a feature pipeline exports.
+# --------------------------------------------------------------------------
+
+
+def _eqbin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.round(F.col("value") * 1_000_000).cast("long").asc(),
+        F.col("event_id").asc(),
+    )
+    binned = ev.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micro"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    return binned.groupBy("event_type", "decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("value_micro").alias("lo_micro"),
+        F.max("value_micro").alias("hi_micro"),
+    )
+
+
+_EQBIN_ORACLE = """
+WITH binned AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+         CAST(ntile(10) OVER (PARTITION BY event_type
+              ORDER BY CAST(round(value * 1000000) AS BIGINT), event_id)
+              AS BIGINT) AS decile
+  FROM events
+)
+SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+       MIN(value_micro) AS lo_micro, MAX(value_micro) AS hi_micro
+FROM binned GROUP BY 1, 2
+"""
+
+register("equal_frequency_binning", _EQBIN_ORACLE)(_eqbin_spark)
