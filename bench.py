@@ -686,6 +686,8 @@ def main() -> None:
         "rolling_7d_distinct_users",
         "categorical_association",
         "benford_first_digit",
+        "mergeable_moments",
+        "negative_sampling_pairs",
         "equal_frequency_binning",
         "sentence_stats",
         "shipping_latency_percentiles",

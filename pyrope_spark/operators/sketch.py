@@ -735,3 +735,58 @@ def hll_rolling_merge(
     return joined.groupBy(F.col("_d").alias(day_col), F.col("bucket")).agg(
         F.max("rho").alias("rho")
     )
+
+
+def moments_build(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mergeable moment sketch per key: (n, s1, s2) with EXACT integers.
+
+    s1 = sum of micro-unit values (BIGINT), s2 = sum of squares
+    (DECIMAL(38,0) — micro squares overflow int64 past ~9e3 rows of
+    magnitude-1e6 values).  The pair is a commutative monoid: partials
+    from any partitioning merge by simple addition into exactly the
+    full-scan result — the property incremental stats maintenance needs
+    (same contract as the HLL registers and the (n, sum) agg views).
+    """
+    v = F.round(F.col(value_col) * scale).cast("long")
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v.cast("decimal(38,0)") * v).alias("s2"),
+    )
+
+
+def moments_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two moment-sketch tables (union + re-add)."""
+    return (
+        a.unionByName(b)
+        .groupBy("key")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s1").cast("long").alias("s1"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+        )
+    )
+
+
+def moments_stats(sketch: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Exact-rational stats from a moment sketch: mean in micro (one
+    div) and the variance NUMERATOR ``n*s2 - s1^2`` kept as an exact
+    DECIMAL — comparing spread across keys never divides (var_a > var_b
+    iff num_a*den_b > num_b*den_a with den = n^2), the same
+    deferred-division discipline as ``groupwise_trend``."""
+    return sketch.select(
+        "key",
+        "n",
+        "s1",
+        "s2",
+        F.expr("s1 DIV n").alias("mean_micro"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).alias("var_numerator"),
+    )

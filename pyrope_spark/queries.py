@@ -8221,3 +8221,156 @@ FROM binned GROUP BY 1, 2
 """
 
 register("equal_frequency_binning", _EQBIN_ORACLE)(_eqbin_spark)
+
+
+# --------------------------------------------------------------------------
+# Mergeable moment sketches: two half-corpus partials merged == the full
+# scan EXACTLY (commutative-monoid addition); variance numerator kept as
+# an exact DECIMAL so spread comparisons never divide.
+# --------------------------------------------------------------------------
+
+
+def _moments_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.sketch import (
+        moments_build,
+        moments_merge,
+        moments_stats,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a = moments_build(ev.filter(F.col("event_id") % 2 == 0), "event_type", "value")
+    b = moments_build(ev.filter(F.col("event_id") % 2 == 1), "event_type", "value")
+    merged = moments_merge(a, b)
+    out = moments_stats(merged)
+    return out.select(
+        F.col("key").alias("event_type"),
+        "n",
+        "s1",
+        F.col("s2").cast("decimal(38,0)").cast("string").alias("s2"),
+        "mean_micro",
+        # > int64 — stringified on BOTH sides: DuckDB's pandas bridge
+        # renders DECIMAL(38,0) as float64 and the hash compare would
+        # see rounding, not the exact integer
+        F.col("var_numerator").cast("decimal(38,0)").cast("string").alias("var_numerator"),
+    )
+
+
+_MOMENTS_ORACLE = """
+WITH halves AS (
+  SELECT event_type AS key,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s1,
+         SUM(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0))
+             * CAST(round(value * 1000000) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type, event_id % 2
+), merged AS (
+  SELECT key, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s1) AS BIGINT) AS s1,
+         CAST(SUM(s2) AS DECIMAL(38,0)) AS s2
+  FROM halves GROUP BY 1
+)
+SELECT key AS event_type, n, s1, CAST(s2 AS VARCHAR) AS s2,
+       CAST(s1 // n AS BIGINT) AS mean_micro,
+       CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2
+            - CAST(s1 AS DECIMAL(38,0)) * s1 AS DECIMAL(38,0)) AS VARCHAR)
+         AS var_numerator
+FROM merged
+"""
+
+register("mergeable_moments", _MOMENTS_ORACLE)(_moments_spark)
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training: k hash-step
+# candidates per anchor ((rank*A + t*B) mod N — no RNG, layout-free),
+# same-label candidates dropped, exact integer dot product attached so
+# hardness can be ranked without a float in sight. Zero shuffles beyond
+# the rank assignment and one join on the tiny rank spine.
+# --------------------------------------------------------------------------
+
+_NEG_A, _NEG_B, _NEG_K = 2654435761, 40503, 3
+
+
+def _negpairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("vm"),
+    )
+    ranked = emb.withColumn(
+        "rk", F.row_number().over(W.orderBy("vec_id")) - 1
+    )
+    n = ranked.count()
+    cand = ranked.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("vm").alias("avm"),
+        F.explode(
+            F.array(*[
+                ((F.col("rk") * _NEG_A + t * _NEG_B) % n).alias(f"c{t}")
+                for t in range(1, _NEG_K + 1)
+            ])
+        ).alias("neg_rk"),
+    )
+    negs = ranked.select(
+        F.col("rk").alias("neg_rk"),
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("vm").alias("nvm"),
+    )
+    pairs = (
+        cand.join(negs, "neg_rk")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("avm"), F.col("nvm"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        F.col("anchor_label").cast("long").alias("anchor_label"),
+        F.col("negative_id").cast("long").alias("negative_id"),
+        F.col("negative_label").cast("long").alias("negative_label"),
+        dot.alias("dot_micro2"),
+    )
+
+
+def _negpairs_oracle() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rk
+  FROM embeddings
+), n AS (SELECT COUNT(*) AS n FROM ranked),
+cand AS (
+  SELECT r.vec_id AS anchor_id, r.label AS anchor_label, r.vm AS avm,
+         (r.rk * {_NEG_A} + t.t * {_NEG_B}) % n.n AS neg_rk
+  FROM ranked r CROSS JOIN n
+  CROSS JOIN (SELECT unnest(range(1, {_NEG_K + 1})) AS t) t
+), pairs AS (
+  SELECT c.anchor_id, c.anchor_label, c.avm,
+         g.vec_id AS negative_id, g.label AS negative_label, g.vm AS nvm
+  FROM cand c JOIN ranked g ON c.neg_rk = g.rk
+  WHERE c.anchor_label <> g.label AND c.anchor_id <> g.vec_id
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+       CAST(anchor_label AS BIGINT) AS anchor_label,
+       CAST(negative_id AS BIGINT) AS negative_id,
+       CAST(negative_label AS BIGINT) AS negative_label,
+       CAST(list_sum(list_transform(range(1, len(avm) + 1),
+                     i -> avm[i] * nvm[i])) AS BIGINT) AS dot_micro2
+FROM pairs
+"""
+
+
+register("negative_sampling_pairs", _negpairs_oracle())(_negpairs_spark)

@@ -314,3 +314,32 @@ def test_hll_rolling_merge_equals_window_rebuild(spark):
             for r in merged.filter(F.col("day") == F.lit(d)).collect()
         }
         assert got == direct
+
+
+def test_moments_merge_equals_full_build(spark):
+    """Partials from an arbitrary split merge into EXACTLY the full-scan
+    sketch (commutative monoid), incl. the decimal sum of squares."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.sketch import (
+        moments_build,
+        moments_merge,
+        moments_stats,
+    )
+
+    rows = [("k", i, float(i) * 1.25) for i in range(101)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    full = moments_build(df, "g", "v").collect()[0]
+    a = moments_build(df.filter(F.col("id") % 3 == 0), "g", "v")
+    b = moments_build(df.filter(F.col("id") % 3 != 0), "g", "v")
+    merged = moments_merge(a, b).collect()[0]
+    assert (merged["n"], merged["s1"], merged["s2"]) == (
+        full["n"], full["s1"], full["s2"],
+    )
+    st = moments_stats(moments_merge(a, b)).collect()[0]
+    # closed form: values i*1.25 micro = 1250000*i, i=0..100
+    s1 = 1_250_000 * sum(range(101))
+    s2 = sum((1_250_000 * i) ** 2 for i in range(101))
+    assert st["s1"] == s1 and int(st["s2"]) == s2
+    assert int(st["var_numerator"]) == 101 * s2 - s1 * s1
+    assert st["mean_micro"] == s1 // 101
