@@ -687,6 +687,7 @@ def main() -> None:
         "categorical_association",
         "benford_first_digit",
         "mergeable_moments",
+        "greedy_coverage_selection",
         "negative_sampling_pairs",
         "equal_frequency_binning",
         "sentence_stats",

@@ -1575,3 +1575,89 @@ def winsorize(
             ).alias("was_clipped"),
         )
     )
+
+
+def greedy_token_cover(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 5,
+    unit: str = "bigram",
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: ``rounds`` documents,
+    each the one adding the most NOT-YET-COVERED distinct tokens.
+
+    The facility-location/submodular-selection classic (the greedy is
+    within (1-1/e) of optimal) that data-selection pipelines use to seed
+    a diverse subset; deterministic end-to-end — gain ties break to the
+    smallest doc id, and every round is a fixed plan, so the selection
+    hash-compares across engines (an RNG-seeded or float-scored selector
+    would not).
+
+    Scale shape (100 TB): the doc->distinct-token table is built ONCE
+    (one explode + distinct); each round is one anti-join against the
+    covered-token set (|covered| grows by <= |doc| per round, broadcast)
+    + one count aggregate + a global top-1 (TakeOrderedAndProject).
+    Rounds are strictly sequential by nature of the greedy — the
+    parallelism is WITHIN each round's scan, which is the right trade
+    at corpus scale (5 passes, each fully distributed).
+    """
+    from pyrope_spark.functions.text import tokens
+
+    if unit == "bigram":
+        # adjacent-pair universe — richer than the raw vocabulary when
+        # the token set is small (the generator corpus has 31 terms but
+        # ~900 bigrams, so the greedy stays non-trivial)
+        tk = tokens(F.col(text_col))
+        pairs = F.arrays_zip(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("a"),
+            F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("b"),
+        )
+        unit_col = F.explode(pairs).alias("_p")
+        dt = (
+            docs.select(F.col(id_col).alias("did"), unit_col)
+            .select(
+                "did",
+                F.concat_ws(" ", F.col("_p.a"), F.col("_p.b")).alias("tok"),
+            )
+            .distinct()
+            .cache()
+        )
+    else:
+        dt = (
+            docs.select(
+                F.col(id_col).alias("did"),
+                F.explode(tokens(F.col(text_col))).alias("tok"),
+            )
+            .distinct()
+            .cache()
+        )
+    covered = None
+    picks = []
+    for r in range(rounds):
+        remaining = dt
+        if covered is not None:
+            remaining = dt.join(covered, "tok", "left_anti")
+        gains = remaining.groupBy("did").agg(
+            F.count(F.lit(1)).alias("gain")
+        )
+        top = (
+            gains.orderBy(F.col("gain").desc(), F.col("did").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["gain"] == 0:
+            break
+        did, gain = top[0]["did"], top[0]["gain"]
+        picks.append((r + 1, did, gain))
+        new_tokens = dt.filter(F.col("did") == did).select("tok")
+        covered = (
+            new_tokens
+            if covered is None
+            else covered.unionByName(new_tokens).distinct()
+        )
+    out = docs.sparkSession.createDataFrame(
+        picks, "round long, doc_id long, new_tokens_covered long"
+    )
+    dt.unpersist()
+    return out

@@ -8374,3 +8374,53 @@ FROM pairs
 
 
 register("negative_sampling_pairs", _negpairs_oracle())(_negpairs_spark)
+
+
+# --------------------------------------------------------------------------
+# Greedy maximum-coverage selection: 5 documents, each adding the most
+# uncovered bigrams (submodular greedy, (1-1/e)-optimal) — deterministic
+# ties to smallest doc id, oracle unrolled round-by-round.
+# --------------------------------------------------------------------------
+
+
+def _setcover_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import greedy_token_cover
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return greedy_token_cover(docs, rounds=5, unit="bigram")
+
+
+def _setcover_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+
+    t = tokens_sql("text")
+    parts = [
+        f"""toks AS (SELECT doc_id, {t} AS tk FROM documents),
+dt AS (
+  SELECT DISTINCT doc_id AS did, tk[i] || ' ' || tk[i+1] AS tok
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+), r1 AS (SELECT * FROM dt)"""
+    ]
+    for i in range(1, 6):
+        parts.append(
+            f"""g{i} AS (
+  SELECT did, CAST(count(*) AS BIGINT) AS gain FROM r{i} GROUP BY 1
+), s{i} AS (
+  SELECT CAST({i} AS BIGINT) AS round, CAST(did AS BIGINT) AS doc_id,
+         gain AS new_tokens_covered
+  FROM g{i} ORDER BY gain DESC, did ASC LIMIT 1
+), r{i + 1} AS (
+  SELECT * FROM r{i}
+  WHERE tok NOT IN (SELECT tok FROM dt WHERE did = (SELECT doc_id FROM s{i}))
+)"""
+        )
+    sel = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, 6))
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT * FROM ({sel}) WHERE new_tokens_covered > 0"
+    )
+
+
+register("greedy_coverage_selection", _setcover_oracle())(_setcover_spark)

@@ -710,3 +710,23 @@ def test_winsorize_exact_bounds_and_flags(spark):
     assert not out[0]["was_clipped"] and out[0]["clipped_micro"] == 1_000_000
     assert not out[50]["was_clipped"]
     assert sum(1 for r in out.values() if r["was_clipped"]) == 1
+
+
+def test_greedy_token_cover_picks_and_stops(spark):
+    """Greedy picks the max-gain doc each round with smallest-id ties,
+    counts only NEW units, and stops when coverage is complete."""
+    from pyrope_spark.operators.curation import greedy_token_cover
+
+    docs = [
+        (1, "a b c d"),        # 4 tokens
+        (2, "a b"),            # subset of 1
+        (3, "e f g"),          # 3 new
+        (4, "c d e"),          # overlaps both
+        (5, "h"),              # 1 new
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = greedy_token_cover(df, rounds=10, unit="token").collect()
+    picks = [(r["round"], r["doc_id"], r["new_tokens_covered"]) for r in out]
+    # round 1: doc 1 (4) ; round 2: doc 3 (3) ; round 3: doc 5 (1);
+    # then everything is covered -> stop (no round 4)
+    assert picks == [(1, 1, 4), (2, 3, 3), (3, 5, 1)]
