@@ -688,6 +688,7 @@ def main() -> None:
         "benford_first_digit",
         "mergeable_moments",
         "greedy_coverage_selection",
+        "simpsons_paradox_audit",
         "negative_sampling_pairs",
         "equal_frequency_binning",
         "sentence_stats",

@@ -8424,3 +8424,93 @@ dt AS (
 
 
 register("greedy_coverage_selection", _setcover_oracle())(_setcover_spark)
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox audit: per-group trend sign vs the pooled trend sign,
+# compared on EXACT rationals (sign(num)*sign(den) — no slope division at
+# all), flagging groups whose direction reverses under aggregation.
+# --------------------------------------------------------------------------
+
+
+def _simpson_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import groupwise_trend
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    base = ev.join(F.broadcast(t0)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("d0")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sub = groupwise_trend(base, "event_type", "day", "cents")
+    pooled = groupwise_trend(
+        base.withColumn("all", F.lit("all")), "all", "day", "cents"
+    ).select(
+        F.col("num").alias("pnum"), F.col("den").alias("pden"),
+        F.col("slope_micro").alias("pooled_slope_micro"),
+    )
+    sgn = lambda num, den: F.signum(num.cast("double")).cast("long") * F.signum(  # noqa: E731
+        den.cast("double")
+    ).cast("long")
+    return sub.join(F.broadcast(pooled)).select(
+        "event_type",
+        "n",
+        "slope_micro",
+        "pooled_slope_micro",
+        sgn(F.col("num"), F.col("den")).alias("group_sign"),
+        sgn(F.col("pnum"), F.col("pden")).alias("pooled_sign"),
+        (
+            sgn(F.col("num"), F.col("den"))
+            * sgn(F.col("pnum"), F.col("pden"))
+            < 0
+        ).alias("sign_reversal"),
+    )
+
+
+_SIMPSON_ORACLE = """
+WITH t0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+base AS (
+  SELECT event_type AS k,
+         CAST(date_diff('day', d0, CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events, t0
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY 1
+), sub AS (
+  SELECT k, n,
+         CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den
+  FROM agg
+), pagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base
+), pooled AS (
+  SELECT CAST(n * sxy - sx * sy AS BIGINT) AS pnum,
+         CAST(n * sxx - sx * sx AS BIGINT) AS pden
+  FROM pagg
+)
+SELECT k AS event_type, s.n,
+       CASE WHEN s.den = 0 THEN NULL
+            ELSE CAST(sign(s.num) * sign(s.den) AS BIGINT)
+                 * (abs(s.num) * 1000000 // abs(s.den)) END AS slope_micro,
+       CASE WHEN p.pden = 0 THEN NULL
+            ELSE CAST(sign(p.pnum) * sign(p.pden) AS BIGINT)
+                 * (abs(p.pnum) * 1000000 // abs(p.pden)) END
+         AS pooled_slope_micro,
+       CAST(sign(s.num) * sign(s.den) AS BIGINT) AS group_sign,
+       CAST(sign(p.pnum) * sign(p.pden) AS BIGINT) AS pooled_sign,
+       sign(s.num) * sign(s.den) * sign(p.pnum) * sign(p.pden) < 0
+         AS sign_reversal
+FROM sub s CROSS JOIN pooled p
+"""
+
+register("simpsons_paradox_audit", _SIMPSON_ORACLE)(_simpson_spark)
