@@ -689,6 +689,8 @@ def main() -> None:
         "mergeable_moments",
         "greedy_coverage_selection",
         "simpsons_paradox_audit",
+        "lang_id_confusion",
+        "source_length_gini",
         "negative_sampling_pairs",
         "equal_frequency_binning",
         "sentence_stats",

@@ -8514,3 +8514,111 @@ FROM sub s CROSS JOIN pooled p
 """
 
 register("simpsons_paradox_audit", _SIMPSON_ORACLE)(_simpson_spark)
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix: declared lang vs the n-gram predictor,
+# with per-cell counts and per-declared-lang accuracy in ppm — the
+# classifier-evaluation query closing the lang_id loop.
+# --------------------------------------------------------------------------
+
+
+def _langconf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import lang_id
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("declared"),
+        lang_id(F.col("text")).alias("predicted"),
+    )
+    cells = pred.groupBy("declared", "predicted").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = cells.groupBy(F.col("declared").alias("d2")).agg(
+        F.sum("n").alias("total")
+    )
+    return cells.join(
+        F.broadcast(totals), F.col("declared") == F.col("d2")
+    ).select(
+        "declared",
+        "predicted",
+        "n",
+        F.expr("n * 1000000 DIV total").alias("cell_ppm"),
+        (F.col("declared") == F.col("predicted")).alias("agree"),
+    )
+
+
+def _langconf_oracle() -> str:
+    from pyrope_spark.functions.text import (
+        lang_id_from_scores_sql,
+        lang_scores_from_tokens_sql,
+        tokens_sql,
+    )
+
+    scores = lang_scores_from_tokens_sql("t")
+    sel = ", ".join(f"{e} AS c_{lang}" for lang, e in scores.items())
+    case = lang_id_from_scores_sql({lang: f"c_{lang}" for lang in scores})
+    return f"""
+WITH tk AS (SELECT lang, {tokens_sql('text')} AS t FROM documents),
+sc AS (SELECT lang, {sel} FROM tk),
+pred AS (SELECT lang AS declared, {case} AS predicted FROM sc),
+cells AS (
+  SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), totals AS (SELECT declared AS d2, SUM(n) AS total FROM cells GROUP BY 1)
+SELECT declared, predicted, n,
+       CAST(n * 1000000 // total AS BIGINT) AS cell_ppm,
+       declared = predicted AS agree
+FROM cells JOIN totals ON declared = d2
+"""
+
+
+register("lang_id_confusion", _langconf_oracle())(_langconf_spark)
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of document lengths per source: exact rational
+# G·1e6 = (2·Σ(i·x_i) − (n+1)·Σx) · 1e6 div (n·Σx) over the per-source
+# (length, doc_id) total order — inequality audit for corpus balance.
+# --------------------------------------------------------------------------
+
+
+def _gini_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").alias("total_chars"),
+        F.expr(
+            "(2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000"
+            " DIV (count(*) * sum(x))"
+        ).alias("gini_micro"),
+    )
+
+
+_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS BIGINT) AS i
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(x) AS BIGINT) AS total_chars,
+       CAST((2 * SUM(i * x) - (count(*) + 1) * SUM(x)) * 1000000
+            // (count(*) * SUM(x)) AS BIGINT) AS gini_micro
+FROM ranked GROUP BY 1
+"""
+
+register("source_length_gini", _GINI_ORACLE)(_gini_spark)
