@@ -690,6 +690,8 @@ def main() -> None:
         "greedy_coverage_selection",
         "simpsons_paradox_audit",
         "lang_id_confusion",
+        "activity_streaks",
+        "top_seller_per_brand_ties",
         "source_length_gini",
         "negative_sampling_pairs",
         "equal_frequency_binning",

@@ -8622,3 +8622,124 @@ FROM ranked GROUP BY 1
 """
 
 register("source_length_gini", _GINI_ORACLE)(_gini_spark)
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user (the
+# date-minus-dense-rank constant-group trick — one window pass, no
+# self-join), plus current-streak-at-corpus-end.
+# --------------------------------------------------------------------------
+
+
+def _streaks_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp",
+        F.date_sub(F.col("day"), F.row_number().over(w)),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len"),
+        F.max("day").alias("streak_end"),
+    )
+    corpus_end = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.max(F.struct(F.col("streak_end"), F.col("len"))).alias("_last"),
+        )
+        .join(F.broadcast(corpus_end))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "longest_streak",
+            F.when(
+                F.col("_last.streak_end") == F.col("maxd"),
+                F.col("_last.len"),
+            ).otherwise(F.lit(0)).alias("current_streak"),
+        )
+    )
+
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grouped AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+         MAX(day) AS streak_end
+  FROM grouped GROUP BY 1, 2
+), corpus_end AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       MAX(len) AS longest_streak,
+       COALESCE(MAX(CASE WHEN streak_end = maxd THEN len END), 0)
+         AS current_streak
+FROM streaks CROSS JOIN corpus_end
+GROUP BY 1, maxd
+"""
+
+register("activity_streaks", _STREAKS_ORACLE)(_streaks_spark)
+
+
+# --------------------------------------------------------------------------
+# Top seller per brand WITH ties (rank, not row_number): every part
+# sharing the brand's max shipped quantity survives — the tie-inclusive
+# window semantics the row_number family can't express.
+# --------------------------------------------------------------------------
+
+
+def _topties_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+        )
+    )
+    rk = F.rank().over(
+        W.partitionBy("p_brand").orderBy(F.col("qty").desc())
+    )
+    return (
+        qty.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_brand",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.col("qty").cast("decimal(18,2)").alias("total_qty"),
+        )
+    )
+
+
+_TOPTIES_ORACLE = """
+WITH qty AS (
+  SELECT p.p_brand, l.l_partkey AS p_partkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(qty AS DECIMAL(18,2)) AS total_qty
+FROM (SELECT *, rank() OVER (PARTITION BY p_brand ORDER BY qty DESC) AS rk
+      FROM qty)
+WHERE rk = 1
+"""
+
+register("top_seller_per_brand_ties", _TOPTIES_ORACLE)(_topties_spark)
