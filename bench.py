@@ -691,6 +691,9 @@ def main() -> None:
         "simpsons_paradox_audit",
         "lang_id_confusion",
         "activity_streaks",
+        "cross_source_duplicates",
+        "order_first_last_items",
+        "ks_split_audit",
         "top_seller_per_brand_ties",
         "source_length_gini",
         "negative_sampling_pairs",

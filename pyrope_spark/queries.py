@@ -8743,3 +8743,184 @@ WHERE rk = 1
 """
 
 register("top_seller_per_brand_ties", _TOPTIES_ORACLE)(_topties_spark)
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination: normalized 8-token lead prefixes appearing
+# in >= 2 distinct sources (syndicated/templated content - the
+# provenance-leak audit exact dedup doesn't surface).
+# --------------------------------------------------------------------------
+
+
+def _crosssrc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.functions.text import tokens
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # first-8-token normalized prefix: exact full-text dups across
+    # sources are rare by construction, but syndicated/templated leading
+    # content is exactly what a provenance audit hunts (22 groups at
+    # sf0.01, 227 at sf0.1 — non-trivial at both gates)
+    norm = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8))
+    return (
+        docs.groupBy(norm.alias("norm_text"))
+        .agg(
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.array_sort(F.collect_set("source")).alias("sources"),
+        )
+        .filter(F.col("n_sources") >= 2)
+        .select(
+            F.substring("norm_text", 1, 40).alias("text_prefix"),
+            "n_sources",
+            "n_docs",
+            "first_doc_id",
+            F.concat_ws(",", "sources").alias("sources"),
+        )
+    )
+
+
+_CROSSSRC_ORACLE = """
+WITH g AS (
+  SELECT array_to_string(list_slice(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> length(x) > 0), 1, 8), ' ') AS norm_text,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+         list_sort(list(DISTINCT source)) AS sources
+  FROM documents GROUP BY 1
+)
+SELECT substring(norm_text, 1, 40) AS text_prefix, n_sources, n_docs,
+       first_doc_id, array_to_string(sources, ',') AS sources
+FROM g WHERE n_sources >= 2
+"""
+
+register("cross_source_duplicates", _CROSSSRC_ORACLE)(_crosssrc_spark)
+
+
+# --------------------------------------------------------------------------
+# first/last/nth-value window semantics: per order, the first-, second-,
+# and last-shipped part keys over the (shipdate, linenumber) frame with
+# explicit full-frame bounds (last_value over the DEFAULT frame is the
+# classic running-frame bug — pinned here on both engines).
+# --------------------------------------------------------------------------
+
+
+def _firstlast_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_shipdate", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    out = li.select(
+        F.col("l_orderkey").cast("long").alias("orderkey"),
+        F.first_value(F.col("l_partkey")).over(w).cast("long").alias("first_part"),
+        F.nth_value(F.col("l_partkey"), 2).over(w).cast("long").alias("second_part"),
+        F.last_value(F.col("l_partkey")).over(w).cast("long").alias("last_part"),
+        F.count("*").over(w).cast("long").alias("n_lines"),
+    ).distinct()
+    return out
+
+
+_FIRSTLAST_ORACLE = """
+SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS orderkey,
+       CAST(first_value(l_partkey) OVER w AS BIGINT) AS first_part,
+       CAST(nth_value(l_partkey, 2) OVER w AS BIGINT) AS second_part,
+       CAST(last_value(l_partkey) OVER w AS BIGINT) AS last_part,
+       CAST(count(*) OVER w AS BIGINT) AS n_lines
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+register("order_first_last_items", _FIRSTLAST_ORACLE)(_firstlast_spark)
+
+
+# --------------------------------------------------------------------------
+# Exact Kolmogorov–Smirnov audit between the hash-split halves of the
+# train/val partitioning: D = max |ECDF_a − ECDF_b| as an exact rational
+# (|i_a·n_b − i_b·n_a| — the division deferred past the argmax), proving
+# the split didn't skew the value distribution.
+# --------------------------------------------------------------------------
+
+
+def _ks_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+        (F.col("event_id") % 2).alias("side"),
+        "event_id",
+    )
+    w = W.orderBy("v", "event_id")
+    cum = (
+        tagged.withColumn(
+            "ia",
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "ib",
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    tot = tagged.groupBy().agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("ia") * F.col("nb") - F.col("ib") * F.col("na"))
+            ).alias("d_numerator"),
+            F.first(F.col("na") * F.col("nb")).alias("d_denominator"),
+        )
+        .select(
+            F.col("d_numerator").cast("long").alias("d_numerator"),
+            F.col("d_denominator").cast("long").alias("d_denominator"),
+            F.expr("d_numerator * 1000000 DIV d_denominator").alias(
+                "ks_d_micro"
+            ),
+        )
+    )
+
+
+_KS_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         event_id % 2 AS side, event_id
+  FROM events
+), cum AS (
+  SELECT v,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY v, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ia,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+           OVER (ORDER BY v, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ib
+  FROM tagged
+), tot AS (
+  SELECT SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+  FROM tagged
+)
+SELECT CAST(MAX(abs(ia * nb - ib * na)) AS BIGINT) AS d_numerator,
+       CAST(MAX(na * nb) AS BIGINT) AS d_denominator,
+       CAST(MAX(abs(ia * nb - ib * na)) * 1000000 // MAX(na * nb)
+            AS BIGINT) AS ks_d_micro
+FROM cum CROSS JOIN tot
+"""
+
+register("ks_split_audit", _KS_ORACLE)(_ks_spark)
