@@ -8813,9 +8813,13 @@ def _firstlast_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    # (shipdate, linenumber) is NOT total at sf0.1 — the generator reuses
+    # linenumbers within an order — so partkey completes the total order
+    # (verified unique); a non-total ordering makes first/nth/last
+    # nondeterministic and the sf0.1 gate caught exactly that
     w = (
         W.partitionBy("l_orderkey")
-        .orderBy("l_shipdate", "l_linenumber")
+        .orderBy("l_shipdate", "l_linenumber", "l_partkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     out = li.select(
@@ -8835,7 +8839,8 @@ SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS orderkey,
        CAST(last_value(l_partkey) OVER w AS BIGINT) AS last_part,
        CAST(count(*) OVER w AS BIGINT) AS n_lines
 FROM lineitem
-WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_shipdate, l_linenumber, l_partkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
