@@ -694,6 +694,8 @@ def main() -> None:
         "cross_source_duplicates",
         "order_first_last_items",
         "ks_split_audit",
+        "weighted_median_price",
+        "lag1_autocorrelation",
         "top_seller_per_brand_ties",
         "source_length_gini",
         "negative_sampling_pairs",

@@ -8929,3 +8929,169 @@ FROM cum CROSS JOIN tot
 """
 
 register("ks_split_audit", _KS_ORACLE)(_ks_spark)
+
+
+# --------------------------------------------------------------------------
+# Weighted median: per brand, the price at which cumulative shipped
+# QUANTITY first reaches half the total (2·cumw ≥ totw — nearest-rank
+# lower-median generalized to weights, pure integer compares on decimal
+# quantities scaled to cents).
+# --------------------------------------------------------------------------
+
+
+def _wmedian_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rows = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+    )
+    w_ord = W.partitionBy("p_brand").orderBy(
+        "price_cents", "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    cum = rows.withColumn(
+        "cumw",
+        F.sum("w").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).withColumn("totw", F.sum("w").over(W.partitionBy("p_brand")))
+    hit = cum.filter(F.col("cumw") * 2 >= F.col("totw"))
+    pick = F.row_number().over(
+        W.partitionBy("p_brand").orderBy(
+            "price_cents", "l_orderkey", "l_linenumber", "l_partkey"
+        )
+    )
+    return (
+        hit.withColumn("_rk", pick)
+        .filter(F.col("_rk") == 1)
+        .select(
+            "p_brand",
+            F.col("price_cents").alias("weighted_median_cents"),
+            F.col("totw").alias("total_qty_centi"),
+        )
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH rows_ AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS w,
+         l.l_orderkey, l.l_linenumber, l.l_partkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), cum AS (
+  SELECT *,
+         SUM(w) OVER (PARTITION BY p_brand
+           ORDER BY price_cents, l_orderkey, l_linenumber, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(w) OVER (PARTITION BY p_brand) AS totw
+  FROM rows_
+), hit AS (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+           ORDER BY price_cents, l_orderkey, l_linenumber, l_partkey) AS rk
+  FROM cum WHERE cumw * 2 >= totw
+)
+SELECT p_brand, price_cents AS weighted_median_cents,
+       CAST(totw AS BIGINT) AS total_qty_centi
+FROM hit WHERE rk = 1
+"""
+
+register("weighted_median_price", _WMEDIAN_ORACLE)(_wmedian_spark)
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation (sign + magnitude) of the daily value sums per
+# event type, as exact rationals: with pairs (x_t, x_{t+1}) the
+# numerator is n·Σxy − Σx·Σy and the denominator the geometric-mean-free
+# n·Σxx − (Σx)² / n·Σyy − (Σy)² pair — we report num, both dens, and
+# the micro ratio num²·sign against den_x·den_y (squaring dodges the
+# sqrt no engine computes identically).
+# --------------------------------------------------------------------------
+
+
+def _autocorr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = W.partitionBy("event_type").orderBy("day")
+    pairs = daily.withColumn("y", F.lead("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "n",
+        num.cast("decimal(38,0)").cast("string").alias("num"),
+        F.signum(num.cast("double")).cast("long").alias("autocorr_sign"),
+        # Spark's decimal DIV rounds the quotient to the result scale
+        # BEFORE truncating (observed +1 vs DuckDB's exact hugeint //),
+        # so the ratio is computed in IEEE double on BOTH engines: the
+        # decimal->double conversions and the division round-to-nearest
+        # identically, making floor() bit-stable cross-engine
+        F.expr(
+            "CAST(floor(CAST(abs(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+            " * abs(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000 AS DOUBLE)"
+            " / CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)) AS BIGINT)"
+        ).alias("r_squared_micro"),
+    )
+
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type, x,
+         lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+  FROM daily QUALIFY y IS NOT NULL
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+            - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS VARCHAR)
+         AS num,
+       CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy
+            - CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT) AS autocorr_sign,
+       CAST(floor(CAST(abs(CAST(n AS DECIMAL(38,0)) * sxy
+                 - CAST(sx AS DECIMAL(38,0)) * sy)
+            * abs(CAST(n AS DECIMAL(38,0)) * sxy
+                 - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000 AS DOUBLE)
+            / CAST((CAST(n AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sx)
+               * (CAST(n AS DECIMAL(38,0)) * syy
+                 - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE))
+            AS BIGINT) AS r_squared_micro
+FROM agg
+"""
+
+register("lag1_autocorrelation", _AUTOCORR_ORACLE)(_autocorr_spark)
