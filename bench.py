@@ -695,6 +695,7 @@ def main() -> None:
         "order_first_last_items",
         "ks_split_audit",
         "weighted_median_price",
+        "funnel_dropoff_shares",
         "lag1_autocorrelation",
         "top_seller_per_brand_ties",
         "source_length_gini",

@@ -9095,3 +9095,63 @@ FROM agg
 """
 
 register("lag1_autocorrelation", _AUTOCORR_ORACLE)(_autocorr_spark)
+
+
+# --------------------------------------------------------------------------
+# Funnel drop-off shares: step-to-step conversion in ppm from the funnel
+# operator's max_step distribution — the report a growth dashboard draws.
+# --------------------------------------------------------------------------
+
+
+def _dropoff_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.funnel import funnel
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    f = funnel(ev, steps=["view", "click", "purchase"])
+    reached = f.select(
+        F.explode(
+            F.sequence(F.lit(1), F.col("max_step"))
+        ).alias("step")
+    ).groupBy("step").agg(F.count("*").cast("long").alias("n_reached"))
+    first = reached.filter(F.col("step") == 1).select(
+        F.col("n_reached").alias("n_entered")
+    )
+    from pyspark.sql import Window as W
+
+    prev = F.lag("n_reached").over(W.orderBy("step"))
+    return (
+        reached.join(F.broadcast(first))
+        .withColumn("n_prev", F.coalesce(prev, F.col("n_reached")))
+        .select(
+            F.col("step").cast("long").alias("step"),
+            "n_reached",
+            F.expr("n_reached * 1000000 DIV n_entered").alias(
+                "of_entered_ppm"
+            ),
+            F.expr("n_reached * 1000000 DIV n_prev").alias("of_prev_ppm"),
+        )
+    )
+
+
+def _dropoff_oracle() -> str:
+    from pyrope_spark.operators.funnel import funnel_oracle_sql
+
+    inner = funnel_oracle_sql(steps=["view", "click", "purchase"])
+    return f"""
+WITH fun AS ({inner}),
+reached AS (
+  SELECT s.step, CAST(count(*) AS BIGINT) AS n_reached
+  FROM fun, unnest(range(1, max_step + 1)) AS s(step)
+  GROUP BY 1
+), first AS (SELECT n_reached AS n_entered FROM reached WHERE step = 1)
+SELECT CAST(step AS BIGINT) AS step, n_reached,
+       n_reached * 1000000 // n_entered AS of_entered_ppm,
+       n_reached * 1000000
+         // COALESCE(lag(n_reached) OVER (ORDER BY step), n_reached)
+         AS of_prev_ppm
+FROM reached CROSS JOIN first
+"""
+
+
+register("funnel_dropoff_shares", _dropoff_oracle())(_dropoff_spark)
