@@ -350,31 +350,30 @@ def histogram_drift(
             ).cast("long"),
         )
     )
-    counts = binned.groupBy("k", "half", "bin").agg(
-        F.count("*").cast("long").alias("n")
+    # halves PIVOT into columns of the SAME aggregate — filtering the
+    # share table per half and full-outer-joining it back makes Catalyst
+    # recompute the whole fact aggregate per branch (two fact scans,
+    # observed in the executed plan), where one (key, bin) aggregate with
+    # conditional counts needs exactly one
+    counts = binned.groupBy("k", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
     )
-    totals = counts.groupBy("k", "half").agg(F.sum("n").alias("total"))
-    shares = counts.join(totals, ["k", "half"]).select(
+    totals = counts.groupBy(F.col("k").alias("tk")).agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    joined = counts.join(totals, F.col("k") == F.col("tk")).select(
         "k",
-        "half",
-        "bin",
-        F.expr(f"n * {scale} div total").alias("share_ppm"),
-    )
-    base = shares.filter(F.col("half") == 0).select(
-        "k", "bin", F.col("share_ppm").alias("base_ppm")
-    )
-    cur = shares.filter(F.col("half") == 1).select(
-        F.col("k").alias("ck"), F.col("bin").alias("cbin"),
-        F.col("share_ppm").alias("cur_ppm"),
-    )
-    joined = base.join(
-        cur,
-        (F.col("k") == F.col("ck")) & (F.col("bin") == F.col("cbin")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("k"), F.col("ck")).alias("k"),
-        F.coalesce(F.col("base_ppm"), F.lit(0)).alias("base_ppm"),
-        F.coalesce(F.col("cur_ppm"), F.lit(0)).alias("cur_ppm"),
+        F.when(F.col("t0") > 0, F.expr(f"n0 * {scale} div t0"))
+        .otherwise(F.lit(0))
+        .alias("base_ppm"),
+        F.when(F.col("t1") > 0, F.expr(f"n1 * {scale} div t1"))
+        .otherwise(F.lit(0))
+        .alias("cur_ppm"),
     )
     return (
         joined.groupBy(F.col("k").alias(key_col))

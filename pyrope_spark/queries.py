@@ -6917,23 +6917,19 @@ WITH mv AS (
          (v - vmin) * 10 // (vmax - vmin + 1) AS bin
   FROM mv, bounds
 ), counts AS (
-  SELECT k, half, bin, CAST(count(*) AS BIGINT) AS n
-  FROM binned GROUP BY 1, 2, 3
+  SELECT k, bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM binned GROUP BY 1, 2
 ), totals AS (
-  SELECT k, half, SUM(n) AS total FROM counts GROUP BY 1, 2
-), shares AS (
-  SELECT c.k, c.half, c.bin, c.n * 1000000 // t.total AS share_ppm
-  FROM counts c JOIN totals t ON c.k = t.k AND c.half = t.half
-), base AS (
-  SELECT k, bin, share_ppm AS base_ppm FROM shares WHERE half = 0
-), cur AS (
-  SELECT k AS ck, bin AS cbin, share_ppm AS cur_ppm
-  FROM shares WHERE half = 1
+  SELECT k AS tk, SUM(n0) AS t0, SUM(n1) AS t1 FROM counts GROUP BY 1
 ), joined AS (
-  SELECT COALESCE(k, ck) AS k,
-         COALESCE(base_ppm, 0) AS base_ppm,
-         COALESCE(cur_ppm, 0) AS cur_ppm
-  FROM base FULL OUTER JOIN cur ON k = ck AND bin = cbin
+  SELECT c.k,
+         CASE WHEN t.t0 > 0 THEN c.n0 * 1000000 // t.t0 ELSE 0 END
+           AS base_ppm,
+         CASE WHEN t.t1 > 0 THEN c.n1 * 1000000 // t.t1 ELSE 0 END
+           AS cur_ppm
+  FROM counts c JOIN totals t ON c.k = t.tk
 )
 SELECT k AS event_type,
        CAST(SUM(abs(cur_ppm - base_ppm)) AS BIGINT) AS l1_drift_ppm,

@@ -1,0 +1,96 @@
+"""Plan-shape assertions for the round-5 session-3 operators: the shuffle
+and broadcast discipline the docstrings claim, checked against the actual
+executed plan (AQE final plan only — the Initial copy double-counts)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _final_plan(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _events(spark, n=400):
+    rows = [
+        (i, f"t{i % 3}", float(i % 37) + 0.25, datetime(2024, 1, 1 + i % 20))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, k string, value double, ts timestamp")
+
+
+def test_histogram_drift_single_fact_aggregate(spark):
+    """The fact table is aggregated ONCE on (key, half, bin); everything
+    after runs on bin-vector-sized data. The plan must not shuffle the
+    fact table twice."""
+    from pyrope_spark.operators.profile import histogram_drift
+
+    out = histogram_drift(_events(spark), "k", "value", "ts")
+    out.collect()
+    final = _final_plan(out)
+    # exactly ONE (k, bin) aggregate touches fact volume (halves pivot
+    # into conditional counts); the totals branch REUSES that exchange
+    # (ReusedExchange) instead of recomputing it — the original
+    # filter-per-half + full-outer formulation made Catalyst rebuild the
+    # fact aggregate per branch (two scans, observed before the fix)
+    assert "ReusedExchange" in final
+    assert "FullOuter" not in final and "SortMergeJoin" not in final
+
+
+def test_referential_audit_broadcasts_dim_keys(spark):
+    from pyrope_spark.operators.profile import referential_audit
+
+    fact = spark.createDataFrame([(i % 7,) for i in range(500)], "fk long")
+    dim = spark.createDataFrame([(i,) for i in range(5)], "pk long")
+    out = referential_audit([("f->d", fact, "fk", dim, "pk")])
+    out.collect()
+    final = _final_plan(out)
+    assert "BroadcastHashJoin" in final or "BroadcastNestedLoopJoin" in final
+    # the fact table itself is never hash-shuffled for the join
+    assert "SortMergeJoin" not in final
+
+
+def test_pmi_top_n_lowers_to_take_ordered(spark):
+    """The global top-n must plan as TakeOrderedAndProject (per-partition
+    heads), never a full global sort."""
+    from pyrope_spark.operators.lm import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=2, top_n=5)
+    out.collect()
+    final = _final_plan(out)
+    assert "TakeOrderedAndProject" in final
+
+
+def test_groupwise_trend_single_aggregate(spark):
+    """One map-side-partial hash aggregate — exactly one fact shuffle, no
+    joins, no windows."""
+    from pyrope_spark.operators.analytics import groupwise_trend
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 5), i % 30, i % 11) for i in range(1000)],
+        "k string, x long, y long",
+    )
+    out = groupwise_trend(df, "k", "x", "y")
+    out.collect()
+    final = _final_plan(out)
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Join" not in final and "Window" not in final
+
+
+def test_winsorize_bounds_join_is_small_side(spark):
+    """The per-key bounds table joins back broadcast (AQE turns the
+    aggregated side into a broadcast), never a fact-fact sort-merge."""
+    from pyrope_spark.operators.curation import winsorize
+
+    out = winsorize(_events(spark, 2000), "k", "value", "id")
+    out.collect()
+    final = _final_plan(out)
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
