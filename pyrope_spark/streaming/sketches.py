@@ -322,3 +322,123 @@ def streaming_agg_view_maintain(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def streaming_histogram_drift(
+    stream_df: DataFrame,
+    state_dir: str,
+    baseline: DataFrame,
+    *,
+    key_col: str = "k",
+    value_col: str = "value",
+    n_bins: int = 10,
+    vmin: int = 0,
+    vmax: int = 1_000_000,
+    scale: int = 1_000_000,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+):
+    """Streaming drift monitor: per micro-batch, fold (key, bin) counts
+    into the running histogram state and score it against a FROZEN
+    baseline histogram (the training-time distribution) with the same
+    ln-free L1-in-ppm statistic as the batch ``profile.histogram_drift``.
+
+    Bin bounds are FIXED (``vmin``/``vmax`` micro-units, the baseline's
+    observed range) rather than re-derived per batch — a moving range
+    would re-bin history and break the fold's additivity; out-of-range
+    values clamp into the edge bins, which is itself a drift signal.
+    Counts are a commutative monoid, so state after any prefix of
+    batches is EXACTLY the batch histogram over the same rows (the
+    pytest parity), and the drift table under ``{state_dir}.drift`` is
+    recomputed per batch from histogram-sized data only.
+    """
+    bspec = (
+        baseline.select(
+            F.col(key_col).alias("k"),
+            _hist_bin(value_col, n_bins, vmin, vmax, scale).alias("bin"),
+        )
+        .groupBy("k", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        inc = (
+            batch.select(
+                F.col(key_col).alias("k"),
+                _hist_bin(value_col, n_bins, vmin, vmax, scale).alias("bin"),
+            )
+            .groupBy("k", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        if os.path.isdir(state_dir):
+            base = spark.read.parquet(state_dir)
+            merged = (
+                base.unionByName(inc)
+                .groupBy("k", "bin")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            merged = inc
+        tmp = state_dir.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_state_dir(tmp, state_dir)
+
+        # score the running histogram vs the frozen baseline (cell-table
+        # sized work; same integer div shares as the batch operator)
+        cur = spark.read.parquet(state_dir)
+        cells = (
+            bspec.select("k", "bin", "n_base")
+            .join(
+                cur.select(
+                    F.col("k").alias("ck"), F.col("bin").alias("cbin"),
+                    F.col("n").alias("n_cur"),
+                ),
+                (F.col("k") == F.col("ck")) & (F.col("bin") == F.col("cbin")),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(F.col("k"), F.col("ck")).alias("k"),
+                F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+                F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+            )
+        )
+        tot = cells.groupBy(F.col("k").alias("tk")).agg(
+            F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+        )
+        drift = (
+            cells.join(tot, F.col("k") == F.col("tk"))
+            .select(
+                "k",
+                F.when(F.col("tb") > 0, F.expr(f"n_base * {scale} div tb"))
+                .otherwise(F.lit(0)).alias("bp"),
+                F.when(F.col("tc") > 0, F.expr(f"n_cur * {scale} div tc"))
+                .otherwise(F.lit(0)).alias("cp"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum(F.abs(F.col("cp") - F.col("bp")))
+                .cast("long")
+                .alias("l1_drift_ppm")
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        dtmp = state_dir.rstrip("/") + ".drift.tmp"
+        drift.write.mode("overwrite").parquet(dtmp)
+        _swap_state_dir(dtmp, state_dir.rstrip("/") + ".drift")
+
+    w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _hist_bin(value_col: str, n_bins: int, vmin: int, vmax: int, scale: int):
+    """Fixed-bounds bin assignment (clamped to edge bins) in micro-units."""
+    raw = F.expr(
+        f"(CAST(round({value_col} * {scale}) AS BIGINT) - {vmin})"
+        f" * {n_bins} div ({vmax} - {vmin} + 1)"
+    )
+    return F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("long")

@@ -693,3 +693,62 @@ def test_streaming_quarantine_sink_routes_dlq(spark, tmp_path):
     assert set(bad) == {2, 4}
     assert bad[2]["payload"] == "{not json"          # raw payload preserved
     assert bad[2]["dlq_batch_id"] is not None
+
+
+def test_streaming_histogram_drift_folds_and_scores(spark, tmp_path):
+    """Two micro-batches fold into exactly the one-shot histogram; the
+    drift table flags the key whose stream shifted off its baseline and
+    clears the stationary key."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.streaming.sketches import streaming_histogram_drift
+
+    # baseline: 'a' uniform low, 'b' uniform low
+    base_rows = [("a", 0.1 * (i % 5)) for i in range(50)]
+    base_rows += [("b", 0.1 * (i % 5)) for i in range(50)]
+    baseline = spark.createDataFrame(base_rows, "k string, value double")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # stream: 'a' stays low (no drift), 'b' jumps high (full drift)
+    for bi in range(2):
+        with open(src / f"b{bi}.json", "w") as f:
+            for i in range(25):
+                f.write(_json.dumps({"k": "a", "value": 0.1 * (i % 5)}) + "\n")
+                f.write(_json.dumps({"k": "b", "value": 0.9}) + "\n")
+    stream = spark.readStream.schema("k string, value double").json(str(src))
+    q = streaming_histogram_drift(
+        stream,
+        str(tmp_path / "state"),
+        baseline,
+        key_col="k",
+        value_col="value",
+        vmin=0,
+        vmax=1_000_000,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(str(tmp_path / "state"))
+    # fold parity: state == one-shot histogram over all streamed rows
+    allrows = spark.read.schema("k string, value double").json(str(src))
+    from pyrope_spark.streaming.sketches import _hist_bin
+
+    direct = (
+        allrows.select("k", _hist_bin("value", 10, 0, 1_000_000, 1_000_000).alias("bin"))
+        .groupBy("k", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    drift = {
+        r["k"]: r["l1_drift_ppm"]
+        for r in spark.read.parquet(str(tmp_path / "state.drift")).collect()
+    }
+    assert drift["a"] == 0
+    assert drift["b"] == 2_000_000  # disjoint supports -> full mass moved
