@@ -696,6 +696,8 @@ def main() -> None:
         "ks_split_audit",
         "weighted_median_price",
         "funnel_dropoff_shares",
+        "modal_purchase_interval",
+        "nelson_aalen_hazard",
         "lag1_autocorrelation",
         "top_seller_per_brand_ties",
         "source_length_gini",

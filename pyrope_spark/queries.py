@@ -9151,3 +9151,169 @@ FROM reached CROSS JOIN first
 
 
 register("funnel_dropoff_shares", _dropoff_oracle())(_dropoff_spark)
+
+
+# --------------------------------------------------------------------------
+# Modal inter-purchase interval per user: the MODE of day gaps between
+# consecutive purchases (most-frequent-value aggregation with count-desc
+# / value-asc determinism) — the subscription-cadence detector.
+# --------------------------------------------------------------------------
+
+
+def _modal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day"), "event_id"
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    gaps = (
+        pur.withColumn("prev", F.lag("day").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id", F.datediff("day", "prev").cast("long").alias("gap")
+        )
+        .filter(F.col("gap") > 0)
+    )
+    counts = gaps.groupBy("user_id", "gap").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    pick = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("gap").asc())
+    )
+    return (
+        counts.withColumn("_rk", pick)
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("gap").alias("modal_gap_days"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+_MODAL_ORACLE = """
+WITH pur AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE event_type = 'purchase'
+), gaps AS (
+  SELECT user_id,
+         CAST(date_diff('day',
+              lag(day) OVER (PARTITION BY user_id ORDER BY day), day)
+              AS BIGINT) AS gap
+  FROM pur QUALIFY gap IS NOT NULL AND gap > 0
+), counts AS (
+  SELECT user_id, gap, CAST(count(*) AS BIGINT) AS n
+  FROM gaps GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, gap AS modal_gap_days,
+       n AS n_occurrences
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, gap ASC) AS rk
+      FROM counts)
+WHERE rk = 1
+"""
+
+register("modal_purchase_interval", _MODAL_ORACLE)(_modal_spark)
+
+
+# --------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard for time-to-first-purchase per signup
+# cohort: H(t) = sum over event days of d_i/n_i, kept exact-additive as
+# integer ppm terms (d_i·1e6 div n_i). Kaplan–Meier's PRODUCT would need
+# floats; the additive hazard estimator carries the same survival
+# information and sums exactly.
+# --------------------------------------------------------------------------
+
+
+def _hazard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("s_day"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("pu"))
+        .agg(F.min(F.to_date("ts")).alias("p_day"))
+    )
+    corpus_end = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    cohort = (
+        first_signup.join(
+            first_purchase, F.col("user_id") == F.col("pu"), "left"
+        )
+        .join(F.broadcast(corpus_end))
+        .select(
+            "user_id",
+            F.when(
+                F.col("p_day").isNotNull() & (F.col("p_day") >= F.col("s_day")),
+                F.datediff("p_day", "s_day"),
+            ).otherwise(F.lit(None)).cast("long").alias("event_t"),
+            F.datediff("maxd", "s_day").cast("long").alias("censor_t"),
+        )
+    )
+    # risk set at time t: users with max(event_t, censor-only horizon) >= t;
+    # events at t: d_t = count(event_t == t)
+    times = cohort.filter(F.col("event_t").isNotNull()).groupBy(
+        F.col("event_t").alias("t")
+    ).agg(F.count("*").cast("long").alias("d"))
+    obs = cohort.select(
+        F.coalesce(F.col("event_t"), F.col("censor_t")).alias("obs_t")
+    )
+    # n_t via join: users still at risk at t (obs_t >= t) — |times| is
+    # small (distinct days), so the inequality join broadcasts
+    risk = times.join(
+        obs, F.col("obs_t") >= F.col("t")
+    ).groupBy("t", "d").agg(F.count("*").cast("long").alias("n_risk"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return risk.select(
+        F.col("t").alias("days_since_signup"),
+        "d",
+        "n_risk",
+        F.expr("d * 1000000 DIV n_risk").alias("hazard_ppm"),
+        F.sum(F.expr("d * 1000000 DIV n_risk")).over(w).cast("long").alias(
+            "cumulative_hazard_ppm"
+        ),
+    )
+
+
+_HAZARD_ORACLE = """
+WITH fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS s_day FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), fp AS (
+  SELECT user_id AS pu, MIN(CAST(ts AS DATE)) AS p_day FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+), ce AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+cohort AS (
+  SELECT fs.user_id,
+         CASE WHEN fp.p_day IS NOT NULL AND fp.p_day >= fs.s_day
+              THEN CAST(date_diff('day', fs.s_day, fp.p_day) AS BIGINT)
+         END AS event_t,
+         CAST(date_diff('day', fs.s_day, ce.maxd) AS BIGINT) AS censor_t
+  FROM fs LEFT JOIN fp ON fs.user_id = fp.pu CROSS JOIN ce
+), times AS (
+  SELECT event_t AS t, CAST(count(*) AS BIGINT) AS d
+  FROM cohort WHERE event_t IS NOT NULL GROUP BY 1
+), obs AS (
+  SELECT COALESCE(event_t, censor_t) AS obs_t FROM cohort
+), risk AS (
+  SELECT t, d, CAST(count(*) AS BIGINT) AS n_risk
+  FROM times JOIN obs ON obs_t >= t
+  GROUP BY 1, 2
+)
+SELECT t AS days_since_signup, d, n_risk,
+       d * 1000000 // n_risk AS hazard_ppm,
+       CAST(SUM(d * 1000000 // n_risk)
+            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cumulative_hazard_ppm
+FROM risk
+"""
+
+register("nelson_aalen_hazard", _HAZARD_ORACLE)(_hazard_spark)
