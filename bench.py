@@ -697,6 +697,8 @@ def main() -> None:
         "weighted_median_price",
         "funnel_dropoff_shares",
         "modal_purchase_interval",
+        "funnel_within_24h",
+        "growth_accounting",
         "nelson_aalen_hazard",
         "lag1_autocorrelation",
         "top_seller_per_brand_ties",

@@ -9317,3 +9317,141 @@ FROM risk
 """
 
 register("nelson_aalen_hazard", _HAZARD_ORACLE)(_hazard_spark)
+
+
+# --------------------------------------------------------------------------
+# Windowed funnel: the within_s variant (each later step must land
+# within 24h of the ANCHOR) — exercises the funnel operator's time-bound
+# branch the unwindowed gate query leaves dormant.
+# --------------------------------------------------------------------------
+
+
+def _funnel_within_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.funnel import funnel
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    f = funnel(
+        ev, steps=["view", "click", "purchase"], within_s=86_400
+    )
+    return f.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "t1_us",
+        "t2_us",
+        "t3_us",
+        F.col("max_step").cast("long").alias("max_step"),
+        "completed",
+        "duration_us",
+    )
+
+
+def _funnel_within_oracle() -> str:
+    from pyrope_spark.operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(
+        steps=["view", "click", "purchase"], within_s=86_400
+    )
+
+
+register("funnel_within_24h", _funnel_within_oracle())(_funnel_within_spark)
+
+
+# --------------------------------------------------------------------------
+# Growth accounting: weekly new / retained / resurrected / churned user
+# counts — per-(user, week) presence joined against its lag, the
+# standard growth decomposition. Weeks are ISO date_trunc on both
+# engines (Monday-anchored in Spark AND DuckDB).
+# --------------------------------------------------------------------------
+
+
+def _growth_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("week")
+    flagged = weekly.withColumn("prev_week", F.lag("week").over(w)).withColumn(
+        "first_week", F.min("week").over(W.partitionBy("user_id"))
+    )
+    status = flagged.select(
+        "week",
+        F.when(F.col("week") == F.col("first_week"), F.lit("new"))
+        .when(
+            F.datediff(F.col("week"), F.col("prev_week")) == 7,
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    active = status.groupBy("week").pivot(
+        "status", ["new", "retained", "resurrected"]
+    ).count().na.fill(0)
+    # churned in week w = active in w-1 but not in w
+    prev = weekly.select(
+        F.col("user_id").alias("pu"),
+        F.date_add(F.col("week"), 7).alias("next_week"),
+    )
+    churn = (
+        prev.join(
+            weekly,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("next_week") == F.col("week")),
+            "left_anti",
+        )
+        .groupBy(F.col("next_week").alias("cweek"))
+        .agg(F.count("*").cast("long").alias("churned"))
+    )
+    return (
+        active.join(churn, F.col("week") == F.col("cweek"), "left")
+        .select(
+            F.col("week").cast("string").alias("week"),
+            F.col("new").cast("long").alias("new_users"),
+            F.col("retained").cast("long").alias("retained"),
+            F.col("resurrected").cast("long").alias("resurrected"),
+            F.coalesce(F.col("churned"), F.lit(0)).cast("long").alias(
+                "churned_into_week"
+            ),
+        )
+    )
+
+
+_GROWTH_ORACLE = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), flagged AS (
+  SELECT user_id, week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         MIN(week) OVER (PARTITION BY user_id) AS first_week
+  FROM weekly
+), status AS (
+  SELECT week,
+         CASE WHEN week = first_week THEN 'new'
+              WHEN date_diff('day', prev_week, week) = 7 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM flagged
+), active AS (
+  SELECT week,
+         CAST(COUNT(*) FILTER (status = 'new') AS BIGINT) AS new_users,
+         CAST(COUNT(*) FILTER (status = 'retained') AS BIGINT) AS retained,
+         CAST(COUNT(*) FILTER (status = 'resurrected') AS BIGINT)
+           AS resurrected
+  FROM status GROUP BY 1
+), churn AS (
+  SELECT p.next_week AS cweek, CAST(count(*) AS BIGINT) AS churned
+  FROM (SELECT user_id, week + INTERVAL 7 DAY AS next_week FROM weekly) p
+  LEFT JOIN weekly w ON w.user_id = p.user_id
+    AND CAST(p.next_week AS DATE) = w.week
+  WHERE w.user_id IS NULL
+  GROUP BY 1
+)
+SELECT CAST(a.week AS VARCHAR) AS week, a.new_users, a.retained,
+       a.resurrected,
+       COALESCE(c.churned, 0) AS churned_into_week
+FROM active a LEFT JOIN churn c ON CAST(c.cweek AS DATE) = a.week
+"""
+
+register("growth_accounting", _GROWTH_ORACLE)(_growth_spark)
