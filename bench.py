@@ -698,6 +698,7 @@ def main() -> None:
         "funnel_dropoff_shares",
         "modal_purchase_interval",
         "funnel_within_24h",
+        "session_event_sequences",
         "growth_accounting",
         "nelson_aalen_hazard",
         "lag1_autocorrelation",

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -180,3 +181,65 @@ def reference_vs_crawl_labels(
         F.lit(0).alias("label"),
     )
     return pos.unionByName(neg)
+
+
+def isotonic_calibrate(
+    pairs: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key isotonic regression (pool-adjacent-violators) — the
+    monotone calibration map for a scoring model's reliability curve.
+
+    PAVA is inherently sequential (each merge can cascade left), so this
+    is an Arrow ``applyInPandas`` per key over (x, y) pairs sorted by
+    (x, then y for determinism): pools carry EXACT (sum_micro, count)
+    integers and merge while the left pool's mean exceeds the right's —
+    comparison by cross-multiplication (s_l·n_r > s_r·n_l), never a
+    float mean, so the fitted step function is bit-stable.  Output: one
+    row per pool with [x_lo, x_hi], the pooled mean in micro (one final
+    div), and the pool size.
+
+    No SQL oracle: the cascading merge has no bounded-depth relational
+    form (same disposition as the streaming operators — pytest invariants
+    gate it: monotone means, weight conservation, hand-checked pools).
+    Scale shape: one shuffle on the key; each key's fit is linear in its
+    pair count after the sort.
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([x_col, y_col], kind="mergesort")
+        xs = pdf[x_col].to_numpy()
+        ys = np.rint(pdf[y_col].to_numpy() * scale).astype(np.int64)
+        pools: list[list] = []  # [s, n, x_lo, x_hi]
+        for x, ymic in zip(xs, ys):
+            pools.append([int(ymic), 1, x, x])
+            while len(pools) > 1:
+                s_r, n_r, lo_r, hi_r = pools[-1]
+                s_l, n_l, lo_l, hi_l = pools[-2]
+                if s_l * n_r > s_r * n_l:  # left mean > right mean: pool
+                    pools.pop()
+                    pools[-1] = [s_l + s_r, n_l + n_r, lo_l, hi_r]
+                else:
+                    break
+        k = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            {
+                key_col: [k] * len(pools),
+                "x_lo": [p[2] for p in pools],
+                "x_hi": [p[3] for p in pools],
+                "n": [p[1] for p in pools],
+                "mean_micro": [p[0] // p[1] for p in pools],
+            }
+        )
+
+    schema = (
+        f"{key_col} string, x_lo double, x_hi double, n long, "
+        "mean_micro long"
+    )
+    return pairs.select(key_col, x_col, y_col).groupBy(key_col).applyInPandas(
+        fit, schema
+    )

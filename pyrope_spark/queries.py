@@ -9455,3 +9455,81 @@ FROM active a LEFT JOIN churn c ON CAST(c.cweek AS DATE) = a.week
 """
 
 register("growth_accounting", _GROWTH_ORACLE)(_growth_spark)
+
+
+# --------------------------------------------------------------------------
+# Ordered event sequences per session: deterministic collect of the
+# event-type path in (ts, event_id) order — the session-replay export
+# and the input surface for sequence mining. Ordered array aggregation
+# is its own cross-engine semantic: Spark needs the struct-sort trick
+# (collect_list has no ORDER BY), DuckDB has list(... ORDER BY).
+# --------------------------------------------------------------------------
+
+
+def _seqs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import sessionize
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_s=1800,
+        order_cols=["ts", "event_id"],
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("t"),
+                            F.col("event_id").alias("eid"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda s: s["et"],
+            ).alias("path"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_id").cast("long").alias("session_id"),
+            F.concat_ws(">", "path").alias("path"),
+            "n_events",
+            "duration_us",
+        )
+    )
+
+
+_SEQS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) AS ts_us,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+           AS brk
+  FROM ordered
+), sess AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       array_to_string(list(event_type ORDER BY ts, event_id), '>')
+         AS path,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+FROM sess GROUP BY 1, 2
+"""
+
+register("session_event_sequences", _SEQS_ORACLE)(_seqs_spark)

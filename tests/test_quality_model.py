@@ -80,3 +80,42 @@ def test_split_is_layout_independent(spark, labeled):
     res2 = train_quality_classifier(labeled.repartition(13))
     assert res1.test_rows == res2.test_rows
     assert res1.train_rows == res2.train_rows
+
+
+def test_isotonic_calibrate_pools_and_invariants(spark):
+    """PAVA: hand-checked pooling on a violating sequence, monotone pool
+    means, exact weight conservation, bit-stable integer means."""
+    from pyrope_spark.operators.quality_model import isotonic_calibrate
+
+    # y: 1, 3, 2 -> pools (1), (3,2)->mean 2.5; then 5 stays alone
+    rows = [("k", 0.1, 1.0), ("k", 0.2, 3.0), ("k", 0.3, 2.0), ("k", 0.4, 5.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = sorted(
+        isotonic_calibrate(df, "k", "x", "y").collect(),
+        key=lambda r: r["x_lo"],
+    )
+    assert [(r["n"], r["mean_micro"]) for r in out] == [
+        (1, 1_000_000), (2, 2_500_000), (1, 5_000_000)
+    ]
+    assert out[1]["x_lo"] == 0.2 and out[1]["x_hi"] == 0.3
+    # monotone means
+    means = [r["mean_micro"] for r in out]
+    assert means == sorted(means)
+    # weight conservation: sum(n * mean) == sum(y) when means are exact
+    assert sum(r["n"] * r["mean_micro"] for r in out) == 11_000_000
+
+
+def test_isotonic_calibrate_full_violation_collapses(spark):
+    """A strictly decreasing series pools into ONE block at the global
+    mean; an increasing series stays unpooled."""
+    from pyrope_spark.operators.quality_model import isotonic_calibrate
+
+    dec = [("d", float(i), float(10 - i)) for i in range(5)]
+    inc = [("i", float(i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(dec + inc, "k string, x double, y double")
+    out = isotonic_calibrate(df, "k", "x", "y").collect()
+    d_pools = [r for r in out if r["k"] == "d"]
+    i_pools = [r for r in out if r["k"] == "i"]
+    assert len(d_pools) == 1 and d_pools[0]["mean_micro"] == 8_000_000
+    assert d_pools[0]["n"] == 5
+    assert len(i_pools) == 5
