@@ -699,6 +699,8 @@ def main() -> None:
         "modal_purchase_interval",
         "funnel_within_24h",
         "session_event_sequences",
+        "frequent_path_trigrams",
+        "retention_curve",
         "growth_accounting",
         "nelson_aalen_hazard",
         "lag1_autocorrelation",

@@ -9533,3 +9533,179 @@ FROM sess GROUP BY 1, 2
 """
 
 register("session_event_sequences", _SEQS_ORACLE)(_seqs_spark)
+
+
+# --------------------------------------------------------------------------
+# Frequent path trigrams: contiguous 3-step patterns across session
+# paths (order-3 sequence mining — one order beyond the Markov rules),
+# top-20 by support with deterministic ties.
+# --------------------------------------------------------------------------
+
+
+def _pathtri_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pyrope_spark.operators.temporal import sessionize
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_s=1800,
+        order_cols=["ts", "event_id"],
+    )
+    w = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = (
+        sess.select(
+            "user_id",
+            "session_id",
+            F.col("event_type").alias("a"),
+            F.lead("event_type", 1).over(w).alias("b"),
+            F.lead("event_type", 2).over(w).alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+    )
+    counts = tri.groupBy("a", "b", "c").agg(
+        F.count("*").cast("long").alias("support"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        counts.orderBy(
+            F.col("support").desc(), F.col("a"), F.col("b"), F.col("c")
+        )
+        .limit(20)
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("pattern"),
+            "support",
+            "n_users",
+        )
+    )
+
+
+_PATHTRI_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+), sess AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+), tri AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+  QUALIFY c IS NOT NULL
+), counts AS (
+  SELECT a, b, c, CAST(count(*) AS BIGINT) AS support,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM tri GROUP BY 1, 2, 3
+)
+SELECT a || '>' || b || '>' || c AS pattern, support, n_users
+FROM counts
+ORDER BY support DESC, a, b, c
+LIMIT 20
+"""
+
+register("frequent_path_trigrams", _PATHTRI_ORACLE)(_pathtri_spark)
+
+
+# --------------------------------------------------------------------------
+# Day-N retention curve per signup-week cohort: share of the cohort
+# active again N days after signup (N in 1, 7, 14) — integer ppm.
+# --------------------------------------------------------------------------
+
+
+def _retention_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("s_day"))
+        .withColumn(
+            "cohort", F.date_trunc("week", F.col("s_day")).cast("date")
+        )
+    )
+    activity = ev.select(
+        F.col("user_id").alias("au"), F.to_date("ts").alias("a_day")
+    ).distinct()
+    joined = signup.join(
+        activity, F.col("user_id") == F.col("au"), "left"
+    ).select(
+        "cohort",
+        "user_id",
+        F.datediff("a_day", "s_day").alias("delta"),
+    )
+    flags = joined.groupBy("cohort", "user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("delta") == n, 1).otherwise(0)
+            ).alias(f"d{n}")
+            for n in (1, 7, 14)
+        ]
+    )
+    return (
+        flags.groupBy("cohort")
+        .agg(
+            F.count("*").cast("long").alias("cohort_size"),
+            *[
+                F.sum(f"d{n}").cast("long").alias(f"retained_d{n}")
+                for n in (1, 7, 14)
+            ],
+        )
+        .select(
+            F.col("cohort").cast("string").alias("cohort_week"),
+            "cohort_size",
+            *[
+                c
+                for n in (1, 7, 14)
+                for c in (
+                    F.col(f"retained_d{n}"),
+                    F.expr(
+                        f"retained_d{n} * 1000000 DIV cohort_size"
+                    ).alias(f"d{n}_ppm"),
+                )
+            ],
+        )
+    )
+
+
+_RETENTION_ORACLE = """
+WITH signup AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS s_day FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), cohorted AS (
+  SELECT user_id, s_day,
+         CAST(date_trunc('week', s_day) AS DATE) AS cohort
+  FROM signup
+), activity AS (
+  SELECT DISTINCT user_id AS au, CAST(ts AS DATE) AS a_day FROM events
+), flags AS (
+  SELECT c.cohort, c.user_id,
+         MAX(CASE WHEN date_diff('day', c.s_day, a.a_day) = 1
+             THEN 1 ELSE 0 END) AS d1,
+         MAX(CASE WHEN date_diff('day', c.s_day, a.a_day) = 7
+             THEN 1 ELSE 0 END) AS d7,
+         MAX(CASE WHEN date_diff('day', c.s_day, a.a_day) = 14
+             THEN 1 ELSE 0 END) AS d14
+  FROM cohorted c LEFT JOIN activity a ON c.user_id = a.au
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS cohort_size,
+       CAST(SUM(d1) AS BIGINT) AS retained_d1,
+       CAST(SUM(d1) * 1000000 // count(*) AS BIGINT) AS d1_ppm,
+       CAST(SUM(d7) AS BIGINT) AS retained_d7,
+       CAST(SUM(d7) * 1000000 // count(*) AS BIGINT) AS d7_ppm,
+       CAST(SUM(d14) AS BIGINT) AS retained_d14,
+       CAST(SUM(d14) * 1000000 // count(*) AS BIGINT) AS d14_ppm
+FROM flags GROUP BY 1
+"""
+
+register("retention_curve", _RETENTION_ORACLE)(_retention_spark)
