@@ -765,9 +765,17 @@ def _label_noise_candidates_arrow(
                         }
                     )
                 )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"id": [], "lbl": [], "nid": [], "nlbl": [], "d2": []}
-            )
+            if outs:
+                yield pd.concat(outs)
+            else:
+                # typed empty frame: a dtype-less {} would reach Arrow as
+                # float64 and fail the long schema on an empty batch
+                yield pd.DataFrame(
+                    {
+                        c: pd.Series([], dtype="int64")
+                        for c in ("id", "lbl", "nid", "nlbl", "d2")
+                    }
+                )
 
     return pairs.mapInPandas(
         score, "id long, lbl long, nid long, nlbl long, d2 long"
