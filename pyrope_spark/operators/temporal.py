@@ -419,9 +419,11 @@ def rolling_zscore(
         *[F.col(c) for c in (tiebreak_cols or [])],
         F.col(ts_col),
         F.col(value_col),
-        # + 0.0 normalizes -0.0 from rounding tiny negatives (engines and
-        # value-hashes render the two zeros differently)
-        (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
+        # floor(z*1e6) BIGINT micro-units — one IEEE multiply then floor,
+        # the identical op sequence DuckDB renders; engine round() tie
+        # paths differ (Spark HALF_UP vs DuckDB std::round), so a rounded
+        # double in a hash-compared column is a latent cross-engine red.
+        F.floor(z * F.lit(1e6)).cast("long").alias("zscore_micro"),
         F.coalesce(F.abs(z) > z_thresh, F.lit(False)).alias("is_anomaly"),
     )
 
@@ -456,7 +458,7 @@ WITH r AS (
   FROM r
 )
 SELECT {key}, {tiebreak}, ts_us, {value_col},
-       round(zraw, 6) + 0.0 AS zscore,
+       CAST(floor(zraw * 1e6) AS BIGINT) AS zscore_micro,
        COALESCE(abs(zraw) > {z_thresh}, FALSE) AS is_anomaly
 FROM z
 """
@@ -472,7 +474,7 @@ def ewma(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
-    out_col: str = "ewma",
+    out_col: str = "ewma_micro",
     impl: str = "partitioned",
 ) -> DataFrame:
     """Per-key exponential smoothing: ``s_1 = x_1; s_t = alpha * x_t +
@@ -494,11 +496,18 @@ def ewma(
 
     Python floats ARE IEEE doubles, and the DuckDB oracle's recursive CTE
     evaluates literally the same ``alpha * x + (1 - alpha) * s`` per step,
-    so all paths agree bit-for-bit (same ops, same order; only + and * —
-    no transcendental; parity tested).
+    so the running state agrees bit-for-bit (same ops, same order; only +
+    and * — no transcendental). The EMITTED value is the integer micro-unit
+    ``floor(s * 1e6)`` (one IEEE multiply then floor — identical op
+    sequence in python and DuckDB), NOT ``round(s, 6)``: python round is
+    half-even on the exact decimal value while DuckDB round goes through a
+    multiply-by-1e6 path, and the two disagree on half-ties/1-ulp cases
+    (observed as a driver hash_match:false in round 5 — the same hazard the
+    gapfill observation_round discipline exists for).
 
-    Output: key cols + (id, value, out_col rounded 6).
+    Output: key cols + (id, value, out_col BIGINT micro-units).
     """
+    import math
     from collections.abc import Iterator
 
     import pandas as pd
@@ -514,7 +523,7 @@ def ewma(
     )
     schema = ", ".join(
         f"{c} {t}" for c, t in src.drop("_ts_ns").dtypes
-    ) + f", {out_col} double"
+    ) + f", {out_col} long"
 
     if impl == "grouped":
         def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -523,7 +532,7 @@ def ewma(
             out = []
             for x in pdf[value_col].tolist():
                 s = x if s is None else a * x + (1.0 - a) * s
-                out.append(round(s, 6))
+                out.append(int(math.floor(s * 1e6)))
             pdf = pdf.copy()
             pdf[out_col] = out
             return pdf[keyc + [id_col, value_col, out_col]]
@@ -544,7 +553,7 @@ def ewma(
                 s = state.get(k)
                 s = x if s is None else a * x + (1.0 - a) * s
                 state[k] = s
-                out.append(round(s, 6))
+                out.append(int(math.floor(s * 1e6)))
             res = pdf.copy()
             res[out_col] = out
             yield res[keyc + [id_col, value_col, out_col]]
@@ -584,7 +593,7 @@ WITH RECURSIVE ordered AS (
     ON o.{key_col} = r.{key_col} AND o.rn = r.rn + 1
 )
 SELECT {key_col}, CAST({id_col} AS BIGINT) AS {id_col},
-       {value_col}, round(s, 6) AS ewma
+       {value_col}, CAST(floor(s * 1e6) AS BIGINT) AS ewma_micro
 FROM rec
 """
 

@@ -3360,7 +3360,7 @@ def _zscore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
         "value",
-        "zscore",
+        "zscore_micro",
         "is_anomaly",
     )
 
@@ -4150,8 +4150,12 @@ def _ewma_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
-        F.round(F.col("value"), 6).alias("value"),
-        "ewma",
+        # value passes through RAW (both engines read the same parquet
+        # doubles — identical bits need no quantization); the smoothed
+        # state is emitted as floor(s*1e6) BIGINT micro-units, the repo's
+        # cross-engine discipline (round() half-tie paths differ).
+        "value",
+        "ewma_micro",
     )
 
 
@@ -4160,8 +4164,8 @@ def _ewma_oracle() -> str:
 
     sql = ewma_oracle_sql(_EWMA_ALPHA)
     return sql.replace(
-        "SELECT user_id, CAST(event_id AS BIGINT) AS event_id,\n       value, round(s, 6) AS ewma",
-        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,\n       round(value, 6) AS value, round(s, 6) AS ewma",
+        "SELECT user_id, CAST(event_id AS BIGINT) AS event_id,",
+        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,",
     )
 
 
