@@ -545,37 +545,24 @@ def matryoshka_topk(
     )
 
 
-def label_noise_scan(
-    embeddings: DataFrame,
-    vec_col: str = "embedding",
-    label_col: str = "label",
+def label_noise_vote(
+    cands: DataFrame,
+    k: int,
+    *,
     id_col: str = "vec_id",
-    k: int = 5,
-    scale: int = 1_000_000,
-    max_exact_rows: int = 50_000,
-    mode: str = "expr",
-    rows_per_block: int = 2048,
+    label_col: str = "label",
 ) -> DataFrame:
-    """Mislabeled-sample detector: flag rows whose k nearest neighbors
-    vote for a different label (Confident-Learning-style neighborhood
-    agreement, the training-data QA pass before a fine-tune).
+    """Candidate-source-agnostic k-NN label vote: ``cands`` is ANY table of
+    ``(id, lbl, nid, nlbl, d2)`` neighbor candidates (exact all-pairs,
+    block-GEMM top-k, or ANN hits — the vote does not care where the
+    neighbors came from).  Per id, keep the k nearest by the total order
+    ``(d2 asc, nid asc)``; majority = max vote count, ties to the smallest
+    label; a row is flagged when the majority label differs from its own.
 
-    Distances are EXACT integer L2² on micro-unit coordinates with the
-    neighbor ORDER fixed by (d2, neighbor_id) — a float distance would
-    let an ulp flip the k-th neighbor and change the vote.  Majority =
-    max vote count, ties to the smallest label; a row is flagged when
-    the majority label differs from its own.
-
-    Scale shape: both modes are exact all-pairs, guarded by
-    ``max_exact_rows`` (mirroring ``embedding_neardup``'s facade rule —
-    an unguarded default must never plan an O(N²) join at corpus scale).
-    ``mode='expr'`` is the oracle-parity expression twin;
-    ``mode='arrow'`` runs the block-pair float64 GEMM (exact below 2^53,
-    which micro-unit dots are) with block-local top-k — 4M pairs drop
-    from ~50 s to seconds, bit-identical output (pytest parity).
-    Beyond the row bound, swap the candidate generator for the ANN index
-    (``ann_topk`` over IVF/HNSW segments) feeding the same vote
-    aggregate; the vote logic is candidate-source-agnostic.
+    Two key-partitioned windows + one groupBy — every stage shuffles on
+    ``id``/(id,lbl,nlbl) only, O(k) rows per id after the rank filter, so
+    the vote itself is never the scale bottleneck regardless of the
+    candidate generator feeding it.
 
     Output: (id, own label, majority label, votes_for_majority,
     n_neighbors, flagged).
@@ -583,36 +570,6 @@ def label_noise_scan(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    n = embeddings.count()
-    if n > max_exact_rows:
-        raise ValueError(
-            f"label_noise_scan exact path bounded at {max_exact_rows} rows "
-            f"(got {n}); use an ANN candidate generator (ann_topk) above"
-        )
-    base = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).alias("lbl"),
-        F.transform(
-            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
-        ).alias("vm"),
-    )
-    if mode == "arrow":
-        cands = _label_noise_candidates_arrow(base, k, rows_per_block)
-    else:
-        other = base.select(
-            F.col("id").alias("nid"),
-            F.col("lbl").alias("nlbl"),
-            F.col("vm").alias("nvm"),
-        )
-        pairs = base.crossJoin(other).filter(F.col("id") != F.col("nid"))
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("vm"), F.col("nvm"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        cands = pairs.select("id", "lbl", "nid", "nlbl", d2.alias("d2"))
     ranked = cands.withColumn(
         "rk",
         F.row_number().over(
@@ -636,6 +593,163 @@ def label_noise_scan(
         F.lit(k).cast("long").alias("n_neighbors"),
         (F.col("nlbl") != F.col("lbl")).alias("flagged"),
     )
+
+
+def _label_noise_candidates_ann(
+    embeddings: DataFrame,
+    vec_col: str,
+    label_col: str,
+    id_col: str,
+    k: int,
+    *,
+    n_rows: int,
+    nlist: int | None,
+    nprobe: int,
+) -> DataFrame:
+    """ANN candidate generator for ``label_noise_scan``: IVF index over the
+    float vectors, every row queries for its k+1 nearest (self included,
+    dropped after), labels joined back, emitted in the same
+    ``(id, lbl, nid, nlbl, d2)`` contract the exact generators use.
+
+    Scale shape: ``ann_topk`` auto-selects the distributed path above
+    :data:`DISTRIBUTED_QUERY_THRESHOLD` queries (executor-side probe
+    selection, cogrouped per-cluster GEMM — queries never touch the
+    driver), and the two label joins are plain equi-joins on id.  Nothing
+    here is O(N²): candidate volume is N·(k+1) rows.
+    """
+    from pyspark.sql import functions as F
+
+    if nlist is None:
+        nlist = max(8, int(n_rows ** 0.5))
+    corpus = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vector"),
+    )
+    labels = embeddings.select(
+        F.col(id_col).cast("long").alias("_lid"),
+        F.col(label_col).cast("long").alias("_llbl"),
+    )
+    index = build_similarity_index(corpus, method="ivf", metric="l2", nlist=nlist)
+    # packed-segment scan paths carry ids as strings; cast on the way in,
+    # back to long on the way out (the vote contract is int64 ids/labels)
+    queries = embeddings.select(
+        F.col(id_col).cast("string").alias("query_id"),
+        F.col(vec_col).alias("vector"),
+    )
+    hits = ann_topk(index, queries, k=k + 1, nprobe=nprobe)
+    hits = (
+        hits.select(
+            F.col("query_id").cast("long").alias("id"),
+            F.col("id").cast("long").alias("nid"),
+            # l2 score is -L2²; negate back so the vote's (d2 asc, nid asc)
+            # total order means "nearest first" exactly as the exact paths
+            (-F.col("score")).alias("d2"),
+        )
+        .filter(F.col("id") != F.col("nid"))
+    )
+    nlabels = labels.select(
+        F.col("_lid").alias("_nlid"), F.col("_llbl").alias("nlbl")
+    )
+    return (
+        hits.join(labels, F.col("id") == F.col("_lid"))
+        .withColumnRenamed("_llbl", "lbl")
+        .join(nlabels, F.col("nid") == F.col("_nlid"))
+        .select("id", "lbl", "nid", "nlbl", "d2")
+    )
+
+
+def label_noise_scan(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+    scale: int = 1_000_000,
+    max_exact_rows: int = 50_000,
+    mode: str = "auto",
+    rows_per_block: int = 2048,
+    nlist: int | None = None,
+    nprobe: int = 16,
+) -> DataFrame:
+    """Mislabeled-sample detector: flag rows whose k nearest neighbors
+    vote for a different label (Confident-Learning-style neighborhood
+    agreement, the training-data QA pass before a fine-tune).
+
+    Exact paths score EXACT integer L2² on micro-unit coordinates with the
+    neighbor ORDER fixed by (d2, neighbor_id) — a float distance would
+    let an ulp flip the k-th neighbor and change the vote.  Majority =
+    max vote count, ties to the smallest label; a row is flagged when
+    the majority label differs from its own.
+
+    Modes (``'auto'`` default, mirroring ``embedding_neardup``'s facade
+    rule — the default must never plan an O(N²) join at corpus scale,
+    and must never refuse either):
+
+    - ``'auto'``  : block-GEMM exact up to ``max_exact_rows`` rows, ANN
+      candidates above — no error path at any corpus size.
+    - ``'expr'``  : exact all-pairs expression twin (oracle parity);
+      raises above ``max_exact_rows`` (explicitly forcing the exact plan
+      past its bound is the one remaining error).
+    - ``'arrow'`` : exact block-pair float64 GEMM (exact below 2^53,
+      which micro-unit dots are) with block-local top-k — 4M pairs drop
+      from ~50 s to seconds, bit-identical to 'expr' (pytest parity);
+      same bound as 'expr'.
+    - ``'ann'``   : IVF ``ann_topk`` candidates (k+1 per row, self
+      dropped) feeding the SAME vote aggregate
+      (:func:`label_noise_vote`) — N·(k+1) candidate rows instead of N²,
+      distributed query path above 4,096 rows.  Approximate: a missed
+      true neighbor can flip a marginal vote (pytest gates planted-noise
+      precision/recall at 60k rows and exact-vs-ANN flag agreement at
+      the bound).
+
+    Output: (id, own label, majority label, votes_for_majority,
+    n_neighbors, flagged).
+    """
+    from pyspark.sql import functions as F
+
+    n = embeddings.count()
+    if mode == "auto":
+        mode = "arrow" if n <= max_exact_rows else "ann"
+    if mode in ("expr", "arrow") and n > max_exact_rows:
+        raise ValueError(
+            f"label_noise_scan exact mode {mode!r} bounded at "
+            f"{max_exact_rows} rows (got {n}); use mode='auto'/'ann' above"
+        )
+    if mode == "ann":
+        cands = _label_noise_candidates_ann(
+            embeddings, vec_col, label_col, id_col, k,
+            n_rows=n, nlist=nlist, nprobe=nprobe,
+        )
+        return label_noise_vote(cands, k, id_col=id_col, label_col=label_col)
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("vm"),
+    )
+    if mode == "arrow":
+        cands = _label_noise_candidates_arrow(base, k, rows_per_block)
+    elif mode == "expr":
+        other = base.select(
+            F.col("id").alias("nid"),
+            F.col("lbl").alias("nlbl"),
+            F.col("vm").alias("nvm"),
+        )
+        pairs = base.crossJoin(other).filter(F.col("id") != F.col("nid"))
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("vm"), F.col("nvm"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cands = pairs.select("id", "lbl", "nid", "nlbl", d2.alias("d2"))
+    else:
+        raise ValueError(
+            f"mode must be 'auto', 'expr', 'arrow', or 'ann', got {mode!r}"
+        )
+    return label_noise_vote(cands, k, id_col=id_col, label_col=label_col)
 
 
 def _pack_label_blocks(base: DataFrame, rows_per_block: int) -> DataFrame:

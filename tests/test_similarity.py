@@ -456,15 +456,97 @@ def test_label_noise_scan_arrow_parity(spark):
     assert a == b and len(a) == 57
 
 
-def test_label_noise_scan_guard(spark):
+def test_label_noise_scan_guard_explicit_exact_only(spark):
+    """Explicitly forcing an exact mode past its bound errors; the 'auto'
+    default NEVER does — it degrades to the ANN candidate plan instead
+    (the facade rule: no O(N²) plan and no refusal at any corpus size)."""
     from pyrope_spark.operators.similarity import label_noise_scan
 
     df = spark.createDataFrame(
-        [(i, 0, [0.0]) for i in range(10)],
+        [(i, 0, [float(i), 0.0]) for i in range(10)],
         "vec_id long, label int, embedding array<float>",
     )
-    try:
-        label_noise_scan(df, max_exact_rows=5)
-        raise AssertionError("guard did not trip")
-    except ValueError as e:
-        assert "bounded" in str(e)
+    for forced in ("expr", "arrow"):
+        try:
+            label_noise_scan(df, max_exact_rows=5, mode=forced)
+            raise AssertionError("guard did not trip")
+        except ValueError as e:
+            assert "bounded" in str(e)
+    # default mode above the bound: ANN path, no error, one row per input
+    out = label_noise_scan(df, k=3, max_exact_rows=5, nlist=2, nprobe=2)
+    assert out.count() == 10
+
+
+def test_label_noise_scan_ann_agrees_with_exact(spark):
+    """Exact-vs-ANN agreement gate: on clustered data with planted noise,
+    the ANN candidate path flags (almost exactly) the same rows as the
+    exact block-GEMM path — the vote is candidate-source-agnostic and the
+    IVF probes recover the true neighborhoods."""
+    import numpy as np
+
+    from pyrope_spark.operators.similarity import label_noise_scan
+
+    rng = np.random.default_rng(11)
+    rows = []
+    centers = np.eye(4, 8) * 10.0  # 4 well-separated clusters in d=8
+    vid = 0
+    for c in range(4):
+        for _ in range(500):
+            v = centers[c] + rng.normal(0, 0.3, 8)
+            # 3% planted label noise
+            lbl = c if rng.random() > 0.03 else (c + 1) % 4
+            rows.append((vid, int(lbl), [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).cache()
+    df.count()
+    exact = {
+        r["vec_id"]: r["flagged"]
+        for r in label_noise_scan(df, k=5, mode="arrow").collect()
+    }
+    ann = {
+        r["vec_id"]: r["flagged"]
+        for r in label_noise_scan(df, k=5, mode="ann", nlist=8, nprobe=4).collect()
+    }
+    assert set(ann) == set(exact)
+    agree = sum(ann[i] == exact[i] for i in exact) / len(exact)
+    assert agree >= 0.98, agree
+
+
+def test_label_noise_scan_60k_rows_no_error(spark):
+    """Above the 50k exact bound the default mode degrades to ANN
+    candidates instead of refusing (round-5 scale cliff closed): 60k rows
+    runs with NO ValueError, and planted noise is recovered with high
+    precision/recall through the distributed ann_topk query path."""
+    import numpy as np
+    import pandas as pd
+
+    from pyrope_spark.operators.similarity import label_noise_scan
+
+    rng = np.random.default_rng(7)
+    n, d, n_clusters = 60_000, 8, 6
+    cid = rng.integers(0, n_clusters, n)
+    centers = np.eye(n_clusters, d) * 12.0
+    vecs = centers[cid] + rng.normal(0, 0.35, (n, d))
+    noisy = rng.random(n) < 0.01  # ~600 planted mislabels
+    labels = np.where(noisy, (cid + 1) % n_clusters, cid)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": labels.astype(np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in vecs],
+        }
+    )
+    df = spark.createDataFrame(pdf).cache()
+    df.count()
+    out = label_noise_scan(df, k=5, nlist=64, nprobe=8)  # mode='auto' -> ann
+    res = {r["vec_id"]: r["flagged"] for r in out.collect()}
+    assert len(res) == n
+    planted = set(np.flatnonzero(noisy).tolist())
+    flagged = {i for i, f in res.items() if f}
+    tp = len(planted & flagged)
+    precision = tp / max(len(flagged), 1)
+    recall = tp / max(len(planted), 1)
+    assert precision >= 0.9, (precision, recall)
+    assert recall >= 0.9, (precision, recall)
