@@ -55,12 +55,22 @@ def coalesce_dispatch(
     with status in ``ok`` / ``failed`` (client returned None after
     ``max_retries`` attempts) / ``budget_exceeded`` (unique prompt ranked
     beyond ``max_calls``; prompts rank by ascending prompt string — a
-    deterministic budget cut).
+    deterministic budget cut) / ``invalid_prompt`` (NULL prompt — routed
+    around the dispatch entirely: it never reaches the client, and it is
+    surfaced rather than silently dropped by the fan-back equi-join,
+    where NULL == NULL is false).
 
     The client must be picklable (it runs in executor workers); inject a
     real API client on a connected cluster, a canned stub elsewhere
     (``policy.stub_model_client``).
     """
+    invalid = requests.filter(F.col(prompt_col).isNull()).select(
+        F.col(id_col),
+        F.col(prompt_col),
+        F.lit(None).cast("string").alias("response"),
+        F.lit("invalid_prompt").alias("status"),
+    )
+    requests = requests.filter(F.col(prompt_col).isNotNull())
     uniq = requests.select(F.col(prompt_col).alias("_p")).distinct()
     if max_calls is not None:
         from pyspark.sql import Window
@@ -96,6 +106,7 @@ def coalesce_dispatch(
         requests.select(F.col(id_col), F.col(prompt_col))
         .join(answered, F.col(prompt_col) == F.col("_p"))
         .drop("_p")
+        .unionByName(invalid)
     )
 
 

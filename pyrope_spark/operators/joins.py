@@ -109,6 +109,18 @@ def fuzzy_levenshtein_join(
         F.col(right_col).alias("_rs"),
         *[F.col(c).alias(f"r_{c}") for c in right_keep],
     ).withColumn("_rid", F.monotonically_increasing_id())
+    if qgram_block:
+        # The qgram path evaluates l_src/r_src in TWO independent plan
+        # branches (long qgram + short length-band) and dedups cross-path
+        # pairs on (_lid, _rid) — monotonically_increasing_id is only
+        # stable across branches if the id assignment is materialized
+        # once, so pin it (a nondeterministic upstream ordering would
+        # otherwise give the same row different ids per branch and leak
+        # duplicate overlap-region pairs through the dedup).
+        l_src = l_src.cache()
+        r_src = r_src.cache()
+        l_src.count()
+        r_src.count()
 
     def band_pairs(l_in: DataFrame, r_in: DataFrame) -> DataFrame:
         lb = F.floor(F.length(F.col("_ls")) / w).cast("long")

@@ -93,11 +93,24 @@ def suppress_small_classes(
 ) -> DataFrame:
     """Suppression: drop every row whose quasi-identifier class is smaller
     than k — the minimal-distortion route to a k-anonymous release.
-    Broadcast semi-join of the (bounded) passing-class table."""
+    Broadcast semi-join of the (bounded) passing-class table.
+
+    NULL quasi-identifier values form a countable equivalence class,
+    exactly as ``k_anonymity_report``'s groupBy treats them — the
+    semi-join uses null-SAFE equality per column, so a NULL-class of
+    size >= k survives (plain ``=`` would silently drop every NULL-QI
+    row regardless of its class size)."""
     passing = (
         df.groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= k)
         .drop("_n")
     )
-    return df.join(F.broadcast(passing), quasi_cols, "left_semi")
+    renamed = passing.select(
+        *[F.col(c).alias(f"_p_{c}") for c in quasi_cols]
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(F.col(f"_p_{c}"))
+        cond = eq if cond is None else cond & eq
+    return df.join(F.broadcast(renamed), cond, "left_semi")

@@ -5455,8 +5455,9 @@ WITH qi AS (
 )
 SELECT q.event_id, q.user_bucket, q.event_type, q.value_decile
 FROM qi q SEMI JOIN ok o
-  ON q.user_bucket = o.user_bucket AND q.event_type = o.event_type
- AND q.value_decile = o.value_decile
+  ON q.user_bucket IS NOT DISTINCT FROM o.user_bucket
+ AND q.event_type IS NOT DISTINCT FROM o.event_type
+ AND q.value_decile IS NOT DISTINCT FROM o.value_decile
 """
 
 register("k_anonymity_suppression", _KANON_SUPPRESS_ORACLE)(_kanon_suppress_spark)

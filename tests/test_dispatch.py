@@ -57,6 +57,29 @@ def test_coalesce_dispatch_budget_and_retry(spark):
     assert out["z"]["status"] == "budget_exceeded"
 
 
+def test_coalesce_dispatch_null_prompt_surfaced(spark):
+    """A NULL-prompt request is routed to status='invalid_prompt' — one
+    output row per input request even when the prompt can't join back
+    (NULL == NULL is false in the fan-back equi-join), and the client is
+    never called with None."""
+    from pyrope_spark.operators.dispatch import coalesce_dispatch
+
+    def client(p):
+        assert p is not None
+        return f"r:{p}"
+
+    reqs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "request_id long, prompt string"
+    )
+    out = {r["request_id"]: r for r in coalesce_dispatch(
+        reqs, client, max_retries=1
+    ).collect()}
+    assert len(out) == 3
+    assert out[2]["status"] == "invalid_prompt"
+    assert out[2]["response"] is None
+    assert out[1]["status"] == "ok" and out[3]["status"] == "ok"
+
+
 def test_parse_prefetch_confidence_gate(spark):
     """Dispatch iff cluster_id present AND confidence strictly > 0.5;
     missing confidence defaults to 0.5 (no dispatch); malformed JSON

@@ -46,3 +46,22 @@ def test_suppression_yields_k_anonymous_release(spark):
     assert {r["q"] for r in out.collect()} == {"a"}
     s = anonymity_summary(out, ["q"], k=3).collect()[0]
     assert s["k_anonymous"]
+
+
+def test_suppression_counts_null_class(spark):
+    """NULL quasi-identifier values are a countable equivalence class —
+    consistent with k_anonymity_report's groupBy: a NULL class of size
+    >= k SURVIVES suppression (null-safe semi-join), one of size < k is
+    suppressed."""
+    from pyrope_spark.operators.privacy import suppress_small_classes
+
+    rows = (
+        [(None, "x", i) for i in range(4)]   # NULL qa class, size 4 -> keep
+        + [("a", None, i) for i in range(2)]  # NULL qb class, size 2 -> drop
+        + [("a", "y", i) for i in range(3)]   # plain class, size 3 -> keep
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string, v int")
+    out = suppress_small_classes(df, ["qa", "qb"], k=3)
+    got = {(r["qa"], r["qb"]) for r in out.collect()}
+    assert out.count() == 7
+    assert got == {(None, "x"), ("a", "y")}
