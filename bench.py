@@ -369,6 +369,16 @@ def main() -> None:
 
         timed(f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q{N_QUERIES}", bf_sq8_byte, repeat=3)
 
+        # amortized comparator for BASELINE's SQ8 461 QPS row: the q100
+        # batch is job-overhead-dominated (VERDICT r5 — the one >2x row had
+        # no q1000 twin to prove amortization)
+        def bf_sq8_byte_1k():
+            segment_knn_sq8(
+                state["seg_sq8"], qnp_1k, TOP_K, "l2", scoring="byte"
+            ).count()
+
+        timed(f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000", bf_sq8_byte_1k, repeat=3)
+
     # BQ sign-bit segments (32x less scan bandwidth than f32; Hamming
     # coarse cut + exact float re-rank — operators/bq.py)
     from pyrope_spark.operators.bq import pack_segments_bq, segment_knn_bq
@@ -738,6 +748,12 @@ def main() -> None:
             "minhash_lsh_dedup",
             lambda: qs["minhash_lsh_dedup"](spark, SF_DIR).count(),
         )
+        # the three r5 in-suite retrieval drifters (hybrid_rrf 2.9x,
+        # ngram_lm 2.5x, bm25 1.5x vs r4) never had an isolated comparator —
+        # VERDICT r5 ask #3: attribute suite-position noise vs real
+        # regression with a post-clearCache min-of-3 for each
+        for rname in ("hybrid_rrf_search", "ngram_lm_score", "bm25_search"):
+            reverify(rname, lambda n=rname: qs[n](spark, SF_DIR).count())
         # the heaviest entry shows the widest suite-position spread
         # (26-65 s observed under concurrent load); VERDICT r4 What's-wrong
         # #3: one isolated sample cannot attribute a 2x swing — pay the
@@ -786,6 +802,10 @@ def main() -> None:
         derived["ivf_batch1000_qps"] = round(
             1000 / timings[f"ivf_search_nprobe3_{N_VECTORS}v_q1000"], 1
         )
+    if f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000" in timings:
+        derived["sq8_byte_batch1000_qps"] = round(
+            1000 / timings[f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000"], 1
+        )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full artifact (every suite entry + per-repeat samples) goes to a SIDE
@@ -826,6 +846,7 @@ def main() -> None:
         f"ivf_pq_build_{N_VECTORS}v_nlist100_m8",
         f"ivf_pq_nprobe3_{N_VECTORS}v_q1000",
         f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
+        f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000",
         f"bf_bq_hamming_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
         f"bq_rerank_{N_VECTORS}v_q{N_QUERIES}",
         "streaming_ingest_5000v_concurrent_search",
