@@ -721,6 +721,8 @@ def main() -> None:
         "sentence_stats",
         "shipping_latency_percentiles",
         "brand_revenue_running_share",
+        # round 6 additions
+        "policy_query_features",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

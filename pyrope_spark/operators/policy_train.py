@@ -42,6 +42,21 @@ from pyspark.sql import functions as F
 #: feature order fed to the classifier (train_model.py:73)
 FEATURES = ("qps", "miss_rate", "latency", "cpu")
 
+#: per-query features from FeatureEngineer (feature_engineering.py:34-51):
+#: QueryFeatures(norm, top_k, filter_type) + HistoryFeatures(hit_rate,
+#: revisit_interval_ms) — appended to FEATURES for the extended GBDT vector
+QUERY_FEATURES = ("norm", "top_k", "filter_type", "hit_rate", "revisit_interval_ms")
+
+#: filter-type encoding map (feature_engineering.py:9-15); anything not in
+#: the map encodes as the 'unknown' sentinel -1.0
+FILTER_TYPE_ENCODING = {
+    "none": 0.0,
+    "tag": 1.0,
+    "numeric": 2.0,
+    "hybrid": 3.0,
+    "unknown": -1.0,
+}
+
 #: heuristic thresholds (train_model.py:52-58)
 MISS_RATE_THRESHOLD = 0.3
 CPU_THRESHOLD = 80.0
@@ -59,6 +74,148 @@ def heuristic_label_expr(
         | (cpu > CPU_THRESHOLD)
         | (latency > LATENCY_P99_THRESHOLD_MS)
     ).cast("int")
+
+
+def infer_filter_type_expr(
+    tags_col: F.Column | None, numeric_filters_col: F.Column | None
+) -> F.Column:
+    """``infer_filter_type`` (feature_engineering.py:22-31) as a column
+    expression: python ``bool(x)`` truthiness on a sequence/mapping is
+    "not NULL and not empty", so both predicates are null-safe size
+    checks. Returns the string type; encode with
+    :func:`encode_filter_type_expr`."""
+    has_tags = (
+        F.lit(False) if tags_col is None
+        else tags_col.isNotNull() & (F.size(tags_col) > 0)
+    )
+    has_numeric = (
+        F.lit(False) if numeric_filters_col is None
+        else numeric_filters_col.isNotNull() & (F.size(numeric_filters_col) > 0)
+    )
+    return (
+        F.when(has_tags & has_numeric, F.lit("hybrid"))
+        .when(has_tags, F.lit("tag"))
+        .when(has_numeric, F.lit("numeric"))
+        .otherwise(F.lit("none"))
+    )
+
+
+def encode_filter_type_expr(filter_type: F.Column) -> F.Column:
+    """FILTER_TYPE_ENCODING lookup with the 'unknown' -1.0 fallback
+    (feature_engineering.py:102: ``.get(filter_type, encoding['unknown'])``)."""
+    expr = None
+    for name, code in FILTER_TYPE_ENCODING.items():
+        branch = F.when(filter_type == name, F.lit(code))
+        expr = branch if expr is None else expr.when(filter_type == name, F.lit(code))
+    return expr.otherwise(F.lit(FILTER_TYPE_ENCODING["unknown"]))
+
+
+def query_feature_columns(
+    queries: DataFrame,
+    *,
+    vector_col: str = "vector",
+    top_k_col: str = "top_k",
+    tags_col: str | None = None,
+    numeric_filters_col: str | None = None,
+    filter_type_col: str | None = None,
+) -> DataFrame:
+    """``FeatureEngineer.extract_query_features``
+    (feature_engineering.py:93-103) as three appended columns:
+
+    - ``norm``: L2 norm of the query vector — a sequential left fold of
+      the squares (``F.aggregate``), then ``sqrt`` (exact-rounded per
+      IEEE-754, so bit-stable across engines); NULL/empty vector -> 0.0
+      (python ``if vector:`` falsiness).
+    - ``top_k``: the requested k as double.
+    - ``filter_type``: encoded filter type — from ``filter_type_col``
+      when the log already carries the string, else inferred from
+      ``tags_col``/``numeric_filters_col`` via
+      :func:`infer_filter_type_expr`.
+
+    Pure column expressions — featurizing a 100 TB query log is a
+    map-only pass, no shuffle."""
+    ft = (
+        F.col(filter_type_col)
+        if filter_type_col is not None
+        else infer_filter_type_expr(
+            F.col(tags_col) if tags_col else None,
+            F.col(numeric_filters_col) if numeric_filters_col else None,
+        )
+    )
+    vec = F.col(vector_col)
+    norm = F.when(
+        vec.isNotNull() & (F.size(vec) > 0),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    keep = [c for c in queries.columns if c not in ("norm", "top_k", "filter_type")]
+    return queries.select(
+        *keep,
+        norm.alias("norm"),
+        F.col(top_k_col).cast("double").alias("top_k"),
+        encode_filter_type_expr(ft).alias("filter_type"),
+    )
+
+
+def query_history_features(
+    log: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    hit_col: str = "hit",
+    ts_col: str = "ts",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``QueryHistory.features`` (feature_engineering.py:60-86) as a
+    window over the query log: for every query event, the history state
+    the sidecar would have served it with — i.e. over STRICTLY PRIOR
+    events of the same query key (the serving loop calls ``features()``
+    before ``record()``):
+
+    - ``hit_rate``: prior hits / prior total; 0.0 with no history.
+    - ``revisit_interval_ms``: ms since the key was last seen
+      (``max(0, now - last_seen)``); the -1.0 NO-HISTORY SENTINEL when
+      the key has never been seen (feature_engineering.py:83).
+
+    One hash shuffle on the query key + one sort — O(1) running state
+    per row. Deviation from the reference: no 10,000-entry LRU eviction
+    (``QueryHistory._max_entries``, feature_engineering.py:61-77) — that
+    bound is single-node dict capacity, not semantics; the distributed
+    window keeps exact per-key history at any cardinality."""
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = (
+        Window.partitionBy(query_id_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_total = F.count(F.lit(1)).over(w)
+    prior_hits = F.sum(F.col(hit_col).cast("long")).over(w)
+    last_seen = F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(
+        Window.partitionBy(query_id_col).orderBy(*order)
+    )
+    now_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return log.select(
+        "*",
+        F.when(
+            prior_total > 0,
+            prior_hits.cast("double") / prior_total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hit_rate"),
+        # integer clamp first, ONE double divide last (identical IEEE op
+        # sequence in the DuckDB oracle — the repo's deferred-division rule)
+        F.when(
+            last_seen.isNotNull(),
+            F.greatest(now_us - last_seen, F.lit(0).cast("bigint"))
+            .cast("double") / F.lit(1000.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("revisit_interval_ms"),
+    )
 
 
 def system_metrics_windows(

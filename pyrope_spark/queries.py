@@ -9714,3 +9714,105 @@ FROM flags GROUP BY 1
 """
 
 register("retention_curve", _RETENTION_ORACLE)(_retention_spark)
+
+
+# --------------------------------------------------------------------------
+# Policy-model query features (operators/policy_train.py;
+# FeatureEngineer + QueryHistory, feature_engineering.py:22-115): per query
+# event — vector norm (sequential fold + IEEE sqrt), top_k, filter-type
+# encoding, and the strictly-prior history features (hit_rate,
+# revisit_interval_ms with the -1.0 no-history sentinel). The query log is
+# synthesized deterministically from events (query key = user, vector from
+# embeddings by event_id modulo).
+# --------------------------------------------------------------------------
+
+def _policy_qf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.policy_train import (
+        query_feature_columns,
+        query_history_features,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()  # bounded scalar (embeddings table is the dim side)
+    log = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts"),
+        F.col("user_id").cast("long").alias("query_id"),
+        F.pmod(F.col("event_id"), F.lit(n_emb)).cast("long").alias("_vid"),
+        (F.col("value") > 50.0).alias("hit"),
+        ((F.pmod(F.col("event_id"), F.lit(4)) + 1) * 10).alias("top_k"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(3)) == 0,
+            F.array(F.col("event_type")),
+        ).alias("tags"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(5)) == 0,
+            F.create_map(F.lit("v"), F.col("value")),
+        ).alias("nf"),
+    ).join(
+        emb.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("vector")),
+        "_vid",
+    )
+    feat = query_feature_columns(
+        log, vector_col="vector", top_k_col="top_k",
+        tags_col="tags", numeric_filters_col="nf",
+    )
+    hist = query_history_features(
+        feat, query_id_col="query_id", hit_col="hit",
+        ts_col="ts", tiebreak_cols=("event_id",),
+    )
+    return hist.select(
+        "query_id", "event_id", "norm", "top_k", "filter_type",
+        "hit_rate", "revisit_interval_ms",
+    )
+
+
+_POLICY_QF_ORACLE = """
+WITH log AS (
+  SELECT e.event_id, e.ts, e.user_id AS query_id,
+         e.event_id % (SELECT count(*) FROM embeddings) AS _vid,
+         (e.value > 50.0) AS hit,
+         (e.event_id % 4 + 1) * 10 AS top_k,
+         (e.event_id % 3 = 0) AS has_tags,
+         (e.event_id % 5 = 0) AS has_numeric
+  FROM events e
+), j AS (
+  SELECT l.*, em.embedding
+  FROM log l JOIN embeddings em ON em.vec_id = l._vid
+), f AS (
+  SELECT query_id, event_id, ts, hit,
+         sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x)) AS norm,
+         CAST(top_k AS DOUBLE) AS top_k,
+         CASE WHEN has_tags AND has_numeric THEN 3.0
+              WHEN has_tags THEN 1.0
+              WHEN has_numeric THEN 2.0
+              ELSE 0.0 END AS filter_type
+  FROM j
+), h AS (
+  SELECT query_id, event_id, norm, top_k, filter_type,
+         count(*) OVER w AS prior_total,
+         sum(CASE WHEN hit THEN 1 ELSE 0 END) OVER w AS prior_hits,
+         lag(epoch_us(ts)) OVER
+           (PARTITION BY query_id ORDER BY ts, event_id) AS last_us,
+         epoch_us(ts) AS now_us
+  FROM f
+  WINDOW w AS (PARTITION BY query_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT query_id, event_id, norm, top_k, filter_type,
+       CASE WHEN prior_total > 0
+            THEN CAST(prior_hits AS DOUBLE) / CAST(prior_total AS DOUBLE)
+            ELSE 0.0 END AS hit_rate,
+       CASE WHEN last_us IS NOT NULL
+            THEN CAST(greatest(now_us - last_us, 0) AS DOUBLE) / 1000.0
+            ELSE -1.0 END AS revisit_interval_ms
+FROM h
+"""
+
+register("policy_query_features", _POLICY_QF_ORACLE)(_policy_qf_spark)
