@@ -723,6 +723,8 @@ def main() -> None:
         "brand_revenue_running_share",
         # round 6 additions
         "policy_query_features",
+        "model_lifecycle_ledger",
+        "canary_tenant_routing",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

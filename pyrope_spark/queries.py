@@ -9816,3 +9816,133 @@ FROM h
 """
 
 register("policy_query_features", _POLICY_QF_ORACLE)(_policy_qf_spark)
+
+
+# --------------------------------------------------------------------------
+# Model lifecycle ledger (operators/model_ledger.py; model_manager.py:48-232):
+# event-sourced register/deploy/canary/rollback replay — Spark replays the
+# serial control-plane fold in one task, DuckDB replays the identical
+# transitions as a recursive CTE (the ewma precedent). The event log is
+# synthesized deterministically from events (bounded at 2,000 rows — a
+# control-plane ledger, not a data-plane table).
+# --------------------------------------------------------------------------
+
+# 502 keeps the DuckDB recursive-CTE oracle fast (one level per event) AND
+# ends the log one event after a tenant-scoped deploy_canary (event 500:
+# 500%8=4, 500%16=4 -> canary m497 for tenant t0), so the final state the
+# routing query reads has BOTH an active model and a tenant-scoped canary —
+# tenant-dependent output, not a uniform column.
+_LEDGER_BOUND = 502
+
+
+def _ledger_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < _LEDGER_BOUND
+    )
+    m = F.pmod(F.col("event_id"), F.lit(8))
+    ver = F.concat(F.lit("m"), F.col("event_id").cast("string"))
+    ver_m3 = F.concat(F.lit("m"), (F.col("event_id") - 3).cast("string"))
+    ver_p3 = F.concat(F.lit("m"), (F.col("event_id") + 3).cast("string"))
+    return ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(m <= 2, F.lit("register"))
+        .when(m == 3, F.lit("deploy_active"))
+        .when(m == 4, F.lit("deploy_canary"))
+        .when(m == 5, F.lit("deploy_active"))
+        .when(m == 6, F.lit("rollback_canary"))
+        .otherwise(F.lit("rollback_active"))
+        .alias("action"),
+        F.when(m <= 2, ver)
+        .when((m == 3) | (m == 4), ver_m3)
+        .when(m == 5, ver_p3)
+        .alias("version"),
+        F.when(
+            (m == 4) & (F.pmod(F.col("event_id"), F.lit(16)) == 4),
+            F.concat(F.lit("t"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")),
+        )
+        .otherwise(F.lit(""))
+        .alias("tenants"),
+    )
+
+
+_LEDGER_EVENTS_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS seq,
+       CASE WHEN event_id % 8 <= 2 THEN 'register'
+            WHEN event_id % 8 = 3 THEN 'deploy_active'
+            WHEN event_id % 8 = 4 THEN 'deploy_canary'
+            WHEN event_id % 8 = 5 THEN 'deploy_active'
+            WHEN event_id % 8 = 6 THEN 'rollback_canary'
+            ELSE 'rollback_active' END AS action,
+       CASE WHEN event_id % 8 <= 2 THEN 'm' || CAST(event_id AS VARCHAR)
+            WHEN event_id % 8 IN (3, 4) THEN 'm' || CAST(event_id - 3 AS VARCHAR)
+            WHEN event_id % 8 = 5 THEN 'm' || CAST(event_id + 3 AS VARCHAR)
+            END AS version,
+       CASE WHEN event_id % 8 = 4 AND event_id % 16 = 4
+            THEN 't' || CAST(event_id % 5 AS VARCHAR)
+            ELSE '' END AS tenants
+FROM events WHERE event_id < {_LEDGER_BOUND}
+"""
+
+
+def _model_ledger_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.model_ledger import replay_model_lifecycle
+
+    configure_for_oracle(spark)
+    return replay_model_lifecycle(_ledger_events_spark(spark, sf_dir))
+
+
+def _model_ledger_oracle() -> str:
+    from pyrope_spark.operators.model_ledger import model_lifecycle_oracle_sql
+
+    return model_lifecycle_oracle_sql(_LEDGER_EVENTS_SQL)
+
+
+register("model_lifecycle_ledger", _model_ledger_oracle())(_model_ledger_spark)
+
+
+def _canary_routing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.model_ledger import (
+        replay_model_lifecycle,
+        route_requests_final,
+    )
+
+    configure_for_oracle(spark)
+    ledger = replay_model_lifecycle(_ledger_events_spark(spark, sf_dir))
+    reqs = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.concat(
+            F.lit("t"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")
+        ).alias("tenant_id"),
+    ).filter(F.col("event_id") < 1000)
+    return route_requests_final(reqs, ledger, tenant_col="tenant_id")
+
+
+def _canary_routing_oracle() -> str:
+    from pyrope_spark.operators.model_ledger import model_lifecycle_oracle_sql
+
+    ledger = model_lifecycle_oracle_sql(_LEDGER_EVENTS_SQL)
+    return f"""
+WITH ledger AS ({ledger}),
+last_state AS (
+  SELECT active_version, canary_version, canary_tenants
+  FROM ledger ORDER BY seq DESC LIMIT 1
+), reqs AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         't' || CAST(user_id % 5 AS VARCHAR) AS tenant_id
+  FROM events WHERE event_id < 1000
+)
+SELECT r.event_id, r.tenant_id,
+       CASE WHEN s.canary_version IS NOT NULL
+                 AND (s.canary_tenants = ''
+                      OR list_contains(string_split(s.canary_tenants, ','),
+                                       r.tenant_id))
+            THEN s.canary_version ELSE s.active_version END AS model_version,
+       COALESCE(s.canary_version IS NOT NULL
+                AND (s.canary_tenants = ''
+                     OR list_contains(string_split(s.canary_tenants, ','),
+                                      r.tenant_id)), FALSE) AS is_canary
+FROM reqs r CROSS JOIN last_state s
+"""
+
+
+register("canary_tenant_routing", _canary_routing_oracle())(_canary_routing_spark)
