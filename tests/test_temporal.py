@@ -186,10 +186,10 @@ def test_rolling_zscore_flags_spike_not_warmup(spark):
         window_n=24, min_obs=5, z_thresh=3.0,
     ).orderBy("event_id").collect()
     # first min_obs rows have no z (insufficient trailing history)
-    assert all(r["zscore"] is None for r in rows[:5])
+    assert all(r["zscore_micro"] is None for r in rows[:5])
     assert not any(r["is_anomaly"] for r in rows[:5])
     spike = rows[7]
-    assert spike["is_anomaly"] and spike["zscore"] > 3
+    assert spike["is_anomaly"] and spike["zscore_micro"] > 3_000_000
     # the spike is EXCLUDED from its own baseline, and later points are
     # judged against a baseline that now contains it -> not anomalous
     assert not rows[8]["is_anomaly"]
@@ -209,7 +209,7 @@ def test_rolling_zscore_constant_series_no_flags(spark):
         ev, key_cols=["user_id"], tiebreak_cols=["event_id"], min_obs=3
     ).collect()
     # zero variance -> z undefined everywhere, nothing flagged
-    assert all(r["zscore"] is None and not r["is_anomaly"] for r in rows)
+    assert all(r["zscore_micro"] is None and not r["is_anomaly"] for r in rows)
 
 
 def test_ewma_closed_form_and_order(spark):
@@ -224,11 +224,11 @@ def test_ewma_closed_form_and_order(spark):
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, ts string, value double"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    out = {r["event_id"]: r["ewma"] for r in ewma(df, 0.5).collect()}
-    assert out[1] == 10.0
-    assert out[2] == 15.0            # 0.5*20 + 0.5*10
-    assert out[3] == 22.5            # 0.5*30 + 0.5*15
-    assert out[4] == 5.0             # independent key
+    out = {r["event_id"]: r["ewma_micro"] for r in ewma(df, 0.5).collect()}
+    assert out[1] == 10_000_000
+    assert out[2] == 15_000_000      # 0.5*20 + 0.5*10
+    assert out[3] == 22_500_000      # 0.5*30 + 0.5*15
+    assert out[4] == 5_000_000       # independent key
 
 
 def test_ewma_tie_order_by_id(spark):
@@ -241,8 +241,8 @@ def test_ewma_tie_order_by_id(spark):
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, ts string, value double"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    out = {r["event_id"]: r["ewma"] for r in ewma(df, 0.5).collect()}
-    assert out[1] == 0.0 and out[2] == 50.0
+    out = {r["event_id"]: r["ewma_micro"] for r in ewma(df, 0.5).collect()}
+    assert out[1] == 0 and out[2] == 50_000_000
 
 
 def test_ewma_partitioned_matches_grouped(spark):
@@ -262,7 +262,7 @@ def test_ewma_partitioned_matches_grouped(spark):
         rows, "user_id long, event_id long, ts string, value double"
     ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(11)
     key = lambda d: sorted(
-        (x["user_id"], x["event_id"], x["ewma"]) for x in d.collect()
+        (x["user_id"], x["event_id"], x["ewma_micro"]) for x in d.collect()
     )
     assert key(ewma(df, 0.3, impl="partitioned")) == key(
         ewma(df, 0.3, impl="grouped")
@@ -292,7 +292,7 @@ def test_ewma_partitioned_survives_tiny_arrow_batches(spark):
             rows, "user_id long, event_id long, ts string, value double"
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         key = lambda d: sorted(
-            (x["user_id"], x["event_id"], x["ewma"]) for x in d.collect()
+            (x["user_id"], x["event_id"], x["ewma_micro"]) for x in d.collect()
         )
         assert key(ewma(df, 0.4, impl="partitioned")) == key(
             ewma(df, 0.4, impl="grouped")
