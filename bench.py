@@ -725,6 +725,11 @@ def main() -> None:
         "policy_query_features",
         "model_lifecycle_ledger",
         "canary_tenant_routing",
+        "holt_trend_values",
+        "setsim_prefix_join",
+        "item_item_cosine_topk",
+        "revenue_cube_rollup",
+        "readability_scores",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1,0 +1,123 @@
+"""Co-occurrence recommenders over basket tables.
+
+Not in the reference's surface (its "recommendation" analog is the Markov
+prefetch rule miner, ``src/Pyrope.AISidecar/prefetch_engine.py`` — ported in
+operators/analytics.py); this adds the classic item-item collaborative
+filter a query/usage-log pipeline builds next: cosine similarity between
+items from the user/basket incidence matrix, top-k neighbors per item.
+
+Scale shape: one distinct pass + one self-join on the basket key. Pair
+fanout is sum over baskets of C(|basket|, 2), so the optional
+``max_basket_size`` cap bounds the explosion a priori (the degenerate
+"everything bought in one mega-order" basket contributes quadratically and
+carries no signal — the same a-priori-bound discipline as
+``ngram_jaccard_pairs.max_shingle_df``). Scores are exact integers:
+cos^2(i,j) = c(i,j)^2 / (deg_i * deg_j) in micro-units via DIV — monotone
+in cosine (counts are non-negative), so ranking by it IS ranking by cosine,
+and no sqrt ever runs on either engine. At int64 limits (c > 3e6 with the
+1e6 scale) promote the numerator to DECIMAL(38,0); the gate's counts sit
+far below that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def item_item_cosine_topk(
+    baskets: DataFrame,
+    *,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    k: int = 5,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Top-k most-similar items per item by co-occurrence cosine.
+
+    cos(i,j) = c(i,j) / sqrt(deg_i * deg_j) where c = #baskets containing
+    both, deg = #baskets containing the item. Emits every item's k nearest
+    neighbors ordered by (cos2_micro desc, cooccur desc, neighbor asc) —
+    a total order, since the neighbor id is unique within an item.
+
+    Output: (item BIGINT, neighbor BIGINT, rank BIGINT, cooccur BIGINT,
+    cos2_micro BIGINT = floor(1e6 * c^2 / (deg_i * deg_j))).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    if max_basket_size is not None:
+        bsz = b.groupBy("_bk").agg(F.count("*").alias("_n"))
+        b = b.join(bsz.filter(F.col("_n") <= max_basket_size), "_bk").drop("_n")
+    deg = b.groupBy("_it").agg(F.count("*").alias("_deg"))
+    la = b.select(F.col("_bk"), F.col("_it").alias("_ia"))
+    lb = b.select(F.col("_bk"), F.col("_it").alias("_ib"))
+    pairs = (
+        la.join(lb, "_bk")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count("*").alias("_c"))
+    )
+    scored = (
+        pairs.join(deg.select(F.col("_it").alias("_ia"), F.col("_deg").alias("_da")), "_ia")
+        .join(deg.select(F.col("_it").alias("_ib"), F.col("_deg").alias("_db")), "_ib")
+        .withColumn("_s", F.expr("_c * _c * 1000000 DIV (_da * _db)"))
+    )
+    sym = scored.select(
+        F.col("_ia").alias("item"), F.col("_ib").alias("neighbor"), "_c", "_s"
+    ).unionByName(
+        scored.select(
+            F.col("_ib").alias("item"), F.col("_ia").alias("neighbor"), "_c", "_s"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("_s").desc(), F.col("_c").desc(), F.col("neighbor")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("item").cast("long").alias("item"),
+            F.col("neighbor").cast("long").alias("neighbor"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_c").cast("long").alias("cooccur"),
+            F.col("_s").cast("long").alias("cos2_micro"),
+        )
+    )
+
+
+def item_item_cosine_topk_oracle_sql(
+    *,
+    baskets_sql: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of [[item_item_cosine_topk]]. ``baskets_sql`` must yield
+    (basket_id, item_id) rows (duplicates allowed; DISTINCT applied here)."""
+    return f"""
+WITH b AS (SELECT DISTINCT basket_id AS bk, item_id AS it FROM ({baskets_sql})),
+deg AS (SELECT it, COUNT(*) AS d FROM b GROUP BY it),
+pairs AS (
+  SELECT a.it AS ia, c.it AS ib, COUNT(*) AS cc
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY a.it, c.it
+),
+scored AS (
+  SELECT ia, ib, cc, cc * cc * 1000000 // (da.d * db.d) AS s
+  FROM pairs JOIN deg da ON pairs.ia = da.it JOIN deg db ON pairs.ib = db.it
+),
+sym AS (
+  SELECT ia AS item, ib AS neighbor, cc, s FROM scored
+  UNION ALL
+  SELECT ib AS item, ia AS neighbor, cc, s FROM scored
+),
+ranked AS (
+  SELECT item, neighbor, cc, s,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY s DESC, cc DESC, neighbor) AS rk
+  FROM sym
+)
+SELECT CAST(item AS BIGINT) AS item, CAST(neighbor AS BIGINT) AS neighbor,
+       CAST(rk AS BIGINT) AS rank, CAST(cc AS BIGINT) AS cooccur,
+       CAST(s AS BIGINT) AS cos2_micro
+FROM ranked WHERE rk <= {k}
+"""

@@ -598,6 +598,134 @@ FROM rec
 """
 
 
+def holt(
+    events: DataFrame,
+    alpha: float,
+    beta: float,
+    *,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear trend) over
+    the (ts, id) total order — the one-step-ahead forecaster for metrics
+    with drift, where plain EWMA ([[ewma]]) systematically lags a trending
+    series:
+
+        l_1 = x_1;  b_1 = 0
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    Same execution shape as ``ewma impl='partitioned'``: repartition by key
+    + sortWithinPartitions, then ONE python pass per task carrying a
+    {key: (l, b)} dict across Arrow batches — linear, one shuffle,
+    invocation-bound regardless of key count.
+
+    Cross-engine determinism: python floats are IEEE doubles and the DuckDB
+    recursive-CTE oracle evaluates literally the same +/* expression per
+    step (the trend row recomputes l_t with the identical expression — IEEE
+    ops are deterministic, so recomputation equals reuse). Emitted values
+    are integer micro-units ``floor(v * 1e6)`` (the ewma/gapfill
+    discipline), never engine round().
+
+    Output: key cols + (id, value, level_micro, trend_micro,
+    forecast_micro) where forecast is the next-step prediction l_t + b_t.
+    """
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    keyc = list(key_cols)
+    a = float(alpha)
+    bt = float(beta)
+
+    src = events.select(
+        *keyc,
+        F.col(id_col),
+        F.col(value_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+    )
+    schema = ", ".join(
+        f"{c} {t}" for c, t in src.drop("_ts_us").dtypes
+    ) + ", level_micro long, trend_micro long, forecast_micro long"
+
+    def smooth_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = list(zip(*(pdf[c].tolist() for c in keyc)))
+            xs = pdf[value_col].tolist()
+            lo, to, fo = [], [], []
+            for k, x in zip(keys, xs):
+                st = state.get(k)
+                if st is None:
+                    l, b = float(x), 0.0
+                else:
+                    l0, b0 = st
+                    l = a * x + (1.0 - a) * (l0 + b0)
+                    b = bt * (l - l0) + (1.0 - bt) * b0
+                state[k] = (l, b)
+                lo.append(int(math.floor(l * 1e6)))
+                to.append(int(math.floor(b * 1e6)))
+                fo.append(int(math.floor((l + b) * 1e6)))
+            res = pdf.copy()
+            res["level_micro"] = lo
+            res["trend_micro"] = to
+            res["forecast_micro"] = fo
+            yield res[keyc + [id_col, value_col,
+                             "level_micro", "trend_micro", "forecast_micro"]]
+
+    ordered = src.repartition(*[F.col(c) for c in keyc]).sortWithinPartitions(
+        *keyc, "_ts_us", id_col
+    )
+    return ordered.mapInPandas(smooth_part, schema=schema)
+
+
+def holt_oracle_sql(
+    alpha: float,
+    beta: float,
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """Recursive-CTE twin of [[holt]]: the b_t row recomputes l_t with the
+    identical IEEE expression (deterministic, so recompute == reuse)."""
+    a = repr(float(alpha))
+    bt = repr(float(beta))
+    lexpr = (
+        f"{a} * CAST(o.{value_col} AS DOUBLE) + (1.0 - {a}) * (r.l + r.b)"
+    )
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {key_col}, {id_col}, {value_col},
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY {ts_col}, {id_col}) AS rn
+  FROM {table}
+), rec AS (
+  SELECT {key_col}, {id_col}, {value_col}, rn,
+         CAST({value_col} AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.{key_col}, o.{id_col}, o.{value_col}, o.rn,
+         {lexpr},
+         {bt} * (({lexpr}) - r.l) + (1.0 - {bt}) * r.b
+  FROM ordered o JOIN rec r
+    ON o.{key_col} = r.{key_col} AND o.rn = r.rn + 1
+)
+SELECT {key_col}, CAST({id_col} AS BIGINT) AS {id_col}, {value_col},
+       CAST(floor(l * 1e6) AS BIGINT) AS level_micro,
+       CAST(floor(b * 1e6) AS BIGINT) AS trend_micro,
+       CAST(floor((l + b) * 1e6) AS BIGINT) AS forecast_micro
+FROM rec
+"""
+
+
 # ------------------------------------------------------ concurrency curve
 
 def concurrency_curve(

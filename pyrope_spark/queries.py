@@ -9946,3 +9946,229 @@ FROM reqs r CROSS JOIN last_state s
 
 
 register("canary_tenant_routing", _canary_routing_oracle())(_canary_routing_spark)
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: Holt trend smoothing, lossless prefix-filter set-sim
+# join, item-item collaborative cosine, ROLLUP grouping sets, readability.
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5   # exactly representable: (1 - a) is exact too
+_HOLT_BETA = 0.25
+
+
+def _holt_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import holt
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = holt(ev, _HOLT_ALPHA, _HOLT_BETA)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        "level_micro",
+        "trend_micro",
+        "forecast_micro",
+    )
+
+
+def _holt_oracle() -> str:
+    from pyrope_spark.operators.temporal import holt_oracle_sql
+
+    return holt_oracle_sql(_HOLT_ALPHA, _HOLT_BETA)
+
+
+register("holt_trend_values", _holt_oracle())(_holt_spark)
+
+
+def _setsim_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import setsim_prefix_join
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = setsim_prefix_join(docs, n=2, t_num=7, t_den=10)
+    return out.select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"),
+    )
+
+
+def _setsim_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql, word_ngrams_from_tokens_sql
+
+    ng = word_ngrams_from_tokens_sql("t", 2)
+    return f"""
+WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+ng AS (SELECT doc_id, list_distinct({ng}) AS g FROM tk),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         len(list_intersect(a.g, b.g)) AS inter,
+         len(a.g) AS sa, len(b.g) AS sb
+  FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) > 0
+)
+SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
+       CAST(inter * 1000000 // (sa + sb - inter) AS BIGINT) AS jaccard_ppm
+FROM p WHERE inter * 10 >= 7 * (sa + sb - inter)
+"""
+
+
+register("setsim_prefix_join", _setsim_oracle())(_setsim_spark)
+
+
+def _itemcos_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.recommend import item_item_cosine_topk
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item_id")
+    )
+    return item_item_cosine_topk(baskets, k=5)
+
+
+def _itemcos_oracle() -> str:
+    from pyrope_spark.operators.recommend import item_item_cosine_topk_oracle_sql
+
+    return item_item_cosine_topk_oracle_sql(
+        baskets_sql="SELECT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem",
+        k=5,
+    )
+
+
+register("item_item_cosine_topk", _itemcos_oracle())(_itemcos_spark)
+
+
+def _cube_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with grouping_id — the OLAP subtotal/grand-total
+    surface (year > returnflag > linestatus hierarchy over lineitem
+    revenue). One aggregate; Spark expands the sets in a single Expand node
+    (no per-level re-scan). Money follows the pricing_summary DECIMAL
+    discipline; revenue has exactly 4 decimal places so round(.,4) is
+    tie-free on both engines."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    src = li.select(
+        F.year("l_shipdate").cast("string").alias("ship_year"),
+        "l_returnflag",
+        "l_linestatus",
+        (
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+        ).alias("_rev"),
+    )
+    out = src.rollup("ship_year", "l_returnflag", "l_linestatus").agg(
+        F.sum("_rev").alias("_sd"),
+        F.count("*").alias("_n"),
+        F.grouping_id().alias("_gid"),
+    )
+    return out.select(
+        F.coalesce("ship_year", F.lit("ALL")).alias("ship_year"),
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        F.col("_gid").cast("long").alias("gid"),
+        F.round(F.col("_sd").cast("double"), 4).alias("revenue"),
+        F.col("_n").cast("long").alias("count_order"),
+    )
+
+
+register(
+    "revenue_cube_rollup",
+    """
+WITH src AS (
+  SELECT CAST(year(l_shipdate) AS VARCHAR) AS ship_year,
+         l_returnflag, l_linestatus,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+           AS rev
+  FROM lineitem
+)
+SELECT COALESCE(ship_year, 'ALL') AS ship_year,
+       COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(ship_year, l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       round(CAST(SUM(rev) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM src
+GROUP BY ROLLUP(ship_year, l_returnflag, l_linestatus)
+""",
+)(_cube_rollup_spark)
+
+
+def _readability_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document, all-integer: with W words, S
+    sentences, Y syllable approximations (maximal [aeiouy]+ runs),
+    score = 206.835 - 1.015*W/S - 84.6*Y/W. Multiplying through by
+    1000*S*W keeps every term integer; the single final DIV runs on an
+    offset-shifted non-negative numerator (truncate == floor on both
+    engines only there). Regexes are shared-subset (char classes + '+') so
+    Java and RE2 count identically."""
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("regexp_count(lower(coalesce(text, '')), '[a-z]+')")
+        .cast("long")
+        .alias("n_words"),
+        F.expr("regexp_count(lower(coalesce(text, '')), '[aeiouy]+')")
+        .cast("long")
+        .alias("n_syllables"),
+        F.expr("regexp_count(lower(coalesce(text, '')), '[.!?]+')")
+        .cast("long")
+        .alias("n_sentences"),
+    )
+    wg = F.greatest(F.col("n_words"), F.lit(1))
+    sg = F.greatest(F.col("n_sentences"), F.lit(1))
+    num = (
+        F.lit(206835) * sg * wg
+        - F.lit(1015) * wg * wg
+        - F.lit(84600) * F.col("n_syllables") * sg
+    )
+    den = sg * wg
+    return src.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        (
+            (num + F.lit(1_000_000) * den).cast("long")
+        ).alias("_shift_num"),
+        den.cast("long").alias("_den"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        (F.expr("_shift_num DIV _den") - F.lit(1_000_000))
+        .cast("long")
+        .alias("flesch_milli"),
+    )
+
+
+register(
+    "readability_scores",
+    """
+WITH src AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[.!?]+'))
+              AS BIGINT) AS n_sentences
+  FROM documents
+), g AS (
+  SELECT doc_id, n_words, n_syllables, n_sentences,
+         greatest(n_words, 1) AS wg, greatest(n_sentences, 1) AS sg
+  FROM src
+)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       CAST((206835 * sg * wg - 1015 * wg * wg - 84600 * n_syllables * sg
+             + 1000000 * sg * wg) // (sg * wg) - 1000000 AS BIGINT)
+         AS flesch_milli
+FROM g
+""",
+)(_readability_spark)

@@ -287,3 +287,66 @@ def test_embedding_neardup_auto_blocks_above_bound(spark):
     )
     auto_small = embedding_neardup_pairs(emb, threshold=0.99)  # 300 <= 50k
     assert auto_small.count() == exact.count()
+
+
+# ------------------------------------------------- prefix-filter set-sim join
+
+def test_setsim_prefix_join_equals_exact_allpairs(spark):
+    """Prefix filtering is LOSSLESS: result == the exact all-pairs Jaccard
+    join at the same threshold (integer-ppm compare)."""
+    from pyrope_spark.operators.dedup import ngram_jaccard_pairs, setsim_prefix_join
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "a completely different sentence about spark engines",
+        "a completely different sentence about spark engines",  # exact dup of 2
+        "the quick brown fox jumps over the lazy dog today",
+        "unrelated text with no overlap at all here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["ia"], r["ib"]): r["jaccard_ppm"]
+        for r in setsim_prefix_join(docs, n=2, t_num=6, t_den=10).collect()
+    }
+    exact = {
+        (r["ia"], r["ib"]): int(r["jaccard"] * 1e6 // 1)
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.6).collect()
+    }
+    assert set(got) == set(exact)
+    assert (2, 3) in got and got[(2, 3)] == 1_000_000  # exact dup
+    # ppm values agree with the float path within 1 ulp of the floor
+    for pair, ppm in got.items():
+        assert abs(ppm - exact[pair]) <= 1
+
+
+def test_setsim_prefix_join_threshold_filters(spark):
+    from pyrope_spark.operators.dedup import setsim_prefix_join
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma zeta"),
+         (2, "omega psi chi phi")],
+        "doc_id long, text string",
+    )
+    # n=1 token sets: J(0,1) = 3/5 = 0.6
+    hi = setsim_prefix_join(docs, n=1, t_num=7, t_den=10).collect()
+    assert hi == []  # 0.6 < 0.7
+    lo = {
+        (r["ia"], r["ib"]): r["jaccard_ppm"]
+        for r in setsim_prefix_join(docs, n=1, t_num=6, t_den=10).collect()
+    }
+    assert lo == {(0, 1): 600_000}
+
+
+def test_setsim_prefix_join_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from pyrope_spark.operators.dedup import setsim_prefix_join
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        setsim_prefix_join(docs, t_num=0, t_den=10)
+    with _pytest.raises(ValueError):
+        setsim_prefix_join(docs, t_num=11, t_den=10)

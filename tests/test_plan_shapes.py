@@ -94,3 +94,51 @@ def test_winsorize_bounds_join_is_small_side(spark):
     final = _final_plan(out)
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_rollup_is_one_expand_one_fact_aggregate(spark):
+    """rollup() must plan as a single Expand + one partial/final aggregate
+    pair over the fact scan — NOT one scan per grouping level."""
+    rows = [(f"y{i % 3}", f"f{i % 2}", f"s{i % 2}", float(i)) for i in range(300)]
+    src = spark.createDataFrame(rows, "a string, b string, c string, v double")
+    out = src.rollup("a", "b", "c").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    out.collect()
+    final = _final_plan(out)
+    assert final.count("Expand") == 1
+    assert "ReusedExchange" not in final  # nothing to reuse: one lineage
+    # one shuffle for the aggregate (plus possibly AQE coalesce) — never 4
+    assert final.count("Exchange hashpartitioning") <= 1
+
+
+def test_setsim_prefix_join_no_cartesian(spark):
+    """Candidate generation joins prefix tables on the shingle rank —
+    the plan must contain no cartesian/nested-loop product."""
+    from pyrope_spark.operators.dedup import setsim_prefix_join
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} alpha beta gamma tok{(i + 1) % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = setsim_prefix_join(docs, n=2, t_num=7, t_den=10)
+    out.collect()
+    final = _final_plan(out)
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_item_item_cosine_single_pair_aggregate(spark):
+    """The basket self-join aggregates pairs ONCE; the symmetric union must
+    reuse the scored pair exchange, not recompute the self-join."""
+    from pyrope_spark.operators.recommend import item_item_cosine_topk
+
+    rows = [(i % 20, (i * 7) % 13) for i in range(300)]
+    baskets = spark.createDataFrame(rows, "basket_id long, item_id long")
+    out = item_item_cosine_topk(baskets, k=3)
+    out.collect()
+    final = _final_plan(out)
+    assert "CartesianProduct" not in final
+    # the mirrored union branch replays the scored pairs from the pair
+    # aggregate's exchange instead of re-running the basket self-join
+    assert "ReusedExchange" in final

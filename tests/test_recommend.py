@@ -1,0 +1,81 @@
+"""item_item_cosine_topk: closed-form checks on tiny basket tables."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "basket_id long, item_id long")
+
+
+def test_item_item_cosine_closed_form(spark):
+    from pyrope_spark.operators.recommend import item_item_cosine_topk
+
+    # baskets: {1,2}, {1,2}, {1,3} -> deg 1=3, 2=2, 3=1
+    # c(1,2)=2, c(1,3)=1; cos2(1,2)=4/6, cos2(1,3)=1/3
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3)]
+    out = {
+        (r["item"], r["neighbor"]): r
+        for r in item_item_cosine_topk(_baskets(spark, rows), k=5).collect()
+    }
+    assert out[(1, 2)]["cos2_micro"] == (4 * 1_000_000) // 6
+    assert out[(1, 3)]["cos2_micro"] == 1_000_000 // 3
+    assert out[(2, 1)]["cos2_micro"] == out[(1, 2)]["cos2_micro"]  # symmetric
+    assert out[(1, 2)]["rank"] == 1 and out[(1, 3)]["rank"] == 2
+    assert out[(1, 2)]["cooccur"] == 2
+    # items 2 and 3 never co-occur -> no pair row either direction
+    assert (2, 3) not in out and (3, 2) not in out
+
+
+def test_item_item_cosine_dedups_repeat_lines_and_caps_k(spark):
+    from pyrope_spark.operators.recommend import item_item_cosine_topk
+
+    # duplicate (basket, item) lines must not inflate counts
+    rows = [(10, 1), (10, 1), (10, 2), (10, 2)]
+    out = item_item_cosine_topk(_baskets(spark, rows), k=5).collect()
+    assert {(r["item"], r["neighbor"], r["cooccur"]) for r in out} == {
+        (1, 2, 1),
+        (2, 1, 1),
+    }
+    # cos2 = 1/1 -> exactly 1e6
+    assert all(r["cos2_micro"] == 1_000_000 for r in out)
+
+    # k caps neighbors: star item 1 co-occurs with 2..8, k=3 keeps 3 rows
+    star = [(b, 1) for b in range(7)] + [(b, b + 2) for b in range(7)]
+    topk = item_item_cosine_topk(_baskets(spark, star), k=3)
+    assert topk.filter(F.col("item") == 1).count() == 3
+
+
+def test_item_item_cosine_basket_cap_drops_mega_basket(spark):
+    from pyrope_spark.operators.recommend import item_item_cosine_topk
+
+    mega = [(99, i) for i in range(10)]  # one 10-item basket
+    small = [(1, 1), (1, 2)]
+    out = item_item_cosine_topk(
+        _baskets(spark, mega + small), k=5, max_basket_size=5
+    ).collect()
+    # only the small basket survives -> exactly the (1,2) pair
+    assert {(r["item"], r["neighbor"]) for r in out} == {(1, 2), (2, 1)}
+
+
+def test_item_item_cosine_rank_is_cosine_order(spark):
+    from pyrope_spark.operators.recommend import item_item_cosine_topk
+
+    # item 1: neighbor 2 in 2/3 baskets (deg2=2), neighbor 3 in 1/3 (deg3=3)
+    rows = [
+        (10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3),
+        (13, 3), (14, 3),
+    ]
+    got = {
+        r["neighbor"]: r["rank"]
+        for r in item_item_cosine_topk(_baskets(spark, rows), k=5)
+        .filter(F.col("item") == 1)
+        .collect()
+    }
+    c12 = 2 / math.sqrt(3 * 2)
+    c13 = 1 / math.sqrt(3 * 3)
+    assert c12 > c13
+    assert got == {2: 1, 3: 2}

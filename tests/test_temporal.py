@@ -447,3 +447,71 @@ def test_cusum_changepoint_planted_shift(spark):
     assert out["shift"]["cusum_peak_micro"] == 80_000_000
     assert out["const"]["cusum_peak_micro"] == 0
     assert out["const"]["position"] == 1  # tie on |S|=0 -> earliest row
+
+
+def test_holt_closed_form_and_trend_tracking(spark):
+    from pyrope_spark.operators.temporal import holt
+
+    # x = 10, 20, 30 with alpha=0.5, beta=0.5:
+    # t1: l=10, b=0
+    # t2: l=.5*20+.5*10=15, b=.5*(15-10)+.5*0=2.5
+    # t3: l=.5*30+.5*17.5=23.75, b=.5*(23.75-15)+.5*2.5=5.625
+    rows = [
+        (1, 1, "2026-01-01 00:00:00", 10.0),
+        (1, 2, "2026-01-01 00:01:00", 20.0),
+        (1, 3, "2026-01-01 00:02:00", 30.0),
+        (2, 4, "2026-01-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r for r in holt(df, 0.5, 0.5).collect()}
+    assert out[1]["level_micro"] == 10_000_000 and out[1]["trend_micro"] == 0
+    assert out[2]["level_micro"] == 15_000_000
+    assert out[2]["trend_micro"] == 2_500_000
+    assert out[2]["forecast_micro"] == 17_500_000
+    assert out[3]["level_micro"] == 23_750_000
+    assert out[3]["trend_micro"] == 5_625_000
+    assert out[4]["level_micro"] == 7_000_000  # independent key
+
+
+def test_holt_state_survives_batch_splits(spark):
+    """Keys split across Arrow batches inside a task must carry (l, b)."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf, None)
+    spark.conf.set(conf, "16")
+    try:
+        import math
+
+        from pyrope_spark.operators.temporal import holt
+
+        n, a, bt = 200, 0.5, 0.25
+        rows = [
+            (int(i % 3), int(i), f"2026-01-01 {i % 24:02d}:{(i * 13) % 60:02d}:00",
+             float((i * 37) % 50))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(7)
+        got = {r["event_id"]: r["level_micro"] for r in holt(df, a, bt).collect()}
+        # python reference over the same (ts, id) order
+        series: dict = {}
+        ordered = sorted(rows, key=lambda r: (r[0], r[2], r[1]))
+        want = {}
+        for u, i, _, x in ordered:
+            st = series.get(u)
+            if st is None:
+                l, b = float(x), 0.0
+            else:
+                l0, b0 = st
+                l = a * x + (1.0 - a) * (l0 + b0)
+                b = bt * (l - l0) + (1.0 - bt) * b0
+            series[u] = (l, b)
+            want[i] = int(math.floor(l * 1e6))
+        assert got == want
+    finally:
+        if old is not None:
+            spark.conf.set(conf, old)
+        else:
+            spark.conf.unset(conf)
