@@ -121,3 +121,61 @@ SELECT CAST(item AS BIGINT) AS item, CAST(neighbor AS BIGINT) AS neighbor,
        CAST(s AS BIGINT) AS cos2_micro
 FROM ranked WHERE rk <= {k}
 """
+
+
+def train_als(
+    ratings: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+    rank: int = 8,
+    reg: float = 0.05,
+    iters: int = 10,
+    implicit: bool = False,
+    seed: int = 42,
+):
+    """Seeded MLlib ALS fit — the latent-factor complement to the
+    co-occurrence [[item_item_cosine_topk]] (which cannot rank items a user
+    never co-bought). Distributed normal-equation solves per user/item
+    block; no driver-side matrix ever materializes. Iterative least squares
+    has no relational oracle form — gated by a pytest reconstruction-error
+    bound on a planted low-rank matrix (the HNSW/bandit precedent).
+
+    ``coldStartStrategy='drop'``: score rows for users/items unseen at fit
+    time are dropped, not NaN-filled — NaN would poison downstream
+    aggregates silently.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        rank=rank,
+        regParam=reg,
+        maxIter=iters,
+        implicitPrefs=implicit,
+        seed=seed,
+        coldStartStrategy="drop",
+        nonnegative=False,
+    )
+    return als.fit(ratings)
+
+
+def als_recommend_topk(model, *, k: int = 5) -> DataFrame:
+    """Top-k item recommendations per user from a [[train_als]] model,
+    flattened to (user_id, item_id, rank, score) rows. MLlib's
+    recommendForAllUsers is a blocked GEMM over the factor tables —
+    executor-side, linear in users x rank."""
+    recs = model.recommendForAllUsers(k)
+    user_col = model.getUserCol()
+    return recs.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.posexplode("recommendations").alias("_pos", "_rec"),
+    ).select(
+        "user_id",
+        F.col("_rec.%s" % model.getItemCol()).cast("long").alias("item_id"),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+        F.col("_rec.rating").alias("score"),
+    )

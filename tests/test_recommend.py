@@ -79,3 +79,62 @@ def test_item_item_cosine_rank_is_cosine_order(spark):
     c13 = 1 / math.sqrt(3 * 3)
     assert c12 > c13
     assert got == {2: 1, 3: 2}
+
+
+def test_als_recovers_planted_low_rank_matrix(spark):
+    import numpy as np
+
+    from pyrope_spark.operators.recommend import als_recommend_topk, train_als
+
+    rng = np.random.default_rng(7)
+    n_u, n_i, r = 30, 20, 3
+    U = rng.normal(size=(n_u, r))
+    V = rng.normal(size=(n_i, r))
+    M = U @ V.T
+    rows = [
+        (u, i, float(M[u, i]))
+        for u in range(n_u)
+        for i in range(n_i)
+        if (u * 31 + i * 17) % 10 < 8  # hold out ~20%
+    ]
+    held = [
+        (u, i, float(M[u, i]))
+        for u in range(n_u)
+        for i in range(n_i)
+        if (u * 31 + i * 17) % 10 >= 8
+    ]
+    train = spark.createDataFrame(rows, "user_id int, item_id int, rating float")
+    test = spark.createDataFrame(held, "user_id int, item_id int, rating float")
+    model = train_als(train, rank=3, reg=0.01, iters=12, seed=42)
+    pred = model.transform(test)
+    rmse = (
+        pred.selectExpr("avg(pow(rating - prediction, 2)) AS mse")
+        .collect()[0]["mse"]
+        ** 0.5
+    )
+    # noiseless rank-3 matrix, rank-3 fit: held-out RMSE far under the
+    # rating scale (|M| ~ sqrt(3) ~ 1.7)
+    assert rmse < 0.35, rmse
+
+    recs = als_recommend_topk(model, k=4)
+    got = recs.filter(F.col("user_id") == 0).orderBy("rank").collect()
+    assert len(got) == 4
+    # scores are emitted in rank order (descending)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_als_cold_start_rows_dropped(spark):
+    from pyrope_spark.operators.recommend import train_als
+
+    train = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 1.0)],
+        "user_id int, item_id int, rating float",
+    )
+    model = train_als(train, rank=2, iters=5, seed=1)
+    test = spark.createDataFrame(
+        [(0, 0, 1.0), (99, 0, 1.0)],  # user 99 unseen
+        "user_id int, item_id int, rating float",
+    )
+    out = model.transform(test).collect()
+    assert {r["user_id"] for r in out} == {0}
