@@ -132,43 +132,46 @@ def setsim_prefix_join(
     word n-gram shingle sets, without the all-pairs join AND without the
     lossy document-frequency cap of [[ngram_jaccard_pairs]] ``max_shingle_df``.
 
-    Shingles get a global rank ordered by (document frequency asc, shingle
-    asc) — rarest first. Each document keeps only its first
-    ``p = sz - ceil(t*sz) + 1`` ranked shingles as its *prefix*; the prefix
-    theorem guarantees every qualifying pair shares >= 1 prefix shingle, so
-    candidate generation joins prefix tables (rare tokens -> tiny fanout)
-    instead of full shingle tables. A size-compatibility filter
-    (t*max(sa,sb) <= min(sa,sb)) prunes before the distinct; exact
-    verification intersects the two ranked-shingle arrays.
+    Shingles order globally by (document frequency asc, shingle asc) —
+    rarest first. Each document keeps only its first
+    ``p = sz - ceil(t*sz) + 1`` shingles *in that order* as its *prefix*;
+    the prefix theorem guarantees every qualifying pair shares >= 1 prefix
+    shingle, so candidate generation joins prefix tables (rare tokens ->
+    tiny fanout) instead of full shingle tables. A size-compatibility
+    filter (t*max(sa,sb) <= min(sa,sb)) prunes before the distinct; exact
+    verification intersects the two shingle arrays.
 
-    Scale shape: the vocab rank is a sort of the DISTINCT-shingle table
-    (vocabulary-bound, not corpus-bound); candidate fanout is bounded by
-    rare-shingle document frequencies by construction — the hot shingles a
-    DF-cap would drop land at the END of the global order and fall out of
-    every prefix. Output is integer ``jaccard_ppm = inter * 1e6 DIV union``
-    (non-negative DIV: truncate == floor on both engines).
+    Scale shape: the theorem needs a consistent total ORDER, not a dense
+    global rank — per-doc position comes from a window ordered by
+    (df, shingle) WITHIN each doc (key-partitioned; the first cut of this
+    operator materialized a global row_number over the vocab, a
+    single-partition sort that dominated the 200k-doc probe at 4x the
+    verify cost). Candidate fanout is bounded by rare-shingle document
+    frequencies by construction — the hot shingles a DF-cap would drop
+    order LAST and fall out of every prefix. Output is integer
+    ``jaccard_ppm = inter * 1e6 DIV union`` (non-negative DIV: truncate ==
+    floor on both engines).
     """
     threshold_ok = 0 < t_num <= t_den
     if not threshold_ok:
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
     sh = shingle_table(df, id_col=id_col, text_col=text_col, n=n)
     vocab = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    vocab = vocab.select(
-        "shingle", F.row_number().over(Window.orderBy("_df", "shingle")).alias("_rk")
-    )
-    ranked = sh.join(vocab, "shingle").select(F.col(id_col), "_rk")
+    ranked = sh.join(vocab, "shingle").select(F.col(id_col), "shingle", "_df")
     sizes = ranked.groupBy(id_col).agg(F.count("*").alias("_sz"))
     pos = ranked.select(
         F.col(id_col),
-        "_rk",
-        F.row_number().over(Window.partitionBy(id_col).orderBy("_rk")).alias("_pos"),
+        "shingle",
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("_df", "shingle"))
+        .alias("_pos"),
     ).join(sizes, id_col)
     ceil_t_sz = F.expr(f"({t_num} * _sz + {t_den - 1}) DIV {t_den}")
     pref = pos.filter(F.col("_pos") <= F.col("_sz") - ceil_t_sz + F.lit(1))
-    pa = pref.select(F.col(id_col).alias("ia"), "_rk", F.col("_sz").alias("_sa"))
-    pb = pref.select(F.col(id_col).alias("ib"), "_rk", F.col("_sz").alias("_sb"))
+    pa = pref.select(F.col(id_col).alias("ia"), "shingle", F.col("_sz").alias("_sa"))
+    pb = pref.select(F.col(id_col).alias("ib"), "shingle", F.col("_sz").alias("_sb"))
     cand = (
-        pa.join(pb, "_rk")
+        pa.join(pb, "shingle")
         .filter(F.col("ia") < F.col("ib"))
         .filter(
             F.lit(t_num) * F.greatest("_sa", "_sb")
@@ -178,7 +181,7 @@ def setsim_prefix_join(
         .distinct()
     )
     docsets = ranked.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("_rk")).alias("_g"),
+        F.sort_array(F.collect_list("shingle")).alias("_g"),
         F.count("*").alias("_sz"),
     )
     ga = docsets.select(

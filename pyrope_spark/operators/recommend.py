@@ -43,9 +43,15 @@ def item_item_cosine_topk(
     Output: (item BIGINT, neighbor BIGINT, rank BIGINT, cooccur BIGINT,
     cos2_micro BIGINT = floor(1e6 * c^2 / (deg_i * deg_j))).
     """
-    b = baskets.select(
-        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
-    ).distinct()
+    # NULL basket/item rows carry no co-occurrence signal and would be
+    # dropped silently by the null-unsafe self-join below — drop them
+    # explicitly so the contract is visible (advisor r5 lesson: never let
+    # an inner join be the implicit NULL policy)
+    b = (
+        baskets.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
+        .na.drop(subset=["_bk", "_it"])
+        .distinct()
+    )
     if max_basket_size is not None:
         bsz = b.groupBy("_bk").agg(F.count("*").alias("_n"))
         b = b.join(bsz.filter(F.col("_n") <= max_basket_size), "_bk").drop("_n")
