@@ -730,6 +730,7 @@ def main() -> None:
         "item_item_cosine_topk",
         "revenue_cube_rollup",
         "readability_scores",
+        "audio_frame_features",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -581,6 +581,79 @@ def decode_audio(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def audio_frame_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame: int = 128,
+    decoder: Callable[[bytes], tuple[np.ndarray, int]] | None = None,
+) -> DataFrame:
+    """BINARY WAV -> frame-level features (the VAD/segmentation input):
+    samples split into fixed ``frame``-sized windows (trailing partial
+    frame kept, its ``n`` records the true size), per frame ALL-INTEGER
+    features so the oracled round-trip compares bit-for-bit:
+
+    - ``n``            frame length in samples
+    - ``sum_abs``      L1 energy
+    - ``sum_sq``       L2 energy numerator (exact int64; rms = sqrt(q/n)
+                       is the caller's one float op if wanted)
+    - ``zero_crossings`` sign flips WITHIN the frame ((x<0) != (prev<0);
+                       zero counts as non-negative) — the cheap
+                       voiced/unvoiced discriminator
+
+    Mono = first channel (the fixture synth is mono). Same Arrow-batched
+    ``mapInPandas`` plumbing as :func:`decode_audio`; output is one row
+    per (file, frame), so downstream windowing/aggregation stays
+    relational."""
+    decoder = decoder or wav_decoder()
+    if frame <= 0:
+        raise ValueError(f"frame must be positive: {frame}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("frame_no", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fnos, ns, sabs, ssq, zcs = [], [], [], [], [], []
+            for mid, payload in zip(
+                pdf[id_col].tolist(), pdf[payload_col].tolist()
+            ):
+                s, _rate = decoder(bytes(payload))
+                mono = s[:, 0].astype(np.int64)
+                total = mono.shape[0]
+                for f in range(0, max((total + frame - 1) // frame, 0)):
+                    sl = mono[f * frame:(f + 1) * frame]
+                    neg = sl < 0
+                    ids.append(mid)
+                    fnos.append(f)
+                    ns.append(int(sl.shape[0]))
+                    sabs.append(int(np.abs(sl).sum()))
+                    ssq.append(int((sl * sl).sum()))
+                    zcs.append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": fnos,
+                    "n": ns,
+                    "sum_abs": sabs,
+                    "sum_sq": ssq,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def synth_wav_from_text(
     df: DataFrame,
     *,

@@ -10172,3 +10172,57 @@ SELECT doc_id, n_words, n_syllables, n_sentences,
 FROM g
 """,
 )(_readability_spark)
+
+
+def _audio_frames_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level WAV features through the real RIFF parser; the oracle
+    recomputes every frame straight from character codes (the
+    wav_decode_stats round-trip discipline, one level deeper: per-frame
+    integer features instead of whole-file stats)."""
+    from pyrope_spark.multimodal.columns import (
+        audio_frame_features,
+        synth_wav_from_text,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    wavs = synth_wav_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    out = audio_frame_features(wavs, frame=128)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_no",
+        "n",
+        "sum_abs",
+        "sum_sq",
+        "zero_crossings",
+    )
+
+
+register(
+    "audio_frame_features",
+    """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''),
+                        c -> (ascii(c) - 100) * 128) AS samp
+  FROM documents WHERE length(text) > 0
+), fr AS (
+  SELECT doc_id, CAST(u.f AS BIGINT) AS frame_no,
+         list_slice(samp, u.f * 128 + 1, least((u.f + 1) * 128, len(samp)))
+           AS sl
+  FROM s, unnest(range(0, (len(samp) + 127) // 128)) AS u(f)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_no,
+       CAST(len(sl) AS BIGINT) AS n,
+       CAST(coalesce(list_sum(list_transform(sl, x -> abs(x))), 0) AS BIGINT)
+         AS sum_abs,
+       CAST(coalesce(list_sum(list_transform(sl, x -> x * x)), 0) AS BIGINT)
+         AS sum_sq,
+       CAST(coalesce(len(list_filter(range(2, len(sl) + 1),
+                                     i -> (sl[i] < 0) <> (sl[i - 1] < 0))), 0)
+            AS BIGINT) AS zero_crossings
+FROM fr
+""",
+)(_audio_frames_spark)

@@ -370,3 +370,38 @@ def test_decode_video_stats_end_to_end(spark):
     assert (a["n_frames"], a["width"], a["height"]) == (4, 2, 2)
     assert a["duration_s"] == 0.5 and a["sum_pixels"] == 7 * 4 * 2 * 2 * 3
     assert got["b"]["n_frames"] == 0 and got["b"]["sum_pixels"] == 0
+
+
+def test_audio_frame_features_closed_form(spark):
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import (
+        audio_frame_features,
+        pcm16_wav_bytes,
+    )
+
+    # 5 samples, frame=4: frame0 = [100, -200, 300, 0], frame1 = [-50]
+    samples = np.array([100, -200, 300, 0, -50], dtype=np.int16)
+    payload = pcm16_wav_bytes(samples, 8000)
+    df = spark.createDataFrame([("a", bytearray(payload))],
+                               "media_id string, payload binary")
+    rows = {r["frame_no"]: r for r in
+            audio_frame_features(df, frame=4).collect()}
+    f0, f1 = rows[0], rows[1]
+    assert f0["n"] == 4 and f1["n"] == 1
+    assert f0["sum_abs"] == 600 and f1["sum_abs"] == 50
+    assert f0["sum_sq"] == 100**2 + 200**2 + 300**2 and f1["sum_sq"] == 2500
+    # sign pattern + - + + (0 counts non-negative): flips at 1->2 and 2->3
+    assert f0["zero_crossings"] == 2
+    assert f1["zero_crossings"] == 0
+
+
+def test_audio_frame_features_rejects_bad_frame(spark):
+    import pytest as _pytest
+
+    from pyrope_spark.multimodal.columns import audio_frame_features
+
+    df = spark.createDataFrame([("a", bytearray(b""))],
+                               "media_id string, payload binary")
+    with _pytest.raises(ValueError):
+        audio_frame_features(df, frame=0)
