@@ -731,6 +731,7 @@ def main() -> None:
         "revenue_cube_rollup",
         "readability_scores",
         "audio_frame_features",
+        "video_frame_sample",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

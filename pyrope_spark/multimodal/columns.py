@@ -816,6 +816,58 @@ def decode_video_stats(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    stride: int = 2,
+    decoder: Callable[[bytes], tuple[np.ndarray, int]] | None = None,
+) -> DataFrame:
+    """BINARY AVI -> every ``stride``-th frame's integer stats (the
+    keyframe-sampling step of a video-curation pipeline: dedup/quality
+    models score a bounded frame subset, never the full clip). One row
+    per sampled frame: (id, frame_no, sum_pixels, peak_pixel) — exact
+    int64, so the synth round-trip oracles bit-for-bit. Same mapInPandas
+    contract as :func:`decode_video_stats`."""
+    decoder = decoder or avi_decoder()
+    if stride <= 0:
+        raise ValueError(f"stride must be positive: {stride}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("frame_no", T.LongType()),
+            T.StructField("sum_pixels", T.LongType()),
+            T.StructField("peak_pixel", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fnos, sums, peaks = [], [], [], []
+            for mid, payload in zip(
+                pdf[id_col].tolist(), pdf[payload_col].tolist()
+            ):
+                fr, _fps = decoder(bytes(payload))
+                for f in range(0, fr.shape[0], stride):
+                    ids.append(mid)
+                    fnos.append(f)
+                    sums.append(int(fr[f].astype(np.int64).sum()))
+                    peaks.append(int(fr[f].max()) if fr[f].size else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": fnos,
+                    "sum_pixels": sums,
+                    "peak_pixel": peaks,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def synth_avi_from_text(
     df: DataFrame,
     *,

@@ -10226,3 +10226,48 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_no,
 FROM fr
 """,
 )(_audio_frames_spark)
+
+
+def _video_frames_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 3rd frame of each synth AVI clip through the real parser;
+    oracle = the closed-form per-frame stats from character codes (ASCII
+    codepoints <= 121 so the %256 never wraps: frame sum = 48*code + 192
+    at 4x4x3, peak = code + 8)."""
+    from pyrope_spark.multimodal.columns import (
+        sample_video_frames,
+        synth_avi_from_text,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    avis = synth_avi_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    out = sample_video_frames(avis, stride=3)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_no",
+        "sum_pixels",
+        "peak_pixel",
+    )
+
+
+register(
+    "video_frame_sample",
+    """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(substring(text, 1, 8), ''),
+                        c -> ascii(c)) AS codes
+  FROM documents WHERE length(text) > 0
+), fr AS (
+  SELECT doc_id, CAST(u.f AS BIGINT) AS frame_no, codes[u.f + 1] AS code
+  FROM s, unnest(range(0, len(codes))) AS u(f)
+  WHERE u.f % 3 = 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_no,
+       CAST(48 * code + 192 AS BIGINT) AS sum_pixels,
+       CAST(code + 8 AS BIGINT) AS peak_pixel
+FROM fr
+""",
+)(_video_frames_spark)

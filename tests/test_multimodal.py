@@ -405,3 +405,27 @@ def test_audio_frame_features_rejects_bad_frame(spark):
                                "media_id string, payload binary")
     with _pytest.raises(ValueError):
         audio_frame_features(df, frame=0)
+
+
+def test_sample_video_frames_stride_and_stats(spark):
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import raw_avi_bytes, sample_video_frames
+
+    # 5 frames of 2x2x3, frame f constant pixel value f*10
+    frames = np.stack(
+        [np.full((2, 2, 3), f * 10, dtype=np.uint8) for f in range(5)]
+    )
+    df = spark.createDataFrame(
+        [("v", bytearray(raw_avi_bytes(frames, 10)))],
+        "media_id string, payload binary",
+    )
+    rows = {r["frame_no"]: r for r in sample_video_frames(df, stride=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    assert rows[2]["sum_pixels"] == 20 * 12
+    assert rows[4]["peak_pixel"] == 40
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_video_frames(df, stride=0)
