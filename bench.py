@@ -732,6 +732,9 @@ def main() -> None:
         "readability_scores",
         "audio_frame_features",
         "video_frame_sample",
+        "target_encode_loo",
+        "trailing_7d_user_spend",
+        "price_percent_rank_in_type",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

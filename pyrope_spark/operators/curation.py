@@ -1661,3 +1661,54 @@ def greedy_token_cover(
     )
     dt.unpersist()
     return out
+
+
+def target_encode_loo(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    label_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    out_col: str = "enc_micro",
+) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding with prior smoothing
+    (weight 1) — the standard categorical feature for GBDT-style training
+    where one-hot would explode and plain mean encoding leaks the row's
+    own label:
+
+        enc(row) = ((sum_cat - own_label) + global_rate) / ((n_cat-1) + 1)
+
+    All-integer: with global sums (G_sum, G_n), the m=1 smoothing folds to
+    ``((sum_cat - own) * G_n + G_sum) * 1e6 DIV (n_cat * G_n)`` — labels
+    are 0/1 so every term is exact; a singleton category (n=1) encodes to
+    exactly the global prior.
+
+    Scale shape: one (cat) aggregate joined back on cat + a broadcast of
+    the two global scalars — no window, no per-row shuffle beyond the cat
+    join. NULL categories are dropped explicitly (no silent inner-join
+    loss; encode a sentinel upstream if NULL is a real class).
+
+    Output: id cols + (cat_col, label_col, out_col BIGINT micro-units).
+    """
+    ids = list(id_cols)
+    src = df.select(
+        *ids, F.col(cat_col), F.col(label_col).cast("long").alias(label_col)
+    ).filter(F.col(cat_col).isNotNull())
+    agg = src.groupBy(cat_col).agg(
+        F.sum(label_col).alias("_s"), F.count("*").alias("_n")
+    )
+    glob = src.agg(
+        F.sum(label_col).alias("_gs"), F.count("*").alias("_gn")
+    )
+    return (
+        src.join(agg, cat_col)
+        .join(F.broadcast(glob))
+        .select(
+            *ids,
+            cat_col,
+            label_col,
+            F.expr(
+                f"((_s - {label_col}) * _gn + _gs) * 1000000 DIV (_n * _gn)"
+            ).alias(out_col),
+        )
+    )

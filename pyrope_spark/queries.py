@@ -10271,3 +10271,155 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_no,
 FROM fr
 """,
 )(_video_frames_spark)
+
+
+def _target_enc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import target_encode_loo
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_purchase"),
+    )
+    out = target_encode_loo(
+        src, cat_col="item", label_col="is_purchase", id_cols=("event_id",)
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("item").cast("long").alias("item"),
+        "is_purchase",
+        "enc_micro",
+    )
+
+
+register(
+    "target_encode_loo",
+    """
+WITH src AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(event_type = 'purchase' AS BIGINT) AS is_purchase
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+), agg AS (
+  SELECT item, SUM(is_purchase) AS s, COUNT(*) AS n FROM src GROUP BY item
+), gl AS (
+  SELECT SUM(is_purchase) AS gs, COUNT(*) AS gn FROM src
+)
+SELECT src.event_id, src.item, src.is_purchase,
+       CAST(((agg.s - src.is_purchase) * gl.gn + gl.gs) * 1000000
+            // (agg.n * gl.gn) AS BIGINT) AS enc_micro
+FROM src JOIN agg USING (item) CROSS JOIN gl
+""",
+)(_target_enc_spark)
+
+
+def _trailing_spend_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window: each purchase's trailing-7-day spend for its
+    user ([ts - 7d, ts] inclusive, ties included by the frame). The sum
+    runs over floor-micro integers — a double SUM over a RANGE frame
+    would be add-order-dependent across engines."""
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    src = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("_ep"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").alias("_vm"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("_ep")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return src.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.sum("_vm").over(w).alias("spend_7d_micro"),
+        F.count("*").over(w).cast("long").alias("n_purchases_7d"),
+    )
+
+
+register(
+    "trailing_7d_user_spend",
+    """
+WITH src AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch(ts) AS BIGINT) AS ep,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id,
+       CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY ep
+                          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS spend_7d_micro,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ep
+                           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_purchases_7d
+FROM src
+""",
+)(_trailing_spend_spark)
+
+
+def _pctrank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-ppm percent_rank and cume_dist per part type — the native
+    window functions divide in engine-specific float order, so both are
+    recomputed from integer rank/count primitives: pr = (rank-1)*1e6 DIV
+    (n-1) (0 when n=1), cd = rows_with_value<=mine (RANGE frame count)
+    * 1e6 DIV n."""
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    part = load_table(spark, sf_dir, "part")
+    wt = W.partitionBy("p_type")
+    w_rank = wt.orderBy("p_retailprice")
+    w_le = wt.orderBy("p_retailprice").rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    src = part.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_type",
+        "p_retailprice",
+        F.rank().over(w_rank).cast("long").alias("_rk"),
+        F.count("*").over(w_le).cast("long").alias("_le"),
+        F.count("*").over(wt).cast("long").alias("_n"),
+    )
+    return src.select(
+        "p_partkey",
+        "p_type",
+        "p_retailprice",
+        F.when(F.col("_n") > 1, F.expr("(_rk - 1) * 1000000 DIV (_n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_rank_ppm"),
+        F.expr("_le * 1000000 DIV _n").cast("long").alias("cume_dist_ppm"),
+    )
+
+
+register(
+    "price_percent_rank_in_type",
+    """
+WITH src AS (
+  SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_type, p_retailprice,
+         CAST(rank() OVER (PARTITION BY p_type ORDER BY p_retailprice)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY p_type ORDER BY p_retailprice
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS le,
+         CAST(COUNT(*) OVER (PARTITION BY p_type) AS BIGINT) AS n
+  FROM part
+)
+SELECT p_partkey, p_type, p_retailprice,
+       CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_rank_ppm,
+       CAST(le * 1000000 // n AS BIGINT) AS cume_dist_ppm
+FROM src
+""",
+)(_pctrank_spark)

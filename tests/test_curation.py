@@ -730,3 +730,35 @@ def test_greedy_token_cover_picks_and_stops(spark):
     # round 1: doc 1 (4) ; round 2: doc 3 (3) ; round 3: doc 5 (1);
     # then everything is covered -> stop (no round 4)
     assert picks == [(1, 1, 4), (2, 3, 3), (3, 5, 1)]
+
+
+def test_target_encode_loo_closed_form_and_prior(spark):
+    from pyrope_spark.operators.curation import target_encode_loo
+
+    # cat A: labels 1,0,1 (sum 3... sum=2,n=3); cat B: label 1 (singleton)
+    rows = [(1, "A", 1), (2, "A", 0), (3, "A", 1), (4, "B", 1)]
+    df = spark.createDataFrame(rows, "event_id long, cat string, lbl int")
+    out = {
+        r["event_id"]: r["enc_micro"]
+        for r in target_encode_loo(
+            df, cat_col="cat", label_col="lbl", id_cols=("event_id",)
+        ).collect()
+    }
+    gs, gn = 3, 4  # global sum/count
+    # row 1 (A, lbl=1): ((2-1)*4 + 3) * 1e6 // (3*4)
+    assert out[1] == ((2 - 1) * gn + gs) * 1_000_000 // (3 * gn)
+    assert out[2] == ((2 - 0) * gn + gs) * 1_000_000 // (3 * gn)
+    # singleton B encodes to exactly the global prior
+    assert out[4] == gs * 1_000_000 // gn
+
+
+def test_target_encode_loo_drops_null_category(spark):
+    from pyrope_spark.operators.curation import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "A", 1), (2, None, 0)], "event_id long, cat string, lbl int"
+    )
+    out = target_encode_loo(
+        df, cat_col="cat", label_col="lbl", id_cols=("event_id",)
+    ).collect()
+    assert [r["event_id"] for r in out] == [1]
