@@ -735,6 +735,8 @@ def main() -> None:
         "target_encode_loo",
         "trailing_7d_user_spend",
         "price_percent_rank_in_type",
+        "bfs_khop_copurchase",
+        "label_prop_communities",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

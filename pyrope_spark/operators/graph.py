@@ -23,7 +23,7 @@ corpora (domain authority, co-purchase centrality).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12
@@ -302,3 +302,140 @@ SELECT node, CAST(count(*) AS BIGINT) AS deg,
 FROM (SELECT a AS node FROM e{iters} UNION ALL SELECT b FROM e{iters})
 GROUP BY 1
 """
+
+
+def bfs_khop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    k: int = 3,
+) -> DataFrame:
+    """Hop distance from a seed set within ``k`` hops (directed) — the
+    reachability/influence primitive (blast radius of a contaminated
+    source, items within k referral hops). Iteration i relaxes
+    ``dist(v) = min(dist(v), min_{u->v} dist(u) + 1)`` — a loop of joins
+    against the static distinct edge table, one shuffle per hop, the
+    PageRank discipline; k is FIXED so the plan is a finite DAG. Unreached
+    nodes are absent (no infinity sentinel to disagree on). All-integer.
+
+    Output: (node, dist BIGINT in [0, k])."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    dist = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for _ in range(k):
+        nxt = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist
+
+
+def bfs_khop_oracle_sql(edges_sql: str, seeds_sql: str, *, k: int = 3) -> str:
+    """DuckDB twin of [[bfs_khop]]: the min-plus relaxation unrolled as
+    chained CTEs. ``edges_sql`` yields (src, dst); ``seeds_sql`` yields
+    (node)."""
+    parts = [
+        f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""",
+d{i + 1} AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d{i}.dist + 1 AS dist
+    FROM e JOIN d{i} ON e.src = d{i}.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM d{k}")
+    return "".join(parts)
+
+
+def label_prop_fixed_iters(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation communities over the
+    symmetrized edge set: every node starts as its own label; each
+    iteration every node adopts the MODE of its neighbors' labels with the
+    deterministic (count desc, label asc) tie-break — async/random-order
+    LPA (the usual formulation) is irreproducible across partitionings,
+    so this engine pins the synchronous variant, trading the known
+    oscillation risk for bit-stable output (iters is small and fixed; the
+    oracle unrolls the same rounds). Complements [[dedup_groups_cc]]
+    (connected components = structure) with density-based communities.
+
+    Output: (node, label BIGINT) — label is some member node id."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").cast("long").alias("label"))
+    for _ in range(iters):
+        nb = und.join(lab, und["dst"] == lab["node"]).select(
+            F.col("src").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("_c").desc(), F.col("label").asc()
+        )
+        lab = (
+            cnt.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", F.col("label").cast("long").alias("label"))
+        )
+    return lab
+
+
+def label_prop_oracle_sql(edges_sql: str, *, iters: int = 3) -> str:
+    """DuckDB twin of [[label_prop_fixed_iters]], rounds unrolled."""
+    parts = [
+        f"""
+WITH raw_edges AS ({edges_sql}),
+e0 AS (SELECT src, dst FROM raw_edges
+       UNION ALL SELECT dst, src FROM raw_edges),
+und AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM und)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+cnt{i} AS (
+  SELECT und.src AS node, l{i}.label, COUNT(*) AS c
+  FROM und JOIN l{i} ON und.dst = l{i}.node
+  GROUP BY und.src, l{i}.label
+),
+l{i + 1} AS (
+  SELECT node, CAST(label AS BIGINT) AS label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rk
+    FROM cnt{i}
+  ) WHERE rk = 1
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{iters}")
+    return "".join(parts)

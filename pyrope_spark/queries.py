@@ -10423,3 +10423,79 @@ SELECT p_partkey, p_type, p_retailprice,
 FROM src
 """,
 )(_pctrank_spark)
+
+
+_COPURCHASE_EDGES_SQL = """
+  SELECT LAG(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+  FROM events WHERE event_type = 'purchase'
+  QUALIFY src IS NOT NULL
+"""
+
+
+def _copurchase_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "ts",
+        "event_id",
+    )
+    prev = F.lag("item").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    return seq.select(prev.alias("src"), F.col("item").alias("dst")).filter(
+        F.col("src").isNotNull()
+    )
+
+
+def _bfs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import bfs_khop
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    out = bfs_khop(edges, seeds, k=3)
+    return out.select(F.col("node").cast("long").alias("node"), "dist")
+
+
+def _bfs_oracle() -> str:
+    from pyrope_spark.operators.graph import bfs_khop_oracle_sql
+
+    seeds = f"""
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ({_COPURCHASE_EDGES_SQL})
+    UNION ALL
+    SELECT dst AS node FROM ({_COPURCHASE_EDGES_SQL})
+  ) WHERE node % 97 = 0
+"""
+    inner = bfs_khop_oracle_sql(_COPURCHASE_EDGES_SQL, seeds, k=3)
+    return f"SELECT CAST(node AS BIGINT) AS node, dist FROM ({inner})"
+
+
+register("bfs_khop_copurchase", _bfs_oracle())(_bfs_spark)
+
+
+def _lpa_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import label_prop_fixed_iters
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    out = label_prop_fixed_iters(edges, iters=3)
+    return out.select(F.col("node").cast("long").alias("node"), "label")
+
+
+def _lpa_oracle() -> str:
+    from pyrope_spark.operators.graph import label_prop_oracle_sql
+
+    inner = label_prop_oracle_sql(_COPURCHASE_EDGES_SQL, iters=3)
+    return f"SELECT CAST(node AS BIGINT) AS node, label FROM ({inner})"
+
+
+register("label_prop_communities", _lpa_oracle())(_lpa_spark)

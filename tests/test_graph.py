@@ -114,3 +114,38 @@ def test_kcore_peel_known_graph(spark):
     # one round is NOT enough: 4 still alive (its degree was 2 pre-peel)
     one = {r["node"] for r in kcore_peel(edges, k=2, iters=1).collect()}
     assert 4 in one and 5 not in one
+
+
+def test_bfs_khop_distances_and_frontier_bound(spark):
+    from pyrope_spark.operators.graph import bfs_khop
+
+    # path 1 -> 2 -> 3 -> 4 -> 5, plus shortcut 1 -> 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds, k=3).collect()}
+    # shortcut wins over the long path to 4; 5 reached via the shortcut
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    # k=1 never reaches beyond the first frontier
+    got1 = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds, k=1).collect()}
+    assert got1 == {1: 0, 2: 1, 4: 1}
+
+
+def test_label_prop_two_cliques_converge_to_two_labels(spark):
+    from pyrope_spark.operators.graph import label_prop_fixed_iters
+
+    # two triangles bridged by one edge
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri1 + tri2 + [(3, 10)], "src long, dst long")
+    lab = {r["node"]: r["label"]
+           for r in label_prop_fixed_iters(edges, iters=3).collect()}
+    # hand-traced sync rounds with the (count desc, label asc) tie-break:
+    # triangle {1,2,3} converges to label 1; the bridge drags label 3 into
+    # the second triangle, which adopts it as its community label
+    assert lab == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+    # deterministic: a second run is identical
+    lab2 = {r["node"]: r["label"]
+            for r in label_prop_fixed_iters(edges, iters=3).collect()}
+    assert lab == lab2
