@@ -737,6 +737,7 @@ def main() -> None:
         "price_percent_rank_in_type",
         "bfs_khop_copurchase",
         "label_prop_communities",
+        "seasonal_decompose_daily",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

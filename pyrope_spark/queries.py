@@ -10499,3 +10499,98 @@ def _lpa_oracle() -> str:
 
 
 register("label_prop_communities", _lpa_oracle())(_lpa_spark)
+
+
+def _seasonal_decomp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily value series per event
+    type: trend = centered 7-day moving average (full windows only),
+    seasonal = per-day-of-week mean deviation from trend, residual = the
+    rest. Everything in floor-micro integers; the two means use the
+    offset-shifted DIV so negative deviations divide identically on both
+    engines. One daily aggregate + one ROWS window + one dow aggregate —
+    key-partitioned by event type throughout."""
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("CAST(floor(value * 1e6) AS BIGINT)").alias("_vm"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_vm").alias("vm"))
+    )
+    w7 = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "day",
+        "vm",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.expr(
+                "(sum(vm) OVER (PARTITION BY event_type ORDER BY day "
+                "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) "
+                "+ 7000000000000000) DIV 7 - 1000000000000000"
+            ),
+        ).alias("trend_micro"),
+    ).filter(F.col("trend_micro").isNotNull())
+    dev = trended.withColumn("_dev", F.col("vm") - F.col("trend_micro"))
+    dow = dev.withColumn("dow", F.dayofweek("day").cast("long"))
+    seasonal = dow.groupBy("event_type", "dow").agg(
+        F.expr(
+            "(sum(_dev) + count(*) * 1000000000000000) DIV count(*) "
+            "- 1000000000000000"
+        ).alias("seasonal_micro")
+    )
+    out = dow.join(seasonal, ["event_type", "dow"]).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("vm").alias("value_micro"),
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("vm") - F.col("trend_micro") - F.col("seasonal_micro"))
+        .cast("long")
+        .alias("resid_micro"),
+    )
+    return out
+
+
+register(
+    "seasonal_decompose_daily",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(floor(value * 1e6) AS BIGINT)) AS vm
+  FROM events GROUP BY 1, 2
+), trended AS (
+  SELECT event_type, day, vm,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN (SUM(vm) OVER w + 7000000000000000) // 7
+                   - 1000000000000000
+         END AS trend_micro
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dev AS (
+  SELECT event_type, day, vm, trend_micro, vm - trend_micro AS d,
+         CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+  FROM trended WHERE trend_micro IS NOT NULL
+), seasonal AS (
+  SELECT event_type, dow,
+         (SUM(d) + COUNT(*) * 1000000000000000) // COUNT(*)
+           - 1000000000000000 AS seasonal_micro
+  FROM dev GROUP BY 1, 2
+)
+SELECT dev.event_type, CAST(dev.day AS VARCHAR) AS day,
+       CAST(dev.vm AS BIGINT) AS value_micro,
+       CAST(dev.trend_micro AS BIGINT) AS trend_micro,
+       CAST(seasonal.seasonal_micro AS BIGINT) AS seasonal_micro,
+       CAST(dev.vm - dev.trend_micro - seasonal.seasonal_micro AS BIGINT)
+         AS resid_micro
+FROM dev JOIN seasonal USING (event_type, dow)
+""",
+)(_seasonal_decomp_spark)
