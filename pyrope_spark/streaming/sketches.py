@@ -276,6 +276,89 @@ def streaming_ewma(
     )
 
 
+def streaming_holt(
+    stream_df: DataFrame,
+    alpha: float,
+    beta: float,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    surprise_threshold: float | None = None,
+):
+    """Stateful streaming twin of ``temporal.holt``: (level, trend) per key
+    across micro-batches via ``applyInPandasWithState``. Emits (key, ts_us,
+    value, level, trend, forecast[, surprised]) per event, where forecast
+    is the PRIOR state's one-step prediction l + b — so
+    ``surprise_threshold`` flags |x - (l + b)| > threshold against what the
+    model expected BEFORE seeing x (the trend-aware alarm; plain
+    [[streaming_ewma]] lags trending series and false-alarms on them).
+
+    Within a batch events order by (ts, value) for a deterministic fold;
+    cross-batch order is arrival order (streaming semantics — the batch
+    operator carries the oracle)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+    bt = float(beta)
+    out_schema = (
+        f"{key_col} string, ts_us long, value double, level double, "
+        "trend double, forecast double, surprised boolean"
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        lb = state.get if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", value_col])
+            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+            for t, x in zip(ts_us, pdf[value_col].tolist()):
+                if lb is None:
+                    fc = None
+                    surprised = False
+                    lb = (float(x), 0.0)
+                else:
+                    l0, b0 = lb
+                    fc = l0 + b0
+                    surprised = (
+                        surprise_threshold is not None
+                        and abs(x - fc) > surprise_threshold
+                    )
+                    l = a * x + (1.0 - a) * (l0 + b0)
+                    lb = (l, bt * (l - l0) + (1.0 - bt) * b0)
+                rows.append(
+                    (k, t, x, round(lb[0], 6), round(lb[1], 6),
+                     round(fc, 6) if fc is not None else None,
+                     bool(surprised))
+                )
+        if lb is not None:
+            state.update((float(lb[0]), float(lb[1])))
+        yield pd.DataFrame(
+            rows,
+            columns=[key_col, "ts_us", "value", "level", "trend",
+                     "forecast", "surprised"],
+        )
+
+    src = stream_df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias(value_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="l double, b double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_agg_view_maintain(
     stream_df: DataFrame,
     state_dir: str,

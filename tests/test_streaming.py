@@ -752,3 +752,54 @@ def test_streaming_histogram_drift_folds_and_scores(spark, tmp_path):
     }
     assert drift["a"] == 0
     assert drift["b"] == 2_000_000  # disjoint supports -> full mass moved
+
+
+def test_streaming_holt_state_and_trend_aware_surprise(spark, tmp_path):
+    """(level, trend) carries across micro-batches and matches the hand
+    recurrence; the surprise flag compares against the PRIOR forecast
+    l + b, so a steadily trending series does NOT alarm where a plain
+    ewma baseline would."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.streaming.sketches import streaming_holt
+
+    src = tmp_path / "holt_src"
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(u, t, v) for u, t, v in rows],
+            "user_id long, ts string, value double",
+        ).select("user_id", F.col("ts").cast("timestamp"), "value")
+
+    # alpha=beta=0.5; x = 10, 20, 30 -> l,b: (10,0), (15,2.5), (23.75,5.625)
+    b1 = df([(1, "2026-01-01 00:00:00", 10.0), (1, "2026-01-01 00:01:00", 20.0)])
+    b1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = (
+        streaming_holt(stream, 0.5, 0.5, surprise_threshold=15.0)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("holt_out")
+        .option("checkpointLocation", str(tmp_path / "holt_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df([(1, "2026-01-01 00:02:00", 30.0),
+            (1, "2026-01-01 00:03:00", 100.0)]).write.mode("append").parquet(
+            str(src)
+        )
+        q.processAllAvailable()
+        rows = {
+            r["ts_us"]: r for r in spark.sql("select * from holt_out").collect()
+        }
+    finally:
+        q.stop()
+    vals = [rows[k] for k in sorted(rows)]
+    assert [v["level"] for v in vals][:3] == [10.0, 15.0, 23.75]
+    assert [v["trend"] for v in vals][:3] == [0.0, 2.5, 5.625]
+    # forecasts: None, 10.0 (l+b prior), 17.5, 29.375
+    assert vals[0]["forecast"] is None
+    assert [v["forecast"] for v in vals][1:] == [10.0, 17.5, 29.375]
+    # x=30 vs forecast 17.5 -> |12.5| <= 15, no alarm (trend absorbed);
+    # x=100 vs forecast 29.375 -> alarm
+    assert [v["surprised"] for v in vals] == [False, False, False, True]
