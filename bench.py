@@ -738,6 +738,7 @@ def main() -> None:
         "bfs_khop_copurchase",
         "label_prop_communities",
         "seasonal_decompose_daily",
+        "user_event_unpivot",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -10594,3 +10594,36 @@ SELECT dev.event_type, CAST(dev.day AS VARCHAR) AS day,
 FROM dev JOIN seasonal USING (event_type, dow)
 """,
 )(_seasonal_decomp_spark)
+
+
+def _unpivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long inverse of user_event_pivot: the per-user count matrix
+    unpivots via stack() (one Expand node, no shuffle) back to
+    (user_id, event_type, n) rows, zero-count cells dropped — proving the
+    pivot/unpivot pair round-trips. Catalyst folds pivot+unpivot into one
+    aggregate lineage; the oracle recomputes the long form directly."""
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    stack_expr = "stack({n}, {args}) AS (event_type, n)".format(
+        n=len(_EVENT_TYPES),
+        args=", ".join(f"'{t}', `{t}`" for t in _EVENT_TYPES),
+    )
+    return (
+        wide.select(F.col("user_id").cast("long").alias("user_id"),
+                    F.expr(stack_expr))
+        .filter(F.col("n").isNotNull())
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+    )
+
+
+register(
+    "user_event_unpivot",
+    """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+GROUP BY 1, 2
+""",
+)(_unpivot_spark)
