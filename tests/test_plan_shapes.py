@@ -142,3 +142,35 @@ def test_item_item_cosine_single_pair_aggregate(spark):
     # the mirrored union branch replays the scored pairs from the pair
     # aggregate's exchange instead of re-running the basket self-join
     assert "ReusedExchange" in final
+
+
+def test_time_range_window_single_exchange(spark):
+    """A RANGE-framed trailing window is ONE hash exchange on the
+    partition key — no joins, no extra shuffles."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, i % 11, i * 37 % 1000) for i in range(400)]
+    src = spark.createDataFrame(rows, "id long, k long, ep long").withColumn(
+        "vm", F.col("id") * 13
+    )
+    w = W.partitionBy("k").orderBy("ep").rangeBetween(-100, 0)
+    out = src.select("id", F.sum("vm").over(w).alias("s"))
+    out.collect()
+    final = _final_plan(out)
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Join" not in final
+
+
+def test_target_encode_broadcasts_global_scalars(spark):
+    """The global-prior side is a broadcast of a 1-row aggregate — the
+    fact table must not be shuffled for it."""
+    from pyrope_spark.operators.curation import target_encode_loo
+
+    rows = [(i, f"c{i % 13}", i % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, cat string, lbl int")
+    out = target_encode_loo(df, cat_col="cat", label_col="lbl",
+                            id_cols=("event_id",))
+    out.collect()
+    final = _final_plan(out)
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange" in final
+    assert "CartesianProduct" not in final
