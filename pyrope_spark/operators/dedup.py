@@ -126,6 +126,7 @@ def setsim_prefix_join(
     n: int = 2,
     t_num: int = 7,
     t_den: int = 10,
+    max_broadcast_docs: int = 100_000,
 ) -> DataFrame:
     """LOSSLESS set-similarity self-join via prefix filtering (PPJoin-style,
     Xiao et al. WWW'08): exactly the pairs with Jaccard >= t_num/t_den over
@@ -137,28 +138,55 @@ def setsim_prefix_join(
     ``p = sz - ceil(t*sz) + 1`` shingles *in that order* as its *prefix*;
     the prefix theorem guarantees every qualifying pair shares >= 1 prefix
     shingle, so candidate generation joins prefix tables (rare tokens ->
-    tiny fanout) instead of full shingle tables. A size-compatibility
-    filter (t*max(sa,sb) <= min(sa,sb)) prunes before the distinct; exact
-    verification intersects the two shingle arrays.
+    tiny fanout) instead of full shingle tables. Candidates then pass a
+    size-compatibility filter (t*max(sa,sb) <= min(sa,sb)) and the PPJoin
+    positional filter (overlap <= min(pa,pb) + min(sa-pa, sb-pb) must reach
+    alpha = ceil(t*(sa+sb)/(1+t)); sound because tokens before a shared
+    prefix shingle in one set can only match tokens before it in the
+    other, the order being total) before the distinct; exact verification
+    intersects the two shingle arrays.
 
-    Scale shape: the theorem needs a consistent total ORDER, not a dense
-    global rank — per-doc position comes from a window ordered by
-    (df, shingle) WITHIN each doc (key-partitioned; the first cut of this
-    operator materialized a global row_number over the vocab, a
-    single-partition sort that dominated the 200k-doc probe at 4x the
-    verify cost). Candidate fanout is bounded by rare-shingle document
-    frequencies by construction — the hot shingles a DF-cap would drop
-    order LAST and fall out of every prefix. Output is integer
-    ``jaccard_ppm = inter * 1e6 DIV union`` (non-negative DIV: truncate ==
-    floor on both engines).
+    Scale shape (all three lessons measured, see PLANS.md r6):
+    - the theorem needs a consistent total ORDER, not a dense global rank
+      — per-doc position comes from a window ordered by (df, shingle)
+      WITHIN each doc (key-partitioned; a global row_number over the
+      vocab was a single-partition sort dominating the 200k-doc probe).
+    - the shingle lineage (explode + tokenize) is consumed by four plan
+      branches (vocab, positions, doc sets, and the verify's broadcast
+      jobs); without a persist each branch re-runs the explode, which
+      dominated the sf0.1 bench at 4x the useful work. The operator
+      persists the hashed shingle table (linear in corpus size,
+      MEMORY_AND_DISK) for the duration of the job.
+    - verification joins shuffle per-candidate shingle-array payloads;
+      shingles travel as int64 ``xxhash64`` keys (5-10x narrower than the
+      n-gram strings) with an exact collision check — on the ~0 chance two
+      distinct shingles collide we fall back to string keys, so the result
+      is always exact. When the corpus has <= ``max_broadcast_docs``
+      documents the doc-set side broadcasts (map-side verify, no shuffle
+      of the candidate pairs); above it the join falls back to
+      shuffle-on-id, which is linear in candidates.
+
+    Candidate fanout is bounded by rare-shingle document frequencies by
+    construction — the hot shingles a DF-cap would drop order LAST and
+    fall out of every prefix. Output is integer ``jaccard_ppm = inter *
+    1e6 DIV union`` (non-negative DIV: truncate == floor on both engines).
     """
     threshold_ok = 0 < t_num <= t_den
     if not threshold_ok:
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
-    sh = shingle_table(df, id_col=id_col, text_col=text_col, n=n)
+    raw = shingle_table(df, id_col=id_col, text_col=text_col, n=n).withColumn(
+        "_h", F.xxhash64("shingle")
+    )
+    raw = raw.persist()
+    chk = raw.agg(
+        F.countDistinct("shingle").alias("ns"), F.countDistinct("_h").alias("nh")
+    ).first()
+    # int64 keys unless xxhash64 collides on this vocab (exactness first)
+    key = "_h" if chk and chk.ns == chk.nh else "shingle"
+    sh = raw.select(F.col(id_col), F.col(key).alias("shingle"))
     vocab = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = sh.join(vocab, "shingle").select(F.col(id_col), "shingle", "_df")
-    sizes = ranked.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     pos = ranked.select(
         F.col(id_col),
         "shingle",
@@ -168,8 +196,18 @@ def setsim_prefix_join(
     ).join(sizes, id_col)
     ceil_t_sz = F.expr(f"({t_num} * _sz + {t_den - 1}) DIV {t_den}")
     pref = pos.filter(F.col("_pos") <= F.col("_sz") - ceil_t_sz + F.lit(1))
-    pa = pref.select(F.col(id_col).alias("ia"), "shingle", F.col("_sz").alias("_sa"))
-    pb = pref.select(F.col(id_col).alias("ib"), "shingle", F.col("_sz").alias("_sb"))
+    pa = pref.select(
+        F.col(id_col).alias("ia"), "shingle",
+        F.col("_pos").alias("_pa"), F.col("_sz").alias("_sa"),
+    )
+    pb = pref.select(
+        F.col(id_col).alias("ib"), "shingle",
+        F.col("_pos").alias("_pb"), F.col("_sz").alias("_sb"),
+    )
+    alpha = F.expr(f"({t_num} * (_sa + _sb) + {t_num + t_den - 1}) DIV {t_num + t_den}")
+    overlap_ub = F.least("_pa", "_pb") + F.least(
+        F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+    )
     cand = (
         pa.join(pb, "shingle")
         .filter(F.col("ia") < F.col("ib"))
@@ -177,19 +215,23 @@ def setsim_prefix_join(
             F.lit(t_num) * F.greatest("_sa", "_sb")
             <= F.lit(t_den) * F.least("_sa", "_sb")
         )
+        .filter(overlap_ub >= alpha)
         .select("ia", "ib")
         .distinct()
     )
-    docsets = ranked.groupBy(id_col).agg(
+    docsets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("_g"),
         F.count("*").alias("_sz"),
-    )
+    ).persist()
+    n_docs = docsets.count()
     ga = docsets.select(
         F.col(id_col).alias("ia"), F.col("_g").alias("_ga"), F.col("_sz").alias("_sa")
     )
     gb = docsets.select(
         F.col(id_col).alias("ib"), F.col("_g").alias("_gb"), F.col("_sz").alias("_sb")
     )
+    if n_docs <= max_broadcast_docs:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     verified = (
         cand.join(ga, "ia")
         .join(gb, "ib")
