@@ -10627,3 +10627,242 @@ WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
 GROUP BY 1, 2
 """,
 )(_unpivot_spark)
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation between the click and purchase daily-count
+# series: for each lag L in 0..7, Pearson r between click(day) and
+# purchase(day+L) over the aligned days. Counts are exact integers, so
+# every sum is exact; the ratio reuses the lag1_autocorrelation squared
+# dodge (num^2 / (denx*deny) in IEEE double, floor-micro) so no engine
+# ever takes a sqrt.  The marketing question it answers: at what shift
+# does click volume best predict purchase volume?
+# --------------------------------------------------------------------------
+
+
+def _xcorr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("da"), F.col("c").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("db"), F.col("c").alias("y")
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.expr("date_add(da, lag) = db"))
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        num.cast("long").alias("num"),
+        F.signum(num.cast("double")).cast("long").alias("r_sign"),
+        F.expr(
+            "CAST(floor(CAST(abs(n * sxy - sx * sy) AS DOUBLE)"
+            " * CAST(abs(n * sxy - sx * sy) AS DOUBLE) * 1000000.0"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            "    * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+        ).alias("r_squared_micro"),
+    ).orderBy("lag")
+
+
+register(
+    "xcorr_click_purchase",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), a AS (SELECT day AS da, c AS x FROM daily WHERE event_type = 'click'),
+b AS (SELECT day AS db, c AS y FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(range AS INT) AS lag FROM range(0, 8)),
+pairs AS (
+  SELECT lag, x, y FROM lags, a JOIN b ON da + CAST(lag AS INT) = db
+), agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(sign(n * sxy - sx * sy) AS BIGINT) AS r_sign,
+       CAST(floor(CAST(abs(n * sxy - sx * sy) AS DOUBLE)
+            * CAST(abs(n * sxy - sx * sy) AS DOUBLE) * 1000000.0
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         AS r_squared_micro
+FROM agg ORDER BY lag
+""",
+)(_xcorr_spark)
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend: per event type, the median of all pairwise
+# slopes of the daily value series (cents).  Slopes are integer ppm-like
+# units (cents*1e6 per day) via truncating division — Spark DIV and
+# DuckDB // both truncate toward zero, verified identical on negatives —
+# and the median is the deterministic LOWER median (element (n+1) DIV 2
+# of the ascending sort).  Robust to the outlier days that wreck an OLS
+# fit; the pair count is C(days,2) per key, bounded by the calendar.
+# --------------------------------------------------------------------------
+
+
+def _theil_sen_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("v").alias("v2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            F.expr("(v2 - v1) * 1000000 DIV datediff(d2, d1)").alias("slope_micro"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope_micro")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("cnt").cast("long").alias("n_pairs"),
+            F.col("slope_micro").cast("long").alias("theil_sen_slope_micro"),
+        )
+    )
+
+
+register(
+    "theil_sen_daily_value",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type,
+         CAST((b.v - a.v) * 1000000 // (b.day - a.day) AS BIGINT)
+           AS slope_micro
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_micro) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM slopes
+)
+SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+       CAST(slope_micro AS BIGINT) AS theil_sen_slope_micro
+FROM ranked WHERE rn = (cnt + 1) // 2
+""",
+)(_theil_sen_spark)
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between time and daily value per event type —
+# the monotone-trend detector OLS can't be trusted with.  Ranks are
+# DOUBLED average ranks so ties stay integers (avg rank of a tie group =
+# min_rank + (g-1)/2; doubled = 2*min_rank + g - 1), then Pearson over
+# the integer rank pairs with the squared-ratio micro dodge (no sqrt).
+# --------------------------------------------------------------------------
+
+
+def _spearman_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    kp = W.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        (2 * F.row_number().over(kp.orderBy("day"))).alias("rx"),
+        (
+            2 * F.rank().over(kp.orderBy("v"))
+            + F.count(F.lit(1)).over(
+                W.partitionBy("event_type", "v")
+            )
+            - 1
+        ).alias("ry"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("num"),
+        F.signum(num.cast("double")).cast("long").alias("rho_sign"),
+        F.expr(
+            "CAST(floor(CAST(abs(n * sxy - sx * sy) AS DOUBLE)"
+            " * CAST(abs(n * sxy - sx * sy) AS DOUBLE) * 1000000.0"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            "    * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+        ).alias("rho_squared_micro"),
+    )
+
+
+register(
+    "spearman_value_trend",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type,
+         2 * row_number() OVER (PARTITION BY event_type ORDER BY day) AS rx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+           + count(*) OVER (PARTITION BY event_type, v) - 1 AS ry
+  FROM daily
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(sign(n * sxy - sx * sy) AS BIGINT) AS rho_sign,
+       CAST(floor(CAST(abs(n * sxy - sx * sy) AS DOUBLE)
+            * CAST(abs(n * sxy - sx * sy) AS DOUBLE) * 1000000.0
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         AS rho_squared_micro
+FROM agg
+""",
+)(_spearman_spark)
