@@ -1,0 +1,228 @@
+"""Byte-pair-encoding tokenizer TRAINING as a distributed pipeline.
+
+Training a subword vocabulary is the canonical "one pass over 100 TB, then
+iterate on something tiny" workload: the corpus-scale step is tokenize ->
+word-frequency table (one shuffle, map-side combine), after which every
+merge iteration runs over the DISTINCT-WORD table — bounded by vocabulary
+size, not corpus size (Sennrich et al., ACL'16 train on exactly this
+word-frequency representation).
+
+Design:
+
+- ``word_freqs``      corpus -> (word, freq). The only corpus-scale stage.
+- ``bpe_train``       K greedy merges. Each iteration: adjacent-symbol
+                      pair counts weighted by word freq (one aggregate on
+                      the vocab table), deterministic top-1
+                      (freq desc, left asc, right asc), merge applied with
+                      an Arrow pass over the vocab. The vocab DataFrame is
+                      re-persisted per iteration and the predecessor
+                      unpersisted, so lineage stays one-iteration deep.
+- ``bpe_encode``      apply a trained merge table to new text: per word,
+                      repeatedly merge the lowest-rank adjacent pair — the
+                      standard BPE encode — as an Arrow pass over the
+                      distinct words of the input, joined back to docs.
+
+Deviation from Sennrich et al.: no end-of-word marker symbol (merges are
+within-word either way here; callers wanting suffix-sensitive merges can
+append a marker to ``text_col`` upstream). Symbols are unicode characters.
+
+No relational oracle exists for the merge LOOP (greedy serial dependence);
+``bpe_train`` is gated by a hand-traced pytest closed form and the
+first-iteration pair counts are oracled as the ``bpe_pair_counts``
+registered query (exact SQL twin in queries.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrope_spark.functions.text import tokens
+
+_VOCAB_SCHEMA = "word string, freq long, syms array<string>"
+
+
+def word_freqs(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — the corpus-scale
+    stage; one shuffle with map-side partial aggregation."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _chars(col: str) -> F.Column:
+    return F.expr(
+        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency over a
+    (word, freq, syms) vocab table. Words with fewer than two symbols
+    contribute nothing (guarded BEFORE sequence(): Spark's sequence(1, 0)
+    is the DESCENDING [1, 0], not empty)."""
+    pairs = (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS l,"
+                    "             element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"), "freq")
+    )
+    return pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").alias("pair_freq")
+    )
+
+
+def _merge_word(syms: list, left: str, right: str, joined: str) -> list:
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_merge_fn(left: str, right: str):
+    joined = left + right
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [
+                _merge_word(list(s), left, right, joined) for s in pdf["syms"]
+            ]
+            yield pdf
+
+    return fn
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_pair_freq: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``num_merges`` greedy BPE merges. Returns (merges, vocab):
+    merges is (step, left_sym, right_sym, pair_freq) in learn order —
+    K rows, exact integers, deterministic (top pair by freq desc then
+    (left, right) asc); vocab is the final (word, freq, syms) table.
+
+    Stops early when the best remaining pair's frequency drops below
+    ``min_pair_freq`` (merging hapax pairs memorizes the corpus).
+
+    Scale shape: iteration cost is O(|distinct words|) per merge — at
+    100 TB the corpus pass is ``word_freqs`` (one shuffle); everything
+    after runs on a table bounded by vocabulary size. Each iteration
+    ``localCheckpoint(eager=True)``s the new vocab: cache+count alone
+    leaves the ANALYZED plan growing one mapInPandas layer per merge, and
+    at ~10 iterations the nested AQE/InMemoryRelation tree blew the 8g
+    driver heap in plan-STRING generation (java OOM in
+    generateTreeString). This is the inverse trade of the minhash verify
+    note (dedup.py: localCheckpoint cost 2-3x there) — that stage is
+    corpus-sized and AQE-sensitive, while this loop runs on the
+    vocab-bounded table where losing AQE costs nothing and lineage
+    truncation is what matters.
+    """
+    spark = df.sparkSession
+    vocab = (
+        word_freqs(df, text_col=text_col)
+        .select("word", "freq", _chars("word").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("pair_freq"), F.asc("left_sym"), F.asc("right_sym"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pair_freq < min_pair_freq:
+            break
+        left, right, pf = top[0].left_sym, top[0].right_sym, int(top[0].pair_freq)
+        merges.append((step, left, right, pf))
+        vocab = vocab.mapInPandas(
+            _apply_merge_fn(left, right), schema=_VOCAB_SCHEMA
+        ).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges, "step long, left_sym string, right_sym string, pair_freq long"
+    )
+    return merges_df, vocab
+
+
+def _encode_word(word: str, ranks: dict) -> list:
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge table: one row per (id, word) with the word's
+    subword segmentation and occurrence count — deterministic rows (a
+    doc-level collect_list of arrays would have nondeterministic order).
+    Standard BPE encode — per word, repeatedly merge the lowest-RANK
+    adjacent pair until none applies — run once per DISTINCT word (an
+    Arrow pass over the input's word table, broadcast-joined back to the
+    exploded docs), so cost scales with vocabulary, not corpus."""
+    rank_rows = merges.select("step", "left_sym", "right_sym").collect()
+    ranks = {(r.left_sym, r.right_sym): int(r.step) for r in rank_rows}
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = b_ranks.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["bpe"] = [_encode_word(w, rk) for w in pdf["word"]]
+            yield pdf
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .mapInPandas(enc, schema="word string, bpe array<string>")
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    return exploded.join(F.broadcast(words), "word").select(
+        F.col(id_col),
+        "word",
+        "n_occurrences",
+        F.col("bpe").alias("bpe_tokens"),
+        F.size("bpe").cast("long").alias("n_subword_tokens"),
+    )

@@ -10866,3 +10866,65 @@ SELECT event_type, n,
 FROM agg
 """,
 )(_spearman_spark)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py). Two registrations:
+# - bpe_pair_counts: the trainer's first iteration — adjacent-character
+#   pair counts weighted by word frequency — fully oracled (the SQL twin
+#   mirrors tokens_sql + lateral generate_series).
+# - bpe_merges: the 20-step greedy merge table. The merge LOOP is serially
+#   dependent (each step's counts depend on the previous merge), so no
+#   relational oracle form exists; registered WITHOUT oracle (driver
+#   records the weaker rows-only check) and gated by the hand-traced
+#   closed forms in tests/test_bpe.py.
+# --------------------------------------------------------------------------
+
+
+def _bpe_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.bpe import pair_counts, word_freqs
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = word_freqs(docs).select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    return pair_counts(vocab).select(
+        "left_sym", "right_sym", F.col("pair_freq").cast("long").alias("pair_freq")
+    )
+
+
+def _bpe_pairs_oracle() -> str:
+    from pyrope_spark.functions.text import tokens_sql
+
+    return f"""
+WITH tk AS (SELECT unnest({tokens_sql('text')}) AS w FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1),
+pairs AS (
+  SELECT substring(w, CAST(gs AS INT), 1) AS left_sym,
+         substring(w, CAST(gs AS INT) + 1, 1) AS right_sym, f
+  FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(gs)
+  WHERE length(w) >= 2
+)
+SELECT left_sym, right_sym, CAST(SUM(f) AS BIGINT) AS pair_freq
+FROM pairs GROUP BY 1, 2
+"""
+
+
+register("bpe_pair_counts", _bpe_pairs_oracle())(_bpe_pairs_spark)
+
+
+def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.bpe import bpe_train
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, num_merges=20)
+    return merges
+
+
+register("bpe_merges", None)(_bpe_merges_spark)
