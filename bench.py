@@ -745,6 +745,7 @@ def main() -> None:
         "spearman_value_trend",
         "bpe_pair_counts",
         "bpe_merges",
+        "cc_star_components",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

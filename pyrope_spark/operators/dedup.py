@@ -954,7 +954,13 @@ def connected_components(
     MapReduce and Beyond") does not arise from pair-blocking output. Each
     round caches its labels AQE-preservingly (cache+count, not
     localCheckpoint — see minhash_lsh_pairs history) and unpersists the
-    previous round.
+    previous round; every 8th round ADDITIONALLY localCheckpoints to
+    truncate lineage, because cache+count leaves the analyzed plan
+    growing one join layer per round and a ~15-round diameter OOMed an
+    8g driver in nested-AQE plan bookkeeping (caught by the
+    connected_components_star equivalence test; near-clique dedup graphs
+    converge in 2-4 rounds and never hit this, long-diameter graphs
+    should prefer [[connected_components_star]] outright).
 
     Raises after ``max_iter`` rounds without convergence rather than
     returning partially-merged groups silently.
@@ -970,7 +976,7 @@ def connected_components(
     labels.count()
     sym = sym.cache()
     try:
-        for _ in range(max_iter):
+        for _round in range(max_iter):
             # min label among neighbors, via the neighbor's current label
             nbr_min = (
                 sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
@@ -992,6 +998,9 @@ def connected_components(
             changed = nxt.filter("_chg").limit(1).count()
             labels.unpersist()
             labels = nxt.select("id", "label")
+            if _round % 8 == 7:
+                labels = labels.localCheckpoint(eager=True)
+                nxt.unpersist()
             if changed == 0:
                 return labels.select("id", F.col("label").alias("component"))
         raise RuntimeError(

@@ -439,3 +439,96 @@ l{i + 1} AS (
         )
     parts.append(f"\nSELECT node, label FROM l{iters}")
     return "".join(parts)
+
+
+# --------------------------------------- connected components (star method)
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) -> (id, component), component = min node id, one row per
+    node appearing in any edge — the same contract as
+    ``dedup.connected_components``.
+
+    Why a second CC: min-label propagation needs DIAMETER rounds (a
+    200-node path takes 200 shuffles), which is fine for the near-clique
+    graphs blocked dedup emits but wrong for arbitrary graphs (reply
+    chains, citation paths, long crawl redirects). The star method
+    converges in O(log d) rounds on ANY graph by rewiring the edge set
+    itself toward stars:
+
+    - large-star: every node's LARGER neighbors re-point to the minimum
+      of its neighborhood (including itself) — emits (v, m(u)) for
+      v in N(u), v > u, where m(u) = min(N(u) + {u}).
+    - small-star: edges oriented big->small; each node and its smaller
+      neighbors re-point to the smallest — emits (u, m(u)) and
+      (v, m(u)) for the non-minimal smaller neighbors v.
+
+    Both emit strictly (larger, smaller) pairs, so the edge set stays
+    canonically oriented and monotonically contracts toward the star
+    fixpoint {(x, min_C) : x in C}. Convergence = the round's output IS
+    the previous edge set (exact set check: equal counts + empty
+    ``exceptAll`` — a hash/count shortcut could false-converge).
+
+    Each round ``localCheckpoint(eager=True)``s its edge set: unlike the
+    near-clique dedup graphs min-label CC serves (few rounds, cache+count
+    suffices), this operator exists FOR long-diameter graphs, i.e. for
+    round counts where cache+count's one-plan-layer-per-round growth
+    nests AQE subtrees until the driver heap dies in plan bookkeeping
+    (measured: a 200-node path OOMed an 8g driver inside 10 rounds; the
+    same lesson as operators/bpe.py's merge loop). Within-round AQE is
+    unaffected — each round plans from checkpointed leaves. Raises after
+    ``max_rounds`` (2 log2(n) rounds suffice per the paper; 50 covers any
+    conceivable corpus) rather than silently returning a partial
+    contraction.
+    """
+    cur = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # large-star over the symmetric neighborhood
+        sym = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (already big->small) large-star output
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty()
+        cur = nxt
+        if unchanged:
+            return (
+                cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+                .union(cur.select("v", "v").distinct())
+                .distinct()
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_rounds} rounds"
+    )

@@ -10928,3 +10928,47 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("bpe_merges", None)(_bpe_merges_spark)
+
+
+# --------------------------------------------------------------------------
+# Star-method connected components (operators/graph.py,
+# connected_components_star — Kiveris et al. alternating large/small-star)
+# over the same MinHash-LSH pair graph as dedup_groups_cc: the two CC
+# algorithms must produce identical components, and the recursive-CTE
+# oracle checks the star method independently of min-label propagation.
+# --------------------------------------------------------------------------
+
+
+def _cc_star_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import minhash_lsh_pairs
+    from pyrope_spark.operators.graph import connected_components_star
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.9)
+    comp = connected_components_star(pairs, src_col="ia", dst_col="ib")
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _cc_star_oracle() -> str:
+    from pyrope_spark.operators.dedup import minhash_lsh_oracle_sql
+
+    pairs = minhash_lsh_oracle_sql(verify_threshold=0.9)
+    return f"""
+WITH RECURSIVE p AS (SELECT ia, ib FROM ({pairs})),
+sym AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE s.b <> r.a
+)
+SELECT CAST(a AS BIGINT) AS doc_id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+FROM reach GROUP BY a
+"""
+
+
+register("cc_star_components", _cc_star_oracle())(_cc_star_spark)

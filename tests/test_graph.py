@@ -149,3 +149,61 @@ def test_label_prop_two_cliques_converge_to_two_labels(spark):
     lab2 = {r["node"]: r["label"]
             for r in label_prop_fixed_iters(edges, iters=3).collect()}
     assert lab == lab2
+
+
+def test_star_cc_path_graph_logarithmic(spark):
+    """A 200-node path has diameter 199 — min-label CC would need ~199
+    rounds; the star method must finish inside max_rounds=15 (O(log n))
+    and label every node with the path minimum."""
+    from pyrope_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components_star(edges, max_rounds=15).collect()
+    }
+    assert len(comp) == 200
+    assert set(comp.values()) == {0}
+
+
+def test_star_cc_matches_minlabel_on_planted_clusters(spark):
+    """Random planted components: star CC == min-label CC exactly."""
+    import random
+
+    from pyrope_spark.operators.dedup import connected_components
+    from pyrope_spark.operators.graph import connected_components_star
+
+    rng = random.Random(13)
+    edges = []
+    for c in range(12):  # 12 components over disjoint id ranges
+        ids = list(range(c * 50, c * 50 + rng.randint(2, 40)))
+        rng.shuffle(ids)
+        for a, b in zip(ids, ids[1:]):  # random spanning path
+            edges.append((a, b))
+        for _ in range(10):  # extra chords
+            edges.append((rng.choice(ids), rng.choice(ids)))
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = {
+        r.id: r.component for r in connected_components_star(df).collect()
+    }
+    minlabel = {
+        r.id: r.component for r in connected_components(df).collect()
+    }
+    assert star == minlabel
+
+
+def test_star_cc_two_triangles_and_bridge(spark):
+    from pyrope_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+        "src long, dst long",
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components_star(edges).collect()
+    }
+    assert comp == {n: 1 for n in [1, 2, 3, 10, 11, 12]}
