@@ -165,10 +165,10 @@ def setsim_prefix_join(
       documents the doc-set side broadcasts (map-side verify, no shuffle
       of the candidate pairs); above it the join falls back to
       shuffle-on-id, which is linear in candidates. Measured at 200k docs
-      x 30 words: broadcast 7.2s vs shuffle 23.6s vs 59.8s before this
-      rewrite (same 10,205 pairs) — a 200k-doc int64 doc-set table is
-      ~50 MB, well inside executor broadcast budgets, hence the 250k
-      default.
+      x 30 words (warm session, same 10,205 pairs): broadcast 10.3s /
+      4.3s steady-state vs shuffle 19.6s / 5.1s, vs 59.8s before this
+      rewrite — a 200k-doc int64 doc-set table is ~50 MB, well inside
+      executor broadcast budgets, hence the 250k default.
 
     Candidate fanout is bounded by rare-shingle document frequencies by
     construction — the hot shingles a DF-cap would drop order LAST and
@@ -243,9 +243,17 @@ def setsim_prefix_join(
         .withColumn("_union", F.col("_sa") + F.col("_sb") - F.col("_inter"))
         .filter(F.col("_inter") * t_den >= F.lit(t_num) * F.col("_union"))
     )
-    return verified.select(
+    # Materialize the (pair-sized, tiny) result so the corpus-sized shingle
+    # and doc-set caches can be released before returning — the minhash
+    # verify discipline: repeated invocations must not accumulate
+    # corpus-scale cached blocks (callers may unpersist the result).
+    out = verified.select(
         "ia", "ib", F.expr("_inter * 1000000 DIV _union").alias("jaccard_ppm")
-    )
+    ).persist()
+    out.count()
+    raw.unpersist()
+    docsets.unpersist()
+    return out
 
 
 # ----------------------------------------------------------------- minhash
