@@ -10972,3 +10972,36 @@ FROM reach GROUP BY a
 
 
 register("cc_star_components", _cc_star_oracle())(_cc_star_spark)
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (operators/keywords.py) — top-5 per-document
+# keyphrases by the deg/freq micro score over the documents corpus. The
+# oracle replicates the identical op sequence (phrase segmentation by
+# stopword delimiters, integer micro word scores, struct-sort phrase
+# reassembly, (score desc, phrase asc) ranking) in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _rake_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.keywords import rake_keywords
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, k=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "phrase",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_occurrences",
+        "score_micro",
+        "rk",
+    )
+
+
+def _rake_oracle() -> str:
+    from pyrope_spark.operators.keywords import rake_oracle_sql
+
+    return rake_oracle_sql(k=5)
+
+
+register("rake_keyphrases", _rake_oracle())(_rake_spark)
