@@ -11005,3 +11005,37 @@ def _rake_oracle() -> str:
 
 
 register("rake_keyphrases", _rake_oracle())(_rake_spark)
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (operators/attribution.py): per-channel
+# first/last/linear credit split of purchase value over the 7-day
+# pre-conversion touch window (view/click/signup touches), with the
+# (none) direct-conversion channel keeping total credit conserved.
+# --------------------------------------------------------------------------
+
+
+def _attribution_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.attribution import attribution_credit
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_credit(
+        ev,
+        touch_types=("view", "click", "signup"),
+        convert_type="purchase",
+        lookback_s=7 * 86_400,
+    )
+
+
+def _attribution_oracle() -> str:
+    from pyrope_spark.operators.attribution import attribution_oracle_sql
+
+    return attribution_oracle_sql(
+        touch_types=("view", "click", "signup"),
+        convert_type="purchase",
+        lookback_s=7 * 86_400,
+    )
+
+
+register("attribution_credit_shares", _attribution_oracle())(_attribution_spark)
