@@ -790,3 +790,170 @@ def moments_stats(sketch: DataFrame, scale: int = 1_000_000) -> DataFrame:
             - F.col("s1").cast("decimal(38,0)") * F.col("s1")
         ).alias("var_numerator"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV set-operation estimates: audience overlap between two segments from
+# ONE bottom-k sketch of the union (Beyer et al. 2007, "On Synopses for
+# Distinct-Value Estimation Under Multiset Operations"). The k smallest
+# hashes of A ∪ B are a uniform sample of the union, so the share of
+# sketch members lying in A ∩ B estimates the Jaccard similarity, and
+# the k-th smallest hash estimates |A ∪ B| — audience overlap over a
+# 100 TB log from one distinct-aggregate plus a k-row global cut.
+# --------------------------------------------------------------------------
+
+KMV_HASH_SPACE = float(1 << 60)  # 16^15, the 15-hex-digit prefix domain
+
+
+def kmv_overlap(
+    events: DataFrame,
+    *,
+    type_a: str,
+    type_b: str,
+    k: int = 64,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    seed: str = BOTTOMK_SEED,
+) -> DataFrame:
+    """One-row overlap report between the ``type_a`` and ``type_b``
+    member sets: (k_used, n_union_sketch, n_both, jaccard_ppm,
+    union_est, intersection_est, exact_union, exact_both,
+    exact_jaccard_ppm).
+
+    Sketch side: distinct members with in_a/in_b flags (one keyed
+    aggregate over the filtered log), md5-hashed, two-phase global
+    bottom-k cut (partition-local top-k first, so the global sort sees
+    ≤ k·partitions rows). ``jaccard_ppm = n_both·1e6 div k_used``.
+    ``union_est`` is exact (= n_union_sketch) while the sketch is
+    unsaturated, else the KMV estimator ``floor((k-1)·2^60 / h_k)``
+    via one identical IEEE multiply/divide/floor on both engines.
+
+    The exact columns (full distinct counts — gate-scale affordable)
+    ride along so the report quantifies its own sketch error.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    members = (
+        events.filter(F.col(type_col).isin([type_a, type_b]))
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.max((F.col(type_col) == type_a).cast("int")).alias("in_a"),
+            F.max((F.col(type_col) == type_b).cast("int")).alias("in_b"),
+        )
+    )
+    hashed = members.select(
+        F.col("_id").cast("string").alias("_id"),
+        _bk_hash("_id", seed).alias("_h"),
+        "in_a",
+        "in_b",
+    )
+    order = [F.asc("_h"), F.asc("_id")]
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        hashed.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.partitionBy().orderBy(*order)
+    sk = (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumn(
+            "_hk_int",
+            F.expr("CAST(conv(substring(_h, 1, 15), 16, 10) AS BIGINT)"),
+        )
+    )
+    sketch_row = sk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.sum(F.expr("in_a * in_b")).cast("long").alias("n_both"),
+        F.max(F.expr("CASE WHEN _rn = " + str(k) + " THEN _hk_int END")).alias(
+            "_hk"
+        ),
+    ).select(
+        F.least(F.lit(k).cast("long"), F.col("n_union_sketch")).alias("k_used"),
+        "n_union_sketch",
+        "n_both",
+        F.when(
+            F.col("n_union_sketch") < k, F.col("n_union_sketch")
+        )
+        .otherwise(
+            F.expr(
+                f"CAST(floor(CAST({k - 1} AS DOUBLE) * {KMV_HASH_SPACE!r}"
+                " / CAST(_hk AS DOUBLE)) AS BIGINT)"
+            )
+        )
+        .alias("union_est"),
+    )
+    exact_row = members.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.expr("in_a * in_b")).cast("long").alias("exact_both"),
+    )
+    return sketch_row.crossJoin(exact_row).select(
+        "k_used",
+        "n_union_sketch",
+        "n_both",
+        F.expr("n_both * 1000000 div k_used").alias("jaccard_ppm"),
+        "union_est",
+        F.expr("(n_both * union_est) div k_used").alias("intersection_est"),
+        "exact_union",
+        "exact_both",
+        F.expr("exact_both * 1000000 div exact_union").alias(
+            "exact_jaccard_ppm"
+        ),
+    )
+
+
+def kmv_overlap_oracle_sql(
+    *,
+    type_a: str,
+    type_b: str,
+    k: int = 64,
+    table: str = "events",
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    seed: str = BOTTOMK_SEED,
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap` — same md5 order, same hex
+    prefix integerization, same IEEE estimator expression."""
+    return f"""
+WITH members AS (
+  SELECT CAST({id_col} AS VARCHAR) AS id,
+         MAX(CASE WHEN {type_col} = '{type_a}' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN {type_col} = '{type_b}' THEN 1 ELSE 0 END) AS in_b
+  FROM {table} WHERE {type_col} IN ('{type_a}', '{type_b}')
+  GROUP BY 1
+), hashed AS (
+  SELECT id, md5('{seed}|' || id) AS h, in_a, in_b FROM members
+), sk AS (
+  SELECT *, CAST(('0x' || substring(h, 1, 15)) AS BIGINT) AS hk_int
+  FROM (SELECT *, row_number() OVER (ORDER BY h ASC, id ASC) AS rn
+        FROM hashed)
+  WHERE rn <= {k}
+), srow AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+         MAX(CASE WHEN rn = {k} THEN hk_int END) AS hk
+  FROM sk
+), erow AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS exact_both
+  FROM members
+)
+SELECT LEAST({k}, n_union_sketch) AS k_used,
+       n_union_sketch, n_both,
+       n_both * 1000000 // LEAST({k}, n_union_sketch) AS jaccard_ppm,
+       CASE WHEN n_union_sketch < {k} THEN n_union_sketch
+            ELSE CAST(floor(CAST({k - 1} AS DOUBLE) * {KMV_HASH_SPACE!r}
+                            / CAST(hk AS DOUBLE)) AS BIGINT)
+       END AS union_est,
+       (n_both * (CASE WHEN n_union_sketch < {k} THEN n_union_sketch
+                       ELSE CAST(floor(CAST({k - 1} AS DOUBLE)
+                                       * {KMV_HASH_SPACE!r}
+                                       / CAST(hk AS DOUBLE)) AS BIGINT)
+                  END)) // LEAST({k}, n_union_sketch) AS intersection_est,
+       exact_union, exact_both,
+       exact_both * 1000000 // exact_union AS exact_jaccard_ppm
+FROM srow CROSS JOIN erow
+"""

@@ -11039,3 +11039,28 @@ def _attribution_oracle() -> str:
 
 
 register("attribution_credit_shares", _attribution_oracle())(_attribution_spark)
+
+
+# --------------------------------------------------------------------------
+# KMV audience overlap (operators/sketch.py, kmv_overlap): one-row
+# clickers-vs-purchasers overlap report from a bottom-64 union sketch
+# (Jaccard / union / intersection estimates) with the exact distinct
+# counts alongside quantifying the sketch error.
+# --------------------------------------------------------------------------
+
+
+def _kmv_overlap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.sketch import kmv_overlap
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_overlap(ev, type_a="click", type_b="purchase", k=64)
+
+
+def _kmv_overlap_oracle() -> str:
+    from pyrope_spark.operators.sketch import kmv_overlap_oracle_sql
+
+    return kmv_overlap_oracle_sql(type_a="click", type_b="purchase", k=64)
+
+
+register("kmv_audience_overlap", _kmv_overlap_oracle())(_kmv_overlap_spark)

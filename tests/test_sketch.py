@@ -343,3 +343,69 @@ def test_moments_merge_equals_full_build(spark):
     assert st["s1"] == s1 and int(st["s2"]) == s2
     assert int(st["var_numerator"]) == 101 * s2 - s1 * s1
     assert st["mean_micro"] == s1 // 101
+
+
+# --------------------------------------------------------------------------
+# KMV set-operation overlap estimates
+# --------------------------------------------------------------------------
+
+
+def _kmv_events(spark, n_a, n_b, n_both):
+    """Synthetic membership log: ids 0..n_a-1 in A, n_a-n_both..n_a-n_both+n_b-1
+    in B (so exactly n_both ids sit in both)."""
+    rows = [(i, "click") for i in range(n_a)]
+    rows += [(i, "purchase") for i in range(n_a - n_both, n_a - n_both + n_b)]
+    return spark.createDataFrame(
+        [(uid, t) for uid, t in rows], "user_id long, event_type string"
+    )
+
+
+def test_kmv_unsaturated_sketch_is_exact(spark):
+    from pyrope_spark.operators.sketch import kmv_overlap
+
+    ev = _kmv_events(spark, n_a=20, n_b=15, n_both=5)
+    r = kmv_overlap(ev, type_a="click", type_b="purchase", k=64).collect()[0]
+    # |union| = 30 < k: the sketch IS the set — everything exact.
+    assert r["k_used"] == 30 and r["n_union_sketch"] == 30
+    assert r["union_est"] == r["exact_union"] == 30
+    assert r["n_both"] == r["exact_both"] == 5
+    assert r["jaccard_ppm"] == r["exact_jaccard_ppm"] == 5 * 1_000_000 // 30
+    assert r["intersection_est"] == 5
+
+
+def test_kmv_saturated_estimates_within_error(spark):
+    from pyrope_spark.operators.sketch import kmv_overlap
+
+    # union = 2000 ids, 1000 shared; k = 128 -> relative error ~1/sqrt(k)
+    ev = _kmv_events(spark, n_a=1500, n_b=1500, n_both=1000)
+    r = kmv_overlap(ev, type_a="click", type_b="purchase", k=128).collect()[0]
+    assert r["k_used"] == 128
+    assert r["exact_union"] == 2000 and r["exact_both"] == 1000
+    assert abs(r["union_est"] - 2000) < 600          # ~3.4 sigma
+    assert abs(r["jaccard_ppm"] - 500_000) < 150_000
+    assert abs(r["intersection_est"] - 1000) < 500
+
+
+def test_kmv_disjoint_and_identical_segments(spark):
+    from pyrope_spark.operators.sketch import kmv_overlap
+
+    disjoint = _kmv_events(spark, n_a=40, n_b=40, n_both=0)
+    r = kmv_overlap(disjoint, type_a="click", type_b="purchase", k=32).collect()[0]
+    assert r["n_both"] == 0 and r["jaccard_ppm"] == 0
+    assert r["intersection_est"] == 0
+
+    same = _kmv_events(spark, n_a=50, n_b=50, n_both=50)
+    r2 = kmv_overlap(same, type_a="click", type_b="purchase", k=32).collect()[0]
+    assert r2["jaccard_ppm"] == 1_000_000
+    assert r2["exact_jaccard_ppm"] == 1_000_000
+
+
+def test_kmv_layout_independence(spark):
+    from pyrope_spark.operators.sketch import kmv_overlap
+
+    ev = _kmv_events(spark, n_a=300, n_b=300, n_both=100)
+    a = kmv_overlap(ev, type_a="click", type_b="purchase", k=64).collect()[0]
+    b = kmv_overlap(
+        ev.repartition(7), type_a="click", type_b="purchase", k=64
+    ).collect()[0]
+    assert a.asDict() == b.asDict()
