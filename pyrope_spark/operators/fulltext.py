@@ -624,3 +624,127 @@ ranked2 AS (
 SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank, score
 FROM ranked2 WHERE rnk <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Positional proximity search: "term_a NEAR/k term_b". The standard
+# postings table is position-free (BM25 only needs tf); phrase and
+# proximity queries need (term, doc_id, pos) positional postings. The
+# search filters the positional table to the two query terms FIRST (a
+# pushed-down term predicate — with term-bucketed storage this prunes to
+# two buckets), so the per-doc position join runs over per-doc position
+# lists, never the corpus. One doc-keyed aggregate computes the minimum
+# span and the within-k pair count; docs where the terms never land
+# within the window drop out.
+# --------------------------------------------------------------------------
+
+
+def positional_postings(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, pos) — one row per token OCCURRENCE (0-based pos).
+    ~token-count rows; at corpus scale write it term-bucketed exactly like
+    the BM25 postings (write_bm25_index's layout) for pruned reads."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def proximity_search(
+    docs: DataFrame,
+    *,
+    term_a: str,
+    term_b: str,
+    max_span: int,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` docs where ``term_a`` and ``term_b`` co-occur within
+    ``max_span`` token positions: (doc_id, n_a, n_b, min_span,
+    n_pairs_within, rk), ranked (min_span asc, n_pairs_within desc,
+    doc_id asc) — a total order, so ranks replicate across engines.
+
+    Span is the absolute position difference (unordered proximity);
+    every arithmetic step is integer, so the whole search is
+    hash-comparable cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    post = positional_postings(docs, id_col=id_col, text_col=text_col)
+    pa = post.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("_pa")
+    )
+    pb = post.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("_pb")
+    )
+    pairs = pa.join(pb, "doc_id").withColumn(
+        "_span", F.abs(F.col("_pa") - F.col("_pb")).cast("long")
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.countDistinct("_pa").cast("long").alias("n_a"),
+        F.countDistinct("_pb").cast("long").alias("n_b"),
+        F.min("_span").alias("min_span"),
+        F.sum((F.col("_span") <= max_span).cast("long"))
+        .cast("long")
+        .alias("n_pairs_within"),
+    ).filter(F.col("min_span") <= max_span)
+    # two-phase global top-k: a partition-local cut bounds the single-
+    # partition final window at k * partitions rows (matched-doc count is
+    # corpus-scale in the worst case; k is not).
+    order = [F.asc("min_span"), F.desc("n_pairs_within"), F.asc("doc_id")]
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        per_doc.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def proximity_search_oracle_sql(
+    *,
+    term_a: str,
+    term_b: str,
+    max_span: int,
+    k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`proximity_search` (1-based unnest positions —
+    spans are offset-invariant)."""
+    return f"""
+WITH tk AS (SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS t
+            FROM {table}),
+post AS (
+  SELECT doc_id, CAST(gs AS BIGINT) AS pos, t[CAST(gs AS INT)] AS term
+  FROM tk, unnest(generate_series(1, len(t))) AS g(gs)
+),
+pa AS (SELECT doc_id, pos AS p_a FROM post WHERE term = '{term_a}'),
+pb AS (SELECT doc_id, pos AS p_b FROM post WHERE term = '{term_b}'),
+pairs AS (
+  SELECT pa.doc_id, p_a, p_b, CAST(abs(p_a - p_b) AS BIGINT) AS span
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT p_a) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT p_b) AS BIGINT) AS n_b,
+         MIN(span) AS min_span,
+         CAST(SUM(CASE WHEN span <= {max_span} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs_within
+  FROM pairs GROUP BY 1
+)
+SELECT doc_id, n_a, n_b, min_span, n_pairs_within, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY min_span ASC, n_pairs_within DESC,
+                               doc_id ASC) AS rk
+  FROM per_doc WHERE min_span <= {max_span}
+) WHERE rk <= {k}
+"""

@@ -11064,3 +11064,29 @@ def _kmv_overlap_oracle() -> str:
 
 
 register("kmv_audience_overlap", _kmv_overlap_oracle())(_kmv_overlap_spark)
+
+
+# --------------------------------------------------------------------------
+# Positional proximity search (operators/fulltext.py, proximity_search):
+# top-20 documents where 'spark' and 'join' co-occur within 5 token
+# positions, ranked (min_span, pair count, doc_id).
+# --------------------------------------------------------------------------
+
+
+def _proximity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import proximity_search
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, term_a="spark", term_b="join", max_span=5, k=20)
+
+
+def _proximity_oracle() -> str:
+    from pyrope_spark.operators.fulltext import proximity_search_oracle_sql
+
+    return proximity_search_oracle_sql(
+        term_a="spark", term_b="join", max_span=5, k=20
+    )
+
+
+register("proximity_search_near5", _proximity_oracle())(_proximity_spark)

@@ -247,3 +247,62 @@ def test_prf_no_feedback_terms_falls_back(spark):
     assert sorted((r["doc_id"], r["rank"]) for r in a) == sorted(
         (r["doc_id"], r["rank"]) for r in b
     )
+
+
+# --------------------------------------------------------------------------
+# Positional proximity search
+# --------------------------------------------------------------------------
+
+
+def test_proximity_min_span_and_counts(spark):
+    from pyrope_spark.operators.fulltext import proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha delta beta"),  # spans: |0-1|=1 ...
+            (2, "alpha x x x x x beta"),               # span 6: out at k=5
+            (3, "beta alpha"),                          # span 1
+            (4, "alpha only here"),                     # no beta: no row
+        ],
+        "doc_id long, text string",
+    )
+    out = proximity_search(
+        docs, term_a="alpha", term_b="beta", max_span=5, k=10
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert set(by) == {1, 3}
+    # doc 1: alpha@0,3 beta@1,5 -> spans 1,5,2,2 -> min 1, all 4 within 5
+    assert by[1]["min_span"] == 1
+    assert by[1]["n_a"] == 2 and by[1]["n_b"] == 2
+    assert by[1]["n_pairs_within"] == 4
+    # doc 3: min 1, 1 pair
+    assert by[3]["min_span"] == 1 and by[3]["n_pairs_within"] == 1
+    # rank: equal min_span 1 -> more pairs first -> doc 1 rk1
+    assert by[1]["rk"] == 1 and by[3]["rk"] == 2
+
+
+def test_proximity_exact_span_boundary(spark):
+    from pyrope_spark.operators.fulltext import proximity_search
+
+    docs = spark.createDataFrame(
+        [(1, "a x x b")], "doc_id long, text string"
+    )
+    hit = proximity_search(docs, term_a="a", term_b="b", max_span=3, k=5)
+    miss = proximity_search(docs, term_a="a", term_b="b", max_span=2, k=5)
+    assert hit.count() == 1 and hit.collect()[0]["min_span"] == 3
+    assert miss.count() == 0
+
+
+def test_proximity_k_bounds_output(spark):
+    from pyrope_spark.operators.fulltext import proximity_search
+
+    docs = spark.createDataFrame(
+        [(i, "p q") for i in range(30)], "doc_id long, text string"
+    )
+    out = proximity_search(docs, term_a="p", term_b="q", max_span=1, k=7)
+    rows = out.collect()
+    assert len(rows) == 7
+    # ties everywhere -> doc_id asc fills ranks deterministically
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+        range(7)
+    )
