@@ -11090,3 +11090,54 @@ def _proximity_oracle() -> str:
 
 
 register("proximity_search_near5", _proximity_oracle())(_proximity_spark)
+
+
+# --------------------------------------------------------------------------
+# Integer-micro Gram matrix over the embedding column (the oracled twin
+# of the PCA sufficient-statistics pass in operators/pca.py): upper-
+# triangle sum(q_i * q_j) over floor(x*1e6) micro coordinates for the
+# first 8 dims — exact BIGINT sums, layout-free on both engines. The
+# float-domain PCA fit itself is pytest-gated (tests/test_pca.py); this
+# query pins the distributed product-sum plumbing cross-engine.
+# --------------------------------------------------------------------------
+
+
+def _gram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(slice(embedding, 1, 8),"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("q")
+    )
+    cells = q.select(
+        F.expr(
+            "explode(flatten(transform(sequence(0, 7), i ->"
+            " transform(sequence(i, 7), j ->"
+            " struct(i AS i, j AS j, q[i] * q[j] AS p)))))"
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    return cells.groupBy(
+        F.col("i").cast("long").alias("i"), F.col("j").cast("long").alias("j")
+    ).agg(F.sum("p").cast("long").alias("gram_sum")).orderBy("i", "j")
+
+
+_GRAM_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding[1:8],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+           AS q
+  FROM embeddings
+), cells AS (
+  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         q[CAST(i AS INT) + 1] * q[CAST(j AS INT) + 1] AS p
+  FROM q, unnest(generate_series(0, 7)) AS gi(i),
+        unnest(generate_series(0, 7)) AS gj(j)
+  WHERE j >= i
+)
+SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram_sum
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("embedding_gram_micro", _GRAM_ORACLE)(_gram_spark)
