@@ -648,3 +648,90 @@ def groupwise_trend(
         den.alias("den"),
         slope.alias("slope_micro"),
     )
+
+
+def frequent_triples(
+    events: DataFrame,
+    *,
+    basket_col: str = "user_id",
+    item_col: str = "item",
+    min_support: int = 2,
+    max_basket_items: int | None = 200,
+) -> DataFrame:
+    """Apriori k=3: frequent item TRIPLES with exact support counts —
+    one order of pattern beyond :func:`item_association_rules`.
+
+    The Apriori monotonicity prune is implemented, not just cited:
+    items below ``min_support`` drop first (broadcast semi-join), then
+    candidate (a,b) basket-pairs are semi-joined against the FREQUENT
+    pair table before the third item extends them, and each extension
+    (b,c)/(a,c) must itself be a frequent pair. Every prune is lossless
+    (a frequent triple's sub-pairs are frequent), so the counts equal
+    the unpruned triple join the DuckDB oracle runs — while at corpus
+    scale the joins only ever carry candidates that can still reach
+    ``min_support``. Same per-basket cap discipline as the pair
+    operator (count-desc/item-asc top-N, FP-Growth-style).
+
+    Output: (item_a < item_b < item_c, support), support >= min_support.
+    """
+    base = events.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).filter(F.col("_i").isNotNull())
+    if max_basket_items is not None:
+        freq = base.groupBy("_b", "_i").agg(F.count(F.lit(1)).alias("_n"))
+        rk = F.row_number().over(
+            Window.partitionBy("_b").orderBy(
+                F.col("_n").desc(), F.col("_i").asc()
+            )
+        )
+        baskets = (
+            freq.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= max_basket_items)
+            .select("_b", "_i")
+        )
+    else:
+        baskets = base.distinct()
+
+    f1 = (
+        baskets.groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+        .filter(F.col("_ni") >= min_support)
+        .select("_i")
+    )
+    items_f = baskets.join(F.broadcast(f1), "_i").select("_b", "_i")
+
+    l = items_f.select("_b", F.col("_i").alias("item_a"))
+    r = items_f.select(F.col("_b").alias("_b2"), F.col("_i").alias("item_b"))
+    pib = l.join(
+        r, (F.col("_b") == F.col("_b2")) & (F.col("item_a") < F.col("item_b"))
+    ).select("_b", "item_a", "item_b")
+    fp2 = (
+        pib.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("_nab"))
+        .filter(F.col("_nab") >= min_support)
+        .select("item_a", "item_b")
+    )
+    pb_freq = pib.join(F.broadcast(fp2), ["item_a", "item_b"], "left_semi")
+
+    third = items_f.select(
+        F.col("_b").alias("_b3"), F.col("_i").alias("item_c")
+    )
+    cand = pb_freq.join(
+        third,
+        (F.col("_b") == F.col("_b3")) & (F.col("item_b") < F.col("item_c")),
+    ).select("_b", "item_a", "item_b", "item_c")
+    cand = cand.join(
+        F.broadcast(fp2.select(F.col("item_a").alias("item_b"),
+                               F.col("item_b").alias("item_c"))),
+        ["item_b", "item_c"],
+        "left_semi",
+    ).join(
+        F.broadcast(fp2.select("item_a", F.col("item_b").alias("item_c"))),
+        ["item_a", "item_c"],
+        "left_semi",
+    )
+    return (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -11141,3 +11141,44 @@ FROM cells GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("embedding_gram_micro", _GRAM_ORACLE)(_gram_spark)
+
+
+# --------------------------------------------------------------------------
+# Apriori k=3 frequent triples (operators/analytics.py, frequent_triples)
+# over order baskets (order -> distinct parts): the lossless monotonicity
+# prune chain (frequent items -> frequent pairs -> pruned extensions)
+# must reproduce the oracle's unpruned triple join exactly.
+# --------------------------------------------------------------------------
+
+
+def _triples_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import frequent_triples
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    )
+    out = frequent_triples(
+        baskets, basket_col="bid", item_col="item", min_support=2,
+        max_basket_items=None,
+    )
+    return out.select(
+        F.col("item_a").cast("long").alias("item_a"),
+        F.col("item_b").cast("long").alias("item_b"),
+        F.col("item_c").cast("long").alias("item_c"),
+        "support",
+    )
+
+
+_TRIPLES_ORACLE = """
+WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+SELECT CAST(i1.i AS BIGINT) AS item_a, CAST(i2.i AS BIGINT) AS item_b,
+       CAST(i3.i AS BIGINT) AS item_c, CAST(COUNT(*) AS BIGINT) AS support
+FROM it i1
+JOIN it i2 ON i1.b = i2.b AND i1.i < i2.i
+JOIN it i3 ON i2.b = i3.b AND i2.i < i3.i
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+"""
+
+register("frequent_triples_baskets", _TRIPLES_ORACLE)(_triples_spark)

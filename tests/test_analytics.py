@@ -307,3 +307,69 @@ def test_groupwise_trend_negative_slope_portable_div(spark):
     df = spark.createDataFrame(rows, "k string, x long, y long")
     r = groupwise_trend(df, "k", "x", "y").collect()[0]
     assert r["slope_micro"] == -2_000_000
+
+
+# --------------------------------------------------------------------------
+# Apriori k=3 frequent triples
+# --------------------------------------------------------------------------
+
+
+def test_frequent_triples_closed_form(spark):
+    from pyrope_spark.operators.analytics import frequent_triples
+
+    # baskets: {1,2,3} x3, {1,2,4} x2, {5,6,7} x1
+    rows = []
+    bid = 0
+    for _ in range(3):
+        rows += [(bid, i) for i in (1, 2, 3)]
+        bid += 1
+    for _ in range(2):
+        rows += [(bid, i) for i in (1, 2, 4)]
+        bid += 1
+    rows += [(bid, i) for i in (5, 6, 7)]
+    df = spark.createDataFrame(rows, "bid long, item long")
+    out = frequent_triples(
+        df, basket_col="bid", item_col="item", min_support=2
+    ).collect()
+    got = {(r["item_a"], r["item_b"], r["item_c"]): r["support"] for r in out}
+    # (1,2,3) support 3; (1,2,4) support 2; (5,6,7) support 1 -> dropped
+    assert got == {(1, 2, 3): 3, (1, 2, 4): 2}
+
+
+def test_frequent_triples_prune_is_lossless(spark):
+    from pyrope_spark.operators.analytics import frequent_triples
+
+    # random-ish small corpus: pruned path must equal the brute-force count
+    import itertools
+    import random
+
+    rnd = random.Random(5)
+    baskets = {b: sorted(rnd.sample(range(12), rnd.randint(2, 6)))
+               for b in range(40)}
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "bid long, item long")
+    out = frequent_triples(
+        df, basket_col="bid", item_col="item", min_support=3
+    ).collect()
+    got = {(r["item_a"], r["item_b"], r["item_c"]): r["support"] for r in out}
+
+    brute = {}
+    for items in baskets.values():
+        for t in itertools.combinations(items, 3):
+            brute[t] = brute.get(t, 0) + 1
+    brute = {t: c for t, c in brute.items() if c >= 3}
+    assert got == brute
+
+
+def test_frequent_triples_duplicate_rows_and_cap(spark):
+    from pyrope_spark.operators.analytics import frequent_triples
+
+    # duplicate (basket, item) rows collapse; cap keeps top-N per basket
+    rows = [(1, 1), (1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)]
+    df = spark.createDataFrame(rows, "bid long, item long")
+    out = frequent_triples(
+        df, basket_col="bid", item_col="item", min_support=2,
+        max_basket_items=3,
+    ).collect()
+    assert {(r["item_a"], r["item_b"], r["item_c"]): r["support"]
+            for r in out} == {(1, 2, 3): 2}
