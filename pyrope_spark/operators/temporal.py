@@ -997,3 +997,90 @@ def cusum_changepoint(
             F.expr("s_abs DIV n").alias("cusum_peak_micro"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_ns_col: str = "ts_ns",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, epoch-day) time-weighted average value — the TWAP-style
+    aggregate a plain mean misrepresents whenever observations arrive
+    unevenly (a value holding for 20 h should dominate one that held for
+    a minute).
+
+    Each observation is weighted by how long it REMAINED CURRENT: the
+    duration until the next observation in the same (key, day), the last
+    one carrying to the day boundary. All arithmetic is integer —
+    ``floor(value·1e6)`` micro values, truncating-div millisecond
+    durations (positive, so truncate == floor cross-engine), one final
+    ``div`` against NULLIF(total_dur, 0) on both engines (product bound:
+    5e8 micro · 8.64e7 ms/day ≈ 4e16 per day-key, far under int64) —
+    with the (ts_ns, event_id) total order pinning tie durations. The
+    plain mean rides along so the report shows the sampling bias it
+    corrects.
+
+    One window pass + one aggregate, both keyed on (key, day): linear,
+    shuffle-bounded, 100 TB-shaped.
+    """
+    day = F.expr(f"{ts_ns_col} div 86400000000000").alias("day_epoch")
+    src = events.select(
+        F.col(key_col).alias("_k"),
+        day,
+        F.col(ts_ns_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.expr(f"CAST(floor({value_col} * 1e6) AS BIGINT)").alias("_v"),
+    )
+    timed = src.withColumn(
+        "_dur_ms",
+        F.expr(
+            "(coalesce(lead(_ts) OVER (PARTITION BY _k, day_epoch"
+            " ORDER BY _ts, _id), (day_epoch + 1) * 86400000000000)"
+            " - _ts) div 1000000"
+        ),
+    )
+    return (
+        timed.groupBy(F.col("_k").alias(key_col), "day_epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_dur_ms").cast("long").alias("total_dur_ms"),
+            F.expr("sum(_v * _dur_ms) div nullif(sum(_dur_ms), 0)").alias(
+                "twap_micro"
+            ),
+            F.expr("sum(_v) div count(*)").alias("mean_micro"),
+        )
+    )
+
+
+def time_weighted_avg_oracle_sql(
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    table: str = "events",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` — identical op sequence."""
+    return f"""
+WITH src AS (
+  SELECT {key_col} AS k, epoch_ns(ts) // 86400000000000 AS day_epoch,
+         epoch_ns(ts) AS tsn, {id_col} AS id,
+         CAST(floor({value_col} * 1e6) AS BIGINT) AS v
+  FROM {table}
+), timed AS (
+  SELECT *, (COALESCE(lead(tsn) OVER (PARTITION BY k, day_epoch
+                                      ORDER BY tsn, id),
+                      (day_epoch + 1) * 86400000000000) - tsn) // 1000000
+            AS dur_ms
+  FROM src
+)
+SELECT k AS {key_col}, CAST(day_epoch AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+       CAST(SUM(v * dur_ms) // NULLIF(SUM(dur_ms), 0) AS BIGINT)
+         AS twap_micro,
+       CAST(SUM(v) // count(*) AS BIGINT) AS mean_micro
+FROM timed GROUP BY 1, 2
+"""

@@ -11182,3 +11182,28 @@ GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
 """
 
 register("frequent_triples_baskets", _TRIPLES_ORACLE)(_triples_spark)
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (operators/temporal.py, time_weighted_avg):
+# per-(event_type, epoch-day) TWAP of the value column — duration-until-
+# next weighting in integer milliseconds, plain mean alongside showing
+# the sampling bias it corrects.
+# --------------------------------------------------------------------------
+
+
+def _twap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import time_weighted_avg
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev)
+
+
+def _twap_oracle() -> str:
+    from pyrope_spark.operators.temporal import time_weighted_avg_oracle_sql
+
+    return time_weighted_avg_oracle_sql()
+
+
+register("time_weighted_avg_daily", _twap_oracle())(_twap_spark)

@@ -515,3 +515,66 @@ def test_holt_state_survives_batch_splits(spark):
             spark.conf.set(conf, old)
         else:
             spark.conf.unset(conf)
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# --------------------------------------------------------------------------
+
+
+def test_twap_duration_weighting_closed_form(spark):
+    from pyrope_spark.operators.temporal import time_weighted_avg
+
+    S = 1_000_000_000
+    day = 86_400 * S
+    # key 'a', one day: v=10 holds 0s..80000s, v=2 holds the rest
+    rows = [
+        (1, 0 * S + day, "a", 10.0),
+        (2, 80_000 * S + day, "a", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ns long, event_type string, value double"
+    )
+    r = time_weighted_avg(df).collect()[0]
+    assert r["day_epoch"] == 1
+    assert r["n_events"] == 2
+    assert r["total_dur_ms"] == 86_400_000
+    # (10e6*80_000_000 + 2e6*6_400_000) div 86_400_000 = 9_407_407
+    assert r["twap_micro"] == 9_407_407
+    assert r["mean_micro"] == 6_000_000  # the plain mean says 6.0
+
+
+def test_twap_last_event_carries_to_day_boundary(spark):
+    from pyrope_spark.operators.temporal import time_weighted_avg
+
+    S = 1_000_000_000
+    rows = [(1, 43_200 * S, "a", 4.0)]  # single mid-day event
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ns long, event_type string, value double"
+    )
+    r = time_weighted_avg(df).collect()[0]
+    assert r["total_dur_ms"] == 43_200_000
+    assert r["twap_micro"] == 4_000_000
+
+
+def test_twap_same_ts_tiebreak_and_day_split(spark):
+    from pyrope_spark.operators.temporal import time_weighted_avg
+
+    S = 1_000_000_000
+    day = 86_400 * S
+    rows = [
+        # two events at the SAME instant: first (lower id) gets dur 0
+        (1, 10 * S, "a", 100.0),
+        (2, 10 * S, "a", 1.0),
+        # next day is its own group
+        (3, day + 10 * S, "a", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ns long, event_type string, value double"
+    )
+    by_day = {r["day_epoch"]: r for r in time_weighted_avg(df).collect()}
+    d0 = by_day[0]
+    # v=100 held 0ms; v=1 held to the boundary -> twap == 1.0
+    assert d0["twap_micro"] == 1_000_000
+    assert d0["mean_micro"] == 50_500_000
+    assert by_day[1]["twap_micro"] == 7_000_000
