@@ -746,6 +746,14 @@ def main() -> None:
         "bpe_pair_counts",
         "bpe_merges",
         "cc_star_components",
+        # round 6 session-4 additions
+        "rake_keyphrases",
+        "attribution_credit_shares",
+        "kmv_audience_overlap",
+        "proximity_search_near5",
+        "embedding_gram_micro",
+        "frequent_triples_baskets",
+        "time_weighted_avg_daily",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
