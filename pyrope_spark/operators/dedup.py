@@ -1049,3 +1049,157 @@ def dedup_groups(
         F.count(F.lit(1)).over(w).alias("group_size"),
         (F.col(id_col) != F.col("group_id")).alias("is_duplicate"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 8,
+    t_den: int = 10,
+) -> DataFrame:
+    """LOSSLESS asymmetric containment join: directed pairs where
+    ``|S_inner ∩ S_outer| / |S_inner| >= t`` over word n-gram shingle
+    sets — the subset-duplicate detector (quoted articles, templated
+    wrappers, doc-inside-doc syndication) that symmetric Jaccard misses:
+    a short doc fully quoted inside a long one has low Jaccard but
+    containment 1.0.
+
+    Prefix filtering adapts to containment (the one-sided PPJoin bound):
+    the inner doc can miss at most ``sz - ceil(t·sz)`` of its shingles,
+    so its first ``sz - ceil(t·sz) + 1`` shingles in the global
+    (document-frequency asc, shingle asc) order — the rarest — must
+    intersect any qualifying outer doc. Candidates therefore join the
+    INNER PREFIX table against the full shingle table (rare-token
+    fanout on the prefix side; the outer side carries no prefix because
+    containment imposes no bound on the outer set). Verification counts
+    the exact intersection over candidate pairs only. The prefix length
+    uses the exact integer form ``sz - ((t_num·sz + t_den - 1) div
+    t_den) + 1`` and the threshold test cross-multiplies
+    (``inter·t_den >= t_num·sz_inner``) so no float ever decides
+    membership.
+
+    Scale shape mirrors [[setsim_prefix_join]] (same ordering window,
+    same verify-join bound); the int64-hashed-shingle and broadcast
+    doc-set optimizations documented there apply here unchanged when
+    corpus size warrants them.
+
+    Output: (inner_id, outer_id, inter, sz_inner, sz_outer,
+    containment_ppm), directed, inner != outer.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
+    sh = shingle_table(df, id_col=id_col, text_col=text_col, n=n)
+    sh = sh.persist()
+    try:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+        wpos = Window.partitionBy(id_col).orderBy("_df", "shingle")
+        pref = (
+            sh.join(freq, "shingle")
+            .withColumn("_p", F.row_number().over(wpos))
+            .join(sz, id_col)
+            .filter(
+                F.col("_p")
+                <= F.expr(
+                    f"_sz - ((({t_num} * _sz) + {t_den} - 1) div {t_den}) + 1"
+                )
+            )
+            .select(F.col(id_col).alias("inner_id"), "shingle")
+        )
+        cand = (
+            pref.join(
+                sh.select(F.col(id_col).alias("outer_id"), "shingle"),
+                "shingle",
+            )
+            .filter(F.col("inner_id") != F.col("outer_id"))
+            .select("inner_id", "outer_id")
+            .distinct()
+        )
+        inter = (
+            cand.join(
+                sh.select(F.col(id_col).alias("inner_id"), "shingle"),
+                "inner_id",
+            )
+            .join(
+                sh.select(F.col(id_col).alias("outer_id"), "shingle"),
+                ["outer_id", "shingle"],
+            )
+            .groupBy("inner_id", "outer_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
+        out = (
+            inter.join(
+                sz.select(
+                    F.col(id_col).alias("inner_id"),
+                    F.col("_sz").alias("sz_inner"),
+                ),
+                "inner_id",
+            )
+            .join(
+                sz.select(
+                    F.col(id_col).alias("outer_id"),
+                    F.col("_sz").alias("sz_outer"),
+                ),
+                "outer_id",
+            )
+            .filter(
+                F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("sz_inner")
+            )
+            .select(
+                "inner_id",
+                "outer_id",
+                "inter",
+                F.col("sz_inner").cast("long").alias("sz_inner"),
+                F.col("sz_outer").cast("long").alias("sz_outer"),
+                F.expr("inter * 1000000 div sz_inner").alias("containment_ppm"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before releasing the cache
+        return out
+    finally:
+        sh.unpersist()
+
+
+def containment_oracle_sql(
+    *,
+    n: int = 3,
+    t_num: int = 8,
+    t_den: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`containment_pairs`: the UNPRUNED directed
+    containment join in the shingle-equi-join formulation (hash join on
+    shared shingles, then group-count — identical result set to the
+    nested-loop ``list_intersect`` form but hash-join fast; the prefix
+    filter on the Spark side is lossless, so both must agree exactly)."""
+    from pyrope_spark.functions.text import (
+        tokens_sql,
+        word_ngrams_from_tokens_sql,
+    )
+
+    ng = word_ngrams_from_tokens_sql("t", n)
+    return f"""
+WITH tk AS (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}),
+sh AS (SELECT DISTINCT {id_col} AS id, unnest({ng}) AS s FROM tk),
+sz AS (SELECT id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS inner_id, b.id AS outer_id, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT CAST(inner_id AS BIGINT) AS inner_id,
+       CAST(outer_id AS BIGINT) AS outer_id,
+       i AS inter, si.c AS sz_inner, so.c AS sz_outer,
+       i * 1000000 // si.c AS containment_ppm
+FROM inter
+JOIN sz si ON inter.inner_id = si.id
+JOIN sz so ON inter.outer_id = so.id
+WHERE i * {t_den} >= {t_num} * si.c
+"""

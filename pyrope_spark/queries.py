@@ -11207,3 +11207,60 @@ def _twap_oracle() -> str:
 
 
 register("time_weighted_avg_daily", _twap_oracle())(_twap_spark)
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment join (operators/dedup.py, containment_pairs):
+# directed subset-duplicate pairs at containment >= 0.8 over 3-gram
+# shingles — the quote/template detector symmetric Jaccard misses. The
+# prefix filter is lossless, so the unpruned all-pairs oracle must agree
+# exactly.
+# --------------------------------------------------------------------------
+
+
+def _containment_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import containment_pairs
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, t_num=8, t_den=10).select(
+        F.col("inner_id").cast("long").alias("inner_id"),
+        F.col("outer_id").cast("long").alias("outer_id"),
+        "inter",
+        "sz_inner",
+        "sz_outer",
+        "containment_ppm",
+    )
+
+
+def _containment_oracle() -> str:
+    from pyrope_spark.operators.dedup import containment_oracle_sql
+
+    return containment_oracle_sql(n=3, t_num=8, t_den=10)
+
+
+register("containment_dup_pairs", _containment_oracle())(_containment_spark)
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (operators/features.py, hashed_features): vocabulary-
+# free signed sparse BoW vectors at dim=256 over the documents corpus —
+# the hashing-trick vectorization primitive.
+# --------------------------------------------------------------------------
+
+
+def _hashed_feat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.features import hashed_features
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, dim=256, signed=True)
+
+
+def _hashed_feat_oracle() -> str:
+    from pyrope_spark.operators.features import hashed_features_oracle_sql
+
+    return hashed_features_oracle_sql(dim=256, signed=True)
+
+
+register("hashed_bow_features", _hashed_feat_oracle())(_hashed_feat_spark)

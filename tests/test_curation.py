@@ -762,3 +762,66 @@ def test_target_encode_loo_drops_null_category(spark):
         df, cat_col="cat", label_col="lbl", id_cols=("event_id",)
     ).collect()
     assert [r["event_id"] for r in out] == [1]
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (operators/features.py)
+# --------------------------------------------------------------------------
+
+
+def test_hashed_features_unsigned_conserves_counts(spark):
+    from pyrope_spark.operators.features import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "delta delta")],
+        "doc_id long, text string",
+    )
+    out = hashed_features(docs, dim=4096, signed=False).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["feat_val"]
+        assert 0 <= r["bucket"] < 4096
+        assert r["feat_val"] > 0
+    assert per_doc == {1: 4, 2: 2}
+
+
+def test_hashed_features_same_token_same_bucket(spark):
+    from pyrope_spark.operators.features import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "shared"), (2, "shared"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = hashed_features(docs, dim=1024).collect()
+    buckets = {r["doc_id"]: (r["bucket"], r["feat_val"]) for r in out}
+    assert buckets[1] == buckets[2]
+    # signed value of a single-occurrence token is +-1
+    assert abs(buckets[1][1]) == 1 and abs(buckets[3][1]) == 1
+
+
+def test_hashed_features_signed_magnitude_and_layout(spark):
+    from pyrope_spark.operators.features import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["tok"] * 7))], "doc_id long, text string"
+    )
+    r = hashed_features(docs, dim=64).collect()
+    assert len(r) == 1 and abs(r[0]["feat_val"]) == 7
+
+    big = spark.createDataFrame(
+        [(i, f"w{i % 13} w{(i * 3) % 13} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, hashed_features(big, dim=128).collect()))
+    b = sorted(map(tuple, hashed_features(big.repartition(7), dim=128).collect()))
+    assert a == b
+
+
+def test_hashed_features_dim_guard(spark):
+    import pytest as _pytest
+
+    from pyrope_spark.operators.features import hashed_features
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        hashed_features(docs, dim=1)

@@ -350,3 +350,62 @@ def test_setsim_prefix_join_rejects_bad_threshold(spark):
         setsim_prefix_join(docs, t_num=0, t_den=10)
     with _pytest.raises(ValueError):
         setsim_prefix_join(docs, t_num=11, t_den=10)
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment join
+# --------------------------------------------------------------------------
+
+
+def test_containment_directed_asymmetry(spark):
+    from pyrope_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),              # 3 shingles, all inside doc 2
+            (2, "a b c d e f g"),          # 5 shingles
+            (3, "x y z w q"),              # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, n=3, t_num=8, t_den=10).collect()
+    got = {(r["inner_id"], r["outer_id"]): r for r in out}
+    # 1 ⊂ 2 at containment 3/3 = 1.0; 2 in 1 is only 3/5 = 0.6 -> absent
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r["inter"], r["sz_inner"], r["sz_outer"]) == (3, 3, 5)
+    assert r["containment_ppm"] == 1_000_000
+
+
+def test_containment_threshold_boundary_and_symmetry(spark):
+    from pyrope_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # identical docs: both directions at 1.0
+            (1, "p q r s t u"),
+            (2, "p q r s t u"),
+            # 4 of 5 shingles shared with doc 1 -> exactly 0.8: kept
+            (3, "p q r s t u ZZZ"[:-4] + " v"),  # "p q r s t u v": 5 shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, n=3, t_num=8, t_den=10).collect()
+    got = {(r["inner_id"], r["outer_id"]): r["containment_ppm"] for r in out}
+    assert got[(1, 2)] == 1_000_000 and got[(2, 1)] == 1_000_000
+    # doc3 has 5 shingles, 4 shared with doc1/doc2 -> 800000 ppm exactly
+    assert got[(3, 1)] == 800_000 and got[(3, 2)] == 800_000
+    # doc1 into doc3: 4/4 = 1.0
+    assert got[(1, 3)] == 1_000_000
+
+
+def test_containment_short_docs_drop_out(spark):
+    from pyrope_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    # docs 1/2 have <3 tokens -> zero 3-gram shingles -> no rows at all
+    out = containment_pairs(docs, n=3, t_num=8, t_den=10).collect()
+    assert out == []
