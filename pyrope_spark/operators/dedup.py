@@ -1203,3 +1203,56 @@ JOIN sz si ON inter.inner_id = si.id
 JOIN sz so ON inter.outer_id = so.id
 WHERE i * {t_den} >= {t_num} * si.c
 """
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    pair_a_col: str = "ia",
+    pair_b_col: str = "ib",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep-BEST-per-group canonical selection: like :func:`dedup_groups`
+    (same transitive components over the pair graph) but the group
+    representative is the member with the highest ``quality_col``
+    ((quality desc, id asc) total order — deterministic under ties)
+    instead of the smallest id. This is what a curation pass actually
+    wants: when a near-dup cluster mixes a clean original and truncated
+    or boilerplate-wrapped copies, min-id keeps an arbitrary member;
+    quality-argmax keeps the best one (Gopher/CCNet-style keep-best
+    dedup).
+
+    Output: (id_col, group_id, group_size, canonical_id, is_duplicate);
+    group_id stays the min-id component label (stable across quality
+    changes), canonical_id is the quality-argmax member, is_duplicate =
+    not canonical. One extra per-group window over the group table —
+    the component pass dominates, the selection is linear.
+    """
+    grouped = dedup_groups(
+        docs.select(id_col),
+        pairs,
+        id_col=id_col,
+        pair_a_col=pair_a_col,
+        pair_b_col=pair_b_col,
+        max_iter=max_iter,
+    )
+    q = docs.select(F.col(id_col), F.col(quality_col).alias("_q"))
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        grouped.join(q, id_col)
+        .withColumn(
+            "canonical_id", F.first(F.col(id_col)).over(w)
+        )
+        .select(
+            id_col,
+            "group_id",
+            "group_size",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )

@@ -11264,3 +11264,64 @@ def _hashed_feat_oracle() -> str:
 
 
 register("hashed_bow_features", _hashed_feat_oracle())(_hashed_feat_spark)
+
+
+# --------------------------------------------------------------------------
+# Keep-best canonical selection (operators/dedup.py, canonical_by_quality):
+# the MinHash-LSH dup clusters with the quality-argmax representative
+# (n_chars desc, doc_id asc) instead of min-id — what a curation pass
+# keeps when clusters mix originals and truncated copies.
+# --------------------------------------------------------------------------
+
+
+def _keep_best_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import canonical_by_quality, minhash_lsh_pairs
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.9)
+    out = canonical_by_quality(docs, pairs, quality_col="n_chars")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "is_duplicate",
+    )
+
+
+def _keep_best_oracle() -> str:
+    from pyrope_spark.operators.dedup import minhash_lsh_oracle_sql
+
+    pairs = minhash_lsh_oracle_sql(verify_threshold=0.9)
+    return f"""
+WITH RECURSIVE p AS (SELECT ia, ib FROM ({pairs})),
+sym AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE s.b <> r.a
+),
+comp AS (SELECT a AS did, LEAST(a, MIN(b)) AS gid FROM reach GROUP BY a),
+g AS (
+  SELECT d.doc_id, COALESCE(c.gid, d.doc_id) AS group_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.did = d.doc_id
+),
+sz AS (SELECT group_id, COUNT(*) AS group_size FROM g GROUP BY group_id),
+canon AS (
+  SELECT doc_id, group_id, n_chars,
+         first_value(doc_id) OVER (PARTITION BY group_id
+                                   ORDER BY n_chars DESC, doc_id ASC)
+           AS canonical_id
+  FROM g
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.group_id AS BIGINT) AS group_id,
+       CAST(sz.group_size AS BIGINT) AS group_size,
+       CAST(c.canonical_id AS BIGINT) AS canonical_id,
+       c.doc_id <> c.canonical_id AS is_duplicate
+FROM canon c JOIN sz ON sz.group_id = c.group_id
+"""
+
+
+register("dedup_keep_best", _keep_best_oracle())(_keep_best_spark)

@@ -409,3 +409,27 @@ def test_containment_short_docs_drop_out(spark):
     # docs 1/2 have <3 tokens -> zero 3-gram shingles -> no rows at all
     out = containment_pairs(docs, n=3, t_num=8, t_den=10).collect()
     assert out == []
+
+
+def test_canonical_by_quality_argmax_and_ties(spark):
+    from pyrope_spark.operators.dedup import canonical_by_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", 100),
+            (2, "x", 300),   # best in {1,2,3}
+            (3, "x", 300),   # tie on quality -> lower id (2) wins
+            (9, "y", 50),    # singleton
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "ia long, ib long")
+    out = canonical_by_quality(docs, pairs, quality_col="n_chars").collect()
+    by = {r["doc_id"]: r for r in out}
+    # group label stays min-id (1); canonical is quality-argmax (2)
+    assert all(by[i]["group_id"] == 1 for i in (1, 2, 3))
+    assert all(by[i]["canonical_id"] == 2 for i in (1, 2, 3))
+    assert by[2]["is_duplicate"] is False
+    assert by[1]["is_duplicate"] is True and by[3]["is_duplicate"] is True
+    assert by[9]["canonical_id"] == 9 and by[9]["is_duplicate"] is False
+    assert by[9]["group_size"] == 1 and by[1]["group_size"] == 3
