@@ -913,3 +913,167 @@ def synth_avi_from_text(
     return df.select(
         F.col(id_col).cast("string").alias(id_col), text_col
     ).mapInPandas(run, schema)
+
+
+# ------------------------------------------------------------ image aHash
+
+def synth_ppm_from_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "media_id",
+    h: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Deterministic PPM (P6) fixture synth: gray pixel p (row-major)
+    = ``ord(text[p mod len]) mod 256``, all three channels equal — a pure
+    function of the text so a SQL oracle can recompute the decoded
+    pixels from character codes (the ``synth_wav_from_text`` discipline
+    for images). Pairs with :func:`image_ahash` for an end-to-end
+    parser round-trip."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    header = f"P6\n{w} {h}\n255\n".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for t in pdf[text_col].tolist():
+                codes = np.array([ord(c) % 256 for c in t], dtype=np.uint8)
+                idx = np.arange(h * w) % len(codes)
+                gray = codes[idx]
+                raster = np.repeat(gray, 3).astype(np.uint8)
+                payloads.append(header + raster.tobytes())
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                "payload": payloads,
+            })
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), text_col
+    ).filter(F.length(text_col) > 0).mapInPandas(run, schema)
+
+
+def image_ahash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """Perceptual average-hash over an image payload column:
+    (id_col, ahash_lo, ahash_hi) — the 64-bit aHash split into two
+    32-bit BIGINT words so every derived quantity (band keys, XOR
+    popcounts) stays inside exact positive int64 on both engines.
+
+    Pipeline per payload (all integer): decode (real codec — defaults
+    to the dependency-free PPM parser), integer gray = (r+g+b) div 3,
+    exact 8x8 block means when (h, w) are multiples of 8 (sum div
+    block-size; no float resize in the hash path — a hash that depends
+    on interpolation mode is not portable), bit p set iff
+    ``gray_p * 64 >= sum(gray)`` (the cross-multiplied mean compare —
+    no division decides a bit). Near-dup images collide within small
+    hamming distance; see :func:`ahash_neardup_pairs`.
+    """
+    dec = decoder if decoder is not None else ppm_decoder()
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("ahash_lo", T.LongType()),
+            T.StructField("ahash_hi", T.LongType()),
+        ]
+    )
+
+    def one(payload: bytes) -> tuple[int, int]:
+        arr = dec(payload).astype(np.int64)
+        h, w = arr.shape[0], arr.shape[1]
+        if h % 8 or w % 8:
+            raise ValueError(f"aHash needs h, w multiples of 8, got {h}x{w}")
+        gray = arr.sum(axis=2) // 3
+        bh, bw = h // 8, w // 8
+        g64 = gray.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+        flat = g64.ravel()  # row-major p = r*8 + c
+        total = int(flat.sum())
+        bits = (flat * 64 >= total).astype(np.int64)
+        lo = int((bits[:32] << np.arange(32)).sum())
+        hi = int((bits[32:] << np.arange(32)).sum())
+        return lo, hi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            los, his = [], []
+            for p in pdf[payload_col].tolist():
+                lo, hi = one(bytes(p))
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                "ahash_lo": los,
+                "ahash_hi": his,
+            })
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), payload_col
+    ).mapInPandas(run, schema)
+
+
+def ahash_neardup_pairs(
+    hashed: DataFrame,
+    *,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs at hamming(aHash) <= ``max_hamming``
+    (<= 3 by default): banded LSH on the four 16-bit words — pigeonhole
+    guarantees any pair within hamming 3 agrees on at least one of 4
+    bands, so candidates come from 4 equi-joins on band keys, never an
+    all-pairs scan. Exact verify = popcount(xor) over both 32-bit words
+    (bit_count on positive BIGINTs, identical cross-engine).
+
+    Output: (ia < ib, hamming)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("banding proves hamming <= 3; got %d" % max_hamming)
+    bands = hashed.select(
+        F.col(id_col).alias("_id"),
+        "ahash_lo",
+        "ahash_hi",
+        F.expr("ahash_lo % 65536").alias("b0"),
+        F.expr("ahash_lo div 65536").alias("b1"),
+        F.expr("ahash_hi % 65536").alias("b2"),
+        F.expr("ahash_hi div 65536").alias("b3"),
+    )
+    cands = None
+    for b in ("b0", "b1", "b2", "b3"):
+        l = bands.select(
+            F.col("_id").alias("ia"),
+            F.col("ahash_lo").alias("_la"),
+            F.col("ahash_hi").alias("_ha"),
+            F.col(b).alias("_bk"),
+        )
+        r = bands.select(
+            F.col("_id").alias("ib"),
+            F.col("ahash_lo").alias("_lb"),
+            F.col("ahash_hi").alias("_hb"),
+            F.col(b).alias("_bk"),
+        )
+        c = l.join(r, "_bk").filter(F.col("ia") < F.col("ib")).drop("_bk")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates(["ia", "ib"])
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(bit_count(_la ^ _lb) + bit_count(_ha ^ _hb) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ia", "ib", "hamming")
+    )

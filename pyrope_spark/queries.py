@@ -11325,3 +11325,100 @@ FROM canon c JOIN sz ON sz.group_id = c.group_id
 
 
 register("dedup_keep_best", _keep_best_oracle())(_keep_best_spark)
+
+
+# --------------------------------------------------------------------------
+# Perceptual aHash over synthesized PPM images (multimodal/columns.py):
+# text -> P6 bytes -> the REAL PPM parser -> integer 8x8 average-hash as
+# two 32-bit words. The oracle recomputes the hash straight from
+# character codes — agreement proves the encoder/parser/hash chain
+# byte-faithful end to end (the wav_decode_stats discipline for images).
+# --------------------------------------------------------------------------
+
+
+def _ahash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import image_ahash, synth_ppm_from_text
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ppm = synth_ppm_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    out = image_ahash(ppm)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "ahash_lo",
+        "ahash_hi",
+    )
+
+
+_AHASH_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           p -> CAST(ascii(substring(text, (p % length(text)) + 1, 1)) % 256
+                     AS BIGINT)) AS gray
+  FROM documents WHERE length(text) > 0
+), s AS (
+  SELECT doc_id, gray, list_sum(gray) AS total FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(list_sum(list_transform(range(0, 32),
+         p -> CASE WHEN gray[p + 1] * 64 >= total
+                   THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT)
+         AS ahash_lo,
+       CAST(list_sum(list_transform(range(32, 64),
+         p -> CASE WHEN gray[p + 1] * 64 >= total
+                   THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END)) AS BIGINT)
+         AS ahash_hi
+FROM s
+"""
+
+register("image_ahash64", _AHASH_ORACLE)(_ahash_spark)
+
+
+# --------------------------------------------------------------------------
+# aHash near-duplicate image pairs (multimodal/columns.py,
+# ahash_neardup_pairs): banded 4x16-bit LSH join + exact popcount verify
+# at hamming <= 3 — the image-dedup bridge from the multimodal suite into
+# the dedup family. Oracle: all-pairs popcount (gate scale), which the
+# lossless banding must reproduce exactly.
+# --------------------------------------------------------------------------
+
+
+def _ahash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import (
+        ahash_neardup_pairs,
+        image_ahash,
+        synth_ppm_from_text,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ppm = synth_ppm_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text")
+    )
+    hashed = image_ahash(ppm).withColumn(
+        "media_id", F.col("media_id").cast("long")
+    )
+    pairs = ahash_neardup_pairs(hashed, max_hamming=3)
+    return pairs.select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        "hamming",
+    )
+
+
+def _ahash_pairs_oracle() -> str:
+    return f"""
+WITH h AS ({_AHASH_ORACLE})
+SELECT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib,
+       CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+            + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+      + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 3
+"""
+
+
+register("ahash_neardup_images", _ahash_pairs_oracle())(_ahash_pairs_spark)

@@ -429,3 +429,91 @@ def test_sample_video_frames_stride_and_stats(spark):
 
     with _pytest.raises(ValueError):
         sample_video_frames(df, stride=0)
+
+
+# --------------------------------------------------------------------------
+# Perceptual aHash
+# --------------------------------------------------------------------------
+
+
+def _ppm(gray_rows):
+    import numpy as np
+
+    arr = np.asarray(gray_rows, dtype=np.uint8)
+    h, w = arr.shape
+    return (
+        f"P6\n{w} {h}\n255\n".encode()
+        + np.repeat(arr.ravel(), 3).astype(np.uint8).tobytes()
+    )
+
+
+def test_ahash_constant_image_all_bits_set(spark):
+    from pyrope_spark.multimodal.columns import image_ahash
+
+    img = _ppm([[50] * 8 for _ in range(8)])
+    df = spark.createDataFrame([("a", bytearray(img))],
+                               "media_id string, payload binary")
+    r = image_ahash(df).collect()[0]
+    assert r["ahash_lo"] == 0xFFFFFFFF and r["ahash_hi"] == 0xFFFFFFFF
+
+
+def test_ahash_half_bright(spark):
+    from pyrope_spark.multimodal.columns import image_ahash
+
+    rows = [[200] * 8 for _ in range(4)] + [[10] * 8 for _ in range(4)]
+    df = spark.createDataFrame(
+        [("a", bytearray(_ppm(rows)))], "media_id string, payload binary"
+    )
+    r = image_ahash(df).collect()[0]
+    # top 32 pixels bright -> bits 0..31 set, bottom dark -> none
+    assert r["ahash_lo"] == 0xFFFFFFFF and r["ahash_hi"] == 0
+
+
+def test_ahash_block_mean_16x16_matches_8x8(spark):
+    from pyrope_spark.multimodal.columns import image_ahash
+
+    import numpy as np
+
+    base = np.arange(64, dtype=np.int64).reshape(8, 8) * 3
+    up = np.kron(base, np.ones((2, 2), dtype=np.int64))  # 16x16 blocks
+    df = spark.createDataFrame(
+        [
+            ("small", bytearray(_ppm(base.tolist()))),
+            ("big", bytearray(_ppm(up.tolist()))),
+        ],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: (r["ahash_lo"], r["ahash_hi"])
+           for r in image_ahash(df).collect()}
+    # exact integer block means: the upscaled image hashes identically
+    assert got["small"] == got["big"]
+
+
+def test_ahash_neardup_banding_exact(spark):
+    from pyrope_spark.multimodal.columns import ahash_neardup_pairs
+
+    rows = [
+        (1, 100, 200),
+        (2, 100, 200),            # identical -> hamming 0
+        (3, 100 ^ 1, 200),        # 1 bit off in band 0
+        (4, 100 ^ (1 << 20), 200 ^ 1),  # 2 bits: bands 1 and 2
+        (5, 100 ^ 0b1111, 200),   # 4 bits in band 0 -> hamming 4: out
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ahash_lo long, ahash_hi long")
+    out = ahash_neardup_pairs(df, max_hamming=3).collect()
+    got = {(r["ia"], r["ib"]): r["hamming"] for r in out}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 2 and got[(3, 4)] == 3
+    # 5 is 4 bits from 1/2 (out) but only 3 from 3 (in: 1111 ^ 0001 = 1110)
+    assert (1, 5) not in got and (2, 5) not in got and (4, 5) not in got
+    assert got[(3, 5)] == 3
+
+
+def test_ahash_synth_roundtrip_closed_form(spark):
+    from pyrope_spark.multimodal.columns import image_ahash, synth_ppm_from_text
+
+    docs = spark.createDataFrame([(1, "ab")], "media_id long, text string")
+    hashed = image_ahash(synth_ppm_from_text(docs)).collect()[0]
+    # gray alternates 97,98; sum=6240; only 98*64=6272 >= 6240 -> odd bits
+    assert hashed["ahash_lo"] == 0xAAAAAAAA
+    assert hashed["ahash_hi"] == 0xAAAAAAAA
