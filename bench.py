@@ -754,6 +754,11 @@ def main() -> None:
         "embedding_gram_micro",
         "frequent_triples_baskets",
         "time_weighted_avg_daily",
+        "containment_dup_pairs",
+        "hashed_bow_features",
+        "dedup_keep_best",
+        "image_ahash64",
+        "ahash_neardup_images",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
