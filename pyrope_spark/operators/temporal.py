@@ -1084,3 +1084,58 @@ SELECT k AS {key_col}, CAST(day_epoch AS BIGINT) AS day_epoch,
        CAST(SUM(v) // count(*) AS BIGINT) AS mean_micro
 FROM timed GROUP BY 1, 2
 """
+
+
+def debounce_events(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_ns_col: str = "ts_ns",
+    id_col: str = "event_id",
+    gap_s: int = 300,
+) -> DataFrame:
+    """Burst debouncing: within each key, events closer than ``gap_s`` to
+    their predecessor belong to the same burst; only the burst's FIRST
+    event survives, annotated with how much it absorbed — the telemetry
+    dedup pass that turns retry storms / double-clicks / sensor chatter
+    into one representative row without losing the burst's size or span.
+
+    Burst assignment is the sessionize gap rule (lag > gap starts a new
+    burst) keyed by ``key_cols``; the survivor is the (ts_ns, id) minimum
+    of its burst. Output: one row per burst — (key_cols..., event_id,
+    ts_ns of the survivor, n_suppressed, burst_span_ms). All integer
+    arithmetic; one keyed window pass + one keyed aggregate.
+    """
+    ks = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*ks).orderBy(ts_ns_col, id_col)
+    gap_ns = int(gap_s) * 1_000_000_000
+    src = events.withColumn(
+        "_brk",
+        (
+            F.lag(F.col(ts_ns_col)).over(w).isNull()
+            | (F.col(ts_ns_col) - F.lag(F.col(ts_ns_col)).over(w) > gap_ns)
+        ).cast("long"),
+    ).withColumn(
+        "burst_id",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+    return (
+        src.groupBy(*ks, "burst_id")
+        .agg(
+            F.min(F.struct(ts_ns_col, id_col)).alias("_first"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min(ts_ns_col).alias("_t0"),
+            F.max(ts_ns_col).alias("_t1"),
+        )
+        .select(
+            *key_cols,
+            F.col("burst_id").cast("long").alias("burst_id"),
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col(f"_first.{ts_ns_col}").alias(ts_ns_col),
+            (F.col("_n") - 1).cast("long").alias("n_suppressed"),
+            F.expr("(_t1 - _t0) div 1000000").alias("burst_span_ms"),
+        )
+    )

@@ -11422,3 +11422,119 @@ WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
 
 
 register("ahash_neardup_images", _ahash_pairs_oracle())(_ahash_pairs_spark)
+
+
+# --------------------------------------------------------------------------
+# Burst debouncing (operators/temporal.py, debounce_events): one survivor
+# per (user, event_type) burst at gap 300s, annotated with suppressed
+# count and burst span — the telemetry dedup pass.
+# --------------------------------------------------------------------------
+
+
+def _debounce_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import debounce_events
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = debounce_events(ev, gap_s=300)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "burst_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts_ns",
+        "n_suppressed",
+        "burst_span_ms",
+    )
+
+
+_DEBOUNCE_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn FROM events
+), b AS (
+  SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+                 OR tsn - lag(tsn) OVER w > 300000000000
+            THEN 1 ELSE 0 END AS brk
+  FROM src
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tsn, event_id)
+), g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id, event_type
+                           ORDER BY tsn, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS burst_id
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(burst_id AS BIGINT) AS burst_id,
+       CAST(struct_extract(MIN(ROW(tsn, event_id)), 2) AS BIGINT)
+         AS event_id,
+       CAST(struct_extract(MIN(ROW(tsn, event_id)), 1) AS BIGINT) AS ts_ns,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed,
+       (MAX(tsn) - MIN(tsn)) // 1000000 AS burst_span_ms
+FROM g GROUP BY 1, 2, 3
+"""
+
+register("debounced_events", _DEBOUNCE_ORACLE)(_debounce_spark)
+
+
+# --------------------------------------------------------------------------
+# Cross-modal duplicate audit: full outer join of the aHash image pair
+# set (hamming <= 3 on the synthesized renders) against the MinHash text
+# pair set (verified jaccard >= 0.9) — pairs flagged by exactly one
+# modality are the audit's payload (renders that collide while the text
+# diverged, and text dups whose renders drifted).
+# --------------------------------------------------------------------------
+
+
+def _xmodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import (
+        ahash_neardup_pairs,
+        image_ahash,
+        synth_ppm_from_text,
+    )
+    from pyrope_spark.operators.dedup import minhash_lsh_pairs
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    hashed = image_ahash(
+        synth_ppm_from_text(docs.select(F.col("doc_id").alias("media_id"), "text"))
+    ).withColumn("media_id", F.col("media_id").cast("long"))
+    img = ahash_neardup_pairs(hashed, max_hamming=3).select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        F.lit(True).alias("in_image"),
+    )
+    txt = minhash_lsh_pairs(docs, verify_threshold=0.9).select(
+        F.col("ia").cast("long").alias("ia"),
+        F.col("ib").cast("long").alias("ib"),
+        F.lit(True).alias("in_text"),
+    )
+    return (
+        img.join(txt, ["ia", "ib"], "full_outer")
+        .select(
+            "ia",
+            "ib",
+            F.coalesce("in_image", F.lit(False)).alias("in_image"),
+            F.coalesce("in_text", F.lit(False)).alias("in_text"),
+        )
+    )
+
+
+def _xmodal_oracle() -> str:
+    from pyrope_spark.operators.dedup import minhash_lsh_oracle_sql
+
+    txt = minhash_lsh_oracle_sql(verify_threshold=0.9)
+    return f"""
+WITH img AS (
+  SELECT ia, ib, TRUE AS in_image FROM ({_ahash_pairs_oracle()})
+), txt AS (
+  SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib, TRUE AS in_text
+  FROM ({txt})
+)
+SELECT COALESCE(img.ia, txt.ia) AS ia, COALESCE(img.ib, txt.ib) AS ib,
+       COALESCE(in_image, FALSE) AS in_image,
+       COALESCE(in_text, FALSE) AS in_text
+FROM img FULL OUTER JOIN txt ON img.ia = txt.ia AND img.ib = txt.ib
+"""
+
+
+register("cross_modal_dup_audit", _xmodal_oracle())(_xmodal_spark)

@@ -578,3 +578,67 @@ def test_twap_same_ts_tiebreak_and_day_split(spark):
     assert d0["twap_micro"] == 1_000_000
     assert d0["mean_micro"] == 50_500_000
     assert by_day[1]["twap_micro"] == 7_000_000
+
+
+# --------------------------------------------------------------------------
+# Burst debouncing
+# --------------------------------------------------------------------------
+
+
+def test_debounce_burst_split_and_survivors(spark):
+    from pyrope_spark.operators.temporal import debounce_events
+
+    S = 1_000_000_000
+    rows = [
+        # burst 1: 0s, 100s, 250s (each <=300s after previous)
+        (1, 1, 0 * S, "click", 0.0),
+        (2, 1, 100 * S, "click", 0.0),
+        (3, 1, 250 * S, "click", 0.0),
+        # burst 2 starts 301s later
+        (4, 1, 551 * S + 1, "click", 0.0),
+        # other type is its own key
+        (5, 1, 10 * S, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, event_type string, value double"
+    )
+    out = debounce_events(df, gap_s=300).collect()
+    by = {(r["event_type"], r["burst_id"]): r for r in out}
+    b1 = by[("click", 0)]
+    assert b1["event_id"] == 1 and b1["n_suppressed"] == 2
+    assert b1["burst_span_ms"] == 250_000
+    b2 = by[("click", 1)]
+    assert b2["event_id"] == 4 and b2["n_suppressed"] == 0
+    assert by[("view", 0)]["event_id"] == 5
+
+
+def test_debounce_gap_boundary_exact(spark):
+    from pyrope_spark.operators.temporal import debounce_events
+
+    S = 1_000_000_000
+    rows = [
+        (1, 1, 0, "e", 0.0),
+        (2, 1, 300 * S, "e", 0.0),      # exactly 300s: SAME burst (> rule)
+        (3, 1, 600 * S + 1, "e", 0.0),  # 300s + 1ns after #2: new burst
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, event_type string, value double"
+    )
+    out = debounce_events(df, gap_s=300).collect()
+    bursts = sorted((r["burst_id"], r["event_id"], r["n_suppressed"]) for r in out)
+    assert bursts == [(0, 1, 1), (1, 3, 0)]
+
+
+def test_debounce_same_instant_tiebreak(spark):
+    from pyrope_spark.operators.temporal import debounce_events
+
+    rows = [
+        (9, 1, 1000, "e", 0.0),
+        (2, 1, 1000, "e", 0.0),  # same ts: lower id survives
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, event_type string, value double"
+    )
+    out = debounce_events(df, gap_s=300).collect()
+    assert len(out) == 1 and out[0]["event_id"] == 2
+    assert out[0]["n_suppressed"] == 1
