@@ -525,3 +525,75 @@ def _hist_bin(value_col: str, n_bins: int, vmin: int, vmax: int, scale: int):
         f" * {n_bins} div ({vmax} - {vmin} + 1)"
     )
     return F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("long")
+
+
+def streaming_debounce(
+    stream_df: DataFrame,
+    gap_s: int,
+    *,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_ns_col: str = "ts_ns",
+    id_col: str = "event_id",
+):
+    """Stateful streaming twin of ``temporal.debounce_events``: per key,
+    only the first event of each burst (gap > ``gap_s`` from the
+    PREVIOUS event) passes; the rest are suppressed online — the
+    at-the-edge telemetry dedup that keeps retry storms out of the
+    corpus entirely instead of cleaning them up in batch.
+
+    State per key = the last seen event's ts (one BIGINT — the minimal
+    stateful shape). Within a micro-batch events fold in (ts, id) order;
+    with in-order arrival across batches the survivor set equals the
+    batch operator's exactly (the batch op is the oracle-grade path —
+    parity asserted in tests). Emits one row per surviving event:
+    (key_cols..., ts_ns, event_id, n_suppressed_before) where
+    ``n_suppressed_before`` counts the suppressed tail of the PREVIOUS
+    burst — so burst sizes stream out as soon as the next burst opens.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = int(gap_s) * 1_000_000_000
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = (
+        f"{key_schema}, ts_ns long, event_id long, n_suppressed_before long"
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, supp = (
+            (state.get[0], state.get[1]) if state.exists else (None, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_ns_col, id_col])
+            for t, eid in zip(
+                pdf[ts_ns_col].tolist(), pdf[id_col].tolist()
+            ):
+                if last_ts is None or t - last_ts > gap_ns:
+                    rows.append((*key, int(t), int(eid), int(supp)))
+                    supp = 0
+                else:
+                    supp += 1
+                last_ts = t
+        state.update((int(last_ts), int(supp)))
+        yield pd.DataFrame(
+            rows,
+            columns=[*key_cols, "ts_ns", "event_id", "n_suppressed_before"],
+        )
+
+    src = stream_df.select(
+        *[F.col(k).cast("string").alias(k) for k in key_cols],
+        F.col(ts_ns_col).cast("long").alias(ts_ns_col),
+        F.col(id_col).cast("long").alias(id_col),
+    )
+    return src.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="last_ts long, supp long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

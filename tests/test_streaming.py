@@ -803,3 +803,63 @@ def test_streaming_holt_state_and_trend_aware_surprise(spark, tmp_path):
     # x=30 vs forecast 17.5 -> |12.5| <= 15, no alarm (trend absorbed);
     # x=100 vs forecast 29.375 -> alarm
     assert [v["surprised"] for v in vals] == [False, False, False, True]
+
+
+def test_streaming_debounce_matches_batch_and_carries_state(spark, tmp_path):
+    """Survivors across two micro-batches equal the batch operator's on the
+    union, including a burst that SPANS the batch boundary (state carries
+    the last-seen ts); n_suppressed_before streams the closed burst's
+    suppressed tail when the next burst opens."""
+    from pyrope_spark.operators.temporal import debounce_events
+    from pyrope_spark.streaming.sketches import streaming_debounce
+
+    S = 1_000_000_000
+    src = tmp_path / "deb_src"
+    src.mkdir()
+    schema = "event_id long, user_id long, ts_ns long, event_type string, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    batch1 = [
+        (1, 1, 0 * S, "click", 0.0),
+        (2, 1, 100 * S, "click", 0.0),   # suppressed
+    ]
+    batch2 = [
+        (3, 1, 350 * S, "click", 0.0),   # 250s after #2: SAME burst (state)
+        (4, 1, 1000 * S, "click", 0.0),  # new burst; closes burst 0 (supp 2)
+        (5, 2, 0 * S, "click", 0.0),     # other key: its own state
+    ]
+    write(batch1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_debounce(stream, gap_s=300)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deb_out")
+        .option("checkpointLocation", str(tmp_path / "deb_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(batch2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM deb_out").collect()
+    finally:
+        q.stop()
+    survivors = {(int(r["user_id"]), r["event_id"]): r for r in rows}
+    assert set(survivors) == {(1, 1), (1, 4), (2, 5)}
+    # the burst-spanning state: event 3 was suppressed (250s gap), so the
+    # burst that closed when #4 arrived had 2 suppressed events
+    assert survivors[(1, 4)]["n_suppressed_before"] == 2
+
+    # batch parity on the union: same survivor set
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    batch_out = debounce_events(union, gap_s=300).collect()
+    assert {(r["user_id"], r["event_id"]) for r in batch_out} == {
+        (1, 1), (1, 4), (2, 5)
+    }
+    by = {(r["user_id"], r["burst_id"]): r for r in batch_out}
+    assert by[(1, 0)]["n_suppressed"] == 2
