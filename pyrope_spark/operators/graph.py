@@ -532,3 +532,91 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_rounds} rounds"
     )
+
+
+def hub_proximity(
+    edges: DataFrame,
+    hubs: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    k: int = 3,
+) -> DataFrame:
+    """Bounded harmonic centrality toward a hub set: for every node, the
+    sum of 1/dist over hubs within ``k`` hops (directed, toward-node
+    distances) — "how close is this item to the catalog's anchor items",
+    the closeness signal a full all-pairs harmonic centrality can't
+    afford at corpus scale. Distances come from a multi-SOURCE labeled
+    min-plus relaxation: state is (hub, node, dist), one shuffle per hop
+    against the static distinct edge table ([[bfs_khop]] lifted to
+    per-hub labels). State is |hubs| x reached nodes — the hub set
+    bounds it a priori (pick top-degree anchors or a sampled set; at
+    1000 hubs x 10M reachable nodes the state is a join-sized table,
+    never |V|^2).
+
+    Scores are integer: ``harmonic_ppm = Σ 1_000_000 div dist`` over
+    hubs at dist >= 1 (a hub's own row, dist 0, is excluded — standard
+    harmonic convention). Output: (node, n_hubs_within_k, harmonic_ppm),
+    nodes with no hub in range absent.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    dist = hubs.select(
+        F.col(node_col).alias("hub"),
+        F.col(node_col).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for _ in range(k):
+        nxt = e.join(dist, e["src"] == dist["node"]).select(
+            "hub", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("hub", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return (
+        dist.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hubs_within_k"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_ppm"),
+        )
+    )
+
+
+def hub_proximity_oracle_sql(
+    edges_sql: str, hubs_sql: str, *, k: int = 3
+) -> str:
+    """DuckDB twin of [[hub_proximity]]: the labeled min-plus relaxation
+    unrolled as chained CTEs."""
+    parts = [
+        f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+d0 AS (SELECT DISTINCT node AS hub, node, CAST(0 AS BIGINT) AS dist
+       FROM ({hubs_sql}))"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""",
+d{i + 1} AS (
+  SELECT hub, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT hub, node, dist FROM d{i}
+    UNION ALL
+    SELECT d{i}.hub, e.dst AS node, d{i}.dist + 1 AS dist
+    FROM e JOIN d{i} ON e.src = d{i}.node
+  ) GROUP BY hub, node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_hubs_within_k,
+       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
+FROM d{k} WHERE dist >= 1 GROUP BY node"""
+    )
+    return "".join(parts)

@@ -11538,3 +11538,50 @@ FROM img FULL OUTER JOIN txt ON img.ia = txt.ia AND img.ib = txt.ib
 
 
 register("cross_modal_dup_audit", _xmodal_oracle())(_xmodal_spark)
+
+
+# --------------------------------------------------------------------------
+# Hub-proximity harmonic centrality (operators/graph.py, hub_proximity):
+# per item, Σ 1/dist over the anchor hubs (node % 97 == 0, the bfs seed
+# cohort) within 3 hops of the copurchase graph — the bounded closeness
+# signal all-pairs harmonic centrality can't afford.
+# --------------------------------------------------------------------------
+
+
+def _hubprox_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import hub_proximity
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    hubs = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    out = hub_proximity(edges, hubs, k=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        "n_hubs_within_k",
+        "harmonic_ppm",
+    )
+
+
+def _hubprox_oracle() -> str:
+    from pyrope_spark.operators.graph import hub_proximity_oracle_sql
+
+    hubs = f"""
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ({_COPURCHASE_EDGES_SQL})
+    UNION ALL
+    SELECT dst AS node FROM ({_COPURCHASE_EDGES_SQL})
+  ) WHERE node % 97 = 0
+"""
+    inner = hub_proximity_oracle_sql(_COPURCHASE_EDGES_SQL, hubs, k=3)
+    return (
+        "SELECT CAST(node AS BIGINT) AS node, n_hubs_within_k, harmonic_ppm"
+        f" FROM ({inner})"
+    )
+
+
+register("hub_proximity_harmonic", _hubprox_oracle())(_hubprox_spark)

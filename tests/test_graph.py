@@ -207,3 +207,48 @@ def test_star_cc_two_triangles_and_bridge(spark):
         for r in connected_components_star(edges).collect()
     }
     assert comp == {n: 1 for n in [1, 2, 3, 10, 11, 12]}
+
+
+def test_hub_proximity_closed_form_path(spark):
+    from pyrope_spark.operators.graph import hub_proximity
+
+    # directed path 1->2->3->4->5, hub = {1}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    hubs = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r for r in hub_proximity(edges, hubs, k=3).collect()}
+    # within 3 hops: nodes 2 (d1), 3 (d2), 4 (d3); 5 is out of range; the
+    # hub itself (dist 0) is excluded
+    assert set(out) == {2, 3, 4}
+    assert out[2]["harmonic_ppm"] == 1_000_000
+    assert out[3]["harmonic_ppm"] == 500_000
+    assert out[4]["harmonic_ppm"] == 333_333
+    assert all(r["n_hubs_within_k"] == 1 for r in out.values())
+
+
+def test_hub_proximity_multi_hub_sums(spark):
+    from pyrope_spark.operators.graph import hub_proximity
+
+    # hubs 1 and 4 both reach node 3: dists 2 and 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "src long, dst long"
+    )
+    hubs = spark.createDataFrame([(1,), (4,)], "node long")
+    out = {r["node"]: r for r in hub_proximity(edges, hubs, k=3).collect()}
+    assert out[3]["n_hubs_within_k"] == 2
+    assert out[3]["harmonic_ppm"] == 500_000 + 1_000_000
+    # node 2: only hub 1 at dist 1
+    assert out[2]["n_hubs_within_k"] == 1
+
+
+def test_hub_proximity_shortcut_wins(spark):
+    from pyrope_spark.operators.graph import hub_proximity
+
+    # two routes from hub 1 to node 4: 1->2->3->4 and direct 1->4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    hubs = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r for r in hub_proximity(edges, hubs, k=3).collect()}
+    assert out[4]["harmonic_ppm"] == 1_000_000  # min dist 1, not 3
