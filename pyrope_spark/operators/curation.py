@@ -1712,3 +1712,112 @@ def target_encode_loo(
             ).alias(out_col),
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    *,
+    order_cols: tuple[str, ...],
+    rank_col: str = "grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed 1-based global rank over a TOTAL order (``order_cols``
+    must be tie-free — include a unique id last) — the scalable
+    alternative to ``row_number() OVER (ORDER BY ...)``, whose empty
+    window frame funnels the whole table through one partition.
+
+    Standard range-partition ranking: ``repartitionByRange`` on the
+    order columns puts partition i's rows entirely before partition
+    i+1's; a local sort + one per-partition running index plus a
+    broadcast offset table (|partitions| rows collected — the only
+    driver-side data) yields the exact global rank with NO global sort
+    stage. Rank values replicate the single-window formulation exactly
+    (asserted in tests), so SQL oracles can keep using row_number.
+    """
+    cols = [F.col(c) for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # independent schema copy — StructType.add mutates in place, and
+    # mutating ``ranged.schema`` desyncs the cached schema from the plan
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    ) + ", _lidx bigint"
+
+    def attach(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lidx"] = range(i, i + len(pdf))
+            i += len(pdf)
+            yield pdf
+
+    local = ranged.mapInPandas(attach, schema)
+    counts = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lidx") + 1).cast("long"))
+        .drop("_pid", "_lidx", "_off")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    out_col: str = "norm_value",
+) -> DataFrame:
+    """Cross-group quantile normalization (the batch-effect correction of
+    expression arrays, applied to corpus features): each row's value is
+    replaced by the POOLED distribution's order statistic at the same
+    quantile, so every group ends up with an identical value
+    distribution — length/quality scores become comparable across
+    sources with different scales.
+
+    All index arithmetic is exact: within-group rank r of n maps to
+    pooled index ``ceil(r·N / n) = (r·N + n - 1) div n`` over the
+    pooled total order ((value, id) — tie-free), so no float quantile
+    ever decides a mapping. The pooled order statistics come from
+    [[global_rank]] (range-partitioned, no single-partition sort); the
+    within-group rank is a keyed window.
+
+    Output: input columns + ``pool_idx`` + ``out_col`` (the pooled value
+    at that index).
+    """
+    n_w = Window.partitionBy(group_col)
+    r_w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.withColumn("_n", F.count(F.lit(1)).over(n_w)).withColumn(
+        "_r", F.row_number().over(r_w)
+    )
+    pooled = global_rank(
+        df.select(F.col(value_col).alias("_pv"), F.col(id_col).alias("_pid2")),
+        order_cols=("_pv", "_pid2"),
+        rank_col="pool_idx",
+    ).select("pool_idx", "_pv")
+    big_n = df.count()
+    mapped = ranked.withColumn(
+        "pool_idx",
+        F.expr(f"(_r * {big_n}L + _n - 1) div _n").cast("long"),
+    )
+    return (
+        mapped.join(F.broadcast(pooled) if big_n <= 1_000_000 else pooled,
+                    "pool_idx")
+        .withColumn(out_col, F.col("_pv"))
+        .drop("_n", "_r", "_pv")
+    )

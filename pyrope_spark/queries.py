@@ -11585,3 +11585,54 @@ def _hubprox_oracle() -> str:
 
 
 register("hub_proximity_harmonic", _hubprox_oracle())(_hubprox_spark)
+
+
+# --------------------------------------------------------------------------
+# Cross-source quantile normalization (operators/curation.py,
+# quantile_normalize over global_rank): per-source doc-length
+# distributions mapped onto the pooled distribution via exact integer
+# index arithmetic — the batch-effect correction for corpus features.
+# --------------------------------------------------------------------------
+
+
+def _qnorm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import quantile_normalize
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = quantile_normalize(
+        docs, group_col="source", value_col="n_chars", id_col="doc_id",
+        out_col="norm_chars",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "pool_idx",
+        F.col("norm_chars").cast("long").alias("norm_chars"),
+    )
+
+
+_QNORM_ORACLE = """
+WITH g AS (
+  SELECT doc_id, source, n_chars,
+         COUNT(*) OVER (PARTITION BY source) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r
+  FROM documents
+), pool AS (
+  SELECT n_chars AS pv,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS idx
+  FROM documents
+), tot AS (SELECT COUNT(*) AS big_n FROM documents)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id, g.source,
+       CAST(g.n_chars AS BIGINT) AS n_chars,
+       CAST((r * big_n + n - 1) // n AS BIGINT) AS pool_idx,
+       CAST(pool.pv AS BIGINT) AS norm_chars
+FROM g CROSS JOIN tot
+JOIN pool ON pool.idx = (r * big_n + n - 1) // n
+"""
+
+register("quantile_normalized_lengths", _QNORM_ORACLE)(_qnorm_spark)

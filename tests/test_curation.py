@@ -825,3 +825,58 @@ def test_hashed_features_dim_guard(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         hashed_features(docs, dim=1)
+
+
+# --------------------------------------------------------------------------
+# Distributed global rank + quantile normalization
+# --------------------------------------------------------------------------
+
+
+def test_global_rank_equals_window_formulation(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyrope_spark.operators.curation import global_rank
+
+    df = spark.createDataFrame(
+        [(i * 37 % 101, i) for i in range(500)], "v long, id long"
+    ).repartition(13)
+    got = global_rank(df, order_cols=("v", "id"))
+    want = df.withColumn(
+        "grank",
+        F.row_number().over(Window.orderBy("v", "id")).cast("long"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_quantile_normalize_identical_groups_are_identity(spark):
+    from pyrope_spark.operators.curation import quantile_normalize
+
+    # two groups with IDENTICAL value multisets: mapping is the identity
+    rows = [(i, "a", v) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [(i + 10, "b", v) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = quantile_normalize(df).collect()
+    assert all(r["norm_value"] == r["n_chars"] for r in out)
+
+
+def test_quantile_normalize_aligns_shifted_group(spark):
+    from pyrope_spark.operators.curation import quantile_normalize
+
+    # group b = group a + 1000: after normalization both groups carry the
+    # SAME value multiset (drawn from the pooled order statistics)
+    rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [(i + 10, "b", v + 1000) for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = quantile_normalize(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["norm_value"])
+    assert sorted(by_src["a"]) == sorted(by_src["b"])
+    # rank order within each group is preserved
+    a_rows = sorted(
+        (r for r in out if r["source"] == "a"), key=lambda r: r["n_chars"]
+    )
+    assert [r["norm_value"] for r in a_rows] == sorted(
+        r["norm_value"] for r in a_rows
+    )
