@@ -1059,6 +1059,7 @@ def containment_pairs(
     n: int = 3,
     t_num: int = 8,
     t_den: int = 10,
+    max_broadcast_docs: int = 250_000,
 ) -> DataFrame:
     """LOSSLESS asymmetric containment join: directed pairs where
     ``|S_inner ∩ S_outer| / |S_inner| >= t`` over word n-gram shingle
@@ -1081,10 +1082,13 @@ def containment_pairs(
     (``inter·t_den >= t_num·sz_inner``) so no float ever decides
     membership.
 
-    Scale shape mirrors [[setsim_prefix_join]] (same ordering window,
-    same verify-join bound); the int64-hashed-shingle and broadcast
-    doc-set optimizations documented there apply here unchanged when
-    corpus size warrants them.
+    Scale shape mirrors [[setsim_prefix_join]] exactly, optimizations
+    included (adopted after the r6e probe showed the string-key verify
+    dominating at 100k docs): shingles travel as collision-checked int64
+    ``xxhash64`` keys, the verify is ONE sorted-array intersect per
+    candidate against persisted doc-set arrays (broadcast under
+    ``max_broadcast_docs``, shuffle-on-id above), and the pair-sized
+    result materializes before the corpus-sized caches release.
 
     Output: (inner_id, outer_id, inter, sz_inner, sz_outer,
     containment_ppm), directed, inner != outer.
@@ -1093,9 +1097,17 @@ def containment_pairs(
 
     if not (0 < t_num <= t_den):
         raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
-    sh = shingle_table(df, id_col=id_col, text_col=text_col, n=n)
-    sh = sh.persist()
+    raw = shingle_table(df, id_col=id_col, text_col=text_col, n=n).withColumn(
+        "_h", F.xxhash64("shingle")
+    )
+    raw = raw.persist()
     try:
+        chk = raw.agg(
+            F.countDistinct("shingle").alias("ns"),
+            F.countDistinct("_h").alias("nh"),
+        ).first()
+        key = "_h" if chk and chk.ns == chk.nh else "shingle"
+        sh = raw.select(F.col(id_col), F.col(key).alias("shingle"))
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
         wpos = Window.partitionBy(id_col).orderBy("_df", "shingle")
@@ -1120,32 +1132,28 @@ def containment_pairs(
             .select("inner_id", "outer_id")
             .distinct()
         )
-        inter = (
-            cand.join(
-                sh.select(F.col(id_col).alias("inner_id"), "shingle"),
-                "inner_id",
-            )
-            .join(
-                sh.select(F.col(id_col).alias("outer_id"), "shingle"),
-                ["outer_id", "shingle"],
-            )
-            .groupBy("inner_id", "outer_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        docsets = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("_g"),
+            F.count(F.lit(1)).alias("_sz"),
+        ).persist()
+        n_docs = docsets.count()
+        ga = docsets.select(
+            F.col(id_col).alias("inner_id"),
+            F.col("_g").alias("_ga"),
+            F.col("_sz").alias("sz_inner"),
         )
+        gb = docsets.select(
+            F.col(id_col).alias("outer_id"),
+            F.col("_g").alias("_gb"),
+            F.col("_sz").alias("sz_outer"),
+        )
+        if n_docs <= max_broadcast_docs:
+            ga, gb = F.broadcast(ga), F.broadcast(gb)
         out = (
-            inter.join(
-                sz.select(
-                    F.col(id_col).alias("inner_id"),
-                    F.col("_sz").alias("sz_inner"),
-                ),
-                "inner_id",
-            )
-            .join(
-                sz.select(
-                    F.col(id_col).alias("outer_id"),
-                    F.col("_sz").alias("sz_outer"),
-                ),
-                "outer_id",
+            cand.join(ga, "inner_id")
+            .join(gb, "outer_id")
+            .withColumn(
+                "inter", F.size(F.array_intersect("_ga", "_gb")).cast("long")
             )
             .filter(
                 F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("sz_inner")
@@ -1159,10 +1167,11 @@ def containment_pairs(
                 F.expr("inter * 1000000 div sz_inner").alias("containment_ppm"),
             )
         )
-        out = out.localCheckpoint()  # materialize before releasing the cache
+        out = out.localCheckpoint()  # materialize before releasing caches
+        docsets.unpersist()
         return out
     finally:
-        sh.unpersist()
+        raw.unpersist()
 
 
 def containment_oracle_sql(
