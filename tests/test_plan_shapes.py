@@ -174,3 +174,72 @@ def test_target_encode_broadcasts_global_scalars(spark):
     final = _final_plan(out)
     assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange" in final
     assert "CartesianProduct" not in final
+
+
+def test_global_rank_has_no_single_partition_exchange(spark):
+    """The whole point of global_rank: exact global row_number WITHOUT the
+    single-partition window stage. The executed plan must contain a range
+    repartition and NO SinglePartition exchange / empty-frame Window."""
+    from pyrope_spark.operators.curation import global_rank
+
+    df = spark.createDataFrame(
+        [(i * 13 % 97, i) for i in range(2000)], "v long, id long"
+    ).repartition(8)
+    out = global_rank(df, order_cols=("v", "id"))
+    out.collect()
+    final = _final_plan(out)
+    assert "rangepartitioning" in final.lower()
+    assert "SinglePartition" not in final
+    assert "Window" not in final
+
+
+def test_attribution_join_is_keyed_not_cartesian(spark):
+    """The touch-conversion association must plan as a keyed join on the
+    user column (hash or sort-merge), never a cartesian/broadcast-nested-
+    loop over the event table."""
+    from pyrope_spark.operators.attribution import attribution_credit
+
+    rows = [
+        (i, i % 50, (i * 7919) % 100_000 * 1_000_000_000,
+         ["view", "click", "purchase"][i % 3], 1.0)
+        for i in range(3000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, event_type string, value double"
+    )
+    out = attribution_credit(ev, lookback_s=86400)
+    out.collect()
+    final = _final_plan(out)
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_hashed_features_two_keyed_aggregates_no_join(spark):
+    """Feature hashing is tokenize -> (doc, token) count -> (doc, bucket)
+    sum: pure aggregates, no joins, no corpus-global state."""
+    from pyrope_spark.operators.features import hashed_features
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 11} w{(i * 3) % 11} common") for i in range(500)],
+        "doc_id long, text string",
+    )
+    out = hashed_features(docs, dim=128)
+    out.collect()
+    final = _final_plan(out)
+    assert "Join" not in final
+    assert final.count("HashAggregate") >= 2
+
+
+def test_frequent_triples_prunes_via_broadcast_semi_joins(spark):
+    """The Apriori prune chain must ride broadcasts (frequent items/pairs
+    are small by construction) — the basket-key joins may shuffle, the
+    prune tables must not."""
+    from pyrope_spark.operators.analytics import frequent_triples
+
+    rows = [(b, (b * 7 + j) % 40) for b in range(400) for j in range(4)]
+    df = spark.createDataFrame(rows, "bid long, item long")
+    out = frequent_triples(df, basket_col="bid", item_col="item", min_support=3)
+    out.collect()
+    final = _final_plan(out)
+    assert "BroadcastHashJoin" in final
+    assert "LeftSemi" in final
