@@ -759,6 +759,10 @@ def main() -> None:
         "dedup_keep_best",
         "image_ahash64",
         "ahash_neardup_images",
+        "debounced_events",
+        "cross_modal_dup_audit",
+        "hub_proximity_harmonic",
+        "quantile_normalized_lengths",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
