@@ -58,3 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view so the engine's SQL
+    surface (``spark.sql``) works against the corpus directly — the same
+    names the DuckDB oracle binds, so a sufficiently portable ANSI query
+    string runs VERBATIM on both engines (proven by the
+    ``sql_shared_text_query`` gate entry, whose Spark side and oracle are
+    one literal)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -11636,3 +11636,33 @@ JOIN pool ON pool.idx = (r * big_n + n - 1) // n
 """
 
 register("quantile_normalized_lengths", _QNORM_ORACLE)(_qnorm_spark)
+
+
+# --------------------------------------------------------------------------
+# SQL-surface proof: ONE literal ANSI SQL string executed verbatim by
+# BOTH engines — spark.sql over catalog.register_views temp views, and
+# DuckDB over its parquet views. Every value is integer (floor-cents via
+# one IEEE multiply+floor), so the shared text is also hash-portable.
+# --------------------------------------------------------------------------
+
+_SHARED_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+def _shared_sql_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.catalog import register_views
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)
+
+
+register("sql_shared_text_query", _SHARED_SQL)(_shared_sql_spark)
