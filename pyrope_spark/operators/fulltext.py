@@ -748,3 +748,193 @@ FROM (
   FROM per_doc WHERE min_span <= {max_span}
 ) WHERE rk <= {k}
 """
+
+
+def phrase_search(
+    docs: DataFrame,
+    *,
+    phrase: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-token phrase matching over positional postings: top-``k``
+    docs containing the phrase's tokens at CONSECUTIVE positions, ranked
+    (n_matches desc, first_pos asc, doc_id asc) — a total order.
+
+    The classic anchor trick: each occurrence of phrase token ``i`` at
+    position ``p`` votes for anchor ``p - i``; an anchor collecting ALL
+    ``m`` distinct token indexes is a phrase occurrence.  Repeated tokens
+    inside the phrase are handled by the join against the (i, term) phrase
+    table (one posting row votes once per index holding that term) and the
+    COUNT(DISTINCT i) = m test.
+
+    Scale shape (100 TB): the postings table is filtered to the phrase's
+    <= m distinct terms BEFORE any shuffle (with the term-bucketed BM25
+    postings layout this is a partition-pruned read), the phrase table is
+    a broadcast of m rows, matching is ONE (doc, anchor) keyed aggregate,
+    and the top-k cut is two-phase (the final single-partition sort sees
+    <= k * partitions rows, never the matched-doc set).
+    """
+    from pyspark.sql.window import Window
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    m = len(terms)
+    spark = docs.sparkSession
+    phr = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i INT, term STRING"
+    )
+    post = positional_postings(docs, id_col=id_col, text_col=text_col)
+    votes = post.join(F.broadcast(phr), "term").select(
+        "doc_id", (F.col("pos") - F.col("i")).cast("long").alias("anchor"), "i"
+    ).filter(F.col("anchor") >= 0)
+    hits = (
+        votes.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("i").alias("_n"))
+        .filter(F.col("_n") == m)
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )
+    order = [F.desc("n_matches"), F.asc("first_pos"), F.asc("doc_id")]
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        per_doc.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def phrase_search_oracle_sql(
+    *,
+    phrase: str,
+    k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of [[phrase_search]] (positions normalized 0-based so
+    ``first_pos`` replicates)."""
+    terms = [t for t in phrase.lower().split() if t]
+    m = len(terms)
+    phr_rows = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return f"""
+WITH tk AS (SELECT {id_col} AS doc_id, {tokens_sql(text_col)} AS t
+            FROM {table}),
+post AS (
+  SELECT doc_id, CAST(gs - 1 AS BIGINT) AS pos, t[CAST(gs AS INT)] AS term
+  FROM tk, unnest(generate_series(1, len(t))) AS g(gs)
+),
+phr(i, term) AS (VALUES {phr_rows}),
+votes AS (
+  SELECT post.doc_id, CAST(post.pos - phr.i AS BIGINT) AS anchor, phr.i
+  FROM post JOIN phr ON post.term = phr.term
+  WHERE post.pos - phr.i >= 0
+),
+hits AS (
+  SELECT doc_id, anchor FROM votes
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT i) = {m}
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(MIN(anchor) AS BIGINT) AS first_pos
+  FROM hits GROUP BY 1
+)
+SELECT doc_id, n_matches, first_pos, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_matches DESC, first_pos ASC, doc_id ASC) AS rk
+  FROM per_doc
+) WHERE rk <= {k}
+"""
+
+
+def heaps_vocab_growth(
+    docs: DataFrame,
+    *,
+    bucket_width: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: per ``bucket_width``-doc bucket
+    in ``id_col`` order, the bucket's token count, its count of NEVER-
+    before-seen token types, and the cumulative token/type totals — the
+    corpus-health diagnostic (a vocabulary that stops growing signals
+    duplicated or template text; one that grows linearly signals noise).
+
+    All counts are exact integers.  A type is "new in bucket B" iff the
+    minimum bucket over its occurrences is B — so cumulative distinct
+    types fall out of two keyed aggregates, NEVER a cumulative-distinct
+    window over the corpus.
+
+    Scale shape (100 TB): one (term) aggregate for first-occurrence
+    buckets, one (bucket) aggregate each for tokens and new types, then a
+    running-sum window over the BUCKET table only — |buckets| =
+    max_id / bucket_width rows, which the caller sizes to thousands (the
+    single-partition window is bounded by construction, the
+    [[time_weighted_avg_daily]] spine discipline).
+    """
+    from pyspark.sql.window import Window
+
+    occ = docs.select(
+        F.expr(f"{id_col} div {bucket_width}").cast("long").alias("bucket"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    toks_per_bucket = occ.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("bucket_tokens")
+    )
+    first_bucket = occ.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    new_types = first_bucket.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("new_types")
+    )
+    per_bucket = toks_per_bucket.join(new_types, "bucket", "left").select(
+        "bucket",
+        "bucket_tokens",
+        F.coalesce(F.col("new_types"), F.lit(0)).cast("long").alias("new_types"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "bucket_tokens",
+        "new_types",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )
+
+
+def heaps_vocab_growth_oracle_sql(
+    *,
+    bucket_width: int = 100,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of [[heaps_vocab_growth]]."""
+    return f"""
+WITH occ AS (
+  SELECT CAST({id_col} // {bucket_width} AS BIGINT) AS bucket,
+         unnest({tokens_sql(text_col)}) AS term
+  FROM {table}
+),
+tpb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_tokens
+        FROM occ GROUP BY 1),
+fb AS (SELECT term, MIN(bucket) AS bucket FROM occ GROUP BY 1),
+nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types
+       FROM fb GROUP BY 1)
+SELECT tpb.bucket, tpb.bucket_tokens,
+       CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(tpb.bucket_tokens) OVER (ORDER BY tpb.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(coalesce(nt.new_types, 0)) OVER (ORDER BY tpb.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_types
+FROM tpb LEFT JOIN nt ON tpb.bucket = nt.bucket
+"""

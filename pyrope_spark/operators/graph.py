@@ -620,3 +620,204 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_hubs_within_k,
 FROM d{k} WHERE dist >= 1 GROUP BY node"""
     )
     return "".join(parts)
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+    top_n: int = 1000,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Missing-link candidates ranked by resource allocation (Zhou et al.
+    2009): for each non-adjacent pair (u, w), ``ra_ppm = Σ_z 1e6 // deg(z)``
+    over their common neighbors z, plus the plain common-neighbor count.
+
+    Reference intent: the "users who bought X also bought Y" candidate
+    generator over the co-purchase graph (the graph-side sibling of
+    item_item_cosine_topk — structural instead of vector similarity).
+
+    All-integer: RA contributions are truncating ``1e6 // deg`` per common
+    neighbor (deg >= 1 always — z has at least the two wedge edges), so
+    the ranking replicates bit-for-bit in the DuckDB twin.
+
+    Scale shape (100 TB): wedges are one self-join of the adjacency list
+    keyed by the CENTER node z, so the join volume is Σ deg(z)² — the
+    quantity ``max_hub_degree`` bounds a priori by dropping centers above
+    the cap (standard at scale, and principled here: a hub's per-pair RA
+    contribution is <= 1e6/cap, i.e. the dropped mass is the smallest
+    signal). Candidate pairs then take ONE keyed aggregate, one anti-join
+    against the edge set (predict NEW links only), and a two-phase global
+    top-n cut (the final single-partition sort sees <= top_n * partitions
+    rows, never the candidate set).
+    """
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").cast("long").alias("deg"))
+    centers = adj.join(deg, "z")
+    if max_hub_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_hub_degree)
+    left = centers.select("z", F.col("nbr").alias("u"), "deg")
+    right = centers.select(F.col("z").alias("z2"), F.col("nbr").alias("w"))
+    wedges = left.join(
+        right, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("w"))
+    ).select("u", "w", "deg")
+    cand = wedges.groupBy("u", "w").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum(F.expr("1000000 div deg")).cast("long").alias("ra_ppm"),
+    )
+    new_links = cand.join(
+        und,
+        (F.col("u") == F.col("a")) & (F.col("w") == F.col("b")),
+        "left_anti",
+    ).filter(F.col("common_neighbors") >= min_common)
+    order = [
+        F.desc("ra_ppm"),
+        F.desc("common_neighbors"),
+        F.asc("u"),
+        F.asc("w"),
+    ]
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        new_links.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= top_n)
+        .drop("_lr")
+    )
+    w = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_n)
+    )
+
+
+def link_prediction_oracle_sql(
+    edges_sql: str,
+    *,
+    min_common: int = 2,
+    top_n: int = 1000,
+    max_hub_degree: int | None = None,
+) -> str:
+    """DuckDB twin of [[link_prediction_ra]] (``edges_sql`` yields src, dst)."""
+    hub_filter = (
+        f"WHERE deg <= {max_hub_degree}" if max_hub_degree is not None else ""
+    )
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges
+  WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+),
+adj AS (
+  SELECT a AS z, b AS nbr FROM und UNION ALL SELECT b AS z, a AS nbr FROM und
+),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+centers AS (SELECT adj.z, adj.nbr, deg.deg FROM adj JOIN deg USING (z) {hub_filter}),
+wedges AS (
+  SELECT l.nbr AS u, r.nbr AS w, l.deg
+  FROM centers l JOIN centers r ON l.z = r.z AND l.nbr < r.nbr
+),
+cand AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(1000000 // deg) AS BIGINT) AS ra_ppm
+  FROM wedges GROUP BY 1, 2
+),
+new_links AS (
+  SELECT c.* FROM cand c
+  ANTI JOIN und ON c.u = und.a AND c.w = und.b
+  WHERE c.common_neighbors >= {min_common}
+)
+SELECT u, w, common_neighbors, ra_ppm, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY ra_ppm DESC, common_neighbors DESC, u ASC, w ASC) AS rk
+  FROM new_links
+) WHERE rk <= {top_n}
+"""
+
+
+def degree_assortativity_stats(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact BIGINT sufficient statistics for Newman's degree-assortativity
+    coefficient over the undirected simple graph: one row of
+    ``(m2, sum_xy, sum_x, sum_xx)`` where each undirected edge contributes
+    BOTH orientations (the standard symmetrization), x/y are endpoint
+    degrees.  The float coefficient
+    ``r = (m2*sum_xy - sum_x^2) / (m2*sum_xx - sum_x^2)`` is one driver- or
+    test-side division away — kept OUT of the hashed output so the query
+    stays integer-exact cross-engine (the emit-sufficient-statistics
+    discipline of [[embedding_gram_micro]]).
+
+    Scale shape: one degree aggregate + one broadcast-or-hash join back to
+    edges + one global sum — two shuffles, no iteration.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("_b"), F.col("deg").alias("dy"))
+    per_edge = (
+        und.join(da, F.col("a") == F.col("_a"))
+        .join(db, F.col("b") == F.col("_b"))
+        .select("dx", "dy")
+    )
+    return per_edge.agg(
+        (F.count("*") * 2).cast("long").alias("m2"),
+        (F.sum(F.col("dx") * F.col("dy")) * 2).cast("long").alias("sum_xy"),
+        F.sum(F.col("dx") + F.col("dy")).cast("long").alias("sum_x"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("long")
+        .alias("sum_xx"),
+    )
+
+
+def degree_assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of [[degree_assortativity_stats]]."""
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges
+  WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+),
+per_edge AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node
+)
+SELECT CAST(count(*) * 2 AS BIGINT) AS m2,
+       CAST(SUM(dx * dy) * 2 AS BIGINT) AS sum_xy,
+       CAST(SUM(dx + dy) AS BIGINT) AS sum_x,
+       CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sum_xx
+FROM per_edge
+"""

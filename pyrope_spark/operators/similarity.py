@@ -894,3 +894,154 @@ def _label_noise_candidates_arrow(
     return pairs.mapInPandas(
         score, "id long, lbl long, nid long, nlbl long, d2 long"
     )
+
+
+def mutual_nn_pairs(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    rows_per_block: int = 2048,
+    max_exact_rows: int = 50_000,
+    mode: str = "auto",
+    nlist: int | None = None,
+    nprobe: int = 16,
+) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs: (u, w) where w is u's single
+    nearest neighbor AND u is w's — the classic seed step of RNN-based
+    agglomerative clustering and a high-precision near-duplicate signal
+    (each member of a mutual pair vouches for the other).
+
+    Exact paths score EXACT integer L2² on micro-unit coordinates with
+    the neighbor order fixed by (d2, nid) — the [[label_noise_scan]]
+    discipline, and in fact the same candidate generators:
+
+    - ``'expr'``  : all-pairs expression twin (oracle parity); bounded by
+      ``max_exact_rows``.
+    - ``'arrow'`` : block-pair float64 GEMM (exact below 2^53), block-local
+      top-1 then a global (d2, nid) argmin per id; bit-identical to
+      'expr' (pytest parity); same bound.
+    - ``'ann'``   : IVF candidates feeding the same argmin+mutual join —
+      N·2 candidate rows, approximate (d2 scaled to the same micro² unit,
+      floored).
+    - ``'auto'``  : arrow up to ``max_exact_rows``, ann above — never an
+      O(N²) plan, never a refusal (the facade rule).
+
+    Scale shape: candidate generation is the bounded part; the mutual
+    test itself is ONE self-join of the N-row nearest-neighbor table on
+    (u = their_w AND w = their_u) with u < w — keyed equi-join, linear.
+
+    Output: (u, w, d2) sorted by the pair key, one row per mutual pair.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    n = embeddings.count()
+    if mode == "auto":
+        mode = "arrow" if n <= max_exact_rows else "ann"
+    if mode in ("expr", "arrow") and n > max_exact_rows:
+        raise ValueError(
+            f"mutual_nn_pairs exact mode {mode!r} bounded at "
+            f"{max_exact_rows} rows (got {n}); use mode='auto'/'ann' above"
+        )
+    if mode == "ann":
+        cands = _label_noise_candidates_ann(
+            embeddings.withColumn("_const_lbl", F.lit(0)),
+            vec_col, "_const_lbl", id_col, 1,
+            n_rows=n, nlist=nlist, nprobe=nprobe,
+        ).select(
+            "id", "nid",
+            F.floor(F.col("d2") * scale * scale).cast("long").alias("d2"),
+        )
+    else:
+        base = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("long").alias("lbl"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("vm"),
+        )
+        if mode == "arrow":
+            cands = _label_noise_candidates_arrow(base, 1, rows_per_block)
+        elif mode == "expr":
+            other = base.select(
+                F.col("id").alias("nid"), F.col("vm").alias("nvm")
+            )
+            pairs = base.crossJoin(other).filter(F.col("id") != F.col("nid"))
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("vm"), F.col("nvm"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cands = pairs.select("id", "nid", d2.alias("d2"))
+        else:
+            raise ValueError(
+                f"mode must be 'auto', 'expr', 'arrow', or 'ann', got {mode!r}"
+            )
+    nn1 = (
+        cands.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("d2").asc(), F.col("nid").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("id", "nid", "d2")
+    )
+    back = nn1.select(
+        F.col("id").alias("_bid"), F.col("nid").alias("_bnid")
+    )
+    return (
+        nn1.join(
+            back,
+            (F.col("nid") == F.col("_bid")) & (F.col("id") == F.col("_bnid")),
+        )
+        .filter(F.col("id") < F.col("nid"))
+        .select(
+            F.col("id").cast("long").alias("u"),
+            F.col("nid").cast("long").alias("w"),
+            F.col("d2").cast("long").alias("d2"),
+        )
+    )
+
+
+def mutual_nn_oracle_sql(
+    *,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[mutual_nn_pairs]] exact paths: all-pairs integer
+    micro-unit L2², per-id argmin by (d2, nid), mutual join, u < w."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+         ) AS vm
+  FROM {table}
+),
+pairs AS (
+  SELECT a.id AS id, b.id AS nid,
+         CAST(list_sum(list_transform(
+           list_zip(a.vm, b.vm),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM base a JOIN base b ON a.id <> b.id
+),
+nn1 AS (
+  SELECT id, nid, d2 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY d2 ASC, nid ASC) AS rk
+    FROM pairs
+  ) WHERE rk = 1
+)
+SELECT CAST(x.id AS BIGINT) AS u, CAST(x.nid AS BIGINT) AS w,
+       CAST(x.d2 AS BIGINT) AS d2
+FROM nn1 x JOIN nn1 y ON x.nid = y.id AND x.id = y.nid
+WHERE x.id < x.nid
+"""

@@ -11666,3 +11666,96 @@ def _shared_sql_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sql_shared_text_query", _SHARED_SQL)(_shared_sql_spark)
+
+
+# --------------------------------------------------------------------------
+# Round-6 session-5: graph link prediction + assortativity, exact phrase
+# search, Heaps-law vocabulary growth, reciprocal-NN embedding pairs.
+# --------------------------------------------------------------------------
+
+
+def _linkpred_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import link_prediction_ra
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    return link_prediction_ra(edges, min_common=2, top_n=500)
+
+
+def _linkpred_oracle() -> str:
+    from pyrope_spark.operators.graph import link_prediction_oracle_sql
+
+    return link_prediction_oracle_sql(
+        _COPURCHASE_EDGES_SQL, min_common=2, top_n=500
+    )
+
+
+register("linkpred_resource_allocation", _linkpred_oracle())(_linkpred_spark)
+
+
+def _assort_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import degree_assortativity_stats
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    return degree_assortativity_stats(edges)
+
+
+def _assort_oracle() -> str:
+    from pyrope_spark.operators.graph import degree_assortativity_oracle_sql
+
+    return degree_assortativity_oracle_sql(_COPURCHASE_EDGES_SQL)
+
+
+register("degree_assortativity_copurchase", _assort_oracle())(_assort_spark)
+
+
+def _phrase_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import phrase_search
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, phrase="table value", k=20)
+
+
+def _phrase_oracle() -> str:
+    from pyrope_spark.operators.fulltext import phrase_search_oracle_sql
+
+    return phrase_search_oracle_sql(phrase="table value", k=20)
+
+
+register("phrase_search_bigram", _phrase_oracle())(_phrase_spark)
+
+
+def _heaps_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import heaps_vocab_growth
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_vocab_growth(docs, bucket_width=50)
+
+
+def _heaps_oracle() -> str:
+    from pyrope_spark.operators.fulltext import heaps_vocab_growth_oracle_sql
+
+    return heaps_vocab_growth_oracle_sql(bucket_width=50)
+
+
+register("heaps_vocab_growth", _heaps_oracle())(_heaps_spark)
+
+
+def _mutual_nn_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.similarity import mutual_nn_pairs
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_nn_pairs(emb, mode="arrow")
+
+
+def _mutual_nn_oracle() -> str:
+    from pyrope_spark.operators.similarity import mutual_nn_oracle_sql
+
+    return mutual_nn_oracle_sql()
+
+
+register("mutual_nn_pairs", _mutual_nn_oracle())(_mutual_nn_spark)

@@ -1,0 +1,118 @@
+"""Closed-form tests for graph link prediction (common-neighbors +
+resource-allocation) and degree-assortativity sufficient statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyrope_spark.operators.graph import (
+    degree_assortativity_stats,
+    link_prediction_ra,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src LONG, dst LONG")
+
+
+def test_linkpred_closed_form(spark):
+    # square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4
+    # degs: 1:2, 2:3, 3:3, 4:2
+    # non-edge (1,4): common neighbors {2,3} -> cn=2,
+    #   ra = 1e6//3 + 1e6//3 = 666666
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    out = link_prediction_ra(e, min_common=1, top_n=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.w) == (1, 4)
+    assert r.common_neighbors == 2
+    assert r.ra_ppm == 2 * (1_000_000 // 3)
+    assert r.rk == 1
+
+
+def test_linkpred_excludes_existing_edges_and_min_common(spark):
+    # triangle 1-2-3 plus pendant 4-1: (2,3) is an edge -> excluded even
+    # though they share neighbor 1; (2,4)/(3,4) share only node 1 -> cn=1,
+    # filtered by min_common=2
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+    out = link_prediction_ra(e, min_common=2, top_n=10).collect()
+    assert out == []
+    out1 = link_prediction_ra(e, min_common=1, top_n=10).collect()
+    got = {(r.u, r.w): (r.common_neighbors, r.ra_ppm) for r in out1}
+    # deg(1) = 3; pairs through center 1: (2,3) is an edge (excluded),
+    # (2,4) and (3,4) survive with ra = 1e6//3
+    assert got == {(2, 4): (1, 333333), (3, 4): (1, 333333)}
+
+
+def test_linkpred_direction_and_duplicate_invariance(spark):
+    e1 = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    e2 = _edges(
+        spark,
+        [(2, 1), (1, 3), (3, 2), (4, 2), (3, 4), (1, 2), (2, 3)],
+    )
+    a = sorted(map(tuple, link_prediction_ra(e1, min_common=1).collect()))
+    b = sorted(map(tuple, link_prediction_ra(e2, min_common=1).collect()))
+    assert a == b
+
+
+def test_linkpred_hub_cap_drops_hub_centers(spark):
+    # star center 9 connects 1..4 (deg 4); 5 connects to 1 and 2
+    # (deg(1)=deg(2)=deg(5)=2). With max_hub_degree=3 the star center is
+    # dropped as a wedge center: candidates are (1,2) via center 5 and
+    # (5,9) via centers 1 and 2.
+    e = _edges(spark, [(9, 1), (9, 2), (9, 3), (9, 4), (1, 5), (2, 5)])
+    out = link_prediction_ra(e, min_common=1, max_hub_degree=3).collect()
+    got = {(r.u, r.w): r.common_neighbors for r in out}
+    assert got == {(1, 2): 1, (5, 9): 2}
+    full = link_prediction_ra(e, min_common=1).collect()
+    # without the cap, star-leaf pairs through center 9 appear too
+    assert {(r.u, r.w) for r in full} >= {(1, 3), (1, 4), (2, 3), (3, 4)}
+
+
+def test_linkpred_top_n_rank_order(spark):
+    # two candidate pairs with different RA: center degrees differ
+    # pair (1,3) via center 2 (deg 2) -> ra 500000
+    # pair (4,6) via centers 5 and 7 (deg 2 each) -> cn 2, ra 1000000
+    e = _edges(spark, [(1, 2), (2, 3), (4, 5), (5, 6), (4, 7), (7, 6)])
+    out = link_prediction_ra(e, min_common=1, top_n=1).collect()
+    assert len(out) == 1 and (out[0].u, out[0].w) == (4, 6)
+
+
+def test_assortativity_path_graph_is_minus_one(spark):
+    # P3: 1-2-3. Newman r = -1 exactly.
+    e = _edges(spark, [(1, 2), (2, 3)])
+    r = degree_assortativity_stats(e).collect()[0]
+    assert (r.m2, r.sum_xy, r.sum_x, r.sum_xx) == (4, 8, 6, 10)
+    num = r.m2 * r.sum_xy - r.sum_x * r.sum_x
+    den = r.m2 * r.sum_xx - r.sum_x * r.sum_x
+    assert num / den == -1.0
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    # cycle 1-2-3-1: every degree 2 -> zero variance, num == den == 0
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    r = degree_assortativity_stats(e).collect()[0]
+    assert r.m2 == 6
+    num = r.m2 * r.sum_xy - r.sum_x * r.sum_x
+    den = r.m2 * r.sum_xx - r.sum_x * r.sum_x
+    assert num == 0 and den == 0
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    import numpy as np
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (5, 6), (6, 2)]
+    e = _edges(spark, pairs)
+    r = degree_assortativity_stats(e).collect()[0]
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    expected = np.corrcoef(xs, ys)[0, 1]
+    num = r.m2 * r.sum_xy - r.sum_x * r.sum_x
+    den = r.m2 * r.sum_xx - r.sum_x * r.sum_x
+    assert abs(num / den - expected) < 1e-12

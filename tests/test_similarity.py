@@ -550,3 +550,81 @@ def test_label_noise_scan_60k_rows_no_error(spark):
     recall = tp / max(len(planted), 1)
     assert precision >= 0.9, (precision, recall)
     assert recall >= 0.9, (precision, recall)
+
+
+# --------------------------------------------------------------------------
+# mutual_nn_pairs (round-6 session-5)
+# --------------------------------------------------------------------------
+
+
+def _mnn_df(spark, vecs):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+def test_mutual_nn_planted_pairs(spark):
+    from pyrope_spark.operators.similarity import mutual_nn_pairs
+
+    # two tight planted pairs + one loner nearest to pair 1 but not
+    # reciprocated
+    vecs = [
+        [0.0, 0.0], [0.001, 0.0],       # mutual pair (0, 1)
+        [5.0, 5.0], [5.001, 5.0],       # mutual pair (2, 3)
+        [0.1, 0.0],                     # nearest to 1, but 1's NN is 0
+    ]
+    out = sorted(
+        (r.u, r.w) for r in mutual_nn_pairs(_mnn_df(spark, vecs), mode="expr").collect()
+    )
+    assert out == [(0, 1), (2, 3)]
+
+
+def test_mutual_nn_arrow_matches_expr(spark, rng):
+    from pyrope_spark.operators.similarity import mutual_nn_pairs
+
+    vecs = rng.random((60, 6)).tolist()
+    df = _mnn_df(spark, vecs)
+    a = sorted(map(tuple, mutual_nn_pairs(df, mode="expr").collect()))
+    b = sorted(
+        map(tuple, mutual_nn_pairs(df, mode="arrow", rows_per_block=16).collect())
+    )
+    assert a == b and len(a) >= 1
+
+
+def test_mutual_nn_tie_broken_by_neighbor_id(spark):
+    from pyrope_spark.operators.similarity import mutual_nn_pairs
+
+    # 1 is equidistant from 0 and 2; (d2, nid) order picks 0. 0's NN is 1.
+    vecs = [[0.0], [1.0], [2.0]]
+    out = [(r.u, r.w) for r in mutual_nn_pairs(_mnn_df(spark, vecs), mode="expr").collect()]
+    assert out == [(0, 1)]
+
+
+def test_mutual_nn_exact_mode_bound_raises(spark):
+    import pytest
+
+    from pyrope_spark.operators.similarity import mutual_nn_pairs
+
+    df = _mnn_df(spark, [[float(i)] for i in range(20)])
+    with pytest.raises(ValueError):
+        mutual_nn_pairs(df, mode="expr", max_exact_rows=10)
+
+
+def test_mutual_nn_ann_agrees_on_separated_pairs(spark):
+    from pyrope_spark.operators.similarity import mutual_nn_pairs
+
+    # well-separated tight pairs: ANN must find the same mutual pairs
+    vecs = []
+    for c in range(8):
+        base = [10.0 * c, 10.0 * c]
+        vecs.append(base)
+        vecs.append([base[0] + 0.001, base[1]])
+    df = _mnn_df(spark, vecs)
+    exact = sorted((r.u, r.w) for r in mutual_nn_pairs(df, mode="expr").collect())
+    ann = sorted(
+        (r.u, r.w)
+        for r in mutual_nn_pairs(df, mode="ann", nlist=4, nprobe=4).collect()
+    )
+    assert exact == [(2 * c, 2 * c + 1) for c in range(8)]
+    assert ann == exact
