@@ -763,6 +763,12 @@ def main() -> None:
         "cross_modal_dup_audit",
         "hub_proximity_harmonic",
         "quantile_normalized_lengths",
+        # round 6 session-5 additions
+        "linkpred_resource_allocation",
+        "degree_assortativity_copurchase",
+        "phrase_search_bigram",
+        "heaps_vocab_growth",
+        "mutual_nn_pairs",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
