@@ -769,6 +769,10 @@ def main() -> None:
         "phrase_search_bigram",
         "heaps_vocab_growth",
         "mutual_nn_pairs",
+        "term_keyness_top50",
+        "lexical_diversity_by_source",
+        "robust_scaled_event_values",
+        "hard_negative_pairs",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

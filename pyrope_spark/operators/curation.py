@@ -1821,3 +1821,114 @@ def quantile_normalize(
         .withColumn(out_col, F.col("_pv"))
         .drop("_n", "_r", "_pv")
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Median/IQR robust scaling per group — the outlier-tolerant
+    standardization (sklearn's RobustScaler) for features whose per-source
+    distributions differ in location and spread, where mean/std would let
+    a single heavy-tailed source dominate.
+
+    All-integer: values enter as ``floor(v·1e6)`` micro units (one IEEE
+    multiply+floor), the three quartiles are EXACT nearest-rank order
+    statistics (rank = ceil(p·n), 1-indexed — the
+    [[exact_quantiles_two_pass]] rank function) picked by row_number over
+    the total order (vm, id), and the output is
+    ``scaled_ppm = (vm − median)·1e6 div (q3 − q1)`` (truncating div,
+    verified identical on negatives in both engines; 0 when the IQR is 0).
+
+    Scale shape (100 TB): one group-keyed window for ranks + one group
+    aggregate for sizes/quartiles + one broadcast join back — every stage
+    shuffles on the group key only.  The per-group window sort is the
+    bounded part (groups are feature partitions, not the corpus).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.floor(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vm"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("vm").asc(), F.col("id").asc())
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    sizes = base.groupBy("grp").agg(F.count("*").alias("n"))
+    # rank targets via integer ceil-div (ceil(a/b) = (a+b-1) div b on
+    # positive operands) — float division could misplace a rank by 1 ulp
+    withr = ranked.join(F.broadcast(sizes), "grp").select(
+        "grp",
+        "vm",
+        "rn",
+        F.expr("(n + 3) div 4").alias("_q1r"),
+        F.expr("(n + 1) div 2").alias("_medr"),
+        F.expr("(3 * n + 3) div 4").alias("_q3r"),
+    )
+    qs = withr.groupBy("grp").agg(
+        F.max(F.when(F.col("rn") == F.col("_q1r"), F.col("vm"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.col("_medr"), F.col("vm"))).alias("med"),
+        F.max(F.when(F.col("rn") == F.col("_q3r"), F.col("vm"))).alias("q3"),
+    )
+    return (
+        base.join(F.broadcast(qs), "grp")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "vm",
+            F.col("q1").cast("long").alias("q1_micro"),
+            F.col("med").cast("long").alias("median_micro"),
+            F.col("q3").cast("long").alias("q3_micro"),
+            F.when(
+                F.col("q3") > F.col("q1"),
+                F.expr("(vm - med) * 1000000 div (q3 - q1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("scaled_ppm"),
+        )
+    )
+
+
+def robust_scale_oracle_sql(
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    table: str,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[robust_scale]]."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {id_col} AS id,
+         CAST(floor(CAST({value_col} AS DOUBLE) * {scale}) AS BIGINT) AS vm
+  FROM {table}
+),
+ranked AS (
+  SELECT grp, vm,
+         row_number() OVER (PARTITION BY grp ORDER BY vm ASC, id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM base
+),
+qs AS (
+  SELECT grp,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN vm END) AS q1,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN vm END) AS med,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN vm END) AS q3
+  FROM ranked GROUP BY 1
+)
+SELECT b.id AS {id_col}, b.grp AS {group_col}, b.vm,
+       CAST(q1 AS BIGINT) AS q1_micro,
+       CAST(med AS BIGINT) AS median_micro,
+       CAST(q3 AS BIGINT) AS q3_micro,
+       CAST(CASE WHEN q3 > q1 THEN (b.vm - med) * 1000000 // (q3 - q1)
+                 ELSE 0 END AS BIGINT) AS scaled_ppm
+FROM base b JOIN qs ON b.grp = qs.grp
+"""

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyrope_spark.functions.text import tokens, tokens_sql
@@ -937,4 +937,173 @@ SELECT tpb.bucket, tpb.bucket_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cum_types
 FROM tpb LEFT JOIN nt ON tpb.bucket = nt.bucket
+"""
+
+
+def term_keyness(
+    docs: DataFrame,
+    *,
+    group_expr: Column,
+    k: int = 50,
+    min_term_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-comparison keyness: which terms are most over/under-represented
+    between two (or more) document groups — the chi-square keyness measure
+    of corpus linguistics, and the drift diagnostic run between a new crawl
+    snapshot and the previous one before mixing them.
+
+    One token-occurrence scan feeds [[categorical_association]]'s
+    (term × group) contingency (DECIMAL(38,0) intermediates keep the
+    (N·obs − ra·cb)² product exact at corpus token counts), rare terms are
+    cut by ``min_term_count`` BEFORE the marginals are final — so the
+    marginals/N are computed over the kept-term universe on BOTH engines —
+    then a two-phase global top-k by (chi2 desc, term asc, group asc).
+
+    Scale shape (100 TB): explode + one hash aggregate per marginal (all
+    broadcast-joined back), top-k cut never sorts more than k·partitions
+    rows.  No floats anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from pyrope_spark.operators.profile import categorical_association
+
+    occ = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term"),
+        group_expr.alias("grp"),
+    )
+    counts = occ.groupBy("term").agg(F.count("*").alias("_tc"))
+    kept = occ.join(
+        F.broadcast(counts.filter(F.col("_tc") >= min_term_count)), "term"
+    ).select("term", "grp")
+    cells = categorical_association(kept, "term", "grp")
+    order = [
+        F.desc("chi2_contrib_micro"),
+        F.asc("term"),
+        F.asc("grp"),
+    ]
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        cells.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def term_keyness_oracle_sql(
+    *,
+    group_sql: str,
+    k: int = 50,
+    min_term_count: int = 5,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of [[term_keyness]] (``group_sql`` is an expression over
+    the document row producing the group value)."""
+    return f"""
+WITH occ AS (
+  SELECT unnest({tokens_sql(text_col)}) AS term, {group_sql} AS grp
+  FROM {table}
+),
+kept AS (
+  SELECT term, grp FROM occ
+  WHERE term IN (SELECT term FROM occ GROUP BY 1
+                 HAVING count(*) >= {min_term_count})
+),
+cells AS (
+  SELECT term, grp, CAST(count(*) AS BIGINT) AS obs FROM kept GROUP BY 1, 2
+),
+ra AS (SELECT term, SUM(obs) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT grp, SUM(obs) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT SUM(obs) AS n FROM cells),
+j AS (
+  SELECT c.term, c.grp, c.obs,
+         CAST(ra.ra AS BIGINT) AS row_total,
+         CAST(cb.cb AS BIGINT) AS col_total,
+         CAST(ra.ra * cb.cb * {scale} // n AS BIGINT) AS expected_micro,
+         CAST((n * c.obs - ra.ra * cb.cb) * (n * c.obs - ra.ra * cb.cb)
+              * {scale} // (n * ra.ra * cb.cb) AS BIGINT)
+           AS chi2_contrib_micro
+  FROM cells c JOIN ra ON c.term = ra.term JOIN cb ON c.grp = cb.grp
+  CROSS JOIN tot
+)
+SELECT term, grp, obs, row_total, col_total, expected_micro,
+       chi2_contrib_micro, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY chi2_contrib_micro DESC, term ASC, grp ASC) AS rk
+  FROM j
+) WHERE rk <= {k}
+"""
+
+
+def lexical_diversity_simpson(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Simpson repeat-rate of the token distribution:
+    ``simpson_ppm = 1e6 · Σ c·(c−1) // (n·(n−1))`` — the probability that
+    two tokens drawn without replacement are the same type.  HIGH values
+    flag template/boilerplate-heavy sources (the inverse of lexical
+    diversity); unlike entropy it needs no logarithm, so it stays exact
+    integer cross-engine.
+
+    Scale shape: two keyed aggregates ((group, term) then (group)) — the
+    same linear shape as word count.
+    """
+    occ = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tc = occ.groupBy("grp", "term").agg(F.count("*").alias("c"))
+    return (
+        tc.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("_rep"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            F.when(
+                F.col("n_tokens") > 1,
+                F.expr("_rep * 1000000 div (n_tokens * (n_tokens - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("simpson_ppm"),
+        )
+    )
+
+
+def lexical_diversity_oracle_sql(
+    *,
+    group_col: str = "source",
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of [[lexical_diversity_simpson]]."""
+    return f"""
+WITH occ AS (
+  SELECT {group_col} AS grp, unnest({tokens_sql(text_col)}) AS term
+  FROM {table}
+),
+tc AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2)
+SELECT grp AS {group_col},
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(CASE WHEN SUM(c) > 1
+                 THEN SUM(c * (c - 1)) * 1000000 // (SUM(c) * (SUM(c) - 1))
+                 ELSE 0 END AS BIGINT) AS simpson_ppm
+FROM tc GROUP BY 1
 """

@@ -811,7 +811,11 @@ def _pack_label_blocks(base: DataFrame, rows_per_block: int) -> DataFrame:
 
 
 def _label_noise_candidates_arrow(
-    base: DataFrame, k: int, rows_per_block: int
+    base: DataFrame,
+    k: int,
+    rows_per_block: int,
+    *,
+    exclude_same_label: bool = False,
 ) -> DataFrame:
     """Block-pair GEMM candidate generator for ``label_noise_scan``:
     every (query-block, corpus-block) pair meets in ONE task that runs a
@@ -858,6 +862,10 @@ def _label_noise_candidates_arrow(
                 ).astype(np.int64)
                 self_mask = qids[:, None] == cids[None, :]
                 d2[self_mask] = np.iinfo(np.int64).max
+                if exclude_same_label:
+                    d2[qlbls[:, None] == clbls[None, :]] = np.iinfo(
+                        np.int64
+                    ).max
                 kk = min(k, d2.shape[1])
                 # block-local top-k by the SAME (d2, nid) total order the
                 # expression twin uses: lexsort is stable and exact
@@ -1044,4 +1052,142 @@ SELECT CAST(x.id AS BIGINT) AS u, CAST(x.nid AS BIGINT) AS w,
        CAST(x.d2 AS BIGINT) AS d2
 FROM nn1 x JOIN nn1 y ON x.nid = y.id AND x.id = y.nid
 WHERE x.id < x.nid
+"""
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    rows_per_block: int = 2048,
+    max_exact_rows: int = 50_000,
+    mode: str = "auto",
+    nlist: int | None = None,
+    nprobe: int = 16,
+    ann_overfetch: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the ``k``
+    nearest neighbors carrying a DIFFERENT label — the pairs a
+    metric-learning fine-tune most needs to push apart (easy negatives are
+    already far; these are the margin violations).
+
+    Exact paths score EXACT integer L2² on micro-unit coordinates with the
+    (d2, nid) total order — the [[label_noise_scan]] discipline.  The
+    arrow path masks same-label columns INSIDE the block-local top-k (a
+    post-filter on a label-blind top-k would under-produce anchors whose
+    k nearest are all same-label).  The ann path overfetches
+    ``k·ann_overfetch + 1`` label-blind candidates and filters — an anchor
+    embedded deep inside its own class can come back short (approximate,
+    like every ann facade here).
+
+    Output: (anchor id, label, nid, neg_label, d2, rk) with rk 1..k per
+    anchor — ready to join back to text/payload columns for pair
+    construction.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    n = embeddings.count()
+    if mode == "auto":
+        mode = "arrow" if n <= max_exact_rows else "ann"
+    if mode in ("expr", "arrow") and n > max_exact_rows:
+        raise ValueError(
+            f"hard_negative_mining exact mode {mode!r} bounded at "
+            f"{max_exact_rows} rows (got {n}); use mode='auto'/'ann' above"
+        )
+    if mode == "ann":
+        cands = _label_noise_candidates_ann(
+            embeddings, vec_col, label_col, id_col, k * ann_overfetch,
+            n_rows=n, nlist=nlist, nprobe=nprobe,
+        ).filter(F.col("lbl") != F.col("nlbl")).select(
+            "id", "lbl", "nid", "nlbl",
+            F.floor(F.col("d2") * scale * scale).cast("long").alias("d2"),
+        )
+    else:
+        base = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("long").alias("lbl"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("vm"),
+        )
+        if mode == "arrow":
+            cands = _label_noise_candidates_arrow(
+                base, k, rows_per_block, exclude_same_label=True
+            )
+        elif mode == "expr":
+            other = base.select(
+                F.col("id").alias("nid"),
+                F.col("lbl").alias("nlbl"),
+                F.col("vm").alias("nvm"),
+            )
+            pairs = base.crossJoin(other).filter(
+                (F.col("id") != F.col("nid")) & (F.col("lbl") != F.col("nlbl"))
+            )
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("vm"), F.col("nvm"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cands = pairs.select("id", "lbl", "nid", "nlbl", d2.alias("d2"))
+        else:
+            raise ValueError(
+                f"mode must be 'auto', 'expr', 'arrow', or 'ann', got {mode!r}"
+            )
+    ranked = cands.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("id").orderBy(F.col("d2").asc(), F.col("nid").asc())
+        ),
+    ).filter(F.col("rk") <= k)
+    return ranked.select(
+        F.col("id").cast("long").alias(id_col),
+        F.col("lbl").cast("long").alias(label_col),
+        F.col("nid").cast("long").alias("neg_id"),
+        F.col("nlbl").cast("long").alias("neg_label"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+def hard_negative_oracle_sql(
+    *,
+    k: int = 5,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[hard_negative_mining]] exact paths."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, CAST({label_col} AS BIGINT) AS lbl,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+         ) AS vm
+  FROM {table}
+),
+pairs AS (
+  SELECT a.id AS id, a.lbl AS lbl, b.id AS nid, b.lbl AS nlbl,
+         CAST(list_sum(list_transform(
+           list_zip(a.vm, b.vm),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM base a JOIN base b ON a.id <> b.id AND a.lbl <> b.lbl
+)
+SELECT CAST(id AS BIGINT) AS {id_col}, lbl AS {label_col},
+       CAST(nid AS BIGINT) AS neg_id, nlbl AS neg_label, d2,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY d2 ASC, nid ASC) AS rk
+  FROM pairs
+) WHERE rk <= {k}
 """

@@ -11759,3 +11759,91 @@ def _mutual_nn_oracle() -> str:
 
 
 register("mutual_nn_pairs", _mutual_nn_oracle())(_mutual_nn_spark)
+
+
+def _keyness_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import term_keyness
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return term_keyness(
+        docs,
+        group_expr=F.when(F.col("lang") == "en", F.lit("en")).otherwise(
+            F.lit("other")
+        ),
+        k=50,
+        min_term_count=5,
+    )
+
+
+def _keyness_oracle() -> str:
+    from pyrope_spark.operators.fulltext import term_keyness_oracle_sql
+
+    return term_keyness_oracle_sql(
+        group_sql="CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END",
+        k=50,
+        min_term_count=5,
+    )
+
+
+register("term_keyness_top50", _keyness_oracle())(_keyness_spark)
+
+
+def _simpson_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import lexical_diversity_simpson
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity_simpson(docs, group_col="source")
+
+
+def _simpson_oracle() -> str:
+    from pyrope_spark.operators.fulltext import lexical_diversity_oracle_sql
+
+    return lexical_diversity_oracle_sql(group_col="source")
+
+
+register("lexical_diversity_by_source", _simpson_oracle())(_simpson_spark)
+
+
+def _robust_scale_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import robust_scale
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return robust_scale(
+        ev, group_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+def _robust_scale_oracle() -> str:
+    from pyrope_spark.operators.curation import robust_scale_oracle_sql
+
+    return robust_scale_oracle_sql(
+        group_col="event_type",
+        value_col="value",
+        id_col="event_id",
+        table="events",
+    )
+
+
+register("robust_scaled_event_values", _robust_scale_oracle())(
+    _robust_scale_spark
+)
+
+
+def _hardneg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.similarity import hard_negative_mining
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, k=5, mode="arrow")
+
+
+def _hardneg_oracle() -> str:
+    from pyrope_spark.operators.similarity import hard_negative_oracle_sql
+
+    return hard_negative_oracle_sql(k=5)
+
+
+register("hard_negative_pairs", _hardneg_oracle())(_hardneg_spark)
