@@ -243,3 +243,53 @@ def test_frequent_triples_prunes_via_broadcast_semi_joins(spark):
     final = _final_plan(out)
     assert "BroadcastHashJoin" in final
     assert "LeftSemi" in final
+
+
+def test_linkpred_no_cartesian_and_keyed_wedges(spark):
+    """The wedge self-join must be a keyed equi-join on the center node
+    (never cartesian/BNLJ), and the candidate anti-join must stay keyed."""
+    from pyrope_spark.operators.graph import link_prediction_ra
+
+    e = spark.createDataFrame(
+        [(i % 40, (i * 7) % 40) for i in range(300)], "src long, dst long"
+    )
+    out = link_prediction_ra(e, min_common=1, top_n=50)
+    out.collect()
+    final = _final_plan(out)
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_phrase_search_filters_terms_before_join(spark):
+    """The postings side must be filtered to the phrase terms BEFORE the
+    broadcast join — the plan's join inputs carry a term filter, and the
+    phrase table rides a broadcast."""
+    from pyrope_spark.operators.fulltext import phrase_search
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = phrase_search(docs, phrase="beta gamma", k=5)
+    out.collect()
+    final = _final_plan(out)
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
+
+
+def test_robust_scale_group_keyed_only(spark):
+    """Every exchange partitions on the group key (plus the quartile
+    broadcast) — no single-partition exchange, no global sort."""
+    from pyrope_spark.operators.curation import robust_scale
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}", float(i % 97)) for i in range(400)],
+        "event_id long, event_type string, value double",
+    )
+    out = robust_scale(
+        df, group_col="event_type", value_col="value", id_col="event_id"
+    )
+    out.collect()
+    final = _final_plan(out)
+    assert "Exchange SinglePartition" not in final
+    assert "BroadcastHashJoin" in final  # quartile table joins back broadcast
