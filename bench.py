@@ -773,6 +773,9 @@ def main() -> None:
         "lexical_diversity_by_source",
         "robust_scaled_event_values",
         "hard_negative_pairs",
+        "personalized_pagerank_copurchase",
+        "tukey_outlier_events",
+        "image_dhash64",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1077,3 +1077,67 @@ def ahash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("ia", "ib", "hamming")
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """Perceptual difference-hash over an image payload column:
+    (id_col, dhash_lo, dhash_hi) — the 64-bit dHash split into two 32-bit
+    BIGINT words (the [[image_ahash]] packing discipline).
+
+    dHash encodes horizontal GRADIENTS instead of brightness-vs-mean:
+    an 8×9 grid of integer block sums (h multiple of 8, w multiple of 9;
+    exact sums, no float resize), bit ``r·8 + c`` set iff
+    ``sum[r][c] > sum[r][c+1]``.  Adjacent blocks share the same block
+    size, so the compare needs NO division at all — even cheaper to keep
+    exact than aHash's cross-multiplied mean.  Robust to global
+    brightness/contrast shifts that flip aHash bits (the two hashes
+    catch different distortions; the cross-modal audit can join both).
+    """
+    dec = decoder if decoder is not None else ppm_decoder()
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("dhash_lo", T.LongType()),
+            T.StructField("dhash_hi", T.LongType()),
+        ]
+    )
+
+    def one(payload: bytes) -> tuple[int, int]:
+        arr = dec(payload).astype(np.int64)
+        h, w = arr.shape[0], arr.shape[1]
+        if h % 8 or w % 9:
+            raise ValueError(
+                f"dHash needs h multiple of 8 and w multiple of 9, got {h}x{w}"
+            )
+        gray = arr.sum(axis=2) // 3
+        bh, bw = h // 8, w // 9
+        g = gray.reshape(8, bh, 9, bw).sum(axis=(1, 3))  # 8x9 block sums
+        bits = (g[:, :8] > g[:, 1:]).astype(np.int64).ravel()  # p = r*8 + c
+        lo = int((bits[:32] << np.arange(32)).sum())
+        hi = int((bits[32:] << np.arange(32)).sum())
+        return lo, hi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            los, his = [], []
+            for p in pdf[payload_col].tolist():
+                lo, hi = one(bytes(p))
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                "dhash_lo": los,
+                "dhash_hi": his,
+            })
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), payload_col
+    ).mapInPandas(run, schema)

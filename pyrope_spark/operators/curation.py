@@ -1932,3 +1932,105 @@ SELECT b.id AS {id_col}, b.grp AS {group_col}, b.vm,
                  ELSE 0 END AS BIGINT) AS scaled_ppm
 FROM base b JOIN qs ON b.grp = qs.grp
 """
+
+
+def tukey_outliers(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Tukey-fence outlier flags per group: a value is an outlier when it
+    falls below ``q1 − 1.5·IQR`` or above ``q3 + 1.5·IQR`` — the boxplot
+    rule, robust to the outliers it hunts (mean/std fences move toward
+    the anomaly; quartile fences don't).
+
+    Quartiles are the SAME exact nearest-rank statistics as
+    [[robust_scale]].  The 1.5 factor stays integer by cross-multiplying
+    ×2: low iff ``2·vm < 2·q1 − 3·(q3−q1)``, high iff
+    ``2·vm > 2·q3 + 3·(q3−q1)`` — no engine ever materializes a fence
+    float.  Flags are emitted as BIGINT 0/1 (hash-portable).
+
+    Scale shape: identical to robust_scale — one group-keyed rank window,
+    one group aggregate, one broadcast join back.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.floor(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vm"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("vm").asc(), F.col("id").asc())
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    sizes = base.groupBy("grp").agg(F.count("*").alias("n"))
+    withr = ranked.join(F.broadcast(sizes), "grp").select(
+        "grp",
+        "vm",
+        "rn",
+        F.expr("(n + 3) div 4").alias("_q1r"),
+        F.expr("(3 * n + 3) div 4").alias("_q3r"),
+    )
+    qs = withr.groupBy("grp").agg(
+        F.max(F.when(F.col("rn") == F.col("_q1r"), F.col("vm"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.col("_q3r"), F.col("vm"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        base.join(F.broadcast(qs), "grp")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "vm",
+            F.col("q1").cast("long").alias("q1_micro"),
+            F.col("q3").cast("long").alias("q3_micro"),
+            (2 * F.col("vm") < 2 * F.col("q1") - 3 * iqr)
+            .cast("long")
+            .alias("low_outlier"),
+            (2 * F.col("vm") > 2 * F.col("q3") + 3 * iqr)
+            .cast("long")
+            .alias("high_outlier"),
+        )
+    )
+
+
+def tukey_outliers_oracle_sql(
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    table: str,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[tukey_outliers]]."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {id_col} AS id,
+         CAST(floor(CAST({value_col} AS DOUBLE) * {scale}) AS BIGINT) AS vm
+  FROM {table}
+),
+ranked AS (
+  SELECT grp, vm,
+         row_number() OVER (PARTITION BY grp ORDER BY vm ASC, id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM base
+),
+qs AS (
+  SELECT grp,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN vm END) AS q1,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN vm END) AS q3
+  FROM ranked GROUP BY 1
+)
+SELECT b.id AS {id_col}, b.grp AS {group_col}, b.vm,
+       CAST(q1 AS BIGINT) AS q1_micro,
+       CAST(q3 AS BIGINT) AS q3_micro,
+       CAST(CASE WHEN 2 * b.vm < 2 * q1 - 3 * (q3 - q1) THEN 1 ELSE 0 END
+            AS BIGINT) AS low_outlier,
+       CAST(CASE WHEN 2 * b.vm > 2 * q3 + 3 * (q3 - q1) THEN 1 ELSE 0 END
+            AS BIGINT) AS high_outlier
+FROM base b JOIN qs ON b.grp = qs.grp
+"""

@@ -821,3 +821,123 @@ SELECT CAST(count(*) * 2 AS BIGINT) AS m2,
        CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sum_xx
 FROM per_edge
 """
+
+
+def personalized_pagerank_fixed_iters(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-``iters`` personalized PageRank: the restart mass returns to
+    the SEED set instead of spreading uniformly — "importance from the
+    point of view of these nodes", the classic recommendation /
+    related-items ranker (seeds = a user's purchased items).
+
+    Same all-integer recurrence as [[pagerank_fixed_iters]] (floor-divided
+    damped contributions, dangling mass evaporates), except the base term
+    ``floor((100-d)·scale / (100·|S|))`` lands ONLY on seed nodes and the
+    initial mass is ``scale // |S|`` on seeds, 0 elsewhere — so rank
+    concentrates in the seeds' neighborhoods instead of washing out to
+    the global stationary vector.
+
+    Scale shape: identical to pagerank — one keyed join + aggregate per
+    iteration against the static out-degree-weighted edge table; the seed
+    table broadcasts.  Output: (node, rank_micro), nodes with rank 0
+    dropped (at 100 TB the touched set, not |V|, is the output).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src")
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    base = ((100 - damping_pct) * scale) // (100 * n_seeds)
+    seed_base = s.withColumn("base", F.lit(base).cast("long"))
+    ranks = s.withColumn(
+        "rank_micro", F.lit(scale // n_seeds).cast("long")
+    ).select("node", "rank_micro")
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({damping_pct} * rank_micro AS BIGINT) "
+                    f"DIV (100 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            contrib.join(F.broadcast(seed_base), "node", "full")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("base"), F.lit(0))
+                    + F.coalesce(F.col("in_mass"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+            .filter(F.col("rank_micro") > 0)
+        )
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    *,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of [[personalized_pagerank_fixed_iters]] —
+    ``seeds_sql`` yields one column ``node``."""
+    d = damping_pct
+    parts = [
+        f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst
+),
+s AS (SELECT DISTINCT node FROM ({seeds_sql})),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+ns AS (SELECT COUNT(*) AS n FROM s),
+sb AS (SELECT node, CAST(({100 - d} * {scale}) // (100 * n) AS BIGINT) AS base
+       FROM s, ns),
+r0 AS (
+  SELECT node, CAST({scale} // n AS BIGINT) AS rank_micro FROM s, ns
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT ew.dst AS node,
+         SUM(({d} * r{i}.rank_micro) // (100 * ew.outdeg)) AS in_mass
+  FROM ew JOIN r{i} ON ew.src = r{i}.node
+  GROUP BY ew.dst
+),
+r{i + 1} AS (
+  SELECT COALESCE(c{i}.node, sb.node) AS node,
+         CAST(COALESCE(sb.base, 0) + COALESCE(c{i}.in_mass, 0) AS BIGINT)
+           AS rank_micro
+  FROM c{i} FULL JOIN sb ON c{i}.node = sb.node
+  WHERE COALESCE(sb.base, 0) + COALESCE(c{i}.in_mass, 0) > 0
+)"""
+        )
+    parts.append(f"\nSELECT node, rank_micro FROM r{iters}")
+    return "".join(parts)

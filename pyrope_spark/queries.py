@@ -11847,3 +11847,114 @@ def _hardneg_oracle() -> str:
 
 
 register("hard_negative_pairs", _hardneg_oracle())(_hardneg_spark)
+
+
+def _ppr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import personalized_pagerank_fixed_iters
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    out = personalized_pagerank_fixed_iters(edges, seeds, iters=3)
+    return out.select(F.col("node").cast("long").alias("node"), "rank_micro")
+
+
+def _ppr_oracle() -> str:
+    from pyrope_spark.operators.graph import personalized_pagerank_oracle_sql
+
+    seeds = f"""
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ({_COPURCHASE_EDGES_SQL})
+    UNION ALL
+    SELECT dst AS node FROM ({_COPURCHASE_EDGES_SQL})
+  ) WHERE node % 97 = 0
+"""
+    inner = personalized_pagerank_oracle_sql(
+        _COPURCHASE_EDGES_SQL, seeds, iters=3
+    )
+    return f"SELECT CAST(node AS BIGINT) AS node, rank_micro FROM ({inner})"
+
+
+register("personalized_pagerank_copurchase", _ppr_oracle())(_ppr_spark)
+
+
+def _tukey_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import tukey_outliers
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return tukey_outliers(
+        ev, group_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+def _tukey_oracle() -> str:
+    from pyrope_spark.operators.curation import tukey_outliers_oracle_sql
+
+    return tukey_outliers_oracle_sql(
+        group_col="event_type",
+        value_col="value",
+        id_col="event_id",
+        table="events",
+    )
+
+
+register("tukey_outlier_events", _tukey_oracle())(_tukey_spark)
+
+
+# --------------------------------------------------------------------------
+# Difference-hash twin of image_ahash64: 8x9 synth (1x1 blocks), bit
+# r*8+c set iff gray[r*9+c] > gray[r*9+c+1] — the oracle recomputes the
+# gradient bits straight from character codes.
+# --------------------------------------------------------------------------
+
+
+def _dhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import image_dhash, synth_ppm_from_text
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ppm = synth_ppm_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), h=8, w=9
+    )
+    out = image_dhash(ppm)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "dhash_lo",
+        "dhash_hi",
+    )
+
+
+_DHASH_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(0, 72),
+           p -> CAST(ascii(substring(text, (p % length(text)) + 1, 1)) % 256
+                     AS BIGINT)) AS gray
+  FROM documents WHERE length(text) > 0
+), bits AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           b -> CASE WHEN gray[(b // 8) * 9 + (b % 8) + 1]
+                        > gray[(b // 8) * 9 + (b % 8) + 2]
+                     THEN 1 ELSE 0 END) AS bit
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(list_sum(list_transform(range(0, 32),
+         p -> CASE WHEN bit[p + 1] = 1
+                   THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT)
+         AS dhash_lo,
+       CAST(list_sum(list_transform(range(32, 64),
+         p -> CASE WHEN bit[p + 1] = 1
+                   THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END)) AS BIGINT)
+         AS dhash_hi
+FROM bits
+"""
+
+register("image_dhash64", _DHASH_ORACLE)(_dhash_spark)
