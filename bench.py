@@ -776,6 +776,8 @@ def main() -> None:
         "personalized_pagerank_copurchase",
         "tukey_outlier_events",
         "image_dhash64",
+        "interval_union_coverage",
+        "zipf_rank_frequency",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

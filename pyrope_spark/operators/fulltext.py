@@ -1107,3 +1107,66 @@ SELECT grp AS {group_col},
                  ELSE 0 END AS BIGINT) AS simpson_ppm
 FROM tc GROUP BY 1
 """
+
+
+def zipf_rank_frequency(
+    docs: DataFrame,
+    *,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency diagnostic: the corpus's top-``k`` terms with
+    rank, frequency, and the rank·frequency product — under Zipf's law
+    ``r·f`` is roughly constant, so a corpus whose rf_product collapses
+    at low ranks is template-dominated and one whose product grows is
+    vocabulary-noisy (OCR garbage, random ids).  The no-logarithm cousin
+    of the log-log slope fit: everything stays exact integer.
+
+    Scale shape: one (term) aggregate + a two-phase global top-k — the
+    final single-partition sort sees <= k·partitions rows.
+    """
+    from pyspark.sql.window import Window
+
+    counts = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).groupBy("term").agg(F.count("*").cast("long").alias("freq"))
+    order = [F.desc("freq"), F.asc("term")]
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        counts.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "term",
+            "freq",
+            (F.col("rank") * F.col("freq")).cast("long").alias("rf_product"),
+        )
+    )
+
+
+def zipf_oracle_sql(
+    *,
+    k: int = 100,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of [[zipf_rank_frequency]]."""
+    return f"""
+WITH counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest({tokens_sql(text_col)}) AS term FROM {table}
+  ) GROUP BY 1
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, freq,
+       CAST(rank * freq AS BIGINT) AS rf_product
+FROM (
+  SELECT *, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""

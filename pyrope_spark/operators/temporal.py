@@ -1139,3 +1139,107 @@ def debounce_events(
             F.expr("(_t1 - _t0) div 1000000").alias("burst_span_ms"),
         )
     )
+
+
+def interval_union_coverage(
+    intervals: DataFrame,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+) -> DataFrame:
+    """Total covered length per key of the UNION of (possibly overlapping)
+    intervals — "how long was this user actually active", where naively
+    summing durations double-counts overlaps.
+
+    The classic sweep, expressed as two key-partitioned windows: order
+    intervals by (start, end), carry the running max end over PRECEDING
+    rows; an interval whose start exceeds that max opens a new segment
+    (flag cumsum = segment id); per (key, segment) the covered length is
+    ``max(end) − min(start)``, summed per key.  All integer (callers
+    supply epoch seconds), so the result replicates bit-for-bit.
+
+    Output: (key, n_intervals, n_segments, covered_s, span_s) — span is
+    last end − first start; covered < span exposes the idle gaps.
+
+    Scale shape (100 TB): every window and aggregate partitions on the
+    key; nothing global, no join at all.
+    """
+    from pyspark.sql.window import Window
+
+    base = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).filter(F.col("e") >= F.col("s"))
+    w_ord = Window.partitionBy("k").orderBy(F.col("s").asc(), F.col("e").asc())
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_seg",
+        F.sum("_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    segs = flagged.groupBy("k", "_seg").agg(
+        F.min("s").alias("_ss"),
+        F.max("e").alias("_se"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        segs.groupBy("k")
+        .agg(
+            F.sum("_n").cast("long").alias("n_intervals"),
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum(F.col("_se") - F.col("_ss")).cast("long").alias("covered_s"),
+            (F.max("_se") - F.min("_ss")).cast("long").alias("span_s"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_intervals",
+            "n_segments",
+            "covered_s",
+            "span_s",
+        )
+    )
+
+
+def interval_union_oracle_sql(
+    intervals_sql: str,
+    *,
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB twin of [[interval_union_coverage]] — ``intervals_sql``
+    yields (k, s, e) integer-second intervals."""
+    return f"""
+WITH base AS (
+  SELECT k, s, e FROM ({intervals_sql}) WHERE e >= s
+),
+flagged AS (
+  SELECT k, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s ASC, e ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY k ORDER BY s ASC, e ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_seg
+  FROM base
+),
+segd AS (
+  SELECT k, s, e,
+         SUM(new_seg) OVER (PARTITION BY k ORDER BY s ASC, e ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM flagged
+),
+segs AS (
+  SELECT k, seg, MIN(s) AS ss, MAX(e) AS se, COUNT(*) AS n
+  FROM segd GROUP BY 1, 2
+)
+SELECT k AS {key_col},
+       CAST(SUM(n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(se - ss) AS BIGINT) AS covered_s,
+       CAST(MAX(se) - MIN(ss) AS BIGINT) AS span_s
+FROM segs GROUP BY 1
+"""

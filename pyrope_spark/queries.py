@@ -11958,3 +11958,57 @@ FROM bits
 """
 
 register("image_dhash64", _DHASH_ORACLE)(_dhash_spark)
+
+
+def _interval_union_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import interval_union_coverage
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.select(
+        F.col("user_id"),
+        F.unix_timestamp("ts").cast("long").alias("start_s"),
+        (
+            F.unix_timestamp("ts").cast("long")
+            + 300
+            + F.floor(F.col("value")).cast("long") * 10
+        ).alias("end_s"),
+    )
+    return interval_union_coverage(
+        intervals, key_col="user_id", start_col="start_s", end_col="end_s"
+    )
+
+
+def _interval_union_oracle() -> str:
+    from pyrope_spark.operators.temporal import interval_union_oracle_sql
+
+    inner = """
+  SELECT user_id AS k,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           + 300 + CAST(floor(value) AS BIGINT) * 10 AS e
+  FROM events
+"""
+    return interval_union_oracle_sql(inner, key_col="user_id")
+
+
+register("interval_union_coverage", _interval_union_oracle())(
+    _interval_union_spark
+)
+
+
+def _zipf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.fulltext import zipf_rank_frequency
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_rank_frequency(docs, k=100)
+
+
+def _zipf_oracle() -> str:
+    from pyrope_spark.operators.fulltext import zipf_oracle_sql
+
+    return zipf_oracle_sql(k=100)
+
+
+register("zipf_rank_frequency", _zipf_oracle())(_zipf_spark)

@@ -107,3 +107,71 @@ def test_heaps_vocab_growth_null_and_empty_docs(spark):
     # buckets 0 and 1 produce no token rows at all -> absent from the curve
     assert [r.bucket for r in out] == [2]
     assert out[0].cum_types == 3
+
+
+# --------------------------------------------------------------------------
+# interval_union_coverage + zipf_rank_frequency (session-5 wave 4)
+# --------------------------------------------------------------------------
+
+
+def test_interval_union_merges_overlaps(spark):
+    from pyrope_spark.operators.temporal import interval_union_coverage
+
+    rows = [
+        ("u1", 0, 10),    # |-- merged with next (overlap)
+        ("u1", 5, 20),    # -> segment [0, 20]
+        ("u1", 20, 30),   # touching (start == prev end) -> SAME segment
+        ("u1", 40, 50),   # gap -> new segment
+        ("u2", 0, 100),   # contained intervals collapse
+        ("u2", 10, 20),
+        ("u2", 30, 40),
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, start_s LONG, end_s LONG")
+    out = {r.user_id: r for r in interval_union_coverage(df).collect()}
+    u1 = out["u1"]
+    assert (u1.n_intervals, u1.n_segments) == (4, 2)
+    assert u1.covered_s == 30 + 10
+    assert u1.span_s == 50
+    u2 = out["u2"]
+    assert (u2.n_segments, u2.covered_s, u2.span_s) == (1, 100, 100)
+
+
+def test_interval_union_degenerate_and_invalid(spark):
+    from pyrope_spark.operators.temporal import interval_union_coverage
+
+    rows = [
+        ("u", 5, 5),     # zero-length: counts as an interval, adds 0
+        ("u", 9, 3),     # end < start: dropped
+        ("u", 10, 12),
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, start_s LONG, end_s LONG")
+    out = interval_union_coverage(df).collect()[0]
+    assert out.n_intervals == 2          # invalid row dropped
+    assert out.n_segments == 2
+    assert out.covered_s == 2
+
+
+def test_zipf_rank_frequency_closed_form(spark):
+    from pyrope_spark.operators.fulltext import zipf_rank_frequency
+
+    docs = _docs(
+        spark,
+        [(1, "a a a a b b b c c d")],
+    )
+    out = sorted(
+        zipf_rank_frequency(docs, k=10).collect(), key=lambda r: r.rank
+    )
+    assert [(r.rank, r.term, r.freq, r.rf_product) for r in out] == [
+        (1, "a", 4, 4),
+        (2, "b", 3, 6),
+        (3, "c", 2, 6),
+        (4, "d", 1, 4),
+    ]
+
+
+def test_zipf_tie_broken_by_term(spark):
+    from pyrope_spark.operators.fulltext import zipf_rank_frequency
+
+    docs = _docs(spark, [(1, "zz aa zz aa")])
+    out = sorted(zipf_rank_frequency(docs, k=2).collect(), key=lambda r: r.rank)
+    assert [r.term for r in out] == ["aa", "zz"]
