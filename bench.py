@@ -778,6 +778,8 @@ def main() -> None:
         "image_dhash64",
         "interval_union_coverage",
         "zipf_rank_frequency",
+        "cohort_ltv_curve",
+        "emd_value_drift",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -735,3 +735,109 @@ def frequent_triples(
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def cohort_ltv_curve(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week, each
+    cohort's CUMULATIVE revenue by age-in-weeks, absolute and per user —
+    the unit-economics readout ("does week-10 LTV of the March cohort
+    beat February's?") that the retention curve ([[cohort_retention_weekly]])
+    only counts heads for.
+
+    All-integer: week = epoch-seconds div 604800 (the fixed-epoch week
+    index — no calendar parsing), revenue enters as ``floor(v·1e6)``
+    micro units, per-user LTV is one truncating div at the end.
+
+    Scale shape (100 TB): one (user) aggregate for first-seen weeks, one
+    keyed join back to events (hash on user — the fact table's natural
+    key), one (cohort, age) aggregate, then the cumulative window runs
+    over the cohort×age GRID (hundreds of rows), never event volume.
+    """
+    from pyspark.sql.window import Window
+
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"unix_timestamp({ts_col}) div 604800").alias("wk"),
+        F.floor(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vm"),
+    )
+    first = ev.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    aged = ev.join(first, "u").select(
+        "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("age_weeks"), "vm"
+    )
+    grid = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("vm").cast("long").alias("week_revenue_micro")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.withColumn(
+            "cum_revenue_micro",
+            F.sum("week_revenue_micro").over(w).cast("long"),
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            "week_revenue_micro",
+            "cum_revenue_micro",
+            "cohort_users",
+            F.expr("cum_revenue_micro div cohort_users")
+            .cast("long")
+            .alias("ltv_per_user_micro"),
+        )
+    )
+
+
+def cohort_ltv_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[cohort_ltv_curve]]."""
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS u,
+         CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)
+           // 604800 AS wk,
+         CAST(floor(CAST({value_col} AS DOUBLE) * {scale}) AS BIGINT) AS vm
+  FROM {table}
+),
+first AS (SELECT u, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM first GROUP BY 1),
+grid AS (
+  SELECT f.cohort_week, ev.wk - f.cohort_week AS age_weeks,
+         CAST(SUM(ev.vm) AS BIGINT) AS week_revenue_micro
+  FROM ev JOIN first f ON ev.u = f.u
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, CAST(SUM(week_revenue_micro) OVER (
+              PARTITION BY cohort_week ORDER BY age_weeks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_revenue_micro
+  FROM grid
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(c.age_weeks AS BIGINT) AS age_weeks,
+       c.week_revenue_micro, c.cum_revenue_micro, s.cohort_users,
+       CAST(c.cum_revenue_micro // s.cohort_users AS BIGINT)
+         AS ltv_per_user_micro
+FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""

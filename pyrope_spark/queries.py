@@ -12012,3 +12012,51 @@ def _zipf_oracle() -> str:
 
 
 register("zipf_rank_frequency", _zipf_oracle())(_zipf_spark)
+
+
+def _ltv_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import cohort_ltv_curve
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_ltv_curve(ev)
+
+
+def _ltv_oracle() -> str:
+    from pyrope_spark.operators.analytics import cohort_ltv_oracle_sql
+
+    return cohort_ltv_oracle_sql()
+
+
+register("cohort_ltv_curve", _ltv_oracle())(_ltv_spark)
+
+
+def _emd_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import emd_value_drift
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    return emd_value_drift(
+        ev,
+        key_col="event_type",
+        value_col="value",
+        split_col="half",
+        bucket_width=10,
+    )
+
+
+def _emd_oracle() -> str:
+    from pyrope_spark.operators.profile import emd_value_drift_oracle_sql
+
+    return emd_value_drift_oracle_sql(
+        key_col="event_type",
+        value_col="value",
+        split_sql="event_id % 2",
+        table="events",
+        bucket_width=10,
+    )
+
+
+register("emd_value_drift", _emd_oracle())(_emd_spark)
