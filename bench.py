@@ -780,6 +780,8 @@ def main() -> None:
         "zipf_rank_frequency",
         "cohort_ltv_curve",
         "emd_value_drift",
+        "conversion_lag_percentiles",
+        "sql_shared_text_join_window",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

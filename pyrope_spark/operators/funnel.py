@@ -227,3 +227,116 @@ SELECT j.cohort_p * {period_s} AS cohort_s,
 FROM joined j JOIN sizes s ON j.cohort_p = s.cohort_p
 GROUP BY j.cohort_p, j.offset, s.n_cohort
 """
+
+
+def conversion_lag_percentiles(
+    events: DataFrame,
+    *,
+    from_event: str = "view",
+    to_event: str = "purchase",
+    horizon_s: int = 7 * 86400,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from their FIRST
+    ``from_event`` to their first ``to_event`` at-or-after it (within
+    ``horizon_s``); one output row with exact nearest-rank percentiles
+    of that lag plus conversion counts — the funnel-speed readout that
+    [[funnel_within_24h]]'s counts don't give ("converters converted,
+    but HOW FAST?").
+
+    All integer: lags are epoch-second differences; percentiles are the
+    nearest-rank order statistics (rank = ceil(p·n)) over converting
+    users.  Same-instant conversion counts as lag 0 (>= comparison).
+
+    Scale shape (100 TB): two user-keyed aggregates (first-from, then
+    min eligible to-ts via one conditional agg after a user-keyed join),
+    then percentiles over the CONVERTING-USER lag column — a
+    single-partition rank window bounded by converter count; swap in
+    [[exact_quantiles_two_pass]] when converters are corpus-scale.
+    """
+    from pyrope_spark.operators.analytics import nearest_rank_percentiles
+
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.unix_timestamp(ts_col).cast("long").alias("s"),
+    )
+    first_from = (
+        ev.filter(F.col("t") == from_event)
+        .groupBy("u")
+        .agg(F.min("s").alias("fs"))
+    )
+    tos = ev.filter(F.col("t") == to_event).select("u", F.col("s").alias("ts2"))
+    lags = (
+        first_from.join(tos, "u")
+        .filter(
+            (F.col("ts2") >= F.col("fs"))
+            & (F.col("ts2") <= F.col("fs") + horizon_s)
+        )
+        .groupBy("u")
+        .agg((F.min("ts2") - F.min("fs")).cast("long").alias("lag_s"))
+    )
+    pct = nearest_rank_percentiles(
+        lags, "lag_s", percentiles=list(percentiles)
+    )
+    counts = first_from.agg(
+        F.count("*").cast("long").alias("n_from_users")
+    ).crossJoin(lags.agg(F.count("*").cast("long").alias("n_converted")))
+    return counts.crossJoin(pct).select(
+        "n_from_users",
+        "n_converted",
+        *[
+            F.col(f"p{int(p * 100)}").cast("long").alias(f"p{int(p * 100)}")
+            for p in percentiles
+        ],
+    )
+
+
+def conversion_lag_oracle_sql(
+    *,
+    from_event: str = "view",
+    to_event: str = "purchase",
+    horizon_s: int = 7 * 86400,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of [[conversion_lag_percentiles]]."""
+    pct_cols = []
+    for p in percentiles:
+        name = f"p{int(p * 100)}"
+        pct_cols.append(
+            f"CAST(MAX(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT)"
+            f" THEN lag_s END) AS BIGINT) AS {name}"
+        )
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS u, {type_col} AS t,
+         CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) AS s
+  FROM {table}
+),
+ff AS (SELECT u, MIN(s) AS fs FROM ev WHERE t = '{from_event}' GROUP BY 1),
+lags AS (
+  SELECT ff.u, CAST(MIN(ev.s) - MIN(ff.fs) AS BIGINT) AS lag_s
+  FROM ff JOIN ev ON ev.u = ff.u
+  WHERE ev.t = '{to_event}' AND ev.s >= ff.fs AND ev.s <= ff.fs + {horizon_s}
+  GROUP BY 1
+),
+ranked AS (
+  SELECT lag_s, row_number() OVER (ORDER BY lag_s) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lags
+),
+pct AS (SELECT {", ".join(pct_cols)} FROM ranked),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ff) AS n_from_users,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lags) AS n_converted
+)
+SELECT counts.n_from_users, counts.n_converted, pct.*
+FROM counts CROSS JOIN pct
+"""

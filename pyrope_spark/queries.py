@@ -12060,3 +12060,56 @@ def _emd_oracle() -> str:
 
 
 register("emd_value_drift", _emd_oracle())(_emd_spark)
+
+
+def _conv_lag_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.funnel import conversion_lag_percentiles
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_lag_percentiles(ev)
+
+
+def _conv_lag_oracle() -> str:
+    from pyrope_spark.operators.funnel import conversion_lag_oracle_sql
+
+    return conversion_lag_oracle_sql()
+
+
+register("conversion_lag_percentiles", _conv_lag_oracle())(_conv_lag_spark)
+
+
+# Second SQL-surface proof: one literal ANSI string with JOINs + a window
+# function, executed verbatim by spark.sql AND DuckDB (the
+# sql_shared_text_query discipline extended to multi-table + window SQL).
+_SHARED_SQL_JOIN = """
+SELECT n_name, c_custkey, revenue_cents, rk
+FROM (
+  SELECT n.n_name,
+         c.c_custkey,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY n.n_name
+           ORDER BY SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) DESC,
+                    c.c_custkey ASC) AS BIGINT) AS rk
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+) t
+WHERE rk <= 3
+"""
+
+
+def _shared_sql_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.catalog import register_views
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL_JOIN)
+
+
+register("sql_shared_text_join_window", _SHARED_SQL_JOIN)(
+    _shared_sql_join_spark
+)

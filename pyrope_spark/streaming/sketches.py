@@ -597,3 +597,87 @@ def streaming_debounce(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interval_coverage(
+    stream_df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+):
+    """Stateful streaming twin of ``temporal.interval_union_coverage``:
+    per key, maintain (covered_s, n_intervals, n_segments, seg_start,
+    seg_end) across micro-batches and emit the running totals after each
+    batch — "how much active time has this user accumulated so far",
+    online.
+
+    Intervals are assumed start-ordered ACROSS batches per key (the
+    at-the-edge shape: trackers emit sessions in order); within a batch
+    they are sorted before folding, so out-of-order arrivals inside one
+    batch are handled.  With in-order arrival the emitted totals equal
+    the batch operator's exactly — parity asserted in tests (the batch
+    op is the oracle-grade path).
+
+    State per key = 5 BIGINTs; output mode append, one row per
+    (key, batch) with the running coverage.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, n_intervals long, n_segments long, "
+        "covered_s long, open_start_s long, open_end_s long"
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_iv, n_seg, covered, seg_s, seg_e = state.get
+        else:
+            n_iv, n_seg, covered, seg_s, seg_e = 0, 0, 0, None, None
+        for pdf in pdfs:
+            pdf = pdf[pdf[end_col] >= pdf[start_col]]
+            pdf = pdf.sort_values([start_col, end_col])
+            for s, e in zip(pdf[start_col].tolist(), pdf[end_col].tolist()):
+                s, e = int(s), int(e)
+                n_iv += 1
+                if seg_s is None:
+                    n_seg, seg_s, seg_e = 1, s, e
+                elif s > seg_e:
+                    covered += seg_e - seg_s   # close the open segment
+                    n_seg += 1
+                    seg_s, seg_e = s, e
+                else:
+                    seg_e = max(seg_e, e)
+        state.update((
+            int(n_iv), int(n_seg), int(covered),
+            int(seg_s if seg_s is not None else -1),
+            int(seg_e if seg_e is not None else -1),
+        ))
+        total = covered + ((seg_e - seg_s) if seg_s is not None else 0)
+        yield pd.DataFrame(
+            [(key[0], int(n_iv), int(n_seg), int(total),
+              int(seg_s if seg_s is not None else -1),
+              int(seg_e if seg_e is not None else -1))],
+            columns=[key_col, "n_intervals", "n_segments", "covered_s",
+                     "open_start_s", "open_end_s"],
+        )
+
+    src = stream_df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(start_col).cast("long").alias(start_col),
+        F.col(end_col).cast("long").alias(end_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            "n_iv long, n_seg long, covered long, seg_s long, seg_e long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -121,3 +121,46 @@ def test_cohort_retention_matrix(spark):
     c1 = c0 + 100
     assert rows[(c1, 0)]["n_cohort"] == 1
     assert (c1, 1) not in rows
+
+
+def test_conversion_lag_percentiles_closed_form(spark):
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.operators.funnel import conversion_lag_percentiles
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # users u0..u3 view at t=0; lags 10, 20, 30 s; u3 never converts;
+    # u4 purchases BEFORE viewing (not eligible), then converts at lag 40
+    for i, lag in enumerate([10, 20, 30]):
+        rows.append((f"u{i}", "view", base))
+        rows.append((f"u{i}", "purchase", base + timedelta(seconds=lag)))
+    rows.append(("u3", "view", base))
+    rows.append(("u4", "purchase", base - timedelta(seconds=5)))
+    rows.append(("u4", "view", base))
+    rows.append(("u4", "purchase", base + timedelta(seconds=40)))
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = conversion_lag_percentiles(
+        df, percentiles=(0.5, 1.0)
+    ).collect()[0]
+    assert out.n_from_users == 5
+    assert out.n_converted == 4       # u3 out; u4 in (pre-view purchase ignored)
+    # lags sorted: 10,20,30,40 -> p50 = rank ceil(2)= 20, p100 = 40
+    assert out.p50 == 20 and out.p100 == 40
+
+
+def test_conversion_lag_horizon_excludes_slow(spark):
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.operators.funnel import conversion_lag_percentiles
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("a", "view", base),
+        ("a", "purchase", base + timedelta(seconds=100)),
+        ("b", "view", base),
+        ("b", "purchase", base + timedelta(seconds=9_999_999)),  # beyond horizon
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = conversion_lag_percentiles(df, horizon_s=3600, percentiles=(1.0,)).collect()[0]
+    assert out.n_converted == 1 and out.p100 == 100

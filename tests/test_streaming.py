@@ -863,3 +863,63 @@ def test_streaming_debounce_matches_batch_and_carries_state(spark, tmp_path):
     }
     by = {(r["user_id"], r["burst_id"]): r for r in batch_out}
     assert by[(1, 0)]["n_suppressed"] == 2
+
+
+def test_streaming_interval_coverage_cross_batch(spark, tmp_path):
+    """Online active-time accumulation: overlap merged within a batch,
+    a segment left OPEN across the batch boundary extends in the next
+    batch, and totals equal the batch operator on the unioned input."""
+    from pyrope_spark.operators.temporal import interval_union_coverage
+    from pyrope_spark.streaming.sketches import streaming_interval_coverage
+
+    src_dir = tmp_path / "iv_in"
+    src_dir.mkdir()
+    schema = "user_id string, start_s long, end_s long"
+
+    b1 = spark.createDataFrame(
+        [("u1", 0, 10), ("u1", 5, 20), ("u2", 100, 110)], schema
+    )
+    b1.write.mode("append").parquet(str(src_dir))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src_dir))
+    q = (
+        streaming_interval_coverage(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("iv_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_iv"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: r
+            for r in spark.sql("select * from iv_out").collect()
+        }
+        assert got["u1"].covered_s == 20 and got["u1"].n_segments == 1
+        assert got["u2"].covered_s == 10
+        # batch 2: u1 extends the OPEN segment (15 <= 20) then gaps
+        spark.createDataFrame(
+            [("u1", 15, 30), ("u1", 50, 60)], schema
+        ).write.mode("append").parquet(str(src_dir))
+        q.processAllAvailable()
+        rows = [
+            r
+            for r in spark.sql("select * from iv_out").collect()
+            if r.user_id == "u1"
+        ]
+        latest = max(rows, key=lambda r: r.n_intervals)
+        assert latest.n_intervals == 4
+        assert latest.n_segments == 2
+        assert latest.covered_s == 30 + 10
+        # parity with the batch operator over the unioned input
+        batch = interval_union_coverage(
+            spark.createDataFrame(
+                [("u1", 0, 10), ("u1", 5, 20), ("u1", 15, 30), ("u1", 50, 60)],
+                schema,
+            )
+        ).collect()[0]
+        assert (batch.covered_s, batch.n_segments, batch.n_intervals) == (
+            latest.covered_s, latest.n_segments, latest.n_intervals,
+        )
+    finally:
+        q.stop()
