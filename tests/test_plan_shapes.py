@@ -293,3 +293,59 @@ def test_robust_scale_group_keyed_only(spark):
     final = _final_plan(out)
     assert "Exchange SinglePartition" not in final
     assert "BroadcastHashJoin" in final  # quartile table joins back broadcast
+
+
+def test_interval_union_keyed_windows_no_joins(spark):
+    """The sweep is two key-partitioned windows + one aggregate: no join
+    of any kind, no single-partition exchange."""
+    from pyrope_spark.operators.temporal import interval_union_coverage
+
+    df = spark.createDataFrame(
+        [(f"u{i % 20}", i, i + 5) for i in range(400)],
+        "user_id string, start_s long, end_s long",
+    )
+    out = interval_union_coverage(df)
+    out.collect()
+    final = _final_plan(out)
+    assert "Join" not in final
+    assert "Exchange SinglePartition" not in final
+
+
+def test_emd_fact_aggregated_once(spark):
+    """The fact table is aggregated ONCE into the (key, bucket) histogram;
+    the spine explode and cumulative windows run on histogram volume."""
+    from pyrope_spark.operators.profile import emd_value_drift
+
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", i % 2, float(i % 97)) for i in range(600)],
+        "event_type string, half int, value double",
+    )
+    out = emd_value_drift(
+        df, key_col="event_type", value_col="value", split_col="half",
+        bucket_width=10,
+    )
+    out.collect()
+    final = _final_plan(out)
+    assert "CartesianProduct" not in final
+    assert "Exchange SinglePartition" not in final
+
+
+def test_cohort_ltv_window_on_grid_only(spark):
+    """The cumulative window partitions on cohort_week (never a global
+    window); the cohort-size join back is a broadcast."""
+    from datetime import datetime
+
+    from pyrope_spark.operators.analytics import cohort_ltv_curve
+
+    df = spark.createDataFrame(
+        [
+            (f"u{i % 50}", datetime(2024, 1, 1 + (i % 21)), float(i % 9))
+            for i in range(500)
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    out = cohort_ltv_curve(df)
+    out.collect()
+    final = _final_plan(out)
+    assert "Exchange SinglePartition" not in final
+    assert "BroadcastHashJoin" in final
