@@ -782,6 +782,8 @@ def main() -> None:
         "emd_value_drift",
         "conversion_lag_percentiles",
         "sql_shared_text_join_window",
+        "vocab_coverage_curve",
+        "nucleus_quality_selection",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

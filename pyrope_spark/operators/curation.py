@@ -2034,3 +2034,193 @@ SELECT b.id AS {id_col}, b.grp AS {group_col}, b.vm,
             AS BIGINT) AS high_outlier
 FROM base b JOIN qs ON b.grp = qs.grp
 """
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    *,
+    ks: tuple[int, ...] = (100, 1_000, 10_000),
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Tokenizer-design diagnostic: what fraction of token OCCURRENCES a
+    top-``K`` vocabulary covers, for each requested ``K`` — the curve that
+    decides vocab size (the marginal coverage of the next 10k types is
+    read straight off it) and flags OOV-heavy corpora (a curve that
+    plateaus low means ids/noise dominate).
+
+    All integer: per-term counts, terms ranked by (freq desc, term asc)
+    through [[global_rank]] — the range-partition ranking, so the
+    vocab-sized table is NEVER funneled through one partition (at 100 TB
+    the type count is itself corpus-scale) — then one conditional
+    aggregate per K and ``coverage_ppm = covered·1e6 div total``.
+    """
+    from pyrope_spark.functions.text import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn("_negfreq", -F.col("freq"))
+    )
+    ranked = global_rank(counts, order_cols=("_negfreq", "term"))
+    aggs = [
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("total_types"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("grank") <= k, F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias(f"covered_top{k}")
+        )
+    one = ranked.agg(*aggs)
+    # unpivot the single row with ONE explode (a UNION of per-K selects
+    # would make Catalyst recompute the corpus aggregate per branch)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"covered_top{k}").alias("covered_tokens"),
+            )
+            for k in ks
+        ]
+    )
+    return (
+        one.select(
+            F.explode(pairs).alias("p"), "total_tokens", "total_types"
+        )
+        .select(
+            F.col("p.k").alias("k"),
+            F.col("p.covered_tokens").alias("covered_tokens"),
+            "total_tokens",
+            "total_types",
+            F.expr(f"p.covered_tokens * {scale} div total_tokens")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+def vocab_coverage_oracle_sql(
+    *,
+    ks: tuple[int, ...] = (100, 1_000, 10_000),
+    table: str = "documents",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[vocab_coverage_curve]]."""
+    from pyrope_spark.functions.text import tokens_sql
+
+    k_rows = ", ".join(f"({k})" for k in ks)
+    return f"""
+WITH counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest({tokens_sql(text_col)}) AS term FROM {table}
+  ) GROUP BY 1
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS grank
+  FROM counts
+),
+kk(k) AS (VALUES {k_rows})
+SELECT CAST(kk.k AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN grank <= kk.k THEN freq ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(SUM(freq) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS total_types,
+       CAST(SUM(CASE WHEN grank <= kk.k THEN freq ELSE 0 END) * {scale}
+            // SUM(freq) AS BIGINT) AS coverage_ppm
+FROM ranked CROSS JOIN kk
+GROUP BY kk.k
+"""
+
+
+def nucleus_select_by_quality(
+    df: DataFrame,
+    *,
+    group_col: str,
+    quality_col: str,
+    id_col: str,
+    p_ppm: int = 900_000,
+) -> DataFrame:
+    """Top-p (nucleus) selection by quality MASS per group: within each
+    group, rank rows by (quality desc, id asc) and keep the smallest
+    prefix whose quality sum reaches ``p_ppm`` (parts-per-million) of the
+    group total — "keep the docs carrying 90% of the quality mass",
+    which adapts the cut to each group's quality distribution where a
+    fixed top-N or threshold does not (a uniformly-mediocre group keeps
+    more rows, a spiky group keeps few).
+
+    The crossing row is INCLUDED (standard nucleus semantics).  All
+    integer by cross-multiplication: keep iff
+    ``(cum − q)·1e6 < p_ppm·total`` — no division, no float threshold.
+    Negative or zero quality rows sort last and are kept only if the
+    prefix has not crossed.
+
+    Scale shape: one group-keyed rank/cumsum window + one group
+    aggregate broadcast back.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(quality_col).cast("long").alias("q"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("q").desc(), F.col("id").asc())
+    cum = base.withColumn(
+        "rank_in_group", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "cum_q",
+        F.sum("q").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    totals = base.groupBy("grp").agg(F.sum("q").alias("total_q"))
+    return (
+        cum.join(F.broadcast(totals), "grp")
+        .filter(
+            (F.col("cum_q") - F.col("q")) * 1_000_000
+            < F.lit(p_ppm) * F.col("total_q")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("q").alias(quality_col),
+            "rank_in_group",
+            "cum_q",
+            F.col("total_q").cast("long").alias("total_q"),
+        )
+    )
+
+
+def nucleus_select_oracle_sql(
+    *,
+    group_col: str,
+    quality_sql: str,
+    id_col: str,
+    table: str,
+    p_ppm: int = 900_000,
+) -> str:
+    """DuckDB twin of [[nucleus_select_by_quality]] (``quality_sql`` is an
+    integer expression over the row)."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {id_col} AS id,
+         CAST({quality_sql} AS BIGINT) AS q
+  FROM {table}
+),
+cum AS (
+  SELECT grp, id, q,
+         CAST(row_number() OVER w AS BIGINT) AS rank_in_group,
+         CAST(SUM(q) OVER (PARTITION BY grp ORDER BY q DESC, id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_q
+  FROM base
+  WINDOW w AS (PARTITION BY grp ORDER BY q DESC, id ASC)
+),
+totals AS (SELECT grp, SUM(q) AS total_q FROM base GROUP BY 1)
+SELECT c.id AS {id_col}, c.grp AS {group_col}, c.q AS quality,
+       c.rank_in_group, c.cum_q, CAST(t.total_q AS BIGINT) AS total_q
+FROM cum c JOIN totals t ON c.grp = t.grp
+WHERE (c.cum_q - c.q) * 1000000 < {p_ppm} * t.total_q
+"""

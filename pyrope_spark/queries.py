@@ -12113,3 +12113,51 @@ def _shared_sql_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("sql_shared_text_join_window", _SHARED_SQL_JOIN)(
     _shared_sql_join_spark
 )
+
+
+def _vocab_cov_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import vocab_coverage_curve
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage_curve(docs, ks=(5, 15, 30))
+
+
+def _vocab_cov_oracle() -> str:
+    from pyrope_spark.operators.curation import vocab_coverage_oracle_sql
+
+    return vocab_coverage_oracle_sql(ks=(5, 15, 30))
+
+
+register("vocab_coverage_curve", _vocab_cov_oracle())(_vocab_cov_spark)
+
+
+def _nucleus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import nucleus_select_by_quality
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("quality")
+    )
+    return nucleus_select_by_quality(
+        docs,
+        group_col="source",
+        quality_col="quality",
+        id_col="doc_id",
+        p_ppm=800_000,
+    )
+
+
+def _nucleus_oracle() -> str:
+    from pyrope_spark.operators.curation import nucleus_select_oracle_sql
+
+    return nucleus_select_oracle_sql(
+        group_col="source",
+        quality_sql="n_chars",
+        id_col="doc_id",
+        table="documents",
+        p_ppm=800_000,
+    )
+
+
+register("nucleus_quality_selection", _nucleus_oracle())(_nucleus_spark)

@@ -880,3 +880,71 @@ def test_quantile_normalize_aligns_shifted_group(spark):
     assert [r["norm_value"] for r in a_rows] == sorted(
         r["norm_value"] for r in a_rows
     )
+
+
+# --------------------------------------------------------------------------
+# vocab_coverage_curve + nucleus_select_by_quality (round-6 session-5)
+# --------------------------------------------------------------------------
+
+
+def test_vocab_coverage_closed_form(spark):
+    from pyrope_spark.operators.curation import vocab_coverage_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d")], "doc_id LONG, text STRING"
+    )
+    out = {r.k: r for r in vocab_coverage_curve(docs, ks=(1, 2, 4)).collect()}
+    # freqs: a=4, b=2, c=1, d=1; total 8 tokens, 4 types
+    assert out[1].covered_tokens == 4
+    assert out[2].covered_tokens == 6
+    assert out[4].covered_tokens == 8
+    assert all(r.total_tokens == 8 and r.total_types == 4 for r in out.values())
+    assert out[1].coverage_ppm == 500_000
+    assert out[4].coverage_ppm == 1_000_000
+
+
+def test_vocab_coverage_rank_ties_by_term(spark):
+    from pyrope_spark.operators.curation import vocab_coverage_curve
+
+    # freq tie between 'aa' and 'zz' -> rank 1 goes to 'aa' (term asc)
+    docs = spark.createDataFrame([(1, "zz aa")], "doc_id LONG, text STRING")
+    out = {r.k: r for r in vocab_coverage_curve(docs, ks=(1,)).collect()}
+    assert out[1].covered_tokens == 1
+
+
+def test_nucleus_selection_closed_form(spark):
+    from pyrope_spark.operators.curation import nucleus_select_by_quality
+
+    # group g: qualities 50, 30, 20 (total 100). p=0.8:
+    # keep 50 (cum_prev 0), keep 30 (cum_prev 50), DROP 20 (cum_prev 80,
+    # 80*1e6 not < 800000*100)
+    df = spark.createDataFrame(
+        [(1, "g", 50), (2, "g", 30), (3, "g", 20)],
+        "doc_id LONG, source STRING, quality LONG",
+    )
+    out = nucleus_select_by_quality(
+        df, group_col="source", quality_col="quality", id_col="doc_id",
+        p_ppm=800_000,
+    ).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    ranks = {r.doc_id: r.rank_in_group for r in out}
+    assert ranks == {1: 1, 2: 2}
+
+
+def test_nucleus_crossing_row_included_and_group_isolation(spark):
+    from pyrope_spark.operators.curation import nucleus_select_by_quality
+
+    # group a: uniform 10x10 -> p=0.85 keeps 9 rows (cum_prev of row 9
+    # is 80 < 85; row 10's cum_prev 90 >= 85)
+    rows = [(i, "a", 10) for i in range(10)]
+    # group b: one dominant row -> keeps just it
+    rows += [(100, "b", 99), (101, "b", 1)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, quality LONG")
+    out = nucleus_select_by_quality(
+        df, group_col="source", quality_col="quality", id_col="doc_id",
+        p_ppm=850_000,
+    ).collect()
+    a = [r for r in out if r.source == "a"]
+    b = [r for r in out if r.source == "b"]
+    assert len(a) == 9
+    assert [r.doc_id for r in b] == [100]
