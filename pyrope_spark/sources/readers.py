@@ -146,3 +146,124 @@ def synthetic_vectors(
         partitions
     )
     return base.mapInPandas(gen, "id string, vector array<float>")
+
+
+def read_ivecs(
+    spark: SparkSession, path: str, limit: int | None = None
+) -> DataFrame:
+    """FAISS .ivecs: repeated [int32 dim][dim × int32], little-endian —
+    the ground-truth neighbor-list companion of .fvecs (SIFT1M ships its
+    true top-100 per query as .ivecs; recall eval joins it against
+    ann_topk output).  Same binaryFile + Arrow-batch decode shape as
+    :func:`read_fvecs`; row ids are ``{file}#{i}``."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                buf = row["content"]
+                off = 0
+                ids, vecs = [], []
+                i = 0
+                while off + 4 <= len(buf):
+                    (d,) = struct.unpack_from("<i", buf, off)
+                    off += 4
+                    if d <= 0 or off + 4 * d > len(buf):
+                        break
+                    vecs.append(
+                        np.frombuffer(
+                            buf, dtype="<i4", count=d, offset=off
+                        ).astype(np.int64)
+                    )
+                    ids.append(f"{row['path']}#{i}")
+                    off += 4 * d
+                    i += 1
+                    if limit is not None and i >= limit:
+                        break
+                if ids:
+                    yield pd.DataFrame({"id": ids, "neighbors": vecs})
+
+    return files.mapInPandas(decode, "id string, neighbors array<long>")
+
+
+def write_fvecs(df: DataFrame, local_path: str, *, vector_col: str = "vector") -> int:
+    """Write a vector column to one local .fvecs file (interop export for
+    FAISS-toolchain consumers).  Driver-side by design: .fvecs is a single
+    unsplittable stream, so this is the SMALL-export path (eval sets,
+    centroid dumps) — corpus-scale exports stay parquet.  Returns rows
+    written."""
+    rows = df.select(vector_col).collect()
+    n = 0
+    with open(local_path, "wb") as f:
+        for r in rows:
+            vec = r[0]
+            if vec is None:
+                continue
+            arr = np.asarray(vec, dtype="<f4")
+            f.write(struct.pack("<i", len(arr)))
+            f.write(arr.tobytes())
+            n += 1
+    return n
+
+
+def read_npy_matrix(
+    spark: SparkSession,
+    local_path: str,
+    *,
+    rows_per_block: int = 65536,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Distributed read of a 2-D float .npy matrix (numpy format v1/v2,
+    C-order) into (vec_id, vector) rows — the interchange format
+    embedding dumps actually arrive in.
+
+    The HEADER is parsed once driver-side (pure struct/ast, no numpy
+    mmap); each task then reads ONLY its row-block's byte range with a
+    seek — so a 100 GB .npy on shared storage fans out across executors
+    without any single process materializing the matrix.
+    """
+    import ast
+
+    with open(local_path, "rb") as f:
+        magic = f.read(6)
+        if magic != b"\x93NUMPY":
+            raise ValueError(f"not a .npy file: {local_path!r}")
+        major, _minor = f.read(1)[0], f.read(1)[0]
+        if major == 1:
+            (hlen,) = struct.unpack("<H", f.read(2))
+        else:
+            (hlen,) = struct.unpack("<I", f.read(4))
+        header = ast.literal_eval(f.read(hlen).decode("latin1"))
+        data_start = f.tell()
+    descr = header["descr"]
+    if header.get("fortran_order"):
+        raise ValueError("fortran_order .npy not supported (C-order only)")
+    shape = header["shape"]
+    if len(shape) != 2:
+        raise ValueError(f".npy must be 2-D, got shape {shape}")
+    n, d = int(shape[0]), int(shape[1])
+    if descr not in ("<f4", "<f8"):
+        raise ValueError(f"dtype {descr!r} not supported (<f4/<f8 only)")
+    itemsize = 4 if descr == "<f4" else 8
+    n_blocks = (n + rows_per_block - 1) // rows_per_block
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blk in pdf["blk"].tolist():
+                lo = int(blk) * rows_per_block
+                hi = min(lo + rows_per_block, n)
+                with open(local_path, "rb") as f:
+                    f.seek(data_start + lo * d * itemsize)
+                    raw = f.read((hi - lo) * d * itemsize)
+                mat = np.frombuffer(raw, dtype=descr).reshape(hi - lo, d)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": range(id_offset + lo, id_offset + hi),
+                        "vector": list(mat.astype(np.float32)),
+                    }
+                )
+
+    blocks = spark.createDataFrame(
+        [(i,) for i in range(n_blocks)], "blk long"
+    ).repartition(min(n_blocks, 64))
+    return blocks.mapInPandas(gen, "vec_id long, vector array<float>")

@@ -87,3 +87,83 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_read_ivecs_roundtrip(spark, tmp_path):
+    import struct
+
+    import numpy as np
+
+    from pyrope_spark.sources.readers import read_ivecs
+
+    p = tmp_path / "gt.ivecs"
+    truth = [[3, 1, 4], [1, 5, 9]]
+    with open(p, "wb") as f:
+        for row in truth:
+            f.write(struct.pack("<i", len(row)))
+            f.write(np.asarray(row, dtype="<i4").tobytes())
+    out = sorted(read_ivecs(spark, str(p)).collect(), key=lambda r: r.id)
+    assert [list(r.neighbors) for r in out] == truth
+
+
+def test_write_fvecs_read_fvecs_roundtrip(spark, tmp_path):
+    from pyrope_spark.sources.readers import read_fvecs, write_fvecs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5]) for i in range(5)],
+        "id LONG, vector ARRAY<FLOAT>",
+    )
+    p = tmp_path / "out.fvecs"
+    n = write_fvecs(df, str(p))
+    assert n == 5
+    back = read_fvecs(spark, str(p)).collect()
+    got = sorted(tuple(r.vector) for r in back)
+    want = sorted((float(i), float(i) + 0.5) for i in range(5))
+    assert got == want
+
+
+def test_read_npy_matrix_blocks_and_dtypes(spark, tmp_path):
+    import numpy as np
+
+    from pyrope_spark.sources.readers import read_npy_matrix
+
+    mat = np.arange(20, dtype=np.float32).reshape(5, 4)
+    p = tmp_path / "emb.npy"
+    np.save(p, mat)
+    out = sorted(
+        read_npy_matrix(spark, str(p), rows_per_block=2).collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert [r.vec_id for r in out] == [0, 1, 2, 3, 4]
+    assert np.allclose(np.stack([r.vector for r in out]), mat)
+    # float64 narrows to float32 rows
+    mat64 = np.linspace(0, 1, 12, dtype=np.float64).reshape(3, 4)
+    p64 = tmp_path / "emb64.npy"
+    np.save(p64, mat64)
+    out64 = sorted(
+        read_npy_matrix(spark, str(p64), rows_per_block=2).collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert np.allclose(
+        np.stack([r.vector for r in out64]), mat64.astype(np.float32)
+    )
+
+
+def test_read_npy_matrix_rejects_bad_inputs(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    from pyrope_spark.sources.readers import read_npy_matrix
+
+    p1 = tmp_path / "one_d.npy"
+    np.save(p1, np.arange(5, dtype=np.float32))
+    with pytest.raises(ValueError):
+        read_npy_matrix(spark, str(p1))
+    p2 = tmp_path / "fortran.npy"
+    np.save(p2, np.asfortranarray(np.ones((2, 2), dtype=np.float32)))
+    with pytest.raises(ValueError):
+        read_npy_matrix(spark, str(p2))
+    p3 = tmp_path / "notnpy.npy"
+    p3.write_bytes(b"garbage")
+    with pytest.raises(ValueError):
+        read_npy_matrix(spark, str(p3))
