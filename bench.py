@@ -784,6 +784,7 @@ def main() -> None:
         "sql_shared_text_join_window",
         "vocab_coverage_curve",
         "nucleus_quality_selection",
+        "json_key_profile",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -69,3 +69,61 @@ def quarantine_split(
     pass (one scan when the plan is reused)."""
     flag = F.col(f"{col}_corrupt")
     return df.filter(~flag), df.filter(flag)
+
+
+def json_key_profile(
+    df: DataFrame,
+    *,
+    json_col: str = "props",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Schema-drift profile of a semi-structured JSON column: per top-level
+    key, how many rows carry it, over how many distinct days, and its
+    first/last day of appearance — the monitoring view that catches a
+    producer silently adding/dropping/renaming fields long before a
+    parse job fails on them.
+
+    Keys are extracted with a PORTABLE regex (``"key"␣?:`` at any depth
+    of a flat object — the engine's props are flat by contract), so the
+    same extraction replicates in the DuckDB twin without relying on
+    either engine's JSON-path quirks.  Days are fixed-epoch
+    ``epoch-seconds div 86400`` integers.
+
+    Scale shape: one regexp_extract_all + explode + one (key) aggregate —
+    word-count shaped.
+    """
+    keys = df.select(
+        F.explode(
+            F.expr(f"""regexp_extract_all({json_col}, '"([^"]+)"\\\\s*:', 1)""")
+        ).alias("key"),
+        F.expr(f"unix_timestamp({ts_col}) div 86400").alias("day"),
+    )
+    return keys.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.min("day").cast("long").alias("first_day"),
+        F.max("day").cast("long").alias("last_day"),
+    )
+
+
+def json_key_profile_oracle_sql(
+    *,
+    table: str = "events",
+    json_col: str = "props",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of [[json_key_profile]]."""
+    return f"""
+WITH keys AS (
+  SELECT unnest(regexp_extract_all({json_col}, '"([^"]+)"\\s*:', 1)) AS key,
+         CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) // 86400
+           AS day
+  FROM {table}
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(MIN(day) AS BIGINT) AS first_day,
+       CAST(MAX(day) AS BIGINT) AS last_day
+FROM keys GROUP BY 1
+"""

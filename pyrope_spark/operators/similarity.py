@@ -1191,3 +1191,59 @@ FROM (
   FROM pairs
 ) WHERE rk <= {k}
 """
+
+
+def recall_eval(
+    hits: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    hit_id_col: str = "id",
+    truth_col: str = "neighbors",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recall@k of an ANN result against ground-truth neighbor lists
+    (e.g. the .ivecs truth read by ``sources.read_ivecs``): per query the
+    intersection of the returned ids with the TRUE top-``k``, plus a
+    one-row corpus summary a sweep can chart.
+
+    All integer: per-query ``recall_ppm = |hits ∩ truth[:k]|·1e6 div k``;
+    the mean is the exact ``Σ|∩| ·1e6 div (n·k)``.  Output: one row —
+    (n_queries, k, sum_intersect, mean_recall_ppm, n_perfect).
+
+    Scale shape: truth lists are exploded to (query, id) pairs and the
+    match is ONE keyed equi-join + one aggregate — no per-query driver
+    work, so a 10M-query sweep is two shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    t = truth.select(
+        F.col(query_col).alias("q"),
+        F.explode(F.slice(F.col(truth_col), 1, k)).alias("tid"),
+    )
+    h = hits.select(
+        F.col(query_col).alias("q"),
+        F.col(hit_id_col).alias("hid"),
+    )
+    inter = (
+        h.join(t, (h["q"] == t["q"]) & (h["hid"] == t["tid"]))
+        .select(h["q"])
+        .groupBy("q")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    all_q = t.select("q").distinct()
+    per_q = all_q.join(inter, "q", "left").select(
+        "q", F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter")
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.sum("n_inter").cast("long").alias("sum_intersect"),
+        F.expr(f"sum(n_inter) * {scale} div (count(*) * {k})")
+        .cast("long")
+        .alias("mean_recall_ppm"),
+        F.sum((F.col("n_inter") == k).cast("long"))
+        .cast("long")
+        .alias("n_perfect"),
+    )

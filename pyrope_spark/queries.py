@@ -12161,3 +12161,20 @@ def _nucleus_oracle() -> str:
 
 
 register("nucleus_quality_selection", _nucleus_oracle())(_nucleus_spark)
+
+
+def _json_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.semistructured import json_key_profile
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return json_key_profile(ev)
+
+
+def _json_keys_oracle() -> str:
+    from pyrope_spark.operators.semistructured import json_key_profile_oracle_sql
+
+    return json_key_profile_oracle_sql()
+
+
+register("json_key_profile", _json_keys_oracle())(_json_keys_spark)

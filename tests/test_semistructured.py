@@ -44,3 +44,23 @@ def test_prefix(spark):
     df = spark.createDataFrame([(1, '{"k": 2}')], "id long, props string")
     row = parse_json_column(df, "props", "k INT", prefix="p_").collect()[0]
     assert row["p_k"] == 2
+
+
+def test_json_key_profile_closed_form(spark):
+    from datetime import datetime
+
+    from pyrope_spark.operators.semistructured import json_key_profile
+
+    rows = [
+        (1, '{"a": 1, "b": "x"}', datetime(2024, 1, 1)),
+        (2, '{"a": 2}', datetime(2024, 1, 2)),
+        (3, '{"c_new": true}', datetime(2024, 1, 3)),
+        (4, None, datetime(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, props STRING, ts TIMESTAMP")
+    out = {r.key: r for r in json_key_profile(df).collect()}
+    assert set(out) == {"a", "b", "c_new"}
+    assert out["a"].n_rows == 2 and out["a"].n_days == 2
+    assert out["b"].n_rows == 1
+    assert out["c_new"].first_day == out["c_new"].last_day
+    assert out["a"].first_day < out["c_new"].first_day

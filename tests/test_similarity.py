@@ -628,3 +628,36 @@ def test_mutual_nn_ann_agrees_on_separated_pairs(spark):
     )
     assert exact == [(2 * c, 2 * c + 1) for c in range(8)]
     assert ann == exact
+
+
+def test_recall_eval_closed_form(spark):
+    from pyrope_spark.operators.similarity import recall_eval
+
+    truth = spark.createDataFrame(
+        [("q1", [1, 2, 3]), ("q2", [4, 5, 6]), ("q3", [7, 8, 9])],
+        "query_id STRING, neighbors ARRAY<LONG>",
+    )
+    hits = spark.createDataFrame(
+        # q1: all 3 right; q2: 1 of 3; q3: no hits row at all
+        [("q1", 1), ("q1", 2), ("q1", 3), ("q2", 4), ("q2", 99), ("q2", 98)],
+        "query_id STRING, id LONG",
+    )
+    r = recall_eval(hits, truth, k=3).collect()[0]
+    assert r.n_queries == 3
+    assert r.sum_intersect == 4
+    assert r.mean_recall_ppm == 4 * 1_000_000 // 9
+    assert r.n_perfect == 1
+
+
+def test_recall_eval_truncates_truth_to_k(spark):
+    from pyrope_spark.operators.similarity import recall_eval
+
+    truth = spark.createDataFrame(
+        [("q", [1, 2, 3, 4, 5])], "query_id STRING, neighbors ARRAY<LONG>"
+    )
+    hits = spark.createDataFrame(
+        [("q", 1), ("q", 5)], "query_id STRING, id LONG"
+    )
+    # k=2: truth cut to [1,2]; the id-5 hit (true rank 5) must NOT count
+    r = recall_eval(hits, truth, k=2).collect()[0]
+    assert r.sum_intersect == 1 and r.mean_recall_ppm == 500_000
