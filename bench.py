@@ -785,6 +785,8 @@ def main() -> None:
         "vocab_coverage_curve",
         "nucleus_quality_selection",
         "json_key_profile",
+        "recency_weighted_popularity",
+        "community_modularity_lpa",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -841,3 +841,89 @@ SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
          AS ltv_per_user_micro
 FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
 """
+
+
+def recency_weighted_popularity(
+    events: DataFrame,
+    *,
+    item_expr: Column,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    max_steps: int = 40,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recency-weighted popularity with EXACT halving decay: each event
+    contributes ``floor(value·1e6) >> (age_days div half_life)`` — value
+    halves every ``half_life_days``, implemented as an integer bit-shift
+    so the score is bit-reproducible (the float ``exp(-λt)`` every other
+    system uses cannot be hashed cross-engine; staircase halving keeps
+    the ranking semantics and loses nothing a ranker cares about).
+
+    ``age_days`` is measured from the corpus max-ts day (broadcast 1-row
+    join — deterministic, no wall-clock); shifts cap at ``max_steps``
+    (2^40 ≈ 1e12 — older events contribute 0 at micro precision anyway).
+
+    Scale shape: one 1-row aggregate + broadcast, one (item) aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        item_expr.alias("item"),
+        F.expr(f"unix_timestamp({ts_col}) div 86400").alias("day"),
+        F.floor(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vm"),
+    )
+    mx = ev.agg(F.max("day").alias("max_day"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "item",
+        "vm",
+        F.least(
+            F.lit(max_steps),
+            F.expr(f"(max_day - day) div {half_life_days}"),
+        ).alias("steps"),
+    )
+    return (
+        aged.select(
+            "item",
+            F.expr("vm div shiftleft(1L, cast(steps as int))").alias("dv"),
+        )
+        .groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("dv").cast("long").alias("decayed_value_micro"),
+        )
+    )
+
+
+def recency_weighted_oracle_sql(
+    *,
+    item_sql: str,
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    max_steps: int = 40,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[recency_weighted_popularity]]."""
+    return f"""
+WITH ev AS (
+  SELECT {item_sql} AS item,
+         CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) // 86400
+           AS day,
+         CAST(floor(CAST({value_col} AS DOUBLE) * {scale}) AS BIGINT) AS vm
+  FROM {table}
+),
+mx AS (SELECT MAX(day) AS max_day FROM ev),
+aged AS (
+  SELECT item, vm,
+         LEAST({max_steps}, (max_day - day) // {half_life_days}) AS steps
+  FROM ev CROSS JOIN mx
+)
+SELECT item, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(vm // (CAST(1 AS BIGINT) << CAST(steps AS INT))) AS BIGINT)
+         AS decayed_value_micro
+FROM aged GROUP BY 1
+"""

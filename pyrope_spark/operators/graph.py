@@ -941,3 +941,145 @@ r{i + 1} AS (
         )
     parts.append(f"\nSELECT node, rank_micro FROM r{iters}")
     return "".join(parts)
+
+
+def community_modularity(
+    edges: DataFrame,
+    assignments: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    simple graph — the quality score for [[label_prop_communities]] /
+    [[cc_star_components]] output (Q near 0: the partition is no better
+    than random; Q > ~0.3: real community structure).
+
+    ``Q = Σ_c (in_c / m  −  (tot_c / 2m)²)`` where ``in_c`` counts
+    intra-community edges and ``tot_c`` sums member degrees.  Emitted as
+    the EXACT integer ``q_ppm = Σ_c (4·m·in_c − tot_c²) · 1e6 div 4m²``
+    (everything cross-multiplied to the common 4m² denominator before
+    the single division), plus per-community rows with the same exact
+    numerators — so the hashable output never touches a float.
+
+    Scale shape: one degree aggregate, two label joins onto edges
+    (hash on node — the natural keys), one (label) aggregate, one 1-row
+    total.  Unassigned nodes form singleton communities implicitly
+    (coalesce to the node id).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    asg = assignments.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("lbl")
+    )
+    la = asg.select(F.col("n").alias("_a"), F.col("lbl").alias("lbl_a"))
+    lb = asg.select(F.col("n").alias("_b"), F.col("lbl").alias("lbl_b"))
+    lab = (
+        und.join(la, F.col("a") == F.col("_a"), "left")
+        .join(lb, F.col("b") == F.col("_b"), "left")
+        .select(
+            F.coalesce(F.col("lbl_a"), F.col("a")).alias("ca"),
+            F.coalesce(F.col("lbl_b"), F.col("b")).alias("cb"),
+        )
+    )
+    m_row = und.agg(F.count("*").cast("long").alias("m"))
+    in_c = (
+        lab.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("in_edges"))
+    )
+    tot_c = (
+        lab.select(F.col("ca").alias("community"))
+        .unionAll(lab.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("tot_degree"))
+    )
+    per = (
+        tot_c.join(in_c, "community", "left")
+        .select(
+            "community",
+            F.coalesce(F.col("in_edges"), F.lit(0)).cast("long").alias("in_edges"),
+            "tot_degree",
+        )
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "community",
+            "in_edges",
+            "tot_degree",
+            (
+                4 * F.col("m") * F.col("in_edges")
+                - F.col("tot_degree") * F.col("tot_degree")
+            )
+            .cast("long")
+            .alias("q_contrib_num"),
+        )
+    )
+    return per.crossJoin(F.broadcast(m_row)).groupBy("m").agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("in_edges").cast("long").alias("intra_edges"),
+        F.sum("q_contrib_num").cast("long").alias("q_num"),
+    ).select(
+        F.col("m").cast("long").alias("m_edges"),
+        "n_communities",
+        "intra_edges",
+        "q_num",
+        F.expr(f"q_num * {scale} div (4 * m * m)").cast("long").alias("q_ppm"),
+    )
+
+
+def community_modularity_oracle_sql(
+    edges_sql: str,
+    assignments_sql: str,
+    *,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[community_modularity]] — ``assignments_sql``
+    yields (node, label)."""
+    return f"""
+WITH raw_edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw_edges
+  WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+),
+asg AS (SELECT node AS n, label AS lbl FROM ({assignments_sql})),
+lab AS (
+  SELECT COALESCE(la.lbl, und.a) AS ca, COALESCE(lb.lbl, und.b) AS cb
+  FROM und
+  LEFT JOIN asg la ON und.a = la.n
+  LEFT JOIN asg lb ON und.b = lb.n
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+in_c AS (
+  SELECT ca AS community, CAST(count(*) AS BIGINT) AS in_edges
+  FROM lab WHERE ca = cb GROUP BY 1
+),
+tot_c AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS tot_degree FROM (
+    SELECT ca AS community FROM lab UNION ALL SELECT cb FROM lab
+  ) GROUP BY 1
+),
+per AS (
+  SELECT t.community, COALESCE(i.in_edges, 0) AS in_edges, t.tot_degree,
+         CAST(4 * m.m * COALESCE(i.in_edges, 0)
+              - t.tot_degree * t.tot_degree AS BIGINT) AS q_contrib_num
+  FROM tot_c t LEFT JOIN in_c i ON t.community = i.community CROSS JOIN m
+)
+SELECT CAST(m.m AS BIGINT) AS m_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(SUM(per.in_edges) AS BIGINT) AS intra_edges,
+       CAST(SUM(per.q_contrib_num) AS BIGINT) AS q_num,
+       CAST(SUM(per.q_contrib_num) * {scale} // (4 * m.m * m.m) AS BIGINT)
+         AS q_ppm
+FROM per CROSS JOIN m GROUP BY m.m
+"""

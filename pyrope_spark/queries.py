@@ -12178,3 +12178,57 @@ def _json_keys_oracle() -> str:
 
 
 register("json_key_profile", _json_keys_oracle())(_json_keys_spark)
+
+
+def _recency_pop_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import recency_weighted_popularity
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return recency_weighted_popularity(
+        ev,
+        item_expr=F.get_json_object("props", "$.k").cast("long"),
+        half_life_days=7,
+    )
+
+
+def _recency_pop_oracle() -> str:
+    from pyrope_spark.operators.analytics import recency_weighted_oracle_sql
+
+    return recency_weighted_oracle_sql(
+        item_sql="CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        table="(SELECT * FROM events WHERE event_type = 'purchase')",
+        half_life_days=7,
+    )
+
+
+register("recency_weighted_popularity", _recency_pop_oracle())(
+    _recency_pop_spark
+)
+
+
+def _modularity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import (
+        community_modularity,
+        label_prop_fixed_iters,
+    )
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    asg = label_prop_fixed_iters(edges, iters=3)
+    return community_modularity(edges, asg)
+
+
+def _modularity_oracle() -> str:
+    from pyrope_spark.operators.graph import (
+        community_modularity_oracle_sql,
+        label_prop_oracle_sql,
+    )
+
+    asg = label_prop_oracle_sql(_COPURCHASE_EDGES_SQL, iters=3)
+    return community_modularity_oracle_sql(_COPURCHASE_EDGES_SQL, asg)
+
+
+register("community_modularity_lpa", _modularity_oracle())(_modularity_spark)

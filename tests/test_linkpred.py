@@ -116,3 +116,80 @@ def test_assortativity_matches_numpy_pearson(spark):
     num = r.m2 * r.sum_xy - r.sum_x * r.sum_x
     den = r.m2 * r.sum_xx - r.sum_x * r.sum_x
     assert abs(num / den - expected) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# community_modularity (round-6 session-5 wave 10)
+# --------------------------------------------------------------------------
+
+
+def _asg(spark, pairs):
+    return spark.createDataFrame(pairs, "node LONG, label LONG")
+
+
+def test_modularity_two_cliques_hand_traced(spark):
+    from pyrope_spark.operators.graph import community_modularity
+
+    # two triangles joined by one bridge: m = 7
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+    )
+    asg = _asg(spark, [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)])
+    r = community_modularity(e, asg).collect()[0]
+    assert r.m_edges == 7 and r.n_communities == 2 and r.intra_edges == 6
+    # per community: in=3, tot = 2+2+3 = 7 -> contrib 4*7*3 - 49 = 35 each
+    assert r.q_num == 70
+    assert r.q_ppm == 70 * 1_000_000 // (4 * 49)   # ~0.357
+
+
+def test_modularity_single_community_is_zero(spark):
+    from pyrope_spark.operators.graph import community_modularity
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    asg = _asg(spark, [(1, 9), (2, 9), (3, 9)])
+    r = community_modularity(e, asg).collect()[0]
+    # all edges intra, tot = 2m: Q = m/m - (2m/2m)^2 = 0 exactly
+    assert r.q_num == 0 and r.q_ppm == 0
+
+
+def test_modularity_unassigned_nodes_are_singletons(spark):
+    from pyrope_spark.operators.graph import community_modularity
+
+    e = _edges(spark, [(1, 2), (3, 4)])
+    asg = _asg(spark, [(1, 1), (2, 1)])  # 3, 4 unassigned
+    r = community_modularity(e, asg).collect()[0]
+    # communities: {1,2} (in=1, tot=2), {3} and {4} singleton halves of
+    # one inter edge (in=0, tot=1 each). m=2.
+    assert r.n_communities == 3
+    assert r.intra_edges == 1
+    # q_num = (4*2*1 - 4) + (0 - 1) + (0 - 1) = 2
+    assert r.q_num == 2
+
+
+def test_recency_weighted_popularity_halving(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.analytics import recency_weighted_popularity
+
+    rows = [
+        # item 1: 8.0 today, 8.0 seven days ago (one half-life), 8.0
+        # 21 days ago (3 half-lives)
+        (1, '{"k": 1}', datetime(2024, 1, 22), 8.0),
+        (2, '{"k": 1}', datetime(2024, 1, 15), 8.0),
+        (3, '{"k": 1}', datetime(2024, 1, 1), 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, props STRING, ts TIMESTAMP, value DOUBLE"
+    )
+    out = recency_weighted_popularity(
+        df,
+        item_expr=F.get_json_object("props", "$.k").cast("long"),
+        half_life_days=7,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 3
+    assert r.decayed_value_micro == 8_000_000 + 4_000_000 + 1_000_000
