@@ -787,6 +787,7 @@ def main() -> None:
         "json_key_profile",
         "recency_weighted_popularity",
         "community_modularity_lpa",
+        "ab_conversion_ztest",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -927,3 +927,113 @@ SELECT item, CAST(count(*) AS BIGINT) AS n_events,
          AS decayed_value_micro
 FROM aged GROUP BY 1
 """
+
+
+def ab_conversion_test(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    variant_expr: Column,
+    convert_expr: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-variant conversion comparison with the EXACT two-proportion
+    z² statistic — the experiment readout (z² > 3.84 ≈ p < 0.05 at one
+    degree of freedom; z² is the chi-square form of the z-test, so no
+    square root is ever taken and the whole statistic stays rational).
+
+    Per user: variant (first observed) and converted-ever.  With
+    ``ca/na`` and ``cb/nb`` conversions/exposures the closed rational
+    form is ``z² = (ca·nb − cb·na)² · N div (na·nb·C·(N−C))`` with
+    ``C = ca+cb, N = na+nb`` — cross-multiplied to ONE division, carried
+    through DECIMAL(38,0) (the squared term overflows int64 at ~55k
+    users/variant; DuckDB's hugeint promotes implicitly).
+
+    Output one row: exposures, conversions, and per-mille rates per
+    variant, the rate difference, and ``z2_milli``.
+
+    Scale shape: one user-keyed aggregate + one 2-row aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(variant_expr).alias("variant"),
+        F.max(convert_expr.cast("int")).alias("converted"),
+    )
+    two = per_user.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1)
+              .otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1)
+              .otherwise(0)).cast("long").alias("cb"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    z2 = F.expr(
+        f"CAST(({dec.format('ca')} * nb - {dec.format('cb')} * na)"
+        f" * ({dec.format('ca')} * nb - {dec.format('cb')} * na)"
+        f" * (na + nb) * 1000"
+        f" DIV ({dec.format('na')} * nb * (ca + cb)"
+        f"      * ((na + nb) - (ca + cb))) AS BIGINT)"
+    )
+    guard = (
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (F.col("ca") + F.col("cb") > 0)
+        & (F.col("ca") + F.col("cb") < F.col("na") + F.col("nb"))
+    )
+    return two.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.expr(f"ca * {scale} div na").cast("long").alias("rate_a_ppm"),
+        F.expr(f"cb * {scale} div nb").cast("long").alias("rate_b_ppm"),
+        (
+            F.expr(f"ca * {scale} div na") - F.expr(f"cb * {scale} div nb")
+        ).cast("long").alias("rate_diff_ppm"),
+        F.when(guard, z2).otherwise(F.lit(0)).cast("long").alias("z2_milli"),
+    )
+
+
+def ab_conversion_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    variant_sql: str = "user_id % 2",
+    convert_sql: str = "event_type = 'purchase'",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[ab_conversion_test]]."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS u, MIN({variant_sql}) AS variant,
+         MAX(CASE WHEN {convert_sql} THEN 1 ELSE 0 END) AS converted
+  FROM {table} GROUP BY 1
+),
+two AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM per_user
+)
+SELECT na, ca, nb, cb,
+       CAST(ca * {scale} // na AS BIGINT) AS rate_a_ppm,
+       CAST(cb * {scale} // nb AS BIGINT) AS rate_b_ppm,
+       CAST(ca * {scale} // na - cb * {scale} // nb AS BIGINT)
+         AS rate_diff_ppm,
+       CAST(CASE WHEN na > 0 AND nb > 0 AND ca + cb > 0
+                  AND ca + cb < na + nb
+                 THEN (ca * nb - cb * na) * (ca * nb - cb * na)
+                      * (na + nb) * 1000
+                      // (na * nb * (ca + cb) * ((na + nb) - (ca + cb)))
+                 ELSE 0 END AS BIGINT) AS z2_milli
+FROM two
+"""

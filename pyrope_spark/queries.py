@@ -12232,3 +12232,24 @@ def _modularity_oracle() -> str:
 
 
 register("community_modularity_lpa", _modularity_oracle())(_modularity_spark)
+
+
+def _ab_test_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import ab_conversion_test
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ab_conversion_test(
+        ev,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        convert_expr=(F.col("event_type") == "purchase"),
+    )
+
+
+def _ab_test_oracle() -> str:
+    from pyrope_spark.operators.analytics import ab_conversion_oracle_sql
+
+    return ab_conversion_oracle_sql()
+
+
+register("ab_conversion_ztest", _ab_test_oracle())(_ab_test_spark)

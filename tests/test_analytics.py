@@ -373,3 +373,46 @@ def test_frequent_triples_duplicate_rows_and_cap(spark):
     ).collect()
     assert {(r["item_a"], r["item_b"], r["item_c"]): r["support"]
             for r in out} == {(1, 2, 3): 2}
+
+
+def test_ab_conversion_test_hand_traced(spark):
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.analytics import ab_conversion_test
+
+    # variant 0: 4 users, 2 convert; variant 1: 4 users, 1 converts
+    rows = []
+    for u in range(8):
+        rows.append((u, "view"))
+    for u in (0, 2, 5):   # u0,u2 -> variant 0; u5 -> variant 1
+        rows.append((u, "purchase"))
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    r = ab_conversion_test(
+        df,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        convert_expr=(F.col("event_type") == "purchase"),
+    ).collect()[0]
+    assert (r.na, r.ca, r.nb, r.cb) == (4, 2, 4, 1)
+    assert r.rate_a_ppm == 500_000 and r.rate_b_ppm == 250_000
+    # z2 = (2*4-1*4)^2 * 8 * 1000 / (4*4*3*5) = 16*8000/240 = 533
+    assert r.z2_milli == 533
+    # sanity vs the float formula
+    pa, pb, p = 0.5, 0.25, 3 / 8
+    z2 = (pa - pb) ** 2 / (p * (1 - p) * (1 / 4 + 1 / 4))
+    assert abs(r.z2_milli / 1000 - z2) < 1e-3
+
+
+def test_ab_conversion_degenerate_guards(spark):
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.analytics import ab_conversion_test
+
+    # everyone converts -> pooled variance 0 -> guarded z2 = 0
+    rows = [(u, "purchase") for u in range(4)]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    r = ab_conversion_test(
+        df,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        convert_expr=(F.col("event_type") == "purchase"),
+    ).collect()[0]
+    assert r.z2_milli == 0 and r.rate_a_ppm == 1_000_000
