@@ -788,6 +788,8 @@ def main() -> None:
         "recency_weighted_popularity",
         "community_modularity_lpa",
         "ab_conversion_ztest",
+        "chunk_documents_strided",
+        "weighted_pagerank_copurchase",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -2224,3 +2224,83 @@ SELECT c.id AS {id_col}, c.grp AS {group_col}, c.q AS quality,
 FROM cum c JOIN totals t ON c.grp = t.grp
 WHERE (c.cum_q - c.q) * 1000000 < {p_ppm} * t.total_q
 """
+
+
+def chunk_documents_strided(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Sliding-window chunking with overlap: windows of ``chunk_tokens``
+    starting every ``stride`` tokens — the context-preserving variant of
+    [[chunk_documents]] that RAG indexing and long-context training prep
+    actually use (a fact split across a hard chunk boundary is lost to
+    retrieval; an overlapping window keeps it whole in SOME chunk).
+
+    Window starts run while ``start < n_tokens`` with the FIRST window
+    always emitted (empty docs yield nothing); the final windows may be
+    short (no padding — token counts stay honest).  Same pure-expression
+    shape as the fixed chunker: split, sequence, slice, explode — zero
+    shuffles at any corpus size.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    c, s = chunk_tokens, stride
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    chunks = toks.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(_t) = 0 THEN array() "
+            f"ELSE transform("
+            f"sequence(0, cast(ceil(size(_t) / {s}.0) AS INT) - 1), "
+            f"i -> named_struct("
+            f"'chunk_idx', cast(i AS BIGINT), "
+            f"'start_token', cast(i * {s} AS BIGINT), "
+            f"'chunk_n_tokens', cast(size(slice(_t, i * {s} + 1, {c})) AS BIGINT), "
+            f"'chunk_text', array_join(slice(_t, i * {s} + 1, {c}), ' '))) END"
+        ).alias("_chunks"),
+    ).select(id_col, F.explode("_chunks").alias("_ch"))
+    return chunks.select(
+        id_col,
+        F.col("_ch.chunk_idx").alias("chunk_idx"),
+        F.col("_ch.start_token").alias("start_token"),
+        F.col("_ch.chunk_n_tokens").alias("chunk_n_tokens"),
+        F.col("_ch.chunk_text").alias("chunk_text"),
+    )
+
+
+def chunk_strided_oracle_sql(
+    *,
+    chunk_tokens: int = 16,
+    stride: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of [[chunk_documents_strided]]."""
+    from pyrope_spark.functions.text import tokens_sql
+
+    c, s = chunk_tokens, stride
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}
+),
+idx AS (
+  SELECT {id_col}, t, CAST(gs AS BIGINT) AS i
+  FROM tk, unnest(generate_series(0,
+    CAST(ceil(len(t) / {s}.0) AS BIGINT) - 1)) AS g(gs)
+  WHERE len(t) > 0
+)
+SELECT {id_col},
+       i AS chunk_idx,
+       CAST(i * {s} AS BIGINT) AS start_token,
+       CAST(len(t[CAST(i * {s} + 1 AS INT):CAST(i * {s} + {c} AS INT)])
+            AS BIGINT) AS chunk_n_tokens,
+       array_to_string(
+         t[CAST(i * {s} + 1 AS INT):CAST(i * {s} + {c} AS INT)], ' ')
+         AS chunk_text
+FROM idx
+"""

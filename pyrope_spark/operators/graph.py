@@ -1083,3 +1083,121 @@ SELECT CAST(m.m AS BIGINT) AS m_edges,
          AS q_ppm
 FROM per CROSS JOIN m GROUP BY m.m
 """
+
+
+def weighted_pagerank_fixed_iters(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Weighted PageRank: each out-edge carries mass proportional to its
+    integer weight over the node's total out-weight — on a co-purchase
+    graph where (a,b) occurred 40 times and (a,c) once, b deserves 40×
+    the rank flow, which the unweighted [[pagerank_fixed_iters]]
+    (distinct edges) cannot express.
+
+    With ``weight_col=None`` parallel edges are COUNTED into weights
+    (the natural multigraph reading).  Same all-integer recurrence as
+    the unweighted op, with the per-edge contribution
+    ``floor(d·rank·w / (100·W_out))`` — one extra multiply, still one
+    division, so ranks replicate bit-for-bit in the unrolled-CTE twin.
+    """
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = e.join(outw, "src")
+    n_nodes = nodes.count()
+    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    ranks = nodes.withColumn("rank_micro", F.lit(scale // n_nodes).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({damping_pct} * rank_micro * w AS BIGINT) "
+                    f"DIV (100 * wout)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+            .cast("long")
+            .alias("rank_micro"),
+        )
+    return ranks
+
+
+def weighted_pagerank_oracle_sql(
+    edges_sql: str,
+    *,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of [[weighted_pagerank_fixed_iters]] with
+    ``weight_col=None`` semantics (``edges_sql`` yields src, dst; parallel
+    edges count into weights)."""
+    d = damping_pct
+    parts = [
+        f"""
+WITH raw_edges AS ({edges_sql}),
+e AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM raw_edges
+  WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outw AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+ew AS (SELECT e.src, e.dst, e.w, outw.wout FROM e JOIN outw USING (src)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST({scale} // n AS BIGINT) AS rank_micro FROM nodes, nn
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT ew.dst AS node,
+         SUM(({d} * r{i}.rank_micro * ew.w) // (100 * ew.wout)) AS in_mass
+  FROM ew JOIN r{i} ON ew.src = r{i}.node
+  GROUP BY ew.dst
+),
+r{i + 1} AS (
+  SELECT nodes.node,
+         CAST((({100 - d} * {scale}) // (100 * nn.n))
+              + COALESCE(c{i}.in_mass, 0) AS BIGINT) AS rank_micro
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
+)"""
+        )
+    parts.append(f"\nSELECT node, rank_micro FROM r{iters}")
+    return "".join(parts)

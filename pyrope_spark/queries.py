@@ -12253,3 +12253,39 @@ def _ab_test_oracle() -> str:
 
 
 register("ab_conversion_ztest", _ab_test_oracle())(_ab_test_spark)
+
+
+def _strided_chunks_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.curation import chunk_documents_strided
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_strided(docs, chunk_tokens=16, stride=8)
+
+
+def _strided_chunks_oracle() -> str:
+    from pyrope_spark.operators.curation import chunk_strided_oracle_sql
+
+    return chunk_strided_oracle_sql(chunk_tokens=16, stride=8)
+
+
+register("chunk_documents_strided", _strided_chunks_oracle())(
+    _strided_chunks_spark
+)
+
+
+def _wpr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import weighted_pagerank_fixed_iters
+
+    configure_for_oracle(spark)
+    edges = _copurchase_edges_spark(spark, sf_dir)
+    return weighted_pagerank_fixed_iters(edges, iters=3)
+
+
+def _wpr_oracle() -> str:
+    from pyrope_spark.operators.graph import weighted_pagerank_oracle_sql
+
+    return weighted_pagerank_oracle_sql(_COPURCHASE_EDGES_SQL, iters=3)
+
+
+register("weighted_pagerank_copurchase", _wpr_oracle())(_wpr_spark)

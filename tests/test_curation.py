@@ -948,3 +948,40 @@ def test_nucleus_crossing_row_included_and_group_isolation(spark):
     b = [r for r in out if r.source == "b"]
     assert len(a) == 9
     assert [r.doc_id for r in b] == [100]
+
+
+def test_strided_chunks_overlap_and_tail(spark):
+    from pyrope_spark.operators.curation import chunk_documents_strided
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id LONG, text STRING"
+    )
+    out = sorted(
+        chunk_documents_strided(docs, chunk_tokens=6, stride=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts 0, 4, 8 (start < 10): windows [0:6), [4:10), [8:10)
+    assert [(r.start_token, r.chunk_n_tokens) for r in out] == [
+        (0, 6), (4, 6), (8, 2),
+    ]
+    assert out[0].chunk_text.endswith("t5")
+    assert out[1].chunk_text == "t4 t5 t6 t7 t8 t9"
+    assert out[2].chunk_text == "t8 t9"
+    # every token appears in at least one chunk; overlap region in two
+    joined = " ".join(r.chunk_text for r in out).split()
+    assert set(joined) == {f"t{i}" for i in range(10)}
+    assert joined.count("t4") == 2
+
+
+def test_strided_chunks_guards_and_empty(spark):
+    import pytest
+
+    from pyrope_spark.operators.curation import chunk_documents_strided
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one")], "doc_id LONG, text STRING"
+    )
+    out = chunk_documents_strided(docs, chunk_tokens=4, stride=2).collect()
+    assert [(r.doc_id, r.chunk_text) for r in out] == [(3, "one")]
+    with pytest.raises(ValueError):
+        chunk_documents_strided(docs, chunk_tokens=4, stride=0)

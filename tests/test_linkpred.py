@@ -193,3 +193,23 @@ def test_recency_weighted_popularity_halving(spark):
     r = out[0]
     assert r.n_events == 3
     assert r.decayed_value_micro == 8_000_000 + 4_000_000 + 1_000_000
+
+
+def test_weighted_pagerank_weights_direct_flow(spark):
+    from pyrope_spark.operators.graph import (
+        pagerank_fixed_iters,
+        weighted_pagerank_fixed_iters,
+    )
+
+    # a sends 3 parallel edges to b, 1 to c: weighted PR gives b 3/4 of
+    # a's damped mass; the unweighted distinct-edge PR splits evenly
+    e = _edges(spark, [(1, 2), (1, 2), (1, 2), (1, 3)])
+    w = {r.node: r.rank_micro
+         for r in weighted_pagerank_fixed_iters(e, iters=1, scale=1_000_000).collect()}
+    # per-node init 333333; a's flow: to b 85*333333*3//(100*4) = 249999
+    assert w[2] == 150_000 // 3 + (85 * 333_333 * 3) // 400
+    assert w[3] == 150_000 // 3 + (85 * 333_333 * 1) // 400
+    u = {r.node: r.rank_micro
+         for r in pagerank_fixed_iters(e, iters=1, scale=1_000_000).collect()}
+    assert u[2] == u[3]          # distinct edges: even split
+    assert w[2] > w[3]           # weights break the tie
