@@ -790,6 +790,8 @@ def main() -> None:
         "ab_conversion_ztest",
         "chunk_documents_strided",
         "weighted_pagerank_copurchase",
+        "supplier_revenue_hhi",
+        "fd_violation_audit",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

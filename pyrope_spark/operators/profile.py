@@ -736,3 +736,146 @@ SELECT k AS {key_col},
                  ELSE 0 END AS BIGINT) AS emd_ppm
 FROM cum GROUP BY k, na, nb
 """
+
+
+def market_concentration_hhi(
+    df: DataFrame,
+    *,
+    group_col: str,
+    member_col: str,
+    value_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration per group: ``Σ share²`` over
+    members, the antitrust-grade concentration index (1e6 = monopoly,
+    →1e6/n = perfectly even across n members) — "is this nation's
+    revenue concentrated in one supplier", "is this event type dominated
+    by one item".
+
+    Exact integer: with member totals ``v_i`` and group total ``T``,
+    ``hhi_ppm = Σ v_i² · 1e6 div T²`` — ONE division after
+    cross-multiplying, DECIMAL(38,0) for the squared sums (int64
+    overflows past ~3e9 in micro units; DuckDB hugeint-promotes).
+    ``value_col=None`` counts rows; otherwise values enter as
+    floor-micro units.
+
+    Scale shape: one (group, member) aggregate, one (group) aggregate.
+    """
+    if value_col is None:
+        vm = F.lit(1).cast("long")
+    else:
+        vm = F.floor(F.col(value_col).cast("double") * 1_000_000).cast("long")
+    members = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(member_col).alias("member")
+    ).agg(F.sum(vm).alias("v"))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return (
+        members.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("v").cast("long").alias("total"),
+            F.sum(F.expr(f"{dec.format('v')} * v")).alias("_sum_sq"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_members",
+            "total",
+            F.expr(
+                f"CAST(_sum_sq * {scale} DIV ({dec.format('total')} * total)"
+                " AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )
+
+
+def market_concentration_oracle_sql(
+    *,
+    group_col: str,
+    member_col: str,
+    value_sql: str | None = None,
+    table: str,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[market_concentration_hhi]]."""
+    vm = (
+        "CAST(1 AS BIGINT)"
+        if value_sql is None
+        else f"CAST(floor(CAST({value_sql} AS DOUBLE) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH members AS (
+  SELECT {group_col} AS grp, {member_col} AS member, SUM({vm}) AS v
+  FROM {table} GROUP BY 1, 2
+)
+SELECT grp AS {group_col},
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(SUM(v) AS BIGINT) AS total,
+       CAST(SUM(v * v) * {scale} // (SUM(v) * SUM(v)) AS BIGINT) AS hhi_ppm
+FROM members GROUP BY 1
+"""
+
+
+def fd_violation_audit(
+    df: DataFrame,
+    *,
+    det_col: str,
+    dep_col: str,
+) -> DataFrame:
+    """Functional-dependency audit: does ``det_col`` determine
+    ``dep_col``?  Output one row — determinant count, how many
+    determinants map to MORE than one dependent value (the FD
+    violations), the worst determinant's distinct-dependent count, and
+    the violating ROW volume — the data-contract check run before
+    assuming "order_id → customer" style invariants in a pipeline
+    (a violated FD silently fans out every downstream join).
+
+    NULL dependents count as a value (a det mapping to {x, NULL} IS
+    ambiguous).  Scale shape: one (det, dep) aggregate, one (det)
+    aggregate, one 1-row rollup.
+    """
+    pairs = df.groupBy(
+        F.col(det_col).alias("det"), F.col(dep_col).alias("dep")
+    ).agg(F.count("*").cast("long").alias("n"))
+    per_det = pairs.groupBy("det").agg(
+        F.count("*").cast("long").alias("n_dep_values"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    return per_det.agg(
+        F.count("*").cast("long").alias("n_determinants"),
+        F.sum((F.col("n_dep_values") > 1).cast("long"))
+        .cast("long")
+        .alias("n_violating_determinants"),
+        F.max("n_dep_values").cast("long").alias("max_dep_values"),
+        F.sum(F.when(F.col("n_dep_values") > 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("violating_rows"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+
+
+def fd_violation_oracle_sql(
+    *,
+    det_sql: str,
+    dep_sql: str,
+    table: str,
+) -> str:
+    """DuckDB twin of [[fd_violation_audit]]."""
+    return f"""
+WITH pairs AS (
+  SELECT {det_sql} AS det, {dep_sql} AS dep, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+),
+per_det AS (
+  SELECT det, CAST(count(*) AS BIGINT) AS n_dep_values,
+         CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_determinants,
+       CAST(SUM(CASE WHEN n_dep_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_determinants,
+       CAST(MAX(n_dep_values) AS BIGINT) AS max_dep_values,
+       CAST(SUM(CASE WHEN n_dep_values > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS violating_rows,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows
+FROM per_det
+"""

@@ -12289,3 +12289,58 @@ def _wpr_oracle() -> str:
 
 
 register("weighted_pagerank_copurchase", _wpr_oracle())(_wpr_spark)
+
+
+def _hhi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import market_concentration_hhi
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    j = li.join(sup, li["l_suppkey"] == sup["s_suppkey"]).select(
+        "s_nationkey", "l_suppkey", "l_extendedprice"
+    )
+    return market_concentration_hhi(
+        j,
+        group_col="s_nationkey",
+        member_col="l_suppkey",
+        value_col="l_extendedprice",
+    )
+
+
+def _hhi_oracle() -> str:
+    from pyrope_spark.operators.profile import market_concentration_oracle_sql
+
+    return market_concentration_oracle_sql(
+        group_col="s_nationkey",
+        member_col="l_suppkey",
+        value_sql="l_extendedprice",
+        table=(
+            "(SELECT s_nationkey, l_suppkey, l_extendedprice "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)"
+        ),
+    )
+
+
+register("supplier_revenue_hhi", _hhi_oracle())(_hhi_spark)
+
+
+def _fd_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import fd_violation_audit
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # user_id -> event_type is expected to VIOLATE (users do many things);
+    # the audit quantifies exactly how much
+    return fd_violation_audit(ev, det_col="user_id", dep_col="event_type")
+
+
+def _fd_oracle() -> str:
+    from pyrope_spark.operators.profile import fd_violation_oracle_sql
+
+    return fd_violation_oracle_sql(
+        det_sql="user_id", dep_sql="event_type", table="events"
+    )
+
+
+register("fd_violation_audit", _fd_oracle())(_fd_spark)

@@ -223,3 +223,42 @@ def test_categorical_association_independence_and_planted(spark):
     # 2x2 fully dependent, N=20, ra=cb=10: chi2 per cell = (o-e)^2/e = 5
     assert out2[("x", "p")]["chi2_contrib_micro"] == 5_000_000
     assert out2[("x", "p")]["expected_micro"] == 5_000_000
+
+
+def test_hhi_closed_forms(spark):
+    from pyrope_spark.operators.profile import market_concentration_hhi
+
+    rows = (
+        # group m: monopoly (one member)
+        [("m", "s1", 10.0)] * 3
+        # group e: four members, equal counts
+        + [("e", f"s{i}", 1.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "grp STRING, member STRING, v DOUBLE")
+    out = {r.grp: r for r in market_concentration_hhi(
+        df, group_col="grp", member_col="member", value_col="v"
+    ).collect()}
+    assert out["m"].hhi_ppm == 1_000_000          # monopoly
+    assert out["e"].hhi_ppm == 250_000            # 4 * (1/4)^2
+    # count mode (value_col=None): same shares, same index
+    out2 = {r.grp: r for r in market_concentration_hhi(
+        df, group_col="grp", member_col="member"
+    ).collect()}
+    assert out2["e"].hhi_ppm == 250_000
+
+
+def test_fd_violation_audit_closed_form(spark):
+    from pyrope_spark.operators.profile import fd_violation_audit
+
+    rows = [
+        (1, "a"), (1, "a"),          # det 1: clean (1 dep value, 2 rows)
+        (2, "a"), (2, "b"), (2, "b"),  # det 2: violates (2 values, 3 rows)
+        (3, None), (3, "c"),          # det 3: NULL counts as a value -> violates
+    ]
+    df = spark.createDataFrame(rows, "det LONG, dep STRING")
+    r = fd_violation_audit(df, det_col="det", dep_col="dep").collect()[0]
+    assert r.n_determinants == 3
+    assert r.n_violating_determinants == 2
+    assert r.max_dep_values == 2
+    assert r.violating_rows == 5
+    assert r.total_rows == 7
