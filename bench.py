@@ -792,6 +792,8 @@ def main() -> None:
         "weighted_pagerank_copurchase",
         "supplier_revenue_hhi",
         "fd_violation_audit",
+        "event_transition_matrix",
+        "dup_rate_by_source",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

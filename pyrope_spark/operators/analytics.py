@@ -1037,3 +1037,74 @@ SELECT na, ca, nb, cb,
                  ELSE 0 END AS BIGINT) AS z2_milli
 FROM two
 """
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Full first-order Markov transition matrix over per-user event
+    streams: every (prev → next) pair with its count and the exact
+    row-normalized probability ``prob_ppm = cnt·1e6 div row_total`` —
+    the complete behavioral model where [[markov_rules]] keeps only the
+    single best rule per state (prefetch needs one answer; funnel/churn
+    analysis needs the whole distribution, self-loops included).
+
+    Scale shape: one user-keyed lag window + one (prev, next) aggregate
+    + a broadcast row-total join — the matrix is |states|², never
+    event volume.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    trans = (
+        events.withColumn("_prev", F.lag(F.col(state_col)).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    totals = trans.groupBy("prev_state").agg(
+        F.sum("cnt").alias("row_total")
+    )
+    return trans.join(F.broadcast(totals), "prev_state").select(
+        "prev_state",
+        "next_state",
+        "cnt",
+        F.col("row_total").cast("long").alias("row_total"),
+        F.expr(f"cnt * {scale} div row_total").cast("long").alias("prob_ppm"),
+    )
+
+
+def transition_matrix_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[transition_matrix]] (order ts, event_id)."""
+    return f"""
+WITH seq AS (
+  SELECT {state_col} AS state,
+         lag({state_col}) OVER (PARTITION BY {user_col}
+                                ORDER BY ts, event_id) AS prev
+  FROM {table}
+),
+trans AS (
+  SELECT prev AS prev_state, state AS next_state,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT prev_state, SUM(cnt) AS row_total FROM trans GROUP BY 1)
+SELECT t.prev_state, t.next_state, t.cnt,
+       CAST(x.row_total AS BIGINT) AS row_total,
+       CAST(t.cnt * {scale} // x.row_total AS BIGINT) AS prob_ppm
+FROM trans t JOIN totals x ON t.prev_state = x.prev_state
+"""

@@ -1265,3 +1265,127 @@ def canonical_by_quality(
             (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
         )
     )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Where do the near-duplicates COME FROM: per source, how many of
+    its docs participate in at least one duplicate pair, split into
+    within-source and cross-source involvement — the curation readout
+    that turns a pair list ([[minhash_lsh_pairs]] or any (ia, ib) pair
+    table) into a per-origin quality score ("src3 is 40% self-duplicated;
+    src1 mostly copies OTHER sources").
+
+    ``dup_rate_ppm = dup_docs·1e6 div n_docs`` — exact integer.
+
+    Scale shape: two id-keyed joins to label pair endpoints with
+    sources, one explode to per-(doc, kind) involvement, distinct +
+    (source) aggregate joined back to per-source doc counts (broadcast —
+    the source dimension is small by construction).
+    """
+    src = docs.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+    )
+    a = src.select(F.col("_id").alias("ia"), F.col("_src").alias("src_a"))
+    b = src.select(F.col("_id").alias("ib"), F.col("_src").alias("src_b"))
+    labeled = pairs.select("ia", "ib").join(a, "ia").join(b, "ib")
+    inv = labeled.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("doc"),
+                    F.col("src_a").alias("src"),
+                    (F.col("src_a") == F.col("src_b")).alias("within"),
+                ),
+                F.struct(
+                    F.col("ib").alias("doc"),
+                    F.col("src_b").alias("src"),
+                    (F.col("src_a") == F.col("src_b")).alias("within"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc", "e.src", "e.within")
+    per_doc = inv.groupBy("src", "doc").agg(
+        F.max(F.col("within").cast("int")).alias("_w"),
+        F.max((~F.col("within")).cast("int")).alias("_x"),
+    )
+    dup_stats = per_doc.groupBy("src").agg(
+        F.count("*").cast("long").alias("dup_docs"),
+        F.sum("_w").cast("long").alias("within_source_docs"),
+        F.sum("_x").cast("long").alias("cross_source_docs"),
+    )
+    counts = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        counts.join(dup_stats, "src", "left")
+        .select(
+            F.col("src").alias(source_col),
+            "n_docs",
+            F.coalesce(F.col("dup_docs"), F.lit(0)).cast("long").alias("dup_docs"),
+            F.coalesce(F.col("within_source_docs"), F.lit(0))
+            .cast("long")
+            .alias("within_source_docs"),
+            F.coalesce(F.col("cross_source_docs"), F.lit(0))
+            .cast("long")
+            .alias("cross_source_docs"),
+            F.expr(f"coalesce(dup_docs, 0) * {scale} div n_docs")
+            .cast("long")
+            .alias("dup_rate_ppm"),
+        )
+    )
+
+
+def dup_rate_by_source_oracle_sql(
+    pairs_sql: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[dup_rate_by_source]] (``pairs_sql`` yields ia, ib)."""
+    return f"""
+WITH pairs AS (SELECT ia, ib FROM ({pairs_sql})),
+src AS (SELECT {id_col} AS id, {source_col} AS src FROM {table}),
+labeled AS (
+  SELECT p.ia, p.ib, a.src AS src_a, b.src AS src_b
+  FROM pairs p JOIN src a ON p.ia = a.id JOIN src b ON p.ib = b.id
+),
+inv AS (
+  SELECT ia AS doc, src_a AS src, src_a = src_b AS within FROM labeled
+  UNION ALL
+  SELECT ib, src_b, src_a = src_b FROM labeled
+),
+per_doc AS (
+  SELECT src, doc,
+         MAX(CASE WHEN within THEN 1 ELSE 0 END) AS w,
+         MAX(CASE WHEN within THEN 0 ELSE 1 END) AS x
+  FROM inv GROUP BY 1, 2
+),
+dup_stats AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS dup_docs,
+         CAST(SUM(w) AS BIGINT) AS within_source_docs,
+         CAST(SUM(x) AS BIGINT) AS cross_source_docs
+  FROM per_doc GROUP BY 1
+),
+counts AS (
+  SELECT {source_col} AS src, CAST(count(*) AS BIGINT) AS n_docs
+  FROM {table} GROUP BY 1
+)
+SELECT c.src AS {source_col}, c.n_docs,
+       CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+       CAST(COALESCE(d.within_source_docs, 0) AS BIGINT)
+         AS within_source_docs,
+       CAST(COALESCE(d.cross_source_docs, 0) AS BIGINT)
+         AS cross_source_docs,
+       CAST(COALESCE(d.dup_docs, 0) * {scale} // c.n_docs AS BIGINT)
+         AS dup_rate_ppm
+FROM counts c LEFT JOIN dup_stats d ON c.src = d.src
+"""

@@ -12344,3 +12344,45 @@ def _fd_oracle() -> str:
 
 
 register("fd_violation_audit", _fd_oracle())(_fd_spark)
+
+
+def _transition_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import transition_matrix
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
+def _transition_oracle() -> str:
+    from pyrope_spark.operators.analytics import transition_matrix_oracle_sql
+
+    return transition_matrix_oracle_sql()
+
+
+register("event_transition_matrix", _transition_oracle())(_transition_spark)
+
+
+def _dup_rate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import (
+        dup_rate_by_source,
+        minhash_lsh_pairs,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.7)
+    return dup_rate_by_source(docs, pairs)
+
+
+def _dup_rate_oracle() -> str:
+    from pyrope_spark.operators.dedup import (
+        dup_rate_by_source_oracle_sql,
+        minhash_lsh_oracle_sql,
+    )
+
+    pairs = minhash_lsh_oracle_sql(verify_threshold=0.7)
+    return dup_rate_by_source_oracle_sql(pairs)
+
+
+register("dup_rate_by_source", _dup_rate_oracle())(_dup_rate_spark)

@@ -416,3 +416,27 @@ def test_ab_conversion_degenerate_guards(spark):
         convert_expr=(F.col("event_type") == "purchase"),
     ).collect()[0]
     assert r.z2_milli == 0 and r.rate_a_ppm == 1_000_000
+
+
+def test_transition_matrix_closed_form(spark):
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.operators.analytics import transition_matrix
+
+    base = datetime(2024, 1, 1)
+    # u1: a -> b -> b ; u2: a -> b  (self-loop b->b counted)
+    rows = [
+        (1, 1, "a", base), (2, 1, "b", base + timedelta(seconds=1)),
+        (3, 1, "b", base + timedelta(seconds=2)),
+        (4, 2, "a", base), (5, 2, "b", base + timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    )
+    out = {(r.prev_state, r.next_state): r for r in transition_matrix(df).collect()}
+    assert out[("a", "b")].cnt == 2
+    assert out[("b", "b")].cnt == 1
+    assert out[("a", "b")].prob_ppm == 1_000_000   # a always -> b
+    assert out[("b", "b")].prob_ppm == 1_000_000
+    # no cross-user transition (u1's last b never chains to u2's a)
+    assert ("b", "a") not in out

@@ -433,3 +433,24 @@ def test_canonical_by_quality_argmax_and_ties(spark):
     assert by[1]["is_duplicate"] is True and by[3]["is_duplicate"] is True
     assert by[9]["canonical_id"] == 9 and by[9]["is_duplicate"] is False
     assert by[9]["group_size"] == 1 and by[1]["group_size"] == 3
+
+
+def test_dup_rate_by_source_closed_form(spark):
+    from pyrope_spark.operators.dedup import dup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s1"), (4, "s2"), (5, "s2"), (6, "s3")],
+        "doc_id LONG, source STRING",
+    )
+    # pairs: (1,2) within s1; (3,4) cross s1-s2; doc 5, 6 clean
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "ia LONG, ib LONG")
+    out = {r.source: r for r in dup_rate_by_source(docs, pairs).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.dup_docs) == (3, 3)
+    assert s1.within_source_docs == 2      # docs 1, 2
+    assert s1.cross_source_docs == 1       # doc 3
+    assert s1.dup_rate_ppm == 1_000_000
+    s2 = out["s2"]
+    assert (s2.dup_docs, s2.cross_source_docs) == (1, 1)
+    assert s2.dup_rate_ppm == 500_000
+    assert out["s3"].dup_docs == 0 and out["s3"].dup_rate_ppm == 0
