@@ -794,6 +794,7 @@ def main() -> None:
         "fd_violation_audit",
         "event_transition_matrix",
         "dup_rate_by_source",
+        "dau_mau_stickiness",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

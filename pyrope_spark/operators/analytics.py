@@ -1108,3 +1108,77 @@ SELECT t.prev_state, t.next_state, t.cnt,
        CAST(t.cnt * {scale} // x.row_total AS BIGINT) AS prob_ppm
 FROM trans t JOIN totals x ON t.prev_state = x.prev_state
 """
+
+
+def dau_mau_stickiness(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    mau_days: int = 28,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-engagement stickiness: per active day, DAU, trailing
+    ``mau_days``-window MAU, and ``stickiness_ppm = dau·1e6 div mau`` —
+    the DAU/MAU ratio (a 3%-stickiness product is a utility; a 50% one
+    is a habit).
+
+    Exact distincts, computed over the COMPACTED (user, day) activity
+    table — the fact table collapses to at most users×active-days rows
+    first, so the trailing-window range join touches activity volume,
+    never event volume (the [[rolling_7d_distinct_users]] shape; its
+    HLL variant stands in when even the activity table is too hot).
+
+    Days are fixed-epoch ``epoch-seconds div 86400`` integers.
+    """
+    from pyspark.sql import functions as F
+
+    act = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"unix_timestamp({ts_col}) div 86400").alias("day"),
+    ).distinct()
+    dau = act.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    spine = dau.select("day")
+    win = spine.alias("s").join(
+        act.alias("a"),
+        (F.col("a.day") > F.col("s.day") - mau_days)
+        & (F.col("a.day") <= F.col("s.day")),
+    )
+    mau = win.groupBy(F.col("s.day").alias("day")).agg(
+        F.countDistinct("a.u").cast("long").alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        F.col("day").cast("long").alias("day"),
+        "dau",
+        "mau",
+        F.expr(f"dau * {scale} div mau").cast("long").alias("stickiness_ppm"),
+    )
+
+
+def dau_mau_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    mau_days: int = 28,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[dau_mau_stickiness]]."""
+    return f"""
+WITH act AS (
+  SELECT DISTINCT {user_col} AS u,
+         CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) // 86400
+           AS day
+  FROM {table}
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1),
+mau AS (
+  SELECT s.day, CAST(count(DISTINCT a.u) AS BIGINT) AS mau
+  FROM dau s JOIN act a
+    ON a.day > s.day - {mau_days} AND a.day <= s.day
+  GROUP BY 1
+)
+SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, mau.mau,
+       CAST(dau.dau * {scale} // mau.mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN mau ON dau.day = mau.day
+"""

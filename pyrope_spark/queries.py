@@ -12386,3 +12386,20 @@ def _dup_rate_oracle() -> str:
 
 
 register("dup_rate_by_source", _dup_rate_oracle())(_dup_rate_spark)
+
+
+def _stickiness_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import dau_mau_stickiness
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return dau_mau_stickiness(ev)
+
+
+def _stickiness_oracle() -> str:
+    from pyrope_spark.operators.analytics import dau_mau_oracle_sql
+
+    return dau_mau_oracle_sql()
+
+
+register("dau_mau_stickiness", _stickiness_oracle())(_stickiness_spark)

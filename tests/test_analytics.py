@@ -440,3 +440,25 @@ def test_transition_matrix_closed_form(spark):
     assert out[("b", "b")].prob_ppm == 1_000_000
     # no cross-user transition (u1's last b never chains to u2's a)
     assert ("b", "a") not in out
+
+
+def test_dau_mau_stickiness_closed_form(spark):
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.operators.analytics import dau_mau_stickiness
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # day 0: users 1,2; day 1: user 1 (twice -> still DAU 1); day 40: user 3
+    rows += [(1, base), (2, base)]
+    rows += [(1, base + timedelta(days=1)), (1, base + timedelta(days=1, hours=2))]
+    rows += [(3, base + timedelta(days=40))]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = {r.day - min(x.day for x in dau_mau_stickiness(df).collect()): r
+           for r in dau_mau_stickiness(df).collect()}
+    d0, d1, d40 = out[0], out[1], out[40]
+    assert (d0.dau, d0.mau) == (2, 2)
+    assert (d1.dau, d1.mau) == (1, 2)          # trailing window keeps u2
+    assert d1.stickiness_ppm == 500_000
+    assert (d40.dau, d40.mau) == (1, 1)        # day 0/1 fell out of 28d
+    assert d40.stickiness_ppm == 1_000_000
