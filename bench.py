@@ -795,6 +795,7 @@ def main() -> None:
         "event_transition_matrix",
         "dup_rate_by_source",
         "dau_mau_stickiness",
+        "customer_revenue_lorenz",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

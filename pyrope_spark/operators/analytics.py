@@ -1182,3 +1182,105 @@ SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, mau.mau,
        CAST(dau.dau * {scale} // mau.mau AS BIGINT) AS stickiness_ppm
 FROM dau JOIN mau ON dau.day = mau.day
 """
+
+
+def lorenz_curve_deciles(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lorenz-curve points: members sorted by value ascending, bucketed
+    into ``n_buckets`` equal-population slices, each with its exact value
+    share and cumulative share — the inequality readout behind "the top
+    decile of customers carries X% of revenue" (the curve whose area
+    deficit IS the Gini coefficient [[source_length_gini]] summarizes).
+
+    All integer: values enter floor-micro, members rank through the
+    distributed [[global_rank]] (no single-partition sort of the member
+    table), bucket = ``(rank−1)·n_buckets div n`` — exact equal-population
+    cuts — and shares are one division per bucket against the broadcast
+    total.  Cumulative runs over the n_buckets-row table only.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyrope_spark.operators.curation import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.col(value_col).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    ranked = global_rank(base, order_cols=("vm", "id"))
+    n_row = base.agg(F.count("*").alias("n"), F.sum("vm").alias("total"))
+    bucketed = ranked.crossJoin(F.broadcast(n_row)).select(
+        F.expr(f"(grank - 1) * {n_buckets} div n").alias("bucket"),
+        "vm",
+        "total",
+    )
+    per = bucketed.groupBy("bucket", "total").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("vm").cast("long").alias("bucket_value_micro"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # micro totals reach ~1e15 at small SF already — the ×1e6 share
+    # multiply MUST go through DECIMAL(38,0) (DuckDB hugeint-promotes)
+    return per.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_members",
+        "bucket_value_micro",
+        F.expr(
+            f"CAST(CAST(bucket_value_micro AS DECIMAL(38,0)) * {scale} "
+            f"DIV total AS BIGINT)"
+        ).alias("share_ppm"),
+        F.sum("bucket_value_micro").over(w).cast("long").alias("cum_value_micro"),
+        F.expr(
+            f"CAST(CAST(sum(bucket_value_micro) OVER (ORDER BY bucket "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS DECIMAL(38,0)) * {scale} DIV total AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    )
+
+
+def lorenz_curve_oracle_sql(
+    *,
+    id_sql: str,
+    value_sql: str,
+    table: str,
+    n_buckets: int = 10,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[lorenz_curve_deciles]]."""
+    return f"""
+WITH base AS (
+  SELECT {id_sql} AS id,
+         CAST(floor(CAST({value_sql} AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM {table}
+),
+ranked AS (
+  SELECT vm, row_number() OVER (ORDER BY vm ASC, id ASC) AS grank,
+         COUNT(*) OVER () AS n, SUM(vm) OVER () AS total
+  FROM base
+),
+per AS (
+  SELECT (grank - 1) * {n_buckets} // n AS bucket,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(SUM(vm) AS BIGINT) AS bucket_value_micro,
+         MAX(total) AS total
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_members, bucket_value_micro,
+       CAST(CAST(bucket_value_micro AS HUGEINT) * {scale} // total AS BIGINT)
+         AS share_ppm,
+       CAST(SUM(bucket_value_micro) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_value_micro,
+       CAST(CAST(SUM(bucket_value_micro) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+         * {scale} // total AS BIGINT) AS cum_share_ppm
+FROM per
+"""

@@ -1720,6 +1720,7 @@ def global_rank(
     order_cols: tuple[str, ...],
     rank_col: str = "grank",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed 1-based global rank over a TOTAL order (``order_cols``
     must be tie-free — include a unique id last) — the scalable
@@ -1755,7 +1756,18 @@ def global_rank(
             i += len(pdf)
             yield pdf
 
+    # ONE materialization serves both the counts job and the final join:
+    # repartitionByRange picks its boundaries by SAMPLING, and when the
+    # input is an upstream aggregate (nondeterministic intra-partition
+    # row order) two separate jobs can sample DIFFERENT boundaries — the
+    # offsets then describe a partitioning the final join no longer has,
+    # yielding duplicate/gapped ranks (caught by the lorenz sf0.1 gate).
     local = ranged.mapInPandas(attach, schema)
+    if materialize:
+        # ``materialize=False`` keeps the raw lineage (plan-shape tests
+        # inspect the range stage); correctness on nondeterministically-
+        # ordered inputs requires the default True.
+        local = local.localCheckpoint(eager=True)
     counts = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     )

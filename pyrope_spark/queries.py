@@ -12403,3 +12403,37 @@ def _stickiness_oracle() -> str:
 
 
 register("dau_mau_stickiness", _stickiness_oracle())(_stickiness_spark)
+
+
+def _lorenz_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import lorenz_curve_deciles
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    # integer cents per ROW before the sum: a float SUM then floor would
+    # inherit summation-order ulps and flip micro units between engines
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    return lorenz_curve_deciles(
+        per_cust, id_col="o_custkey", value_col="spend_cents"
+    )
+
+
+def _lorenz_oracle() -> str:
+    from pyrope_spark.operators.analytics import lorenz_curve_oracle_sql
+
+    return lorenz_curve_oracle_sql(
+        id_sql="o_custkey",
+        value_sql="spend_cents",
+        table=(
+            "(SELECT o_custkey, "
+            "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS spend_cents FROM orders GROUP BY 1)"
+        ),
+    )
+
+
+register("customer_revenue_lorenz", _lorenz_oracle())(_lorenz_spark)

@@ -681,3 +681,62 @@ def streaming_interval_coverage(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transition_deltas(
+    stream_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts_ns",
+    id_col: str = "event_id",
+):
+    """Stateful streaming maintenance of the [[transition_matrix]] model:
+    per user, carry the LAST state across micro-batches and emit one
+    ``(prev_state, next_state, cnt)`` DELTA row per batch-and-pair —
+    downstream, ``SUM(cnt) GROUP BY prev, next`` over the delta log
+    reproduces the batch matrix exactly (pytest-asserted), so the model
+    table stays fresh without ever rescanning history.
+
+    State per user = one string (the last state); in-batch events fold
+    in (ts, id) order.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "prev_state string, next_state string, cnt long"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        counts: dict[tuple, int] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for st in pdf[state_col].tolist():
+                if last is not None:
+                    k = (last, st)
+                    counts[k] = counts.get(k, 0) + 1
+                last = st
+        if last is not None:
+            state.update((str(last),))
+        yield pd.DataFrame(
+            [(p, nx, c) for (p, nx), c in counts.items()],
+            columns=["prev_state", "next_state", "cnt"],
+        )
+
+    src = stream_df.select(
+        F.col(user_col).cast("string").alias(user_col),
+        F.col(state_col).cast("string").alias(state_col),
+        F.col(ts_col).cast("long").alias(ts_col),
+        F.col(id_col).cast("long").alias(id_col),
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="last_state string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

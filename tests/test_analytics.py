@@ -462,3 +462,35 @@ def test_dau_mau_stickiness_closed_form(spark):
     assert d1.stickiness_ppm == 500_000
     assert (d40.dau, d40.mau) == (1, 1)        # day 0/1 fell out of 28d
     assert d40.stickiness_ppm == 1_000_000
+
+
+def test_lorenz_deciles_closed_form(spark):
+    from pyrope_spark.operators.analytics import lorenz_curve_deciles
+
+    # 10 members, values 1..10: deciles are single members; total 55
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id LONG, v DOUBLE"
+    )
+    out = sorted(
+        lorenz_curve_deciles(df, id_col="id", value_col="v").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in out] == list(range(10))
+    assert all(r.n_members == 1 for r in out)
+    assert out[0].share_ppm == 1_000_000 // 55
+    assert out[-1].share_ppm == 10_000_000 // 55
+    assert out[-1].cum_share_ppm == 1_000_000
+    # cumulative shares are convex (Lorenz property on sorted values)
+    shares = [r.share_ppm for r in out]
+    assert shares == sorted(shares)
+
+
+def test_lorenz_equal_values_even_shares(spark):
+    from pyrope_spark.operators.analytics import lorenz_curve_deciles
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(20)], "id LONG, v DOUBLE"
+    )
+    out = lorenz_curve_deciles(df, id_col="id", value_col="v").collect()
+    assert all(r.n_members == 2 for r in out)
+    assert all(r.share_ppm == 100_000 for r in out)

@@ -985,3 +985,29 @@ def test_strided_chunks_guards_and_empty(spark):
     assert [(r.doc_id, r.chunk_text) for r in out] == [(3, "one")]
     with pytest.raises(ValueError):
         chunk_documents_strided(docs, chunk_tokens=4, stride=0)
+
+
+def test_global_rank_stable_on_aggregate_input(spark):
+    """Regression (round-6 session-5): with an upstream AGGREGATE input,
+    repartitionByRange's boundary sampling could differ between the
+    offsets job and the final join, yielding duplicate/gapped ranks.
+    The eager localCheckpoint pins one partitioning for both."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.curation import global_rank
+
+    base = (
+        spark.range(20_000)
+        .select((F.col("id") % 7919).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").cast("long").alias("vm"))
+        .select(F.col("k").alias("id"), "vm")
+    )
+    r = global_rank(base, order_cols=("vm", "id"))
+    stats = r.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("grank").alias("d"),
+        F.min("grank").alias("lo"),
+        F.max("grank").alias("hi"),
+    ).collect()[0]
+    assert stats.n == stats.d == stats.hi == 7919 and stats.lo == 1

@@ -923,3 +923,62 @@ def test_streaming_interval_coverage_cross_batch(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_streaming_transition_deltas_sum_to_batch_matrix(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.analytics import transition_matrix
+    from pyrope_spark.streaming.sketches import streaming_transition_deltas
+
+    src_dir = tmp_path / "tr_in"
+    src_dir.mkdir()
+    schema = "event_id long, user_id string, event_type string, ts_ns long"
+
+    b1 = spark.createDataFrame(
+        [(1, "u1", "a", 1), (2, "u1", "b", 2), (3, "u2", "a", 1)], schema
+    )
+    b1.write.mode("append").parquet(str(src_dir))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src_dir))
+    q = (
+        streaming_transition_deltas(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tr"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: u1 continues b -> a (CROSS-batch transition via state),
+        # u2 continues a -> a (self-loop)
+        spark.createDataFrame(
+            [(4, "u1", "a", 3), (5, "u2", "a", 2)], schema
+        ).write.mode("append").parquet(str(src_dir))
+        q.processAllAvailable()
+        got = {
+            (r.prev_state, r.next_state): r.total
+            for r in spark.sql(
+                "select prev_state, next_state, sum(cnt) as total "
+                "from tr_out group by 1, 2"
+            ).collect()
+        }
+        # batch-operator truth over the unioned input
+        all_ev = spark.createDataFrame(
+            [
+                (1, "u1", "a", 1), (2, "u1", "b", 2), (3, "u2", "a", 1),
+                (4, "u1", "a", 3), (5, "u2", "a", 2),
+            ],
+            schema,
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts_ns")))
+        truth = {
+            (r.prev_state, r.next_state): r.cnt
+            for r in transition_matrix(
+                all_ev, user_col="user_id", order_cols=("ts_ns", "event_id")
+            ).collect()
+        }
+        assert got == truth
+        assert got[("b", "a")] == 1   # the cross-batch transition
+        assert got[("a", "a")] == 1   # the self-loop
+    finally:
+        q.stop()
