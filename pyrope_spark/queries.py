@@ -6765,9 +6765,13 @@ def _q20_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(
             F.count("*").cast("long").alias("n_dominated_parts"),
-            F.sum("qty").cast("decimal(18,2)").alias("dominated_qty"),
+            # Integer cents, not DECIMAL: Spark DECIMAL -> pandas object
+            # Decimal vs DuckDB DECIMAL -> float64 breaks the driver's
+            # dtype-sensitive hash (r6 red). qty has exactly 2 decimal
+            # places so *100 is exact.
+            (F.sum("qty") * 100).cast("long").alias("dominated_qty_cents"),
         )
-        .select("s_name", "n_dominated_parts", "dominated_qty")
+        .select("s_name", "n_dominated_parts", "dominated_qty_cents")
     )
 
 
@@ -6789,7 +6793,7 @@ ps AS (
 )
 SELECT a.s_name,
        CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
-       CAST(SUM(p.qty) AS DECIMAL(18,2)) AS dominated_qty
+       CAST(SUM(p.qty) * 100 AS BIGINT) AS dominated_qty_cents
 FROM ps p
 JOIN tot t ON p.l_partkey = t.pk
 JOIN asia_sup a ON p.l_suppkey = a.s_suppkey
@@ -7101,7 +7105,7 @@ c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
 c2 AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY 1)
 SELECT x.w1, x.w2, x.c12, CAST(c1.c1 AS BIGINT) AS c1,
        CAST(c2.c2 AS BIGINT) AS c2,
-       x.c12 * 1000000000 // (c1.c1 * c2.c2) AS score_ppb
+       CAST(x.c12 * 1000000000 // (c1.c1 * c2.c2) AS BIGINT) AS score_ppb
 FROM c12 x JOIN c1 ON x.w1 = c1.w1 JOIN c2 ON x.w2 = c2.w2
 WHERE x.c12 >= 5
 ORDER BY score_ppb DESC, x.w1, x.w2
@@ -7451,16 +7455,19 @@ def _runshare_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNSHARE_ORACLE = """
 WITH rev AS (
   SELECT p_brand AS brand, strftime(l_shipdate, '%Y-%m') AS month,
-         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY 1, 2
 )
 SELECT brand, month, rev_cents,
-       SUM(rev_cents) OVER (PARTITION BY brand ORDER BY month
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
-       SUM(rev_cents) OVER (PARTITION BY brand ORDER BY month
+       CAST(SUM(rev_cents) OVER (PARTITION BY brand ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY brand ORDER BY month
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
-         // SUM(rev_cents) OVER (PARTITION BY brand) AS cum_share_micro
+         // SUM(rev_cents) OVER (PARTITION BY brand) AS BIGINT)
+         AS cum_share_micro
 FROM rev
 """
 
@@ -8724,7 +8731,10 @@ def _topties_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             F.col("p_partkey").cast("long").alias("p_partkey"),
-            F.col("qty").cast("decimal(18,2)").alias("total_qty"),
+            # integer cents, not DECIMAL: Spark DECIMAL -> pandas object
+            # Decimal vs DuckDB DECIMAL -> float64 fails the strict-dtype
+            # gate; qty has exactly 2 decimal places so *100 is exact
+            (F.col("qty") * 100).cast("long").alias("total_qty_cents"),
         )
     )
 
@@ -8737,7 +8747,7 @@ WITH qty AS (
   GROUP BY 1, 2
 )
 SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
-       CAST(qty AS DECIMAL(18,2)) AS total_qty
+       CAST(qty * 100 AS BIGINT) AS total_qty_cents
 FROM (SELECT *, rank() OVER (PARTITION BY p_brand ORDER BY qty DESC) AS rk
       FROM qty)
 WHERE rk = 1

@@ -44,12 +44,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            # float32 vs float64 is a bridge artifact, not a value
+            # difference — normalize before the strict dtype compare.
+            df[c] = df[c].astype("float64").round(6)
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             try:
                 df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             except TypeError:
                 pass
+            # Spark's Arrow bridge emits datetime64[ns]; DuckDB emits
+            # datetime64[us] — same instants, unify the unit.
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(df[c]) and not df[c].isna().any():
+            # int8/16/32 vs int64 (and non-null Int64 vs int64) are
+            # width artifacts; int-vs-float remains a hard failure.
+            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -108,10 +117,20 @@ def main(only: list[str]) -> int:
         schema_match = list(a.columns) == list(b.columns)
         if not schema_match:
             status.append(f"cols {list(a.columns)} != {list(b.columns)}")
+        if schema_match and list(a.dtypes) != list(b.dtypes):
+            # STRICT dtype compare (post-canon): the driver's value hash is
+            # dtype-sensitive, so int64-vs-float64 (DuckDB HUGEINT bridge)
+            # and object-Decimal-vs-float64 (Spark DECIMAL bridge) must fail
+            # here too — the local gate may never be weaker than the
+            # driver's (r5 ewma, r6 pmi/part-promotion reds).
+            diffs = [f"{c}: spark={da} oracle={db}"
+                     for c, da, db in zip(a.columns, a.dtypes, b.dtypes)
+                     if da != db]
+            status.append(f"dtypes differ: {diffs}")
         hash_match = None
         if not status:
             try:
-                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=2e-6)
+                pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=False, rtol=0, atol=2e-6)
                 hash_match = True
             except AssertionError as e:
                 hash_match = False

@@ -185,21 +185,18 @@ def test_global_rank_has_no_single_partition_exchange(spark):
     df = spark.createDataFrame(
         [(i * 13 % 97, i) for i in range(2000)], "v long, id long"
     ).repartition(8)
-    # materialize=False exposes the full lineage (the default eager
-    # localCheckpoint hides the range stage inside its own job — it
-    # exists to pin ONE partitioning for the offsets and rank jobs)
-    out = global_rank(df, order_cols=("v", "id"), materialize=False)
+    out = global_rank(df, order_cols=("v", "id"))
     out.collect()
     final = _final_plan(out)
-    assert "rangepartitioning" in final.lower()
+    # r7: driver-pinned splitters make _pid a deterministic expression;
+    # the data moves through ONE hash exchange on _pid — no global sort,
+    # no single-partition window, and no localCheckpoint materialization
+    # (a checkpoint would swallow the MapInPandas lineage into an opaque
+    # RDD scan, so its visibility proves the relation was never written)
+    assert "hashpartitioning(_pid" in final
+    assert "MapInPandas" in final
     assert "SinglePartition" not in final
     assert "Window" not in final
-    # the production (materialized) path keeps the no-global-sort claim
-    out2 = global_rank(df, order_cols=("v", "id"))
-    out2.collect()
-    final2 = _final_plan(out2)
-    assert "SinglePartition" not in final2
-    assert "Window" not in final2
 
 
 def test_attribution_join_is_keyed_not_cartesian(spark):
