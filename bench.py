@@ -796,6 +796,13 @@ def main() -> None:
         "dup_rate_by_source",
         "dau_mau_stickiness",
         "customer_revenue_lorenz",
+        # round 7 additions
+        "t_closeness_audit",
+        "rate_burst_windows",
+        "source_shingle_overlap",
+        "minhash_jaccard_calibration",
+        "discount_quantity_elasticity",
+        "embedding_norm_outliers",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

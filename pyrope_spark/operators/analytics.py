@@ -1331,3 +1331,101 @@ SELECT CAST(bucket AS BIGINT) AS bucket, n_members, bucket_value_micro,
          * {scale} // total AS BIGINT) AS cum_share_ppm
 FROM per
 """
+
+
+def ols_slope_by_group(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group simple-regression slope/intercept with the EXACT
+    closed-form rational — the "elasticity per segment" readout (demand
+    vs discount, latency vs payload size) without a single float in the
+    statistic. Inputs must already be INTEGER columns (callers convert
+    units: cents, percent points, micro) — the same contract as every
+    floor-micro operator here.
+
+    ``slope_micro = (n*Sxy - Sx*Sy) * 1e6 div (n*Sxx - Sx*Sx)`` with all
+    products carried through DECIMAL(38,0) (``n*Sxy`` overflows int64
+    near 1e5 rows x 1e7-unit values), and
+    ``intercept_micro = (Sy*1e6 - slope_micro*Sx) div n`` — defined FROM
+    the floored slope so both engines evaluate the identical expression
+    tree. Groups with zero x-variance emit NULL slope/intercept.
+
+    Scale shape (100 TB): one hash aggregate computing the five
+    sufficient statistics map-side; output is group-cardinality sized.
+
+    Output: (group..., n, slope_micro, intercept_micro).
+    """
+    from pyspark.sql import functions as F
+
+    dec = "CAST({} AS DECIMAL(38,0))"
+    suff = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(x_col).cast("long")).cast("long").alias("sx"),
+        F.sum(F.col(y_col).cast("long")).cast("long").alias("sy"),
+        F.sum(
+            F.col(x_col).cast("decimal(38,0)") * F.col(y_col).cast("long")
+        ).alias("sxy"),
+        F.sum(
+            F.col(x_col).cast("decimal(38,0)") * F.col(x_col).cast("long")
+        ).alias("sxx"),
+    )
+    slope = F.expr(
+        f"CASE WHEN {dec.format('n')} * sxx - {dec.format('sx')} * sx = 0 "
+        f"THEN NULL ELSE CAST(({dec.format('n')} * sxy - "
+        f"{dec.format('sx')} * sy) * {scale} DIV "
+        f"({dec.format('n')} * sxx - {dec.format('sx')} * sx) AS BIGINT) END"
+    )
+    return suff.withColumn("slope_micro", slope).select(
+        *group_cols,
+        "n",
+        F.col("slope_micro").cast("long").alias("slope_micro"),
+        F.expr(
+            f"CAST((CASE WHEN slope_micro IS NULL THEN NULL ELSE "
+            f"({dec.format('sy')} * {scale} - "
+            f"{dec.format('slope_micro')} * sx) DIV n END) AS BIGINT)"
+        ).alias("intercept_micro"),
+    )
+
+
+def ols_slope_oracle_sql(
+    *,
+    table: str,
+    group_sqls: dict[str, str],
+    x_sql: str,
+    y_sql: str,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[ols_slope_by_group]] (HUGEINT auto-promotion
+    stands in for Spark's DECIMAL(38,0))."""
+    g_aliases = ", ".join(f"{sql} AS {name}" for name, sql in group_sqls.items())
+    g_names = ", ".join(group_sqls)
+    return f"""
+WITH src AS (SELECT {g_aliases}, {x_sql} AS x, {y_sql} AS y FROM {table}),
+suff AS (
+  SELECT {g_names},
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM src GROUP BY ALL
+),
+sl AS (
+  SELECT *,
+         CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+              ELSE CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * {scale}
+                        // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         END AS slope_micro
+  FROM suff
+)
+SELECT {g_names}, n, slope_micro,
+       CAST((CAST(sy AS HUGEINT) * {scale}
+             - CAST(slope_micro AS HUGEINT) * sx) // n AS BIGINT)
+         AS intercept_micro
+FROM sl
+"""

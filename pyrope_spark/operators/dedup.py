@@ -1389,3 +1389,282 @@ SELECT c.src AS {source_col}, c.n_docs,
          AS dup_rate_ppm
 FROM counts c LEFT JOIN dup_stats d ON c.src = d.src
 """
+
+
+def source_shingle_overlap(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram_n: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-level cross-source content overlap: for every pair of
+    sources, the EXACT Jaccard and directed containments of their
+    distinct shingle-fingerprint sets — the corpus-mixing diagnostic
+    behind "how much of source B is already in source A" that doc-level
+    dedup ([[minhash_lsh_pairs]]) cannot answer (two sources can share
+    80% of their n-gram mass with zero near-duplicate documents).
+
+    All integer: shingles are the [[token_fps]] rolling-hash
+    fingerprints, set sizes and intersections are exact distinct counts,
+    and ``jaccard_ppm = inter * 1e6 div (|A| + |B| - inter)`` (plus both
+    directed ``contain_*_ppm`` containments).
+
+    Scale shape (100 TB): ONE (group, fp) distinct aggregate over the
+    corpus (map-side partial on the exploded shingles); the pair join is
+    keyed on the fingerprint and fans out at most
+    ``C(groups_with_fp, 2)`` per fp — bounded by the (small) source
+    count, never corpus size; everything downstream is pairs-of-sources
+    sized.
+
+    Output: (source_a, source_b, n_a, n_b, n_common, jaccard_ppm,
+    contain_a_ppm, contain_b_ppm), source_a < source_b.
+    """
+    fps = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(token_fps(F.col(text_col), ngram_n)).alias("fp"),
+    ).distinct()
+    sizes = fps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = fps.select(F.col("g").alias("ga"), "fp")
+    b = fps.select(F.col("g").alias("gb"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("ga"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("gb"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "ga")
+        .join(F.broadcast(sb), "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(f"n_common * {scale} DIV (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+            F.expr(f"n_common * {scale} DIV n_a").cast("long")
+            .alias("contain_a_ppm"),
+            F.expr(f"n_common * {scale} DIV n_b").cast("long")
+            .alias("contain_b_ppm"),
+        )
+    )
+
+
+def source_shingle_overlap_oracle_sql(
+    *,
+    table: str = "documents",
+    group_sql: str = "source",
+    text_sql: str = "text",
+    ngram_n: int = 2,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[source_shingle_overlap]] — same rolling-hash
+    shingle fingerprints, same exact set arithmetic."""
+    from pyrope_spark.functions.text import (
+        char_fp_rolling_sql,
+        tokens_sql,
+        word_ngrams_from_tokens_sql,
+    )
+
+    ng = word_ngrams_from_tokens_sql("t", ngram_n)
+    fp = char_fp_rolling_sql("x")
+    return f"""
+WITH tk AS (SELECT {group_sql} AS g, {tokens_sql(text_sql)} AS t FROM {table}),
+fps AS (
+  SELECT DISTINCT g, unnest(list_transform({ng}, x -> {fp})) AS fp FROM tk
+),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY 1),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_common
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT i.ga AS source_a, i.gb AS source_b,
+       sa.n AS n_a, sb.n AS n_b, i.n_common,
+       CAST(i.n_common * {scale} // (sa.n + sb.n - i.n_common) AS BIGINT)
+         AS jaccard_ppm,
+       CAST(i.n_common * {scale} // sa.n AS BIGINT) AS contain_a_ppm,
+       CAST(i.n_common * {scale} // sb.n AS BIGINT) AS contain_b_ppm
+FROM inter i
+JOIN sizes sa ON sa.g = i.ga
+JOIN sizes sb ON sb.g = i.gb
+"""
+
+
+def minhash_jaccard_calibration(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    seed: int = MINHASH_SEED,
+    ngram_n: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Estimator-calibration table for the minhash dedup pipeline: over
+    the LSH CANDIDATE pairs (>= 1 band collision — the pairs the pipeline
+    actually decides on), group by the number of agreeing signature
+    components and report the exact-Jaccard distribution inside each
+    agreement level. This is how a dedup threshold is tuned honestly:
+    E[matches]/k estimates J, and this table shows the real spread around
+    that estimate on YOUR corpus, not the textbook variance.
+
+    All integer: agreement level = count of equal mh components (0..k),
+    exact ``jaccard_ppm = |A∩B| * 1e6 div |A∪B|`` per pair over the same
+    shingle fingerprints the signatures hashed; per level the table
+    carries pair count, floor-mean / min / max exact-Jaccard ppm.
+
+    Scale shape (100 TB): identical to [[minhash_lsh_pairs]] (banded
+    buckets, no all-pairs stage) plus one k-term component-equality sum
+    per CANDIDATE (candidate volume, not corpus volume) and a <= k+1-row
+    final aggregate.
+
+    Output: (n_matching, est_jaccard_ppm, n_pairs, mean_exact_ppm,
+    min_exact_ppm, max_exact_ppm) ordered by n_matching.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(
+        docs.select(id_col, text_col), text_col=text_col,
+        num_hashes=num_hashes, seed=seed, ngram_n=ngram_n, fps_col="_fps",
+    ).persist()
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh_{bi * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
+    a = buckets.select(F.col(id_col).alias("ia"), "band", "band_key")
+    b = buckets.select(F.col(id_col).alias("ib"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("ia"), F.col("_fps").alias("_fa"),
+        *[F.col(f"mh_{i}").alias(f"_ma{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("ib"), F.col("_fps").alias("_fb"),
+        *[F.col(f"mh_{i}").alias(f"_mb{i}") for i in range(num_hashes)],
+    )
+    match_expr = None
+    for i in range(num_hashes):
+        term = (F.col(f"_ma{i}") == F.col(f"_mb{i}")).cast("long")
+        match_expr = term if match_expr is None else match_expr + term
+    pairs = (
+        cand.join(sa, "ia")
+        .join(sb, "ib")
+        .select(
+            match_expr.alias("n_matching"),
+            F.expr(
+                f"size(array_intersect(_fa, _fb)) * CAST({scale} AS BIGINT) "
+                f"DIV size(array_union(_fa, _fb))"
+            ).alias("_j"),
+        )
+    )
+    out = (
+        pairs.groupBy("n_matching")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(_j) DIV count(1)").cast("long").alias("mean_exact_ppm"),
+            F.min("_j").cast("long").alias("min_exact_ppm"),
+            F.max("_j").cast("long").alias("max_exact_ppm"),
+        )
+        .select(
+            F.col("n_matching").cast("long").alias("n_matching"),
+            F.expr(f"n_matching * {scale} DIV {num_hashes}")
+            .cast("long")
+            .alias("est_jaccard_ppm"),
+            "n_pairs",
+            "mean_exact_ppm",
+            "min_exact_ppm",
+            "max_exact_ppm",
+        )
+    )
+    out = out.cache()
+    out.count()
+    sig.unpersist()
+    return out
+
+
+def minhash_calibration_oracle_sql(
+    *,
+    table: str = "documents",
+    id_sql: str = "doc_id",
+    text_sql: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 4,
+    seed: int = MINHASH_SEED,
+    ngram_n: int = 3,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[minhash_jaccard_calibration]]."""
+    from pyrope_spark.functions.text import (
+        char_fp_rolling_sql,
+        tokens_sql,
+        word_ngrams_from_tokens_sql,
+    )
+
+    rows = num_hashes // bands
+    ng = word_ngrams_from_tokens_sql("t", ngram_n)
+    fp = char_fp_rolling_sql("x")
+    mh_exprs = ", ".join(
+        f"CAST(COALESCE(list_min(list_transform(fps, f -> "
+        f"({a} * (f % {FP_PRIME}) + {b}) % {FP_PRIME})), {FP_PRIME}) AS BIGINT)"
+        f" AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, concat_ws(':', "
+        + ", ".join(f"mh_{bi * rows + j}" for j in range(rows))
+        + ") AS band_key FROM sig"
+        for bi in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN xa.mh_{i} = xb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH tk AS (SELECT {id_sql} AS id, {tokens_sql(text_sql)} AS t FROM {table}),
+fpt AS (SELECT id, list_distinct(list_transform({ng}, x -> {fp})) AS fps
+        FROM tk),
+sig AS (SELECT id, fps, {mh_exprs} FROM fpt),
+bandt AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib
+  FROM bandt a JOIN bandt b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.id < b.id
+),
+pairs AS (
+  SELECT CAST({match_sum} AS BIGINT) AS n_matching,
+         CAST(len(list_intersect(xa.fps, xb.fps)) * {scale}
+              // len(list_distinct(xa.fps || xb.fps)) AS BIGINT) AS j
+  FROM cand c JOIN sig xa ON xa.id = c.ia JOIN sig xb ON xb.id = c.ib
+)
+SELECT CAST(n_matching AS BIGINT) AS n_matching,
+       CAST(n_matching * {scale} // {num_hashes} AS BIGINT)
+         AS est_jaccard_ppm,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(j) // count(*) AS BIGINT) AS mean_exact_ppm,
+       CAST(MIN(j) AS BIGINT) AS min_exact_ppm,
+       CAST(MAX(j) AS BIGINT) AS max_exact_ppm
+FROM pairs GROUP BY n_matching
+"""

@@ -114,3 +114,133 @@ def suppress_small_classes(
         eq = df[c].eqNullSafe(F.col(f"_p_{c}"))
         cond = eq if cond is None else cond & eq
     return df.join(F.broadcast(renamed), cond, "left_semi")
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    t_micro: int = 200_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) for an ORDERED
+    sensitive attribute: per quasi-identifier class, the Earth Mover's
+    Distance between the class's sensitive-value distribution and the
+    GLOBAL one, flagged when it exceeds ``t_micro`` (micro-units of the
+    [0, 1] EMD). [[k-anonymity]]/l-diversity bound who is in a class and
+    how many sensitive values it shows; t-closeness bounds how much the
+    class's distribution itself leaks (a class whose l distinct salaries
+    are all in the top decile passes l-diversity and fails this).
+
+    Exact integer arithmetic end to end: with class counts ``c_v`` (total
+    C), global counts ``g_v`` (total G) over the m ordered sensitive
+    values, the ordered-domain EMD is
+    ``sum_v |cumsum(c_v*G - g_v*C)| / (C*G*(m-1))`` — one cross-multiplied
+    division, carried through DECIMAL(38,0) (the cumulative term reaches
+    C*G*m ~ 1e19 at 600k rows). Ties in the cumsum never occur: the
+    domain spine is dense, one row per (class, sensitive value).
+
+    Scale shape (100 TB): one (quasi, sensitive) hash aggregate over the
+    fact table; everything after runs on classes x m rows (audit-sized,
+    bounded by QI-combination cardinality times the sensitive domain —
+    never row count). The dense spine is a broadcast cross join of the
+    class table with the m-row global distribution.
+
+    Output: (quasi..., class_size, emd_micro, t_violation), one row per
+    class.
+    """
+    from pyspark.sql.window import Window
+
+    cs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    classes = cs.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("_ctot")
+    )
+    glob = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_g")
+    )
+    tot = glob.agg(
+        F.sum("_g").cast("long").alias("_gtot"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cs, [*quasi_cols, sensitive_col], "left")
+        .na.fill({"_c": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn(
+        "_cum",
+        F.sum(
+            (
+                F.col("_c").cast("decimal(38,0)") * F.col("_gtot")
+                - F.col("_g").cast("decimal(38,0)") * F.col("_ctot")
+            )
+        ).over(w),
+    )
+    return (
+        cum.groupBy(*quasi_cols, "_ctot", "_gtot", "_m")
+        .agg(F.sum(F.abs(F.col("_cum"))).alias("_sabs"))
+        .select(
+            *quasi_cols,
+            F.col("_ctot").alias("class_size"),
+            F.when(F.col("_m") > 1,
+                   F.expr(f"CAST(_sabs * {scale} DIV (CAST(_ctot AS "
+                          f"DECIMAL(38,0)) * _gtot * (_m - 1)) AS BIGINT)"))
+            .otherwise(F.lit(0)).alias("emd_micro"),
+        )
+        .withColumn("t_violation", F.col("emd_micro") > t_micro)
+    )
+
+
+def t_closeness_oracle_sql(
+    *,
+    table: str,
+    quasi_sqls: dict[str, str],
+    sensitive_sql: str,
+    t_micro: int = 200_000,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[t_closeness_report]]: same dense spine, same
+    cross-multiplied cumulative EMD (DuckDB HUGEINT-promotes where Spark
+    carries DECIMAL(38,0))."""
+    q_aliases = ", ".join(f"{sql} AS {name}" for name, sql in quasi_sqls.items())
+    q_names = ", ".join(quasi_sqls)
+    return f"""
+WITH src AS (SELECT {q_aliases}, {sensitive_sql} AS sv FROM {table}),
+cs AS (SELECT {q_names}, sv, CAST(count(*) AS BIGINT) AS c
+       FROM src GROUP BY ALL),
+classes AS (SELECT {q_names}, CAST(SUM(c) AS BIGINT) AS ctot
+            FROM cs GROUP BY ALL),
+gdist AS (SELECT sv, CAST(count(*) AS BIGINT) AS g FROM src GROUP BY 1),
+tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gtot,
+               CAST(count(*) AS BIGINT) AS m FROM gdist),
+dense AS (
+  SELECT classes.*, gdist.sv, gdist.g, COALESCE(cs.c, 0) AS c, tot.gtot, tot.m
+  FROM classes CROSS JOIN gdist CROSS JOIN tot
+  LEFT JOIN cs USING ({q_names}, sv)
+),
+cum AS (
+  SELECT *, SUM(c * gtot - g * ctot) OVER (
+    PARTITION BY {q_names} ORDER BY sv
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd
+  FROM dense
+)
+SELECT {q_names}, ctot AS class_size,
+       CASE WHEN m > 1
+            THEN CAST(SUM(abs(cumd)) * {scale} // (ctot * gtot * (m - 1))
+                      AS BIGINT)
+            ELSE 0 END AS emd_micro,
+       (CASE WHEN m > 1
+            THEN CAST(SUM(abs(cumd)) * {scale} // (ctot * gtot * (m - 1))
+                      AS BIGINT)
+            ELSE 0 END) > {t_micro} AS t_violation
+FROM cum GROUP BY {q_names}, ctot, gtot, m
+"""

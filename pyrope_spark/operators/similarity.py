@@ -1254,3 +1254,117 @@ def recall_eval(
         .cast("long")
         .alias("n_perfect"),
     )
+
+
+def embedding_norm_outliers(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coord_scale: int = 1_000,
+    mad_factor_micro: int = 3_500_000,
+) -> DataFrame:
+    """Embedding-table QA: flag vectors whose squared norm is a robust
+    outlier (|norm2 - median| > factor * MAD) — the cheap pre-index scan
+    that catches truncated/zeroed/exploded rows before they poison an
+    ANN build ([[build_similarity_index]]) or a cosine dedup (a zero
+    vector is everyone's neighbor under unnormalized dot).
+
+    All integer: coordinates enter as round(x * coord_scale) milli-units,
+    norm2 is their exact squared sum, and median / MAD are exact
+    nearest-rank order statistics at position ``(n+1) div 2`` over the
+    (value, id) total order — computed with the distributed
+    [[global_rank]] (range-partitioned, no single-partition sort), so
+    the audit scales to billion-row embedding tables. The outlier test
+    is cross-multiplied (``dev * 1e6 > factor_micro * mad``); a zero MAD
+    (over half the table identical) flags every deviating row, which is
+    the wanted alarm for a mass-truncation incident.
+
+    Output: (vec_id, norm2, median_norm2, dev, mad, outlier) per row.
+    """
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.curation import global_rank
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * coord_scale).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        ).alias("norm2"),
+    )
+    n = base.count()
+    mid = (n + 1) // 2
+    med_row = (
+        global_rank(base, order_cols=("norm2", "id"), rank_col="_r")
+        .filter(F.col("_r") == mid)
+        .select(F.col("norm2").alias("_med"))
+    )
+    with_med = base.crossJoin(F.broadcast(med_row)).withColumn(
+        "dev", F.abs(F.col("norm2") - F.col("_med"))
+    )
+    mad_row = (
+        global_rank(
+            with_med.select("id", "dev"), order_cols=("dev", "id"),
+            rank_col="_r",
+        )
+        .filter(F.col("_r") == mid)
+        .select(F.col("dev").alias("_mad"))
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad_row))
+        .select(
+            F.col("id").cast("long").alias(id_col),
+            F.col("norm2").cast("long").alias("norm2"),
+            F.col("_med").cast("long").alias("median_norm2"),
+            F.col("dev").cast("long").alias("dev"),
+            F.col("_mad").cast("long").alias("mad"),
+            (
+                F.col("dev") * F.lit(1_000_000)
+                > F.lit(mad_factor_micro) * F.col("_mad")
+            ).alias("outlier"),
+        )
+    )
+
+
+def embedding_norm_outliers_oracle_sql(
+    *,
+    table: str = "embeddings",
+    vec_sql: str = "embedding",
+    id_sql: str = "vec_id",
+    coord_scale: int = 1_000,
+    mad_factor_micro: int = 3_500_000,
+) -> str:
+    """DuckDB twin of [[embedding_norm_outliers]] (plain row_number
+    windows stand in for the distributed rank — value-identical)."""
+    return f"""
+WITH base AS (
+  SELECT {id_sql} AS id,
+         CAST(list_sum(list_transform({vec_sql},
+           x -> CAST(round(CAST(x AS DOUBLE) * {coord_scale}) AS BIGINT)
+                * CAST(round(CAST(x AS DOUBLE) * {coord_scale}) AS BIGINT)))
+           AS BIGINT) AS norm2
+  FROM {table}
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+med AS (
+  SELECT norm2 AS m FROM (
+    SELECT norm2, row_number() OVER (ORDER BY norm2, id) AS r FROM base
+  ), nn WHERE r = (n + 1) // 2
+),
+devs AS (
+  SELECT id, norm2, m, abs(norm2 - m) AS dev FROM base CROSS JOIN med
+),
+madt AS (
+  SELECT dev AS mad FROM (
+    SELECT dev, row_number() OVER (ORDER BY dev, id) AS r FROM devs
+  ), nn WHERE r = (n + 1) // 2
+)
+SELECT CAST(id AS BIGINT) AS {id_sql}, norm2, m AS median_norm2, dev, mad,
+       dev * 1000000 > {mad_factor_micro} * mad AS outlier
+FROM devs CROSS JOIN madt
+"""

@@ -1243,3 +1243,124 @@ SELECT k AS {key_col},
        CAST(MAX(se) - MIN(ss) AS BIGINT) AS span_s
 FROM segs GROUP BY 1
 """
+
+
+def rate_burst_windows(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    baseline_windows: int = 24,
+    factor_micro: int = 3_000_000,
+) -> DataFrame:
+    """Rate-burst detection: per key and fixed window, flag windows whose
+    event count exceeds ``factor_micro``/1e6 times the trailing
+    ``baseline_windows``-window mean — the ops-alert primitive behind
+    "traffic on this endpoint is 3x its last-24h rate" (a bounded-state
+    sibling of [[cusum_changepoint]]; CUSUM finds level SHIFTS, this
+    flags transient spikes against a rolling local baseline).
+
+    Exact integer comparison — no float rate ever computed:
+    ``burst = c * baseline_windows * 1e6 > factor_micro * base_sum``
+    (cross-multiplied; a window with zero trailing traffic and any
+    current traffic is a burst by this form, which is the wanted
+    semantics). Windows are fixed-epoch ``unix_ts div window_s`` integers
+    and the spine is DENSE per key (missing windows count 0 — without
+    gapfill, a key quiet for an hour would shrink its own baseline
+    denominator). Early windows (fewer than ``baseline_windows``
+    predecessors) are never flagged: a partial baseline reads too hot.
+
+    Scale shape (100 TB): one (key, window) hash aggregate over the fact
+    table; the dense spine is |keys| x |span windows| (bounded by
+    calendar time, not events) built from a broadcast 1-row bounds
+    aggregate; the trailing sum is a key-partitioned ROWS window.
+
+    Output: (key, win_start, n_events, base_sum, n_base, burst).
+    """
+    from pyspark.sql.window import Window
+
+    win = F.expr(f"unix_timestamp({ts_col}) div {window_s}")
+    counts = (
+        events.select(F.col(key_col).alias("key"), win.alias("w"))
+        .groupBy("key", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    bounds = counts.agg(
+        F.min("w").alias("_wmin"), F.max("w").alias("_wmax")
+    )
+    keys = counts.select("key").distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "key", F.explode(F.sequence("_wmin", "_wmax")).alias("w")
+    )
+    dense = spine.join(counts, ["key", "w"], "left").na.fill({"_c": 0})
+    trail = (
+        Window.partitionBy("key")
+        .orderBy("w")
+        .rowsBetween(-baseline_windows, -1)
+    )
+    return (
+        dense.withColumn("base_sum", F.sum("_c").over(trail).cast("long"))
+        .withColumn("n_base", F.count(F.lit(1)).over(trail).cast("long"))
+        .select(
+            F.col("key"),
+            (F.col("w") * window_s).cast("long").alias("win_start"),
+            F.col("_c").alias("n_events"),
+            F.coalesce("base_sum", F.lit(0)).alias("base_sum"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            (
+                (F.col("n_base") == baseline_windows)
+                & (
+                    F.col("_c") * baseline_windows * F.lit(1_000_000)
+                    > F.lit(factor_micro) * F.coalesce("base_sum", F.lit(0))
+                )
+            ).alias("burst"),
+        )
+    )
+
+
+def rate_burst_oracle_sql(
+    *,
+    table: str = "events",
+    key_sql: str = "event_type",
+    ts_sql: str = "ts",
+    window_s: int = 3600,
+    baseline_windows: int = 24,
+    factor_micro: int = 3_000_000,
+) -> str:
+    """DuckDB twin of [[rate_burst_windows]] — same dense spine, same
+    cross-multiplied integer burst test (epoch seconds floored per the
+    cross-engine cookbook)."""
+    return f"""
+WITH counts AS (
+  SELECT {key_sql} AS key,
+         CAST(floor(epoch(CAST({ts_sql} AS TIMESTAMP))) AS BIGINT)
+           // {window_s} AS w,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(w) AS wmin, MAX(w) AS wmax FROM counts),
+spine AS (
+  SELECT k.key, r.w
+  FROM (SELECT DISTINCT key FROM counts) k
+  CROSS JOIN (SELECT unnest(range(wmin, wmax + 1)) AS w FROM bounds) r
+),
+dense AS (
+  SELECT s.key, s.w, COALESCE(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c ON s.key = c.key AND s.w = c.w
+),
+trail AS (
+  SELECT key, w, c,
+         CAST(COALESCE(SUM(c) OVER fr, 0) AS BIGINT) AS base_sum,
+         CAST(COALESCE(COUNT(*) OVER fr, 0) AS BIGINT) AS n_base
+  FROM dense
+  WINDOW fr AS (PARTITION BY key ORDER BY w
+                ROWS BETWEEN {baseline_windows} PRECEDING AND 1 PRECEDING)
+)
+SELECT key, CAST(w * {window_s} AS BIGINT) AS win_start,
+       c AS n_events, base_sum, n_base,
+       (n_base = {baseline_windows}
+        AND c * {baseline_windows} * 1000000 > {factor_micro} * base_sum)
+         AS burst
+FROM trail
+"""

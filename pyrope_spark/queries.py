@@ -12447,3 +12447,152 @@ def _lorenz_oracle() -> str:
 
 
 register("customer_revenue_lorenz", _lorenz_oracle())(_lorenz_spark)
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave: t-closeness privacy audit, rate-burst detection,
+# cross-source shingle overlap, minhash calibration, exact-rational OLS
+# elasticity, embedding-norm QA.
+# --------------------------------------------------------------------------
+
+
+def _tclose_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.privacy import t_closeness_report
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        (F.col("user_id") % 50).cast("long").alias("user_bucket"),
+        F.col("event_type"),
+        F.floor(F.col("value") / 20).cast("long").alias("value_band"),
+    )
+    return t_closeness_report(
+        qi, ["user_bucket", "event_type"], "value_band", t_micro=200_000
+    )
+
+
+def _tclose_oracle() -> str:
+    from pyrope_spark.operators.privacy import t_closeness_oracle_sql
+
+    return t_closeness_oracle_sql(
+        table="events",
+        quasi_sqls={
+            "user_bucket": "CAST(user_id % 50 AS BIGINT)",
+            "event_type": "event_type",
+        },
+        sensitive_sql="CAST(floor(value / 20) AS BIGINT)",
+        t_micro=200_000,
+    )
+
+
+register("t_closeness_audit", _tclose_oracle())(_tclose_spark)
+
+
+def _burst_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import rate_burst_windows
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return rate_burst_windows(
+        ev, key_col="event_type", window_s=3600,
+        baseline_windows=24, factor_micro=2_000_000,
+    )
+
+
+def _burst_oracle() -> str:
+    from pyrope_spark.operators.temporal import rate_burst_oracle_sql
+
+    return rate_burst_oracle_sql(
+        window_s=3600, baseline_windows=24, factor_micro=2_000_000
+    )
+
+
+register("rate_burst_windows", _burst_oracle())(_burst_spark)
+
+
+def _srcoverlap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import source_shingle_overlap
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return source_shingle_overlap(docs, ngram_n=2)
+
+
+def _srcoverlap_oracle() -> str:
+    from pyrope_spark.operators.dedup import source_shingle_overlap_oracle_sql
+
+    return source_shingle_overlap_oracle_sql(ngram_n=2)
+
+
+register("source_shingle_overlap", _srcoverlap_oracle())(_srcoverlap_spark)
+
+
+def _mhcal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import minhash_jaccard_calibration
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_jaccard_calibration(docs, bands=4, ngram_n=3)
+
+
+def _mhcal_oracle() -> str:
+    from pyrope_spark.operators.dedup import minhash_calibration_oracle_sql
+
+    return minhash_calibration_oracle_sql(bands=4, ngram_n=3)
+
+
+register("minhash_jaccard_calibration", _mhcal_oracle())(_mhcal_spark)
+
+
+def _elasticity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import ols_slope_by_group
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    src = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_type",
+        # integer percent points / integer units — the operator contract
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    return ols_slope_by_group(
+        src, group_cols=("p_type",), x_col="disc_pct", y_col="qty"
+    )
+
+
+def _elasticity_oracle() -> str:
+    from pyrope_spark.operators.analytics import ols_slope_oracle_sql
+
+    return ols_slope_oracle_sql(
+        table="(SELECT p_type, l_discount, l_quantity FROM lineitem "
+              "JOIN part ON l_partkey = p_partkey)",
+        group_sqls={"p_type": "p_type"},
+        x_sql="CAST(round(l_discount * 100) AS BIGINT)",
+        y_sql="CAST(round(l_quantity) AS BIGINT)",
+    )
+
+
+register("discount_quantity_elasticity", _elasticity_oracle())(_elasticity_spark)
+
+
+def _normqa_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.similarity import embedding_norm_outliers
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_norm_outliers(emb)
+
+
+def _normqa_oracle() -> str:
+    from pyrope_spark.operators.similarity import (
+        embedding_norm_outliers_oracle_sql,
+    )
+
+    return embedding_norm_outliers_oracle_sql()
+
+
+register("embedding_norm_outliers", _normqa_oracle())(_normqa_spark)

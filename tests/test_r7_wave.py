@@ -1,0 +1,173 @@
+"""Closed-form tests for the round-7 wave operators: hand-traced values,
+tie-breaks, and guards (the registered-query gates cover corpus-scale
+hash parity; these pin the arithmetic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_t_closeness_hand_traced(spark):
+    """Rows: class A = two sensitive-0 rows, class B = (1,1,2,2).
+    Global (0:2, 1:2, 2:2), G=6, m=3. EMD(A)=0.5, EMD(B)=0.25 exactly."""
+    from pyrope_spark.operators.privacy import t_closeness_report
+
+    rows = [("A", 0), ("A", 0), ("B", 1), ("B", 1), ("B", 2), ("B", 2)]
+    df = spark.createDataFrame(rows, "cls string, sv long")
+    out = {
+        r["cls"]: r
+        for r in t_closeness_report(
+            df, ["cls"], "sv", t_micro=300_000
+        ).collect()
+    }
+    assert out["A"]["class_size"] == 2
+    assert out["A"]["emd_micro"] == 500_000 and out["A"]["t_violation"]
+    assert out["B"]["emd_micro"] == 250_000 and not out["B"]["t_violation"]
+
+
+def test_t_closeness_single_value_domain_is_zero(spark):
+    from pyrope_spark.operators.privacy import t_closeness_report
+
+    df = spark.createDataFrame(
+        [("A", 7), ("B", 7), ("B", 7)], "cls string, sv long"
+    )
+    out = t_closeness_report(df, ["cls"], "sv").collect()
+    assert all(r["emd_micro"] == 0 and not r["t_violation"] for r in out)
+
+
+def test_rate_burst_hand_traced(spark):
+    """Windows 0..3 for one key: counts 1,1,1,9 with baseline_windows=2,
+    factor 3x. Only window 3 bursts (9 vs trailing mean 1); windows 0-1
+    have partial baselines and are never flagged."""
+    from pyrope_spark.operators.temporal import rate_burst_windows
+
+    rows = []
+    eid = 0
+    for w, c in ((0, 1), (1, 1), (2, 1), (3, 9)):
+        for _ in range(c):
+            rows.append(("k", 3600 * w + 5))
+            eid += 1
+    df = spark.createDataFrame(rows, "key string, es long").select(
+        F.col("key").alias("event_type"), F.timestamp_seconds("es").alias("ts")
+    )
+    out = {
+        r["win_start"] // 3600: r
+        for r in rate_burst_windows(
+            df, window_s=3600, baseline_windows=2, factor_micro=3_000_000
+        ).collect()
+    }
+    assert len(out) == 4
+    assert [out[w]["n_events"] for w in range(4)] == [1, 1, 1, 9]
+    assert not out[0]["burst"] and out[0]["n_base"] == 0
+    assert not out[1]["burst"] and out[1]["n_base"] == 1
+    assert not out[2]["burst"] and out[2]["base_sum"] == 2
+    assert out[3]["burst"] and out[3]["base_sum"] == 2
+
+
+def test_rate_burst_dense_spine_fills_quiet_windows(spark):
+    """A key quiet in window 1 still gets a spine row (count 0) — the
+    baseline denominator never shrinks on gaps."""
+    from pyrope_spark.operators.temporal import rate_burst_windows
+
+    df = spark.createDataFrame(
+        [("k", 5), ("k", 2 * 3600 + 5)], "event_type string, es long"
+    ).select("event_type", F.timestamp_seconds("es").alias("ts"))
+    out = rate_burst_windows(df, window_s=3600, baseline_windows=2).collect()
+    assert sorted(r["win_start"] for r in out) == [0, 3600, 7200]
+    quiet = [r for r in out if r["win_start"] == 3600][0]
+    assert quiet["n_events"] == 0
+
+
+def test_source_shingle_overlap_hand_traced(spark):
+    """A='a b c' (bigrams {ab, bc}), B='b c d' ({bc, cd}): one common of
+    three distinct -> jaccard 333333 ppm, containment 500000 each way."""
+    from pyrope_spark.operators.dedup import source_shingle_overlap
+
+    df = spark.createDataFrame(
+        [("A", "a b c"), ("B", "b c d")], "source string, text string"
+    )
+    out = source_shingle_overlap(df, ngram_n=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_common"] == 1
+    assert r["jaccard_ppm"] == 333_333
+    assert r["contain_a_ppm"] == 500_000 and r["contain_b_ppm"] == 500_000
+
+
+def test_minhash_calibration_identical_docs_top_bucket(spark):
+    """Two identical docs collide in every band, agree on all 16 signature
+    components, and have exact Jaccard 1.0 — the calibration table's top
+    row must say exactly that."""
+    from pyrope_spark.operators.dedup import minhash_jaccard_calibration
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    out = minhash_jaccard_calibration(df, ngram_n=2).collect()
+    top = [r for r in out if r["n_matching"] == 16]
+    assert len(top) == 1
+    r = top[0]
+    assert r["n_pairs"] == 1
+    assert r["est_jaccard_ppm"] == 1_000_000
+    assert r["mean_exact_ppm"] == 1_000_000
+    assert r["min_exact_ppm"] == r["max_exact_ppm"] == 1_000_000
+    # and every bucket's mean sits between its min and max by construction
+    assert all(
+        rr["min_exact_ppm"] <= rr["mean_exact_ppm"] <= rr["max_exact_ppm"]
+        for rr in out
+    )
+
+
+def test_ols_slope_perfect_line_and_zero_variance(spark):
+    """y = 2x + 3 recovers slope 2e6 / intercept 3e6 exactly; a group with
+    constant x emits NULLs (zero variance guard)."""
+    from pyrope_spark.operators.analytics import ols_slope_by_group
+
+    rows = [("lin", x, 2 * x + 3) for x in range(5)]
+    rows += [("flat", 7, y) for y in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r
+        for r in ols_slope_by_group(
+            df, group_cols=("g",), x_col="x", y_col="y"
+        ).collect()
+    }
+    assert out["lin"]["slope_micro"] == 2_000_000
+    assert out["lin"]["intercept_micro"] == 3_000_000
+    assert out["flat"]["slope_micro"] is None
+    assert out["flat"]["intercept_micro"] is None
+
+
+def test_embedding_norm_outliers_flags_exploded_vector(spark):
+    """Four unit-ish vectors and one 10x vector: median norm2 = 1e6
+    (milli-units), MAD = 0, only the exploded row flags."""
+    from pyrope_spark.operators.similarity import embedding_norm_outliers
+
+    rows = [(i, [1.0]) for i in range(4)] + [(4, [10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_norm_outliers(df).collect()}
+    assert out[0]["median_norm2"] == 1_000_000
+    assert out[0]["mad"] == 0
+    assert not any(out[i]["outlier"] for i in range(4))
+    assert out[4]["outlier"] and out[4]["norm2"] == 100_000_000
+
+
+def test_source_overlap_plan_is_keyed_join(spark):
+    """The pair stage must join on the fingerprint key — never a
+    cartesian/broadcast-nested-loop over the shingle tables."""
+    from pyrope_spark.operators.dedup import source_shingle_overlap
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", f"w{i} w{i + 1} w{i + 2} common text here")
+         for i in range(60)],
+        "source string, text string",
+    )
+    out = source_shingle_overlap(df, ngram_n=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
