@@ -803,6 +803,9 @@ def main() -> None:
         "minhash_jaccard_calibration",
         "discount_quantity_elasticity",
         "embedding_norm_outliers",
+        "pareto_customer_count",
+        "ma_crossover_signals",
+        "user_event_simpson",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -1429,3 +1429,167 @@ SELECT {g_names}, n, slope_micro,
          AS intercept_micro
 FROM sl
 """
+
+
+def coverage_count_by_group(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    member_col: str,
+    value_col: str,
+    p_permille: int = 500,
+) -> DataFrame:
+    """Per group, how many members (taken largest-first) it takes to cover
+    ``p_permille``/1000 of the group's total value — the Pareto
+    concentration count behind "half our revenue is N customers" (the
+    member-count dual of [[lorenz_curve_deciles]]'s share curve; kin to
+    [[nucleus_select_by_quality]], which KEEPS the prefix rows — this
+    reports only the count, so the output is group-sized).
+
+    Exact integers: members order by (value desc, member id) — a total
+    order — and the crossing test is cross-multiplied
+    (``cum_before * 1000 < total * p``), so the member that crosses the
+    threshold is counted and nothing after it is.
+
+    Scale shape (100 TB): one (group, member) aggregate over the fact
+    table, one group-keyed window over the member table, one group
+    aggregate. No global sort, no driver loop.
+
+    Output: (group..., n_members, total_value, n_for_p).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(*group_cols, member_col).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("_v")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_v").desc(), F.col(member_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = per.withColumn("_cum", F.sum("_v").over(w)).withColumn(
+        "_tot", F.sum("_v").over(wt)
+    )
+    return (
+        cum.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("_tot").cast("long").alias("total_value"),
+            F.sum(
+                F.when(
+                    (F.col("_cum") - F.col("_v")) * 1000
+                    < F.col("_tot") * p_permille,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_for_p"),
+        )
+    )
+
+
+def coverage_count_oracle_sql(
+    *,
+    table: str,
+    group_sqls: dict[str, str],
+    member_sql: str,
+    value_sql: str,
+    p_permille: int = 500,
+) -> str:
+    """DuckDB twin of [[coverage_count_by_group]]."""
+    g_aliases = ", ".join(f"{sql} AS {name}" for name, sql in group_sqls.items())
+    g_names = ", ".join(group_sqls)
+    return f"""
+WITH src AS (SELECT {g_aliases}, {member_sql} AS member,
+                    CAST({value_sql} AS BIGINT) AS v FROM {table}),
+per AS (SELECT {g_names}, member, CAST(SUM(v) AS BIGINT) AS v
+        FROM src GROUP BY ALL),
+cum AS (
+  SELECT {g_names}, v,
+         SUM(v) OVER (PARTITION BY {g_names} ORDER BY v DESC, member
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumv,
+         SUM(v) OVER (PARTITION BY {g_names}) AS tot
+  FROM per
+)
+SELECT {g_names},
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(MAX(tot) AS BIGINT) AS total_value,
+       CAST(SUM(CASE WHEN (cumv - v) * 1000 < tot * {p_permille}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_for_p
+FROM cum GROUP BY {g_names}
+"""
+
+
+def behavioral_concentration(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    scale: int = 1_000_000,
+    min_events: int = 2,
+) -> DataFrame:
+    """Per-user Simpson concentration over event types: the probability
+    that two of the user's events (drawn without replacement) share a
+    type — 1e6 = a single-behavior user, ~1e6/k = uniform over k types.
+    The behavioral-diversity feature for segmentation/churn models (the
+    events twin of the corpus-side Simpson in
+    [[lexical_diversity_by_source]], same exact rational:
+    ``sum(c_i*(c_i-1)) * 1e6 div (n*(n-1))``, n >= ``min_events``).
+
+    Scale shape (100 TB): two hash aggregates, (user, type) then user —
+    word-count shaped, output is user-cardinality sized.
+
+    Output: (user, n_events, n_types, simpson_micro).
+    """
+    from pyspark.sql import functions as F
+
+    per_type = events.groupBy(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        per_type.groupBy("u")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.expr("c * (c - 1)")).cast("long").alias("_pairs"),
+        )
+        .filter(F.col("n_events") >= min_events)
+        .select(
+            F.col("u").alias(user_col),
+            "n_events",
+            "n_types",
+            F.expr(f"_pairs * {scale} DIV (n_events * (n_events - 1))")
+            .cast("long")
+            .alias("simpson_micro"),
+        )
+    )
+
+
+def behavioral_concentration_oracle_sql(
+    *,
+    table: str = "events",
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    scale: int = 1_000_000,
+    min_events: int = 2,
+) -> str:
+    """DuckDB twin of [[behavioral_concentration]]."""
+    return f"""
+WITH per_type AS (
+  SELECT {user_sql} AS u, {type_sql} AS t, CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+agg AS (
+  SELECT u, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs
+  FROM per_type GROUP BY 1
+)
+SELECT CAST(u AS BIGINT) AS user_id, n_events, n_types,
+       CAST(pairs * {scale} // (n_events * (n_events - 1)) AS BIGINT)
+         AS simpson_micro
+FROM agg WHERE n_events >= {min_events}
+"""

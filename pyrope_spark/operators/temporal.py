@@ -1364,3 +1364,151 @@ SELECT key, CAST(w * {window_s} AS BIGINT) AS win_start,
          AS burst
 FROM trail
 """
+
+
+def ma_crossover_signals(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    short_days: int = 7,
+    long_days: int = 28,
+) -> DataFrame:
+    """Moving-average crossover detector over a daily value series: days
+    where the trailing ``short_days`` mean crosses the trailing
+    ``long_days`` mean — the trend-turn readout ("golden cross" up,
+    "death cross" down) for revenue/traffic monitoring, kin to
+    [[rate_burst_windows]] (bursts are spikes; crossings are regime
+    turns).
+
+    No float mean is ever computed: the comparison is the exact
+    cross-multiplied sign of ``sum_short*n_long - sum_long*n_short``
+    over a DENSE per-key day spine (quiet days contribute 0 — without
+    gapfill, window row-frames would silently span calendar gaps). A day
+    emits a signal when both frames are FULL and the sign differs from
+    the previous day's; sign 0 (exact tie) participates so a
+    touch-and-reverse is two signals, which keeps the rule total and
+    engine-portable.
+
+    Scale shape (100 TB): one (key, day) aggregate over the fact table;
+    spine + windows run on keys x days rows (calendar-bounded).
+
+    Output: (key, day, short_sum, long_sum, sig, prev_sig, direction)
+    for signal days only; direction 'up' when the short side rises
+    through, 'down' otherwise.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.expr(f"unix_timestamp({ts_col}) div 86400")
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            day.alias("d"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("key", "d")
+        .agg(F.sum("v").cast("long").alias("_v"))
+    )
+    bounds = daily.agg(F.min("d").alias("_d0"), F.max("d").alias("_d1"))
+    spine = (
+        daily.select("key").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("key", F.explode(F.sequence("_d0", "_d1")).alias("d"))
+    )
+    dense = spine.join(daily, ["key", "d"], "left").na.fill({"_v": 0})
+    ws = (
+        Window.partitionBy("key").orderBy("d")
+        .rowsBetween(-(short_days - 1), 0)
+    )
+    wl = (
+        Window.partitionBy("key").orderBy("d")
+        .rowsBetween(-(long_days - 1), 0)
+    )
+    wp = Window.partitionBy("key").orderBy("d")
+    sig = F.signum(
+        F.col("short_sum") * long_days - F.col("long_sum") * short_days
+    ).cast("int")
+    scored = (
+        dense.withColumn("short_sum", F.sum("_v").over(ws).cast("long"))
+        .withColumn("long_sum", F.sum("_v").over(wl).cast("long"))
+        .withColumn("n_long", F.count(F.lit(1)).over(wl))
+        .withColumn("sig", sig)
+        .withColumn("prev_sig", F.lag("sig").over(wp))
+        .withColumn("prev_full", F.lag("n_long").over(wp))
+    )
+    return (
+        scored.filter(
+            (F.col("n_long") == long_days)
+            & (F.col("prev_full") == long_days)
+            & (F.col("sig") != F.col("prev_sig"))
+        )
+        .select(
+            "key",
+            F.col("d").cast("long").alias("day"),
+            "short_sum",
+            "long_sum",
+            F.col("sig").cast("long").alias("sig"),
+            F.col("prev_sig").cast("long").alias("prev_sig"),
+            F.when(F.col("sig") > F.col("prev_sig"), F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+    )
+
+
+def ma_crossover_oracle_sql(
+    *,
+    table: str,
+    key_sql: str,
+    ts_sql: str,
+    value_sql: str,
+    short_days: int = 7,
+    long_days: int = 28,
+) -> str:
+    """DuckDB twin of [[ma_crossover_signals]]."""
+    return f"""
+WITH daily AS (
+  SELECT {key_sql} AS key,
+         CAST(floor(epoch(CAST({ts_sql} AS TIMESTAMP))) AS BIGINT) // 86400
+           AS d,
+         CAST(SUM(CAST({value_sql} AS BIGINT)) AS BIGINT) AS v
+  FROM {table} GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+spine AS (
+  SELECT k.key, r.d
+  FROM (SELECT DISTINCT key FROM daily) k
+  CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS d FROM bounds) r
+),
+dense AS (
+  SELECT s.key, s.d, COALESCE(daily.v, 0) AS v
+  FROM spine s LEFT JOIN daily ON s.key = daily.key AND s.d = daily.d
+),
+scored AS (
+  SELECT key, d,
+         CAST(SUM(v) OVER ws AS BIGINT) AS short_sum,
+         CAST(SUM(v) OVER wl AS BIGINT) AS long_sum,
+         COUNT(*) OVER wl AS n_long
+  FROM dense
+  WINDOW ws AS (PARTITION BY key ORDER BY d
+                ROWS BETWEEN {short_days - 1} PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY key ORDER BY d
+                ROWS BETWEEN {long_days - 1} PRECEDING AND CURRENT ROW)
+),
+sigd AS (
+  SELECT *,
+         CAST(sign(short_sum * {long_days} - long_sum * {short_days})
+              AS INT) AS sig,
+         lag(CAST(sign(short_sum * {long_days} - long_sum * {short_days})
+              AS INT)) OVER wp AS prev_sig,
+         lag(n_long) OVER wp AS prev_full
+  FROM scored
+  WINDOW wp AS (PARTITION BY key ORDER BY d)
+)
+SELECT key, CAST(d AS BIGINT) AS day, short_sum, long_sum,
+       CAST(sig AS BIGINT) AS sig, CAST(prev_sig AS BIGINT) AS prev_sig,
+       CASE WHEN sig > prev_sig THEN 'up' ELSE 'down' END AS direction
+FROM sigd
+WHERE n_long = {long_days} AND prev_full = {long_days} AND sig <> prev_sig
+"""

@@ -12596,3 +12596,99 @@ def _normqa_oracle() -> str:
 
 
 register("embedding_norm_outliers", _normqa_oracle())(_normqa_spark)
+
+
+def _pareto_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import coverage_count_by_group
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    src = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return coverage_count_by_group(
+        src, group_cols=("n_name",), member_col="o_custkey",
+        value_col="cents", p_permille=500,
+    )
+
+
+def _pareto_oracle() -> str:
+    from pyrope_spark.operators.analytics import coverage_count_oracle_sql
+
+    return coverage_count_oracle_sql(
+        table="(SELECT n_name, o_custkey, o_totalprice FROM orders "
+              "JOIN customer ON o_custkey = c_custkey "
+              "JOIN nation ON c_nationkey = n_nationkey)",
+        group_sqls={"n_name": "n_name"},
+        member_sql="o_custkey",
+        value_sql="CAST(floor(o_totalprice * 100) AS BIGINT)",
+        p_permille=500,
+    )
+
+
+register("pareto_customer_count", _pareto_oracle())(_pareto_spark)
+
+
+def _macross_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import ma_crossover_signals
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ma_crossover_signals(
+        src, key_col="event_type", ts_col="ts", value_col="cents",
+        short_days=7, long_days=28,
+    )
+
+
+def _macross_oracle() -> str:
+    from pyrope_spark.operators.temporal import ma_crossover_oracle_sql
+
+    return ma_crossover_oracle_sql(
+        table="events",
+        key_sql="event_type",
+        ts_sql="ts",
+        value_sql="CAST(floor(value * 100) AS BIGINT)",
+        short_days=7,
+        long_days=28,
+    )
+
+
+register("ma_crossover_signals", _macross_oracle())(_macross_spark)
+
+
+def _simpson_ev_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.analytics import behavioral_concentration
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return behavioral_concentration(ev)
+
+
+def _simpson_ev_oracle() -> str:
+    from pyrope_spark.operators.analytics import (
+        behavioral_concentration_oracle_sql,
+    )
+
+    return behavioral_concentration_oracle_sql()
+
+
+register("user_event_simpson", _simpson_ev_oracle())(_simpson_ev_spark)

@@ -3,7 +3,12 @@
 
 1. smoke: ``entry(spark)`` at sf0.001 must return rows with a stable schema;
 2. correctness: every ``queries()`` entry at sf0.01 vs its ``oracle_sql()``
-   in DuckDB — row count, column set, and order-insensitive value compare.
+   in DuckDB — row count, column set, STRICT dtype compare (post-canon:
+   float width, datetime unit, and integer width are normalized; int-vs-
+   float and object-vs-float fail — the driver's value hash is dtype-
+   sensitive, so the local gate must be too; r6 shipped two driver-reds
+   through the old dtype-insensitive compare), and an order-insensitive
+   value compare.
 
 Usage: python scripts/driver_check.py [--json OUT.json] [name ...]
 

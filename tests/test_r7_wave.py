@@ -171,3 +171,66 @@ def test_source_overlap_plan_is_keyed_join(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coverage_count_hand_traced(spark):
+    """Values 50,30,10,10 (total 100): half is covered by 50 alone? cum
+    before 50 is 0 < 50 -> counted; cum before 30 is 50, 50*1000 <
+    100*500 is false -> exactly 1 member for p=500. For p=800: 50,30
+    (cum_before 80*? -> 80 crossing at 30: before=50 < 80) -> 2."""
+    from pyrope_spark.operators.analytics import coverage_count_by_group
+
+    rows = [("g", "a", 50), ("g", "b", 30), ("g", "c", 10), ("g", "d", 10)]
+    df = spark.createDataFrame(rows, "grp string, member string, v long")
+    one = coverage_count_by_group(
+        df, group_cols=("grp",), member_col="member", value_col="v",
+        p_permille=500,
+    ).collect()[0]
+    assert one["n_members"] == 4 and one["total_value"] == 100
+    assert one["n_for_p"] == 1
+    two = coverage_count_by_group(
+        df, group_cols=("grp",), member_col="member", value_col="v",
+        p_permille=800,
+    ).collect()[0]
+    assert two["n_for_p"] == 2
+
+
+def test_ma_crossover_detects_regime_turn(spark):
+    """Flat series then a step-up: with short=2/long=4 the short mean rises
+    through the long mean exactly once, direction 'up', and only days with
+    BOTH frames full can signal."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.temporal import ma_crossover_signals
+
+    vals = [10, 10, 10, 10, 10, 100, 100, 100]
+    rows = [("k", d * 86400 + 10, v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, es long, v long").select(
+        "key", F.timestamp_seconds("es").alias("ts"), F.col("v")
+    )
+    out = ma_crossover_signals(
+        df, key_col="key", ts_col="ts", value_col="v",
+        short_days=2, long_days=4,
+    ).collect()
+    ups = [r for r in out if r["direction"] == "up"]
+    assert len(ups) == 1
+    assert ups[0]["day"] == 5  # first step-up day: short mean 55 > long 32.5
+    assert all(r["day"] >= 4 for r in out)  # day 3 is the first full frame
+
+
+def test_behavioral_concentration_closed_forms(spark):
+    """Single-type user -> 1e6; 2+2 split over two types -> (2+2)*1e6/12 =
+    333333; single-event users are dropped by min_events."""
+    from pyrope_spark.operators.analytics import behavioral_concentration
+
+    rows = (
+        [(1, "a")] * 3
+        + [(2, "a"), (2, "a"), (2, "b"), (2, "b")]
+        + [(3, "z")]
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["user_id"]: r for r in behavioral_concentration(df).collect()}
+    assert out[1]["simpson_micro"] == 1_000_000
+    assert out[2]["simpson_micro"] == 333_333
+    assert out[2]["n_types"] == 2
+    assert 3 not in out
