@@ -806,6 +806,9 @@ def main() -> None:
         "pareto_customer_count",
         "ma_crossover_signals",
         "user_event_simpson",
+        "interval_integrity_audit",
+        "fd_discovery_matrix",
+        "monthly_yoy_revenue",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -879,3 +879,102 @@ SELECT CAST(count(*) AS BIGINT) AS n_determinants,
        CAST(SUM(n_rows) AS BIGINT) AS total_rows
 FROM per_det
 """
+
+
+def fd_discovery_matrix(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Functional-dependency DISCOVERY over a candidate column set: for
+    every ordered pair (det, dep), does det → dep hold, and how badly is
+    it violated — the profiling sweep that finds the join invariants
+    [[fd_violation_audit]] then audits one-by-one (that operator checks a
+    GIVEN pair; this ranks all k·(k−1) of them).
+
+    One pass, not k² scans: each row melts into k² (det_col, dep_col,
+    det_val, dep_val) tuples (values type-erased to strings; NULL is a
+    countable value via a sentinel), then ONE (det_col, dep_col,
+    det_val) aggregate and ONE (det_col, dep_col) rollup. Map-side
+    partials collapse the melt before the shuffle, so wire volume is
+    bounded by distinct (pair, det_val) combinations.
+
+    Output per ordered pair: (det_col, dep_col, n_determinants,
+    n_violating_dets, violating_rows, max_fanout, holds).
+    """
+    from pyspark.sql import functions as F
+
+    k = len(columns)
+    pairs = []
+    for a in columns:
+        for b in columns:
+            if a == b:
+                continue
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("det_col"),
+                    F.lit(b).alias("dep_col"),
+                    F.coalesce(F.col(a).cast("string"), F.lit("<NULL>"))
+                    .alias("det_val"),
+                    F.coalesce(F.col(b).cast("string"), F.lit("<NULL>"))
+                    .alias("dep_val"),
+                )
+            )
+    melted = df.select(
+        F.explode(F.array(*pairs)).alias("p")
+    ).select("p.det_col", "p.dep_col", "p.det_val", "p.dep_val")
+    per_det = melted.groupBy("det_col", "dep_col", "det_val").agg(
+        F.count(F.lit(1)).cast("long").alias("_rows"),
+        F.countDistinct("dep_val").cast("long").alias("_fan"),
+    )
+    return (
+        per_det.groupBy("det_col", "dep_col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_determinants"),
+            F.sum((F.col("_fan") > 1).cast("long"))
+            .cast("long")
+            .alias("n_violating_dets"),
+            F.sum(F.when(F.col("_fan") > 1, F.col("_rows")).otherwise(0))
+            .cast("long")
+            .alias("violating_rows"),
+            F.max("_fan").cast("long").alias("max_fanout"),
+        )
+        .withColumn("holds", F.col("n_violating_dets") == 0)
+    )
+
+
+def fd_discovery_oracle_sql(
+    *,
+    table: str,
+    columns: list[str],
+) -> str:
+    """DuckDB twin of [[fd_discovery_matrix]]."""
+    selects = []
+    for a in columns:
+        for b in columns:
+            if a == b:
+                continue
+            selects.append(
+                f"SELECT '{a}' AS det_col, '{b}' AS dep_col, "
+                f"COALESCE(CAST({a} AS VARCHAR), '<NULL>') AS det_val, "
+                f"COALESCE(CAST({b} AS VARCHAR), '<NULL>') AS dep_val "
+                f"FROM {table}"
+            )
+    melted = " UNION ALL ".join(selects)
+    return f"""
+WITH melted AS ({melted}),
+per_det AS (
+  SELECT det_col, dep_col, det_val,
+         CAST(count(*) AS BIGINT) AS rows_,
+         CAST(count(DISTINCT dep_val) AS BIGINT) AS fan
+  FROM melted GROUP BY 1, 2, 3
+)
+SELECT det_col, dep_col,
+       CAST(count(*) AS BIGINT) AS n_determinants,
+       CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_dets,
+       CAST(SUM(CASE WHEN fan > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS violating_rows,
+       CAST(MAX(fan) AS BIGINT) AS max_fanout,
+       SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM per_det GROUP BY 1, 2
+"""

@@ -92,3 +92,120 @@ SELECT {key}, {attr},
          AS is_current
 FROM collapsed
 """
+
+
+def interval_integrity_audit(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Integrity audit for SCD2 / validity-interval tables: per key, count
+    OVERLAPS (a row starting before its predecessor ended) and GAPS
+    (a row starting after it ended) under the half-open [from, to)
+    contract [[scd2_build]] produces — the check that catches a merge job
+    that double-writes a version or drops one, which point-in-time joins
+    ([[scd2_point_in_time]]) then silently mis-answer.
+
+    Rows order per key by (start, end, all-columns tiebreak is
+    unnecessary: equal (start, end) duplicates count as overlaps by the
+    lag comparison). NULL end = open row; more than one open row per key
+    is also flagged. Epochs are fixed-epoch integer seconds.
+
+    Scale shape (100 TB): one key-partitioned lag window + one key
+    aggregate — version-table volume, no joins.
+
+    Output per key with any defect: (key, n_rows, n_overlaps, n_gaps,
+    n_open_rows).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    s = F.expr(f"unix_timestamp({start_col})")
+    e = F.when(
+        F.col(end_col).isNull(), F.lit(None).cast("long")
+    ).otherwise(F.expr(f"unix_timestamp({end_col})"))
+    base = df.select(
+        F.col(key_col).alias("key"), s.alias("_s"), e.alias("_e")
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("_s").asc(), F.col("_e").asc_nulls_last()
+    )
+    lagged = base.withColumn("_pe", F.lag("_e").over(w))
+    return (
+        lagged.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                (
+                    F.col("_pe").isNotNull() & (F.col("_s") < F.col("_pe"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_overlaps"),
+            F.sum(
+                (
+                    F.col("_pe").isNotNull() & (F.col("_s") > F.col("_pe"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_gaps"),
+            F.sum(F.col("_e").isNull().cast("long"))
+            .cast("long")
+            .alias("n_open_rows"),
+        )
+        .filter(
+            (F.col("n_overlaps") > 0)
+            | (F.col("n_gaps") > 0)
+            | (F.col("n_open_rows") > 1)
+        )
+        .select(
+            F.col("key").cast("long").alias(key_col),
+            "n_rows",
+            "n_overlaps",
+            "n_gaps",
+            "n_open_rows",
+        )
+    )
+
+
+def interval_integrity_oracle_sql(
+    *,
+    table: str,
+    key_sql: str = "user_id",
+    start_sql: str = "valid_from",
+    end_sql: str = "valid_to",
+) -> str:
+    """DuckDB twin of [[interval_integrity_audit]]."""
+    return f"""
+WITH base AS (
+  SELECT {key_sql} AS key,
+         CAST(floor(epoch(CAST({start_sql} AS TIMESTAMP))) AS BIGINT) AS s,
+         CASE WHEN {end_sql} IS NULL THEN NULL
+              ELSE CAST(floor(epoch(CAST({end_sql} AS TIMESTAMP))) AS BIGINT)
+         END AS e
+  FROM {table}
+),
+lagged AS (
+  SELECT key, s, e,
+         lag(e) OVER (PARTITION BY key ORDER BY s ASC, e ASC NULLS LAST)
+           AS pe
+  FROM base
+),
+agg AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN pe IS NOT NULL AND s < pe THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlaps,
+         CAST(SUM(CASE WHEN pe IS NOT NULL AND s > pe THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_gaps,
+         CAST(SUM(CASE WHEN e IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open_rows
+  FROM lagged GROUP BY 1
+)
+SELECT CAST(key AS BIGINT) AS user_id, n_rows, n_overlaps, n_gaps,
+       n_open_rows
+FROM agg
+WHERE n_overlaps > 0 OR n_gaps > 0 OR n_open_rows > 1
+"""

@@ -12692,3 +12692,118 @@ def _simpson_ev_oracle() -> str:
 
 
 register("user_event_simpson", _simpson_ev_oracle())(_simpson_ev_spark)
+
+
+def _ivaudit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.scd import interval_integrity_audit
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # deterministic interval table WITH defects: each event opens a
+    # validity row lasting `value` seconds; purchases are open rows
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.when(
+            F.col("event_type") == "purchase", F.lit(None).cast("timestamp")
+        ).otherwise(
+            F.timestamp_seconds(
+                F.expr("unix_timestamp(ts) + CAST(floor(value) AS BIGINT)")
+            )
+        ).alias("valid_to"),
+    )
+    return interval_integrity_audit(iv)
+
+
+def _ivaudit_oracle() -> str:
+    from pyrope_spark.operators.scd import interval_integrity_oracle_sql
+
+    return interval_integrity_oracle_sql(
+        table="""(
+  SELECT user_id, ts AS valid_from,
+         CASE WHEN event_type = 'purchase' THEN NULL
+              ELSE to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                     AS BIGINT)
+                                + CAST(floor(value) AS BIGINT))
+         END AS valid_to
+  FROM events)""",
+    )
+
+
+register("interval_integrity_audit", _ivaudit_oracle())(_ivaudit_spark)
+
+
+def _fddisc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.profile import fd_discovery_matrix
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return fd_discovery_matrix(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    )
+
+
+def _fddisc_oracle() -> str:
+    from pyrope_spark.operators.profile import fd_discovery_oracle_sql
+
+    return fd_discovery_oracle_sql(
+        table="lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"],
+    )
+
+
+register("fd_discovery_matrix", _fddisc_oracle())(_fddisc_spark)
+
+
+def _yoy_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-same-month-last-year revenue growth: the BI seasonality
+    staple. Integer cents per row before the sum; growth is one
+    cross-multiplied floor division; the self-join rides an integer
+    year*12+month index (no date arithmetic at join time). Scale: two
+    month-keyed aggregates + a month-cardinality self-join."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("ymi"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    prev = monthly.select(
+        (F.col("ymi") + 12).alias("ymi"),
+        F.col("rev_cents").alias("prev_year_cents"),
+    )
+    return (
+        monthly.join(prev, "ymi")
+        .select(
+            "ym",
+            "rev_cents",
+            "prev_year_cents",
+            F.expr(
+                "CAST((rev_cents - prev_year_cents) * 1000000 "
+                "DIV prev_year_cents AS BIGINT)"
+            ).alias("yoy_growth_ppm"),
+        )
+    )
+
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS ymi,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT cur.ym, cur.rev_cents, prv.rev_cents AS prev_year_cents,
+       CAST((cur.rev_cents - prv.rev_cents) * 1000000 // prv.rev_cents
+            AS BIGINT) AS yoy_growth_ppm
+FROM monthly cur JOIN monthly prv ON cur.ymi = prv.ymi + 12
+"""
+
+register("monthly_yoy_revenue", _YOY_ORACLE)(_yoy_spark)

@@ -234,3 +234,65 @@ def test_behavioral_concentration_closed_forms(spark):
     assert out[2]["simpson_micro"] == 333_333
     assert out[2]["n_types"] == 2
     assert 3 not in out
+
+
+def test_interval_integrity_audit_closed_forms(spark):
+    """u1: back-to-back rows (clean, filtered out); u2: overlap; u3: gap;
+    u4: two open rows."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.scd import interval_integrity_audit
+
+    rows = [
+        (1, 0, 100), (1, 100, 200),          # clean chain
+        (2, 0, 100), (2, 50, 200),           # overlap
+        (3, 0, 100), (3, 200, 300),          # gap
+        (4, 0, None), (4, 100, None),        # two open rows
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s long, e long").select(
+        "user_id",
+        F.timestamp_seconds("s").alias("valid_from"),
+        F.timestamp_seconds("e").alias("valid_to"),
+    )
+    out = {r["user_id"]: r for r in interval_integrity_audit(df).collect()}
+    assert 1 not in out  # clean keys are not reported
+    assert out[2]["n_overlaps"] == 1 and out[2]["n_gaps"] == 0
+    assert out[3]["n_gaps"] == 1 and out[3]["n_overlaps"] == 0
+    assert out[4]["n_open_rows"] == 2
+
+
+def test_fd_discovery_matrix_closed_forms(spark):
+    """a -> b holds (each a maps to one b); b -> a violated by b=10
+    mapping to two a's; NULL is a countable dependent value."""
+    from pyrope_spark.operators.profile import fd_discovery_matrix
+
+    rows = [(1, 10), (1, 10), (2, 10), (3, None), (3, None)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = {
+        (r["det_col"], r["dep_col"]): r
+        for r in fd_discovery_matrix(df, ["a", "b"]).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["holds"] and ab["n_determinants"] == 3
+    ba = out[("b", "a")]
+    assert not ba["holds"]
+    assert ba["n_violating_dets"] == 1 and ba["violating_rows"] == 3
+    assert ba["max_fanout"] == 2
+
+
+def test_monthly_yoy_is_registered_and_exact(spark):
+    """Hand-traced YoY: 2024-03 = 150 cents vs 2023-03 = 100 -> +50%."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    assert "monthly_yoy_revenue" in entry.queries()
+    # direct expression check of the growth arithmetic on a 2-month frame
+    df = spark.createDataFrame(
+        [(100, 150)], "prev_year_cents long, rev_cents long"
+    ).select(
+        F.expr(
+            "CAST((rev_cents - prev_year_cents) * 1000000 "
+            "DIV prev_year_cents AS BIGINT)"
+        ).alias("g")
+    )
+    assert df.collect()[0]["g"] == 500_000
