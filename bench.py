@@ -809,6 +809,10 @@ def main() -> None:
         "interval_integrity_audit",
         "fd_discovery_matrix",
         "monthly_yoy_revenue",
+        "weekday_hour_heatmap",
+        "new_vs_returning_daily",
+        "session_bounce_rate",
+        "priority_mix_monthly",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -12807,3 +12807,207 @@ FROM monthly cur JOIN monthly prv ON cur.ymi = prv.ymi + 12
 """
 
 register("monthly_yoy_revenue", _YOY_ORACLE)(_yoy_spark)
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave 4: traffic-shape readouts (heatmap, new-vs-returning,
+# bounce rate, priority escalation mix).
+# --------------------------------------------------------------------------
+
+
+def _heatmap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour traffic heatmap with exact ppm shares — the
+    capacity-planning / anomaly-baseline readout. Fixed-epoch arithmetic
+    (no locale/timezone date parts): dow = (epoch_days + 4) % 7 (1970-01-01
+    was a Thursday), hour = epoch_secs div 3600 % 24 — identical integer
+    expressions on both engines. One hash aggregate + a broadcast total."""
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        ((F.expr("unix_timestamp(ts) div 86400") + 4) % 7).alias("dow"),
+        F.expr("unix_timestamp(ts) div 3600 % 24").alias("hour"),
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = cells.agg(F.sum("n_events").alias("_t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_events",
+        F.expr("n_events * 1000000 DIV _t").cast("long").alias("share_ppm"),
+    )
+
+
+_HEATMAP_ORACLE = """
+WITH cells AS (
+  SELECT (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 + 4)
+           % 7 AS dow,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 % 24
+           AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_events) AS t FROM cells)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n_events,
+       CAST(n_events * 1000000 // t AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN tot
+"""
+
+register("weekday_hour_heatmap", _HEATMAP_ORACLE)(_heatmap_spark)
+
+
+def _newret_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning traffic split: an event is 'new' when it
+    falls on its user's first-ever active day. One min-day per user
+    (broadcastable at user cardinality) + one day aggregate — the DAU
+    quality readout behind growth_accounting's user-level states."""
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("_first"))
+    return (
+        days.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("day") == F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("new_user_events"),
+            F.sum((F.col("day") != F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("returning_events"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            "new_user_events",
+            "returning_events",
+        )
+    )
+
+
+_NEWRET_ORACLE = """
+WITH days AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS day
+  FROM events
+),
+first AS (SELECT user_id, MIN(day) AS f FROM days GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN day = f THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_user_events,
+       CAST(SUM(CASE WHEN day <> f THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_events
+FROM days JOIN first USING (user_id)
+GROUP BY 1
+"""
+
+register("new_vs_returning_daily", _NEWRET_ORACLE)(_newret_spark)
+
+
+def _bounce_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate per event-type-of-entry: gap-sessionized (30 min)
+    user sessions, bounce = single-event session, grouped by the session's
+    FIRST event type (the landing surface). Composes the verified
+    sessionize window; everything after runs on session-cardinality rows."""
+    from pyrope_spark.operators.temporal import sessionize
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_s=1800,
+        order_cols=["ts", "event_id"],
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
+        .alias("entry_type"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("_n") == 1).cast("long")).cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            F.expr("n_bounces * 1000000 DIV n_sessions").cast("long")
+            .alias("bounce_ppm"),
+        )
+    )
+
+
+_BOUNCE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(CAST(ts AS TIMESTAMP))
+                      - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1 AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess)
+  GROUP BY 1, 2
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS bounce_ppm
+FROM per_session GROUP BY 1
+"""
+
+register("session_bounce_rate", _BOUNCE_ORACLE)(_bounce_spark)
+
+
+def _priomix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix by month with exact within-month ppm shares —
+    the ops readout for 'are urgent orders crowding out standard ones'.
+    One (month, priority) aggregate + a month-keyed total join."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    tot = cells.groupBy("ym").agg(F.sum("n_orders").alias("_t"))
+    return cells.join(F.broadcast(tot), "ym").select(
+        "ym",
+        "priority",
+        "n_orders",
+        F.expr("n_orders * 1000000 DIV _t").cast("long").alias("share_ppm"),
+    )
+
+
+_PRIOMIX_ORACLE = """
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT ym, SUM(n_orders) AS t FROM cells GROUP BY 1)
+SELECT cells.ym, priority, n_orders,
+       CAST(n_orders * 1000000 // t AS BIGINT) AS share_ppm
+FROM cells JOIN tot USING (ym)
+"""
+
+register("priority_mix_monthly", _PRIOMIX_ORACLE)(_priomix_spark)

@@ -296,3 +296,44 @@ def test_monthly_yoy_is_registered_and_exact(spark):
         ).alias("g")
     )
     assert df.collect()[0]["g"] == 500_000
+
+
+def test_heatmap_and_newret_registered_arithmetic(spark):
+    """dow formula: 1970-01-01 (epoch day 0) was a Thursday -> (0+4)%7=4;
+    new-vs-returning: a user's first day splits exactly."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    assert "weekday_hour_heatmap" in entry.queries()
+    assert "new_vs_returning_daily" in entry.queries()
+    dow = spark.createDataFrame([(0,), (3,)], "d long").select(
+        ((F.col("d") + 4) % 7).alias("dow")
+    ).collect()
+    assert [r["dow"] for r in dow] == [4, 0]  # Thu, Sun
+
+
+def test_session_bounce_rate_closed_form(spark):
+    """u1: events at t=0 ('view') and t=10000 ('click') -> two sessions,
+    both bounces, entry types view/click; u2: two events 5 s apart
+    starting with 'view' -> one session, no bounce."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__  # noqa: F401 — registered-query smoke
+    from pyrope_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 1, 0, "view"), (1, 2, 10_000, "click"),
+        (2, 3, 0, "view"), (2, 4, 5, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, es long, event_type string"
+    ).select("user_id", "event_id",
+             F.timestamp_seconds("es").alias("ts"), "event_type")
+    s = sessionize(ev, gap_s=1800, order_cols=["ts", "event_id"])
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
+        .alias("entry"),
+    ).collect()
+    got = sorted((r["user_id"], r["n"], r["entry"]) for r in per)
+    assert got == [(1, 1, "click"), (1, 1, "view"), (2, 2, "view")]
