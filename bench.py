@@ -813,6 +813,8 @@ def main() -> None:
         "new_vs_returning_daily",
         "session_bounce_rate",
         "priority_mix_monthly",
+        "supplier_assortment_breadth",
+        "customer_recency_bands",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -13011,3 +13011,113 @@ FROM cells JOIN tot USING (ym)
 """
 
 register("priority_mix_monthly", _PRIOMIX_ORACLE)(_priomix_spark)
+
+
+def _assort_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier assortment breadth: distinct parts shipped per supplier,
+    share of the part catalog (ppm), and shipped-line volume — the
+    supply-base diversification readout. One distinct aggregate over
+    (supp, part) + a broadcast 1-row catalog count."""
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per = li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    catalog = part.agg(F.count(F.lit(1)).alias("_cat"))
+    return per.crossJoin(F.broadcast(catalog)).select(
+        F.col("supp").cast("long").alias("l_suppkey"),
+        "n_parts",
+        "n_lines",
+        F.expr("n_parts * 1000000 DIV _cat").cast("long")
+        .alias("catalog_share_ppm"),
+    )
+
+
+_ASSORT_ORACLE = """
+WITH per AS (
+  SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+cat AS (SELECT count(*) AS c FROM part)
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, n_parts, n_lines,
+       CAST(n_parts * 1000000 // c AS BIGINT) AS catalog_share_ppm
+FROM per CROSS JOIN cat
+"""
+
+register("supplier_assortment_breadth", _ASSORT_ORACLE)(_assort_spark)
+
+
+def _recency_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer recency-band inventory: customers bucketed by days since
+    their last order (power-of-2 day bands, measured from the corpus max
+    order date — no wall clock), with counts and total account balance in
+    integer cents per band — the churn-risk stock report
+    (dormant_rich_customers picks one band; this is the whole
+    distribution). One per-customer max-date aggregate + a broadcast
+    corpus-max row + a band aggregate; never-ordered customers land in
+    band -1."""
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    last = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.expr("datediff(o_orderdate, DATE '1970-01-01')"))
+        .alias("_last")
+    )
+    mx = last.agg(F.max("_last").alias("_mx"))
+    banded = (
+        cust.join(last, F.col("c_custkey") == F.col("ck"), "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_custkey"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("_bal"),
+            F.when(F.col("_last").isNull(), F.lit(-1))
+            .otherwise(
+                # exact integer log2 via binary-string length: floor(log2(x))
+                # = len(bin(x)) - 1 for x >= 1 — no float libm in a band
+                # boundary (1-ulp log2 differences flip bands at exact
+                # powers of two)
+                F.expr("length(bin(_mx - _last + 1)) - 1").cast("long")
+            )
+            .alias("band"),
+        )
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_bal").cast("long").alias("total_acctbal_cents"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_customers",
+            "total_acctbal_cents",
+        )
+    )
+
+
+_RECENCY_ORACLE = """
+WITH last AS (
+  SELECT o_custkey AS ck,
+         MAX(datediff('day', DATE '1970-01-01', o_orderdate)) AS lastd
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT MAX(lastd) AS m FROM last),
+banded AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal,
+         CASE WHEN lastd IS NULL THEN -1
+              ELSE CAST(length(bin(m - lastd + 1)) - 1 AS BIGINT)
+         END AS band
+  FROM customer LEFT JOIN last ON c_custkey = ck
+  CROSS JOIN mx
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal) AS BIGINT) AS total_acctbal_cents
+FROM banded GROUP BY 1
+"""
+
+register("customer_recency_bands", _RECENCY_ORACLE)(_recency_spark)

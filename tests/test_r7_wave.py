@@ -337,3 +337,22 @@ def test_session_bounce_rate_closed_form(spark):
     ).collect()
     got = sorted((r["user_id"], r["n"], r["entry"]) for r in per)
     assert got == [(1, 1, "click"), (1, 1, "view"), (2, 2, "view")]
+
+
+def test_recency_band_binlen_is_exact_integer_log2(spark):
+    """band = length(bin(x)) - 1 == floor(log2(x)) for x >= 1, including
+    exact powers of two where float log2 is 1-ulp fragile."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    assert "customer_recency_bands" in entry.queries()
+    assert "supplier_assortment_breadth" in entry.queries()
+    xs = [1, 2, 3, 4, 7, 8, 1023, 1024, 1025]
+    df = spark.createDataFrame([(x,) for x in xs], "x long").select(
+        "x", (F.expr("length(bin(x)) - 1")).cast("long").alias("band")
+    )
+    import math
+
+    got = {r["x"]: r["band"] for r in df.collect()}
+    assert got == {x: int(math.log2(x)) for x in xs}
