@@ -13121,3 +13121,177 @@ FROM banded GROUP BY 1
 """
 
 register("customer_recency_bands", _RECENCY_ORACLE)(_recency_spark)
+
+
+# --------------------------------------------------------------------------
+# Wave 6 (r7): experimentation & model-evaluation readouts
+# --------------------------------------------------------------------------
+
+def _cuped_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced lift on per-user spend: pre-period = first
+    half of the event month, variant = user_id % 2 (an A/A on this data —
+    the adjusted and raw diffs should both hover near zero, with theta
+    capturing the strong pre/post per-user correlation)."""
+    from pyrope_spark.operators.experiment import cuped_adjusted_lift
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return cuped_adjusted_lift(
+        ev,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        pre_expr=F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        value_cents_expr=F.floor(F.col("value") * 100).cast("long"),
+    )
+
+
+def _cuped_oracle() -> str:
+    from pyrope_spark.operators.experiment import cuped_oracle_sql
+
+    return cuped_oracle_sql(
+        pre_sql="ts < TIMESTAMP '2024-01-16'",
+        value_cents_sql="CAST(floor(value * 100) AS BIGINT)",
+    )
+
+
+register("cuped_adjusted_lift", _cuped_oracle())(_cuped_spark)
+
+
+def _mwu_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney on purchase values between user_id-parity cohorts —
+    the nonparametric twin of ab_conversion_ztest for a skewed metric."""
+    from pyrope_spark.operators.experiment import mann_whitney_u
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return mann_whitney_u(
+        ev,
+        group_expr=(F.col("user_id") % 2).cast("long"),
+        value_cents_expr=F.floor(F.col("value") * 100).cast("long"),
+    )
+
+
+def _mwu_oracle() -> str:
+    from pyrope_spark.operators.experiment import mann_whitney_oracle_sql
+
+    return mann_whitney_oracle_sql(
+        table="(SELECT * FROM events WHERE event_type = 'purchase')",
+        value_cents_sql="CAST(floor(value * 100) AS BIGINT)",
+    )
+
+
+register("mann_whitney_value_test", _mwu_oracle())(_mwu_spark)
+
+
+def _calib_bins_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import calibration_bins
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return calibration_bins(
+        ev, label_expr=F.col("event_type") == "purchase"
+    )
+
+
+def _calib_bins_oracle() -> str:
+    from pyrope_spark.operators.experiment import calibration_bins_oracle_sql
+
+    return calibration_bins_oracle_sql()
+
+
+register("calibration_reliability_bins", _calib_bins_oracle())(
+    _calib_bins_spark
+)
+
+
+def _calib_ece_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import calibration_ece
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return calibration_ece(
+        ev, label_expr=F.col("event_type") == "purchase"
+    )
+
+
+def _calib_ece_oracle() -> str:
+    from pyrope_spark.operators.experiment import calibration_ece_oracle_sql
+
+    return calibration_ece_oracle_sql()
+
+
+register("calibration_ece", _calib_ece_oracle())(_calib_ece_spark)
+
+
+def _pvm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import price_volume_mix
+
+    configure_for_oracle(spark)
+    return price_volume_mix(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _pvm_oracle() -> str:
+    from pyrope_spark.operators.experiment import price_volume_mix_oracle_sql
+
+    return price_volume_mix_oracle_sql()
+
+
+register("price_volume_mix_bridge", _pvm_oracle())(_pvm_spark)
+
+
+def _kappa_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between two heuristic document-quality raters: a
+    character-length rule and a word-count rule — correlated but not
+    identical, so kappa lands strictly between chance and 1."""
+    from pyrope_spark.operators.experiment import cohens_kappa
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return cohens_kappa(
+        docs,
+        rater_a_expr=F.col("n_chars") >= 300,
+        rater_b_expr=F.size(F.split(F.col("text"), " ")) >= 50,
+    )
+
+
+def _kappa_oracle() -> str:
+    from pyrope_spark.operators.experiment import cohens_kappa_oracle_sql
+
+    return cohens_kappa_oracle_sql(
+        rater_a_sql="n_chars >= 300",
+        rater_b_sql="len(string_split(text, ' ')) >= 50",
+    )
+
+
+register("rater_agreement_kappa", _kappa_oracle())(_kappa_spark)
+
+
+def _boot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import poisson_bootstrap_mean
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return poisson_bootstrap_mean(
+        ev,
+        id_col="event_id",
+        value_cents_expr=F.floor(F.col("value") * 100).cast("long"),
+    )
+
+
+def _boot_oracle() -> str:
+    from pyrope_spark.operators.experiment import poisson_bootstrap_oracle_sql
+
+    return poisson_bootstrap_oracle_sql(
+        table="(SELECT * FROM events WHERE event_type = 'purchase')",
+        id_sql="event_id",
+        value_cents_sql="CAST(floor(value * 100) AS BIGINT)",
+    )
+
+
+register("poisson_bootstrap_ci", _boot_oracle())(_boot_spark)
