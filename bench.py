@@ -815,6 +815,14 @@ def main() -> None:
         "priority_mix_monthly",
         "supplier_assortment_breadth",
         "customer_recency_bands",
+        # round 7 wave 6: experimentation / model-eval readouts
+        "cuped_adjusted_lift",
+        "mann_whitney_value_test",
+        "calibration_reliability_bins",
+        "calibration_ece",
+        "price_volume_mix_bridge",
+        "rater_agreement_kappa",
+        "poisson_bootstrap_ci",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 
