@@ -823,6 +823,12 @@ def main() -> None:
         "price_volume_mix_bridge",
         "rater_agreement_kappa",
         "poisson_bootstrap_ci",
+        # round 7 wave 7: FDR sweep / churn labels / backtests / QA audits
+        "bh_fdr_event_lift",
+        "churn_label_windows",
+        "forecast_backtest_sma",
+        "dispersion_index_daily",
+        "covariate_balance_audit",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
 

@@ -943,3 +943,678 @@ SELECT n, mean_cents, lo_cents, hi_cents,
        CAST({n_replicates} AS BIGINT) AS n_replicates
 FROM point CROSS JOIN ci
 """
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR across per-metric A/B tests
+# --------------------------------------------------------------------------
+
+def _chi2_1_inv(q: float) -> float:
+    """Inverse upper-tail chi-square quantile for 1 df: the x with
+    P(X > x) = q, via bisection on the exact CDF identity
+    ``P(X > x) = erfc(sqrt(x/2))``.  Pure stdlib, deterministic — run
+    driver-side ONCE so both engines compare against the same embedded
+    integer constant (no libm in either plan)."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    lo, hi = 0.0, 400.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if math.erfc(math.sqrt(mid / 2)) > q:
+            lo = mid
+        else:
+            hi = mid
+    return hi
+
+
+def bh_thresholds_milli(m: int, alpha: float = 0.05) -> list[int]:
+    """Benjamini-Hochberg z² cutoffs in milli for ranks 1..m: the test
+    ranked i (by z² descending = p ascending) clears BH iff its
+    ``z2_milli >= thr[i-1]``, because for 1-df chi-square
+    ``p <= alpha·i/m  <=>  z² >= chi2_inv(alpha·i/m)``.  Rank-1 gets the
+    strictest cutoff, rank-m the plain-alpha cutoff."""
+    return [
+        int(round(_chi2_1_inv(alpha * i / m) * 1000)) for i in range(1, m + 1)
+    ]
+
+
+def bh_fdr_event_lift(
+    events: DataFrame,
+    *,
+    metric_types: list[str],
+    user_col: str = "user_id",
+    variant_expr: Column,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """One A/B readout per metric with Benjamini-Hochberg control of
+    the false-discovery rate across the family — the guardrail-metric
+    sweep where testing m metrics at raw alpha would inflate false
+    alarms m-fold.
+
+    Each metric is "user did ≥1 event of this type"; its statistic is
+    the exact rational two-proportion z² of [[ab_conversion_test]].
+    BH runs entirely on integers: tests are ranked by z² descending
+    (p ascending; metric name breaks ties), each rank compares against
+    its chi-square cutoff from [[bh_thresholds_milli]] — computed
+    driver-side with stdlib erfc bisection and embedded as literal
+    constants in BOTH plans — and the step-up rule rejects every rank
+    ≤ the largest rank whose z² clears its cutoff.
+
+    Output per metric: z² milli, BH rank, its cutoff, and the
+    0/1 rejected flag.
+
+    Scale shape: one user-keyed aggregate over the fact table, one
+    1-row aggregate, then everything runs on m rows.
+    """
+    m = len(metric_types)
+    if m == 0:
+        raise ValueError("metric_types must be non-empty")
+    thr = bh_thresholds_milli(m, alpha)
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(variant_expr).alias("variant"),
+        *[
+            F.max((F.col("event_type") == t).cast("int")).alias(f"c{i}")
+            for i, t in enumerate(metric_types)
+        ],
+    )
+    aggs = [
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long").alias("nb"),
+    ]
+    for i in range(m):
+        aggs.append(
+            F.sum(F.when(F.col("variant") == 0, F.col(f"c{i}")).otherwise(0))
+            .cast("long").alias(f"ca{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("variant") == 1, F.col(f"c{i}")).otherwise(0))
+            .cast("long").alias(f"cb{i}")
+        )
+    g = per_user.groupBy().agg(*aggs)
+    stack = ", ".join(
+        f"'{t}', ca{i}, cb{i}" for i, t in enumerate(metric_types)
+    )
+    melted = g.select(
+        "na",
+        "nb",
+        F.expr(
+            f"stack({m}, {stack}) AS (event_type, ca, cb)"
+        ),
+    )
+    z2 = (
+        f"CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 "
+        f"OR ca + cb = na + nb THEN 0 ELSE "
+        f"({_dec('ca')} * nb - {_dec('cb')} * na)"
+        f" * ({_dec('ca')} * nb - {_dec('cb')} * na)"
+        f" * (na + nb) * 1000"
+        f" DIV ({_dec('na')} * nb * (ca + cb)"
+        f"      * ((na + nb) - (ca + cb))) END"
+    )
+    tests = melted.select(
+        "event_type",
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.expr(z2).cast("long").alias("z2_milli"),
+    )
+    wo = W.orderBy(F.col("z2_milli").desc(), F.col("event_type").asc())
+    thr_case = "CASE " + " ".join(
+        f"WHEN rnk = {i + 1} THEN {t}" for i, t in enumerate(thr)
+    ) + " END"
+    ranked = tests.withColumn(
+        "rnk", F.row_number().over(wo).cast("long")
+    ).withColumn("thr_milli", F.expr(thr_case).cast("long"))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = ranked.withColumn(
+        "_cut",
+        F.max(
+            F.when(F.col("z2_milli") >= F.col("thr_milli"), F.col("rnk"))
+        ).over(wall),
+    )
+    return ranked.select(
+        "event_type",
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        "z2_milli",
+        "rnk",
+        "thr_milli",
+        F.when(
+            F.col("rnk") <= F.coalesce(F.col("_cut"), F.lit(0)), 1
+        ).otherwise(0).cast("long").alias("rejected"),
+    )
+
+
+def bh_fdr_oracle_sql(
+    *,
+    table: str = "events",
+    metric_types: list[str],
+    user_col: str = "user_id",
+    variant_sql: str = "user_id % 2",
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of [[bh_fdr_event_lift]] (same embedded cutoffs)."""
+    m = len(metric_types)
+    thr = bh_thresholds_milli(m, alpha)
+    in_list = ", ".join(f"'{t}'" for t in metric_types)
+    thr_case = "CASE " + " ".join(
+        f"WHEN rnk = {i + 1} THEN {t}" for i, t in enumerate(thr)
+    ) + " END"
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS u, MIN({variant_sql}) AS variant
+  FROM {table} GROUP BY 1
+),
+pops AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM per_user
+),
+conv AS (
+  SELECT e.event_type, pu.u, pu.variant
+  FROM {table} e JOIN per_user pu ON e.{user_col} = pu.u
+  WHERE e.event_type IN ({in_list})
+  GROUP BY 1, 2, 3
+),
+counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM conv GROUP BY 1
+),
+tests AS (
+  SELECT t.event_type, p.na, COALESCE(c.ca, 0) AS ca, p.nb,
+         COALESCE(c.cb, 0) AS cb
+  FROM (SELECT unnest([{in_list}]) AS event_type) t
+  LEFT JOIN counts c USING (event_type) CROSS JOIN pops p
+),
+scored AS (
+  SELECT event_type, na, ca, nb, cb,
+         CAST(CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0
+                    OR ca + cb = na + nb THEN 0
+                   ELSE (ca * nb - cb * na) * (ca * nb - cb * na)
+                        * (na + nb) * 1000
+                        // (na * nb * (ca + cb) * ((na + nb) - (ca + cb)))
+              END AS BIGINT) AS z2_milli
+  FROM tests
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY z2_milli DESC, event_type ASC)
+                 AS BIGINT) AS rnk
+  FROM scored
+),
+thr AS (SELECT *, CAST({thr_case} AS BIGINT) AS thr_milli FROM ranked),
+cut AS (
+  SELECT *, MAX(CASE WHEN z2_milli >= thr_milli THEN rnk END) OVER () AS c
+  FROM thr
+)
+SELECT event_type, na, ca, nb, cb, z2_milli, rnk, thr_milli,
+       CAST(CASE WHEN rnk <= COALESCE(c, 0) THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM cut
+"""
+
+
+# --------------------------------------------------------------------------
+# Churn-label training-set construction
+# --------------------------------------------------------------------------
+
+def churn_label_windows(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    cutoff_sql: str,
+    horizon_days: int = 7,
+    value_cents_expr: Column | None = None,
+) -> DataFrame:
+    """Leak-free churn training set: per user active in the OBSERVATION
+    window (everything before the cutoff), behavioral features computed
+    ONLY from pre-cutoff events and the label ONLY from the
+    ``(cutoff, cutoff + horizon]`` outcome window — the time-split
+    discipline that stops target leakage by construction (no feature
+    can see the future because no post-cutoff row reaches the feature
+    aggregate).
+
+    Features: event count, active days, distinct event types, spend
+    cents, days-since-last-activity at the cutoff.  Label:
+    ``churned = 1`` iff the user has NO event inside the horizon.
+
+    Scale shape: one user-keyed conditional aggregate over the fact
+    table — features and label in the same pass, no joins, no windows.
+    """
+    if value_cents_expr is None:
+        value_cents_expr = F.floor(F.col("value") * 100).cast("long")
+    cutoff = F.expr(cutoff_sql)
+    end = F.expr(
+        f"({cutoff_sql}) + INTERVAL {int(horizon_days)} DAYS"
+    )
+    pre = F.col("ts") < cutoff
+    in_h = (F.col("ts") >= cutoff) & (F.col("ts") < end)
+    day = F.expr("datediff(ts, DATE '1970-01-01')")
+    cutoff_day = F.expr(
+        f"datediff(CAST(({cutoff_sql}) AS DATE), DATE '1970-01-01')"
+    )
+    out = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.sum(pre.cast("int")).cast("long").alias("n_events"),
+            F.countDistinct(F.when(pre, day)).cast("long").alias(
+                "active_days"
+            ),
+            F.countDistinct(F.when(pre, F.col("event_type"))).cast(
+                "long"
+            ).alias("n_event_types"),
+            F.coalesce(F.sum(F.when(pre, value_cents_expr)), F.lit(0))
+            .cast("long").alias("spend_cents"),
+            F.max(F.when(pre, day)).alias("_last_day"),
+            F.max(in_h.cast("int")).cast("long").alias("_active_in_h"),
+        )
+        .filter(F.col("n_events") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "active_days",
+            "n_event_types",
+            "spend_cents",
+            (cutoff_day - F.col("_last_day")).cast("long").alias(
+                "days_since_last"
+            ),
+            (1 - F.col("_active_in_h")).cast("long").alias("churned"),
+        )
+    )
+    return out
+
+
+def churn_label_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    cutoff_sql: str,
+    horizon_days: int = 7,
+    value_cents_sql: str = "CAST(floor(value * 100) AS BIGINT)",
+) -> str:
+    """DuckDB twin of [[churn_label_windows]]."""
+    return f"""
+WITH agg AS (
+  SELECT {user_col} AS user_id,
+         CAST(SUM(CASE WHEN ts < ({cutoff_sql}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_events,
+         CAST(COUNT(DISTINCT CASE WHEN ts < ({cutoff_sql})
+              THEN datediff('day', DATE '1970-01-01', ts) END) AS BIGINT)
+           AS active_days,
+         CAST(COUNT(DISTINCT CASE WHEN ts < ({cutoff_sql})
+              THEN event_type END) AS BIGINT) AS n_event_types,
+         CAST(COALESCE(SUM(CASE WHEN ts < ({cutoff_sql})
+              THEN {value_cents_sql} END), 0) AS BIGINT) AS spend_cents,
+         MAX(CASE WHEN ts < ({cutoff_sql})
+             THEN datediff('day', DATE '1970-01-01', ts) END) AS last_day,
+         CAST(MAX(CASE WHEN ts >= ({cutoff_sql})
+                        AND ts < ({cutoff_sql})
+                            + INTERVAL {int(horizon_days)} DAYS
+                       THEN 1 ELSE 0 END) AS BIGINT) AS active_in_h
+  FROM {table} GROUP BY 1
+)
+SELECT user_id, n_events, active_days, n_event_types, spend_cents,
+       CAST(datediff('day', DATE '1970-01-01',
+                     CAST(({cutoff_sql}) AS DATE)) - last_day AS BIGINT)
+         AS days_since_last,
+       CAST(1 - active_in_h AS BIGINT) AS churned
+FROM agg WHERE n_events > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling-origin forecast backtest
+# --------------------------------------------------------------------------
+
+def forecast_backtest_sma(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    window_days: int = 7,
+    value_cents_expr: Column | None = None,
+) -> DataFrame:
+    """Rolling-origin backtest of the trailing-mean forecaster against
+    the naive (yesterday's value) baseline — the honest way to claim a
+    forecasting feature works: every origin day d with a FULL trailing
+    window forecasts day d, errors aggregate per key, and the
+    mase-style ratio says whether the smoother beats persistence.
+
+    Daily totals live on a DENSE per-key day spine (quiet days are real
+    zeros, not missing rows — a sparse spine silently shrinks windows
+    and flatters the forecaster).  All integer: forecast_milli =
+    trailing_sum·1000 div window; errors in milli-cents;
+    ``mae_ratio_ppm = mae_sma·1e6 div mae_naive`` (< 1e6 means the
+    smoother wins).
+
+    Scale shape: one (key, day) fact aggregate, a key×calendar spine
+    join, one key-partitioned trailing window, one key aggregate —
+    spine volume is keys × days, never event volume.
+    """
+    if value_cents_expr is None:
+        value_cents_expr = F.floor(F.col("value") * 100).cast("long")
+    day = F.expr("datediff(ts, DATE '1970-01-01')")
+    daily = events.groupBy(
+        F.col(key_col).alias("k"), day.alias("d")
+    ).agg(F.sum(value_cents_expr).cast("long").alias("v"))
+    bounds = daily.groupBy().agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = (
+        daily.select("k").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("k", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    dense = spine.join(daily, ["k", "d"], "left").select(
+        "k", "d", F.coalesce(F.col("v"), F.lit(0)).alias("v")
+    )
+    wt = (
+        W.partitionBy("k")
+        .orderBy("d")
+        .rowsBetween(-window_days, -1)
+    )
+    wn = W.partitionBy("k").orderBy("d")
+    scored = (
+        dense.withColumn("trail_sum", F.sum("v").over(wt))
+        .withColumn("trail_n", F.count("v").over(wt))
+        .withColumn("prev_v", F.lag("v").over(wn))
+        .filter(F.col("trail_n") == window_days)
+        .select(
+            "k",
+            "v",
+            F.expr(f"trail_sum * 1000 DIV {window_days}").alias("fc_milli"),
+            "prev_v",
+        )
+    )
+    return (
+        scored.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_origins"),
+            F.sum(F.abs(F.col("v") * 1000 - F.col("fc_milli")))
+            .cast("long").alias("_ae_sma"),
+            F.sum(F.abs((F.col("v") - F.col("prev_v")) * 1000))
+            .cast("long").alias("_ae_naive"),
+        )
+        .select(
+            key_col,
+            "n_origins",
+            F.expr(f"CAST({_dec('_ae_sma')} DIV n_origins AS BIGINT)").alias(
+                "mae_sma_milli"
+            ),
+            F.expr(
+                f"CAST({_dec('_ae_naive')} DIV n_origins AS BIGINT)"
+            ).alias("mae_naive_milli"),
+            F.expr(
+                f"CAST(CASE WHEN _ae_naive = 0 THEN NULL "
+                f"ELSE {_dec('_ae_sma')} * 1000000 DIV _ae_naive END "
+                f"AS BIGINT)"
+            ).alias("mae_ratio_ppm"),
+        )
+    )
+
+
+def forecast_backtest_oracle_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    window_days: int = 7,
+    value_cents_sql: str = "CAST(floor(value * 100) AS BIGINT)",
+) -> str:
+    """DuckDB twin of [[forecast_backtest_sma]]."""
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS k, datediff('day', DATE '1970-01-01', ts) AS d,
+         CAST(SUM({value_cents_sql}) AS BIGINT) AS v
+  FROM {table} GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+spine AS (
+  SELECT k, gs.d
+  FROM (SELECT DISTINCT k FROM daily)
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (SELECT unnest(range(d0, d1 + 1)) AS d) gs
+),
+dense AS (
+  SELECT s.k, s.d, COALESCE(daily.v, 0) AS v
+  FROM spine s LEFT JOIN daily ON daily.k = s.k AND daily.d = s.d
+),
+scored AS (
+  SELECT k, v,
+         SUM(v) OVER (PARTITION BY k ORDER BY d
+             ROWS BETWEEN {window_days} PRECEDING AND 1 PRECEDING)
+           * 1000 // {window_days} AS fc_milli,
+         COUNT(v) OVER (PARTITION BY k ORDER BY d
+             ROWS BETWEEN {window_days} PRECEDING AND 1 PRECEDING)
+           AS trail_n,
+         lag(v) OVER (PARTITION BY k ORDER BY d) AS prev_v
+  FROM dense
+  QUALIFY trail_n = {window_days}
+)
+SELECT k AS {key_col}, CAST(COUNT(*) AS BIGINT) AS n_origins,
+       CAST(SUM(abs(v * 1000 - fc_milli)) // COUNT(*) AS BIGINT)
+         AS mae_sma_milli,
+       CAST(SUM(abs((v - prev_v) * 1000)) // COUNT(*) AS BIGINT)
+         AS mae_naive_milli,
+       CAST(CASE WHEN SUM(abs((v - prev_v) * 1000)) = 0 THEN NULL
+                 ELSE SUM(abs(v * 1000 - fc_milli)) * 1000000
+                      // SUM(abs((v - prev_v) * 1000)) END AS BIGINT)
+         AS mae_ratio_ppm
+FROM scored GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Dispersion (variance-to-mean) index over daily counts
+# --------------------------------------------------------------------------
+
+def dispersion_index_daily(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-key variance-to-mean ratio of DAILY event counts on the full
+    calendar spine — the overdispersion probe: a Poisson-like arrival
+    stream sits at vmr ≈ 1 (1000 milli); bursty/clumped traffic reads
+    ≫ 1, a metronome ≪ 1.  Quiet calendar days are real zero counts
+    (dropping them biases the ratio down exactly when burstiness is
+    worst).
+
+    Exact rational: with n spine days, S = Σc, Q = Σc², sample variance
+    over mean is ``vmr_milli = (n·Q − S²)·1000 div ((n−1)·S)`` — one
+    division through DECIMAL(38,0).
+
+    Scale shape: one (key, day) fact aggregate, then key-sized rows; the
+    spine day count arrives from one broadcast 1-row bounds aggregate.
+    """
+    day = F.expr("datediff(ts, DATE '1970-01-01')")
+    daily = events.groupBy(
+        F.col(key_col).alias("k"), day.alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bounds = daily.groupBy().agg(
+        (F.max("d") - F.min("d") + 1).cast("long").alias("n_days")
+    )
+    per_key = daily.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("active_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.expr(f"{_dec('c')} * c")).alias("q"),
+    )
+    # zero days contribute 0 to S and Q — only n changes with the spine
+    out = per_key.crossJoin(F.broadcast(bounds)).select(
+        F.col("k").alias(key_col),
+        "n_days",
+        "active_days",
+        "s",
+        F.expr(
+            f"CAST(CASE WHEN n_days < 2 OR s = 0 THEN NULL ELSE "
+            f"({_dec('n_days')} * q - {_dec('s')} * s) * 1000 "
+            f"DIV (({_dec('n_days')} - 1) * s) END AS BIGINT)"
+        ).alias("vmr_milli"),
+    )
+    return out
+
+
+def dispersion_index_oracle_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+) -> str:
+    """DuckDB twin of [[dispersion_index_daily]]."""
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS k, datediff('day', DATE '1970-01-01', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n_days FROM daily
+),
+per_key AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS active_days,
+         CAST(SUM(c) AS BIGINT) AS s, SUM(c * c) AS q
+  FROM daily GROUP BY 1
+)
+SELECT k AS {key_col}, n_days, active_days, s,
+       CAST(CASE WHEN n_days < 2 OR s = 0 THEN NULL
+                 ELSE (n_days * q - s * s) * 1000
+                      // ((n_days - 1) * s) END AS BIGINT) AS vmr_milli
+FROM per_key CROSS JOIN bounds
+"""
+
+
+# --------------------------------------------------------------------------
+# Covariate balance audit (standardized mean differences)
+# --------------------------------------------------------------------------
+
+def covariate_balance_audit(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    variant_expr: Column,
+) -> DataFrame:
+    """Pre-analysis randomization health check: per user-level covariate
+    (event volume, active days, type breadth, spend), the standardized
+    mean difference between variants — |SMD| > 0.1 is the conventional
+    imbalance alarm that invalidates a naive readout (and the covariates
+    CUPED should absorb).
+
+    The per-variant sufficient statistics (n, Σv, Σv²) are exact
+    integers; SMD is then computed in double from those exact integers
+    with one fixed expression — IEEE +,*,/ and sqrt are correctly
+    rounded, so identical inputs and expression shape give bit-identical
+    doubles on both engines — and rounded to 6 (the [[knn_bruteforce]]
+    float-output contract).  ``smd = (mean_a − mean_b) /
+    sqrt((var_a + var_b) / 2)`` with sample variances.
+
+    Scale shape: one user-keyed aggregate, a 4-row melt, then constant
+    rows.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(variant_expr).alias("variant"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(
+            F.expr("datediff(ts, DATE '1970-01-01')")
+        ).cast("long").alias("active_days"),
+        F.countDistinct("event_type").cast("long").alias("n_event_types"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long").alias("spend_cents"),
+    )
+    melted = per_user.select(
+        "variant",
+        F.expr(
+            "stack(4, 'n_events', n_events, 'active_days', active_days, "
+            "'n_event_types', n_event_types, 'spend_cents', spend_cents) "
+            "AS (covariate, v)"
+        ),
+    )
+    g = melted.groupBy("covariate").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("v")).otherwise(0))
+        .cast("long").alias("sa"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.expr(f"{_dec('v')} * v"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("qa"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long").alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("v")).otherwise(0))
+        .cast("long").alias("sb"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.expr(f"{_dec('v')} * v"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("qb"),
+    )
+    smd = (
+        "CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE "
+        "round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / "
+        "nullif(sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)"
+        " / (na - 1)"
+        " + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1))"
+        " / 2), 0.0), 6) END"
+    )
+    return g.select(
+        "covariate",
+        "na",
+        "nb",
+        F.expr(f"CAST({_dec('sa')} * 1000000 DIV na AS BIGINT)").alias(
+            "mean_a_micro"
+        ),
+        F.expr(f"CAST({_dec('sb')} * 1000000 DIV nb AS BIGINT)").alias(
+            "mean_b_micro"
+        ),
+        F.expr(smd).cast("double").alias("smd"),
+    ).orderBy("covariate")
+
+
+def covariate_balance_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    variant_sql: str = "user_id % 2",
+) -> str:
+    """DuckDB twin of [[covariate_balance_audit]] (same exact-integer
+    suffstats, same double expression shape)."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS u, MIN({variant_sql}) AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT datediff('day', DATE '1970-01-01', ts))
+              AS BIGINT) AS active_days,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM {table} GROUP BY 1
+),
+melted AS (
+  SELECT variant, covariate, v
+  FROM per_user
+  CROSS JOIN LATERAL (VALUES
+    ('n_events', n_events), ('active_days', active_days),
+    ('n_event_types', n_event_types), ('spend_cents', spend_cents)
+  ) AS t(covariate, v)
+),
+g AS (
+  SELECT covariate,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN variant = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
+         SUM(CASE WHEN variant = 0 THEN v * v ELSE 0 END) AS qa,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN variant = 1 THEN v ELSE 0 END) AS BIGINT) AS sb,
+         SUM(CASE WHEN variant = 1 THEN v * v ELSE 0 END) AS qb
+  FROM melted GROUP BY 1
+)
+SELECT covariate, na, nb,
+       CAST(sa * 1000000 // na AS BIGINT) AS mean_a_micro,
+       CAST(sb * 1000000 // nb AS BIGINT) AS mean_b_micro,
+       CAST(CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
+         round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+           nullif(sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+             / (na - 1)
+             + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+             / (nb - 1)) / 2), 0.0), 6) END AS DOUBLE) AS smd
+FROM g ORDER BY 1
+"""

@@ -13295,3 +13295,105 @@ def _boot_oracle() -> str:
 
 
 register("poisson_bootstrap_ci", _boot_oracle())(_boot_spark)
+
+
+# --------------------------------------------------------------------------
+# Wave 7 (r7): FDR sweep, churn labels, forecast backtest, QA audits
+# --------------------------------------------------------------------------
+
+_BH_METRICS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _bh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import bh_fdr_event_lift
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return bh_fdr_event_lift(
+        ev,
+        metric_types=_BH_METRICS,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+    )
+
+
+def _bh_oracle() -> str:
+    from pyrope_spark.operators.experiment import bh_fdr_oracle_sql
+
+    return bh_fdr_oracle_sql(metric_types=_BH_METRICS)
+
+
+register("bh_fdr_event_lift", _bh_oracle())(_bh_spark)
+
+
+def _churn_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import churn_label_windows
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return churn_label_windows(
+        ev, cutoff_sql="TIMESTAMP '2024-01-20'", horizon_days=7
+    )
+
+
+def _churn_oracle() -> str:
+    from pyrope_spark.operators.experiment import churn_label_oracle_sql
+
+    return churn_label_oracle_sql(
+        cutoff_sql="TIMESTAMP '2024-01-20'", horizon_days=7
+    )
+
+
+register("churn_label_windows", _churn_oracle())(_churn_spark)
+
+
+def _backtest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import forecast_backtest_sma
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return forecast_backtest_sma(ev)
+
+
+def _backtest_oracle() -> str:
+    from pyrope_spark.operators.experiment import forecast_backtest_oracle_sql
+
+    return forecast_backtest_oracle_sql()
+
+
+register("forecast_backtest_sma", _backtest_oracle())(_backtest_spark)
+
+
+def _vmr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import dispersion_index_daily
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return dispersion_index_daily(ev)
+
+
+def _vmr_oracle() -> str:
+    from pyrope_spark.operators.experiment import dispersion_index_oracle_sql
+
+    return dispersion_index_oracle_sql()
+
+
+register("dispersion_index_daily", _vmr_oracle())(_vmr_spark)
+
+
+def _balance_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import covariate_balance_audit
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return covariate_balance_audit(
+        ev, variant_expr=(F.col("user_id") % 2).cast("long")
+    )
+
+
+def _balance_oracle() -> str:
+    from pyrope_spark.operators.experiment import covariate_balance_oracle_sql
+
+    return covariate_balance_oracle_sql()
+
+
+register("covariate_balance_audit", _balance_oracle())(_balance_spark)

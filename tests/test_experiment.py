@@ -296,3 +296,195 @@ def test_poisson_bootstrap_weights_are_poisson_one(spark):
     ).collect()[0]
     assert abs(w.m - 1.0) < 0.05
     assert w.mx <= 6
+
+
+# ------------------------------------------------------------------ BH-FDR
+
+def test_bh_thresholds_known_quantiles():
+    from pyrope_spark.operators.experiment import bh_thresholds_milli
+
+    thr = bh_thresholds_milli(5, alpha=0.05)
+    # rank 5 compares at plain alpha: chi2_1(.05) = 3.841; rank 1 at
+    # alpha/5 = .01: 6.635
+    assert thr[4] == 3841
+    assert thr[0] == 6635
+    assert thr == sorted(thr, reverse=True)
+
+
+def test_bh_fdr_rejects_strong_metric_only(spark):
+    from pyrope_spark.operators.experiment import bh_fdr_event_lift
+
+    rows = []
+    eid = 0
+    for uid in range(400):
+        variant = uid % 2
+        # metric 'a': variant 1 converts 90%, variant 0 converts 10%
+        if (uid // 2) % 10 < (9 if variant else 1):
+            rows.append((eid, 0, uid, "a", 1.0)); eid += 1
+        # metric 'b': both convert 50% — null
+        if (uid // 2) % 2 == 0:
+            rows.append((eid, 1, uid, "b", 1.0)); eid += 1
+        # every user exists (an always-on heartbeat metric, also null)
+        rows.append((eid, 2, uid, "hb", 1.0)); eid += 1
+    ev = _events(spark, rows)
+    out = {
+        r.event_type: r
+        for r in bh_fdr_event_lift(
+            ev,
+            metric_types=["a", "b", "hb"],
+            variant_expr=(F.col("user_id") % 2).cast("long"),
+        ).collect()
+    }
+    assert out["a"].rejected == 1
+    assert out["b"].rejected == 0
+    assert out["hb"].rejected == 0
+    assert out["a"].rnk == 1
+    # step-up property: rejected ranks form a prefix
+    ranks_rejected = sorted(r.rnk for r in out.values() if r.rejected)
+    assert ranks_rejected == list(range(1, len(ranks_rejected) + 1))
+
+
+# ------------------------------------------------------------- churn labels
+
+def test_churn_labels_closed_form(spark):
+    cutoff = "TIMESTAMP '2024-01-10'"
+    rows = [
+        # user 1: pre activity + activity inside horizon -> churned 0
+        (1, 0, 1, "view", 2.00),
+        (2, 3 * 1440, 1, "purchase", 5.00),
+        (3, 11 * 1440, 1, "view", 1.00),       # day 11 < day 17 horizon end
+        # user 2: pre activity only -> churned 1
+        (4, 2 * 1440, 2, "view", 3.00),
+        # user 3: only post-cutoff -> excluded from the training set
+        (5, 12 * 1440, 3, "view", 1.00),
+        # user 4: pre + event AFTER horizon -> churned 1
+        (6, 1 * 1440, 4, "click", 0.50),
+        (7, 20 * 1440, 4, "view", 1.00),
+    ]
+    from pyrope_spark.operators.experiment import churn_label_windows
+
+    ev = _events(spark, rows)
+    out = {
+        r.user_id: r
+        for r in churn_label_windows(
+            ev, cutoff_sql=cutoff, horizon_days=7
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1].churned == 0
+    assert out[2].churned == 1
+    assert out[4].churned == 1
+    u1 = out[1]
+    assert u1.n_events == 2          # pre-cutoff only
+    assert u1.active_days == 2
+    assert u1.n_event_types == 2
+    assert u1.spend_cents == 700
+    # last pre-event lands on Jan 4 (offset 3 days), cutoff Jan 10
+    assert u1.days_since_last == 6
+
+
+def test_churn_features_see_no_future(spark):
+    # adding post-cutoff events must not change any feature column
+    from pyrope_spark.operators.experiment import churn_label_windows
+
+    cutoff = "TIMESTAMP '2024-01-10'"
+    base = [(1, 0, 1, "view", 2.00), (2, 3 * 1440, 1, "purchase", 5.00)]
+    extra = base + [(9, 12 * 1440, 1, "purchase", 99.0)]
+    a = churn_label_windows(
+        _events(spark, base), cutoff_sql=cutoff, horizon_days=7
+    ).collect()[0]
+    b = churn_label_windows(
+        _events(spark, extra), cutoff_sql=cutoff, horizon_days=7
+    ).collect()[0]
+    feats = ("n_events", "active_days", "n_event_types", "spend_cents",
+             "days_since_last")
+    assert all(getattr(a, f) == getattr(b, f) for f in feats)
+    assert (a.churned, b.churned) == (1, 0)
+
+
+# -------------------------------------------------------- forecast backtest
+
+def test_forecast_backtest_linear_ramp(spark):
+    # one event per day with value = day index cents: SMA-7 forecast of a
+    # line lags by exactly 4 cents; naive lags by 1
+    from pyrope_spark.operators.experiment import forecast_backtest_sma
+
+    rows = [(d, d * 1440, 1, "view", d / 100) for d in range(20)]
+    ev = _events(spark, rows)
+    out = forecast_backtest_sma(ev).collect()[0]
+    assert out.n_origins == 13
+    assert out.mae_sma_milli == 4000
+    assert out.mae_naive_milli == 1000
+    assert out.mae_ratio_ppm == 4_000_000
+
+
+def test_forecast_backtest_dense_spine_counts_zero_days(spark):
+    # a quiet day is a real 0 in both the window and the actuals
+    from pyrope_spark.operators.experiment import forecast_backtest_sma
+
+    rows = [
+        (d, d * 1440, 1, "view", 7.00) for d in range(16) if d != 10
+    ]
+    ev = _events(spark, rows)
+    out = forecast_backtest_sma(ev).collect()[0]
+    # constant 700 except day 10 = 0: forecasts after the gap dip; if the
+    # spine were sparse the gap would vanish and every error would be 0
+    assert out.mae_sma_milli > 0
+
+
+# ------------------------------------------------------------- dispersion
+
+def test_dispersion_index_closed_forms(spark):
+    from pyrope_spark.operators.experiment import dispersion_index_daily
+
+    rows = (
+        # key 'flat': 2 events each on days 0,1,2 -> vmr 0
+        [(i, (i % 3) * 1440, 1, "flat", 1.0) for i in range(6)]
+        # key 'bursty': 4 on day 0, 0 on day 1 (spine zero), 2 on day 2
+        + [(10 + i, 0, 2, "bursty", 1.0) for i in range(4)]
+        + [(20 + i, 2 * 1440, 2, "bursty", 1.0) for i in range(2)]
+    )
+    ev = _events(spark, rows)
+    out = {
+        r.event_type: r for r in dispersion_index_daily(ev).collect()
+    }
+    assert out["flat"].vmr_milli == 0
+    # S=6, Q=20, n=3: (3*20-36)*1000 // (2*6) = 2000
+    assert out["bursty"].vmr_milli == 2000
+    assert out["bursty"].n_days == 3
+    assert out["bursty"].active_days == 2
+
+
+# -------------------------------------------------------- covariate balance
+
+def test_covariate_balance_smd_matches_numpy(spark):
+    import numpy as np
+
+    from pyrope_spark.operators.experiment import covariate_balance_audit
+
+    rows = []
+    eid = 0
+    for uid in range(40):
+        k = 1 + (uid * 7) % 5 + (2 if uid % 2 else 0)  # variant-1 busier
+        for j in range(k):
+            rows.append((eid, j * 60, uid, "view", 1.00 + j))
+            eid += 1
+    ev = _events(spark, rows)
+    out = {
+        r.covariate: r for r in covariate_balance_audit(
+            ev, variant_expr=(F.col("user_id") % 2).cast("long")
+        ).collect()
+    }
+    # recompute n_events SMD with numpy
+    counts = {}
+    for _, _, uid, _, _ in rows:
+        counts[uid] = counts.get(uid, 0) + 1
+    a = np.array([c for u, c in counts.items() if u % 2 == 0], dtype=float)
+    b = np.array([c for u, c in counts.items() if u % 2 == 1], dtype=float)
+    smd = (a.mean() - b.mean()) / np.sqrt(
+        (a.var(ddof=1) + b.var(ddof=1)) / 2
+    )
+    assert abs(out["n_events"].smd - round(smd, 6)) < 2e-6
+    assert out["n_events"].na == 20 and out["n_events"].nb == 20
+    # variant 1 is busier by construction: negative SMD
+    assert out["n_events"].smd < 0
