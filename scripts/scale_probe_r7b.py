@@ -21,6 +21,11 @@ def probe(name, fn):
     out = fn()
     extra = ""
     if hasattr(out, "_jdf"):
+        # noop write, not just count(): count() lets Catalyst prune
+        # every column the row count doesn't need, silently skipping
+        # aggregate-value work (caught in r7c: the bootstrap's 320M md5
+        # draws were optimized out of the counted plan)
+        out.write.format("noop").mode("overwrite").save()
         n = out.count()
         plan = out._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
