@@ -829,8 +829,26 @@ def main() -> None:
         "forecast_backtest_sma",
         "dispersion_index_daily",
         "covariate_balance_audit",
+        # round 7 wave 8: power planning / stratified lift / SPC / churn
+        "ab_power_sample_size",
+        "post_stratified_lift",
+        "returns_p_chart",
+        "topk_churn_daily",
+        "feature_lift_deciles",
     ):
-        timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), repeat=2)
+        # noop WRITE, not count(): count() lets Catalyst prune every
+        # column the row count doesn't need, so queries whose cost lives
+        # in aggregate VALUE columns timed a plan with that work
+        # optimized out (caught in the r7c probes: the bootstrap's md5
+        # draws never ran under count()). Harness v2 break: r7+ numbers
+        # are honest-materialization and NOT comparable to r6-and-earlier
+        # in-suite numbers for value-prunable entries.
+        timed(
+            name,
+            lambda n=name: qs[n](spark, SF_DIR)
+            .write.format("noop").mode("overwrite").save(),
+            repeat=2,
+        )
 
     # ---------------- post-suite isolated re-timings
     # The r3 artifact showed suite-position regressions (minhash_lsh_dedup
@@ -861,7 +879,11 @@ def main() -> None:
         # VERDICT r5 ask #3: attribute suite-position noise vs real
         # regression with a post-clearCache min-of-3 for each
         for rname in ("hybrid_rrf_search", "ngram_lm_score", "bm25_search"):
-            reverify(rname, lambda n=rname: qs[n](spark, SF_DIR).count())
+            reverify(
+                rname,
+                lambda n=rname: qs[n](spark, SF_DIR)
+                .write.format("noop").mode("overwrite").save(),
+            )
         # VERDICT r6 ask #3: the committed bf_sq8_byte q1000 row (6.269 s /
         # 159.5 q/s) contradicted the judge's quiet-host isolated re-run
         # (1.514 s / 660 q/s) — suite contamination with no min_n

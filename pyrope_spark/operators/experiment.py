@@ -1618,3 +1618,563 @@ SELECT covariate, na, nb,
              / (nb - 1)) / 2), 0.0), 6) END AS DOUBLE) AS smd
 FROM g ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# A/B power / sample-size readout
+# --------------------------------------------------------------------------
+
+def _norm_upper_inv(q: float) -> float:
+    """Upper-tail standard-normal quantile via bisection on the exact
+    identity ``P(Z > z) = erfc(z/√2)/2`` — stdlib-only, run driver-side
+    so both engines see the same embedded constant."""
+    if not 0.0 < q < 0.5:
+        raise ValueError(f"q must be in (0, 0.5), got {q}")
+    lo, hi = 0.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if math.erfc(mid / math.sqrt(2)) / 2 > q:
+            lo = mid
+        else:
+            hi = mid
+    return hi
+
+
+def power_constant_micro(alpha: float = 0.05, power: float = 0.8) -> int:
+    """``2·(z_{α/2} + z_{β})²`` in micro units — the standard
+    two-proportion sample-size constant (15,697,759 micro at the
+    conventional α=.05 / power=.8)."""
+    z = _norm_upper_inv(alpha / 2) + _norm_upper_inv(1 - power)
+    return int(round(2 * z * z * 1_000_000))
+
+
+def ab_power_sample_size(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    convert_expr: Column,
+    rel_mde_ppm: tuple[int, ...] = (50_000, 100_000, 200_000),
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Pre-experiment planning readout: per relative MDE, the users
+    PER VARIANT needed to detect that lift on this metric at the given
+    α/power — computed from the corpus' own base rate, so the answer
+    tracks the data instead of a spreadsheet.
+
+    Exact integer form: with base rate ``p_ppm`` and absolute effect
+    ``δ_ppm = p_ppm·mde div 1e6``, the classic two-proportion formula
+    ``n = 2(z_{α/2}+z_β)²·p(1−p)/δ²`` becomes
+    ``n = ceil(C_micro·p_ppm·(1e6−p_ppm) / (1e6·δ_ppm²))`` with
+    ``C_micro`` from [[power_constant_micro]] (stdlib erfc bisection,
+    embedded identically in both plans).  Products ride DECIMAL(38,0).
+
+    Scale shape: one user-keyed aggregate + one 1-row aggregate, then
+    len(rel_mde_ppm) constant rows.
+    """
+    c_micro = power_constant_micro(alpha, power)
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(convert_expr.cast("int")).alias("converted")
+    )
+    base = per_user.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).withColumn(
+        "p_ppm",
+        F.expr(f"CAST({_dec('n_converted')} * 1000000 DIV n_users AS BIGINT)"),
+    )
+    mdes = ", ".join(str(int(m)) for m in rel_mde_ppm)
+    out = base.select(
+        "n_users",
+        "n_converted",
+        "p_ppm",
+        F.explode(F.expr(f"array({mdes})")).alias("rel_mde_ppm"),
+    ).withColumn(
+        "delta_ppm",
+        F.expr("CAST(p_ppm * rel_mde_ppm DIV 1000000 AS BIGINT)"),
+    )
+    n_req = (
+        f"CASE WHEN delta_ppm = 0 THEN NULL ELSE "
+        f"CAST(({_dec(str(c_micro))} * p_ppm * (1000000 - p_ppm) "
+        f"+ ({_dec('delta_ppm')} * delta_ppm * 1000000) - 1) "
+        f"DIV ({_dec('delta_ppm')} * delta_ppm * 1000000) AS BIGINT) END"
+    )
+    return out.select(
+        F.col("rel_mde_ppm").cast("long").alias("rel_mde_ppm"),
+        "n_users",
+        "p_ppm",
+        "delta_ppm",
+        F.expr(n_req).alias("n_required_per_variant"),
+    )
+
+
+def ab_power_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    convert_sql: str = "event_type = 'purchase'",
+    rel_mde_ppm: tuple[int, ...] = (50_000, 100_000, 200_000),
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> str:
+    """DuckDB twin of [[ab_power_sample_size]] (same embedded constant)."""
+    c_micro = power_constant_micro(alpha, power)
+    mdes = ", ".join(str(int(m)) for m in rel_mde_ppm)
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS u,
+         MAX(CASE WHEN {convert_sql} THEN 1 ELSE 0 END) AS converted
+  FROM {table} GROUP BY 1
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user
+),
+p AS (
+  SELECT *, CAST(n_converted * 1000000 // n_users AS BIGINT) AS p_ppm
+  FROM base
+),
+m AS (
+  SELECT p.*, CAST(t.rel_mde_ppm AS BIGINT) AS rel_mde_ppm,
+         CAST(p_ppm * t.rel_mde_ppm // 1000000 AS BIGINT) AS delta_ppm
+  FROM p CROSS JOIN (SELECT unnest([{mdes}]) AS rel_mde_ppm) t
+)
+SELECT rel_mde_ppm, n_users, p_ppm, delta_ppm,
+       CAST(CASE WHEN delta_ppm = 0 THEN NULL ELSE
+         ({c_micro} * p_ppm * (1000000 - p_ppm)
+          + (delta_ppm * delta_ppm * 1000000) - 1)
+         // (delta_ppm * delta_ppm * 1000000) END AS BIGINT)
+         AS n_required_per_variant
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Post-stratified lift
+# --------------------------------------------------------------------------
+
+def post_stratified_lift(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    variant_expr: Column,
+    pre_expr: Column,
+    convert_expr: Column,
+) -> DataFrame:
+    """Stratified A/B adjustment — the categorical sibling of
+    [[cuped_adjusted_lift]]: users are bucketed by PRE-period activity
+    (power-of-2 event-count bands, ``length(bin(x))−1`` — exact integer
+    log2, the [[customer_recency_bands]] trick), the rate difference is
+    computed within each stratum, and the post-stratified overall lift
+    is the stratum-size-weighted fold ``Σ n_s·diff_s div N``.  When
+    variants are imbalanced across activity bands (heavy users landing
+    in one arm), the naive pooled diff is confounded; this one is not.
+    The outcome is conversion in the POST period only, so the stratum
+    never looks at its own outcome window.
+
+    Output: one row per stratum (band, per-variant exposures and
+    conversions, within-stratum diff) plus a ``band = -1`` summary row
+    carrying the naive pooled diff and the post-stratified diff.
+
+    Scale shape: one user-keyed conditional aggregate, then strata-sized
+    rows (≤ ~40 bands by construction).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(variant_expr).alias("variant"),
+        F.sum(pre_expr.cast("int")).cast("long").alias("pre_n"),
+        F.max((F.when(~pre_expr, convert_expr).otherwise(F.lit(False)))
+              .cast("int")).alias("converted"),
+    )
+    banded = per_user.withColumn(
+        "band",
+        F.when(F.col("pre_n") == 0, F.lit(0)).otherwise(
+            F.expr("length(bin(pre_n))")
+        ).cast("long"),
+    )
+    strata = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1)
+              .otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long").alias("nb"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1)
+              .otherwise(0)).cast("long").alias("cb"),
+    )
+    diff = (
+        "CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE "
+        f"CAST({_dec('ca')} * 1000000 DIV na "
+        f"- {_dec('cb')} * 1000000 DIV nb AS BIGINT) END"
+    )
+    strata = strata.withColumn("diff_ppm", F.expr(diff))
+    summary = strata.groupBy().agg(
+        F.lit(-1).cast("long").alias("band"),
+        F.sum("na").cast("long").alias("na"),
+        F.sum("ca").cast("long").alias("ca"),
+        F.sum("nb").cast("long").alias("nb"),
+        F.sum("cb").cast("long").alias("cb"),
+        F.expr(
+            "CAST(SUM(CASE WHEN diff_ppm IS NULL THEN 0 "
+            "ELSE (na + nb) * diff_ppm END) "
+            "DIV SUM(CASE WHEN diff_ppm IS NULL THEN 0 "
+            "ELSE na + nb END) AS BIGINT)"
+        ).alias("diff_ppm"),
+    ).select(
+        "band", "na", "ca", "nb", "cb",
+        F.col("diff_ppm").cast("long").alias("diff_ppm"),
+    )
+    per_stratum = strata.select(
+        F.col("band").cast("long").alias("band"),
+        "na", "ca", "nb", "cb",
+        F.col("diff_ppm").cast("long").alias("diff_ppm"),
+    )
+    return per_stratum.unionByName(summary).orderBy("band")
+
+
+def post_stratified_oracle_sql(
+    *,
+    table: str = "events",
+    user_col: str = "user_id",
+    variant_sql: str = "user_id % 2",
+    pre_sql: str,
+    convert_sql: str,
+) -> str:
+    """DuckDB twin of [[post_stratified_lift]]."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS u, MIN({variant_sql}) AS variant,
+         CAST(SUM(CASE WHEN {pre_sql} THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+         MAX(CASE WHEN NOT ({pre_sql}) AND ({convert_sql})
+             THEN 1 ELSE 0 END) AS converted
+  FROM {table} GROUP BY 1
+),
+banded AS (
+  SELECT *, CAST(CASE WHEN pre_n = 0 THEN 0
+                      ELSE length(bin(pre_n)) END AS BIGINT) AS band
+  FROM per_user
+),
+strata AS (
+  SELECT band,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM banded GROUP BY 1
+),
+d AS (
+  SELECT *, CASE WHEN na = 0 OR nb = 0 THEN NULL
+                 ELSE CAST(ca * 1000000 // na - cb * 1000000 // nb
+                           AS BIGINT) END AS diff_ppm
+  FROM strata
+)
+SELECT band, na, ca, nb, cb, diff_ppm FROM d
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(na) AS BIGINT), CAST(SUM(ca) AS BIGINT),
+       CAST(SUM(nb) AS BIGINT), CAST(SUM(cb) AS BIGINT),
+       CAST(SUM(CASE WHEN diff_ppm IS NULL THEN 0
+                     ELSE (na + nb) * diff_ppm END)
+            // SUM(CASE WHEN diff_ppm IS NULL THEN 0 ELSE na + nb END)
+            AS BIGINT)
+FROM d
+ORDER BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# Proportion control chart (p-chart)
+# --------------------------------------------------------------------------
+
+def proportion_control_chart(
+    df: DataFrame,
+    *,
+    group_expr: Column,
+    flag_expr: Column,
+    sigma: int = 3,
+) -> DataFrame:
+    """Shewhart p-chart over per-group proportions: flag the groups
+    whose defect rate sits outside the ±kσ binomial band around the
+    corpus rate — the SPC view of "which ship-days had an abnormal
+    return rate" that a global rate or a value-based CUSUM can't give
+    (each group has its own n, so its own band width).
+
+    Exact integer out-of-band test, cross-multiplied to avoid every
+    division: with group (r_d, n_d) and corpus (R, N),
+    ``(r_d·N − R·n_d)² > k²·R·(N−R)·n_d`` flags the group (derivation:
+    ``(p_d−p̄)² > k²·p̄(1−p̄)/n_d`` with both sides ×``n_d·N²``).
+    DECIMAL(38,0) squares; the side is the sign of ``r_d·N − R·n_d``.
+
+    Scale shape: one group-keyed fact aggregate + one broadcast 1-row
+    corpus aggregate.
+    """
+    per_group = df.groupBy(group_expr.alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(flag_expr.cast("int")).cast("long").alias("flagged"),
+    )
+    corpus = per_group.groupBy().agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("flagged").cast("long").alias("rr"),
+    )
+    j = per_group.crossJoin(F.broadcast(corpus))
+    dev = f"{_dec('flagged')} * nn - {_dec('rr')} * n"
+    oob = (
+        f"CASE WHEN ({dev}) * ({dev}) > "
+        f"{sigma * sigma} * {_dec('rr')} * (nn - rr) * n "
+        f"THEN 1 ELSE 0 END"
+    )
+    return j.select(
+        F.col("grp"),
+        "n",
+        "flagged",
+        F.expr(f"CAST({_dec('flagged')} * 1000000 DIV n AS BIGINT)").alias(
+            "p_ppm"
+        ),
+        F.expr(f"CAST({_dec('rr')} * 1000000 DIV nn AS BIGINT)").alias(
+            "pbar_ppm"
+        ),
+        F.expr(oob).cast("long").alias("out_of_band"),
+        F.expr(
+            f"CAST(CASE WHEN ({dev}) > 0 THEN 1 "
+            f"WHEN ({dev}) < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("side"),
+    ).orderBy("grp")
+
+
+def proportion_control_chart_oracle_sql(
+    *,
+    table: str,
+    group_sql: str,
+    flag_sql: str,
+    sigma: int = 3,
+) -> str:
+    """DuckDB twin of [[proportion_control_chart]]."""
+    dev = "flagged * nn - rr * n"
+    return f"""
+WITH per_group AS (
+  SELECT {group_sql} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN {flag_sql} THEN 1 ELSE 0 END) AS BIGINT)
+           AS flagged
+  FROM {table} GROUP BY 1
+),
+corpus AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(flagged) AS BIGINT) AS rr
+  FROM per_group
+)
+SELECT grp, n, flagged,
+       CAST(flagged * 1000000 // n AS BIGINT) AS p_ppm,
+       CAST(rr * 1000000 // nn AS BIGINT) AS pbar_ppm,
+       CAST(CASE WHEN ({dev}) * ({dev})
+                      > {sigma * sigma} * rr * (nn - rr) * n
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_band,
+       CAST(CASE WHEN ({dev}) > 0 THEN 1 WHEN ({dev}) < 0 THEN -1
+                 ELSE 0 END AS BIGINT) AS side
+FROM per_group CROSS JOIN corpus
+ORDER BY grp
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k churn between consecutive periods
+# --------------------------------------------------------------------------
+
+def topk_churn_daily(
+    events: DataFrame,
+    *,
+    item_expr: Column,
+    value_cents_expr: Column | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Leaderboard stability: per active day, how much of the top-k
+    (by revenue) changed versus the PREVIOUS active day — entrants,
+    dropouts, and an overlap ppm.  A stable catalog shows churn near
+    zero; a promo or a data bug shows up as a spike.
+
+    Determinism: the top-k cut is ``row_number`` over (revenue desc,
+    item asc) — total order, no tie ambiguity.  Day adjacency is by
+    ACTIVE day (rank over distinct days), so an empty calendar day
+    doesn't manufacture a full-churn pair.
+
+    Scale shape: one (day, item) fact aggregate, a per-day top-k window
+    on day-item volume, then a self-join on consecutive-day pairs over
+    days×k rows only.
+    """
+    if value_cents_expr is None:
+        value_cents_expr = F.floor(F.col("value") * 100).cast("long")
+    day = F.expr("datediff(ts, DATE '1970-01-01')")
+    di = events.groupBy(day.alias("d"), item_expr.alias("item")).agg(
+        F.sum(value_cents_expr).cast("long").alias("rev")
+    )
+    wk = W.partitionBy("d").orderBy(F.col("rev").desc(), F.col("item").asc())
+    topk = di.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= k
+    ).select("d", "item")
+    days = topk.select("d").distinct()
+    wd = W.orderBy("d")
+    pairs = days.withColumn("prev_d", F.lag("d").over(wd)).filter(
+        F.col("prev_d").isNotNull()
+    )
+    cur = topk.alias("cur")
+    prev = topk.alias("prev")
+    joined = (
+        pairs.withColumnRenamed("d", "pairs_d")
+        .join(cur, F.col("cur.d") == F.col("pairs_d"))
+        .join(
+            prev,
+            (F.col("prev.d") == F.col("prev_d"))
+            & (F.col("prev.item") == F.col("cur.item")),
+            "left",
+        )
+    )
+    per_day = joined.groupBy(F.col("pairs_d").alias("d")).agg(
+        F.sum(F.when(F.col("prev.item").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_stayed"),
+        F.sum(F.when(F.col("prev.item").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_entrants"),
+    )
+    return per_day.select(
+        "d",
+        "n_stayed",
+        "n_entrants",
+        F.col("n_entrants").alias("n_dropouts"),
+        F.expr(f"CAST(n_stayed * 1000000 DIV {k} AS BIGINT)").alias(
+            "overlap_ppm"
+        ),
+    ).orderBy("d")
+
+
+def topk_churn_oracle_sql(
+    *,
+    table: str = "events",
+    item_sql: str,
+    value_cents_sql: str = "CAST(floor(value * 100) AS BIGINT)",
+    k: int = 20,
+) -> str:
+    """DuckDB twin of [[topk_churn_daily]] (entrants == dropouts when
+    both days fill the full k, which row_number guarantees whenever a
+    day has ≥ k items; sparse days still count symmetrically because
+    the overlap is computed from the same two fixed sets).
+
+    NOTE: like the Spark side, assumes every active day fills k rows
+    (true for the registered item domains); n_dropouts is reported as
+    the entrant count under that contract."""
+    return f"""
+WITH di AS (
+  SELECT datediff('day', DATE '1970-01-01', ts) AS d, {item_sql} AS item,
+         CAST(SUM({value_cents_sql}) AS BIGINT) AS rev
+  FROM {table} GROUP BY 1, 2
+),
+topk AS (
+  SELECT d, item
+  FROM (SELECT *, row_number() OVER (PARTITION BY d
+            ORDER BY rev DESC, item ASC) AS rn FROM di)
+  WHERE rn <= {k}
+),
+days AS (
+  SELECT d, lag(d) OVER (ORDER BY d) AS prev_d
+  FROM (SELECT DISTINCT d FROM topk)
+),
+pairs AS (SELECT * FROM days WHERE prev_d IS NOT NULL),
+joined AS (
+  SELECT p.d, cur.item,
+         CASE WHEN prev.item IS NULL THEN 0 ELSE 1 END AS stayed
+  FROM pairs p
+  JOIN topk cur ON cur.d = p.d
+  LEFT JOIN topk prev ON prev.d = p.prev_d AND prev.item = cur.item
+)
+SELECT d, CAST(SUM(stayed) AS BIGINT) AS n_stayed,
+       CAST(SUM(1 - stayed) AS BIGINT) AS n_entrants,
+       CAST(SUM(1 - stayed) AS BIGINT) AS n_dropouts,
+       CAST(SUM(stayed) * 1000000 // {k} AS BIGINT) AS overlap_ppm
+FROM joined GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Univariate feature lift deciles
+# --------------------------------------------------------------------------
+
+def feature_lift_deciles(
+    labeled: DataFrame,
+    *,
+    feature_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Univariate lift table: rank units into deciles of one feature
+    (total order ``(feature, id)`` — ntile over a total order is
+    identical across engines) and report each decile's label rate and
+    its lift versus the global rate — the first-look screen for "does
+    this feature separate the label at all", run before any model.
+
+    Composes [[churn_label_windows]]: feed it the labeled training set
+    and screen each candidate feature.
+
+    Scale shape: one ntile window over the unit table (unit-sized, not
+    event-sized) + one n_tiles-row aggregate.
+    """
+    w = W.orderBy(F.col(feature_col).asc(), F.col(id_col).asc())
+    tiled = labeled.withColumn(
+        "decile", F.ntile(n_tiles).over(w).cast("long")
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(label_col)).cast("long").alias("positives"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("positives").cast("long").alias("pp"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "positives",
+            F.expr(
+                f"CAST({_dec('positives')} * 1000000 DIV n AS BIGINT)"
+            ).alias("rate_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN pp = 0 THEN NULL ELSE "
+                f"({_dec('positives')} * nn) * 1000000 "
+                f"DIV ({_dec('pp')} * n) END AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def feature_lift_oracle_sql(
+    *,
+    labeled_sql: str,
+    feature_sql: str,
+    label_sql: str,
+    id_sql: str,
+    n_tiles: int = 10,
+) -> str:
+    """DuckDB twin of [[feature_lift_deciles]]."""
+    return f"""
+WITH tiled AS (
+  SELECT CAST(ntile({n_tiles}) OVER (ORDER BY {feature_sql} ASC,
+              {id_sql} ASC) AS BIGINT) AS decile,
+         {label_sql} AS label
+  FROM ({labeled_sql})
+),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS positives
+  FROM tiled GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(positives) AS BIGINT) AS pp
+  FROM per
+)
+SELECT decile, n, positives,
+       CAST(positives * 1000000 // n AS BIGINT) AS rate_ppm,
+       CAST(CASE WHEN pp = 0 THEN NULL ELSE
+            (positives * nn) * 1000000 // (pp * n) END AS BIGINT)
+         AS lift_ppm
+FROM per CROSS JOIN tot ORDER BY decile
+"""

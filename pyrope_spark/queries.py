@@ -13397,3 +13397,150 @@ def _balance_oracle() -> str:
 
 
 register("covariate_balance_audit", _balance_oracle())(_balance_spark)
+
+
+# --------------------------------------------------------------------------
+# Wave 8 (r7): power planning, stratified lift, SPC, leaderboard churn,
+# feature screening
+# --------------------------------------------------------------------------
+
+def _power_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import ab_power_sample_size
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ab_power_sample_size(
+        ev, convert_expr=F.col("event_type") == "purchase"
+    )
+
+
+def _power_oracle() -> str:
+    from pyrope_spark.operators.experiment import ab_power_oracle_sql
+
+    return ab_power_oracle_sql()
+
+
+register("ab_power_sample_size", _power_oracle())(_power_spark)
+
+
+def _poststrat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import post_stratified_lift
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return post_stratified_lift(
+        ev,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        pre_expr=F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        convert_expr=F.col("event_type") == "purchase",
+    )
+
+
+def _poststrat_oracle() -> str:
+    from pyrope_spark.operators.experiment import post_stratified_oracle_sql
+
+    return post_stratified_oracle_sql(
+        pre_sql="ts < TIMESTAMP '2024-01-16'",
+        convert_sql="event_type = 'purchase'",
+    )
+
+
+register("post_stratified_lift", _poststrat_oracle())(_poststrat_spark)
+
+
+def _pchart_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily return-rate p-chart over lineitem ship days."""
+    from pyrope_spark.operators.experiment import proportion_control_chart
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return proportion_control_chart(
+        li,
+        group_expr=F.expr("datediff(l_shipdate, DATE '1970-01-01')")
+        .cast("long"),
+        flag_expr=F.col("l_returnflag") == "R",
+    )
+
+
+def _pchart_oracle() -> str:
+    from pyrope_spark.operators.experiment import (
+        proportion_control_chart_oracle_sql,
+    )
+
+    return proportion_control_chart_oracle_sql(
+        table="lineitem",
+        group_sql="CAST(datediff('day', DATE '1970-01-01', l_shipdate)"
+                  " AS BIGINT)",
+        flag_sql="l_returnflag = 'R'",
+    )
+
+
+register("returns_p_chart", _pchart_oracle())(_pchart_spark)
+
+
+def _topk_churn_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import topk_churn_daily
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return topk_churn_daily(
+        ev,
+        item_expr=F.get_json_object("props", "$.k").cast("long"),
+        k=20,
+    )
+
+
+def _topk_churn_oracle() -> str:
+    from pyrope_spark.operators.experiment import topk_churn_oracle_sql
+
+    return topk_churn_oracle_sql(
+        table="(SELECT * FROM events WHERE event_type = 'purchase')",
+        item_sql="CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        k=20,
+    )
+
+
+register("topk_churn_daily", _topk_churn_oracle())(_topk_churn_spark)
+
+
+def _featlift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does pre-cutoff event volume separate churn? Composes the
+    churn_label_windows training set and screens its n_events feature."""
+    from pyrope_spark.operators.experiment import (
+        churn_label_windows,
+        feature_lift_deciles,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    labeled = churn_label_windows(
+        ev, cutoff_sql="TIMESTAMP '2024-01-20'", horizon_days=7
+    )
+    return feature_lift_deciles(
+        labeled,
+        feature_col="n_events",
+        label_col="churned",
+        id_col="user_id",
+    )
+
+
+def _featlift_oracle() -> str:
+    from pyrope_spark.operators.experiment import (
+        churn_label_oracle_sql,
+        feature_lift_oracle_sql,
+    )
+
+    labeled = churn_label_oracle_sql(
+        cutoff_sql="TIMESTAMP '2024-01-20'", horizon_days=7
+    )
+    return feature_lift_oracle_sql(
+        labeled_sql=labeled,
+        feature_sql="n_events",
+        label_sql="churned",
+        id_sql="user_id",
+    )
+
+
+register("feature_lift_deciles", _featlift_oracle())(_featlift_spark)

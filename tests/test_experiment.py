@@ -488,3 +488,170 @@ def test_covariate_balance_smd_matches_numpy(spark):
     assert out["n_events"].na == 20 and out["n_events"].nb == 20
     # variant 1 is busier by construction: negative SMD
     assert out["n_events"].smd < 0
+
+
+# ------------------------------------------------------------------- power
+
+def test_power_sample_size_closed_form(spark):
+    from pyrope_spark.operators.experiment import (
+        ab_power_sample_size,
+        power_constant_micro,
+    )
+
+    # two users, one converts: p = 0.5 (max variance)
+    ev = _events(spark, [(1, 0, 1, "purchase", 1.0), (2, 1, 2, "view", 1.0)])
+    out = {
+        r.rel_mde_ppm: r
+        for r in ab_power_sample_size(
+            ev, convert_expr=F.col("event_type") == "purchase"
+        ).collect()
+    }
+    c = power_constant_micro()
+    for mde in (50_000, 100_000, 200_000):
+        delta = 500_000 * mde // 1_000_000
+        den = delta * delta * 1_000_000
+        expect = (c * 500_000 * 500_000 + den - 1) // den
+        assert out[mde].n_required_per_variant == expect
+        assert out[mde].p_ppm == 500_000
+    # 10% relative MDE at p=.5 needs ~1,570 users per variant
+    assert out[100_000].n_required_per_variant == 1570
+
+
+# -------------------------------------------------------- post-stratified
+
+def test_post_stratified_lift_fixes_simpson(spark):
+    # heavy stratum: both variants convert 80%; light stratum: both 10%;
+    # variant 1 is overloaded with heavy users -> naive diff is hugely
+    # negative, post-stratified diff is exactly 0
+    rows = []
+    eid = 0
+
+    def add_user(uid, pre_n, convert):
+        nonlocal eid
+        for j in range(pre_n):
+            rows.append((eid, j, uid, "view", 1.0)); eid += 1
+        if convert:
+            rows.append((eid, 16 * 1440, uid, "purchase", 1.0)); eid += 1
+
+    uid = 0
+    # variant is uid % 2. heavy users: pre_n=4 (band 3)
+    for i in range(10):   # 10 heavy variant-0 users, 8 convert
+        add_user(uid, 4, i < 8); uid += 2
+    for i in range(90):   # 90 heavy variant-1 users, 72 convert
+        add_user(uid * 0 + (2 * i + 1), 4, i < 72)
+    for i in range(90):   # 90 light variant-0 users, 9 convert
+        add_user(200 + 2 * i, 1, i < 9)
+    for i in range(10):   # 10 light variant-1 users, 1 converts
+        add_user(201 + 2 * i, 1, i < 1)
+    from pyrope_spark.operators.experiment import post_stratified_lift
+
+    ev = _events(spark, rows)
+    out = {
+        r.band: r
+        for r in post_stratified_lift(
+            ev,
+            variant_expr=(F.col("user_id") % 2).cast("long"),
+            pre_expr=F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+            convert_expr=F.col("event_type") == "purchase",
+        ).collect()
+    }
+    heavy, light, summary = out[3], out[1], out[-1]
+    assert (heavy.na, heavy.ca, heavy.nb, heavy.cb) == (10, 8, 90, 72)
+    assert heavy.diff_ppm == 0 and light.diff_ppm == 0
+    # summary row: naive pooled exposures, post-stratified diff = 0
+    assert (summary.na, summary.nb) == (100, 100)
+    assert summary.diff_ppm == 0
+    # the naive pooled diff WOULD have been -560000 ppm
+    naive = summary.ca * 10**6 // summary.na - summary.cb * 10**6 // summary.nb
+    assert naive == -560_000
+
+
+# ----------------------------------------------------------------- p-chart
+
+def test_p_chart_flags_only_outlier_group(spark):
+    from pyrope_spark.operators.experiment import proportion_control_chart
+
+    rows = []
+    for g in range(10):
+        bad = 40 if g == 9 else 10
+        for i in range(100):
+            rows.append((g, i < bad))
+    df = spark.createDataFrame(rows, "g long, flagged boolean")
+    out = {
+        r.grp: r
+        for r in proportion_control_chart(
+            df, group_expr=F.col("g"), flag_expr=F.col("flagged")
+        ).collect()
+    }
+    assert out[9].out_of_band == 1 and out[9].side == 1
+    assert all(out[g].out_of_band == 0 for g in range(9))
+    assert out[9].pbar_ppm == 130_000
+    assert out[9].p_ppm == 400_000
+
+
+# ------------------------------------------------------------- top-k churn
+
+def test_topk_churn_closed_form(spark):
+    # day 1 top-2 = {10, 11}; day 2 top-2 = {11, 12}
+    rows = [
+        (1, 0, 1, "purchase", 9.00),
+        (2, 1, 1, "purchase", 8.00),
+        (3, 2, 1, "purchase", 0.10),
+        (4, 1440, 1, "purchase", 1.00),
+        (5, 1441, 1, "purchase", 8.00),
+        (6, 1442, 1, "purchase", 9.00),
+    ]
+    items = {1: 10, 2: 11, 3: 12, 4: 10, 5: 11, 6: 12}
+    from pyrope_spark.operators.experiment import topk_churn_daily
+
+    ev = _events(spark, rows).withColumn(
+        "item_id",
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in items.items() for x in kv]
+            ),
+            F.col("event_id").cast("int"),
+        ).cast("long"),
+    )
+    out = topk_churn_daily(
+        ev, item_expr=F.col("item_id"), k=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_stayed == 1 and r.n_entrants == 1 and r.n_dropouts == 1
+    assert r.overlap_ppm == 500_000
+
+
+def test_topk_churn_skips_empty_calendar_days(spark):
+    # identical top-k on two ACTIVE days 5 calendar days apart: zero churn
+    rows = [
+        (1, 0, 1, "purchase", 5.00),
+        (2, 5 * 1440, 1, "purchase", 5.00),
+    ]
+    from pyrope_spark.operators.experiment import topk_churn_daily
+
+    ev = _events(spark, rows).withColumn("item_id", F.lit(7).cast("long"))
+    out = topk_churn_daily(ev, item_expr=F.col("item_id"), k=1).collect()
+    assert len(out) == 1
+    assert out[0].n_stayed == 1 and out[0].n_entrants == 0
+
+
+# ------------------------------------------------------------ feature lift
+
+def test_feature_lift_deciles_closed_form(spark):
+    from pyrope_spark.operators.experiment import feature_lift_deciles
+
+    rows = [(u, u, 1 if u < 10 else 0) for u in range(20)]
+    df = spark.createDataFrame(rows, "uid long, feat long, label long")
+    out = {
+        r.decile: r
+        for r in feature_lift_deciles(
+            df, feature_col="feat", label_col="label", id_col="uid"
+        ).collect()
+    }
+    assert all(out[d].n == 2 for d in range(1, 11))
+    for d in range(1, 6):
+        assert out[d].rate_ppm == 1_000_000
+        assert out[d].lift_ppm == 2_000_000
+    for d in range(6, 11):
+        assert out[d].rate_ppm == 0 and out[d].lift_ppm == 0
