@@ -835,6 +835,11 @@ def main() -> None:
         "returns_p_chart",
         "topk_churn_daily",
         "feature_lift_deciles",
+        # round 7 wave 9: quantization QA / seasonal anomalies / dup shape
+        "sq8_reconstruction_error",
+        "dow_adjusted_anomalies",
+        "dup_component_size_bands",
+        "smoothed_brand_return_rates",
     ):
         # noop WRITE, not count(): count() lets Catalyst prune every
         # column the row count doesn't need, so queries whose cost lives

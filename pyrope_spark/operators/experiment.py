@@ -2178,3 +2178,92 @@ SELECT decile, n, positives,
          AS lift_ppm
 FROM per CROSS JOIN tot ORDER BY decile
 """
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes smoothed group rates
+# --------------------------------------------------------------------------
+
+def smoothed_group_rates(
+    df: DataFrame,
+    *,
+    group_expr: Column,
+    flag_expr: Column,
+    prior_strength: int = 500,
+) -> DataFrame:
+    """Additive-smoothed per-group rates: each group's raw rate is
+    pulled toward the corpus rate with a pseudo-count prior of
+    ``prior_strength`` observations — the estimator that stops a
+    2-for-2 group from outranking a 980-for-1000 one in any
+    rate-sorted report (CTR tables, return-rate league tables).
+
+    Exact integer form: with corpus rate ``pbar_ppm = R·1e6 div N``,
+    ``shrunk_ppm = (r·1e6 + M·pbar_ppm) div (n + M)`` — the raw count
+    and the prior mass share one division.  ``weight_ppm = n·1e6 div
+    (n+M)`` says how much the group speaks for itself.
+
+    Scale shape: one group-keyed fact aggregate + one broadcast 1-row
+    corpus aggregate.
+    """
+    m = int(prior_strength)
+    per_group = df.groupBy(group_expr.alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(flag_expr.cast("int")).cast("long").alias("r"),
+    )
+    corpus = per_group.groupBy().agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+    ).withColumn(
+        "pbar_ppm",
+        F.expr(f"CAST({_dec('rr')} * 1000000 DIV nn AS BIGINT)"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(corpus))
+        .select(
+            "grp",
+            "n",
+            "r",
+            F.expr(f"CAST({_dec('r')} * 1000000 DIV n AS BIGINT)").alias(
+                "raw_ppm"
+            ),
+            "pbar_ppm",
+            F.expr(
+                f"CAST(({_dec('r')} * 1000000 + {m} * pbar_ppm) "
+                f"DIV (n + {m}) AS BIGINT)"
+            ).alias("shrunk_ppm"),
+            F.expr(f"CAST({_dec('n')} * 1000000 DIV (n + {m}) AS BIGINT)")
+            .alias("weight_ppm"),
+        )
+        .orderBy("grp")
+    )
+
+
+def smoothed_group_rates_oracle_sql(
+    *,
+    table: str,
+    group_sql: str,
+    flag_sql: str,
+    prior_strength: int = 500,
+) -> str:
+    """DuckDB twin of [[smoothed_group_rates]]."""
+    m = int(prior_strength)
+    return f"""
+WITH per_group AS (
+  SELECT {group_sql} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN {flag_sql} THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM {table} GROUP BY 1
+),
+corpus AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+         CAST(SUM(r) * 1000000 // SUM(n) AS BIGINT) AS pbar_ppm
+  FROM per_group
+)
+SELECT grp, n, r,
+       CAST(r * 1000000 // n AS BIGINT) AS raw_ppm,
+       pbar_ppm,
+       CAST((r * 1000000 + {m} * pbar_ppm) // (n + {m}) AS BIGINT)
+         AS shrunk_ppm,
+       CAST(n * 1000000 // (n + {m}) AS BIGINT) AS weight_ppm
+FROM per_group CROSS JOIN corpus
+ORDER BY grp
+"""

@@ -1201,3 +1201,73 @@ r{i + 1} AS (
         )
     parts.append(f"\nSELECT node, rank_micro FROM r{iters}")
     return "".join(parts)
+
+
+def component_size_bands(
+    assignment: DataFrame,
+    *,
+    id_col: str = "id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Duplicate-cluster shape report: component sizes folded into
+    power-of-2 bands (band = exact integer ``length(bin(size))``), with
+    member counts and each band's share of all clustered members — the
+    one-screen answer to "is the dup graph a sea of pairs or one giant
+    template blob", which decides whether keep-best dedup
+    ([[dedup_keep_best]]) or template stripping is the right tool.
+
+    Scale shape: one component-keyed aggregate over the assignment
+    table, then band-sized rows; the share division rides one broadcast
+    1-row total.
+    """
+    sizes = assignment.groupBy(F.col(component_col).alias("comp")).agg(
+        F.count(F.col(id_col)).cast("long").alias("sz")
+    )
+    banded = sizes.withColumn(
+        "band", F.expr("CAST(length(bin(sz)) AS BIGINT)")
+    )
+    per_band = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_members"),
+    )
+    tot = per_band.groupBy().agg(
+        F.sum("n_members").cast("long").alias("tot")
+    )
+    return (
+        per_band.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_components",
+            "n_members",
+            F.expr(
+                "CAST(CAST(n_members AS DECIMAL(38,0)) * 1000000 DIV tot "
+                "AS BIGINT)"
+            ).alias("member_share_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def component_size_bands_oracle_sql(assignment_sql: str) -> str:
+    """DuckDB twin of [[component_size_bands]]; ``assignment_sql`` must
+    yield (doc_id, component) like the [[connected_components_star]]
+    oracle."""
+    return f"""
+WITH sizes AS (
+  SELECT component AS comp, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM ({assignment_sql}) GROUP BY 1
+),
+banded AS (
+  SELECT *, CAST(length(bin(sz)) AS BIGINT) AS band FROM sizes
+),
+per_band AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(SUM(sz) AS BIGINT) AS n_members
+  FROM banded GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS tot FROM per_band)
+SELECT band, n_components, n_members,
+       CAST(n_members * 1000000 // tot AS BIGINT) AS member_share_ppm
+FROM per_band CROSS JOIN tot
+ORDER BY band
+"""

@@ -79,3 +79,88 @@ def sq8_oracle_sql(vec_expr: str) -> dict[str, str]:
         f"floor((CAST(x AS DOUBLE) - {vmin}) * 255.0 / {rng} + 0.5))) AS INT)) END"
     )
     return {"vmin": vmin, "vmax": vmax, "codes": codes}
+
+
+def sq8_reconstruction_error(
+    df: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quantization QA: encode→decode every vector through the SQ8 path
+    ([[sq8_codes]]/[[sq8_dequantize]], reference ScalarQuantizer.cs
+    round-trip) and report the corpus-level reconstruction error — the
+    audit run before trading recall for 4× smaller segments (theoretical
+    per-element bound: range/510, so ~1,961 micro on a unit-range
+    corpus).
+
+    Hash-stable float discipline: the per-ELEMENT error is floored into
+    integer micro units first (both engines execute the identical IEEE
+    expression per element), and only the integers are summed — a float
+    SUM then floor would inherit summation-order ulps.
+
+    Output one row: vector/element counts, max and mean error in micro.
+
+    Scale shape: one mapPartitions-free expression pass over the corpus
+    + one 1-row aggregate; nothing leaves the executors but suffstats.
+    """
+    vec = F.col(vector_col)
+    vmin = sq8_min(vec)
+    vmax = sq8_max(vec)
+    deq = sq8_dequantize(sq8_codes(vec, vmin, vmax), vmin, vmax)
+    errs = F.zip_with(
+        vec, deq, lambda x, d: F.floor(F.abs(x.cast("double") - d) * scale)
+    )
+    per_vec = df.select(
+        F.aggregate(
+            errs, F.lit(0).cast("long"), lambda acc, e: acc + e.cast("long")
+        ).alias("err_sum"),
+        F.array_max(errs).cast("long").alias("err_max"),
+        F.size(vec).cast("long").alias("dim"),
+    )
+    return per_vec.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("dim").cast("long").alias("n_elems"),
+        F.max("err_max").cast("long").alias("max_err_micro"),
+        F.expr(
+            "CAST(CAST(SUM(err_sum) AS DECIMAL(38,0)) DIV SUM(dim) "
+            "AS BIGINT)"
+        ).alias("mean_err_micro"),
+    )
+
+
+def sq8_reconstruction_error_oracle_sql(
+    *,
+    table: str = "embeddings",
+    vector_sql: str = "embedding",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[sq8_reconstruction_error]] (same per-element
+    IEEE expression, same integer-micro-first discipline)."""
+    o = sq8_oracle_sql(vector_sql)
+    vmin, vmax, codes = o["vmin"], o["vmax"], o["codes"]
+    rng = f"({vmax} - {vmin})"
+    deq = (
+        f"list_transform({codes}, c -> {vmin} + CAST(c AS DOUBLE)"
+        f" * {rng} / 255.0)"
+    )
+    return f"""
+WITH per_vec AS (
+  SELECT list_transform(
+           list_zip({vector_sql}, {deq}),
+           p -> CAST(floor(abs(CAST(p[1] AS DOUBLE) - p[2]) * {scale})
+                     AS BIGINT)
+         ) AS errs,
+         CAST(len({vector_sql}) AS BIGINT) AS dim
+  FROM {table}
+),
+stats AS (
+  SELECT list_sum(errs) AS err_sum, list_max(errs) AS err_max, dim
+  FROM per_vec
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(dim) AS BIGINT) AS n_elems,
+       CAST(MAX(err_max) AS BIGINT) AS max_err_micro,
+       CAST(SUM(err_sum) // SUM(dim) AS BIGINT) AS mean_err_micro
+FROM stats
+"""

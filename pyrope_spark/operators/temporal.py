@@ -1512,3 +1512,154 @@ SELECT key, CAST(d AS BIGINT) AS day, short_sum, long_sum,
 FROM sigd
 WHERE n_long = {long_days} AND prev_full = {long_days} AND sig <> prev_sig
 """
+
+
+def dow_adjusted_anomalies(
+    events: DataFrame,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Seasonality-aware daily-volume anomalies: residual = the day's
+    count minus its DAY-OF-WEEK baseline mean, then a MAD gate over the
+    residuals — the alarm that doesn't page every Saturday because
+    weekends are always quiet (a raw-count gate like [[mad_anomalies]]
+    flags the weekly rhythm itself; this one flags departures FROM it).
+
+    All integer: dow via fixed-epoch arithmetic ``(epoch_day+4) % 7``
+    (1970-01-01 was a Thursday — no locale date parts), the dow baseline
+    as ``sum·1000 div n`` milli, residual in milli, and both median and
+    MAD as NEAREST-RANK-LOWER order statistics over the (residual, day)
+    total order (the [[mad_anomalies]] discipline — no interpolation).
+    Quiet calendar days are real zero counts on the dense spine.
+
+    Output per day: count, dow, expected milli, residual milli, and the
+    ``|resid − med| > k·MAD`` flag (with the standard MAD==0 caveat).
+
+    Scale shape: one (day) fact aggregate; everything after runs on the
+    calendar spine (days-sized — the rank windows are domain-sized,
+    never fact-sized).
+    """
+    day = F.expr("datediff(ts, DATE '1970-01-01')")
+    daily = events.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = daily.groupBy().agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        F.expr("(d + 4) % 7").cast("long").alias("dow"),
+    )
+    per_dow = dense.groupBy("dow").agg(
+        F.sum("c").cast("long").alias("dsum"),
+        F.count(F.lit(1)).cast("long").alias("dn"),
+    )
+    resid = dense.join(per_dow, "dow").select(
+        "d",
+        "dow",
+        "c",
+        F.expr("CAST(dsum * 1000 DIV dn AS BIGINT)").alias("expected_milli"),
+        F.expr("CAST(c * 1000 - dsum * 1000 DIV dn AS BIGINT)").alias(
+            "resid_milli"
+        ),
+    )
+    w_rank = Window.orderBy("resid_milli", "d")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = resid.withColumn(
+        "rn", F.row_number().over(w_rank)
+    ).withColumn("n", F.count("*").over(w_all))
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(F.col("resid_milli").alias("med"))
+    dev = resid.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("resid_milli") - F.col("med"))
+    )
+    w_rank2 = Window.orderBy("dev", "d")
+    ranked2 = dev.withColumn(
+        "rn", F.row_number().over(w_rank2)
+    ).withColumn("n", F.count("*").over(w_all))
+    mad = ranked2.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(F.col("dev").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "d",
+            "dow",
+            "c",
+            "expected_milli",
+            "resid_milli",
+            F.when(
+                F.abs(F.col("resid_milli") - F.col("med"))
+                > F.lit(k) * F.col("mad"),
+                1,
+            ).otherwise(0).cast("long").alias("flagged"),
+        )
+        .orderBy("d")
+    )
+
+
+def dow_adjusted_oracle_sql(
+    *,
+    table: str = "events",
+    k: int = 5,
+) -> str:
+    """DuckDB twin of [[dow_adjusted_anomalies]]."""
+    return f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+spine AS (
+  SELECT gs.d FROM bounds
+  CROSS JOIN LATERAL (SELECT unnest(range(d0, d1 + 1)) AS d) gs
+),
+dense AS (
+  SELECT s.d, COALESCE(daily.c, 0) AS c,
+         CAST((s.d + 4) % 7 AS BIGINT) AS dow
+  FROM spine s LEFT JOIN daily ON daily.d = s.d
+),
+per_dow AS (
+  SELECT dow, CAST(SUM(c) AS BIGINT) AS dsum,
+         CAST(COUNT(*) AS BIGINT) AS dn
+  FROM dense GROUP BY 1
+),
+resid AS (
+  SELECT d, dense.dow, c,
+         CAST(dsum * 1000 // dn AS BIGINT) AS expected_milli,
+         CAST(c * 1000 - dsum * 1000 // dn AS BIGINT) AS resid_milli
+  FROM dense JOIN per_dow ON dense.dow = per_dow.dow
+),
+med AS (
+  SELECT resid_milli AS med
+  FROM (SELECT resid_milli,
+               row_number() OVER (ORDER BY resid_milli, d) AS rn,
+               COUNT(*) OVER () AS n
+        FROM resid)
+  WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT resid.*, med, abs(resid_milli - med) AS dv
+  FROM resid CROSS JOIN med
+),
+mad AS (
+  SELECT dv AS mad
+  FROM (SELECT dv, d, row_number() OVER (ORDER BY dv, d) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dev)
+  WHERE rn = (n + 1) // 2
+)
+SELECT d, dow, CAST(c AS BIGINT) AS c, expected_milli, resid_milli,
+       CAST(CASE WHEN abs(resid_milli - med) > {k} * mad
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM dev CROSS JOIN mad
+ORDER BY d
+"""

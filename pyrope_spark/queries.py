@@ -13544,3 +13544,119 @@ def _featlift_oracle() -> str:
 
 
 register("feature_lift_deciles", _featlift_oracle())(_featlift_spark)
+
+
+# --------------------------------------------------------------------------
+# Wave 9 (r7): quantization QA, seasonal anomalies, dup-graph shape,
+# smoothed league tables
+# --------------------------------------------------------------------------
+
+def _sq8err_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.quantize import sq8_reconstruction_error
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_reconstruction_error(emb)
+
+
+def _sq8err_oracle() -> str:
+    from pyrope_spark.operators.quantize import (
+        sq8_reconstruction_error_oracle_sql,
+    )
+
+    return sq8_reconstruction_error_oracle_sql()
+
+
+register("sq8_reconstruction_error", _sq8err_oracle())(_sq8err_spark)
+
+
+def _dowanom_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.temporal import dow_adjusted_anomalies
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return dow_adjusted_anomalies(ev, k=5)
+
+
+def _dowanom_oracle() -> str:
+    from pyrope_spark.operators.temporal import dow_adjusted_oracle_sql
+
+    return dow_adjusted_oracle_sql(k=5)
+
+
+register("dow_adjusted_anomalies", _dowanom_oracle())(_dowanom_spark)
+
+
+def _compbands_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size distribution composing the verified MinHash
+    pair table + star components."""
+    from pyrope_spark.operators.dedup import minhash_lsh_pairs
+    from pyrope_spark.operators.graph import (
+        component_size_bands,
+        connected_components_star,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.9)
+    comp = connected_components_star(pairs, src_col="ia", dst_col="ib")
+    return component_size_bands(comp)
+
+
+def _compbands_oracle() -> str:
+    from pyrope_spark.operators.dedup import minhash_lsh_oracle_sql
+    from pyrope_spark.operators.graph import component_size_bands_oracle_sql
+
+    pairs = minhash_lsh_oracle_sql(verify_threshold=0.9)
+    assignment = f"""
+WITH RECURSIVE p AS (SELECT ia, ib FROM ({pairs})),
+sym AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE s.b <> r.a
+)
+SELECT CAST(a AS BIGINT) AS id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+FROM reach GROUP BY a
+"""
+    return component_size_bands_oracle_sql(assignment)
+
+
+register("dup_component_size_bands", _compbands_oracle())(_compbands_spark)
+
+
+def _smoothed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand return-rate league table, empirical-Bayes smoothed."""
+    from pyrope_spark.operators.experiment import smoothed_group_rates
+
+    configure_for_oracle(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    return smoothed_group_rates(
+        j,
+        group_expr=F.col("p_brand"),
+        flag_expr=F.col("l_returnflag") == "R",
+        prior_strength=500,
+    )
+
+
+def _smoothed_oracle() -> str:
+    from pyrope_spark.operators.experiment import (
+        smoothed_group_rates_oracle_sql,
+    )
+
+    return smoothed_group_rates_oracle_sql(
+        table="(SELECT * FROM lineitem "
+              "JOIN part ON l_partkey = p_partkey)",
+        group_sql="p_brand",
+        flag_sql="l_returnflag = 'R'",
+        prior_strength=500,
+    )
+
+
+register("smoothed_brand_return_rates", _smoothed_oracle())(_smoothed_spark)

@@ -655,3 +655,33 @@ def test_feature_lift_deciles_closed_form(spark):
         assert out[d].lift_ppm == 2_000_000
     for d in range(6, 11):
         assert out[d].rate_ppm == 0 and out[d].lift_ppm == 0
+
+
+# ---------------------------------------------------------- smoothed rates
+
+def test_smoothed_rates_demote_tiny_perfect_group(spark):
+    from pyrope_spark.operators.experiment import smoothed_group_rates
+
+    rows = (
+        [("A", True)] * 2                      # 2-for-2: raw 100%
+        + [("B", True)] * 980 + [("B", False)] * 20   # 98% on 1000
+        + [("C", True)] * 10 + [("C", False)] * 990   # 1% on 1000
+    )
+    df = spark.createDataFrame(rows, "g string, f boolean")
+    out = {
+        r.grp: r
+        for r in smoothed_group_rates(
+            df, group_expr=F.col("g"), flag_expr=F.col("f"),
+            prior_strength=500,
+        ).collect()
+    }
+    assert out["A"].raw_ppm == 1_000_000
+    assert out["A"].raw_ppm > out["B"].raw_ppm      # raw: A outranks B
+    assert out["B"].shrunk_ppm > out["A"].shrunk_ppm  # shrunk: flipped
+    # exact values: pbar = 992e6 // 2002
+    pbar = 992 * 10**6 // 2002
+    assert out["A"].pbar_ppm == pbar
+    assert out["A"].shrunk_ppm == (2 * 10**6 + 500 * pbar) // 502
+    assert out["B"].shrunk_ppm == (980 * 10**6 + 500 * pbar) // 1500
+    # tiny group barely speaks for itself
+    assert out["A"].weight_ppm == 2 * 10**6 // 502

@@ -252,3 +252,23 @@ def test_hub_proximity_shortcut_wins(spark):
     hubs = spark.createDataFrame([(1,)], "node long")
     out = {r["node"]: r for r in hub_proximity(edges, hubs, k=3).collect()}
     assert out[4]["harmonic_ppm"] == 1_000_000  # min dist 1, not 3
+
+
+def test_component_size_bands_closed_form(spark):
+    from pyrope_spark.operators.graph import component_size_bands
+
+    # components: two of size 2, one of size 3 (band 2), one of size 8
+    # (band 4); member shares 7/15 and 8/15
+    rows = (
+        [(i, 100) for i in range(2)]
+        + [(10 + i, 200) for i in range(2)]
+        + [(20 + i, 300) for i in range(3)]
+        + [(30 + i, 400) for i in range(8)]
+    )
+    asg = spark.createDataFrame(rows, "id long, component long")
+    out = {r.band: r for r in component_size_bands(asg).collect()}
+    assert set(out) == {2, 4}
+    assert out[2].n_components == 3 and out[2].n_members == 7
+    assert out[4].n_components == 1 and out[4].n_members == 8
+    assert out[2].member_share_ppm == 7 * 10**6 // 15
+    assert out[4].member_share_ppm == 8 * 10**6 // 15

@@ -115,3 +115,37 @@ def test_ivf_pq_recall(pq_fixture):
     exact = knn_bruteforce(vectors, queries, k=10, metric="l2")
     r = ivf_recall(approx, exact, 10)
     assert r >= 0.5, f"IVF-PQ recall@10 {r} below FIXTURES threshold"
+
+
+def test_sq8_reconstruction_error_closed_form(spark):
+    from pyrope_spark.operators.quantize import sq8_reconstruction_error
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),          # endpoints are exact
+            (2, [0.0, 0.5, 1.0]),     # mid: code 128 -> 128/255, err 1960 micro
+            (3, [7.0, 7.0, 7.0]),     # constant vector: all-zero codes, exact
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = sq8_reconstruction_error(df).collect()[0]
+    assert out.n_vectors == 3 and out.n_elems == 8
+    assert out.max_err_micro == 1960  # floor((128/255 - 0.5) * 1e6)
+    assert out.mean_err_micro == 1960 // 8
+
+
+def test_sq8_reconstruction_error_bound(spark):
+    # theoretical per-element bound: range/510 -> 1961 micro on unit range
+    import numpy as np
+
+    from pyrope_spark.operators.quantize import sq8_reconstruction_error
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.random(16, dtype=np.float32)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sq8_reconstruction_error(df).collect()[0]
+    assert out.max_err_micro <= 1962
+    assert 0 < out.mean_err_micro <= out.max_err_micro

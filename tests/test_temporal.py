@@ -642,3 +642,60 @@ def test_debounce_same_instant_tiebreak(spark):
     out = debounce_events(df, gap_s=300).collect()
     assert len(out) == 1 and out[0]["event_id"] == 2
     assert out[0]["n_suppressed"] == 1
+
+
+def test_dow_adjusted_anomalies_periodic_is_quiet(spark):
+    # perfectly weekly-periodic traffic: every residual is 0 -> no flags,
+    # even though weekend volume is 5x weekday volume (a raw-count MAD
+    # gate would flag the rhythm itself)
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.operators.temporal import dow_adjusted_anomalies
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(21):
+        # count is a pure function of this day's dow
+        dow = (d + (t0 - datetime(1970, 1, 1)).days + 4) % 7
+        n = 50 if dow in (5, 6) else 10
+        for j in range(n):
+            rows.append((eid, t0 + timedelta(days=d, minutes=j), 1,
+                         "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    out = dow_adjusted_anomalies(ev, k=5).collect()
+    assert len(out) == 21
+    assert all(r.resid_milli == 0 for r in out)
+    assert all(r.flagged == 0 for r in out)
+
+
+def test_dow_adjusted_anomalies_flags_spike(spark):
+    # same periodic base, one day spiked 10x: that day must be flagged
+    from datetime import datetime, timedelta
+
+    from pyrope_spark.operators.temporal import dow_adjusted_anomalies
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(21):
+        dow = (d + (t0 - datetime(1970, 1, 1)).days + 4) % 7
+        n = 50 if dow in (5, 6) else 10
+        if d == 10:
+            n *= 10
+        for j in range(n):
+            rows.append((eid, t0 + timedelta(days=d, minutes=j), 1,
+                         "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    out = {r.d: r for r in dow_adjusted_anomalies(ev, k=5).collect()}
+    spike_day = (t0 - datetime(1970, 1, 1)).days + 10
+    assert out[spike_day].flagged == 1
+    assert out[spike_day].resid_milli > 0
