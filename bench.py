@@ -840,6 +840,7 @@ def main() -> None:
         "dow_adjusted_anomalies",
         "dup_component_size_bands",
         "smoothed_brand_return_rates",
+        "split_leakage_audit",
     ):
         # noop WRITE, not count(): count() lets Catalyst prune every
         # column the row count doesn't need, so queries whose cost lives

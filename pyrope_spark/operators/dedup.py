@@ -1668,3 +1668,153 @@ SELECT CAST(n_matching AS BIGINT) AS n_matching,
        CAST(MAX(j) AS BIGINT) AS max_exact_ppm
 FROM pairs GROUP BY n_matching
 """
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    seed: str = "split1",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Eval-integrity audit: for every held-out split, how many of its
+    documents share at least one n-gram shingle with ANY train document
+    — the leakage the split itself cannot prevent (hash-splitting
+    separates IDS, not CONTENT; near-copies land on both sides and
+    quietly inflate eval scores).  The content twin of
+    [[decontaminate_ngram]], pointed at the corpus' own
+    [[train_val_test_split]].
+
+    Shingles travel as the same rolling-hash fingerprints as
+    [[source_shingle_overlap]]; the train fingerprint SET is distinct
+    once; every held-out doc is then one semi-join probe — no pair
+    enumeration anywhere.
+
+    Output per held-out split: docs, leaky docs, leak_ppm.
+
+    Scale shape: one shingle pass over the corpus, a distinct on the
+    train side, one fp-keyed semi join; fanout bounded by shingle
+    vocabulary, never doc pairs.
+    """
+    from pyrope_spark.operators.curation import hash_split_bucket
+
+    total = sum(weights)
+    cuts, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cuts.append(int(acc * 10_000))
+    cuts[-1] = 10_000
+    bucket = hash_split_bucket(F.col(id_col), seed, 10_000)
+    expr = None
+    for lab, hi in zip(labels, cuts):
+        cond = bucket < hi
+        expr = (
+            F.when(cond, F.lit(lab)) if expr is None
+            else expr.when(cond, F.lit(lab))
+        )
+    labeled = docs.withColumn("split", expr)
+    sh = shingle_table(
+        labeled, id_col=id_col, text_col=text_col, n=ngram_n
+    ).join(labeled.select(id_col, "split"), id_col)
+    from pyrope_spark.functions.text import char_fp_rolling
+
+    fps = sh.select(
+        id_col, "split", char_fp_rolling(F.col("shingle")).alias("fp")
+    )
+    train_fps = (
+        fps.filter(F.col("split") == labels[0]).select("fp").distinct()
+    )
+    held = fps.filter(F.col("split") != labels[0])
+    leaky = (
+        held.join(train_fps, "fp", "left_semi")
+        .select(id_col, "split")
+        .distinct()
+    )
+    per_split = labeled.filter(F.col("split") != labels[0]).groupBy(
+        "split"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    leak_counts = leaky.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaky")
+    )
+    return (
+        per_split.join(leak_counts, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_leaky"), F.lit(0)).cast("long").alias(
+                "n_leaky"
+            ),
+            F.expr(
+                f"CAST(CAST(COALESCE(n_leaky, 0) AS DECIMAL(38,0)) "
+                f"* {scale} DIV n_docs AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("split")
+    )
+
+
+def split_leakage_oracle_sql(
+    *,
+    table: str = "documents",
+    id_sql: str = "doc_id",
+    text_sql: str = "text",
+    ngram_n: int = 3,
+    seed: str = "split1",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[split_leakage_audit]]."""
+    from pyrope_spark.functions.text import (
+        char_fp_rolling_sql,
+        tokens_sql,
+        word_ngrams_from_tokens_sql,
+    )
+    from pyrope_spark.operators.curation import hash_split_bucket_sql
+
+    total = sum(weights)
+    cuts, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cuts.append(int(acc * 10_000))
+    cuts[-1] = 10_000
+    bucket = hash_split_bucket_sql(id_sql, seed, 10_000)
+    case = "CASE " + " ".join(
+        f"WHEN ({bucket}) < {hi} THEN '{lab}'"
+        for lab, hi in zip(labels, cuts)
+    ) + " END"
+    ng = word_ngrams_from_tokens_sql("t", ngram_n)
+    fp = char_fp_rolling_sql("x")
+    return f"""
+WITH labeled AS (
+  SELECT {id_sql} AS id, {tokens_sql(text_sql)} AS t, {case} AS split
+  FROM {table}
+),
+fps AS (
+  SELECT DISTINCT id, split,
+         unnest(list_transform({ng}, x -> {fp})) AS fp
+  FROM labeled
+),
+train_fps AS (SELECT DISTINCT fp FROM fps WHERE split = '{labels[0]}'),
+leaky AS (
+  SELECT DISTINCT id, split
+  FROM fps WHERE split <> '{labels[0]}'
+    AND fp IN (SELECT fp FROM train_fps)
+),
+per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM labeled WHERE split <> '{labels[0]}' GROUP BY 1
+),
+lc AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaky FROM leaky GROUP BY 1
+)
+SELECT per_split.split, n_docs,
+       CAST(COALESCE(n_leaky, 0) AS BIGINT) AS n_leaky,
+       CAST(COALESCE(n_leaky, 0) * {scale} // n_docs AS BIGINT) AS leak_ppm
+FROM per_split LEFT JOIN lc ON per_split.split = lc.split
+ORDER BY 1
+"""

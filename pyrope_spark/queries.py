@@ -13660,3 +13660,22 @@ def _smoothed_oracle() -> str:
 
 
 register("smoothed_brand_return_rates", _smoothed_oracle())(_smoothed_spark)
+
+
+def _leakage_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query #300: content leakage across the corpus' own hash split —
+    held-out docs sharing any 3-gram shingle with a train doc."""
+    from pyrope_spark.operators.dedup import split_leakage_audit
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage_audit(docs)
+
+
+def _leakage_oracle() -> str:
+    from pyrope_spark.operators.dedup import split_leakage_oracle_sql
+
+    return split_leakage_oracle_sql()
+
+
+register("split_leakage_audit", _leakage_oracle())(_leakage_spark)

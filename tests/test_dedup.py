@@ -454,3 +454,31 @@ def test_dup_rate_by_source_closed_form(spark):
     assert (s2.dup_docs, s2.cross_source_docs) == (1, 1)
     assert s2.dup_rate_ppm == 500_000
     assert out["s3"].dup_docs == 0 and out["s3"].dup_rate_ppm == 0
+
+
+def test_split_leakage_audit_detects_content_leak(spark):
+    from pyrope_spark.operators.dedup import split_leakage_audit
+
+    # find ids landing in train vs val under the registered split, then
+    # plant one near-copy across the boundary and one unique val doc
+    from pyrope_spark.operators.curation import hash_split_bucket
+    from pyspark.sql import functions as F
+
+    ids = spark.range(200).select(F.col("id").alias("doc_id"))
+    b = ids.withColumn(
+        "bucket", hash_split_bucket(F.col("doc_id"), "split1", 10_000)
+    ).collect()
+    train_ids = [r.doc_id for r in b if r.bucket < 8000]
+    val_ids = [r.doc_id for r in b if 8000 <= r.bucket < 9000]
+    assert len(train_ids) >= 2 and len(val_ids) >= 2
+    leak_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (train_ids[0], leak_text),
+        (val_ids[0], "prefix " + leak_text + " suffix"),  # shares shingles
+        (val_ids[1], "one two three four five six seven"),  # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.split: r for r in split_leakage_audit(docs).collect()}
+    assert out["val"].n_docs == 2
+    assert out["val"].n_leaky == 1
+    assert out["val"].leak_ppm == 500_000
