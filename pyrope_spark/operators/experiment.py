@@ -1913,6 +1913,15 @@ def proportion_control_chart(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(flag_expr.cast("int")).cast("long").alias("flagged"),
     )
+    return pchart_readout(per_group, sigma=sigma)
+
+
+def pchart_readout(per_group: DataFrame, *, sigma: int = 3) -> DataFrame:
+    """The p-chart arithmetic over an already-aggregated
+    ``(grp, n, flagged)`` counter table — shared by the batch operator
+    and the streaming counter-maintenance twin
+    ([[streaming_pchart_maintain]]), so the chart over streamed state is
+    bit-identical to the batch chart by construction."""
     corpus = per_group.groupBy().agg(
         F.sum("n").cast("long").alias("nn"),
         F.sum("flagged").cast("long").alias("rr"),

@@ -740,3 +740,53 @@ def streaming_transition_deltas(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_pchart_maintain(
+    stream_df: DataFrame,
+    state_dir: str,
+    *,
+    group_col: str = "grp",
+    flag_col: str = "flagged",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+):
+    """Streaming maintenance of the [[proportion_control_chart]]
+    counters: each micro-batch folds per-group ``(n, flagged)`` deltas
+    into the counter table under ``state_dir`` (union + re-agg merge,
+    the [[streaming_agg_view_maintain]] discipline).  Running
+    [[pchart_readout]] over the state table after any prefix of batches
+    is BIT-IDENTICAL to the batch chart over the same rows — integer
+    counters have no merge-order sensitivity — so the alarm can sit on
+    the live stream while audits replay batch.  State size is |groups|,
+    not |history|.
+    """
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = batch.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(flag_col).cast("int")).cast("long").alias("flagged"),
+        )
+        if os.path.isdir(state_dir):
+            base = spark.read.parquet(state_dir)
+            merged = (
+                base.unionByName(delta)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("flagged").cast("long").alias("flagged"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = state_dir.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_state_dir(tmp, state_dir)
+
+    w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -982,3 +982,58 @@ def test_streaming_transition_deltas_sum_to_batch_matrix(spark, tmp_path):
         assert got[("a", "a")] == 1   # the self-loop
     finally:
         q.stop()
+
+
+def test_streaming_pchart_matches_batch_chart(spark, tmp_path):
+    """Per-group (n, flagged) counters folded across micro-batches, then
+    pchart_readout over the state == the batch proportion_control_chart
+    over the unioned rows, bit-identical (integer counters have no
+    merge-order sensitivity)."""
+    from pyrope_spark.operators.experiment import (
+        pchart_readout,
+        proportion_control_chart,
+    )
+    from pyrope_spark.streaming.sketches import streaming_pchart_maintain
+
+    src = tmp_path / "pc_src"
+    state = str(tmp_path / "pc_state")
+    schema = "grp long, flagged boolean"
+    b1 = spark.createDataFrame(
+        [(g, i < (40 if g == 9 else 10)) for g in range(10)
+         for i in range(60)],
+        schema,
+    )
+    b1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = streaming_pchart_maintain(
+        stream, state, group_col="grp", flag_col="flagged",
+        checkpoint_dir=str(tmp_path / "pc_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # second batch finishes each group's 100 rows (40 more per group)
+        b2 = spark.createDataFrame(
+            [(g, 60 <= i + 60 < (40 if g == 9 else 10))  # all False
+             for g in range(10) for i in range(40)],
+            schema,
+        )
+        b2.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.grp: r.asDict()
+        for r in pchart_readout(spark.read.parquet(state)).collect()
+    }
+    batch = {
+        r.grp: r.asDict()
+        for r in proportion_control_chart(
+            b1.unionByName(b2),
+            group_expr=F.col("grp"),
+            flag_expr=F.col("flagged"),
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed[9]["out_of_band"] == 1
+    assert all(streamed[g]["out_of_band"] == 0 for g in range(9))
