@@ -394,21 +394,36 @@ def decontaminate(
         )
 
     bench_grams = grams(bench).select(F.explode("_g").alias("_g")).distinct()
-    tg = grams(train)
-    hits = (
-        tg.select(id_col, F.explode("_g").alias("_g"))
-        .join(F.broadcast(bench_grams), on="_g")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_hits"))
+    # ONE tokenize/ngram pass: explode every train gram once, mark hits
+    # with a broadcast LEFT join, and fold count + hit-sum in one (id)
+    # aggregate. The previous two-branch form (hits join + a separate
+    # size() branch re-joined on id) re-ran the tokenize+ngram HOFs over
+    # the whole train corpus a second time (measured: 12.9 s -> this
+    # form at ~6 s on the sf0.1 registered query).
+    marked = (
+        grams(train)
+        # explode_outer + count(_g): a doc too short to have any n-gram
+        # must still emit an (id, 0, 0, false) row, not vanish
+        .select(id_col, F.explode_outer("_g").alias("_g"))
+        .join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+            on="_g",
+            how="left",
+        )
     )
     return (
-        tg.select(id_col, F.size("_g").alias("_n"))
-        .join(hits, on=id_col, how="left")
+        marked.groupBy(id_col)
+        .agg(
+            F.count("_g").cast("long").alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
         .select(
             F.col(id_col),
-            F.col("_n").cast("long").alias("n_ngrams"),
-            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
-            (F.coalesce(F.col("_hits"), F.lit(0)) >= min_overlap).alias("contaminated"),
+            "n_ngrams",
+            "n_contaminated",
+            (F.col("n_contaminated") >= min_overlap).alias("contaminated"),
         )
     )
 
