@@ -1421,10 +1421,14 @@ def source_shingle_overlap(
     Output: (source_a, source_b, n_a, n_b, n_common, jaccard_ppm,
     contain_a_ppm, contain_b_ppm), source_a < source_b.
     """
+    # persist the (group, fp) distinct: it feeds THREE consumers (sizes,
+    # both self-join sides) and each would otherwise re-run the
+    # tokenize + ngram + explode + distinct pipeline over the whole
+    # corpus (measured 194 s -> 28 s at 1M docs / ~29M shingles)
     fps = docs.select(
         F.col(group_col).alias("g"),
         F.explode(token_fps(F.col(text_col), ngram_n)).alias("fp"),
-    ).distinct()
+    ).distinct().persist()
     sizes = fps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = fps.select(F.col("g").alias("ga"), "fp")
     b = fps.select(F.col("g").alias("gb"), "fp")
@@ -1436,7 +1440,7 @@ def source_shingle_overlap(
     )
     sa = sizes.select(F.col("g").alias("ga"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("g").alias("gb"), F.col("n").alias("n_b"))
-    return (
+    out = (
         inter.join(F.broadcast(sa), "ga")
         .join(F.broadcast(sb), "gb")
         .select(
@@ -1454,6 +1458,11 @@ def source_shingle_overlap(
             .alias("contain_b_ppm"),
         )
     )
+    # pairs-of-sources-sized result: checkpoint it so the persisted fps
+    # blocks can be released immediately (containment_pairs discipline)
+    out = out.localCheckpoint(eager=True)
+    fps.unpersist()
+    return out
 
 
 def source_shingle_overlap_oracle_sql(
