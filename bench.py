@@ -841,6 +841,10 @@ def main() -> None:
         "dup_component_size_bands",
         "smoothed_brand_return_rates",
         "split_leakage_audit",
+        # round 7 wave 10: exact AUC / Kaplan-Meier / novelty
+        "score_auc_roc",
+        "kaplan_meier_survival",
+        "ngram_novelty_per_doc",
     ):
         # noop WRITE, not count(): count() lets Catalyst prune every
         # column the row count doesn't need, so queries whose cost lives

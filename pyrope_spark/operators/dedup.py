@@ -1827,3 +1827,83 @@ SELECT per_split.split, n_docs,
 FROM per_split LEFT JOIN lc ON per_split.split = lc.split
 ORDER BY 1
 """
+
+
+def ngram_novelty_per_doc(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the
+    corpus (earlier = smaller id — the deterministic stand-in for
+    ingest order): the fraction of a doc's distinct shingles whose
+    FIRST corpus occurrence is this doc.  The novelty-sampling signal —
+    a doc that is 95% previously-seen n-grams adds little even when no
+    single earlier doc is a near-duplicate ([[minhash_lsh_pairs]] can't
+    see diffuse reuse; [[split_leakage_audit]] asks the cross-split
+    version of this question).
+
+    A shingle's first owner is ``min(id)`` over its carriers — one
+    fp-keyed aggregate; novelty is then one doc-keyed aggregate over the
+    joined table. No pair enumeration anywhere.
+
+    Output per doc: n_shingles, n_novel, novelty_ppm.
+    """
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_fps(F.col(text_col), ngram_n)).alias("fp"),
+    ).distinct()
+    firsts = fps.groupBy("fp").agg(F.min("id").alias("first_id"))
+    return (
+        fps.join(firsts, "fp")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("id")).cast("int"))
+            .cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr(
+                f"CAST(CAST(n_novel AS DECIMAL(38,0)) * {scale} "
+                f"DIV n_shingles AS BIGINT)"
+            ),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(
+    *,
+    table: str = "documents",
+    id_sql: str = "doc_id",
+    text_sql: str = "text",
+    ngram_n: int = 3,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of [[ngram_novelty_per_doc]]."""
+    from pyrope_spark.functions.text import (
+        char_fp_rolling_sql,
+        tokens_sql,
+        word_ngrams_from_tokens_sql,
+    )
+
+    ng = word_ngrams_from_tokens_sql("t", ngram_n)
+    fp = char_fp_rolling_sql("x")
+    return f"""
+WITH tk AS (SELECT {id_sql} AS id, {tokens_sql(text_sql)} AS t FROM {table}),
+fps AS (
+  SELECT DISTINCT id, unnest(list_transform({ng}, x -> {fp})) AS fp FROM tk
+),
+firsts AS (SELECT fp, MIN(id) AS first_id FROM fps GROUP BY 1)
+SELECT fps.id AS {id_sql},
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_id = fps.id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN first_id = fps.id THEN 1 ELSE 0 END) * {scale}
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM fps JOIN firsts USING (fp)
+GROUP BY 1
+"""

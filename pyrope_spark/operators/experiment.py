@@ -2276,3 +2276,164 @@ SELECT grp, n, r,
 FROM per_group CROSS JOIN corpus
 ORDER BY grp
 """
+
+
+# --------------------------------------------------------------------------
+# Exact AUC-ROC via the rank form
+# --------------------------------------------------------------------------
+
+def auc_roc(
+    df: DataFrame,
+    *,
+    score_expr: Column,
+    label_expr: Column,
+) -> DataFrame:
+    """Exact AUC-ROC from the Mann-Whitney identity ``AUC = U⁺/(n⁺·n⁻)``
+    — the probability a random positive outscores a random negative,
+    ties at half credit (average ranks), computed with the
+    [[mann_whitney_u]] doubled-rank histogram so the whole statistic is
+    integer until ONE final division: ``auc_ppm = u1_x2·500000 div
+    (n_pos·n_neg)``.  No curve construction, no threshold sweep, no
+    floats — and the rank window runs on the score HISTOGRAM, never the
+    fact table.
+
+    Output one row: n_pos, n_neg, auc_ppm, gini_ppm (= 2·AUC − 1).
+    """
+    hist = df.groupBy(score_expr.alias("v")).agg(
+        F.sum(F.when(label_expr.cast("int") == 0, 1).otherwise(0))
+        .cast("long").alias("n0v"),
+        F.sum(F.when(label_expr.cast("int") == 1, 1).otherwise(0))
+        .cast("long").alias("n1v"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    hist = hist.withColumn("tv", F.col("n0v") + F.col("n1v")).withColumn(
+        "below", F.coalesce(F.sum("tv").over(w), F.lit(0))
+    ).withColumn("dr", 2 * F.col("below") + F.col("tv") + F.lit(1))
+    g = hist.groupBy().agg(
+        F.sum("n0v").cast("long").alias("n_neg"),
+        F.sum("n1v").cast("long").alias("n_pos"),
+        F.sum(F.expr(f"{_dec('n1v')} * dr")).alias("r1x2"),
+    )
+    g = g.withColumn(
+        "u1_x2",
+        F.expr(f"CAST(r1x2 - {_dec('n_pos')} * (n_pos + 1) AS BIGINT)"),
+    )
+    auc = (
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE "
+        f"CAST({_dec('u1_x2')} * 500000 DIV ({_dec('n_pos')} * n_neg) "
+        "AS BIGINT) END"
+    )
+    return g.select(
+        "n_pos",
+        "n_neg",
+        F.expr(auc).alias("auc_ppm"),
+        F.expr(f"CAST(2 * ({auc}) - 1000000 AS BIGINT)").alias("gini_ppm"),
+    )
+
+
+def auc_roc_oracle_sql(
+    *,
+    scored_sql: str,
+    score_sql: str = "score_ppm",
+    label_sql: str = "label",
+) -> str:
+    """DuckDB twin of [[auc_roc]] over any (score, label) relation."""
+    return f"""
+WITH hist AS (
+  SELECT {score_sql} AS v,
+         CAST(SUM(CASE WHEN {label_sql} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0v,
+         CAST(SUM(CASE WHEN {label_sql} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1v
+  FROM ({scored_sql}) GROUP BY 1
+),
+ranked AS (
+  SELECT *, n0v + n1v AS tv,
+         COALESCE(SUM(n0v + n1v) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM hist
+),
+g AS (
+  SELECT CAST(SUM(n0v) AS BIGINT) AS n_neg,
+         CAST(SUM(n1v) AS BIGINT) AS n_pos,
+         SUM(n1v * (2 * below + tv + 1)) AS r1x2
+  FROM ranked
+),
+s AS (
+  SELECT *, CAST(r1x2 - n_pos * (n_pos + 1) AS BIGINT) AS u1_x2 FROM g
+)
+SELECT n_pos, n_neg,
+       CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                 ELSE u1_x2 * 500000 // (n_pos * n_neg) END AS BIGINT)
+         AS auc_ppm,
+       CAST(2 * (CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                      ELSE u1_x2 * 500000 // (n_pos * n_neg) END)
+            - 1000000 AS BIGINT) AS gini_ppm
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival with exact per-step integer folds
+# --------------------------------------------------------------------------
+
+def kaplan_meier_survival(
+    cohort_risk: DataFrame,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival over a ``(t, d, n_risk)``
+    event-time table — the multiplicative twin of the additive
+    [[nelson_aalen_hazard]] (whose registry comment says "KM's product
+    would need floats": it doesn't — the product is computed as a
+    SEQUENTIAL integer fold, ``S_k = S_{k-1}·(n_k−d_k) div n_k`` in ppm
+    with a floor at every step, a fixed op sequence both engines execute
+    identically; the cumulative floor error is bounded by one ppm per
+    event time).
+
+    Spark side: the event-time table (domain-sized — distinct event
+    days, never cohort size) is gathered into ONE sorted array and each
+    prefix is folded with ``aggregate(slice(...))``; O(k²) lambda steps
+    on k event days is immaterial for any calendar-bounded study.
+
+    Output per event time: t, d, n_risk, survival_ppm.
+    """
+    arr = cohort_risk.select(
+        F.struct(
+            F.col("t").cast("long").alias("t"),
+            F.col("d").cast("long").alias("d"),
+            F.col("n_risk").cast("long").alias("n"),
+        ).alias("s")
+    ).groupBy().agg(
+        F.expr("sort_array(collect_list(s))").alias("arr")
+    )
+    return arr.select(
+        F.explode(
+            F.expr(
+                "transform(arr, (x, i) -> struct("
+                "x.t AS t, x.d AS d, x.n AS n_risk, "
+                "aggregate(slice(arr, 1, i + 1), CAST(1000000 AS BIGINT), "
+                "(acc, y) -> acc * (y.n - y.d) DIV y.n) AS survival_ppm))"
+            )
+        ).alias("r")
+    ).select("r.t", "r.d", "r.n_risk", "r.survival_ppm")
+
+
+def kaplan_meier_oracle_sql(risk_sql: str) -> str:
+    """DuckDB twin of [[kaplan_meier_survival]]: the same sequential
+    floor fold as a recursive CTE over the rank-ordered event times."""
+    return f"""
+WITH RECURSIVE evd AS (
+  SELECT t, d, n_risk,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM ({risk_sql})
+),
+km AS (
+  SELECT t, d, n_risk, rn,
+         CAST(1000000 * (n_risk - d) // n_risk AS BIGINT) AS survival_ppm
+  FROM evd WHERE rn = 1
+  UNION ALL
+  SELECT e.t, e.d, e.n_risk, e.rn,
+         CAST(km.survival_ppm * (e.n_risk - e.d) // e.n_risk AS BIGINT)
+  FROM km JOIN evd e ON e.rn = km.rn + 1
+)
+SELECT t, d, n_risk, survival_ppm FROM km
+"""

@@ -13679,3 +13679,90 @@ def _leakage_oracle() -> str:
 
 
 register("split_leakage_audit", _leakage_oracle())(_leakage_spark)
+
+
+# --------------------------------------------------------------------------
+# Wave 10 (r7): exact AUC, Kaplan-Meier, n-gram novelty
+# --------------------------------------------------------------------------
+
+def _auc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the trailing-rate predictor scored by calibration_*: does
+    the score actually rank purchases above non-purchases?"""
+    from pyrope_spark.operators.experiment import _calibration_scored, auc_roc
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = _calibration_scored(
+        ev,
+        user_col="user_id",
+        label_expr=F.col("event_type") == "purchase",
+        order_cols=("ts", "event_id"),
+        scale=1_000_000,
+    )
+    return auc_roc(
+        scored, score_expr=F.col("score_ppm"), label_expr=F.col("label")
+    )
+
+
+def _auc_oracle() -> str:
+    from pyrope_spark.operators.experiment import (
+        _calibration_scored_sql,
+        auc_roc_oracle_sql,
+    )
+
+    scored = _calibration_scored_sql(
+        table="events",
+        user_col="user_id",
+        label_sql="event_type = 'purchase'",
+        order_sql="ts, event_id",
+        scale=1_000_000,
+    )
+    return auc_roc_oracle_sql(
+        scored_sql=f"WITH {scored} SELECT * FROM scored"
+    )
+
+
+register("score_auc_roc", _auc_oracle())(_auc_spark)
+
+
+def _km_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier over the same signup→first-purchase cohort as
+    nelson_aalen_hazard (identical risk table, multiplicative
+    estimator)."""
+    from pyrope_spark.operators.experiment import kaplan_meier_survival
+
+    configure_for_oracle(spark)
+    risk = _hazard_spark(spark, sf_dir).select(
+        F.col("days_since_signup").alias("t"), "d", "n_risk"
+    )
+    return kaplan_meier_survival(risk)
+
+
+def _km_oracle() -> str:
+    from pyrope_spark.operators.experiment import kaplan_meier_oracle_sql
+
+    risk = f"""
+WITH h AS ({_HAZARD_ORACLE})
+SELECT days_since_signup AS t, d, n_risk FROM h
+"""
+    return kaplan_meier_oracle_sql(risk)
+
+
+register("kaplan_meier_survival", _km_oracle())(_km_spark)
+
+
+def _novelty_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.dedup import ngram_novelty_per_doc
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty_per_doc(docs)
+
+
+def _novelty_oracle() -> str:
+    from pyrope_spark.operators.dedup import ngram_novelty_oracle_sql
+
+    return ngram_novelty_oracle_sql()
+
+
+register("ngram_novelty_per_doc", _novelty_oracle())(_novelty_spark)

@@ -482,3 +482,27 @@ def test_split_leakage_audit_detects_content_leak(spark):
     assert out["val"].n_docs == 2
     assert out["val"].n_leaky == 1
     assert out["val"].leak_ppm == 500_000
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    from pyrope_spark.operators.dedup import ngram_novelty_per_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # everything first-seen here
+            (2, "a b c d"),          # verbatim re-use: zero novelty
+            (3, "x y z w"),          # disjoint: fully novel
+            (4, "a b x y q r"),      # half reused, half new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in ngram_novelty_per_doc(docs, ngram_n=2).collect()
+    }
+    assert out[1].novelty_ppm == 1_000_000
+    assert out[2].novelty_ppm == 0
+    assert out[3].novelty_ppm == 1_000_000
+    # doc 4 bigrams: ab bx xy yq qr (5) — 'a b' and 'x y' seen earlier
+    assert out[4].n_shingles == 5
+    assert out[4].n_novel == 3
+    assert out[4].novelty_ppm == 3 * 10**6 // 5

@@ -685,3 +685,56 @@ def test_smoothed_rates_demote_tiny_perfect_group(spark):
     assert out["B"].shrunk_ppm == (980 * 10**6 + 500 * pbar) // 1500
     # tiny group barely speaks for itself
     assert out["A"].weight_ppm == 2 * 10**6 // 502
+
+
+# --------------------------------------------------------------------- AUC
+
+def test_auc_roc_closed_forms(spark):
+    from pyrope_spark.operators.experiment import auc_roc
+
+    # perfect separation
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s long, y long"
+    )
+    r = auc_roc(df, score_expr=F.col("s"), label_expr=F.col("y")).collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert r.auc_ppm == 1_000_000 and r.gini_ppm == 1_000_000
+
+    # one tie at half credit: pairs (2>1, 2=2 tie, 3>1, 3>2) -> 3.5/4
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, 1), (2, 0), (3, 1)], "s long, y long"
+    )
+    r2 = auc_roc(
+        df2, score_expr=F.col("s"), label_expr=F.col("y")
+    ).collect()[0]
+    assert r2.auc_ppm == 875_000
+
+    # label flip mirrors around 1/2
+    r3 = auc_roc(
+        df2, score_expr=F.col("s"), label_expr=1 - F.col("y")
+    ).collect()[0]
+    assert r2.auc_ppm + r3.auc_ppm == 1_000_000
+
+
+# ------------------------------------------------------------ Kaplan-Meier
+
+def test_kaplan_meier_sequential_fold(spark):
+    from pyrope_spark.operators.experiment import kaplan_meier_survival
+
+    risk = spark.createDataFrame(
+        [(5, 2, 10), (9, 3, 6), (12, 1, 2)], "t long, d long, n_risk long"
+    )
+    out = {r.t: r.survival_ppm for r in kaplan_meier_survival(risk).collect()}
+    assert out[5] == 800_000                  # 1e6 * 8 // 10
+    assert out[9] == 400_000                  # 800000 * 3 // 6
+    assert out[12] == 200_000                 # 400000 * 1 // 2
+
+
+def test_kaplan_meier_order_is_by_time_not_input(spark):
+    from pyrope_spark.operators.experiment import kaplan_meier_survival
+
+    shuffled = spark.createDataFrame(
+        [(12, 1, 2), (5, 2, 10), (9, 3, 6)], "t long, d long, n_risk long"
+    ).repartition(3)
+    out = {r.t: r.survival_ppm for r in kaplan_meier_survival(shuffled).collect()}
+    assert out == {5: 800_000, 9: 400_000, 12: 200_000}
