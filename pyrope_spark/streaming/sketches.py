@@ -790,3 +790,80 @@ def streaming_pchart_maintain(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def streaming_novelty_maintain(
+    stream_df: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    scale: int = 1_000_000,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+):
+    """Streaming twin of [[ngram_novelty_per_doc]]: documents arrive in
+    id order (the ingest contract), each micro-batch scores its docs'
+    shingles against the ACCUMULATED first-owner set, emits per-doc
+    novelty rows to ``out_dir``, and folds the batch's new fingerprints
+    into the state (min-id merge, tmp+swap).  Because the first owner of
+    a fingerprint is ``min(id)`` and ids arrive monotonically, the
+    streamed scores are IDENTICAL to running the batch operator over the
+    full corpus (pytest-asserted) — the online curation gate that scores
+    novelty at ingest time instead of re-scanning the corpus.
+
+    State size is |distinct fingerprints|, not |history rows|; each
+    batch touches the state once (union + min merge).
+    """
+    from pyrope_spark.operators.dedup import token_fps
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fps = batch.select(
+            F.col(id_col).alias("id"),
+            F.explode(token_fps(F.col(text_col), ngram_n)).alias("fp"),
+        ).distinct().persist()
+        batch_firsts = fps.groupBy("fp").agg(F.min("id").alias("first_id"))
+        if os.path.isdir(state_dir):
+            base = spark.read.parquet(state_dir)
+            # a fp already owned by an earlier (smaller-id) doc is not
+            # novel for anyone in this batch
+            firsts = (
+                base.unionByName(batch_firsts)
+                .groupBy("fp")
+                .agg(F.min("first_id").alias("first_id"))
+            )
+        else:
+            firsts = batch_firsts
+        firsts = firsts.persist()
+        out = (
+            fps.join(firsts, "fp")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum((F.col("first_id") == F.col("id")).cast("int"))
+                .cast("long").alias("n_novel"),
+            )
+            .withColumn(
+                "novelty_ppm",
+                F.expr(
+                    f"CAST(CAST(n_novel AS DECIMAL(38,0)) * {scale} "
+                    f"DIV n_shingles AS BIGINT)"
+                ),
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+        tmp = state_dir.rstrip("/") + ".tmp"
+        firsts.write.mode("overwrite").parquet(tmp)
+        _swap_state_dir(tmp, state_dir)
+        fps.unpersist()
+        firsts.unpersist()
+
+    w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

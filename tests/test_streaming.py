@@ -1037,3 +1037,48 @@ def test_streaming_pchart_matches_batch_chart(spark, tmp_path):
     assert streamed == batch
     assert streamed[9]["out_of_band"] == 1
     assert all(streamed[g]["out_of_band"] == 0 for g in range(9))
+
+
+def test_streaming_novelty_matches_batch_operator(spark, tmp_path):
+    """Docs streamed in id order, scored per batch against the
+    accumulated first-owner set == the batch ngram_novelty over the full
+    corpus, row-identical (min-id firsts merge under monotone ids)."""
+    from pyrope_spark.operators.dedup import ngram_novelty_per_doc
+    from pyrope_spark.streaming.sketches import streaming_novelty_maintain
+
+    src = tmp_path / "nv_src"
+    state = str(tmp_path / "nv_state")
+    outd = str(tmp_path / "nv_out")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], schema
+    )
+    b1.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    q = streaming_novelty_maintain(
+        stream, state, outd, ngram_n=2,
+        checkpoint_dir=str(tmp_path / "nv_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [(4, "a b x y q r"), (5, "q r s t")], schema
+        )
+        b2.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm)
+        for r in spark.read.parquet(outd).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm)
+        for r in ngram_novelty_per_doc(
+            b1.unionByName(b2), ngram_n=2
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed[2][2] == 0           # verbatim re-use, later id
+    assert streamed[4][1] == 3           # 'a b'/'x y' seen in batch 1
