@@ -1398,6 +1398,7 @@ def source_shingle_overlap(
     text_col: str = "text",
     ngram_n: int = 2,
     scale: int = 1_000_000,
+    eager_checkpoint: bool = True,
 ) -> DataFrame:
     """Corpus-level cross-source content overlap: for every pair of
     sources, the EXACT Jaccard and directed containments of their
@@ -1417,6 +1418,15 @@ def source_shingle_overlap(
     ``C(groups_with_fp, 2)`` per fp — bounded by the (small) source
     count, never corpus size; everything downstream is pairs-of-sources
     sized.
+
+    EAGER by default (r7 ADVICE): with ``eager_checkpoint=True`` the
+    pairs-sized result is ``localCheckpoint(eager=True)``-ed — Spark
+    jobs run at CALL time, lineage is truncated, and the result lives
+    in (non-fault-tolerant) executor storage — so the persisted shingle
+    blocks can be released before returning.  Pass
+    ``eager_checkpoint=False`` to keep lazy semantics; the caller then
+    owns releasing the internal persist (a re-run of the shingle
+    pipeline per downstream action is the cost).
 
     Output: (source_a, source_b, n_a, n_b, n_common, jaccard_ppm,
     contain_a_ppm, contain_b_ppm), source_a < source_b.
@@ -1460,8 +1470,9 @@ def source_shingle_overlap(
     )
     # pairs-of-sources-sized result: checkpoint it so the persisted fps
     # blocks can be released immediately (containment_pairs discipline)
-    out = out.localCheckpoint(eager=True)
-    fps.unpersist()
+    if eager_checkpoint:
+        out = out.localCheckpoint(eager=True)
+        fps.unpersist()
     return out
 
 
@@ -1836,6 +1847,7 @@ def ngram_novelty_per_doc(
     text_col: str = "text",
     ngram_n: int = 3,
     scale: int = 1_000_000,
+    eager_checkpoint: bool = True,
 ) -> DataFrame:
     """Per-document n-gram novelty against everything EARLIER in the
     corpus (earlier = smaller id — the deterministic stand-in for
@@ -1851,6 +1863,12 @@ def ngram_novelty_per_doc(
     joined table. No pair enumeration anywhere.
 
     Output per doc: n_shingles, n_novel, novelty_ppm.
+
+    EAGER by default (r7 ADVICE): ``eager_checkpoint=True`` runs Spark
+    jobs at call time (localCheckpoint truncates lineage into executor
+    storage) so the persisted shingle blocks release before returning;
+    ``eager_checkpoint=False`` keeps the operator lazy and leaves the
+    internal persist to be released by the caller's session.
     """
     # persist: fps feeds both the first-owner aggregate and the join
     # back — unpersisted, the tokenize+explode+distinct pipeline runs
@@ -1878,8 +1896,9 @@ def ngram_novelty_per_doc(
         )
     )
     # doc-sized result: checkpoint so the fps blocks release immediately
-    out = out.localCheckpoint(eager=True)
-    fps.unpersist()
+    if eager_checkpoint:
+        out = out.localCheckpoint(eager=True)
+        fps.unpersist()
     return out
 
 

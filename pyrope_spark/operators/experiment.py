@@ -1764,8 +1764,9 @@ def post_stratified_lift(
 ) -> DataFrame:
     """Stratified A/B adjustment — the categorical sibling of
     [[cuped_adjusted_lift]]: users are bucketed by PRE-period activity
-    (power-of-2 event-count bands, ``length(bin(x))−1`` — exact integer
-    log2, the [[customer_recency_bands]] trick), the rate difference is
+    (power-of-2 event-count bands, ``length(bin(pre_n))`` = ⌊log2⌋+1 —
+    the [[customer_recency_bands]] trick shifted up by one, identical in
+    both engines; r7 ADVICE fixed this doc), the rate difference is
     computed within each stratum, and the post-stratified overall lift
     is the stratum-size-weighted fold ``Σ n_s·diff_s div N``.  When
     variants are imbalanced across activity bands (heavy users landing
@@ -2005,9 +2006,15 @@ def topk_churn_daily(
     ACTIVE day (rank over distinct days), so an empty calendar day
     doesn't manufacture a full-churn pair.
 
+    Sparse days are handled exactly (r7 ADVICE): ``n_dropouts`` is
+    derived from the PREVIOUS day's set (|prev \\ cur|, not a copy of
+    the entrant count) and ``overlap_ppm`` divides by the current day's
+    ACTUAL list size, so a day whose leaderboard has fewer than ``k``
+    items still reports true churn.
+
     Scale shape: one (day, item) fact aggregate, a per-day top-k window
-    on day-item volume, then a self-join on consecutive-day pairs over
-    days×k rows only.
+    on day-item volume, then joins on consecutive-day pairs over days×k
+    rows only.
     """
     if value_cents_expr is None:
         value_cents_expr = F.floor(F.col("value") * 100).cast("long")
@@ -2024,30 +2031,48 @@ def topk_churn_daily(
     pairs = days.withColumn("prev_d", F.lag("d").over(wd)).filter(
         F.col("prev_d").isNotNull()
     )
-    cur = topk.alias("cur")
-    prev = topk.alias("prev")
-    joined = (
-        pairs.withColumnRenamed("d", "pairs_d")
-        .join(cur, F.col("cur.d") == F.col("pairs_d"))
+    sizes = topk.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    cur = topk.select(F.col("d").alias("cd"), "item")
+    prev = topk.select(F.col("d").alias("pd"), F.col("item").alias("pitem"))
+    stayed = (
+        pairs.join(cur, F.col("cd") == F.col("d"))
         .join(
             prev,
-            (F.col("prev.d") == F.col("prev_d"))
-            & (F.col("prev.item") == F.col("cur.item")),
-            "left",
+            (F.col("pd") == F.col("prev_d"))
+            & (F.col("pitem") == F.col("item")),
         )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stayed"))
     )
-    per_day = joined.groupBy(F.col("pairs_d").alias("d")).agg(
-        F.sum(F.when(F.col("prev.item").isNotNull(), 1).otherwise(0))
-        .cast("long").alias("n_stayed"),
-        F.sum(F.when(F.col("prev.item").isNull(), 1).otherwise(0))
-        .cast("long").alias("n_entrants"),
+    per_day = (
+        pairs.join(
+            sizes.select(F.col("d").alias("sd"), F.col("sz").alias("cur_sz")),
+            F.col("sd") == F.col("d"),
+        )
+        .join(
+            sizes.select(
+                F.col("d").alias("psd"), F.col("sz").alias("prev_sz")
+            ),
+            F.col("psd") == F.col("prev_d"),
+        )
+        .join(stayed.withColumnRenamed("d", "std"),
+              F.col("std") == F.col("d"), "left")
+        .select(
+            "d",
+            F.coalesce(F.col("n_stayed"), F.lit(0)).cast("long")
+            .alias("n_stayed"),
+            "cur_sz",
+            "prev_sz",
+        )
     )
     return per_day.select(
         "d",
         "n_stayed",
-        "n_entrants",
-        F.col("n_entrants").alias("n_dropouts"),
-        F.expr(f"CAST(n_stayed * 1000000 DIV {k} AS BIGINT)").alias(
+        (F.col("cur_sz") - F.col("n_stayed")).cast("long")
+        .alias("n_entrants"),
+        (F.col("prev_sz") - F.col("n_stayed")).cast("long")
+        .alias("n_dropouts"),
+        F.expr("CAST(n_stayed * 1000000 DIV cur_sz AS BIGINT)").alias(
             "overlap_ppm"
         ),
     ).orderBy("d")
@@ -2060,14 +2085,10 @@ def topk_churn_oracle_sql(
     value_cents_sql: str = "CAST(floor(value * 100) AS BIGINT)",
     k: int = 20,
 ) -> str:
-    """DuckDB twin of [[topk_churn_daily]] (entrants == dropouts when
-    both days fill the full k, which row_number guarantees whenever a
-    day has ≥ k items; sparse days still count symmetrically because
-    the overlap is computed from the same two fixed sets).
-
-    NOTE: like the Spark side, assumes every active day fills k rows
-    (true for the registered item domains); n_dropouts is reported as
-    the entrant count under that contract."""
+    """DuckDB twin of [[topk_churn_daily]]: dropouts come from the
+    previous day's set (|prev \\ cur|) and the overlap ratio divides by
+    the current day's ACTUAL list size, so sparse days (< k items) are
+    exact on both engines (r7 ADVICE)."""
     return f"""
 WITH di AS (
   SELECT datediff('day', DATE '1970-01-01', ts) AS d, {item_sql} AS item,
@@ -2080,23 +2101,30 @@ topk AS (
             ORDER BY rev DESC, item ASC) AS rn FROM di)
   WHERE rn <= {k}
 ),
+sizes AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS sz FROM topk GROUP BY 1),
 days AS (
   SELECT d, lag(d) OVER (ORDER BY d) AS prev_d
   FROM (SELECT DISTINCT d FROM topk)
 ),
 pairs AS (SELECT * FROM days WHERE prev_d IS NOT NULL),
-joined AS (
-  SELECT p.d, cur.item,
-         CASE WHEN prev.item IS NULL THEN 0 ELSE 1 END AS stayed
+stayed AS (
+  SELECT p.d, CAST(COUNT(*) AS BIGINT) AS n_stayed
   FROM pairs p
   JOIN topk cur ON cur.d = p.d
-  LEFT JOIN topk prev ON prev.d = p.prev_d AND prev.item = cur.item
+  JOIN topk prev ON prev.d = p.prev_d AND prev.item = cur.item
+  GROUP BY 1
 )
-SELECT d, CAST(SUM(stayed) AS BIGINT) AS n_stayed,
-       CAST(SUM(1 - stayed) AS BIGINT) AS n_entrants,
-       CAST(SUM(1 - stayed) AS BIGINT) AS n_dropouts,
-       CAST(SUM(stayed) * 1000000 // {k} AS BIGINT) AS overlap_ppm
-FROM joined GROUP BY 1 ORDER BY 1
+SELECT p.d,
+       CAST(COALESCE(s.n_stayed, 0) AS BIGINT) AS n_stayed,
+       CAST(cs.sz - COALESCE(s.n_stayed, 0) AS BIGINT) AS n_entrants,
+       CAST(ps.sz - COALESCE(s.n_stayed, 0) AS BIGINT) AS n_dropouts,
+       CAST(COALESCE(s.n_stayed, 0) * 1000000 // cs.sz AS BIGINT)
+         AS overlap_ppm
+FROM pairs p
+JOIN sizes cs ON cs.d = p.d
+JOIN sizes ps ON ps.d = p.prev_d
+LEFT JOIN stayed s ON s.d = p.d
+ORDER BY 1
 """
 
 

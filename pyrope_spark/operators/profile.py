@@ -917,8 +917,14 @@ def fd_discovery_matrix(
     # tasks at sf0.1) serializes the whole sweep; one narrow-row
     # round-robin shuffle before the multiply spreads it across the
     # cluster (measured 9 s -> 3 s at 600k×12)
-    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if casted.rdd.getNumPartitions() < sp:
+    try:
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # AQE-managed platforms set the conf to "auto" (r7 ADVICE);
+        # without a concrete target, skip the pre-spread and let AQE
+        # size the downstream exchange itself
+        sp = 0
+    if 0 < sp and casted.rdd.getNumPartitions() < sp:
         casted = casted.repartition(sp)
     pairs = []
     for a in columns:

@@ -45,6 +45,35 @@ def _swap_state_dir(tmp: str, state_dir: str) -> None:
         shutil.rmtree(bak)
 
 
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _last_applied_batch_id(state_dir: str) -> int | None:
+    """Batch-id high-water mark stored WITH the state: an
+    underscore-prefixed file inside the parquet dir (Spark's reader
+    ignores it, like ``_SUCCESS``), written into the tmp dir BEFORE the
+    atomic swap so the marker and the merged counters commit together.
+
+    foreachBatch is at-least-once: a micro-batch replayed after a crash
+    between the state swap and the checkpoint commit would double-count
+    any SUM-merged state (r7 ADVICE).  Idempotent merges (HLL max,
+    bottom-k union+cut, novelty min-id) don't need the guard; every
+    sum-merge in this module checks it and skips replays, making the
+    counter state exactly-once."""
+    try:
+        with open(os.path.join(state_dir, _BATCH_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _stamp_batch_id(tmp_dir: str, batch_id: int) -> None:
+    """Write the high-water mark into the not-yet-swapped tmp dir so the
+    rename in :func:`_swap_state_dir` commits marker+state atomically."""
+    with open(os.path.join(tmp_dir, _BATCH_MARKER), "w") as fh:
+        fh.write(str(batch_id))
+
+
 def streaming_hll_update(
     stream_df: DataFrame,
     state_dir: str,
@@ -193,6 +222,9 @@ def streaming_cms_update(
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_applied_batch_id(state_dir)
+        if last is not None and batch_id <= last:
+            return  # at-least-once replay: counters already include it
         sk = cms_build(batch, text_col=text_col, depth=depth, width=width)
         if os.path.isdir(state_dir):
             old = spark.read.parquet(state_dir)
@@ -203,6 +235,7 @@ def streaming_cms_update(
             )
         tmp = state_dir.rstrip("/") + ".tmp"
         sk.write.mode("overwrite").parquet(tmp)
+        _stamp_batch_id(tmp, batch_id)
         _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
@@ -386,6 +419,9 @@ def streaming_agg_view_maintain(
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_applied_batch_id(state_dir)
+        if last is not None and batch_id <= last:
+            return  # at-least-once replay: view already includes it
         if os.path.isdir(state_dir):
             base = spark.read.parquet(state_dir)
             merged = maintain_agg_view(
@@ -397,6 +433,7 @@ def streaming_agg_view_maintain(
             ).filter(F.col("n") > 0)
         tmp = state_dir.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        _stamp_batch_id(tmp, batch_id)
         _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
@@ -446,6 +483,9 @@ def streaming_histogram_drift(
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_applied_batch_id(state_dir)
+        if last is not None and batch_id <= last:
+            return  # at-least-once replay: histogram already includes it
         inc = (
             batch.select(
                 F.col(key_col).alias("k"),
@@ -465,6 +505,7 @@ def streaming_histogram_drift(
             merged = inc
         tmp = state_dir.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        _stamp_batch_id(tmp, batch_id)
         _swap_state_dir(tmp, state_dir)
 
         # score the running histogram vs the frozen baseline (cell-table
@@ -760,10 +801,18 @@ def streaming_pchart_maintain(
     counters have no merge-order sensitivity — so the alarm can sit on
     the live stream while audits replay batch.  State size is |groups|,
     not |history|.
+
+    Exactly-once under at-least-once foreachBatch: the last-applied
+    batch_id is stamped into the state dir atomically with the swap
+    (r7 ADVICE), so a micro-batch replayed after a crash between the
+    swap and the checkpoint commit is skipped, never double-counted.
     """
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_applied_batch_id(state_dir)
+        if last is not None and batch_id <= last:
+            return  # at-least-once replay: counters already include it
         delta = batch.groupBy(F.col(group_col).alias("grp")).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col(flag_col).cast("int")).cast("long").alias("flagged"),
@@ -782,6 +831,7 @@ def streaming_pchart_maintain(
             merged = delta
         tmp = state_dir.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        _stamp_batch_id(tmp, batch_id)
         _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
@@ -816,11 +866,21 @@ def streaming_novelty_maintain(
 
     State size is |distinct fingerprints|, not |history rows|; each
     batch touches the state once (union + min merge).
+
+    Exactly-once under at-least-once foreachBatch (r7 ADVICE): the
+    min-id state merge is naturally idempotent, and the per-doc rows
+    land in a ``batch_id=N`` partition of ``out_dir`` via dynamic
+    partition overwrite, so a replayed micro-batch rewrites its own
+    partition instead of appending duplicates.  Readers of ``out_dir``
+    see an extra ``batch_id`` partition column.
     """
     from pyrope_spark.operators.dedup import token_fps
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_applied_batch_id(state_dir)
+        if last is not None and batch_id <= last:
+            return  # replay after full commit: out partition + state exist
         fps = batch.select(
             F.col(id_col).alias("id"),
             F.explode(token_fps(F.col(text_col), ngram_n)).alias("fp"),
@@ -854,9 +914,16 @@ def streaming_novelty_maintain(
                 ),
             )
         )
-        out.write.mode("append").parquet(out_dir)
+        (
+            out.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
         tmp = state_dir.rstrip("/") + ".tmp"
         firsts.write.mode("overwrite").parquet(tmp)
+        _stamp_batch_id(tmp, batch_id)
         _swap_state_dir(tmp, state_dir)
         fps.unpersist()
         firsts.unpersist()

@@ -636,6 +636,37 @@ def test_topk_churn_skips_empty_calendar_days(spark):
     assert out[0].n_stayed == 1 and out[0].n_entrants == 0
 
 
+def test_topk_churn_sparse_days_exact(spark):
+    """Days with fewer than k items report true churn (r7 ADVICE):
+    dropouts come from the previous day's set and the overlap divides
+    by the current day's actual list size, not k."""
+    # day 1 has ONE item {10}; day 2 has TWO items {10, 11}; k = 5
+    rows = [
+        (1, 0, 1, "purchase", 9.00),
+        (2, 1440, 1, "purchase", 8.00),
+        (3, 1441, 1, "purchase", 7.00),
+    ]
+    items = {1: 10, 2: 10, 3: 11}
+    from pyrope_spark.operators.experiment import topk_churn_daily
+
+    ev = _events(spark, rows).withColumn(
+        "item_id",
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in items.items() for x in kv]
+            ),
+            F.col("event_id").cast("int"),
+        ).cast("long"),
+    )
+    out = topk_churn_daily(ev, item_expr=F.col("item_id"), k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_stayed == 1          # item 10 persists
+    assert r.n_entrants == 1        # item 11 is new
+    assert r.n_dropouts == 0        # nothing left the list
+    assert r.overlap_ppm == 500_000  # 1 of the CURRENT 2, not 1 of k=5
+
+
 # ------------------------------------------------------------ feature lift
 
 def test_feature_lift_deciles_closed_form(spark):

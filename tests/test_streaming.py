@@ -1082,3 +1082,83 @@ def test_streaming_novelty_matches_batch_operator(spark, tmp_path):
     assert streamed == batch
     assert streamed[2][2] == 0           # verbatim re-use, later id
     assert streamed[4][1] == 3           # 'a b'/'x y' seen in batch 1
+
+
+def test_streaming_pchart_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same source rows
+    (fresh checkpoint, same state dir — the worst-case replay) must NOT
+    double the sum-merged counters.  The batch-id high-water mark is
+    stamped atomically with the state swap, so replayed batch_ids are
+    skipped (r7 ADVICE)."""
+    from pyrope_spark.streaming.sketches import streaming_pchart_maintain
+
+    src = tmp_path / "pcr_src"
+    state = str(tmp_path / "pcr_state")
+    schema = "grp long, flagged boolean"
+    rows = spark.createDataFrame(
+        [(g, i < 5) for g in range(3) for i in range(20)], schema
+    )
+    rows.write.mode("append").parquet(str(src))
+
+    def run(ckpt: str) -> None:
+        stream = spark.readStream.schema(rows.schema).parquet(str(src))
+        q = streaming_pchart_maintain(
+            stream, state, group_col="grp", flag_col="flagged",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("pcr_ckpt1")
+    first = {
+        r.grp: (r.n, r.flagged) for r in spark.read.parquet(state).collect()
+    }
+    assert first == {g: (20, 5) for g in range(3)}
+    # replay: fresh checkpoint re-delivers every file as batch 0
+    run("pcr_ckpt2")
+    again = {
+        r.grp: (r.n, r.flagged) for r in spark.read.parquet(state).collect()
+    }
+    assert again == first  # not doubled
+
+
+def test_streaming_novelty_replay_no_duplicate_out_rows(spark, tmp_path):
+    """Replaying the novelty stream (fresh checkpoint, same state/out
+    dirs) leaves the per-doc output row set unchanged: each micro-batch
+    owns a batch_id partition it overwrites, never appends (r7 ADVICE)."""
+    from pyrope_spark.streaming.sketches import streaming_novelty_maintain
+
+    src = tmp_path / "nvr_src"
+    state = str(tmp_path / "nvr_state")
+    outd = str(tmp_path / "nvr_out")
+    schema = "doc_id long, text string"
+    rows = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], schema
+    )
+    rows.write.mode("append").parquet(str(src))
+
+    def run(ckpt: str) -> None:
+        stream = spark.readStream.schema(rows.schema).parquet(str(src))
+        q = streaming_novelty_maintain(
+            stream, state, outd, ngram_n=2,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("nvr_ckpt1")
+    first = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel)
+        for r in spark.read.parquet(outd).collect()
+    )
+    assert len(first) == 3
+    run("nvr_ckpt2")
+    again = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel)
+        for r in spark.read.parquet(outd).collect()
+    )
+    assert again == first  # no duplicate appends
