@@ -26,10 +26,15 @@ Deviation from Sennrich et al.: no end-of-word marker symbol (merges are
 within-word either way here; callers wanting suffix-sensitive merges can
 append a marker to ``text_col`` upstream). Symbols are unicode characters.
 
-No relational oracle exists for the merge LOOP (greedy serial dependence);
-``bpe_train`` is gated by a hand-traced pytest closed form and the
-first-iteration pair counts are oracled as the ``bpe_pair_counts``
-registered query (exact SQL twin in queries.py).
+The merge LOOP is serially dependent, but because the registered query
+fixes ``num_merges`` the loop has a FULL relational oracle anyway:
+:func:`bpe_merges_oracle_sql` unrolls the K greedy iterations into K
+chained MATERIALIZED CTE stages, with the merge application expressed as
+a separator-wrapped string ``replace`` whose left-to-right
+non-overlapping semantics equal the BPE pass (r7 VERDICT #1; previously
+rows-only). ``bpe_train`` is additionally gated by a hand-traced pytest
+closed form, and the first-iteration pair counts are separately oracled
+as ``bpe_pair_counts``.
 """
 
 from __future__ import annotations
@@ -225,4 +230,100 @@ def bpe_encode(
         "n_occurrences",
         F.col("bpe").alias("bpe_tokens"),
         F.size("bpe").cast("long").alias("n_subword_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle for the merge LOOP (r7 VERDICT #1)
+# --------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # U+001F unit separator: never survives tokens()'s \s+
+                   # split as document text here is printable; symbols are
+                   # therefore \x1f-free and the wrapped encoding below is
+                   # unambiguous.
+
+
+def bpe_merges_oracle_sql(
+    *,
+    table: str = "documents",
+    text_sql: str = "text",
+    num_merges: int = 20,
+    min_pair_freq: int = 2,
+) -> str:
+    """Full relational twin of the :func:`bpe_train` merge loop.
+
+    The loop is serially dependent, but ``num_merges`` is a constant of
+    the registered query — so instead of gambling on recursive-CTE
+    aggregate support, the greedy iteration is UNROLLED into K chained
+    CTE stages (pair-count -> deterministic top-1 -> apply-merge), each
+    ``MATERIALIZED`` (DuckDB inlines CTEs by default; with two consumers
+    per stage the un-materialized chain expands into 2^K scans).
+
+    The apply-merge step is the trick that makes this pure SQL: a word's
+    symbol list is encoded as a string with every symbol wrapped in
+    ``\\x1f`` separators (``[a, b] -> ␟a␟␟b␟``), and ``replace(s,
+    '␟l␟␟r␟', '␟lr␟')``'s left-to-right non-overlapping semantics are
+    EXACTLY the BPE merge pass: ``aaa`` merges to ``[aa, a]`` (the
+    consumed match can't re-pair) and consecutive disjoint occurrences
+    all merge in one pass, matching ``_merge_word``.
+
+    Early stop is self-propagating: the first step whose best pair falls
+    under ``min_pair_freq`` leaves the vocab unchanged, so every later
+    stage re-derives the same failing top pair — ``WHERE valid`` yields
+    exactly the Spark trainer's 1..s-1 rows with original step numbers.
+
+    Top-1 determinism matches the trainer: min over a
+    ``(-pair_freq, left, right)`` struct == ORDER BY pair_freq DESC,
+    left ASC, right ASC.
+    """
+    from pyrope_spark.functions.text import tokens_sql
+
+    sep = _BPE_SEP
+    parts = [
+        f"""WITH tk AS (SELECT unnest({tokens_sql(text_sql)}) AS w FROM {table}),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1),
+v0 AS MATERIALIZED (
+  SELECT w AS word, f AS freq,
+         regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g') AS s
+  FROM wf)"""
+    ]
+
+    def ex(fld: str) -> str:
+        return f"struct_extract(t, '{fld}')"
+
+    for i in range(1, num_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT sl[j] AS l, sl[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS pf
+  FROM (SELECT freq,
+               string_split(trim(s, '{sep}'), '{sep}{sep}') AS sl
+        FROM v{i - 1}),
+       unnest(generate_series(1, len(sl) - 1)) AS u(j)
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT min(struct_pack(npf := -pf, l := l, r := r)) AS t FROM p{i}
+)""")
+        parts.append(f"""m{i} AS (
+  SELECT CAST({i} AS BIGINT) AS step, {ex('l')} AS left_sym,
+         {ex('r')} AS right_sym, CAST(-{ex('npf')} AS BIGINT) AS pair_freq,
+         (t IS NOT NULL AND -{ex('npf')} >= {min_pair_freq}) AS valid
+  FROM t{i}
+)""")
+        parts.append(f"""v{i} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN t IS NOT NULL AND -{ex('npf')} >= {min_pair_freq}
+              THEN replace(s,
+                   '{sep}' || {ex('l')} || '{sep}{sep}' || {ex('r')} || '{sep}',
+                   '{sep}' || {ex('l')} || {ex('r')} || '{sep}')
+              ELSE s END AS s
+  FROM v{i - 1} CROSS JOIN t{i}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{i}" for i in range(1, num_merges + 1)
+    )
+    parts.append(f"mm AS ({union})")
+    return (
+        ",\n".join(parts)
+        + "\nSELECT step, left_sym, right_sym, pair_freq FROM mm"
+        + " WHERE valid ORDER BY step"
     )

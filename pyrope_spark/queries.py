@@ -10883,11 +10883,12 @@ FROM agg
 # - bpe_pair_counts: the trainer's first iteration — adjacent-character
 #   pair counts weighted by word frequency — fully oracled (the SQL twin
 #   mirrors tokens_sql + lateral generate_series).
-# - bpe_merges: the 20-step greedy merge table. The merge LOOP is serially
-#   dependent (each step's counts depend on the previous merge), so no
-#   relational oracle form exists; registered WITHOUT oracle (driver
-#   records the weaker rows-only check) and gated by the hand-traced
-#   closed forms in tests/test_bpe.py.
+# - bpe_merges: the 20-step greedy merge table, FULLY oracled (r8): the
+#   loop is serially dependent but num_merges is a constant of this
+#   query, so bpe_merges_oracle_sql unrolls it into 20 materialized CTE
+#   stages with the merge applied via separator-wrapped string replace
+#   (left-to-right non-overlap == the BPE pass). Also gated by the
+#   hand-traced closed forms in tests/test_bpe.py.
 # --------------------------------------------------------------------------
 
 
@@ -10937,7 +10938,13 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
-register("bpe_merges", None)(_bpe_merges_spark)
+def _bpe_merges_oracle() -> str:
+    from pyrope_spark.operators.bpe import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql(num_merges=20, min_pair_freq=2)
+
+
+register("bpe_merges", _bpe_merges_oracle())(_bpe_merges_spark)
 
 
 # --------------------------------------------------------------------------
