@@ -283,6 +283,7 @@ def ivf_search(
     cluster_col: str = "cluster_id",
     deleted_col: str | None = None,
     impl: str = "gemm",
+    distributed: bool | str = "auto",
 ) -> DataFrame:
     """Search the nprobe nearest clusters per query
     (reference: IvfFlatVectorIndex.cs:147-231).
@@ -295,7 +296,32 @@ def ivf_search(
     grouped by cluster and scored against only the queries probing that
     cluster via BLAS, emitting per-batch partial top-K — the scale path.
     ``impl='expr'``: pure column expressions (oracle-parity path).
+
+    ``distributed='auto'`` (default, r7 VERDICT #2): both impls select
+    probes from a driver-collected query list, so above
+    :data:`~pyrope_spark.operators.similarity.DISTRIBUTED_QUERY_THRESHOLD`
+    query rows the direct call packs the live candidates per cluster and
+    delegates to :func:`ivf_search_packed_distributed` (executor-side
+    probe selection, cogrouped per-cluster GEMM — no driver collect),
+    regardless of ``impl``.  ``distributed=False`` keeps the collecting
+    path unconditionally.
     """
+    from pyrope_spark.operators.similarity import _pick_distributed
+
+    if _pick_distributed(distributed, queries):
+        from pyrope_spark.operators.segments import pack_segments
+
+        live = assigned
+        if deleted_col is not None:
+            live = live.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        seg = pack_segments(
+            live, id_col=id_col, vector_col=vector_col, cluster_col=cluster_col
+        )
+        return ivf_search_packed_distributed(
+            seg, model, queries, k=k, nprobe=nprobe,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+
     spark = assigned.sparkSession
     qrows = [(r[query_id_col], list(r[query_vector_col])) for r in queries.select(query_id_col, query_vector_col).collect()]
     probe_pairs = select_probes(model, qrows, nprobe)

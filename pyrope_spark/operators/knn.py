@@ -79,6 +79,7 @@ def knn_bruteforce(
     max_scans: int | None = None,
     impl: str = "expr",
     two_phase: bool | None = None,
+    distributed: bool | str = "auto",
 ) -> DataFrame:
     """Exact top-K for every query row; returns
     ``(query_id, id, score, rank)`` (+ passthrough query columns stay joinable
@@ -88,6 +89,19 @@ def knn_bruteforce(
     ``Extensions/VectorCommandParser.cs:42-78``); ``k`` is the global default.
     ``max_scans`` caps scanned rows (reference scan budget,
     ``BruteForceVectorIndex.cs:288``) — approximate by construction.
+
+    ``distributed='auto'`` (default, r7 VERDICT #2): when ``impl='gemm'``
+    and the query table exceeds
+    :data:`~pyrope_spark.operators.similarity.DISTRIBUTED_QUERY_THRESHOLD`
+    rows, the direct call delegates to the collect-free
+    :func:`~pyrope_spark.operators.segments.segment_knn_distributed`
+    block-join instead of materializing the queries on the driver —
+    same guarantee the :func:`~pyrope_spark.operators.similarity.ann_topk`
+    facade already had.  Per-query ``k_col`` / tag filters ride the
+    collected side and have no distributed twin yet, so those raise above
+    the threshold rather than silently collecting; pass
+    ``distributed=False`` to accept the driver collect explicitly.  The
+    expr impl never collects query VECTORS and is exempt.
     """
     metric = normalize_metric(metric)
     if k is None and k_col is None:
@@ -108,6 +122,38 @@ def knn_bruteforce(
         live = live.limit(max_scans)
 
     if impl == "gemm":
+        from pyrope_spark.operators.similarity import _pick_distributed
+
+        if _pick_distributed(distributed, queries):
+            blockers = [
+                name
+                for name, used in (
+                    ("k_col", k_col is not None),
+                    (
+                        "filter_tags_col",
+                        filter_tags_col is not None and tags_col is not None,
+                    ),
+                )
+                if used
+            ]
+            if blockers:
+                raise ValueError(
+                    "knn_bruteforce: query table exceeds the distributed "
+                    f"threshold but {'/'.join(blockers)} ride the collected "
+                    "query side (no distributed twin). Split the query "
+                    "batch, or pass distributed=False to accept a driver "
+                    "collect of the full query table."
+                )
+            from pyrope_spark.operators.segments import (
+                pack_segments,
+                segment_knn_distributed,
+            )
+
+            seg = pack_segments(live, id_col=id_col, vector_col=vector_col)
+            return segment_knn_distributed(
+                seg, queries, k, metric, scoring="float",
+                query_id_col=query_id_col, query_vector_col=query_vector_col,
+            )
         # Collect the (small) query side once: vectors, per-query k, and
         # per-query filter tags all ride the same broadcast so the scan
         # kernel can filter BEFORE its partial top-K cut (same pre-scoring

@@ -661,3 +661,68 @@ def test_recall_eval_truncates_truth_to_k(spark):
     # k=2: truth cut to [1,2]; the id-5 hit (true rank 5) must NOT count
     r = recall_eval(hits, truth, k=2).collect()[0]
     assert r.sum_intersect == 1 and r.mean_recall_ppm == 500_000
+
+
+def test_direct_call_auto_switch_no_collect(spark, monkeypatch):
+    """VERDICT r7 item 2: the DIRECT knn_bruteforce(impl='gemm') and
+    ivf_search calls (not just the ann_topk facade) auto-delegate to the
+    collect-free distributed twins above the threshold — asserted by the
+    same collect-spy, and by result parity with the small-batch path."""
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.ivf import build_ivf, ivf_search
+    from pyrope_spark.operators.similarity import DISTRIBUTED_QUERY_THRESHOLD
+
+    n_q = DISTRIBUTED_QUERY_THRESHOLD + 64
+    vectors = make_vectors_df(spark, n=300, dim=8, del_frac=0.0).cache()
+    queries = (
+        spark.range(n_q)
+        .select(
+            F.concat(F.lit("q"), F.col("id")).alias("query_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (F.pmod(F.col("id") * 31 + i * 17, F.lit(97)) / 97.0).cast("double"),
+            ).alias("vector"),
+        )
+        .cache()
+    )
+    queries.count()
+    assigned, model = build_ivf(vectors, nlist=4, metric="l2")
+    assigned = assigned.cache()
+    assigned.count()
+
+    # parity first (collect allowed for the comparison itself): the
+    # delegated result of a small slice == the collecting path
+    small = queries.limit(16).cache()
+    small.count()
+    key = lambda df: sorted((r["query_id"], r["rank"], r["id"]) for r in df.collect())
+    assert key(
+        knn_bruteforce(vectors, small, k=5, metric="l2", impl="gemm",
+                       distributed=True)
+    ) == key(
+        knn_bruteforce(vectors, small, k=5, metric="l2", impl="gemm",
+                       distributed=False)
+    )
+    assert key(
+        ivf_search(assigned, model, small, k=5, nprobe=4, distributed=True)
+    ) == key(
+        ivf_search(assigned, model, small, k=5, nprobe=4, distributed=False)
+    )
+
+    import pyspark.sql.dataframe as df_mod
+
+    def no_collect(self, *a, **kw):
+        raise AssertionError("driver collect() on direct-call distributed path")
+
+    monkeypatch.setattr(df_mod.DataFrame, "collect", no_collect)
+    out = knn_bruteforce(vectors, queries, k=5, metric="l2", impl="gemm")
+    assert out.count() == n_q * 5
+    out = ivf_search(assigned, model, queries, k=5, nprobe=4)
+    assert out.count() == n_q * 5
+    monkeypatch.undo()
+
+    # per-query k rides the collected side: above threshold it must raise,
+    # not silently collect
+    qk = queries.withColumn("topk", F.lit(3))
+    with pytest.raises(ValueError, match="distributed"):
+        knn_bruteforce(vectors, qk, metric="l2", impl="gemm", k_col="topk")
