@@ -11,7 +11,12 @@ BENCH_full_r{N}.json). Round 4's full-fat final line exceeded the driver's
 final line is now budgeted ≤1,800 chars (VERDICT r4 What's-wrong #1).
 "queries" carries in-suite timings (suite-position effects included, min
 over in-place repeats); "min_n" post-suite isolated re-timings — compare
-rounds on "min_n" first.
+rounds on "min_n" first.  The three retrieval entries that drifted with
+suite position across r4-r7 (bm25_search, hybrid_rrf_search,
+ngram_lm_score) are PINNED to their isolated min_n value inside
+"queries" itself (VERDICT r7 #6) so round-over-round comparison stops
+re-litigating position noise; their in-suite numbers remain in
+BENCH_full.json.
 
 Two groups:
 - BASELINE-comparable vector workloads on synthetic data mirroring the
@@ -169,6 +174,25 @@ def main() -> None:
         knn_bruteforce_packed(state["seg_bf"], big_queries, k=TOP_K, metric="l2").count()
 
     timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q1000", bf_1k, repeat=3)
+
+    # ---------------- bulk load (BASELINE load row, VERDICT r7 #4)
+    # The reference's loader streams 100k vectors into its index at
+    # 22,968 vec/s (Program.cs:265-342). SURVEY S9 subsumes that loader
+    # with plain df.write into the store's parquet layout; measure that
+    # head-to-head: one overwrite write of the same 100k x d128 table.
+    import shutil
+    import tempfile
+
+    load_dir = tempfile.mkdtemp(prefix="bench_bulk_load_")
+
+    def bulk_load():
+        vectors.write.mode("overwrite").parquet(
+            os.path.join(load_dir, "vectors")
+        )
+
+    timed(f"bulk_load_write_{N_VECTORS}v_d{DIM}", bulk_load, repeat=3)
+    shutil.rmtree(load_dir, ignore_errors=True)
+
     # release the float32 bf segments before the IVF section — leftover
     # cached blocks + worker state measurably inflate the MLlib fit and the
     # later sub-second scan entries (suite-order interference, PLANS.md r3)
@@ -968,6 +992,11 @@ def main() -> None:
         derived["sq8_byte_batch1000_qps"] = round(
             1000 / timings[f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000"], 1
         )
+    if f"bulk_load_write_{N_VECTORS}v_d{DIM}" in timings:
+        # BASELINE load row comparator (reference: 22,968 vec/s)
+        derived["bulk_load_vec_per_s"] = round(
+            N_VECTORS / timings[f"bulk_load_write_{N_VECTORS}v_d{DIM}"], 1
+        )
     if f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000" in min_n:
         # noise-proof comparator for BASELINE's 461.4 QPS SQ8 row
         derived["sq8_byte_batch1000_qps_min_n"] = round(
@@ -1003,6 +1032,7 @@ def main() -> None:
         )
         f.write("\n")
     headline = [
+        f"bulk_load_write_{N_VECTORS}v_d{DIM}",
         f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
         f"bf_l2_{N_VECTORS}v_d{DIM}_q1000",
         f"ivf_build_{N_VECTORS}v_nlist100",
@@ -1021,13 +1051,23 @@ def main() -> None:
         "minhash_lsh_dedup",
         "semantic_dedup",
         "bm25_search",
+        "hybrid_rrf_search",
+        "ngram_lm_score",
     ]
+    # retrieval entries pinned to their isolated post-clearCache min-of-3
+    # (VERDICT r7 #6): the in-suite number for these swung 1.5-3x with
+    # suite position across rounds while the isolated number was stable
+    min_n_pinned = ("bm25_search", "hybrid_rrf_search", "ngram_lm_score")
     compact = {
         "metric": "pyrope_spark_batch_suite_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
-        "queries": {k: timings[k] for k in headline if k in timings},
+        "queries": {
+            k: (min_n[k] if k in min_n_pinned and k in min_n else timings[k])
+            for k in headline
+            if k in timings
+        },
         "min_n": min_n,
         "derived": derived,
         "full": "BENCH_full.json",
