@@ -517,3 +517,26 @@ def test_ahash_synth_roundtrip_closed_form(spark):
     # gray alternates 97,98; sum=6240; only 98*64=6272 >= 6240 -> odd bits
     assert hashed["ahash_lo"] == 0xAAAAAAAA
     assert hashed["ahash_hi"] == 0xAAAAAAAA
+
+
+def test_encode_png_roundtrip_exact():
+    """Library encoder (multimodal.columns.encode_png) -> png_decoder is
+    bit-exact for every scanline filter rotation — the real-codec pair the
+    oracled png_real_codec_roundtrip query runs executor-side."""
+    import numpy as np
+    import pytest
+
+    from pyrope_spark.multimodal.columns import encode_png, png_decoder
+
+    rng = np.random.default_rng(21)
+    dec = png_decoder()
+    for shape in ((16, 12, 3), (1, 1, 3), (5, 31, 3)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filters in ((0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)):
+            np.testing.assert_array_equal(
+                dec(encode_png(px, filters=filters)), px
+            )
+    with pytest.raises(ValueError, match="uint8"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.int32))
+    with pytest.raises(ValueError, match="unknown PNG filter"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filters=(7,))
