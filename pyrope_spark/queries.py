@@ -4460,6 +4460,82 @@ FROM px GROUP BY 1 ORDER BY 1
 register("png_real_codec_roundtrip", _PNG_CODEC_ORACLE)(_png_codec_spark)
 
 
+def _png_resize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode chained into the resize stage: 16x12 PNGs decoded
+    with the pure-numpy codec, nearest-neighbor resized to 8x6 by
+    resize_image_stub, per-doc stats oracled from the generating formula
+    at the strided indices (yi = 2y, xi = 2x)."""
+    from pyrope_spark.multimodal.columns import (
+        decode_image,
+        encode_png,
+        png_decoder,
+        resize_image_stub,
+    )
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 64)
+    )
+    h, w = _PNG_H, _PNG_W
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(h)[:, None, None]
+        x = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = ((d * 31 + y * 17 + x * 7 + c * 13) % 256).astype(
+                    np.uint8
+                )
+                ids.append(str(d))
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    decoded = decode_image(media, decoder=png_decoder(), out_h=h, out_w=w)
+    small = resize_image_stub(decoded, h // 2, w // 2)
+    return small.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("px_sum"),
+        F.array_min("pixels").cast("long").alias("px_min"),
+        F.array_max("pixels").cast("long").alias("px_max"),
+    ).orderBy("doc_id")
+
+
+_PNG_RESIZE_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 64
+), px AS (
+  -- nearest-neighbor index map: yi = y*{_PNG_H}//{_PNG_H // 2} = 2y,
+  -- xi = x*{_PNG_W}//{_PNG_W // 2} = 2x
+  SELECT doc_id,
+         (doc_id * 31 + (2 * y) * 17 + (2 * x) * 7 + c * 13) % 256 AS v
+  FROM ids,
+       unnest(generate_series(0, {_PNG_H // 2 - 1})) AS ty(y),
+       unnest(generate_series(0, {_PNG_W // 2 - 1})) AS tx(x),
+       unnest(generate_series(0, 2)) AS tc(c)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS BIGINT) AS px_min,
+       CAST(MAX(v) AS BIGINT) AS px_max
+FROM px GROUP BY 1 ORDER BY 1
+"""
+
+register("png_real_codec_resize", _PNG_RESIZE_ORACLE)(_png_resize_spark)
+
+
 # --------------------------------------------------------------------------
 # HLL merge in the gate (operators/sketch.py): two half-corpus sketches
 # union+max-merged, estimated, vs the exact distinct of the union — the

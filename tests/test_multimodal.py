@@ -540,3 +540,39 @@ def test_encode_png_roundtrip_exact():
         encode_png(np.zeros((2, 2, 3), dtype=np.int32))
     with pytest.raises(ValueError, match="unknown PNG filter"):
         encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filters=(7,))
+
+
+def test_extract_features_real_png_bytes(spark):
+    """Feature extraction over REAL compressed bytes: encode -> decode ->
+    extract_features through the full Spark plumbing equals the same
+    numpy computation on the source pixels (decode is lossless, so any
+    divergence is a plumbing bug)."""
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import (
+        decode_image,
+        encode_png,
+        extract_features,
+        png_decoder,
+    )
+
+    rng = np.random.default_rng(31)
+    pxs = {f"m{i}": rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+           for i in range(3)}
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_png(v))) for k, v in pxs.items()],
+        "media_id string, payload binary",
+    )
+    decoded = decode_image(df, decoder=png_decoder(), out_h=10, out_w=8)
+    got = {
+        r["media_id"]: np.asarray(r["features"], dtype=np.float32)
+        for r in extract_features(decoded).collect()
+    }
+    for k, px in pxs.items():
+        stack = px[None].astype(np.float64)
+        mean = stack.mean(axis=(1, 2))[0]
+        std = stack.std(axis=(1, 2))[0]
+        grad = (np.abs(np.diff(stack, axis=1)).mean()
+                + np.abs(np.diff(stack, axis=2)).mean())
+        want = np.concatenate([mean, std, [grad]]).astype(np.float32)
+        np.testing.assert_array_equal(got[k], want)
