@@ -1229,6 +1229,7 @@ def lorenz_curve_deciles(
     value_col: str,
     n_buckets: int = 10,
     scale: int = 1_000_000,
+    values_are_micro: bool = False,
 ) -> DataFrame:
     """Lorenz-curve points: members sorted by value ascending, bucketed
     into ``n_buckets`` equal-population slices, each with its exact value
@@ -1248,20 +1249,21 @@ def lorenz_curve_deciles(
     (≈9.0e9) lose exactness in the ×1e6 step. Both engines perform the
     identical IEEE multiply+floor, so cross-engine hash parity holds at
     ANY magnitude; only absolute exactness of the micro units degrades
-    past that bound. Callers with larger integer units should pre-scale
-    before calling.
+    past that bound. Callers whose column already holds integer micro
+    (or cent) units can pass ``values_are_micro=True`` (r7 ADVICE flag)
+    to take the value as-is — a pure LONG cast, exact to 2^63.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from pyrope_spark.operators.curation import global_rank
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.floor(F.col(value_col).cast("double") * 1_000_000)
-        .cast("long")
-        .alias("vm"),
+    vm = (
+        F.col(value_col).cast("long")
+        if values_are_micro
+        else F.floor(F.col(value_col).cast("double") * 1_000_000).cast("long")
     )
+    base = df.select(F.col(id_col).alias("id"), vm.alias("vm"))
     ranked = global_rank(base, order_cols=("vm", "id"))
     n_row = base.agg(F.count("*").alias("n"), F.sum("vm").alias("total"))
     bucketed = ranked.crossJoin(F.broadcast(n_row)).select(
@@ -1300,12 +1302,18 @@ def lorenz_curve_oracle_sql(
     table: str,
     n_buckets: int = 10,
     scale: int = 1_000_000,
+    values_are_micro: bool = False,
 ) -> str:
-    """DuckDB twin of [[lorenz_curve_deciles]]."""
+    """DuckDB twin of [[lorenz_curve_deciles]] (same ``values_are_micro``
+    exact-integer input path)."""
+    vm = (
+        f"CAST({value_sql} AS BIGINT)"
+        if values_are_micro
+        else f"CAST(floor(CAST({value_sql} AS DOUBLE) * 1000000) AS BIGINT)"
+    )
     return f"""
 WITH base AS (
-  SELECT {id_sql} AS id,
-         CAST(floor(CAST({value_sql} AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  SELECT {id_sql} AS id, {vm} AS vm
   FROM {table}
 ),
 ranked AS (

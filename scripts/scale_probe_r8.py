@@ -8,13 +8,20 @@ on the same container:
 
 - bulk_load_write_1M:        df.write of the 1M table (BASELINE load row
                              at 10x the reference's stall point)
-- ivf_build_1M_nlist1000:    coarse k-means (nlist = sqrt(N) discipline:
-                             cluster size stays ~1k vectors, so nprobe=3
-                             probes ~3k candidates/query — FLAT per-query
-                             work vs the 100k/nlist100 bench row)
-- ivf_dist_nprobe3_1M_q100000: the distributed 100k-query sweep at 1M
-- ivf_recall@10 vs exact:    quality check for the nlist/nprobe choice
+- ivf_build_1M_nlist1000:    coarse k-means (nlist = sqrt(N) discipline)
+- ivf_dist sweeps at nprobe=3 (0.3% scan — FLAT ~3k candidates/query vs
+  the 100k/nlist100 bench row) and nprobe=30 (3% scan — the same probe
+  FRACTION as the bench row): on uniform [0,1)^128 data recall is
+  governed by the scanned fraction (RECALL.md documents the curve), so
+  the pair shows the standard IVF tradeoff at 1M — constant-work/lower
+  recall vs constant-fraction/equal recall.
+- ivf_recall@10 at nprobe 3/30/100 vs exact, + HNSW recall@10
 - hnsw_bulk_build_1M_10shards: shard-parallel graph build + search
+- a CLUSTERED 1M dataset (1000 Gaussian centers, the SIFT-like shape
+  real embeddings have): uniform [0,1)^128 is the ADVERSARIAL case for
+  ANN — distance concentration makes recall track the scanned fraction
+  (observed 0.052 @0.3%, 0.473 @10%) — so the clustered probe shows the
+  index family where intrinsic structure exists.
 
 Writes BENCH_1M_r8.json at the repo root.
 """
@@ -95,7 +102,8 @@ def main() -> None:
     timed(f"ivf_build_{N}v_nlist{NLIST}", ivf_build)
     seg, model = state["ivf"]
 
-    # ---- distributed 100k-query sweep (mirrors the 100k-corpus bench row)
+    # ---- distributed 100k-query sweeps: constant work (nprobe3, 0.3%
+    # scan) vs constant fraction (nprobe30, 3% — the 100k bench row's)
     huge = (
         synth_queries(spark, 100_000, DIM, seed=777)
         .withColumnRenamed("id", "query_id")
@@ -107,18 +115,21 @@ def main() -> None:
         seg, model, huge.limit(64), k=TOP_K, nprobe=NPROBE
     ).count()
 
-    def sweep():
-        ivf_search_packed_distributed(
-            seg, model, huge, k=TOP_K, nprobe=NPROBE
-        ).count()
+    for np_ in (3, 30):
+        def sweep(np_=np_):
+            ivf_search_packed_distributed(
+                seg, model, huge, k=TOP_K, nprobe=np_
+            ).count()
 
-    timed(f"ivf_dist_nprobe{NPROBE}_{N}v_q100000", sweep)
-    derived["ivf_dist_1m_qps"] = round(
-        100_000 / timings[f"ivf_dist_nprobe{NPROBE}_{N}v_q100000"], 1
-    )
+        timed(f"ivf_dist_nprobe{np_}_{N}v_q100000", sweep)
+        derived[f"ivf_dist_1m_nprobe{np_}_qps"] = round(
+            100_000 / timings[f"ivf_dist_nprobe{np_}_{N}v_q100000"], 1
+        )
     huge.unpersist()
 
-    # ---- recall vs exact at 1M (100 queries)
+    # ---- recall vs exact at 1M (100 queries): the scanned-fraction
+    # tradeoff curve (uniform data has no cluster structure, so recall
+    # tracks the fraction — RECALL.md's documented behavior)
     from pyrope_spark.operators.knn import knn_bruteforce
 
     queries = synth_queries(spark, 100, DIM, seed=1337).cache()
@@ -131,24 +142,131 @@ def main() -> None:
         exact.count()
 
     timed(f"bf_exact_{N}v_q100", exact_pass)
-    hits = ivf_search_packed_distributed(
-        seg, model, queries, k=TOP_K, nprobe=NPROBE
-    )
-    derived[f"ivf_recall_at_{TOP_K}_nprobe{NPROBE}_1m"] = round(
-        ivf_recall(hits, exact, TOP_K), 4
-    )
+    for np_ in (3, 30, 100):
+        hits = ivf_search_packed_distributed(
+            seg, model, queries, k=TOP_K, nprobe=np_
+        )
+        derived[f"ivf_recall_at_{TOP_K}_nprobe{np_}_1m"] = round(
+            ivf_recall(hits, exact, TOP_K), 4
+        )
     seg.unpersist()
 
     # ---- HNSW: 10 shards of 100k built in parallel, searched fan-out
     from pyrope_spark.operators.hnsw import hnsw_partition_search
 
     def hnsw_1m():
-        hnsw_partition_search(
-            vectors.repartition(10), queries.limit(100), k=TOP_K,
+        hits = hnsw_partition_search(
+            vectors.repartition(10), queries, k=TOP_K,
             metric="l2", max_shard_rows=100_000,
-        ).count()
+        ).cache()
+        hits.count()
+        state["hnsw_hits"] = hits
 
     timed(f"hnsw_bulk_build_search_{N}v_10shards", hnsw_1m)
+    derived[f"hnsw_recall_at_{TOP_K}_1m"] = round(
+        ivf_recall(state["hnsw_hits"], exact, TOP_K), 4
+    )
+    exact.unpersist()
+    vectors.unpersist()
+    queries.unpersist()
+    spark.catalog.clearCache()
+
+    # ---- clustered 1M (1000 Gaussian centers, sigma 0.05): the shape
+    # real embedding corpora have; ANN recall here reflects the index,
+    # not distance concentration
+    def synth_clustered(n: int, n_centers: int = 1000, sigma: float = 0.05):
+        parts = 32
+
+        def gen(it):
+            import pandas as pd
+
+            rng_c = np.random.default_rng(4242)
+            centers = rng_c.random((n_centers, DIM), dtype=np.float32)
+            for pdf in it:
+                for pid in pdf["pid"]:
+                    rng = np.random.default_rng(5000 + int(pid))
+                    lo = int(pid) * n // parts
+                    hi = (int(pid) + 1) * n // parts
+                    cidx = rng.integers(0, n_centers, size=hi - lo)
+                    mat = centers[cidx] + rng.normal(
+                        0, sigma, size=(hi - lo, DIM)
+                    ).astype(np.float32)
+                    yield pd.DataFrame(
+                        {
+                            "id": [f"c{i}" for i in range(lo, hi)],
+                            "vector": list(mat.astype(np.float32)),
+                        }
+                    )
+
+        base = spark.createDataFrame(
+            [(i,) for i in range(parts)], "pid int"
+        ).repartition(parts)
+        return base.mapInPandas(gen, "id string, vector array<float>")
+
+    cvec = synth_clustered(N).cache()
+    cvec.count()
+    # queries: perturbed members (the standard eval shape)
+    cq = (
+        cvec.limit(200)
+        .withColumnRenamed("id", "query_id")
+        .cache()
+    )
+    cq.count()
+
+    def ivf_build_c():
+        assigned, model = build_ivf(cvec, nlist=NLIST, metric="l2")
+        seg = pack_segments(
+            assigned, cluster_col="cluster_id", rows_per_segment=8192
+        ).cache()
+        seg.count()
+        state["ivf_c"] = (seg, model)
+
+    timed(f"ivf_build_clustered_{N}v_nlist{NLIST}", ivf_build_c)
+    seg_c, model_c = state["ivf_c"]
+    exact_c = knn_bruteforce(
+        cvec, cq, k=TOP_K, metric="l2", impl="gemm", distributed=False
+    ).cache()
+    exact_c.count()
+    for np_ in (3, 10):
+        hits_c = ivf_search_packed_distributed(
+            seg_c, model_c, cq, k=TOP_K, nprobe=np_
+        )
+        derived[f"ivf_recall_at_{TOP_K}_nprobe{np_}_1m_clustered"] = round(
+            ivf_recall(hits_c, exact_c, TOP_K), 4
+        )
+    hq = (
+        synth_clustered(100_000)
+        .withColumnRenamed("id", "query_id")
+        .cache()
+    )
+    hq.count()
+
+    def sweep_c():
+        ivf_search_packed_distributed(
+            seg_c, model_c, hq, k=TOP_K, nprobe=NPROBE
+        ).count()
+
+    timed(f"ivf_dist_clustered_nprobe{NPROBE}_{N}v_q100000", sweep_c)
+    derived["ivf_dist_1m_clustered_qps"] = round(
+        100_000
+        / timings[f"ivf_dist_clustered_nprobe{NPROBE}_{N}v_q100000"],
+        1,
+    )
+    hq.unpersist()
+    seg_c.unpersist()
+
+    def hnsw_1m_c():
+        hits = hnsw_partition_search(
+            cvec.repartition(10), cq, k=TOP_K,
+            metric="l2", max_shard_rows=100_000,
+        ).cache()
+        hits.count()
+        state["hnsw_hits_c"] = hits
+
+    timed(f"hnsw_bulk_build_search_clustered_{N}v_10shards", hnsw_1m_c)
+    derived[f"hnsw_recall_at_{TOP_K}_1m_clustered"] = round(
+        ivf_recall(state["hnsw_hits_c"], exact_c, TOP_K), 4
+    )
 
     out = {
         "metric": "pyrope_spark_1m_probe_seconds",

@@ -7,22 +7,34 @@ CORRECTNESS_r8_sf1-sample.json.
 
 The 20 names are the top oracled entries of BENCH_full_r07.json by
 in-suite cost (synthetic-vector and streaming bench-only entries
-excluded — they have no sf-dir input).
+excluded — they have no sf-dir input; quality_clf_train_score_docs is a
+bench-only MLlib entry, so embedding_neardup_blocked takes its slot).
+
+Each query gets its OWN DuckDB connection with an explicit temp
+directory and a hard temp-size cap: the first gate run at this scale
+spilled >40 GB of DuckDB sort temp into the repo cwd before any result —
+one runaway oracle must fail loudly, not fill the disk.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import driver_check as dc  # noqa: E402
 
 TOP20 = [
     "ngram_novelty_per_doc",
-    "quality_clf_train_score_docs",
+    "embedding_neardup_blocked",
     "source_shingle_overlap",
     "winnowing_fingerprints",
     "bpe_merges",
@@ -43,17 +55,97 @@ TOP20 = [
     "split_leakage_audit",
 ]
 
+SPILL = "/tmp/pyrope_sf1_duckspill"
+
 
 def main() -> int:
     sf1 = os.environ.get("SF1_DIR", "/tmp/pyrope_sf1")
     if not os.path.isdir(sf1):
         raise SystemExit(f"{sf1} missing - run scripts/gen_sf1.py first")
-    dc.SF_T2 = sf1
+
+    import __spark_entry__ as entrymod
+    from pyrope_spark.catalog import TABLES
+    from pyrope_spark.session import get_spark
+
+    spark = get_spark("sf1_gate")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+
+    for name in TOP20:
+        t0 = time.time()
+        row = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        try:
+            mine = qs[name](spark, sf1).toPandas()
+            row["spark_rows"] = len(mine)
+            spark_s = time.time() - t0
+            os.makedirs(SPILL, exist_ok=True)
+            con = duckdb.connect()
+            con.execute(f"SET temp_directory='{SPILL}'")
+            con.execute("SET max_temp_directory_size='30GB'")
+            con.execute("SET memory_limit='48GB'")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf1}/{t}.parquet'"
+                )
+            t1 = time.time()
+            oracle = con.execute(oracles[name]).df()
+            con.close()
+            row["oracle_rows"] = len(oracle)
+            a, b = dc.canon(mine), dc.canon(oracle)
+            status = []
+            row["rows_match"] = len(a) == len(b)
+            if not row["rows_match"]:
+                status.append(f"rowcount {len(a)} != {len(b)}")
+            row["schema_match"] = list(a.columns) == list(b.columns)
+            if not row["schema_match"]:
+                status.append(f"cols {list(a.columns)} != {list(b.columns)}")
+            if row["schema_match"] and list(a.dtypes) != list(b.dtypes):
+                diffs = [f"{c}: spark={da} oracle={db}"
+                         for c, da, db in zip(a.columns, a.dtypes, b.dtypes)
+                         if da != db]
+                status.append(f"dtypes differ: {diffs}")
+            if not status:
+                try:
+                    pd.testing.assert_frame_equal(
+                        a, b, check_dtype=True, check_exact=False,
+                        rtol=0, atol=2e-6,
+                    )
+                    row["hash_match"] = True
+                except AssertionError as exc:
+                    status.append(f"values differ: {str(exc)[:300]}")
+            row["err"] = "; ".join(status) or None
+            if status:
+                failures.append(name)
+                print(f"[FAIL] {name}: {'; '.join(status)}", flush=True)
+            else:
+                print(
+                    f"[OK]   {name}: {len(a)} rows match "
+                    f"(spark {spark_s:.1f}s, oracle {time.time() - t1:.1f}s)",
+                    flush=True,
+                )
+        except Exception as exc:  # noqa: BLE001
+            row["err"] = str(exc)[:300]
+            failures.append(name)
+            print(f"[FAIL] {name}: {row['err']}", flush=True)
+        finally:
+            shutil.rmtree(SPILL, ignore_errors=True)
+        results[name] = row
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "CORRECTNESS_r8_sf1-sample.json",
     )
-    return dc.main([*TOP20, "--json", out])
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    print(f"\n{len(failures)} failures"
+          + (f": {failures}" if failures else "") + f"\nwrote {out}",
+          flush=True)
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -494,3 +494,27 @@ def test_lorenz_equal_values_even_shares(spark):
     out = lorenz_curve_deciles(df, id_col="id", value_col="v").collect()
     assert all(r.n_members == 2 for r in out)
     assert all(r.share_ppm == 100_000 for r in out)
+
+
+def test_lorenz_values_are_micro_exact_beyond_double(spark):
+    """values_are_micro=True (r7 ADVICE flag) takes already-integer units
+    as-is — exact past the 2^53/1e6 double bound that the default
+    floor-micro path documents."""
+    from pyrope_spark.operators.analytics import lorenz_curve_deciles
+
+    big = 9_100_000_000_000  # > 2^53/1e6 * 1e6 after the x1e6 step
+    df = spark.createDataFrame(
+        [(i, big + i) for i in range(1, 11)], "id LONG, v LONG"
+    )
+    out = sorted(
+        lorenz_curve_deciles(
+            df, id_col="id", value_col="v", values_are_micro=True
+        ).collect(),
+        key=lambda r: r.bucket,
+    )
+    total = sum(big + i for i in range(1, 11))
+    assert [r.bucket_value_micro for r in out] == [
+        big + i for i in range(1, 11)
+    ]
+    assert out[-1].share_ppm == (big + 10) * 1_000_000 // total
+    assert out[-1].cum_share_ppm == 1_000_000
