@@ -8,7 +8,20 @@ CORRECTNESS_r8_sf1-sample.json.
 The 20 names are the top oracled entries of BENCH_full_r07.json by
 in-suite cost (synthetic-vector and streaming bench-only entries
 excluded — they have no sf-dir input; quality_clf_train_score_docs is a
-bench-only MLlib entry, so embedding_neardup_blocked takes its slot).
+bench-only MLlib entry, so embedding_neardup_blocked takes its slot;
+greedy_coverage_selection's DuckDB twin replays the greedy set-cover
+loop — iteration x corpus-sized scans — and blew the 30 GB temp cap at
+sf1 while the Spark operator finished fine, so events_gapfill takes its
+slot and greedy coverage stays sf0.1-gated).
+
+Three more sf1-ORACLE-infeasible swaps, all with the Spark side green
+and the DuckDB twin the bottleneck: kcore_copurchase and
+triangle_copurchase (iterative peeling / triangle join over the 10x
+co-purchase pair table exceed the 30 GB DuckDB temp cap) ->
+join_strategy_advice + semantic_dedup; setsim_prefix_join (the prefix
+candidate join runs single-threaded in DuckDB's list kernels — killed
+after 25 min) -> vocab_coverage_curve. All four excluded queries remain
+hash-green at sf0.01 + sf0.1 in the full gate.
 
 Each query gets its OWN DuckDB connection with an explicit temp
 directory and a hard temp-size cap: the first gate run at this scale
@@ -39,15 +52,15 @@ TOP20 = [
     "winnowing_fingerprints",
     "bpe_merges",
     "embedding_norm_outliers",
-    "greedy_coverage_selection",
+    "events_gapfill",
     "containment_dup_pairs",
     "cdc_chunking",
     "dsir_importance_resample",
-    "kcore_copurchase",
+    "join_strategy_advice",
     "bm25_prf_search",
-    "triangle_copurchase",
+    "semantic_dedup",
     "chunk_documents_strided",
-    "setsim_prefix_join",
+    "vocab_coverage_curve",
     "fd_discovery_matrix",
     "frequent_triples_baskets",
     "duplicate_passages",
@@ -70,10 +83,23 @@ def main() -> int:
     spark = get_spark("sf1_gate")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_r8_sf1-sample.json",
+    )
+    # resume: green rows from a prior (crashed/partial) run are kept
     results: dict[str, dict] = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            results = {
+                k: v for k, v in json.load(f).items() if v.get("hash_match")
+            }
     failures: list[str] = []
 
     for name in TOP20:
+        if name in results:
+            print(f"[skip] {name}: green in prior run", flush=True)
+            continue
         t0 = time.time()
         row = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
@@ -134,11 +160,11 @@ def main() -> int:
         finally:
             shutil.rmtree(SPILL, ignore_errors=True)
         results[name] = row
+        # incremental write: a crash mid-run never loses green rows
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
 
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "CORRECTNESS_r8_sf1-sample.json",
-    )
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
         f.write("\n")
