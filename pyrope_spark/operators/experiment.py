@@ -2465,3 +2465,338 @@ km AS (
 )
 SELECT t, d, n_risk, survival_ppm FROM km
 """
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (2x2)
+# --------------------------------------------------------------------------
+
+def diff_in_diff(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    variant_expr: Column,
+    post_expr: Column,
+    value_cents_expr: Column | None = None,
+) -> DataFrame:
+    """Two-group x two-period difference-in-differences: the causal-lift
+    estimator when treatment lands at a known cutover and a control
+    group rides along — DiD removes both the group's fixed level
+    difference and the common time trend that a naive post-vs-post
+    compare confounds.
+
+    Unit = user (every user with ANY event appears in both periods,
+    zero-filled), outcome = the user's summed value cents in the
+    period.  All integer: per-cell ``mean_micro = sum_cents * 1e6 DIV
+    n_users`` (floored ONCE per cell, identical op order both engines),
+    then ``did_micro = (m_t_post - m_t_pre) - (m_c_post - m_c_pre)`` on
+    the already-floored integers — plain int arithmetic, no float
+    anywhere.
+
+    Output: four (grp, period) cell rows (n_users, sum_cents,
+    mean_micro) plus a ``grp = -1, period = 'did'`` summary row whose
+    ``mean_micro`` carries the DiD estimate (the [[post_stratified_lift]]
+    summary-row convention).
+
+    Scale shape: one user-keyed conditional aggregate over the fact
+    table, then 2 rows -> 4 cells + 1 summary.
+    """
+    if value_cents_expr is None:
+        value_cents_expr = F.floor(F.col("value") * 100).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(variant_expr).cast("long").alias("grp"),
+        F.sum(F.when(~post_expr, value_cents_expr).otherwise(F.lit(0)))
+        .cast("long").alias("pre_cents"),
+        F.sum(F.when(post_expr, value_cents_expr).otherwise(F.lit(0)))
+        .cast("long").alias("post_cents"),
+    )
+    cells = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre_cents").cast("long").alias("s_pre"),
+        F.sum("post_cents").cast("long").alias("s_post"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    m_pre = F.expr(
+        f"CAST({dec.format('s_pre')} * 1000000 DIV n_users AS BIGINT)"
+    )
+    m_post = F.expr(
+        f"CAST({dec.format('s_post')} * 1000000 DIV n_users AS BIGINT)"
+    )
+    long_cells = cells.select(
+        "grp",
+        F.lit("pre").alias("period"),
+        "n_users",
+        F.col("s_pre").alias("sum_cents"),
+        m_pre.alias("mean_micro"),
+    ).unionByName(
+        cells.select(
+            "grp",
+            F.lit("post").alias("period"),
+            "n_users",
+            F.col("s_post").alias("sum_cents"),
+            m_post.alias("mean_micro"),
+        )
+    )
+    wide = cells.select(
+        "grp", m_pre.alias("m_pre"), m_post.alias("m_post")
+    )
+    summary = wide.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("m_post") - F.col("m_pre"))
+              .otherwise(F.lit(0))).cast("long").alias("t_delta"),
+        F.sum(F.when(F.col("grp") == 0, F.col("m_post") - F.col("m_pre"))
+              .otherwise(F.lit(0))).cast("long").alias("c_delta"),
+    ).select(
+        F.lit(-1).cast("long").alias("grp"),
+        F.lit("did").alias("period"),
+        F.lit(0).cast("long").alias("n_users"),
+        F.lit(0).cast("long").alias("sum_cents"),
+        (F.col("t_delta") - F.col("c_delta")).cast("long")
+        .alias("mean_micro"),
+    )
+    return long_cells.unionByName(summary).orderBy("grp", "period")
+
+
+def diff_in_diff_oracle_sql(
+    *,
+    table: str = "events",
+    user_sql: str = "user_id",
+    variant_sql: str = "user_id % 2",
+    post_sql: str,
+    value_cents_sql: str = "CAST(floor(value * 100) AS BIGINT)",
+) -> str:
+    """DuckDB twin of [[diff_in_diff]] — identical floor order."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, CAST(MIN({variant_sql}) AS BIGINT) AS grp,
+         CAST(SUM(CASE WHEN NOT ({post_sql}) THEN {value_cents_sql}
+                       ELSE 0 END) AS BIGINT) AS pre_cents,
+         CAST(SUM(CASE WHEN {post_sql} THEN {value_cents_sql}
+                       ELSE 0 END) AS BIGINT) AS post_cents
+  FROM {table} GROUP BY 1
+),
+cells AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(pre_cents) AS BIGINT) AS s_pre,
+         CAST(SUM(post_cents) AS BIGINT) AS s_post
+  FROM per_user GROUP BY 1
+),
+m AS (
+  SELECT grp, n_users, s_pre, s_post,
+         CAST(CAST(s_pre AS HUGEINT) * 1000000 // n_users AS BIGINT)
+           AS m_pre,
+         CAST(CAST(s_post AS HUGEINT) * 1000000 // n_users AS BIGINT)
+           AS m_post
+  FROM cells
+),
+longc AS (
+  SELECT grp, 'pre' AS period, n_users, s_pre AS sum_cents,
+         m_pre AS mean_micro FROM m
+  UNION ALL
+  SELECT grp, 'post', n_users, s_post, m_post FROM m
+),
+summary AS (
+  SELECT CAST(-1 AS BIGINT) AS grp, 'did' AS period,
+         CAST(0 AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_cents,
+         CAST(SUM(CASE WHEN grp = 1 THEN m_post - m_pre ELSE 0 END)
+              - SUM(CASE WHEN grp = 0 THEN m_post - m_pre ELSE 0 END)
+              AS BIGINT) AS mean_micro
+  FROM m
+)
+SELECT * FROM longc UNION ALL SELECT * FROM summary
+ORDER BY grp, period
+"""
+
+
+# --------------------------------------------------------------------------
+# O'Brien-Fleming sequential monitor
+# --------------------------------------------------------------------------
+
+def obrien_fleming_monitor(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    variant_expr: Column,
+    convert_expr: Column,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Group-sequential A/B monitoring: the cumulative two-proportion
+    z² after each active day, compared against an O'Brien-Fleming-shaped
+    boundary — the statistically sound answer to "can I peek at the
+    experiment every day", where peeking at raw alpha inflates the
+    false-positive rate several-fold.
+
+    OBF boundary shape: reject at look k of K iff
+    ``z_k >= z_alpha * sqrt(K / k)``, i.e. ``z²_k * k >= chi2_alpha * K``
+    — CROSS-MULTIPLIED, so the only constant either engine needs is
+    ``chi2_alpha_milli`` ([[bh_thresholds_milli]] discipline: stdlib
+    erfc bisection driver-side, embedded as the same literal in both
+    plans).  No per-look constants, so K can come from the data.
+
+    Cumulative exposures/conversions per look WITHOUT a per-day
+    distinct: a user enters at their FIRST event day and converts at
+    their FIRST converting-event day (one user-keyed aggregate), and
+    the per-look cumulative counts are running sums over the day spine
+    of those first-day tables.  z² per look is the exact rational
+    [[ab_conversion_test]] form through DECIMAL(38,0).
+
+    Output per active day: look number k, cumulative (na, ca, nb, cb),
+    z2_milli, obf_reject (0/1).
+    """
+    chi2_milli = int(round(_chi2_1_inv(alpha) * 1000))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(variant_expr).cast("long").alias("variant"),
+        F.min(F.expr("datediff(ts, DATE '1970-01-01')")).alias("d_seen"),
+        F.min(
+            F.when(convert_expr, F.expr("datediff(ts, DATE '1970-01-01')"))
+        ).alias("d_conv"),
+    )
+    days = (
+        events.select(
+            F.expr("datediff(ts, DATE '1970-01-01')").alias("d")
+        ).distinct()
+    )
+    seen = per_user.groupBy("variant", F.col("d_seen").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    conv = per_user.filter(F.col("d_conv").isNotNull()).groupBy(
+        "variant", F.col("d_conv").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_new"))
+    w = W.orderBy("d")
+    spine = (
+        days.join(
+            seen.filter(F.col("variant") == 0)
+            .select("d", F.col("n_new").alias("a_new")), "d", "left")
+        .join(
+            seen.filter(F.col("variant") == 1)
+            .select("d", F.col("n_new").alias("b_new")), "d", "left")
+        .join(
+            conv.filter(F.col("variant") == 0)
+            .select("d", F.col("c_new").alias("ca_new")), "d", "left")
+        .join(
+            conv.filter(F.col("variant") == 1)
+            .select("d", F.col("c_new").alias("cb_new")), "d", "left")
+        .select(
+            "d",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("a_new", "b_new", "ca_new", "cb_new")
+            ],
+        )
+    )
+    cum = spine.select(
+        "d",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("a_new").over(w).cast("long").alias("na"),
+        F.sum("ca_new").over(w).cast("long").alias("ca"),
+        F.sum("b_new").over(w).cast("long").alias("nb"),
+        F.sum("cb_new").over(w).cast("long").alias("cb"),
+    )
+    n_looks = F.max("k").over(W.partitionBy())
+    dec = "CAST({} AS DECIMAL(38,0))"
+    z2 = F.expr(
+        f"CAST(({dec.format('ca')} * nb - {dec.format('cb')} * na)"
+        f" * ({dec.format('ca')} * nb - {dec.format('cb')} * na)"
+        f" * (na + nb) * 1000"
+        f" DIV ({dec.format('na')} * nb * (ca + cb)"
+        f"      * ((na + nb) - (ca + cb))) AS BIGINT)"
+    )
+    guard = (
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (F.col("ca") + F.col("cb") > 0)
+        & (F.col("ca") + F.col("cb") < F.col("na") + F.col("nb"))
+    )
+    out = cum.withColumn("n_looks", n_looks.cast("long")).select(
+        "d",
+        "k",
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.when(guard, z2).otherwise(F.lit(0)).cast("long").alias("z2_milli"),
+        "n_looks",
+    )
+    return out.select(
+        "d",
+        "k",
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        "z2_milli",
+        F.when(
+            F.expr(
+                f"CAST(z2_milli AS DECIMAL(38,0)) * k"
+                f" >= CAST({chi2_milli} AS DECIMAL(38,0)) * n_looks"
+            )
+            & (F.col("z2_milli") > 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("obf_reject"),
+    ).orderBy("d")
+
+
+def obrien_fleming_oracle_sql(
+    *,
+    table: str = "events",
+    user_sql: str = "user_id",
+    variant_sql: str = "user_id % 2",
+    convert_sql: str = "event_type = 'purchase'",
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of [[obrien_fleming_monitor]] — same embedded
+    chi2_alpha_milli constant, same cross-multiplied boundary."""
+    chi2_milli = int(round(_chi2_1_inv(alpha) * 1000))
+    return f"""
+WITH per_user AS (
+  SELECT {user_sql} AS u, CAST(MIN({variant_sql}) AS BIGINT) AS variant,
+         MIN(datediff('day', DATE '1970-01-01', ts)) AS d_seen,
+         MIN(CASE WHEN {convert_sql}
+                  THEN datediff('day', DATE '1970-01-01', ts) END) AS d_conv
+  FROM {table} GROUP BY 1
+),
+days AS (
+  SELECT DISTINCT datediff('day', DATE '1970-01-01', ts) AS d FROM {table}
+),
+spine AS (
+  SELECT d,
+    COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM per_user p
+              WHERE p.variant = 0 AND p.d_seen = days.d), 0) AS a_new,
+    COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM per_user p
+              WHERE p.variant = 1 AND p.d_seen = days.d), 0) AS b_new,
+    COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM per_user p
+              WHERE p.variant = 0 AND p.d_conv = days.d), 0) AS ca_new,
+    COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM per_user p
+              WHERE p.variant = 1 AND p.d_conv = days.d), 0) AS cb_new
+  FROM days
+),
+cum AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+         CAST(SUM(a_new) OVER w AS BIGINT) AS na,
+         CAST(SUM(ca_new) OVER w AS BIGINT) AS ca,
+         CAST(SUM(b_new) OVER w AS BIGINT) AS nb,
+         CAST(SUM(cb_new) OVER w AS BIGINT) AS cb
+  FROM spine
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+looks AS (SELECT CAST(MAX(k) AS BIGINT) AS n_looks FROM cum),
+z AS (
+  SELECT d, k, na, ca, nb, cb,
+         CASE WHEN na > 0 AND nb > 0 AND ca + cb > 0
+                   AND ca + cb < na + nb
+              THEN CAST((CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   * (na + nb) * 1000
+                   // (CAST(na AS HUGEINT) * nb * (ca + cb)
+                       * ((na + nb) - (ca + cb))) AS BIGINT)
+              ELSE 0 END AS z2_milli
+  FROM cum
+)
+SELECT d, k, na, ca, nb, cb, z2_milli,
+       CAST(CASE WHEN z2_milli > 0
+                      AND CAST(z2_milli AS HUGEINT) * k
+                          >= CAST({chi2_milli} AS HUGEINT) * n_looks
+                 THEN 1 ELSE 0 END AS BIGINT) AS obf_reject
+FROM z CROSS JOIN looks
+ORDER BY d
+"""

@@ -13930,3 +13930,63 @@ def _novelty_oracle() -> str:
 
 
 register("ngram_novelty_per_doc", _novelty_oracle())(_novelty_spark)
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (operators/experiment.py, diff_in_diff): 2x2
+# causal lift with the control group absorbing the common time trend;
+# groups = user_id % 2, cutover = 2024-01-16 (the post_stratified_lift
+# split). All-integer cell means + DiD on the floored micros.
+# --------------------------------------------------------------------------
+
+
+def _did_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import diff_in_diff
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return diff_in_diff(
+        ev,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        post_expr=F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+    )
+
+
+def _did_oracle() -> str:
+    from pyrope_spark.operators.experiment import diff_in_diff_oracle_sql
+
+    return diff_in_diff_oracle_sql(
+        post_sql="ts >= TIMESTAMP '2024-01-16'",
+    )
+
+
+register("did_promo_lift", _did_oracle())(_did_spark)
+
+
+# --------------------------------------------------------------------------
+# O'Brien-Fleming group-sequential monitor (operators/experiment.py,
+# obrien_fleming_monitor): daily-peek A/B readout with the spending
+# boundary cross-multiplied so the only embedded constant is
+# chi2_alpha_milli (erfc-bisection discipline, bh_fdr_event_lift).
+# --------------------------------------------------------------------------
+
+
+def _obf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.experiment import obrien_fleming_monitor
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return obrien_fleming_monitor(
+        ev,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        convert_expr=F.col("event_type") == "purchase",
+    )
+
+
+def _obf_oracle() -> str:
+    from pyrope_spark.operators.experiment import obrien_fleming_oracle_sql
+
+    return obrien_fleming_oracle_sql()
+
+
+register("obrien_fleming_monitor", _obf_oracle())(_obf_spark)

@@ -769,3 +769,123 @@ def test_kaplan_meier_order_is_by_time_not_input(spark):
     ).repartition(3)
     out = {r.t: r.survival_ppm for r in kaplan_meier_survival(shuffled).collect()}
     assert out == {5: 800_000, 9: 400_000, 12: 200_000}
+
+
+# ------------------------------------------------------ diff-in-differences
+
+def test_diff_in_diff_closed_form(spark):
+    """Control: 10.00 pre -> 12.00 post (common trend +2.00); treated:
+    20.00 pre -> 25.00 post (delta +5.00). DiD = +3.00 = 3,000,000
+    micro-cents... in CENTS: 10.00 dollars = 1000 cents, so DiD =
+    300 cents = 300,000,000 micro. Naive post-vs-post (25 - 12 = 13.00)
+    would have been wildly confounded by the group level difference."""
+    from pyrope_spark.operators.experiment import diff_in_diff
+
+    # user 0, 2 -> grp 0 (control); user 1, 3 -> grp 1 (treated)
+    rows = [
+        (1, 0, 0, "view", 10.00), (2, 0, 2, "view", 10.00),
+        (3, 1440, 0, "view", 12.00), (4, 1440, 2, "view", 12.00),
+        (5, 0, 1, "view", 20.00), (6, 0, 3, "view", 20.00),
+        (7, 1440, 1, "view", 25.00), (8, 1440, 3, "view", 25.00),
+    ]
+    ev = _events(spark, rows)
+    cutoff = F.lit((T0 + timedelta(hours=12)).isoformat()).cast("timestamp")
+    out = {
+        (r.grp, r.period): r
+        for r in diff_in_diff(
+            ev,
+            variant_expr=(F.col("user_id") % 2).cast("long"),
+            post_expr=F.col("ts") >= cutoff,
+        ).collect()
+    }
+    assert out[(0, "pre")].mean_micro == 1000 * 1_000_000
+    assert out[(0, "post")].mean_micro == 1200 * 1_000_000
+    assert out[(1, "pre")].mean_micro == 2000 * 1_000_000
+    assert out[(1, "post")].mean_micro == 2500 * 1_000_000
+    assert out[(-1, "did")].mean_micro == 300 * 1_000_000
+    assert out[(0, "pre")].n_users == 2
+
+
+def test_diff_in_diff_parallel_trend_zero(spark):
+    """Identical deltas in both groups -> DiD exactly 0 even with a big
+    level gap."""
+    from pyrope_spark.operators.experiment import diff_in_diff
+
+    rows = [
+        (1, 0, 0, "view", 1.00), (2, 1440, 0, "view", 4.00),
+        (3, 0, 1, "view", 90.00), (4, 1440, 1, "view", 93.00),
+    ]
+    ev = _events(spark, rows)
+    cutoff = F.lit((T0 + timedelta(hours=12)).isoformat()).cast("timestamp")
+    out = {
+        (r.grp, r.period): r
+        for r in diff_in_diff(
+            ev,
+            variant_expr=(F.col("user_id") % 2).cast("long"),
+            post_expr=F.col("ts") >= cutoff,
+        ).collect()
+    }
+    assert out[(-1, "did")].mean_micro == 0
+
+
+# --------------------------------------------- O'Brien-Fleming sequential
+
+def test_obrien_fleming_boundary_shape(spark):
+    """A decisive effect visible from day 1: z2 at look 1 is identical
+    to look 2 (no new users day 2), but the OBF boundary is 2x stricter
+    at k=1 of K=2 than at k=2 — the reject flag needs z2*k >= chi2*K.
+    With z2 far above both cutoffs, both looks reject; the arithmetic
+    is checked against the closed form."""
+    from pyrope_spark.operators.experiment import (
+        _chi2_1_inv,
+        obrien_fleming_monitor,
+    )
+
+    # day 1: 20 control users (user_id even, 0 conversions),
+    #        20 treated (odd, all converting 'purchase')
+    rows = []
+    eid = 1
+    for u in range(40):
+        et = "purchase" if u % 2 == 1 else "view"
+        rows.append((eid, 0, u, et, 1.0)); eid += 1
+    # day 2: one non-converting re-visit by an EXISTING user per variant
+    rows.append((eid, 1440, 0, "view", 1.0)); eid += 1
+    rows.append((eid, 1440, 1, "view", 1.0)); eid += 1
+    ev = _events(spark, rows)
+    out = sorted(
+        obrien_fleming_monitor(
+            ev,
+            variant_expr=(F.col("user_id") % 2).cast("long"),
+            convert_expr=F.col("event_type") == "purchase",
+        ).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in out] == [1, 2]
+    # closed form: na=nb=20, ca=0, cb=20 -> z2 = (0-400)^2*40*1000 /
+    # (20*20*20*20) = 160000*40000/160000 = 40000 milli (z^2 = 40)
+    assert out[0].z2_milli == 40_000
+    assert out[1].z2_milli == 40_000          # nothing new converts
+    chi2 = int(round(_chi2_1_inv(0.05) * 1000))   # ~3841
+    assert 3_800 < chi2 < 3_900
+    # both looks clear even the k=1 boundary (40000*1 >= 3841*2)
+    assert out[0].obf_reject == 1 and out[1].obf_reject == 1
+
+
+def test_obrien_fleming_no_effect_no_reject(spark):
+    """Balanced conversions -> z2 = 0 -> never rejects, any look."""
+    from pyrope_spark.operators.experiment import obrien_fleming_monitor
+
+    rows = []
+    eid = 1
+    for d in range(3):
+        for u in range(10):
+            et = "purchase" if u < 4 else "view"   # same rate both arms
+            rows.append((eid, d * 1440, u + d * 100, et, 1.0)); eid += 1
+    ev = _events(spark, rows)
+    out = obrien_fleming_monitor(
+        ev,
+        variant_expr=(F.col("user_id") % 2).cast("long"),
+        convert_expr=F.col("event_type") == "purchase",
+    ).collect()
+    assert len(out) == 3
+    assert all(r.obf_reject == 0 for r in out)
