@@ -85,6 +85,37 @@ def synth_queries(spark, n: int, dim: int, seed: int = 1337):
     )
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Contention sentinel (VERDICT r8 #3): two fixed micro-tasks whose
+    cost is constant across rounds, so the artifact itself records how
+    loaded the host was.  r8's driver-run artifact was uniformly ~1.4x
+    slower than the committed same-code clean run (a co-tenant Spark JVM
+    on local[32]) and nothing in the file could tell inflation from
+    regression.  ``scripts/bench_compare.py`` flags a run whose
+    calibration deviates >1.2x from the reference run's before reading
+    any entry as a code regression."""
+    # driver-process CPU: fixed 512x512 float64 GEMM, min of 5
+    a = np.random.default_rng(7).random((512, 512))
+    best_np = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        (a @ a).sum()
+        best_np = min(best_np, time.time() - t0)
+    # executor threads: fixed 20M-row codegen agg, min of 3
+    best_sp = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(20_000_000).selectExpr(
+            "count(*) AS c", "sum(id % 97) AS s"  # bounded: no ANSI overflow
+        ).collect()
+        best_sp = min(best_sp, time.time() - t0)
+    return {
+        "calib_numpy_s": round(best_np, 4),
+        "calib_spark_s": round(best_sp, 3),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
 def main() -> None:
     only = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
     spark = get_spark("pyrope_bench")
@@ -92,6 +123,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     min_n: dict[str, float] = {}
     derived: dict[str, float] = {}
+    sentinel = {"start": _calibrate(spark)}
 
     def timed(name, fn, repeat: int = 1):
         """Time fn; with repeat > 1 report the min (steady-state — local
@@ -299,6 +331,136 @@ def main() -> None:
             derived["ivf_dist_exchanges"] = plan.count("Exchange")
             timed(f"ivf_dist_nprobe3_{N_VECTORS}v_q100000", ivf_dist_100k, repeat=2)
         huge_queries.unpersist()
+
+    # ---------------- cache-effect rows (BASELINE.md:31-32, VERDICT r8 #2)
+    # The reference's two largest claimed wins had no measured counterpart:
+    # semantic cache hit 6,121.9 QPS (~18x vs uncached; 1 query repeated
+    # x500, docs/benchmarks/20260112_phase6_summary.md:10,31-38) and
+    # Markov-prefetch hit 0.59 ms vs ~25 ms cold (ibid:11,41-48).  Batch
+    # analogs on the same 100k x d128 corpus: the reference repeats one
+    # query 500x and serves it from cache; here that is 500 query rows
+    # answered 100% by the ResultCacheTable broadcast-join waterfall with
+    # ZERO compute, vs the same 500 rows brute-force recomputed.
+    cache_names = {
+        "cache_cold_500q_miss_compute", "cache_hit_500q",
+        "prefetch_materialize", "prefetch_hit_500q",
+    }
+    if "ivf" in state and (not only or only & cache_names):
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pyrope_spark.operators.analytics import (
+            markov_rules,
+            prefetch_predicted,
+        )
+        from pyrope_spark.operators.cache import ResultCacheTable
+        from pyrope_spark.operators.search_pipeline import search_with_cache
+
+        _, ivf_model = state["ivf"]
+        cents = ivf_model.centroids
+        cache_root = _tf.mkdtemp(prefix="bench_result_cache_")
+        cache = ResultCacheTable(spark, os.path.join(cache_root, "rc"))
+        # the reference scenario: ONE query vector repeated x500 (distinct
+        # request ids — each repeat is its own request, all share the key)
+        one_vec = [float(x) for x in qnp[0][1]]
+        rep_q = spark.createDataFrame(
+            [(f"rep{i}", one_vec, TOP_K) for i in range(500)],
+            "query_id string, vector array<float>, top_k int",
+        ).cache()
+        rep_q.count()
+
+        def cache_cold():
+            res, st = search_with_cache(
+                vectors, rep_q, cache, k=TOP_K, metric="l2", epoch=0,
+                centroids=cents, n=N_VECTORS, dim=DIM,
+            )
+            res.write.format("noop").mode("overwrite").save()
+            state["cold_stats"] = st
+
+        timed("cache_cold_500q_miss_compute", cache_cold)
+
+        def cache_hit():
+            res, st = search_with_cache(
+                vectors, rep_q, cache, k=TOP_K, metric="l2", epoch=0,
+                centroids=cents, n=N_VECTORS, dim=DIM,
+            )
+            res.write.format("noop").mode("overwrite").save()
+            state["hit_stats"] = st
+
+        timed("cache_hit_500q", cache_hit, repeat=3)
+        if "hit_stats" in state:
+            st = state["hit_stats"]
+            derived["cache_hit_misses"] = st.misses  # must be 0
+            derived["cache_hit_tiers"] = dict(st.hits_by_tier)
+            t_hit = timings.get("cache_hit_500q")
+            t_cold = timings.get("cache_cold_500q_miss_compute")
+            if t_hit:
+                derived["cache_hit_qps"] = round(500 / t_hit, 1)
+            if t_hit and t_cold:
+                derived["cache_hit_speedup"] = round(t_cold / t_hit, 2)
+
+        # Markov prefetch: sessions repeatedly hop cluster A -> B, rules
+        # train on the log, B's representative search is materialized into
+        # the cache, and 500 follow-up queries NEAR B's centroid (too far
+        # for the exact key, inside the semantic tiers) are then served
+        # with zero compute — the reference's PredictivePrefetcher flow.
+        pf_cache = ResultCacheTable(spark, os.path.join(cache_root, "pf"))
+        ca, cb = 0, 1
+        log = spark.createDataFrame(
+            [("s%d" % s, i, [ca, cb][i % 2]) for s in range(8) for i in range(10)],
+            "tenant string, seq int, cluster_id int",
+        )
+        rules = markov_rules(
+            log, session_cols=["tenant"], cluster_col="cluster_id",
+            order_cols=["seq"],
+        )
+
+        def prefetch_mat():
+            prefetch_predicted(
+                vectors, rules, cents, pf_cache, k=TOP_K, metric="l2",
+                epoch=0,
+            ).count()
+
+        timed("prefetch_materialize", prefetch_mat)
+        rng_pf = np.random.default_rng(4242)
+        bvec = np.asarray(cents[cb], dtype=np.float64)
+        pf_rows = [
+            (
+                f"pf{i}",
+                [float(x) for x in (bvec + rng_pf.uniform(-0.004, 0.004, DIM))],
+                TOP_K,
+            )
+            for i in range(500)
+        ]
+        pf_q = spark.createDataFrame(
+            pf_rows, "query_id string, vector array<float>, top_k int"
+        ).cache()
+        pf_q.count()
+
+        def prefetch_hit():
+            res, st = search_with_cache(
+                vectors, pf_q, pf_cache, k=TOP_K, metric="l2", epoch=0,
+                centroids=cents, n=N_VECTORS, dim=DIM,
+            )
+            res.write.format("noop").mode("overwrite").save()
+            state["pf_stats"] = st
+
+        timed("prefetch_hit_500q", prefetch_hit, repeat=3)
+        if "pf_stats" in state:
+            st = state["pf_stats"]
+            derived["prefetch_hit_misses"] = st.misses  # must be 0
+            derived["prefetch_hit_tiers"] = dict(st.hits_by_tier)
+            t_pf = timings.get("prefetch_hit_500q")
+            t_cold = timings.get("cache_cold_500q_miss_compute")
+            if t_pf:
+                derived["prefetch_hit_ms_per_q"] = round(t_pf * 1000 / 500, 3)
+            if t_cold:
+                derived["prefetch_cold_ms_per_q"] = round(
+                    t_cold * 1000 / 500, 3
+                )
+        rep_q.unpersist()
+        pf_q.unpersist()
+        _sh.rmtree(cache_root, ignore_errors=True)
 
     # HNSW bulk graph build at >=100k rows in ONE shard (VERDICT r2 item 4):
     # the vectorized bulk path (pivot-blocked kNN + NN-descent + bridges).
@@ -1002,6 +1164,7 @@ def main() -> None:
         derived["sq8_byte_batch1000_qps_min_n"] = round(
             1000 / min_n[f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q1000"], 1
         )
+    sentinel["end"] = _calibrate(spark)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full artifact (every suite entry + per-repeat samples) goes to a SIDE
@@ -1026,6 +1189,7 @@ def main() -> None:
                 "min_n": min_n,
                 "sf": sf_val,
                 "derived": derived,
+                "sentinel": sentinel,
             },
             f,
             indent=1,
@@ -1070,6 +1234,7 @@ def main() -> None:
         },
         "min_n": min_n,
         "derived": derived,
+        "sentinel": sentinel,
         "full": "BENCH_full.json",
     }
     line = json.dumps(compact)

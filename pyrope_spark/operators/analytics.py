@@ -1251,15 +1251,23 @@ def lorenz_curve_deciles(
     ANY magnitude; only absolute exactness of the micro units degrades
     past that bound. Callers whose column already holds integer micro
     (or cent) units can pass ``values_are_micro=True`` (r7 ADVICE flag)
-    to take the value as-is — a pure LONG cast, exact to 2^63.
+    to take the value as-is — floored to LONG, exact to 2^63 on integer
+    input (r8 ADVICE: the floor keeps a double-typed column with
+    fractional values bit-identical across engines, where a bare cast
+    truncates in Spark but rounds in DuckDB).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from pyrope_spark.operators.curation import global_rank
 
+    # values_are_micro floors BEFORE the long cast (r8 ADVICE): Spark's
+    # cast('long') truncates toward zero while DuckDB's CAST AS BIGINT
+    # rounds half away from zero, so a double-typed column with
+    # fractional values would diverge across engines without the shared
+    # floor (a no-op on integer-typed input, the documented case)
     vm = (
-        F.col(value_col).cast("long")
+        F.floor(F.col(value_col)).cast("long")
         if values_are_micro
         else F.floor(F.col(value_col).cast("double") * 1_000_000).cast("long")
     )
@@ -1306,8 +1314,16 @@ def lorenz_curve_oracle_sql(
 ) -> str:
     """DuckDB twin of [[lorenz_curve_deciles]] (same ``values_are_micro``
     exact-integer input path)."""
+    # floor-before-cast matches the Spark side exactly (r8 ADVICE):
+    # DuckDB CAST AS BIGINT rounds half away from zero on fractional
+    # doubles where Spark's floor+cast floors.  A plain floor() would
+    # promote BIGINT input to DOUBLE (losing exactness past 2^53), so
+    # the twin floors via cast-then-adjust — exact to 2^63 on integer
+    # input, true floor on fractional doubles, same bits as Spark's
+    # F.floor(col).cast('long').
+    vm_cast = f"CAST({value_sql} AS BIGINT)"
     vm = (
-        f"CAST({value_sql} AS BIGINT)"
+        f"({vm_cast} - CASE WHEN {vm_cast} > ({value_sql}) THEN 1 ELSE 0 END)"
         if values_are_micro
         else f"CAST(floor(CAST({value_sql} AS DOUBLE) * 1000000) AS BIGINT)"
     )

@@ -1424,9 +1424,13 @@ def source_shingle_overlap(
     jobs run at CALL time, lineage is truncated, and the result lives
     in (non-fault-tolerant) executor storage — so the persisted shingle
     blocks can be released before returning.  Pass
-    ``eager_checkpoint=False`` to keep lazy semantics; the caller then
-    owns releasing the internal persist (a re-run of the shingle
-    pipeline per downstream action is the cost).
+    ``eager_checkpoint=False`` to keep lazy semantics; the returned
+    DataFrame then carries the internal persist handle as
+    ``result._pyrope_cached_deps`` (r8 ADVICE — the fps DataFrame is
+    not otherwise reachable), and the caller releases the corpus-sized
+    shingle blocks via ``for d in result._pyrope_cached_deps:
+    d.unpersist()`` once done (or ``spark.catalog.clearCache()`` as the
+    blunt fallback).
 
     Output: (source_a, source_b, n_a, n_b, n_common, jaccard_ppm,
     contain_a_ppm, contain_b_ppm), source_a < source_b.
@@ -1473,6 +1477,8 @@ def source_shingle_overlap(
     if eager_checkpoint:
         out = out.localCheckpoint(eager=True)
         fps.unpersist()
+    else:
+        out._pyrope_cached_deps = [fps]
     return out
 
 
@@ -1867,8 +1873,9 @@ def ngram_novelty_per_doc(
     EAGER by default (r7 ADVICE): ``eager_checkpoint=True`` runs Spark
     jobs at call time (localCheckpoint truncates lineage into executor
     storage) so the persisted shingle blocks release before returning;
-    ``eager_checkpoint=False`` keeps the operator lazy and leaves the
-    internal persist to be released by the caller's session.
+    ``eager_checkpoint=False`` keeps the operator lazy and exposes the
+    internal persist on the result as ``_pyrope_cached_deps`` (r8
+    ADVICE) for the caller to unpersist once done.
     """
     # persist: fps feeds both the first-owner aggregate and the join
     # back — unpersisted, the tokenize+explode+distinct pipeline runs
@@ -1899,6 +1906,8 @@ def ngram_novelty_per_doc(
     if eager_checkpoint:
         out = out.localCheckpoint(eager=True)
         fps.unpersist()
+    else:
+        out._pyrope_cached_deps = [fps]
     return out
 
 

@@ -302,13 +302,19 @@ def ivf_search(
     :data:`~pyrope_spark.operators.similarity.DISTRIBUTED_QUERY_THRESHOLD`
     query rows the direct call packs the live candidates per cluster and
     delegates to :func:`ivf_search_packed_distributed` (executor-side
-    probe selection, cogrouped per-cluster GEMM — no driver collect),
-    regardless of ``impl``.  ``distributed=False`` keeps the collecting
+    probe selection, cogrouped per-cluster GEMM — no driver collect).
+    ``impl='expr'`` is EXEMPT from the auto-switch (r8 ADVICE): a caller
+    naming the oracle-parity path asked for its float64 column-expression
+    score bits, and the packed GEMM scores in float32 — silently
+    redirecting could flip near-tie rankings.  Pass ``distributed=True``
+    to override explicitly.  ``distributed=False`` keeps the collecting
     path unconditionally.
     """
     from pyrope_spark.operators.similarity import _pick_distributed
 
-    if _pick_distributed(distributed, queries):
+    if _pick_distributed(distributed, queries) and not (
+        impl == "expr" and distributed == "auto"
+    ):
         from pyrope_spark.operators.segments import pack_segments
 
         live = assigned

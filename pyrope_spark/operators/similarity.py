@@ -54,6 +54,28 @@ from pyrope_spark.functions.vector import normalize_metric
 # bottleneck — and at cluster scale, a driver OOM risk.
 DISTRIBUTED_QUERY_THRESHOLD = 4096
 
+# HNSW ef_search auto-scale table (r8 VERDICT #6): (corpus-size bound,
+# ef).  From RECALL.md's measured sweeps at m=16, efConstruction=200 —
+# ef=64 reads recall@10 = 1.0 at 100k, but at 1M clustered the 10-shard
+# graph needs ef=512 for 0.93 (ef=10, the reference's latency-default,
+# reads 0.392 there).  A user calling the facade default at 1M should
+# get the recall-governed ef, not a silently bad one.
+HNSW_EF_AUTO: tuple[tuple[int | None, int], ...] = (
+    (200_000, 64),
+    (500_000, 256),
+    (None, 512),
+)
+
+
+def hnsw_auto_ef(corpus_n: int, k: int) -> int:
+    """Pick ef_search for a corpus of ``corpus_n`` vectors from the
+    measured recall table (:data:`HNSW_EF_AUTO`), never below ``4*k``
+    (the search frontier must cover the cut with slack)."""
+    for bound, ef in HNSW_EF_AUTO:
+        if bound is None or corpus_n <= bound:
+            return max(ef, 4 * k)
+    raise AssertionError("unreachable")
+
 
 def _pick_distributed(distributed, queries: DataFrame) -> bool:
     """Resolve the ``distributed`` switch: explicit bool wins; ``'auto'``
@@ -176,7 +198,7 @@ def ann_topk(
     nprobe: int = 10,
     distributed: bool | str = "auto",
     scoring: str = "dequant",
-    ef_search: int = 64,
+    ef_search: int | None = None,
     rerank: int | None = None,
 ) -> DataFrame:
     """Top-K per query over a built index -> (query_id, id, score, rank).
@@ -184,6 +206,12 @@ def ann_topk(
     ``distributed='auto'`` (default) switches to the no-driver-collect path
     when the query table exceeds :data:`DISTRIBUTED_QUERY_THRESHOLD` rows —
     a user with a large query table no longer needs to know the flag.
+
+    ``ef_search=None`` (default, hnsw only) auto-scales from the corpus
+    size via :func:`hnsw_auto_ef` — RECALL.md's 1M sweep showed the old
+    fixed default silently degrading recall as corpora grow (r8 VERDICT
+    #6).  An explicit ef below the table's recommendation is honored but
+    warns.
 
     ``rerank=R`` (any method) adds an exact float confirm stage: the chosen
     path supplies ``R`` candidates per query and the final top-``k`` is
@@ -298,6 +326,25 @@ def ann_topk(
             pack_hnsw_shards,
         )
 
+        # recall-governed ef (r8 VERDICT #6): resolve from corpus size;
+        # the count is taken once per index and memoized on the handle
+        n = getattr(index, "_corpus_n", None)
+        if n is None:
+            n = index.handle.count()
+            index._corpus_n = n
+        auto_ef = hnsw_auto_ef(n, k)
+        if ef_search is None:
+            ef_search = auto_ef
+        elif ef_search < auto_ef:
+            import warnings
+
+            warnings.warn(
+                f"ef_search={ef_search} is below the recall-table "
+                f"recommendation {auto_ef} for a {n:,}-vector corpus "
+                f"(RECALL.md 1M sweep: ef=10 reads recall 0.39 where "
+                f"ef=512 reads 0.93); expect degraded recall",
+                stacklevel=2,
+            )
         if _pick_distributed(distributed, queries):
             # shard graphs are built ONCE per index and cached as a table
             # (index-as-a-table), so large batches neither rebuild graphs

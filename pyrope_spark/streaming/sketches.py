@@ -22,6 +22,7 @@ in-place overwrite of inputs the running plan depends on.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -48,7 +49,27 @@ def _swap_state_dir(tmp: str, state_dir: str) -> None:
 _BATCH_MARKER = "_last_batch_id"
 
 
-def _last_applied_batch_id(state_dir: str) -> int | None:
+def _read_marker(state_dir: str) -> tuple[int, str | None] | None:
+    """Read the (batch_id, stream_id) high-water marker, tolerating the
+    legacy bare-int format (pre-r9 markers carry no stream identity)."""
+    try:
+        with open(os.path.join(state_dir, _BATCH_MARKER)) as fh:
+            raw = fh.read().strip()
+    except OSError:
+        return None
+    try:
+        obj = json.loads(raw)
+        if isinstance(obj, dict):
+            return int(obj["batch_id"]), obj.get("stream_id")
+    except (ValueError, KeyError, TypeError):
+        pass
+    try:
+        return int(raw), None
+    except ValueError:
+        return None
+
+
+def _replay_guard(state_dir: str, checkpoint_dir: str | None) -> int | None:
     """Batch-id high-water mark stored WITH the state: an
     underscore-prefixed file inside the parquet dir (Spark's reader
     ignores it, like ``_SUCCESS``), written into the tmp dir BEFORE the
@@ -57,21 +78,70 @@ def _last_applied_batch_id(state_dir: str) -> int | None:
     foreachBatch is at-least-once: a micro-batch replayed after a crash
     between the state swap and the checkpoint commit would double-count
     any SUM-merged state (r7 ADVICE).  Idempotent merges (HLL max,
-    bottom-k union+cut, novelty min-id) don't need the guard; every
-    sum-merge in this module checks it and skips replays, making the
-    counter state exactly-once."""
-    try:
-        with open(os.path.join(state_dir, _BATCH_MARKER)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
+    bottom-k union+cut) don't need the guard; every sum-merge in this
+    module checks it and skips replays, making the counter state
+    exactly-once.
+
+    Batch ids are only meaningful WITHIN one checkpointed stream — a
+    fresh checkpoint (or a checkpoint-less run) restarts them at 0, so
+    "batch_id <= last" against another stream's marker would silently
+    drop NEW data (r8 ADVICE).  The marker therefore records the owning
+    checkpoint path, and the guard:
+
+    - returns the high-water mark only for the SAME stream (resume with
+      the original checkpoint_dir — the supported replay case);
+    - raises on a different checkpoint, or on a checkpoint-less run,
+      against marker-carrying state: the engine cannot distinguish a
+      replay from new data there, and silent skipping loses data while
+      merging double-counts.  The caller must resume the original
+      checkpoint or start a fresh state_dir.
+
+    A legacy bare-int marker (no stream id) is honored for any
+    checkpointed stream so pre-r9 state dirs keep resuming.
+    """
+    marker = _read_marker(state_dir)
+    if marker is None:
         return None
+    last, owner = marker
+    if checkpoint_dir is None:
+        raise ValueError(
+            f"state_dir {state_dir!r} carries an exactly-once batch marker "
+            "but this run has no checkpoint_dir: batch ids restart at 0 "
+            "every run, so replays are indistinguishable from new data. "
+            "Pass the original checkpoint_dir to resume, or point at a "
+            "fresh state_dir."
+        )
+    sid = os.path.abspath(checkpoint_dir)
+    if owner is not None and owner != sid:
+        raise ValueError(
+            f"state_dir {state_dir!r} was written by the stream "
+            f"checkpointed at {owner!r}; this run checkpoints at {sid!r}. "
+            "A different stream's batch ids restart at 0, so the replay "
+            "guard would silently drop its data. Resume with the original "
+            "checkpoint_dir, or start a fresh state_dir."
+        )
+    return last
 
 
-def _stamp_batch_id(tmp_dir: str, batch_id: int) -> None:
-    """Write the high-water mark into the not-yet-swapped tmp dir so the
-    rename in :func:`_swap_state_dir` commits marker+state atomically."""
+def _stamp_batch_id(
+    tmp_dir: str, batch_id: int, checkpoint_dir: str | None
+) -> None:
+    """Write the high-water mark (+ owning checkpoint path) into the
+    not-yet-swapped tmp dir so the rename in :func:`_swap_state_dir`
+    commits marker+state atomically.  Checkpoint-less runs stamp no
+    marker — without a stable stream identity the guard cannot tell a
+    replay from new data, so they stay (visibly) at-least-once."""
+    if checkpoint_dir is None:
+        return
     with open(os.path.join(tmp_dir, _BATCH_MARKER), "w") as fh:
-        fh.write(str(batch_id))
+        fh.write(
+            json.dumps(
+                {
+                    "batch_id": int(batch_id),
+                    "stream_id": os.path.abspath(checkpoint_dir),
+                }
+            )
+        )
 
 
 def streaming_hll_update(
@@ -222,9 +292,9 @@ def streaming_cms_update(
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        last = _last_applied_batch_id(state_dir)
+        last = _replay_guard(state_dir, checkpoint_dir)
         if last is not None and batch_id <= last:
-            return  # at-least-once replay: counters already include it
+            return  # same-stream replay: counters already include it
         sk = cms_build(batch, text_col=text_col, depth=depth, width=width)
         if os.path.isdir(state_dir):
             old = spark.read.parquet(state_dir)
@@ -235,7 +305,7 @@ def streaming_cms_update(
             )
         tmp = state_dir.rstrip("/") + ".tmp"
         sk.write.mode("overwrite").parquet(tmp)
-        _stamp_batch_id(tmp, batch_id)
+        _stamp_batch_id(tmp, batch_id, checkpoint_dir)
         _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
@@ -419,9 +489,9 @@ def streaming_agg_view_maintain(
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        last = _last_applied_batch_id(state_dir)
+        last = _replay_guard(state_dir, checkpoint_dir)
         if last is not None and batch_id <= last:
-            return  # at-least-once replay: view already includes it
+            return  # same-stream replay: view already includes it
         if os.path.isdir(state_dir):
             base = spark.read.parquet(state_dir)
             merged = maintain_agg_view(
@@ -433,7 +503,7 @@ def streaming_agg_view_maintain(
             ).filter(F.col("n") > 0)
         tmp = state_dir.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        _stamp_batch_id(tmp, batch_id)
+        _stamp_batch_id(tmp, batch_id, checkpoint_dir)
         _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
@@ -483,33 +553,40 @@ def streaming_histogram_drift(
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        last = _last_applied_batch_id(state_dir)
-        if last is not None and batch_id <= last:
-            return  # at-least-once replay: histogram already includes it
-        inc = (
-            batch.select(
-                F.col(key_col).alias("k"),
-                _hist_bin(value_col, n_bins, vmin, vmax, scale).alias("bin"),
-            )
-            .groupBy("k", "bin")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        if os.path.isdir(state_dir):
-            base = spark.read.parquet(state_dir)
-            merged = (
-                base.unionByName(inc)
+        last = _replay_guard(state_dir, checkpoint_dir)
+        replay = last is not None and batch_id <= last
+        if not replay:
+            inc = (
+                batch.select(
+                    F.col(key_col).alias("k"),
+                    _hist_bin(value_col, n_bins, vmin, vmax, scale).alias(
+                        "bin"
+                    ),
+                )
                 .groupBy("k", "bin")
-                .agg(F.sum("n").cast("long").alias("n"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
             )
-        else:
-            merged = inc
-        tmp = state_dir.rstrip("/") + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        _stamp_batch_id(tmp, batch_id)
-        _swap_state_dir(tmp, state_dir)
+            if os.path.isdir(state_dir):
+                base = spark.read.parquet(state_dir)
+                merged = (
+                    base.unionByName(inc)
+                    .groupBy("k", "bin")
+                    .agg(F.sum("n").cast("long").alias("n"))
+                )
+            else:
+                merged = inc
+            tmp = state_dir.rstrip("/") + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            _stamp_batch_id(tmp, batch_id, checkpoint_dir)
+            _swap_state_dir(tmp, state_dir)
 
         # score the running histogram vs the frozen baseline (cell-table
-        # sized work; same integer div shares as the batch operator)
+        # sized work; same integer div shares as the batch operator).
+        # Runs on SKIPPED replays too (r8 ADVICE): a crash after the
+        # state swap but before the drift write leaves {state_dir}.drift
+        # one batch behind the committed state — recomputing from the
+        # committed histogram here repairs it on the replay instead of
+        # waiting for the next live batch.
         cur = spark.read.parquet(state_dir)
         cells = (
             bspec.select("k", "bin", "n_base")
@@ -545,7 +622,11 @@ def streaming_histogram_drift(
                 .cast("long")
                 .alias("l1_drift_ppm")
             )
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            # a skipped replay re-scores the state committed at `last`
+            .withColumn(
+                "batch_id",
+                F.lit(last if replay else batch_id).cast("long"),
+            )
         )
         dtmp = state_dir.rstrip("/") + ".drift.tmp"
         drift.write.mode("overwrite").parquet(dtmp)
@@ -806,13 +887,17 @@ def streaming_pchart_maintain(
     batch_id is stamped into the state dir atomically with the swap
     (r7 ADVICE), so a micro-batch replayed after a crash between the
     swap and the checkpoint commit is skipped, never double-counted.
+    Requires ``checkpoint_dir`` — the marker is bound to the owning
+    checkpoint (r8 ADVICE: another stream's batch ids restart at 0, so
+    an unbound marker would silently drop its new data); checkpoint-less
+    runs stamp nothing and stay visibly at-least-once.
     """
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        last = _last_applied_batch_id(state_dir)
+        last = _replay_guard(state_dir, checkpoint_dir)
         if last is not None and batch_id <= last:
-            return  # at-least-once replay: counters already include it
+            return  # same-stream replay: counters already include it
         delta = batch.groupBy(F.col(group_col).alias("grp")).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col(flag_col).cast("int")).cast("long").alias("flagged"),
@@ -831,7 +916,7 @@ def streaming_pchart_maintain(
             merged = delta
         tmp = state_dir.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        _stamp_batch_id(tmp, batch_id)
+        _stamp_batch_id(tmp, batch_id, checkpoint_dir)
         _swap_state_dir(tmp, state_dir)
 
     w = stream_df.writeStream.foreachBatch(upd).outputMode("update")
@@ -878,7 +963,7 @@ def streaming_novelty_maintain(
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        last = _last_applied_batch_id(state_dir)
+        last = _replay_guard(state_dir, checkpoint_dir)
         if last is not None and batch_id <= last:
             return  # replay after full commit: out partition + state exist
         fps = batch.select(
@@ -923,7 +1008,7 @@ def streaming_novelty_maintain(
         )
         tmp = state_dir.rstrip("/") + ".tmp"
         firsts.write.mode("overwrite").parquet(tmp)
-        _stamp_batch_id(tmp, batch_id)
+        _stamp_batch_id(tmp, batch_id, checkpoint_dir)
         _swap_state_dir(tmp, state_dir)
         fps.unpersist()
         firsts.unpersist()

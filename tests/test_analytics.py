@@ -518,3 +518,47 @@ def test_lorenz_values_are_micro_exact_beyond_double(spark):
     ]
     assert out[-1].share_ppm == (big + 10) * 1_000_000 // total
     assert out[-1].cum_share_ppm == 1_000_000
+
+
+def test_lorenz_values_are_micro_fractional_cross_engine(spark):
+    """r8 ADVICE: a DOUBLE column with fractional values under
+    values_are_micro=True must agree across engines — Spark's bare
+    cast('long') truncates toward zero while DuckDB's CAST AS BIGINT
+    rounds half away, so both sides now share an exact floor.  Asserted
+    by running the DuckDB twin on identical rows."""
+    import duckdb
+    import pandas as pd
+
+    from pyrope_spark.operators.analytics import (
+        lorenz_curve_deciles,
+        lorenz_curve_oracle_sql,
+    )
+
+    # fractional + negative values: the truncate/round divergence zone
+    vals = [2.7, -2.7, 0.5, -0.5, 1.5, 3.9, -1.1, 9.99, 0.0, 7.5]
+    df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(vals)], "id LONG, v DOUBLE"
+    )
+    got = sorted(
+        (r.bucket, r.n_members, r.bucket_value_micro, r.share_ppm,
+         r.cum_value_micro, r.cum_share_ppm)
+        for r in lorenz_curve_deciles(
+            df, id_col="id", value_col="v", values_are_micro=True
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"id": range(1, 11), "v": vals})
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                lorenz_curve_oracle_sql(
+                    id_sql="id", value_sql="v", table="t",
+                    values_are_micro=True,
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want

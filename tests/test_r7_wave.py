@@ -173,6 +173,40 @@ def test_source_overlap_plan_is_keyed_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lazy_mode_exposes_persist_handle_for_release(spark):
+    """r8 ADVICE: with eager_checkpoint=False the corpus-sized shingle
+    persist used to be unreachable (only clearCache() could free it).
+    The result now carries it as _pyrope_cached_deps so the caller can
+    unpersist exactly those blocks."""
+    from pyrope_spark.operators.dedup import (
+        ngram_novelty_per_doc,
+        source_shingle_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [("s0", "a b c d e"), ("s1", "a b c x y"), (("s2"), "p q r s t")],
+        "source string, text string",
+    )
+    out = source_shingle_overlap(df, ngram_n=2, eager_checkpoint=False)
+    out.collect()
+    (fps,) = out._pyrope_cached_deps
+    assert fps.storageLevel.useMemory  # persisted and reachable
+    fps.unpersist(blocking=True)
+    assert not fps.storageLevel.useMemory  # released without clearCache
+
+    docs = df.select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    out2 = ngram_novelty_per_doc(docs, ngram_n=2, eager_checkpoint=False)
+    out2.collect()
+    (fps2,) = out2._pyrope_cached_deps
+    fps2.unpersist(blocking=True)
+    assert not fps2.storageLevel.useMemory
+    # eager default exposes no handle (nothing left to release)
+    eager = source_shingle_overlap(df, ngram_n=2)
+    assert not hasattr(eager, "_pyrope_cached_deps")
+
+
 def test_coverage_count_hand_traced(spark):
     """Values 50,30,10,10 (total 100): half is covered by 50 alone? cum
     before 50 is 0 < 50 -> counted; cum before 30 is 50, 50*1000 <

@@ -109,7 +109,9 @@ def test_auto_switch_never_materializes_large_batches(spark, monkeypatch):
                                     rows_per_segment=128)
     hn_idx = build_similarity_index(vectors, method="hnsw", metric="l2")
 
-    import pyspark.sql.dataframe as df_mod
+    # concrete class (pyspark 4 overrides collect there) — a spy on the
+    # abstract pyspark.sql.dataframe.DataFrame never fires
+    import pyspark.sql.classic.dataframe as df_mod
 
     def no_collect(self, *a, **kw):
         raise AssertionError("driver collect() during auto-distributed ann_topk")
@@ -118,6 +120,34 @@ def test_auto_switch_never_materializes_large_batches(spark, monkeypatch):
     for idx in (seg_idx, ivf_idx, sq_idx, hn_idx):
         out = ann_topk(idx, queries, k=5)
         assert out.count() == n_q * 5
+
+
+def test_hnsw_ef_search_auto_scales_with_corpus(spark):
+    """r8 VERDICT #6: ann_topk(method='hnsw') resolves ef_search from the
+    measured recall table when unset; an explicit ef below the
+    recommendation warns instead of silently degrading recall at scale."""
+    import warnings
+
+    from pyrope_spark.operators.similarity import hnsw_auto_ef
+
+    # the table itself: tiers from RECALL.md, floored at 4k
+    assert hnsw_auto_ef(100_000, 10) == 64
+    assert hnsw_auto_ef(300_000, 10) == 256
+    assert hnsw_auto_ef(1_000_000, 10) == 512
+    assert hnsw_auto_ef(1_000, 50) == 200  # 4*k floor beats the tier
+
+    vectors = make_vectors_df(spark, n=200, dim=8, del_frac=0.0)
+    queries = make_queries_df(spark, n=3, dim=8, k=5)
+    idx = build_similarity_index(vectors, method="hnsw", metric="l2")
+    # default: auto-resolved, no warning, memoized corpus count
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = ann_topk(idx, queries, k=5)
+    assert out.count() == 15
+    assert idx._corpus_n == 200
+    # explicit low ef: honored but warns with the recall numbers
+    with pytest.warns(UserWarning, match="recall"):
+        ann_topk(idx, queries, k=5, ef_search=10).count()
 
 
 def test_hnsw_distributed_matches_collect_path(spark):
@@ -709,7 +739,11 @@ def test_direct_call_auto_switch_no_collect(spark, monkeypatch):
         ivf_search(assigned, model, small, k=5, nprobe=4, distributed=False)
     )
 
-    import pyspark.sql.dataframe as df_mod
+    # patch the CONCRETE class: pyspark 4 defines collect on
+    # sql.classic.dataframe.DataFrame, overriding the abstract base —
+    # a spy on pyspark.sql.dataframe.DataFrame never fires (r9 fix of
+    # the r8 spy, which was silently a no-op)
+    import pyspark.sql.classic.dataframe as df_mod
 
     def no_collect(self, *a, **kw):
         raise AssertionError("driver collect() on direct-call distributed path")
@@ -726,3 +760,20 @@ def test_direct_call_auto_switch_no_collect(spark, monkeypatch):
     qk = queries.withColumn("topk", F.lit(3))
     with pytest.raises(ValueError, match="distributed"):
         knn_bruteforce(vectors, qk, metric="l2", impl="gemm", k_col="topk")
+
+    # r8 ADVICE: impl='expr' is the float64 oracle-parity path — the
+    # auto-switch must NOT silently redirect it to the float32 packed
+    # GEMM.  Above threshold it stays on the collecting expr plan
+    # (collect happens); distributed=True still overrides explicitly.
+    calls = {"n": 0}
+    real_collect = df_mod.DataFrame.collect
+
+    def counting_collect(self, *a, **kw):
+        calls["n"] += 1
+        return real_collect(self, *a, **kw)
+
+    monkeypatch.setattr(df_mod.DataFrame, "collect", counting_collect)
+    out = ivf_search(assigned, model, queries, k=5, nprobe=4, impl="expr")
+    assert out.count() == n_q * 5
+    assert calls["n"] > 0  # probe selection collected: expr path kept
+    monkeypatch.undo()

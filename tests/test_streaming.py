@@ -754,6 +754,57 @@ def test_streaming_histogram_drift_folds_and_scores(spark, tmp_path):
     assert drift["b"] == 2_000_000  # disjoint supports -> full mass moved
 
 
+def test_streaming_histogram_drift_replay_repairs_drift_table(
+    spark, tmp_path
+):
+    """Crash window between the state swap and the drift write: the
+    state already includes the batch but {state_dir}.drift is stale or
+    missing.  The same-stream replay skips the state merge yet still
+    recomputes the drift table from the committed state (r8 ADVICE) —
+    the old early-return left it behind until a later live batch."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyrope_spark.streaming.sketches import streaming_histogram_drift
+
+    baseline = spark.createDataFrame(
+        [("a", 0.1 * (i % 5)) for i in range(50)], "k string, value double"
+    )
+    src = tmp_path / "hdr_src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for _ in range(25):
+            f.write(_json.dumps({"k": "a", "value": 0.9}) + "\n")
+    state = str(tmp_path / "hdr_state")
+    ckpt = str(tmp_path / "hdr_ckpt")
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema("k string, value double").json(str(src))
+        )
+        q = streaming_histogram_drift(
+            stream, state, baseline, key_col="k", value_col="value",
+            vmin=0, vmax=1_000_000, checkpoint_dir=ckpt, trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    want = sorted(
+        map(tuple, spark.read.parquet(state + ".drift").collect())
+    )
+    # crash simulation: state swapped + marker stamped, but the drift
+    # write and the checkpoint commit were both lost
+    shutil.rmtree(state + ".drift")
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    _crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(_crc):
+        os.remove(_crc)
+    run()
+    got = sorted(map(tuple, spark.read.parquet(state + ".drift").collect()))
+    assert got == want  # repaired on the skipped replay, batch_id intact
+
+
 def test_streaming_holt_state_and_trend_aware_surprise(spark, tmp_path):
     """(level, trend) carries across micro-batches and matches the hand
     recurrence; the surprise flag compares against the PRIOR forecast
@@ -1085,78 +1136,143 @@ def test_streaming_novelty_matches_batch_operator(spark, tmp_path):
 
 
 def test_streaming_pchart_replay_is_exactly_once(spark, tmp_path):
-    """foreachBatch is at-least-once: re-delivering the same source rows
-    (fresh checkpoint, same state dir — the worst-case replay) must NOT
-    double the sum-merged counters.  The batch-id high-water mark is
-    stamped atomically with the state swap, so replayed batch_ids are
-    skipped (r7 ADVICE)."""
+    """foreachBatch is at-least-once: a crash between the state swap and
+    the checkpoint commit re-executes the batch on restart.  Simulated
+    faithfully by deleting the checkpoint's ``commits/0`` after a clean
+    run — the SAME stream resumes and re-delivers batch 0.  The
+    stream-bound batch-id high-water mark (r7+r8 ADVICE) skips it, so
+    the sum-merged counters are not doubled."""
+    import os
+    import shutil
+
     from pyrope_spark.streaming.sketches import streaming_pchart_maintain
 
     src = tmp_path / "pcr_src"
     state = str(tmp_path / "pcr_state")
+    ckpt = str(tmp_path / "pcr_ckpt")
     schema = "grp long, flagged boolean"
     rows = spark.createDataFrame(
         [(g, i < 5) for g in range(3) for i in range(20)], schema
     )
     rows.write.mode("append").parquet(str(src))
 
-    def run(ckpt: str) -> None:
+    def run() -> None:
         stream = spark.readStream.schema(rows.schema).parquet(str(src))
         q = streaming_pchart_maintain(
             stream, state, group_col="grp", flag_col="flagged",
-            checkpoint_dir=str(tmp_path / ckpt),
+            checkpoint_dir=ckpt,
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
 
-    run("pcr_ckpt1")
+    run()
     first = {
         r.grp: (r.n, r.flagged) for r in spark.read.parquet(state).collect()
     }
     assert first == {g: (20, 5) for g in range(3)}
-    # replay: fresh checkpoint re-delivers every file as batch 0
-    run("pcr_ckpt2")
+    # crash window: offsets/0 committed, commits/0 lost -> restart
+    # re-executes batch 0 against state that already includes it
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    _crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(_crc):
+        os.remove(_crc)
+    run()
     again = {
         r.grp: (r.n, r.flagged) for r in spark.read.parquet(state).collect()
     }
     assert again == first  # not doubled
 
 
-def test_streaming_novelty_replay_no_duplicate_out_rows(spark, tmp_path):
-    """Replaying the novelty stream (fresh checkpoint, same state/out
-    dirs) leaves the per-doc output row set unchanged: each micro-batch
-    owns a batch_id partition it overwrites, never appends (r7 ADVICE)."""
-    from pyrope_spark.streaming.sketches import streaming_novelty_maintain
+def test_streaming_pchart_foreign_stream_fails_loudly(spark, tmp_path):
+    """A DIFFERENT checkpoint (or none) against marker-carrying state
+    restarts batch ids at 0 — the old guard silently dropped its NEW
+    data as a "replay" (r8 ADVICE).  Now it raises instead: the caller
+    must resume the original checkpoint or start a fresh state_dir."""
+    import pytest
 
-    src = tmp_path / "nvr_src"
-    state = str(tmp_path / "nvr_state")
-    outd = str(tmp_path / "nvr_out")
-    schema = "doc_id long, text string"
-    rows = spark.createDataFrame(
-        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], schema
-    )
+    from pyrope_spark.streaming.sketches import streaming_pchart_maintain
+
+    src = tmp_path / "pcf_src"
+    state = str(tmp_path / "pcf_state")
+    schema = "grp long, flagged boolean"
+    rows = spark.createDataFrame([(0, True), (0, False)], schema)
     rows.write.mode("append").parquet(str(src))
 
-    def run(ckpt: str) -> None:
+    def run(ckpt: str | None) -> None:
         stream = spark.readStream.schema(rows.schema).parquet(str(src))
-        q = streaming_novelty_maintain(
-            stream, state, outd, ngram_n=2,
-            checkpoint_dir=str(tmp_path / ckpt),
+        q = streaming_pchart_maintain(
+            stream, state, group_col="grp", flag_col="flagged",
+            checkpoint_dir=str(tmp_path / ckpt) if ckpt else None,
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
 
-    run("nvr_ckpt1")
+    run("pcf_ckpt1")
+    # new data arrives, but the user points a FRESH checkpoint at the
+    # same state dir: batch ids restart at 0 — ambiguous, must raise
+    spark.createDataFrame([(1, True)], schema).write.mode("append").parquet(
+        str(src)
+    )
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((ValueError, PySparkException), match="checkpoint"):
+        run("pcf_ckpt2")
+    with pytest.raises((ValueError, PySparkException), match="checkpoint"):
+        run(None)
+    # state unchanged by either failed run; resuming the ORIGINAL
+    # checkpoint picks the new file up as batch 1 and merges it
+    run("pcf_ckpt1")
+    got = {
+        r.grp: (r.n, r.flagged) for r in spark.read.parquet(state).collect()
+    }
+    assert got == {0: (2, 1), 1: (1, 1)}
+
+
+def test_streaming_novelty_replay_no_duplicate_out_rows(spark, tmp_path):
+    """Replaying the novelty stream (same checkpoint, commits/0 lost —
+    the crash-window replay) leaves the per-doc output row set
+    unchanged: the stream-bound batch marker skips the replayed batch,
+    and even when processed each micro-batch owns a batch_id partition
+    it overwrites, never appends (r7+r8 ADVICE)."""
+    import os
+
+    from pyrope_spark.streaming.sketches import streaming_novelty_maintain
+
+    src = tmp_path / "nvr_src"
+    state = str(tmp_path / "nvr_state")
+    outd = str(tmp_path / "nvr_out")
+    ckpt = str(tmp_path / "nvr_ckpt")
+    schema = "doc_id long, text string"
+    rows = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], schema
+    )
+    rows.write.mode("append").parquet(str(src))
+
+    def run() -> None:
+        stream = spark.readStream.schema(rows.schema).parquet(str(src))
+        q = streaming_novelty_maintain(
+            stream, state, outd, ngram_n=2, checkpoint_dir=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
     first = sorted(
         (r.doc_id, r.n_shingles, r.n_novel)
         for r in spark.read.parquet(outd).collect()
     )
     assert len(first) == 3
-    run("nvr_ckpt2")
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    _crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(_crc):
+        os.remove(_crc)
+    run()
     again = sorted(
         (r.doc_id, r.n_shingles, r.n_novel)
         for r in spark.read.parquet(outd).collect()
