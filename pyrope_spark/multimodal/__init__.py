@@ -7,3 +7,8 @@ from pyrope_spark.multimodal.columns import (  # noqa: F401
     resize_image_stub,
     with_media_metadata,
 )
+from pyrope_spark.multimodal.jpeg import (  # noqa: F401
+    auto_image_decoder,
+    encode_jpeg,
+    jpeg_decoder,
+)

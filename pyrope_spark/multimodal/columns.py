@@ -7,10 +7,14 @@ through the JVM row format more than once.
 
 The heavyweight codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
 so the decode step is pluggable: pass ``decoder=`` (any ``bytes ->
-ndarray(h,w,3)`` callable). Two REAL codecs ship dependency-free —
-``ppm_decoder()`` (raw P6) and ``png_decoder()`` (zlib + numpy filter
-reconstruction, 8-bit grey/RGB/palette/alpha) — and ``pil_decoder()``
-builds a JPEG-and-everything one when Pillow is installed. Alternatively
+ndarray(h,w,3)`` callable). Three REAL codecs ship dependency-free —
+``ppm_decoder()`` (raw P6), ``png_decoder()`` (zlib + numpy filter
+reconstruction, 8-bit grey/RGB/palette/alpha), and
+``multimodal.jpeg.jpeg_decoder()`` (baseline-sequential Huffman + IDCT,
+grayscale/4:4:4/4:2:2/4:2:0 — r8 VERDICT #1; web corpora are
+JPEG-dominated); ``multimodal.jpeg.auto_image_decoder()`` dispatches on
+magic bytes across all three, and ``pil_decoder()`` builds an
+everything-decoder when Pillow is installed. Alternatively
 ``deterministic_fake=True`` gives a seeded fake decode derived from the
 payload hash. Without any of these, decode raises ``NotImplementedError``. The
 Spark-side plumbing (schemas, batch shapes, partitioning, UDF signatures)
@@ -381,9 +385,10 @@ def decode_image(
             else:
                 raise NotImplementedError(
                     "image decode requires a codec (decoder=png_decoder() / "
-                    "ppm_decoder() in-container, pil_decoder() where Pillow "
-                    "is installed) or deterministic_fake=True for the "
-                    "plumbing path"
+                    "ppm_decoder() / jpeg.jpeg_decoder() / "
+                    "jpeg.auto_image_decoder() in-container, pil_decoder() "
+                    "where Pillow is installed) or deterministic_fake=True "
+                    "for the plumbing path"
                 )
             flat = stack.reshape(len(pdf), -1).astype(np.int32)
             yield pd.DataFrame(

@@ -4537,6 +4537,227 @@ register("png_real_codec_resize", _PNG_RESIZE_ORACLE)(_png_resize_spark)
 
 
 # --------------------------------------------------------------------------
+# REAL JPEG decode under oracle (r8 VERDICT #1): per doc, a 16x16
+# grayscale image of four 8x8 CONSTANT blocks (values a pure integer
+# function of doc_id in [128, 255]) is entropy-coded into genuine
+# baseline JPEG bytes (float DCT, Annex-K quality-50 tables, standard
+# Huffman, byte stuffing) executor-side, then decoded back through the
+# full decode_image(mapInPandas) plumbing with the pure-numpy
+# jpeg_decoder.  JPEG is lossy, but a constant block's only nonzero DCT
+# coefficient is the DC term, so quantize -> dequant -> IDCT collapses
+# to exact integer arithmetic: decoded = clamp(2*round((v-128)/2)+128)
+# at q00=16 — which DuckDB replays in closed form without a codec.  Any
+# Huffman, marker, dequant or IDCT bug shows up as a hash mismatch.
+# --------------------------------------------------------------------------
+
+_JPEG_BLOCKS = 2  # 2x2 blocks of 8x8 -> 16x16 image
+
+
+def _jpeg_codec_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import decode_image
+    from pyrope_spark.multimodal.jpeg import encode_jpeg, jpeg_decoder
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 64)
+    )
+    nb = _JPEG_BLOCKS
+    side = nb * 8
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = np.zeros((side, side), dtype=np.uint8)
+                for by in range(nb):
+                    for bx in range(nb):
+                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                            128 + (d * 31 + by * 17 + bx * 7) % 128
+                        )
+                ids.append(str(d))
+                payloads.append(encode_jpeg(px, quality=50))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    decoded = decode_image(
+        media, decoder=jpeg_decoder(), out_h=side, out_w=side
+    )
+    return decoded.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("px_sum"),
+        F.array_min("pixels").cast("long").alias("px_min"),
+        F.array_max("pixels").cast("long").alias("px_max"),
+    ).orderBy("doc_id")
+
+
+# closed form at q00=16, v >= 128: round-half-away((v-128)/2) =
+# (v-127)//2, decoded = least(255, 128 + 2*that); 3 channels (gray
+# replicated to RGB), 64 px per block
+_JPEG_CODEC_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 64
+), blocks AS (
+  SELECT doc_id,
+         128 + (doc_id * 31 + by * 17 + bx * 7) % 128 AS v
+  FROM ids,
+       unnest(generate_series(0, {_JPEG_BLOCKS - 1})) AS tby(by),
+       unnest(generate_series(0, {_JPEG_BLOCKS - 1})) AS tbx(bx)
+), dec AS (
+  SELECT doc_id, LEAST(255, 128 + 2 * ((v - 127) // 2)) AS p
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(COUNT(*) * 64 * 3 AS BIGINT) AS n_px,
+       CAST(SUM(p) * 64 * 3 AS BIGINT) AS px_sum,
+       CAST(MIN(p) AS BIGINT) AS px_min,
+       CAST(MAX(p) AS BIGINT) AS px_max
+FROM dec GROUP BY 1 ORDER BY 1
+"""
+
+register("jpeg_real_codec_roundtrip", _JPEG_CODEC_ORACLE)(_jpeg_codec_spark)
+
+
+def _jpeg_color_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR path of the real JPEG codec under oracle: block-constant RGB
+    -> JFIF YCbCr (floor(x+0.5) rounding) -> 4:4:4 DCT with flat-16
+    quant tables (so each component's constant block is exact integer
+    arithmetic, as in [[jpeg_real_codec_roundtrip]]) -> decode ->
+    YCbCr->RGB.  DuckDB replays the whole chain: the color-space steps
+    use the identical IEEE double literals on both sides, the DCT step
+    the same closed form."""
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import decode_image
+    from pyrope_spark.multimodal.jpeg import encode_jpeg, jpeg_decoder
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 64)
+    )
+    nb = _JPEG_BLOCKS
+    side = nb * 8
+    flat = np.full((8, 8), 16, dtype=np.int64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = np.zeros((side, side, 3), dtype=np.uint8)
+                for by in range(nb):
+                    for bx in range(nb):
+                        base = d * 31 + by * 17 + bx * 7
+                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, 0] = (
+                            base % 256
+                        )
+                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, 1] = (
+                            (base * 5 + 3) % 256
+                        )
+                        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, 2] = (
+                            (base * 11 + 7) % 256
+                        )
+                ids.append(str(d))
+                payloads.append(
+                    encode_jpeg(
+                        px, subsampling="444", quant_tables=(flat, flat)
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    decoded = decode_image(
+        media, decoder=jpeg_decoder(), out_h=side, out_w=side
+    )
+    return decoded.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("px_sum"),
+        F.array_min("pixels").cast("long").alias("px_min"),
+        F.array_max("pixels").cast("long").alias("px_max"),
+    ).orderBy("doc_id")
+
+
+# The SQL replay of the codec chain on constant blocks:
+#  1. JFIF RGB->YCbCr with floor(x+0.5) — same double literals as
+#     multimodal/jpeg.py::_rgb_to_ycbcr, clamped [0,255];
+#  2. per component, q00=16 DC-only path: y' = clamp(2*rha((y-128)/2)+128)
+#     where rha is round-half-away (sign-split integer form);
+#  3. YCbCr->RGB with floor(x+0.5) — same literals as _ycbcr_to_rgb.
+_JPEG_COLOR_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 64
+), rgb AS (
+  SELECT doc_id,
+         (doc_id * 31 + by * 17 + bx * 7) % 256 AS r,
+         ((doc_id * 31 + by * 17 + bx * 7) * 5 + 3) % 256 AS g,
+         ((doc_id * 31 + by * 17 + bx * 7) * 11 + 7) % 256 AS b
+  FROM ids,
+       unnest(generate_series(0, {_JPEG_BLOCKS - 1})) AS tby(by),
+       unnest(generate_series(0, {_JPEG_BLOCKS - 1})) AS tbx(bx)
+), ycc AS (
+  SELECT doc_id,
+    GREATEST(0, LEAST(255, CAST(floor(
+      0.299 * CAST(r AS DOUBLE) + 0.587 * CAST(g AS DOUBLE)
+      + 0.114 * CAST(b AS DOUBLE) + 0.5) AS BIGINT))) AS y,
+    GREATEST(0, LEAST(255, CAST(floor(
+      -0.168736 * CAST(r AS DOUBLE) - 0.331264 * CAST(g AS DOUBLE)
+      + 0.5 * CAST(b AS DOUBLE) + 128.0 + 0.5) AS BIGINT))) AS cb,
+    GREATEST(0, LEAST(255, CAST(floor(
+      0.5 * CAST(r AS DOUBLE) - 0.418688 * CAST(g AS DOUBLE)
+      - 0.081312 * CAST(b AS DOUBLE) + 128.0 + 0.5) AS BIGINT))) AS cr
+  FROM rgb
+), dctq AS (
+  SELECT doc_id,
+    GREATEST(0, LEAST(255, 128 + 2 * (CASE WHEN y >= 128
+      THEN (y - 128 + 1) // 2 ELSE -((128 - y + 1) // 2) END))) AS y2,
+    GREATEST(0, LEAST(255, 128 + 2 * (CASE WHEN cb >= 128
+      THEN (cb - 128 + 1) // 2 ELSE -((128 - cb + 1) // 2) END))) AS cb2,
+    GREATEST(0, LEAST(255, 128 + 2 * (CASE WHEN cr >= 128
+      THEN (cr - 128 + 1) // 2 ELSE -((128 - cr + 1) // 2) END))) AS cr2
+  FROM ycc
+), outrgb AS (
+  SELECT doc_id,
+    GREATEST(0, LEAST(255, CAST(floor(
+      CAST(y2 AS DOUBLE) + 1.402 * (CAST(cr2 AS DOUBLE) - 128.0)
+      + 0.5) AS BIGINT))) AS r2,
+    GREATEST(0, LEAST(255, CAST(floor(
+      CAST(y2 AS DOUBLE) - 0.344136 * (CAST(cb2 AS DOUBLE) - 128.0)
+      - 0.714136 * (CAST(cr2 AS DOUBLE) - 128.0) + 0.5) AS BIGINT))) AS g2,
+    GREATEST(0, LEAST(255, CAST(floor(
+      CAST(y2 AS DOUBLE) + 1.772 * (CAST(cb2 AS DOUBLE) - 128.0)
+      + 0.5) AS BIGINT))) AS b2
+  FROM dctq
+)
+SELECT doc_id,
+       CAST(COUNT(*) * 64 * 3 AS BIGINT) AS n_px,
+       CAST(SUM(r2 + g2 + b2) * 64 AS BIGINT) AS px_sum,
+       CAST(LEAST(MIN(r2), MIN(g2), MIN(b2)) AS BIGINT) AS px_min,
+       CAST(GREATEST(MAX(r2), MAX(g2), MAX(b2)) AS BIGINT) AS px_max
+FROM outrgb GROUP BY 1 ORDER BY 1
+"""
+
+register("jpeg_real_codec_color", _JPEG_COLOR_ORACLE)(_jpeg_color_spark)
+
+
+# --------------------------------------------------------------------------
 # HLL merge in the gate (operators/sketch.py): two half-corpus sketches
 # union+max-merged, estimated, vs the exact distinct of the union — the
 # mergeability contract itself driver-verified (pytest proves merge ==

@@ -1,0 +1,154 @@
+"""Pure-numpy baseline JPEG codec (r8 VERDICT #1: real corpora are
+JPEG-dominated; the PNG codec proved the plumbing, this is the format).
+
+Reference analog: the reference treats media as opaque blobs and decodes
+client-side (src/Pyrope.AISidecar/server.py); this engine decodes inside
+the Arrow mapInPandas stage, so the codec must run dependency-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyrope_spark.multimodal.jpeg import (
+    STD_LUMA_QUANT,
+    auto_image_decoder,
+    encode_jpeg,
+    jpeg_decoder,
+    quality_scaled,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+def _smooth(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        (128 + 70 * np.sin(xx / 8.0) * np.cos(yy / 6.0))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def test_marker_structure_is_valid_jfif():
+    """SOI/APP0/DQT/SOF0/DHT/SOS/EOI in order with spec'd lengths — the
+    bytes are a standard-decodable stream, not a private container."""
+    b = encode_jpeg(_smooth(24, 16), quality=75)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+    # walk the segments up to SOS
+    pos, seen = 2, []
+    while True:
+        marker = b[pos:pos + 2]
+        seen.append(marker[1])
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        if marker == b"\xff\xda":
+            break
+        pos += 2 + ln
+    assert 0xDB in seen and 0xC0 in seen and 0xC4 in seen
+    # SOF0 carries the true dimensions
+    sof_pos = b.find(b"\xff\xc0")
+    h = int.from_bytes(b[sof_pos + 5:sof_pos + 7], "big")
+    w = int.from_bytes(b[sof_pos + 7:sof_pos + 9], "big")
+    assert (h, w) == (24, 16)
+
+
+def test_block_constant_decode_is_exact_closed_form():
+    """A block-constant image decodes to EXACTLY the closed form
+    clamp(2 * round_half_away((v-128)/2) + 128) at quality 50 (q00=16):
+    the DC coefficient is the only nonzero one, so quantize -> dequant ->
+    IDCT is pure integer arithmetic — the lossless-by-construction path
+    the DuckDB oracle replays (queries.py::jpeg_real_codec_roundtrip)."""
+    dec = jpeg_decoder()
+    vals = [129, 140, 201, 255, 128, 77, 0, 64]
+    px = np.zeros((16, 32), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 4)
+        px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    out = dec(encode_jpeg(px, quality=50))
+    assert out.shape == (16, 32, 3)
+    for i, v in enumerate(vals):
+        d = v - 128
+        fq = int(np.sign(d)) * int(abs(8 * d / 16) + 0.5)
+        want = min(255, max(0, 2 * fq + 128))
+        by, bx = divmod(i, 4)
+        blk = out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+        assert (blk == want).all(), (v, want, np.unique(blk))
+
+
+def test_natural_roundtrip_psnr_gates():
+    """Lossy-but-faithful: smooth natural content survives encode->decode
+    above conventional PSNR floors for each mode."""
+    dec = jpeg_decoder()
+    g = _smooth(37, 51)  # odd dims: exercises edge padding + crop
+    assert _psnr(dec(encode_jpeg(g, quality=90))[:, :, 0], g) > 40
+    rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], axis=2)
+    assert _psnr(dec(encode_jpeg(rgb, quality=90, subsampling="444")), rgb) > 38
+    # 4:2:0 halves chroma resolution — lower floor, still faithful
+    assert _psnr(dec(encode_jpeg(rgb, quality=90, subsampling="420")), rgb) > 30
+
+
+def test_decoder_reads_tables_from_stream_not_assumptions():
+    """Custom (non-Annex-K) quantization tables ride the DQT segment and
+    the decoder must use THEM — a decoder that assumes the standard
+    tables reconstructs garbage here."""
+    dec = jpeg_decoder()
+    g = _smooth(16, 16)
+    flat = np.full((8, 8), 16, dtype=np.int64)
+    assert _psnr(dec(encode_jpeg(g, quant_tables=(flat, flat)))[:, :, 0], g) > 35
+    # quality scaling reaches the DQT too: q=100 tables are all-ones
+    assert (quality_scaled(STD_LUMA_QUANT, 100) == 1).all()
+    assert _psnr(dec(encode_jpeg(g, quality=100))[:, :, 0], g) > 45
+
+
+def test_progressive_and_truncated_raise_clearly():
+    dec = jpeg_decoder()
+    g = encode_jpeg(_smooth(8, 8))
+    prog = bytearray(g)
+    sof = bytes(prog).find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        dec(bytes(prog))
+    with pytest.raises(ValueError, match="SOI"):
+        dec(b"\x00\x01\x02")
+
+
+def test_auto_decoder_dispatches_all_three_formats():
+    from pyrope_spark.multimodal.columns import encode_png
+
+    dec = auto_image_decoder()
+    g = _smooth(8, 8)
+    rgb = np.stack([g, g, g], axis=2)
+    png_out = dec(encode_png(rgb))
+    assert (png_out == rgb).all()  # PNG lossless
+    ppm = b"P6 8 8 255\n" + rgb.tobytes()
+    assert (dec(ppm) == rgb).all()
+    jout = dec(encode_jpeg(rgb, quality=95, subsampling="444"))
+    assert _psnr(jout, rgb) > 35
+    with pytest.raises(ValueError, match="magic"):
+        dec(b"GIF89a....")
+
+
+def test_decode_image_runs_real_jpeg_bytes(spark):
+    """End-to-end through the Arrow mapInPandas decode stage: real
+    entropy-coded JPEG payloads in a BINARY column -> pixel tensors."""
+    from pyrope_spark.multimodal.columns import decode_image
+
+    rows = []
+    for i in range(6):
+        px = np.full((16, 16), 128 + 16 * i, dtype=np.uint8)
+        rows.append((f"m{i}", bytearray(encode_jpeg(px, quality=50))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = decode_image(df, decoder=jpeg_decoder(), out_h=16, out_w=16)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert len(got) == 6
+    for i in range(6):
+        v = 128 + 16 * i
+        want = min(255, 2 * int(abs(8 * (v - 128) / 16) + 0.5) + 128)
+        pxs = got[f"m{i}"]["pixels"]
+        assert len(pxs) == 16 * 16 * 3
+        assert set(pxs) == {want}
