@@ -912,7 +912,12 @@ def ivf_pq_search_distributed(
         centroids, codebooks, m, dsub, kcode = bm.value
         c = int(seg_pdf["cluster_id"].iloc[0])
         qids = q_pdf["query_id"].to_numpy()
-        qmat = np.vstack(q_pdf["vector"].to_numpy()).astype(np.float64)
+        # probes arrive float32-packed (select_probes_distributed r9)
+        qmat = (
+            np.frombuffer(b"".join(q_pdf["qvec"].tolist()), dtype=np.float32)
+            .reshape(len(q_pdf), -1)
+            .astype(np.float64)
+        )
         rq = qmat - centroids[c][None, :]
         tabs = np.empty((m, len(qids), kcode), dtype=np.float64)
         for sub in range(m):

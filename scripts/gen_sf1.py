@@ -15,7 +15,9 @@ keep query behavior realistic rather than pathological:
 - embeddings get a tiny per-copy additive shift for the same reason;
 - region/nation (dimension tables referenced by nationkey) stay single-copy.
 
-Writes to $SF1_DIR (default /tmp/pyrope_sf1). ~6M lineitem rows.
+Writes to $SF1_DIR (default /tmp/pyrope_sf1). ~6M lineitem rows at the
+default $SF1_COPIES=10; SF1_COPIES=3 builds the sf0.3-equivalent dir
+used to close the sf1-infeasible-oracle gap (r8 VERDICT #5).
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SF1_DIR", "/tmp/pyrope_sf1")
-COPIES = 10
+COPIES = int(os.environ.get("SF1_COPIES", "10"))
 OFF = 1_000_000_000  # > any sf0.1 key
 
 

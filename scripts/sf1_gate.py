@@ -1,18 +1,17 @@
 #!/usr/bin/env python
-"""sf1-sample correctness gate (VERDICT r7 Next #7): run the most
-expensive ORACLED queries at 10x the driver's bench scale (the
-key-shifted sf1-equivalent dir from scripts/gen_sf1.py) through the same
-strict compare as driver_check — committed per round as
-CORRECTNESS_r8_sf1-sample.json.
+"""sf1-sample correctness gate (VERDICT r7 Next #7, widened to the top
+50 in r9 per VERDICT r8 #7): run the most expensive ORACLED queries at
+10x the driver's bench scale (the key-shifted sf1-equivalent dir from
+scripts/gen_sf1.py) through the same strict compare as driver_check —
+committed per round as CORRECTNESS_r{N}_sf1-sample.json.
 
-The 20 names are the top oracled entries of BENCH_full_r07.json by
+The names are the top oracled entries of BENCH_full_r08.json by
 in-suite cost (synthetic-vector and streaming bench-only entries
-excluded — they have no sf-dir input; quality_clf_train_score_docs is a
-bench-only MLlib entry, so embedding_neardup_blocked takes its slot;
-greedy_coverage_selection's DuckDB twin replays the greedy set-cover
-loop — iteration x corpus-sized scans — and blew the 30 GB temp cap at
-sf1 while the Spark operator finished fine, so events_gapfill takes its
-slot and greedy coverage stays sf0.1-gated).
+excluded — they have no sf-dir input; greedy_coverage_selection's
+DuckDB twin replays the greedy set-cover loop — iteration x
+corpus-sized scans — and blew the 30 GB temp cap at sf1 while the Spark
+operator finished fine, so it and the other three sf1-infeasible twins
+are gated at sf0.3 instead via --names INFEASIBLE4).
 
 Three more sf1-ORACLE-infeasible swaps, all with the Spark side green
 and the DuckDB twin the bottleneck: kcore_copurchase and
@@ -45,33 +44,98 @@ import pandas as pd  # noqa: E402
 
 import driver_check as dc  # noqa: E402
 
-TOP20 = [
+# r9 (VERDICT r8 #7): extended from the r8 top-20 to the top 50 oracled
+# entries of BENCH_full_r08.json by in-suite cost, same exclusions
+# (the four sf1-infeasible DuckDB twins, covered separately at sf0.3 —
+# see the __main__ usage note), same bench-only filters.
+TOP50 = [
     "ngram_novelty_per_doc",
-    "embedding_neardup_blocked",
-    "source_shingle_overlap",
     "winnowing_fingerprints",
+    "source_shingle_overlap",
     "bpe_merges",
     "embedding_norm_outliers",
-    "events_gapfill",
     "containment_dup_pairs",
-    "cdc_chunking",
     "dsir_importance_resample",
-    "join_strategy_advice",
+    "cdc_chunking",
     "bm25_prf_search",
-    "semantic_dedup",
+    "duplicate_passages",
+    "fd_discovery_matrix",
     "chunk_documents_strided",
     "vocab_coverage_curve",
-    "fd_discovery_matrix",
-    "frequent_triples_baskets",
-    "duplicate_passages",
-    "community_modularity_lpa",
+    "events_gapfill",
+    "cross_modal_dup_audit",
+    "semantic_dedup",
     "split_leakage_audit",
+    "join_strategy_advice",
+    "frequent_triples_baskets",
+    "community_modularity_lpa",
+    "customer_revenue_lorenz",
+    "sq8_reconstruction_error",
+    "lang_id_confusion",
+    "ahash_neardup_images",
+    "quantile_normalized_lengths",
+    "fuzzy_name_resolution",
+    "embedding_neardup_blocked",
+    "item_item_cosine_topk",
+    "dedup_keep_best",
+    "hybrid_rrf_search",
+    "dedup_groups_cc",
+    "pagerank_copurchase",
+    "ngram_jaccard_pairs",
+    "dup_component_size_bands",
+    "llm_ttl_overrides",
+    "ivf_pq_rerank_search",
+    "weighted_median_price",
+    "bm25_search",
+    "label_noise_scan",
+    "policy_query_features",
+    "llm_prefetch_dispatch",
+    "cc_star_components",
+    "mad_anomalies",
+    "decontaminate_ngram",
+    "poisson_bootstrap_ci",
+    "weighted_pagerank_copurchase",
+    "embedding_cluster_drift",
+    "personalized_pagerank_copurchase",
+    "mutual_nn_pairs",
+    "potential_part_promotion",
+]
+
+# The four documented exclusions whose DuckDB twins are sf1-infeasible
+# (Spark side green at sf1 in all four).  Closing their oracle gap above
+# sf0.1 (r8 VERDICT #5): run THEM at sf0.3 (SF1_COPIES=3 dir), where the
+# replayed set-cover loop / pair joins / list kernels fit the 30 GB temp
+# cap:
+#   SF1_COPIES=3 SF1_DIR=/tmp/pyrope_sf03 python scripts/gen_sf1.py
+#   SF1_DIR=/tmp/pyrope_sf03 python scripts/sf1_gate.py \
+#       --out CORRECTNESS_r9_sf03-infeasible4.json --names INFEASIBLE4
+INFEASIBLE4 = [
+    "greedy_coverage_selection",
+    "kcore_copurchase",
+    "triangle_copurchase",
+    "setsim_prefix_join",
 ]
 
 SPILL = "/tmp/pyrope_sf1_duckspill"
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="CORRECTNESS_r9_sf1-sample.json")
+    ap.add_argument(
+        "--names", default="TOP50",
+        help="TOP50, INFEASIBLE4, or a comma-separated query list",
+    )
+    args = ap.parse_args()
+    if args.names == "TOP50":
+        names = TOP50
+    elif args.names == "INFEASIBLE4":
+        names = INFEASIBLE4
+    else:
+        names = [n for n in args.names.split(",") if n]
+
     sf1 = os.environ.get("SF1_DIR", "/tmp/pyrope_sf1")
     if not os.path.isdir(sf1):
         raise SystemExit(f"{sf1} missing - run scripts/gen_sf1.py first")
@@ -85,7 +149,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "CORRECTNESS_r8_sf1-sample.json",
+        args.out,
     )
     # resume: green rows from a prior (crashed/partial) run are kept
     results: dict[str, dict] = {}
@@ -96,7 +160,7 @@ def main() -> int:
             }
     failures: list[str] = []
 
-    for name in TOP20:
+    for name in names:
         if name in results:
             print(f"[skip] {name}: green in prior run", flush=True)
             continue
