@@ -4757,6 +4757,95 @@ FROM outrgb GROUP BY 1 ORDER BY 1
 register("jpeg_real_codec_color", _JPEG_COLOR_ORACLE)(_jpeg_color_spark)
 
 
+def _mjpeg_video_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed VIDEO under oracle (r9, extends the r8 JPEG ask to
+    the video path): per doc, a 3-frame MJPEG AVI — every '00dc' chunk a
+    genuine baseline JPEG of a 16x16 block-constant gray frame — parsed
+    and decoded by the real avi_decoder + jpeg codec inside
+    decode_video_stats.  Gray-as-RGB frames keep the chroma planes
+    constant at 128 (Cb = Cr = 128 exactly after the JFIF transform), so
+    only the luma DC closed form matters and DuckDB replays the stats
+    without a codec."""
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import (
+        decode_video_stats,
+        mjpeg_avi_bytes,
+    )
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 32)
+    )
+    nb = _JPEG_BLOCKS
+    side = nb * 8
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = np.zeros((3, side, side, 3), dtype=np.uint8)
+                for fidx in range(3):
+                    for by in range(nb):
+                        for bx in range(nb):
+                            v = 128 + (
+                                d * 31 + fidx * 53 + by * 17 + bx * 7
+                            ) % 128
+                            frames[
+                                fidx, by * 8:(by + 1) * 8,
+                                bx * 8:(bx + 1) * 8, :,
+                            ] = v
+                ids.append(str(d))
+                payloads.append(mjpeg_avi_bytes(frames, fps=10, quality=50))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    stats = decode_video_stats(media)
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.col("duration_s"), 6).alias("duration_s"),
+        F.col("sum_pixels").cast("long").alias("sum_pixels"),
+        F.col("peak_pixel").cast("long").alias("peak_pixel"),
+    ).orderBy("doc_id")
+
+
+_MJPEG_VIDEO_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 32
+), blocks AS (
+  SELECT doc_id,
+         128 + (doc_id * 31 + f * 53 + by * 17 + bx * 7) % 128 AS v
+  FROM ids,
+       unnest(generate_series(0, 2)) AS tf(f),
+       unnest(generate_series(0, {_JPEG_BLOCKS - 1})) AS tby(by),
+       unnest(generate_series(0, {_JPEG_BLOCKS - 1})) AS tbx(bx)
+), dec AS (
+  SELECT doc_id, LEAST(255, 128 + 2 * ((v - 127) // 2)) AS p
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_frames,
+       CAST({_JPEG_BLOCKS * 8} AS BIGINT) AS width,
+       CAST({_JPEG_BLOCKS * 8} AS BIGINT) AS height,
+       CAST(0.3 AS DOUBLE) AS duration_s,
+       CAST(SUM(p) * 64 * 3 AS BIGINT) AS sum_pixels,
+       CAST(MAX(p) AS BIGINT) AS peak_pixel
+FROM dec GROUP BY 1 ORDER BY 1
+"""
+
+register("mjpeg_video_stats", _MJPEG_VIDEO_ORACLE)(_mjpeg_video_spark)
+
+
 # --------------------------------------------------------------------------
 # HLL merge in the gate (operators/sketch.py): two half-corpus sketches
 # union+max-merged, estimated, vs the exact distinct of the union — the

@@ -133,6 +133,38 @@ def test_auto_decoder_dispatches_all_three_formats():
         dec(b"GIF89a....")
 
 
+def test_mjpeg_avi_roundtrip_and_env_gate():
+    """MJPEG AVI: '00dc' chunks carrying real baseline JPEGs decode via
+    the pure-numpy codec (r9 — the video analog of the JPEG ask); a
+    non-MJPEG '00dc' codec still raises the honest env gate."""
+    from pyrope_spark.multimodal.columns import avi_decoder, mjpeg_avi_bytes
+
+    dec = avi_decoder()
+    g = _smooth(16, 24)
+    frames = np.stack(
+        [np.stack([g, g, g], axis=2), np.stack([255 - g] * 3, axis=2)]
+    ).astype(np.uint8)
+    payload = mjpeg_avi_bytes(frames, fps=10, quality=90)
+    out, fps = dec(payload)
+    assert out.shape == (2, 16, 24, 3) and fps == 10
+    assert _psnr(out, frames) > 38
+    # block-constant gray frames decode EXACTLY (luma DC closed form,
+    # chroma constant 128) — the mjpeg_video_stats oracle's contract
+    const = np.full((1, 16, 16, 3), 201, dtype=np.uint8)
+    exact, _ = dec(mjpeg_avi_bytes(const, quality=50))
+    want = min(255, 2 * ((201 - 127) // 2) + 128)
+    assert (exact == want).all()
+    # foreign codec -> env gate
+    bad = payload.replace(b"\xff\xd8", b"XV", 1)  # corrupt first magic
+    with pytest.raises(NotImplementedError, match="non-MJPEG"):
+        dec(bad)
+    # raw '00db' profile still decodes alongside (no regression)
+    from pyrope_spark.multimodal.columns import raw_avi_bytes
+
+    raw, fps2 = dec(raw_avi_bytes(frames, fps=5))
+    assert (raw == frames).all() and fps2 == 5
+
+
 def test_decode_image_runs_real_jpeg_bytes(spark):
     """End-to-end through the Arrow mapInPandas decode stage: real
     entropy-coded JPEG payloads in a BINARY column -> pixel tensors."""
