@@ -7,6 +7,10 @@ from pyrope_spark.multimodal.columns import (  # noqa: F401
     resize_image_stub,
     with_media_metadata,
 )
+from pyrope_spark.multimodal.gif import (  # noqa: F401
+    encode_gif,
+    gif_decoder,
+)
 from pyrope_spark.multimodal.jpeg import (  # noqa: F401
     auto_image_decoder,
     encode_jpeg,

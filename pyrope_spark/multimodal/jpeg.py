@@ -664,13 +664,15 @@ def jpeg_decoder():
 
 def auto_image_decoder():
     """Magic-byte dispatch across the in-container REAL codecs: PNG,
-    binary PPM (P6), baseline JPEG.  The one ``decoder=`` hook to hand
-    ``decode_image`` for a mixed-format corpus column."""
+    binary PPM (P6), baseline JPEG, GIF.  The one ``decoder=`` hook to
+    hand ``decode_image`` for a mixed-format corpus column."""
     from pyrope_spark.multimodal.columns import png_decoder, ppm_decoder
+    from pyrope_spark.multimodal.gif import gif_decoder
 
     png = png_decoder()
     ppm = ppm_decoder()
     jpg = jpeg_decoder()
+    gif = gif_decoder()
 
     def dec(payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -679,6 +681,8 @@ def auto_image_decoder():
             return ppm(payload)
         if payload[:2] == b"\xff\xd8":
             return jpg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return gif(payload)
         raise ValueError("auto_image_decoder: unrecognized image magic")
 
     return dec

@@ -4846,6 +4846,82 @@ FROM dec GROUP BY 1 ORDER BY 1
 register("mjpeg_video_stats", _MJPEG_VIDEO_ORACLE)(_mjpeg_video_spark)
 
 
+def _gif_codec_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under oracle (r9 — completes the r8 image-format
+    triple): per doc, a 16-color palette image (indices AND palette pure
+    integer functions of doc_id) LZW-compressed into genuine GIF89a
+    bytes executor-side, decoded back through decode_image with the
+    magic-byte dispatcher.  GIF is lossless over its palette, so DuckDB
+    verifies the per-doc pixel stats straight from the generating
+    formulas — any LZW, sub-block, or color-table bug hash-mismatches."""
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import decode_image
+    from pyrope_spark.multimodal.gif import encode_gif
+    from pyrope_spark.multimodal.jpeg import auto_image_decoder
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 64)
+    )
+    h, w, nc = 14, 10, 16
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        i = np.arange(nc)[:, None]
+        c = np.arange(3)[None, :]
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                idx = ((d + y * 5 + x * 3) % nc).astype(np.uint8)
+                pal = ((d * 7 + i * 13 + c * 29) % 256).astype(np.uint8)
+                ids.append(str(d))
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    decoded = decode_image(media, decoder=auto_image_decoder(), out_h=h, out_w=w)
+    return decoded.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("px_sum"),
+        F.array_min("pixels").cast("long").alias("px_min"),
+        F.array_max("pixels").cast("long").alias("px_max"),
+    ).orderBy("doc_id")
+
+
+_GIF_CODEC_ORACLE = """
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 64
+), px AS (
+  SELECT doc_id,
+         (doc_id * 7 + ((doc_id + y * 5 + x * 3) % 16) * 13 + c * 29)
+           % 256 AS v
+  FROM ids,
+       unnest(generate_series(0, 13)) AS ty(y),
+       unnest(generate_series(0, 9)) AS tx(x),
+       unnest(generate_series(0, 2)) AS tc(c)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS BIGINT) AS px_min,
+       CAST(MAX(v) AS BIGINT) AS px_max
+FROM px GROUP BY 1 ORDER BY 1
+"""
+
+register("gif_real_codec_roundtrip", _GIF_CODEC_ORACLE)(_gif_codec_spark)
+
+
 # --------------------------------------------------------------------------
 # HLL merge in the gate (operators/sketch.py): two half-corpus sketches
 # union+max-merged, estimated, vs the exact distinct of the union — the
