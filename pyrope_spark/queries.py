@@ -10549,22 +10549,33 @@ def _setsim_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _setsim_oracle() -> str:
+    # r9 (VERDICT r8 #5): the old twin was an ALL-PAIRS join with a
+    # list_intersect per pair — O(n^2) single-threaded list kernels that
+    # made the oracle sf1-infeasible (killed at 25 min) while the Spark
+    # side finished fine.  Restructured to the operator's own relational
+    # shape: explode distinct grams to rows, gram-keyed self-join,
+    # count(*) per pair = |intersection| — hash-join parallel in DuckDB,
+    # identical result set.
     from pyrope_spark.functions.text import tokens_sql, word_ngrams_from_tokens_sql
 
     ng = word_ngrams_from_tokens_sql("t", 2)
     return f"""
 WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
-ng AS (SELECT doc_id, list_distinct({ng}) AS g FROM tk),
+ngl AS (SELECT doc_id, list_distinct({ng}) AS g FROM tk),
+ng AS (SELECT doc_id, unnest(g) AS g FROM ngl),
+sz AS (SELECT doc_id, count(*) AS s FROM ng GROUP BY 1),
 p AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib,
-         len(list_intersect(a.g, b.g)) AS inter,
-         len(a.g) AS sa, len(b.g) AS sb
-  FROM ng a JOIN ng b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.g, b.g)) > 0
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
-       CAST(inter * 1000000 // (sa + sb - inter) AS BIGINT) AS jaccard_ppm
-FROM p WHERE inter * 10 >= 7 * (sa + sb - inter)
+SELECT CAST(p.ia AS BIGINT) AS ia, CAST(p.ib AS BIGINT) AS ib,
+       CAST(inter * 1000000 // (sa.s + sb.s - inter) AS BIGINT)
+         AS jaccard_ppm
+FROM p
+JOIN sz sa ON sa.doc_id = p.ia
+JOIN sz sb ON sb.doc_id = p.ib
+WHERE inter * 10 >= 7 * (sa.s + sb.s - inter)
 """
 
 
