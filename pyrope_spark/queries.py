@@ -12988,8 +12988,14 @@ def _lorenz_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_cents")
     )
+    # values_are_micro: spend_cents is ALREADY exact integer units — the
+    # default x1e6 floor-micro conversion overflowed BIGINT at sf1
+    # (total micro ~2.9e19 > 2^63; caught by the r9 sf1-sample gate).
+    # Shares are scale-free, so cents-as-units changes only the
+    # *_value_micro magnitudes, exact to 2^63 at any realistic SF.
     return lorenz_curve_deciles(
-        per_cust, id_col="o_custkey", value_col="spend_cents"
+        per_cust, id_col="o_custkey", value_col="spend_cents",
+        values_are_micro=True,
     )
 
 
@@ -13004,6 +13010,7 @@ def _lorenz_oracle() -> str:
             "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
             "AS spend_cents FROM orders GROUP BY 1)"
         ),
+        values_are_micro=True,
     )
 
 
