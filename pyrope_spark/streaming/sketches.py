@@ -348,10 +348,15 @@ def streaming_ewma(
         (k,) = key
         s = state.get[0] if state.exists else None
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", value_col])
-            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
-            for t, x in zip(ts_us, pdf[value_col].tolist()):
+        # concat BEFORE sorting: Arrow delivers a micro-batch as several
+        # chunks in arbitrary order, so a per-chunk sort folds events out
+        # of order under load (r9 flake caught by the full suite running
+        # next to the sf1 gate)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", value_col])
+            ts_us = (batch["ts"].astype("int64") // 1_000).tolist()
+            for t, x in zip(ts_us, batch[value_col].tolist()):
                 dev = (
                     s is not None
                     and deviation_threshold is not None
@@ -418,10 +423,13 @@ def streaming_holt(
         (k,) = key
         lb = state.get if state.exists else None
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", value_col])
-            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
-            for t, x in zip(ts_us, pdf[value_col].tolist()):
+        # one concat+sort across the whole micro-batch (chunk order is
+        # arbitrary — the ewma fold's r9 flake note applies here too)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", value_col])
+            ts_us = (batch["ts"].astype("int64") // 1_000).tolist()
+            for t, x in zip(ts_us, batch[value_col].tolist()):
                 if lb is None:
                     fc = None
                     surprised = False
@@ -690,10 +698,13 @@ def streaming_debounce(
             (state.get[0], state.get[1]) if state.exists else (None, 0)
         )
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_ns_col, id_col])
+        # concat before sort: per-chunk sorting folds out of order when
+        # Arrow splits the micro-batch (r9 flake class)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values([ts_ns_col, id_col])
             for t, eid in zip(
-                pdf[ts_ns_col].tolist(), pdf[id_col].tolist()
+                batch[ts_ns_col].tolist(), batch[id_col].tolist()
             ):
                 if last_ts is None or t - last_ts > gap_ns:
                     rows.append((*key, int(t), int(eid), int(supp)))
@@ -761,10 +772,14 @@ def streaming_interval_coverage(
             n_iv, n_seg, covered, seg_s, seg_e = state.get
         else:
             n_iv, n_seg, covered, seg_s, seg_e = 0, 0, 0, None, None
-        for pdf in pdfs:
-            pdf = pdf[pdf[end_col] >= pdf[start_col]]
-            pdf = pdf.sort_values([start_col, end_col])
-            for s, e in zip(pdf[start_col].tolist(), pdf[end_col].tolist()):
+        # concat before sort (r9 flake class: chunk order is arbitrary)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch[batch[end_col] >= batch[start_col]]
+            batch = batch.sort_values([start_col, end_col])
+            for s, e in zip(
+                batch[start_col].tolist(), batch[end_col].tolist()
+            ):
                 s, e = int(s), int(e)
                 n_iv += 1
                 if seg_s is None:
@@ -835,9 +850,11 @@ def streaming_transition_deltas(
     ) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
         counts: dict[tuple, int] = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
-            for st in pdf[state_col].tolist():
+        # concat before sort (r9 flake class: chunk order is arbitrary)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values([ts_col, id_col])
+            for st in batch[state_col].tolist():
                 if last is not None:
                     k = (last, st)
                     counts[k] = counts.get(k, 0) + 1
