@@ -1052,21 +1052,34 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard_oracle() -> str:
+    # r9: restructured from the all-pairs list_intersect form (O(n^2)
+    # single-threaded list kernels — unfinishable at the sf1 gate's 50k
+    # docs) to the operator's own gram-keyed relational shape: explode
+    # distinct grams, gram-keyed self-join, count(*) = |intersection|,
+    # union = sa + sb - inter.  Identical result set, hash-join parallel
+    # (the setsim_prefix_join twin's discipline).
     from pyrope_spark.functions.text import tokens_sql, word_ngrams_from_tokens_sql
 
     ng = word_ngrams_from_tokens_sql("t", 3)
     return f"""
 WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
-ng AS (SELECT doc_id, list_distinct({ng}) AS g FROM tk),
+ngl AS (SELECT doc_id, list_distinct({ng}) AS g FROM tk),
+ng AS (SELECT doc_id, unnest(g) AS g FROM ngl),
+sz AS (SELECT doc_id, count(*) AS s FROM ng GROUP BY 1),
 p AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib,
-         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-           / NULLIF(len(list_distinct(a.g || b.g)), 0) AS j
-  FROM ng a JOIN ng b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.g, b.g)) > 0
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.ia, p.ib,
+         CAST(inter AS DOUBLE) / NULLIF(sa.s + sb.s - inter, 0) AS j
+  FROM p
+  JOIN sz sa ON sa.doc_id = p.ia
+  JOIN sz sb ON sb.doc_id = p.ib
 )
 SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib, round(j, 6) AS jaccard
-FROM p WHERE j >= 0.8
+FROM j WHERE j >= 0.8
 """
 
 
