@@ -156,6 +156,11 @@ def gif_decoder():
                     pos += 1 + ln
                 pos += 1
                 idx = _lzw_decode(b"".join(blocks), min_code, iw * ih)
+                if len(idx) != iw * ih:
+                    raise ValueError(
+                        f"GIF: truncated image data ({len(idx)} of "
+                        f"{iw * ih} pixels decoded)"
+                    )
                 grid = np.asarray(idx, dtype=np.uint8).reshape(ih, iw)
                 if interlaced:
                     rows = []
@@ -188,7 +193,7 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
     while len(out) < n_pixels:
         while nbits < width:
             if bytepos >= len(data):
-                return out  # truncated stream: return what decoded
+                return out  # truncated: caller checks length and raises
             acc |= data[bytepos] << nbits
             bytepos += 1
             nbits += 8

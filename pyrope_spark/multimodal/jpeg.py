@@ -421,6 +421,13 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
+                elif nxt == 0xFF:
+                    # legal T.81 fill byte (B.1.1.2: markers may be
+                    # preceded by any number of 0xFF): drop ONLY the
+                    # fill byte and re-examine — the next byte may be a
+                    # marker id that must not be consumed as entropy data
+                    self.pos += 1
+                    continue
                 elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
                     # restart / EOI: stop feeding real bits
                     self.acc = (self.acc << 8) | 0xFF
@@ -510,6 +517,13 @@ def jpeg_decoder():
             if payload[pos] != 0xFF:
                 pos += 1
                 continue
+            # skip T.81 fill bytes: any run of 0xFF before the marker id
+            # (B.1.1.2) — without this, marker=0xFF would fall through to
+            # a bogus seglen read below
+            while pos + 1 < n and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 1 >= n:
+                break
             marker = payload[pos + 1]
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -309,6 +309,11 @@ def ivf_search(
     redirecting could flip near-tie rankings.  Pass ``distributed=True``
     to override explicitly.  ``distributed=False`` keeps the collecting
     path unconditionally.
+
+    Precision note (r9): the distributed path also rounds the QUERY
+    vectors to float32 for transport (`select_probes_distributed`), so
+    both probe selection and final scores see float32 queries there;
+    the collecting and ``expr`` paths keep float64 queries end-to-end.
     """
     from pyrope_spark.operators.similarity import _pick_distributed
 
@@ -485,9 +490,13 @@ def select_probes_distributed(
     convention while cutting the probe shuffle ~2x vs array<double> rows
     (r9 perf pass on the ivf_dist bench entry — the GEMM itself still runs
     in float64 after the unpack). Same ordering semantics as
-    :func:`select_probes` (stable sort, lower cid wins ties); l2 probes are
-    computed with the identical diff-based distance, ip/cosine match up to
-    GEMM-vs-GEMV float rounding.
+    :func:`select_probes` (stable sort, lower cid wins ties); l2 probes use
+    the same diff-based distance FORM, but on the float32-ROUNDED query —
+    both probe selection and final scoring see float32 queries on this
+    path, so near-tie top-k rankings can flip vs the collecting/``expr``
+    paths, which keep float64 queries end-to-end (r9 ADVICE note). Callers
+    needing bit-level cross-path score parity should use ``impl='expr'`` or
+    the collecting path; the recall gates cover the float32 path.
 
     This is the large-batch path (VERDICT round-1 item 3): a 100k-query
     batch never collects to the driver and probe selection parallelizes

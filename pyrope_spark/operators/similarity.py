@@ -206,6 +206,10 @@ def ann_topk(
     ``distributed='auto'`` (default) switches to the no-driver-collect path
     when the query table exceeds :data:`DISTRIBUTED_QUERY_THRESHOLD` rows —
     a user with a large query table no longer needs to know the flag.
+    Precision note: the distributed paths transport QUERY vectors as
+    float32 (matching the float32-packed corpus segments), so near-tie
+    rankings can differ from the float64 collecting/``expr`` paths by one
+    ulp-scale flip; see :func:`~pyrope_spark.operators.ivf.ivf_search`.
 
     ``ef_search=None`` (default, hnsw only) auto-scales from the corpus
     size via :func:`hnsw_auto_ef` — RECALL.md's 1M sweep showed the old

@@ -80,3 +80,23 @@ def test_interlaced_gif_reorders_rows():
     b[desc + 9] |= 0x40  # set interlace flag
     out = dec(bytes(b))
     assert (out == pal[idx]).all()
+
+
+def test_truncated_lzw_raises_clear_error():
+    """r9 ADVICE: a truncated LZW stream used to surface as an opaque
+    numpy reshape error; the decoder must name the condition."""
+    idx = (np.arange(16 * 16).reshape(16, 16) % 7).astype(np.uint8)
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    b = encode_gif(idx, pal)
+    size = 2 << (b[10] & 0x07)
+    data_start = 13 + 3 * size + 10 + 1  # header + gct + descriptor + min_code
+    ln = b[data_start]
+    keep = max(1, ln // 4)
+    trunc = (
+        b[:data_start]
+        + bytes([keep])
+        + b[data_start + 1:data_start + 1 + keep]
+        + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decoder()(trunc)

@@ -186,3 +186,30 @@ def test_decode_image_runs_real_jpeg_bytes(spark):
         pxs = got[f"m{i}"]["pixels"]
         assert len(pxs) == 16 * 16 * 3
         assert set(pxs) == {want}
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: a marker may be preceded by any number of 0xFF fill
+    bytes.  r9 ADVICE: the old entropy ``_fill`` consumed BOTH bytes of an
+    0xFF 0xFF pair (eating a following marker id as data) and the header
+    scan read a bogus seglen when marker==0xFF.  Pixels must be identical
+    to the fill-free stream through both paths."""
+    img = _smooth(24, 16)
+    b = encode_jpeg(img, quality=75)
+    ref = jpeg_decoder()(b)
+    # marker positions of every header segment after SOI, up to SOS
+    pos, cuts = 2, []
+    while True:
+        cuts.append(pos)
+        if b[pos:pos + 2] == b"\xff\xda":
+            break
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        pos += 2 + ln
+    out = bytearray(b[:2])
+    prev = 2
+    for c in cuts:
+        out += b[prev:c] + b"\xff\xff"  # two fill bytes before each marker
+        prev = c
+    out += b[prev:-2] + b"\xff\xff\xff" + b[-2:]  # fills before EOI too
+    got = jpeg_decoder()(bytes(out))
+    assert np.array_equal(got, ref)
