@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyrope_spark.store import VectorStore
@@ -1278,3 +1279,194 @@ def test_streaming_novelty_replay_no_duplicate_out_rows(spark, tmp_path):
         for r in spark.read.parquet(outd).collect()
     )
     assert again == first  # no duplicate appends
+
+
+# --------------------------------------------------------------------------
+# r9 chunk-order regression (VERDICT r9 #2): Arrow delivers one micro-batch
+# to applyInPandasWithState as SEVERAL chunks whose order is arbitrary under
+# load; the five stateful folds must sort the CONCATENATED batch, never each
+# chunk (commit 5caa649 fixed a per-chunk-sort corruption — holt level
+# 55.9375 vs 23.75). maxRecordsPerBatch=7 over a 61-row shuffled single-key
+# batch forces ~9 chunks: any per-chunk (or no-)sort folds the recurrence
+# out of order and diverges from the sorted-batch oracle.
+
+
+def _chunk_order_ewma(spark, tmp_path, run):
+    import random
+
+    rows = [(i, float((i * 37) % 61)) for i in range(61)]
+    random.Random(9).shuffle(rows)
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.streaming.sketches import streaming_ewma
+
+    df = spark.createDataFrame(
+        [(1, i, v) for (i, v) in rows], "user_id long, sec long, value double"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.lit(1767225600) + F.col("sec")).alias("ts"),
+        "value",
+    )
+    got = run(df, lambda s: streaming_ewma(s, 0.3), "co_ewma")
+    got_by_ts = {r.ts_us: r.ewma for r in got}
+    s = None
+    for i, v in sorted(rows):
+        s = v if s is None else 0.3 * v + 0.7 * s
+        assert got_by_ts[(1767225600 + i) * 1_000_000] == round(s, 6)
+
+
+def _chunk_order_holt(spark, tmp_path, run):
+    import random
+
+    rows = [(i, float((i * 37) % 61)) for i in range(61)]
+    random.Random(10).shuffle(rows)
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.streaming.sketches import streaming_holt
+
+    df = spark.createDataFrame(
+        [(1, i, v) for (i, v) in rows], "user_id long, sec long, value double"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.lit(1767225600) + F.col("sec")).alias("ts"),
+        "value",
+    )
+    got = run(df, lambda s: streaming_holt(s, 0.5, 0.5), "co_holt")
+    got_by_ts = {r.ts_us: (r.level, r.trend) for r in got}
+    lb = None
+    for i, v in sorted(rows):
+        if lb is None:
+            lb = (v, 0.0)
+        else:
+            l0, b0 = lb
+            l = 0.5 * v + 0.5 * (l0 + b0)
+            lb = (l, 0.5 * (l - l0) + 0.5 * b0)
+        assert got_by_ts[(1767225600 + i) * 1_000_000] == (
+            round(lb[0], 6), round(lb[1], 6)
+        )
+
+
+def _chunk_order_debounce(spark, tmp_path, run):
+    import random
+
+    # bursts: events every 10s with a >300s gap every 7th event
+    ts, t = [], 0
+    for i in range(61):
+        t += 400_000_000_000 if i % 7 == 0 else 10_000_000_000
+        ts.append(t)
+    rows = [(i + 1, t) for i, t in enumerate(ts)]
+    random.Random(11).shuffle(rows)
+
+    from pyrope_spark.streaming.sketches import streaming_debounce
+
+    df = spark.createDataFrame(
+        [("u", "e", t, eid) for (eid, t) in rows],
+        "user_id string, event_type string, ts_ns long, event_id long",
+    )
+    got = run(df, lambda s: streaming_debounce(s, gap_s=300), "co_deb")
+    got_ids = sorted(r.event_id for r in got)
+    # oracle: fold sorted by (ts, id)
+    surv, last = [], None
+    for eid, t in sorted(rows, key=lambda r: (r[1], r[0])):
+        if last is None or t - last > 300 * 1_000_000_000:
+            surv.append(eid)
+        last = t
+    assert got_ids == sorted(surv)
+
+
+def _chunk_order_intervals(spark, tmp_path, run):
+    import random
+
+    rows = [(i * 10, i * 10 + (14 if i % 3 else 6)) for i in range(61)]
+    random.Random(12).shuffle(rows)
+
+    from pyrope_spark.streaming.sketches import streaming_interval_coverage
+
+    df = spark.createDataFrame(
+        [("u", s, e) for (s, e) in rows],
+        "user_id string, start_s long, end_s long",
+    )
+    got = run(df, lambda s: streaming_interval_coverage(s), "co_iv")
+    assert len(got) == 1
+    # oracle fold over start-sorted intervals
+    covered, seg_s, seg_e, n_seg = 0, None, None, 0
+    for s, e in sorted(rows):
+        if seg_s is None:
+            n_seg, seg_s, seg_e = 1, s, e
+        elif s > seg_e:
+            covered += seg_e - seg_s
+            n_seg += 1
+            seg_s, seg_e = s, e
+        else:
+            seg_e = max(seg_e, e)
+    total = covered + (seg_e - seg_s)
+    r = got[0]
+    assert (r.n_intervals, r.n_segments, r.covered_s) == (61, n_seg, total)
+
+
+def _chunk_order_transitions(spark, tmp_path, run):
+    import random
+
+    states = ["abcde"[(i * i) % 5] for i in range(61)]
+    rows = [(i + 1, i, st) for i, st in enumerate(states)]
+    random.Random(13).shuffle(rows)
+
+    from pyrope_spark.streaming.sketches import streaming_transition_deltas
+
+    df = spark.createDataFrame(
+        [(eid, "u", st, t) for (eid, t, st) in rows],
+        "event_id long, user_id string, event_type string, ts_ns long",
+    )
+    got = run(df, lambda s: streaming_transition_deltas(s), "co_tr")
+    got_counts = {(r.prev_state, r.next_state): r.cnt for r in got}
+    truth: dict = {}
+    last = None
+    for _, _, st in sorted(rows, key=lambda r: (r[1], r[0])):
+        if last is not None:
+            truth[(last, st)] = truth.get((last, st), 0) + 1
+        last = st
+    assert got_counts == truth
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        _chunk_order_ewma,
+        _chunk_order_holt,
+        _chunk_order_debounce,
+        _chunk_order_intervals,
+        _chunk_order_transitions,
+    ],
+    ids=["ewma", "holt", "debounce", "intervals", "transitions"],
+)
+def test_stateful_folds_survive_multichunk_microbatches(spark, tmp_path, case):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+
+    def run(batch_df, transform, name):
+        src = tmp_path / f"{name}_src"
+        # single output file so the 61 rows arrive as ONE input partition
+        # that Arrow then splits into ~9 chunks of 7
+        batch_df.coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+        q = (
+            transform(stream)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return spark.sql(f"select * from {name}").collect()
+        finally:
+            q.stop()
+
+    try:
+        case(spark, tmp_path, run)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
