@@ -679,14 +679,26 @@ def jpeg_decoder():
 def auto_image_decoder():
     """Magic-byte dispatch across the in-container REAL codecs: PNG,
     binary PPM (P6), baseline JPEG, GIF.  The one ``decoder=`` hook to
-    hand ``decode_image`` for a mixed-format corpus column."""
-    from pyrope_spark.multimodal.columns import png_decoder, ppm_decoder
+    hand ``decode_image`` for a mixed-format corpus column.
+
+    Fallback chain (r9 VERDICT #5): JPEG payloads try the numpy baseline
+    decoder first; streams it cannot handle (progressive, arithmetic,
+    12-bit) fall through to Pillow via ``columns.pil_decoder()`` when
+    that library is installed, as do payloads with an unrecognized magic
+    (BMP/TIFF/WebP...).  Without Pillow the baseline's error — which
+    names the ``pil_decoder`` pointer — propagates unchanged."""
+    from pyrope_spark.multimodal.columns import (
+        pil_decoder,
+        png_decoder,
+        ppm_decoder,
+    )
     from pyrope_spark.multimodal.gif import gif_decoder
 
     png = png_decoder()
     ppm = ppm_decoder()
     jpg = jpeg_decoder()
     gif = gif_decoder()
+    pil = pil_decoder()  # None when Pillow is absent
 
     def dec(payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -694,9 +706,16 @@ def auto_image_decoder():
         if payload[:2] == b"P6":
             return ppm(payload)
         if payload[:2] == b"\xff\xd8":
-            return jpg(payload)
+            try:
+                return jpg(payload)
+            except ValueError:
+                if pil is not None:
+                    return pil(payload)
+                raise
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return gif(payload)
+        if pil is not None:
+            return pil(payload)
         raise ValueError("auto_image_decoder: unrecognized image magic")
 
     return dec

@@ -4935,6 +4935,146 @@ FROM px GROUP BY 1 ORDER BY 1
 register("gif_real_codec_roundtrip", _GIF_CODEC_ORACLE)(_gif_codec_spark)
 
 
+def _mixed_codec_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format corpus through ONE media column (r9 VERDICT #4): each
+    doc's payload is PNG, baseline JPEG, GIF, or raw PPM by doc_id % 4 —
+    all genuine encoded bytes, all 16x16 — decoded by
+    ``auto_image_decoder``'s magic-byte dispatch inside a single
+    decode_image pass.  This is the realistic corpus shape the four
+    per-format oracles don't cover: the dispatcher must route every
+    payload to the right codec with no format column to lean on.  The
+    DuckDB twin unions the four closed forms (PNG/GIF/PPM lossless
+    formulas; JPEG's block-constant DC-only form) keyed by the same
+    doc_id % 4."""
+    from pyrope_spark.multimodal.columns import decode_image, encode_png
+    from pyrope_spark.multimodal.gif import encode_gif
+    from pyrope_spark.multimodal.jpeg import auto_image_decoder, encode_jpeg
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 64)
+    )
+    side = 16
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(side)[:, None, None]
+        x = np.arange(side)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        yi = np.arange(side)[:, None]
+        xi = np.arange(side)[None, :]
+        pi = np.arange(16)[:, None]
+        pc = np.arange(3)[None, :]
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fmt = d % 4
+                if fmt == 0:  # PNG, lossless RGB formula
+                    px = ((d * 31 + y * 17 + x * 7 + c * 13) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(encode_png(px))
+                elif fmt == 1:  # baseline JPEG, block-constant gray
+                    px = np.zeros((side, side), dtype=np.uint8)
+                    for by in range(2):
+                        for bx in range(2):
+                            px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                                128 + (d * 31 + by * 17 + bx * 7) % 128
+                            )
+                    payloads.append(encode_jpeg(px, quality=50))
+                elif fmt == 2:  # GIF, 16-color palette
+                    idx = ((d + yi * 5 + xi * 3) % 16).astype(np.uint8)
+                    pal = ((d * 7 + pi * 13 + pc * 29) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(encode_gif(idx, pal))
+                else:  # raw PPM (P6)
+                    px = ((d * 13 + y * 7 + x * 3 + c * 5) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(
+                        f"P6 {side} {side} 255\n".encode() + px.tobytes()
+                    )
+                ids.append(str(d))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    decoded = decode_image(
+        media, decoder=auto_image_decoder(), out_h=side, out_w=side
+    )
+    return decoded.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("ppm")),
+            (F.col("media_id").cast("long") % 4 + 1).cast("int"),
+        ).alias("fmt"),
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("px_sum"),
+        F.array_min("pixels").cast("long").alias("px_min"),
+        F.array_max("pixels").cast("long").alias("px_max"),
+    ).orderBy("doc_id")
+
+
+_MIXED_CODEC_ORACLE = """
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 64
+), grid AS (
+  SELECT doc_id, y, x, c FROM ids,
+       unnest(generate_series(0, 15)) AS ty(y),
+       unnest(generate_series(0, 15)) AS tx(x),
+       unnest(generate_series(0, 2)) AS tc(c)
+), pngpx AS (
+  SELECT doc_id, (doc_id * 31 + y * 17 + x * 7 + c * 13) % 256 AS v
+  FROM grid WHERE doc_id % 4 = 0
+), gifpx AS (
+  SELECT doc_id,
+         (doc_id * 7 + ((doc_id + y * 5 + x * 3) % 16) * 13 + c * 29)
+           % 256 AS v
+  FROM grid WHERE doc_id % 4 = 2
+), ppmpx AS (
+  SELECT doc_id, (doc_id * 13 + y * 7 + x * 3 + c * 5) % 256 AS v
+  FROM grid WHERE doc_id % 4 = 3
+), jpegblk AS (
+  SELECT doc_id,
+         LEAST(255, 128 + 2 * (
+           (128 + (doc_id * 31 + by * 17 + bx * 7) % 128 - 127) // 2
+         )) AS p
+  FROM ids,
+       unnest(generate_series(0, 1)) AS tby(by),
+       unnest(generate_series(0, 1)) AS tbx(bx)
+  WHERE doc_id % 4 = 1
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n_px, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM pngpx GROUP BY 1
+  UNION ALL
+  SELECT doc_id, COUNT(*), SUM(v), MIN(v), MAX(v) FROM gifpx GROUP BY 1
+  UNION ALL
+  SELECT doc_id, COUNT(*), SUM(v), MIN(v), MAX(v) FROM ppmpx GROUP BY 1
+  UNION ALL
+  SELECT doc_id, COUNT(*) * 64 * 3, SUM(p) * 64 * 3, MIN(p), MAX(p)
+  FROM jpegblk GROUP BY 1
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' ELSE 'ppm' END AS fmt,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(s AS BIGINT) AS px_sum,
+       CAST(mn AS BIGINT) AS px_min,
+       CAST(mx AS BIGINT) AS px_max
+FROM stats ORDER BY doc_id
+"""
+
+register("mixed_codec_corpus_stats", _MIXED_CODEC_ORACLE)(_mixed_codec_spark)
+
+
 # --------------------------------------------------------------------------
 # HLL merge in the gate (operators/sketch.py): two half-corpus sketches
 # union+max-merged, estimated, vs the exact distinct of the union — the

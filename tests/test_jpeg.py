@@ -213,3 +213,68 @@ def test_fill_bytes_before_markers_are_skipped():
     out += b[prev:-2] + b"\xff\xff\xff" + b[-2:]  # fills before EOI too
     got = jpeg_decoder()(bytes(out))
     assert np.array_equal(got, ref)
+
+
+def test_auto_decoder_progressive_fallback_chain(monkeypatch):
+    """r9 VERDICT #5: auto_image_decoder tries the numpy baseline first
+    and falls through to ``columns.pil_decoder()`` for streams it can't
+    handle (progressive here) and for unknown magics; with Pillow absent
+    the baseline's error (which names the pil pointer) propagates."""
+    from pyrope_spark.multimodal import columns
+
+    g = encode_jpeg(_smooth(8, 8))
+    prog = bytearray(g)
+    sof = bytes(prog).find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    prog = bytes(prog)
+
+    calls = []
+
+    def fake_pil():
+        def dec(payload: bytes) -> np.ndarray:
+            calls.append(payload[:2])
+            return np.zeros((8, 8, 3), dtype=np.uint8)
+
+        return dec
+
+    monkeypatch.setattr(columns, "pil_decoder", fake_pil)
+    out = auto_image_decoder()(prog)
+    assert calls == [b"\xff\xd8"] and out.shape == (8, 8, 3)
+    assert auto_image_decoder()(b"BM..bitmap..").shape == (8, 8, 3)
+    # baseline-decodable streams never reach PIL
+    calls.clear()
+    assert auto_image_decoder()(g).shape[2] == 3
+    assert calls == []
+    # Pillow absent: baseline errors propagate unchanged
+    monkeypatch.setattr(columns, "pil_decoder", lambda: None)
+    with pytest.raises(ValueError, match="progressive"):
+        auto_image_decoder()(prog)
+    with pytest.raises(ValueError, match="magic"):
+        auto_image_decoder()(b"BM..bitmap..")
+
+
+def test_progressive_jpeg_decodes_via_pillow_when_installed():
+    """Env-gated REAL progressive stream (r9 VERDICT #5): encode a
+    progressive JPEG with Pillow, confirm the numpy baseline refuses it
+    and the auto dispatcher's PIL fallback decodes it.  Skips in this
+    container — Pillow is not installed and installs are disallowed; on
+    any cluster with Pillow this runs for real."""
+    pytest.importorskip(
+        "PIL",
+        reason="Pillow not installed (container policy: no pip install) — "
+        "the progressive path is env-gated behind columns.pil_decoder()",
+    )
+    import io
+
+    from PIL import Image
+
+    g = _smooth(32, 24)
+    rgb = np.stack([g, g, g], axis=2)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=92, progressive=True)
+    payload = buf.getvalue()
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decoder()(payload)
+    out = auto_image_decoder()(payload)
+    assert out.shape == rgb.shape
+    assert _psnr(out, rgb) > 30
