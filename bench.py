@@ -207,6 +207,41 @@ def main() -> None:
 
     timed(f"bf_l2_{N_VECTORS}v_d{DIM}_q1000", bf_1k, repeat=3)
 
+    # ---------------- high-dimension rows (VERDICT r9 #3): the reference's
+    # SIMD benchmark is 10k x 1024-dim brute-force — L2 83.6 QPS, cosine
+    # 66.0 QPS (docs/benchmarks/20260118_p10_9_simd_optimization.md:17-30);
+    # every repo row so far was d128.  Same corpus scale here through the
+    # packed-segment GEMM path — 1024-dim is the bandwidth-bound regime the
+    # packed float32 format exists for.
+    hidim_names = {"bf_l2_10000v_d1024_q1000", "bf_cosine_10000v_d1024_q1000"}
+    if not only or only & hidim_names:
+        hv = synth_vectors(spark, 10_000, 1024, seed=77).cache()
+        hv.count()
+        hq = synth_queries(spark, 1000, 1024, seed=78).cache()
+        hq.count()
+        hseg = pack_segments(hv, rows_per_segment=4096).cache()
+        hseg.count()
+        knn_bruteforce_packed(hseg, hq.limit(4), k=TOP_K, metric="l2").count()
+
+        def hbf_l2():
+            knn_bruteforce_packed(hseg, hq, k=TOP_K, metric="l2").count()
+
+        timed("bf_l2_10000v_d1024_q1000", hbf_l2, repeat=3)
+
+        def hbf_cos():
+            knn_bruteforce_packed(hseg, hq, k=TOP_K, metric="cosine").count()
+
+        timed("bf_cosine_10000v_d1024_q1000", hbf_cos, repeat=3)
+        t = timings.get("bf_l2_10000v_d1024_q1000")
+        if t:
+            derived["bf_d1024_l2_qps"] = round(1000 / t, 1)
+        t = timings.get("bf_cosine_10000v_d1024_q1000")
+        if t:
+            derived["bf_d1024_cosine_qps"] = round(1000 / t, 1)
+        hseg.unpersist()
+        hq.unpersist()
+        hv.unpersist()
+
     # ---------------- bulk load (BASELINE load row, VERDICT r7 #4)
     # The reference's loader streams 100k vectors into its index at
     # 22,968 vec/s (Program.cs:265-342). SURVEY S9 subsumes that loader
@@ -259,9 +294,16 @@ def main() -> None:
 
     timed(f"ivf_build_{N_VECTORS}v_nlist100", ivf_build)
     if "ivf" not in state and (
-        not only or any(n.startswith("ivf_") or n.startswith("local_floor") for n in only)
+        not only
+        or any(
+            n.startswith("ivf_")
+            or n.startswith("local_floor")
+            or n.startswith("cache_")
+            or n.startswith("prefetch_")
+            for n in only
+        )
     ):
-        ivf_build()
+        ivf_build()  # prerequisite of the ivf AND cache-effect sections
     if "ivf" in state:
         # warm the single-job scan closure once before timing
         ivf_probe()
@@ -344,6 +386,7 @@ def main() -> None:
     cache_names = {
         "cache_cold_500q_miss_compute", "cache_hit_500q",
         "prefetch_materialize", "prefetch_hit_500q",
+        "cache_hit_50kq", "cache_hit_500kq", "prefetch_hit_50kq",
     }
     if "ivf" in state and (not only or only & cache_names):
         import shutil as _sh
@@ -458,6 +501,110 @@ def main() -> None:
                 derived["prefetch_cold_ms_per_q"] = round(
                     t_cold * 1000 / 500, 3
                 )
+
+        # ------- amortized hit rows (VERDICT r9 #1): at 500 queries the
+        # ~1.1 s fixed job cost (keying + 4 broadcast joins + stats
+        # action) dominates and the 427-QPS number measures Spark's job
+        # floor, not the cache.  Re-issue the SAME scenarios at 50k/500k
+        # repeated queries (and 50k near-dup prefetch queries) so the
+        # floor amortizes; the derived block reports both the absolute
+        # amortized QPS and the marginal rate with the 500-query row
+        # subtracted as the measured floor.
+        lit_vec = F.array(*[F.lit(float(x)) for x in one_vec]).cast(
+            "array<float>"
+        )
+
+        def rep_queries(n_q):
+            return (
+                spark.range(n_q)
+                .select(
+                    F.concat(F.lit("rep"), F.col("id")).alias("query_id"),
+                    lit_vec.alias("vector"),
+                    F.lit(TOP_K).alias("top_k"),
+                )
+                .cache()
+            )
+
+        for label, n_q, rep in (("50kq", 50_000, 3), ("500kq", 500_000, 2)):
+            big_q = rep_queries(n_q)
+            big_q.count()
+
+            def big_hit(q=big_q, lbl=label):
+                res, st = search_with_cache(
+                    vectors, q, cache, k=TOP_K, metric="l2", epoch=0,
+                    centroids=cents, n=N_VECTORS, dim=DIM,
+                )
+                res.write.format("noop").mode("overwrite").save()
+                state[f"hit_stats_{lbl}"] = st
+
+            timed(f"cache_hit_{label}", big_hit, repeat=rep)
+            st = state.get(f"hit_stats_{label}")
+            t_big = timings.get(f"cache_hit_{label}")
+            if st is not None and t_big:
+                derived[f"cache_hit_misses_{label}"] = st.misses  # must be 0
+                derived[f"cache_hit_qps_{label}"] = round(n_q / t_big, 1)
+                t_500 = timings.get("cache_hit_500q")
+                if t_500 and t_big > t_500:
+                    marg = (t_big - t_500) / (n_q - 500)
+                    derived[f"cache_hit_marginal_ms_per_q_{label}"] = round(
+                        marg * 1000, 4
+                    )
+                    derived[f"cache_hit_marginal_qps_{label}"] = round(
+                        1.0 / marg, 1
+                    )
+            big_q.unpersist()
+
+        def pf_gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            bv = np.asarray(cents[cb], dtype=np.float64)
+            for pdf in batches:
+                rng = np.random.default_rng(4242 + int(pdf["id"].iloc[0]))
+                mat = bv[None, :] + rng.uniform(
+                    -0.004, 0.004, (len(pdf), DIM)
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": ["pf%d" % i for i in pdf["id"]],
+                        "vector": list(mat.astype(np.float32)),
+                        "top_k": np.full(len(pdf), TOP_K, dtype=np.int32),
+                    }
+                )
+
+        pf_big = (
+            spark.range(50_000)
+            .mapInPandas(
+                pf_gen, "query_id string, vector array<float>, top_k int"
+            )
+            .cache()
+        )
+        pf_big.count()
+
+        def prefetch_hit_big():
+            res, st = search_with_cache(
+                vectors, pf_big, pf_cache, k=TOP_K, metric="l2", epoch=0,
+                centroids=cents, n=N_VECTORS, dim=DIM,
+            )
+            res.write.format("noop").mode("overwrite").save()
+            state["pf_stats_50k"] = st
+
+        timed("prefetch_hit_50kq", prefetch_hit_big, repeat=3)
+        st = state.get("pf_stats_50k")
+        t_big = timings.get("prefetch_hit_50kq")
+        if st is not None and t_big:
+            derived["prefetch_hit_misses_50kq"] = st.misses  # must be 0
+            derived["prefetch_hit_ms_per_q_50kq"] = round(
+                t_big * 1000 / 50_000, 4
+            )
+            t_500 = timings.get("prefetch_hit_500q")
+            if t_500 and t_big > t_500:
+                marg = (t_big - t_500) / 49_500
+                derived["prefetch_hit_marginal_ms_per_q_50kq"] = round(
+                    marg * 1000, 4
+                )
+        pf_big.unpersist()
+
         rep_q.unpersist()
         pf_q.unpersist()
         _sh.rmtree(cache_root, ignore_errors=True)
@@ -1199,6 +1346,9 @@ def main() -> None:
         f"bulk_load_write_{N_VECTORS}v_d{DIM}",
         f"bf_l2_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
         f"bf_l2_{N_VECTORS}v_d{DIM}_q1000",
+        "bf_l2_10000v_d1024_q1000",
+        "bf_cosine_10000v_d1024_q1000",
+        "cache_hit_50kq",
         f"ivf_build_{N_VECTORS}v_nlist100",
         f"ivf_search_nprobe3_{N_VECTORS}v_q{N_QUERIES}",
         f"ivf_search_nprobe3_{N_VECTORS}v_q1000",
