@@ -548,8 +548,12 @@ def wav_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
     interleaved multi-channel.  Returns ``(samples (n, ch), sample_rate)``
     — int8/16/32 dtype for PCM (8-bit WAV is unsigned; recentred to
     signed int16-compatible range by subtracting 128), float32 for
-    format 3.  Compressed formats (ADPCM, mu-law, ...) raise
-    ``NotImplementedError`` — honest env gate, same policy as JPEG."""
+    format 3.  Compressed formats decode natively since r10: G.711
+    mu-law (7) / A-law (6) via the canonical 256-entry tables and mono
+    IMA ADPCM (0x11) via the block recurrence (``multimodal/g711.py``;
+    the fact chunk's sample count is honored).  Anything else (MPEG
+    audio, multi-channel ADPCM, ...) still raises ``NotImplementedError``
+    — honest env gate, same policy as JPEG."""
     import struct
 
     def dec(payload: bytes) -> tuple[np.ndarray, int]:
@@ -559,6 +563,7 @@ def wav_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
         pos, end = 12, min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0])
         fmt = None
         data = None
+        fact_samples = None
         while pos + 8 <= end:
             cid = buf[pos:pos + 4]
             size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
@@ -567,6 +572,8 @@ def wav_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and size >= 4:
+                fact_samples = struct.unpack("<I", body[:4])[0]
             pos += 8 + size + (size & 1)  # chunks pad to even byte
         if fmt is None or data is None:
             raise ValueError("missing fmt/data chunk")
@@ -584,11 +591,22 @@ def wav_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
             s = np.frombuffer(data, dtype="<i4")
         elif audio_fmt == 3 and bits == 32:
             s = np.frombuffer(data, dtype="<f4")
+        elif audio_fmt in (6, 7, 0x11):
+            # G.711 A-law/mu-law + IMA ADPCM decode natively (r10;
+            # see multimodal/g711.py for the oracle-replayable math)
+            from pyrope_spark.multimodal.g711 import (
+                decode_compressed_wav_data,
+            )
+
+            s = decode_compressed_wav_data(
+                audio_fmt, data, ch=ch, block_align=_align,
+                n_samples=fact_samples,
+            )
         else:
             raise NotImplementedError(
                 f"WAV format {audio_fmt}/{bits}-bit needs a codec this "
-                "container does not ship (PCM 8/16/24/32 and float32 are "
-                "decoded natively)"
+                "container does not ship (PCM 8/16/24/32, float32, G.711 "
+                "mu-law/A-law, and mono IMA ADPCM are decoded natively)"
             )
         n = len(s) - len(s) % max(ch, 1)
         return s[:n].reshape(-1, max(ch, 1)), rate
@@ -759,6 +777,102 @@ def synth_wav_from_text(
                 id_col: pdf[id_col].astype(str).to_numpy(),
                 "payload": payloads,
             })
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), text_col
+    ).mapInPandas(run, schema)
+
+
+def synth_g711_from_text(
+    df: DataFrame,
+    *,
+    law: str = "ulaw",
+    scale: int = 400,
+    text_col: str = "text",
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """G.711 fixture synth: PCM16 sample i = (codepoint_i - 100) * scale,
+    companded through the REAL mu-law/A-law encoder into a format-7/6
+    RIFF payload.  scale=400 spreads printable ASCII across five of the
+    eight G.711 segments, so the oracle's closed-form quantizer replay
+    (memoryless decode(encode(s))) exercises real segment/mantissa math."""
+    from pyrope_spark.multimodal.g711 import g711_wav_bytes
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                g711_wav_bytes(
+                    np.clip(
+                        (np.array([ord(c) for c in t], dtype=np.int32)
+                         - 100) * scale, -32768, 32767
+                    ).astype(np.int16),
+                    law=law,
+                    sample_rate=sample_rate,
+                )
+                for t in pdf[text_col].tolist()
+            ]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype(str).to_numpy(),
+                "payload": payloads,
+            })
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), text_col
+    ).mapInPandas(run, schema)
+
+
+def synth_adpcm_from_text(
+    df: DataFrame,
+    *,
+    scale: int = 128,
+    max_chars: int | None = None,
+    text_col: str = "text",
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """IMA ADPCM fixture synth: the same (codepoint - 100) * scale PCM
+    stream encoded through the REAL single-block IMA encoder (format
+    0x11, fact chunk carrying the true count).  ``max_chars`` bounds the
+    per-doc recurrence so the DuckDB recursive-CTE oracle replay stays
+    cheap at high SF."""
+    from pyrope_spark.multimodal.g711 import ima_adpcm_wav_bytes
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, payloads = [], []
+            for mid, t in zip(
+                pdf[id_col].astype(str).tolist(), pdf[text_col].tolist()
+            ):
+                if max_chars is not None:
+                    t = t[:max_chars]
+                if not t:
+                    continue
+                s = np.clip(
+                    (np.array([ord(c) for c in t], dtype=np.int32) - 100)
+                    * scale, -32768, 32767
+                ).astype(np.int16)
+                ids.append(mid)
+                payloads.append(ima_adpcm_wav_bytes(s, sample_rate=sample_rate))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return df.select(
         F.col(id_col).cast("string").alias(id_col), text_col

@@ -14547,3 +14547,209 @@ def _obf_oracle() -> str:
 
 
 register("obrien_fleming_monitor", _obf_oracle())(_obf_spark)
+
+
+# --------------------------------------------------------------------------
+# G.711 codec round-trip (r10): text -> PCM16 -> REAL mu-law/A-law encoder
+# -> format 7/6 RIFF payload -> wav_decoder's canonical 256-entry decode
+# tables -> integer-exact stats.  G.711 companding is memoryless, so the
+# oracle replays decode(encode(s)) as a closed-form per-sample quantizer
+# (segment thresholds + mantissa bit math, CCITT/Sun g711.c convention) —
+# any bias/segment/mask/sign bug on either codec side breaks the hash.
+# multimodal/g711.py; scale 400 spreads printable ASCII across 5 segments.
+# --------------------------------------------------------------------------
+
+def _g711_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import (
+        decode_audio,
+        synth_g711_from_text,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = docs.select(F.col("doc_id").alias("media_id"), "text")
+    parts = []
+    for law in ("ulaw", "alaw"):
+        out = decode_audio(synth_g711_from_text(base, law=law))
+        parts.append(out.withColumn("codec", F.lit(law)))
+    un = parts[0].unionByName(parts[1])
+    return un.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "codec",
+        "n_samples",
+        "peak_abs",
+        "sum_abs",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+_G711_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''),
+                        c -> greatest(-32768, least(32767,
+                                      (ascii(c) - 100) * 400))) AS samp
+  FROM documents WHERE length(text) > 0
+), px AS (
+  SELECT doc_id, CAST(u.s AS INTEGER) AS v FROM s, unnest(samp) AS u(s)
+), mu AS (
+  SELECT doc_id, v,
+         CASE WHEN v < 0 THEN -mag ELSE mag END AS qv
+  FROM (
+    SELECT doc_id, v,
+           (((x >> (seg + 3)) & 15) * 8 + 132) * (1 << seg) - 132 AS mag
+    FROM (
+      SELECT doc_id, v, x,
+             CASE WHEN x < 256 THEN 0 WHEN x < 512 THEN 1
+                  WHEN x < 1024 THEN 2 WHEN x < 2048 THEN 3
+                  WHEN x < 4096 THEN 4 WHEN x < 8192 THEN 5
+                  WHEN x < 16384 THEN 6 ELSE 7 END AS seg
+      FROM (SELECT doc_id, v, least(abs(v), 32635) + 132 AS x FROM px)
+    )
+  )
+), al AS (
+  SELECT doc_id, v,
+         CASE WHEN sx >= 0 THEN mag ELSE -mag END AS qv
+  FROM (
+    SELECT doc_id, v, sx,
+           CASE WHEN sg = 0 THEN m * 16 + 8
+                WHEN sg = 1 THEN m * 16 + 264
+                ELSE (m * 16 + 264) * (1 << (sg - 1)) END AS mag
+    FROM (
+      SELECT doc_id, v, sx, least(seg, 7) AS sg,
+             CASE WHEN seg >= 8 THEN 15
+                  WHEN seg < 2 THEN (ax >> 1) & 15
+                  ELSE (ax >> seg) & 15 END AS m
+      FROM (
+        SELECT doc_id, v, sx, ax,
+               CASE WHEN ax < 32 THEN 0 WHEN ax < 64 THEN 1
+                    WHEN ax < 128 THEN 2 WHEN ax < 256 THEN 3
+                    WHEN ax < 512 THEN 4 WHEN ax < 1024 THEN 5
+                    WHEN ax < 2048 THEN 6 WHEN ax < 4096 THEN 7
+                    ELSE 8 END AS seg
+        FROM (
+          SELECT doc_id, v, sx,
+                 CASE WHEN sx >= 0 THEN sx ELSE -sx - 1 END AS ax
+          FROM (
+            SELECT doc_id, v,
+                   CAST(floor(CAST(v AS DOUBLE) / 8) AS INTEGER) AS sx
+            FROM px
+          )
+        )
+      )
+    )
+  )
+), bothq AS (
+  SELECT doc_id, 'ulaw' AS codec, qv FROM mu
+  UNION ALL
+  SELECT doc_id, 'alaw' AS codec, qv FROM al
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, codec,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(qv)) AS BIGINT) AS peak_abs,
+       CAST(sum(abs(qv)) AS BIGINT) AS sum_abs,
+       round(sqrt(sum(CAST(qv AS DOUBLE) * qv) / count(*)), 6) AS rms
+FROM bothq
+GROUP BY 1, 2
+"""
+
+register("g711_codec_roundtrip", _G711_ORACLE)(_g711_spark)
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM round-trip (r10): text -> PCM16 -> the REAL single-block IMA
+# encoder (format 0x11, fact chunk) -> wav_decoder's nibble-recurrence
+# decode -> integer-exact stats.  IMA is self-synchronizing (the encoder
+# tracks the decoder's predictor exactly), so the composite map is ONE
+# recurrence the oracle replays per sample in a recursive CTE carrying
+# (predictor, step-index) — step table inlined as a list literal.  Docs
+# subset (% 7) + 240-char cap bound the recursion at high SF.
+# --------------------------------------------------------------------------
+
+def _adpcm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.multimodal.columns import (
+        decode_audio,
+        synth_adpcm_from_text,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") > 0)
+    )
+    wavs = synth_adpcm_from_text(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), max_chars=240
+    )
+    out = decode_audio(wavs)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "n_samples",
+        "peak_abs",
+        "sum_abs",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+def _adpcm_oracle() -> str:
+    from pyrope_spark.multimodal.g711 import IMA_STEP_TABLE
+
+    steps = "[" + ", ".join(str(int(x)) for x in IMA_STEP_TABLE) + "]"
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_transform(string_split(substr(text, 1, 240), ''),
+                        c -> greatest(-32768, least(32767,
+                                      (ascii(c) - 100) * 128))) AS samp
+  FROM documents WHERE doc_id % 7 = 0 AND length(text) > 0
+), rec AS (
+  SELECT doc_id, samp, 1 AS i,
+         CAST(samp[1] AS INTEGER) AS pred, 0 AS idx
+  FROM s
+  UNION ALL
+  SELECT doc_id, samp, i + 1,
+         greatest(-32768, least(32767,
+           CASE WHEN sgn THEN pred - vpdiff ELSE pred + vpdiff END)),
+         least(88, greatest(0,
+           idx + ([-1, -1, -1, -1, 2, 4, 6, 8])[mag + 1]))
+  FROM (
+    SELECT doc_id, samp, i, pred, idx, sgn,
+           (CASE WHEN b4 THEN 4 ELSE 0 END
+            + CASE WHEN b2 THEN 2 ELSE 0 END
+            + CASE WHEN b1 THEN 1 ELSE 0 END) AS mag,
+           ((st >> 3)
+            + CASE WHEN b4 THEN st ELSE 0 END
+            + CASE WHEN b2 THEN st >> 1 ELSE 0 END
+            + CASE WHEN b1 THEN st >> 2 ELSE 0 END) AS vpdiff
+    FROM (
+      SELECT doc_id, samp, i, pred, idx, st, sgn, b4, b2,
+             (ad2 - CASE WHEN b2 THEN st >> 1 ELSE 0 END)
+               >= (st >> 2) AS b1
+      FROM (
+        SELECT doc_id, samp, i, pred, idx, st, sgn, b4,
+               (ad - CASE WHEN b4 THEN st ELSE 0 END) AS ad2,
+               (ad - CASE WHEN b4 THEN st ELSE 0 END) >= (st >> 1) AS b2
+        FROM (
+          SELECT doc_id, samp, i, pred, idx, st,
+                 diff < 0 AS sgn, abs(diff) AS ad, abs(diff) >= st AS b4
+          FROM (
+            SELECT doc_id, samp, i, pred, idx,
+                   ({steps})[idx + 1] AS st,
+                   CAST(samp[i + 1] AS INTEGER) - pred AS diff
+            FROM rec
+            WHERE i < len(samp)
+          )
+        )
+      )
+    )
+  )
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(max(i) AS BIGINT) AS n_samples,
+       CAST(max(abs(pred)) AS BIGINT) AS peak_abs,
+       CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+       round(sqrt(sum(CAST(pred AS DOUBLE) * pred) / max(i)), 6) AS rms
+FROM rec
+GROUP BY 1
+"""
+
+
+register("ima_adpcm_roundtrip", _adpcm_oracle())(_adpcm_spark)
