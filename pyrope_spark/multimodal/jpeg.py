@@ -428,13 +428,15 @@ class _BitReader:
                     # marker id that must not be consumed as entropy data
                     self.pos += 1
                     continue
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart / EOI: stop feeding real bits
+                else:
+                    # any real marker (restart, EOI, or a between-scan
+                    # segment marker like DHT/SOS in progressive streams):
+                    # stop feeding entropy bits WITHOUT consuming it — the
+                    # caller's marker walk owns it.  (Pre-r10 this branch
+                    # skipped unknown markers, which corrupted multi-scan
+                    # progressive parsing when the reader over-fetched.)
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
-                    continue
-                else:
-                    self.pos += 2
                     continue
             else:
                 self.pos += 1
@@ -565,12 +567,19 @@ def jpeg_decoder():
                         {"id": cid, "hs": hv >> 4, "vs": hv & 0xF, "tq": tq}
                     )
                 sof = (ih, iw, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker == 0xC2:  # progressive: full native path (r10)
+                from pyrope_spark.multimodal.jpeg_progressive import (
+                    decode_progressive,
+                )
+
+                return decode_progressive(payload)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
                     "jpeg_decoder supports baseline sequential (SOF0/1) "
-                    f"only; got SOF marker 0xFF{marker:02X} — use "
-                    "pil_decoder() for progressive/arithmetic streams"
+                    f"and progressive (SOF2) only; got SOF marker "
+                    f"0xFF{marker:02X} — use pil_decoder() for "
+                    "hierarchical/arithmetic streams"
                 )
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", body[:2])

@@ -105,16 +105,24 @@ def test_decoder_reads_tables_from_stream_not_assumptions():
     assert _psnr(dec(encode_jpeg(g, quality=100))[:, :, 0], g) > 45
 
 
-def test_progressive_and_truncated_raise_clearly():
+def test_unsupported_sof_and_truncated_raise_clearly():
+    # progressive (SOF2) decodes natively since r10; the remaining gates
+    # are hierarchical/lossless/arithmetic SOF types
     dec = jpeg_decoder()
     g = encode_jpeg(_smooth(8, 8))
-    prog = bytearray(g)
-    sof = bytes(prog).find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
-        dec(bytes(prog))
+    loss = bytearray(g)
+    sof = bytes(loss).find(b"\xff\xc0")
+    loss[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless sequential)
+    with pytest.raises(ValueError, match="pil_decoder"):
+        dec(bytes(loss))
     with pytest.raises(ValueError, match="SOI"):
         dec(b"\x00\x01\x02")
+    # a SOF2 stream whose scan header is baseline-shaped (a mangled
+    # stream, not real progressive) fails loudly instead of misdecoding
+    prog = bytearray(g)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="spectral band"):
+        dec(bytes(prog))
 
 
 def test_auto_decoder_dispatches_all_three_formats():
@@ -215,18 +223,23 @@ def test_fill_bytes_before_markers_are_skipped():
     assert np.array_equal(got, ref)
 
 
-def test_auto_decoder_progressive_fallback_chain(monkeypatch):
-    """r9 VERDICT #5: auto_image_decoder tries the numpy baseline first
-    and falls through to ``columns.pil_decoder()`` for streams it can't
-    handle (progressive here) and for unknown magics; with Pillow absent
-    the baseline's error (which names the pil pointer) propagates."""
+def test_auto_decoder_pil_fallback_chain(monkeypatch):
+    """r9 VERDICT #5 (updated r10): auto_image_decoder tries the numpy
+    decoders first and falls through to ``columns.pil_decoder()`` only
+    for streams they can't handle — since r10 progressive decodes
+    natively, so the fallback fires for lossless/arithmetic SOF types
+    and unknown magics; with Pillow absent the numpy error (which names
+    the pil pointer) propagates."""
     from pyrope_spark.multimodal import columns
+    from pyrope_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
 
     g = encode_jpeg(_smooth(8, 8))
-    prog = bytearray(g)
-    sof = bytes(prog).find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    prog = bytes(prog)
+    loss = bytearray(g)
+    sof = bytes(loss).find(b"\xff\xc0")
+    loss[sof + 1] = 0xC3  # SOF0 -> SOF3 (lossless, still env-gated)
+    loss = bytes(loss)
 
     calls = []
 
@@ -238,17 +251,20 @@ def test_auto_decoder_progressive_fallback_chain(monkeypatch):
         return dec
 
     monkeypatch.setattr(columns, "pil_decoder", fake_pil)
-    out = auto_image_decoder()(prog)
+    out = auto_image_decoder()(loss)
     assert calls == [b"\xff\xd8"] and out.shape == (8, 8, 3)
     assert auto_image_decoder()(b"BM..bitmap..").shape == (8, 8, 3)
-    # baseline-decodable streams never reach PIL
+    # baseline AND progressive streams decode natively, never reach PIL
     calls.clear()
     assert auto_image_decoder()(g).shape[2] == 3
+    assert auto_image_decoder()(
+        encode_jpeg_progressive(_smooth(8, 8))
+    ).shape[2] == 3
     assert calls == []
-    # Pillow absent: baseline errors propagate unchanged
+    # Pillow absent: numpy-codec errors propagate unchanged
     monkeypatch.setattr(columns, "pil_decoder", lambda: None)
-    with pytest.raises(ValueError, match="progressive"):
-        auto_image_decoder()(prog)
+    with pytest.raises(ValueError, match="pil_decoder"):
+        auto_image_decoder()(loss)
     with pytest.raises(ValueError, match="magic"):
         auto_image_decoder()(b"BM..bitmap..")
 
