@@ -5075,6 +5075,143 @@ FROM stats ORDER BY doc_id
 register("mixed_codec_corpus_stats", _MIXED_CODEC_ORACLE)(_mixed_codec_spark)
 
 
+def _bmp_tiff_codec_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP + baseline-TIFF real-codec decode under oracle (r10): the two
+    image magics that previously fell through ``auto_image_decoder`` to
+    the Pillow gate now decode natively (``multimodal/bmp_tiff.py``).
+    Each doc's payload is, by doc_id % 4: 24-bit BGR BMP, RLE8 paletted-
+    gray BMP, LZW+predictor-2 RGB TIFF (II), or PackBits gray TIFF in
+    BIG-endian byte order (MM) — every container/compression/byte-order
+    combination a crawl actually carries, all genuine encoded bytes
+    through one ``decode_image`` pass.  All four forms are lossless, so
+    DuckDB verifies the stats straight from the generating formulas;
+    any RLE/LZW/PackBits/predictor/endianness bug breaks the hash."""
+    from pyrope_spark.multimodal.bmp_tiff import encode_bmp, encode_tiff
+    from pyrope_spark.multimodal.columns import decode_image
+    from pyrope_spark.multimodal.jpeg import auto_image_decoder
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 64)
+    )
+    h, w = 16, 12
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        y = np.arange(h)[:, None, None]
+        x = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        yg = np.arange(h)[:, None]
+        xg = np.arange(w)[None, :]
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fmt = d % 4
+                if fmt == 0:  # 24-bit BMP
+                    px = ((d * 11 + y * 19 + x * 5 + c * 3) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(encode_bmp(px))
+                elif fmt == 1:  # RLE8 paletted-gray BMP (runs of 7)
+                    g = ((d * 23 + ((yg * 3 + xg) % 7) * 31) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(encode_bmp(g, rle=True))
+                elif fmt == 2:  # LZW + predictor-2 RGB TIFF, little-endian
+                    px = ((d * 17 + y * 13 + x * 11 + c * 7) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(
+                        encode_tiff(px, compression="lzw", predictor=2)
+                    )
+                else:  # PackBits gray TIFF, BIG-endian, multi-strip
+                    g = ((d * 29 + (xg // 3) * 37 + yg) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(
+                        encode_tiff(
+                            g, compression="packbits", byteorder="MM",
+                            rows_per_strip=5,
+                        )
+                    )
+                ids.append(str(d))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    decoded = decode_image(
+        media, decoder=auto_image_decoder(), out_h=h, out_w=w
+    )
+    return decoded.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.element_at(
+            F.array(
+                F.lit("bmp24"), F.lit("bmp_rle8"),
+                F.lit("tiff_lzw"), F.lit("tiff_packbits"),
+            ),
+            (F.col("media_id").cast("long") % 4 + 1).cast("int"),
+        ).alias("fmt"),
+        F.size("pixels").cast("long").alias("n_px"),
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("px_sum"),
+        F.array_min("pixels").cast("long").alias("px_min"),
+        F.array_max("pixels").cast("long").alias("px_max"),
+    ).orderBy("doc_id")
+
+
+_BMP_TIFF_CODEC_ORACLE = """
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 64
+), grid AS (
+  SELECT doc_id, y, x, c FROM ids,
+       unnest(generate_series(0, 15)) AS ty(y),
+       unnest(generate_series(0, 11)) AS tx(x),
+       unnest(generate_series(0, 2)) AS tc(c)
+), bmppx AS (
+  SELECT doc_id, (doc_id * 11 + y * 19 + x * 5 + c * 3) % 256 AS v
+  FROM grid WHERE doc_id % 4 = 0
+), rlepx AS (
+  -- gray replicated across the 3 channels by the palette
+  SELECT doc_id, (doc_id * 23 + ((y * 3 + x) % 7) * 31) % 256 AS v
+  FROM grid WHERE doc_id % 4 = 1
+), lzwpx AS (
+  SELECT doc_id, (doc_id * 17 + y * 13 + x * 11 + c * 7) % 256 AS v
+  FROM grid WHERE doc_id % 4 = 2
+), pbpx AS (
+  SELECT doc_id, (doc_id * 29 + (x // 3) * 37 + y) % 256 AS v
+  FROM grid WHERE doc_id % 4 = 3
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n_px, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM bmppx GROUP BY 1
+  UNION ALL
+  SELECT doc_id, COUNT(*), SUM(v), MIN(v), MAX(v) FROM rlepx GROUP BY 1
+  UNION ALL
+  SELECT doc_id, COUNT(*), SUM(v), MIN(v), MAX(v) FROM lzwpx GROUP BY 1
+  UNION ALL
+  SELECT doc_id, COUNT(*), SUM(v), MIN(v), MAX(v) FROM pbpx GROUP BY 1
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp24' WHEN 1 THEN 'bmp_rle8'
+                       WHEN 2 THEN 'tiff_lzw' ELSE 'tiff_packbits'
+       END AS fmt,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(s AS BIGINT) AS px_sum,
+       CAST(mn AS BIGINT) AS px_min,
+       CAST(mx AS BIGINT) AS px_max
+FROM stats ORDER BY doc_id
+"""
+
+register("bmp_tiff_codec_roundtrip", _BMP_TIFF_CODEC_ORACLE)(
+    _bmp_tiff_codec_spark
+)
+
+
 # --------------------------------------------------------------------------
 # HLL merge in the gate (operators/sketch.py): two half-corpus sketches
 # union+max-merged, estimated, vs the exact distinct of the union — the
