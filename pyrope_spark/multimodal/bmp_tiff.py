@@ -99,24 +99,33 @@ def _rle8_encode(px: np.ndarray) -> bytes:
 def _rle8_decode(data: bytes, h: int, w: int) -> np.ndarray:
     out = np.zeros((h, w), dtype=np.uint8)
     x, y, i, n = 0, 0, 0, len(data)
-    while i + 1 < n:
-        a, b = data[i], data[i + 1]
-        i += 2
-        if a > 0:  # encoded run
-            out[y, x : x + a] = b
-            x += a
-        elif b == 0:  # end of line
-            x, y = 0, y + 1
-        elif b == 1:  # end of bitmap
-            break
-        elif b == 2:  # delta
-            x += data[i]
-            y += data[i + 1]
+    try:
+        while i + 1 < n:
+            a, b = data[i], data[i + 1]
             i += 2
-        else:  # absolute mode: b literal indices, word-aligned
-            out[y, x : x + b] = np.frombuffer(data[i : i + b], np.uint8)
-            x += b
-            i += b + (b & 1)
+            if a > 0:  # encoded run
+                if y >= h or x + a > w:
+                    raise ValueError("BMP: RLE8 run exceeds bitmap bounds")
+                out[y, x : x + a] = b
+                x += a
+            elif b == 0:  # end of line
+                x, y = 0, y + 1
+            elif b == 1:  # end of bitmap
+                break
+            elif b == 2:  # delta
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+            else:  # absolute mode: b literal indices, word-aligned
+                if y >= h or x + b > w or i + b > n:
+                    raise ValueError("BMP: RLE8 run exceeds bitmap bounds")
+                out[y, x : x + b] = np.frombuffer(
+                    data, np.uint8, count=b, offset=i
+                )
+                x += b
+                i += b + (b & 1)
+    except IndexError as exc:
+        raise ValueError("BMP: truncated RLE8 stream") from exc
     return out[::-1]  # stored bottom-up
 
 

@@ -141,6 +141,15 @@ def test_bmp_rle8_absolute_and_delta_modes():
     assert np.array_equal(out[0, :, 0], want_top)
 
 
+def test_bmp_rle8_malformed_raises_named_errors():
+    from pyrope_spark.multimodal.bmp_tiff import _rle8_decode
+
+    with pytest.raises(ValueError, match="exceeds bitmap bounds"):
+        _rle8_decode(b"\xff\x07\x00\x01", 2, 6)  # 255-run into a 6-wide row
+    with pytest.raises(ValueError, match="exceeds bitmap bounds"):
+        _rle8_decode(b"\x00\x09\x01\x02", 1, 4)  # absolute 9 into 4-wide
+
+
 def test_bmp_rejects_exotics():
     dec = bmp_decoder()
     with pytest.raises(ValueError, match="bad magic"):
