@@ -75,11 +75,27 @@ def main() -> None:
         times.append(round(time.time() - t0, 2))
     out["sweep_100kq_nprobe3_s"] = times
     out["sweep_qps_min_n"] = round(100_000 / min(times), 0)
-    # candidate-volume check: mean probed-cluster size * nprobe per query
-    sizes = segb.groupBy("cluster_id").count()
-    row = sizes.agg({"count": "avg"}).collect()[0]
-    out["mean_cluster_rows"] = round(float(row[0]), 1)
-    out["candidates_per_query"] = round(float(row[0]) * 3, 0)
+    # candidate-volume check: mean probed-cluster ROWS * nprobe per query
+    # (size of the ids array per segment, summed per cluster — counting
+    # segment rows alone under-reports by rows_per_segment x)
+    from pyspark.sql import functions as F
+
+    sizes = (
+        segb.select("cluster_id", F.size("ids").alias("n"))
+        .groupBy("cluster_id")
+        .agg(F.sum("n").alias("rows"))
+    )
+    row = sizes.agg(
+        F.avg("rows").alias("mean"),
+        F.max("rows").alias("max"),
+        F.expr("percentile_approx(rows, 0.99)").alias("p99"),
+        F.count("*").alias("nonempty"),
+    ).collect()[0]
+    out["mean_cluster_rows"] = round(float(row["mean"]), 1)
+    out["max_cluster_rows"] = int(row["max"])
+    out["p99_cluster_rows"] = int(row["p99"])
+    out["nonempty_clusters"] = int(row["nonempty"])
+    out["candidates_per_query"] = round(float(row["mean"]) * 3, 0)
     with open("/root/repo/scale_probe_r10.json", "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
