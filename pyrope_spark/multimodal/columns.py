@@ -940,12 +940,15 @@ def mjpeg_avi_bytes(
 
 def avi_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
     """Minimal real RIFF/AVI parser: walks the top-level chunks, reads
-    (w, h, usec/frame, n) from 'avih', collects frames from the 'movi'
-    LIST.  Two real frame paths — raw RGB24 '00db' chunks
-    (:func:`raw_avi_bytes`) and MJPEG '00dc' chunks whose payload is a
-    baseline JPEG (:func:`mjpeg_avi_bytes`; decoded with the pure-numpy
-    ``multimodal.jpeg`` codec, r9 — the video analog of the r8 VERDICT
-    JPEG ask).  '00dc' frames in any OTHER codec still raise
+    (w, h, usec/frame, n) from 'avih', the stream codec from
+    'strh'/'strf', and collects frames from the 'movi' LIST.  Four real
+    frame paths — raw RGB24 '00db' chunks (:func:`raw_avi_bytes`),
+    MJPEG '00dc' chunks (baseline JPEG per frame,
+    :func:`mjpeg_avi_bytes`), MS Video 1 '00dc' chunks (fourcc
+    CRAM/MSVC/WHAM, 16-bit; ``multimodal.msvideo`` with inter-frame
+    skip blocks carried through ``prev555``), and MS-RLE '00dc' chunks
+    (``biCompression = 1``; BI_RLE8 per frame + the strf palette).
+    '00dc' frames in any OTHER codec still raise
     ``NotImplementedError`` — the honest env gate narrows to formats
     this container genuinely cannot decode.  Returns
     (frames (n, h, w, 3), fps)."""
@@ -960,11 +963,14 @@ def avi_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
         if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
             raise ValueError("not a RIFF/AVI payload")
         w = h = usec = None
+        handler = compression = None
+        palette = None
         raw_frames: list[bytes] = []
         jpg_frames: list[np.ndarray] = []
+        cmp_frames: list[bytes] = []
 
         def walk(pos: int, end: int) -> None:
-            nonlocal w, h, usec
+            nonlocal w, h, usec, handler, compression, palette
             while pos + 8 <= end:
                 cid = buf[pos:pos + 4]
                 size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
@@ -974,6 +980,20 @@ def avi_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
                 elif cid == b"avih":
                     vals = struct.unpack("<14I", buf[body_start:body_start + 56])
                     usec, w, h = vals[0], vals[8], vals[9]
+                elif cid == b"strh" and buf[body_start:body_start + 4] == b"vids":
+                    handler = buf[body_start + 4:body_start + 8]
+                elif cid == b"strf" and handler is not None and compression is None:
+                    # BITMAPINFOHEADER: biCompression at +16, palette after
+                    compression = buf[body_start + 16:body_start + 20]
+                    ncol = struct.unpack(
+                        "<I", buf[body_start + 32:body_start + 36]
+                    )[0] or 256
+                    pal_raw = buf[body_start + 40:body_start + 40 + ncol * 4]
+                    if len(pal_raw) == ncol * 4:
+                        palette = (
+                            np.frombuffer(pal_raw, np.uint8)
+                            .reshape(ncol, 4)[:, [2, 1, 0]]
+                        )  # BGRX -> RGB
                 elif cid == b"00db":
                     raw_frames.append(buf[body_start:body_start + size])
                 elif cid == b"00dc":
@@ -981,19 +1001,45 @@ def avi_decoder() -> Callable[[bytes], tuple[np.ndarray, int]]:
                     if body[:2] == b"\xff\xd8":  # MJPEG: JPEG per frame
                         jpg_frames.append(jdec(body))
                     else:
-                        raise NotImplementedError(
-                            "compressed AVI stream in a non-MJPEG codec "
-                            "needs a decoder this container does not ship "
-                            "(raw '00db' RGB24 and MJPEG '00dc' decode "
-                            "natively)"
-                        )
+                        cmp_frames.append(body)
                 pos = body_start + size + (size & 1)
 
         walk(12, min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0]))
         if w is None or usec is None:
             raise ValueError("missing avih header")
-        if jpg_frames and raw_frames:
-            raise ValueError("mixed 00db/00dc AVI stream")
+        if sum(bool(f) for f in (jpg_frames, raw_frames, cmp_frames)) > 1:
+            raise ValueError("mixed-codec AVI stream")
+        if cmp_frames:
+            comp_int = (
+                struct.unpack("<I", compression)[0] if compression else -1
+            )
+            if handler in (b"CRAM", b"MSVC", b"WHAM") or compression in (
+                b"CRAM", b"MSVC", b"WHAM",
+            ):
+                from pyrope_spark.multimodal.msvideo import (
+                    decode_msvc16_frame,
+                    rgb555_to_rgb888,
+                )
+
+                frames, prev = [], None
+                for body in cmp_frames:
+                    prev = decode_msvc16_frame(body, h, w, prev)
+                    frames.append(rgb555_to_rgb888(prev))
+                stack = np.stack(frames)
+            elif comp_int == 1 and palette is not None:  # MS-RLE (BI_RLE8)
+                from pyrope_spark.multimodal.bmp_tiff import _rle8_decode
+
+                stack = np.stack(
+                    [palette[_rle8_decode(b, h, w)] for b in cmp_frames]
+                )
+            else:
+                raise NotImplementedError(
+                    "compressed AVI stream in an unsupported codec "
+                    f"(handler={handler!r}, biCompression={compression!r}); "
+                    "raw '00db' RGB24, MJPEG, MS Video 1 (CRAM) and MS-RLE "
+                    "'00dc' decode natively"
+                )
+            return stack, 1_000_000 // usec if usec else 0
         if jpg_frames:
             stack = np.stack(jpg_frames)
         elif raw_frames:

@@ -5075,6 +5075,205 @@ FROM stats ORDER BY doc_id
 register("mixed_codec_corpus_stats", _MIXED_CODEC_ORACLE)(_mixed_codec_spark)
 
 
+def _msvc_rle_video_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-MJPEG VIDEO codecs under oracle (r10): per doc a 3-frame AVI
+    in MS Video 1 (fourcc CRAM, 16-bit RGB555 — even docs) or MS-RLE
+    (BI_RLE8 palettized — odd docs), decoded by the real avi_decoder
+    through ``multimodal/msvideo.py``.  The MSVC frames mix all three
+    intra codes (constant / 2-color checker / 8-color quadrant blocks,
+    keyed by (by+bx) % 3) and frames 1-2 reuse the even blocks of the
+    prior frame so the encoder emits genuine inter-frame SKIP runs.
+    Both codecs are lossless over these inputs (colors are 5-bit
+    formula values; the 555->888 map c*8 + c//4 is exact), so DuckDB
+    replays the pixel stats with no codec."""
+    import numpy as np
+
+    from pyrope_spark.multimodal.columns import decode_video_stats
+    from pyrope_spark.multimodal.msvideo import (
+        msrle_avi_bytes,
+        msvc_avi_bytes,
+    )
+
+    configure_for_oracle(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 32)
+    )
+    h, w, nf = 12, 16, 3
+
+    def scale5(c):
+        return c * 8 + c // 4
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:  # MS Video 1
+                    frames = np.zeros((nf, h, w, 3), dtype=np.uint8)
+                    for f in range(nf):
+                        for by in range(h // 4):
+                            for bx in range(w // 4):
+                                fe = 0 if (f > 0 and (by + bx) % 2 == 0) else f
+                                kind = (by + bx) % 3
+                                ys = slice(by * 4, by * 4 + 4)
+                                xs = slice(bx * 4, bx * 4 + 4)
+                                for ch in range(3):
+                                    if kind == 0:
+                                        v = scale5(
+                                            (d * 7 + fe * 5 + by * 3
+                                             + bx * 11 + ch * 13) % 32
+                                        )
+                                        frames[f, ys, xs, ch] = v
+                                    elif kind == 1:
+                                        a = scale5(
+                                            (d * 3 + fe * 7 + by * 31
+                                             + bx * 17 + ch * 5) % 32
+                                        )
+                                        b = scale5(
+                                            (d * 5 + fe * 11 + by * 13
+                                             + bx * 29 + ch * 7) % 32
+                                        )
+                                        chk = (
+                                            np.indices((4, 4)).sum(0) % 2
+                                        )
+                                        frames[f, ys, xs, ch] = np.where(
+                                            chk == 0, a, b
+                                        )
+                                    else:
+                                        for qy in (0, 2):
+                                            for qx in (0, 2):
+                                                a = scale5(
+                                                    (d + fe * 3 + by * 3
+                                                     + bx * 5 + qy * 7
+                                                     + qx * 11 + ch * 2) % 32
+                                                )
+                                                b = scale5(
+                                                    (d * 2 + fe + by * 5
+                                                     + bx * 7 + qy * 11
+                                                     + qx * 13 + ch * 3) % 32
+                                                )
+                                                frames[
+                                                    f,
+                                                    by * 4 + qy:by * 4 + qy + 2,
+                                                    bx * 4 + qx:bx * 4 + qx + 2,
+                                                    ch,
+                                                ] = [[a, b], [b, a]]
+                    payloads.append(msvc_avi_bytes(frames, fps=10))
+                else:  # MS-RLE
+                    y = np.arange(h)[:, None]
+                    x = np.arange(w)[None, :]
+                    idx = np.stack(
+                        [
+                            ((d + f * 3 + y * 2 + x // 2) % 16).astype(
+                                np.uint8
+                            )
+                            for f in range(nf)
+                        ]
+                    )
+                    pal = np.zeros((16, 3), dtype=np.uint8)
+                    for i in range(16):
+                        for ch in range(3):
+                            pal[i, ch] = (d * 3 + i * 37 + ch * 11) % 256
+                    payloads.append(msrle_avi_bytes(idx, pal, fps=10))
+                ids.append(str(d))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    stats = decode_video_stats(media)
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("msvc"), F.lit("msrle")),
+            (F.col("media_id").cast("long") % 2 + 1).cast("int"),
+        ).alias("fmt"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("sum_pixels").cast("long").alias("sum_pixels"),
+        F.col("peak_pixel").cast("long").alias("peak_pixel"),
+    ).orderBy("doc_id")
+
+
+_MSVC_RLE_VIDEO_ORACLE = """
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+  WHERE doc_id < 32
+), grid AS (
+  SELECT doc_id, f, by, bx, ch,
+         CASE WHEN f > 0 AND (by + bx) % 2 = 0 THEN 0 ELSE f END AS fe,
+         (by + bx) % 3 AS kind
+  FROM ids,
+       unnest(generate_series(0, 2)) AS tf(f),
+       unnest(generate_series(0, 2)) AS tby(by),
+       unnest(generate_series(0, 3)) AS tbx(bx),
+       unnest(generate_series(0, 2)) AS tch(ch)
+  WHERE doc_id % 2 = 0
+), msvc_vals AS (
+  -- kind 0: constant block, 16 px per channel
+  SELECT doc_id,
+         ((doc_id*7 + fe*5 + by*3 + bx*11 + ch*13) % 32) * 8
+           + ((doc_id*7 + fe*5 + by*3 + bx*11 + ch*13) % 32) // 4 AS v,
+         16 AS wt
+  FROM grid WHERE kind = 0
+  UNION ALL
+  -- kind 1: 2-color checker, 8 px each
+  SELECT doc_id,
+         ((doc_id*3 + fe*7 + by*31 + bx*17 + ch*5) % 32) * 8
+           + ((doc_id*3 + fe*7 + by*31 + bx*17 + ch*5) % 32) // 4, 8
+  FROM grid WHERE kind = 1
+  UNION ALL
+  SELECT doc_id,
+         ((doc_id*5 + fe*11 + by*13 + bx*29 + ch*7) % 32) * 8
+           + ((doc_id*5 + fe*11 + by*13 + bx*29 + ch*7) % 32) // 4, 8
+  FROM grid WHERE kind = 1
+  UNION ALL
+  -- kind 2: 8-color quadrants, 2 px per (quadrant, color)
+  SELECT doc_id,
+         ((doc_id + fe*3 + by*3 + bx*5 + qy*7 + qx*11 + ch*2) % 32) * 8
+           + ((doc_id + fe*3 + by*3 + bx*5 + qy*7 + qx*11 + ch*2) % 32) // 4, 2
+  FROM grid, (VALUES (0), (2)) AS tqy(qy), (VALUES (0), (2)) AS tqx(qx)
+  WHERE kind = 2
+  UNION ALL
+  SELECT doc_id,
+         ((doc_id*2 + fe + by*5 + bx*7 + qy*11 + qx*13 + ch*3) % 32) * 8
+           + ((doc_id*2 + fe + by*5 + bx*7 + qy*11 + qx*13 + ch*3) % 32) // 4, 2
+  FROM grid, (VALUES (0), (2)) AS tqy(qy), (VALUES (0), (2)) AS tqx(qx)
+  WHERE kind = 2
+), rle_vals AS (
+  SELECT doc_id,
+         (doc_id*3 + ((doc_id + f*3 + y*2 + x//2) % 16)*37 + ch*11) % 256 AS v,
+         1 AS wt
+  FROM ids,
+       unnest(generate_series(0, 2)) AS tf(f),
+       unnest(generate_series(0, 11)) AS ty(y),
+       unnest(generate_series(0, 15)) AS tx(x),
+       unnest(generate_series(0, 2)) AS tch(ch)
+  WHERE doc_id % 2 = 1
+), stats AS (
+  SELECT doc_id, SUM(v * wt) AS s, MAX(v) AS mx FROM msvc_vals GROUP BY 1
+  UNION ALL
+  SELECT doc_id, SUM(v * wt), MAX(v) FROM rle_vals GROUP BY 1
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'msvc' ELSE 'msrle' END AS fmt,
+       CAST(3 AS BIGINT) AS n_frames,
+       CAST(16 AS BIGINT) AS width,
+       CAST(12 AS BIGINT) AS height,
+       CAST(s AS BIGINT) AS sum_pixels,
+       CAST(mx AS BIGINT) AS peak_pixel
+FROM stats ORDER BY doc_id
+"""
+
+register("msvc_rle_video_stats", _MSVC_RLE_VIDEO_ORACLE)(
+    _msvc_rle_video_spark
+)
+
+
 def _bmp_tiff_codec_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMP + baseline-TIFF real-codec decode under oracle (r10): the two
     image magics that previously fell through ``auto_image_decoder`` to
