@@ -22,6 +22,7 @@ green row even though the driver's own artifact samples only 50
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -35,7 +36,7 @@ from pyrope_spark.catalog import TABLES  # noqa: E402
 from pyrope_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_T2 = "/root/testdata/sf0.01"
+SF_T2 = os.environ.get("PYROPE_GATE_SF", "/root/testdata/sf0.01")
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
