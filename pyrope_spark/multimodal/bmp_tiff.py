@@ -142,6 +142,12 @@ def bmp_decoder():
     def dec(payload: bytes) -> np.ndarray:
         if payload[:2] != b"BM":
             raise ValueError("BMP: bad magic")
+        try:
+            return _dec_body(payload)
+        except struct.error as exc:
+            raise ValueError("BMP: truncated or corrupt header") from exc
+
+    def _dec_body(payload: bytes) -> np.ndarray:
         (offset,) = struct.unpack_from("<I", payload, 10)
         (hdr_size,) = struct.unpack_from("<I", payload, 14)
         if hdr_size < 40:
@@ -462,6 +468,12 @@ def tiff_decoder():
             bo = ">"
         else:
             raise ValueError("TIFF: bad magic")
+        try:
+            return _dec_body(payload, bo)
+        except struct.error as exc:
+            raise ValueError("TIFF: truncated or corrupt header") from exc
+
+    def _dec_body(payload: bytes, bo: str) -> np.ndarray:
         (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
         (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
         tags: dict[int, tuple[int, int, int]] = {}

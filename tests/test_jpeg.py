@@ -138,9 +138,13 @@ def test_auto_decoder_dispatches_all_three_formats():
     jout = dec(encode_jpeg(rgb, quality=95, subsampling="444"))
     assert _psnr(jout, rgb) > 35
     # GIF routes to the GIF decoder (round-trip asserted in test_gif);
-    # a genuinely unknown magic (BMP) still raises
+    # BMP decodes natively since r10
+    from pyrope_spark.multimodal.bmp_tiff import encode_bmp
+
+    assert (dec(encode_bmp(rgb)) == rgb).all()
+    # a genuinely unknown magic (WebP) still raises
     with pytest.raises(ValueError, match="magic"):
-        dec(b"BM....unknown-format....")
+        dec(b"RIFF....WEBPVP8 ....")
 
 
 def test_mjpeg_avi_roundtrip_and_env_gate():
@@ -164,9 +168,11 @@ def test_mjpeg_avi_roundtrip_and_env_gate():
     exact, _ = dec(mjpeg_avi_bytes(const, quality=50))
     want = min(255, 2 * ((201 - 127) // 2) + 128)
     assert (exact == want).all()
-    # foreign codec -> env gate
-    bad = payload.replace(b"\xff\xd8", b"XV", 1)  # corrupt first magic
-    with pytest.raises(NotImplementedError, match="non-MJPEG"):
+    # foreign codec -> env gate (all frame magics corrupted; since r10
+    # non-JPEG '00dc' frames dispatch on the strh/strf codec id, and an
+    # absent/unknown id raises the named gate after the walk)
+    bad = payload.replace(b"\xff\xd8", b"XV")
+    with pytest.raises(NotImplementedError, match="unsupported codec"):
         dec(bad)
     # raw '00db' profile still decodes alongside (no regression)
     from pyrope_spark.multimodal.columns import raw_avi_bytes
@@ -265,8 +271,12 @@ def test_auto_decoder_pil_fallback_chain(monkeypatch):
     monkeypatch.setattr(columns, "pil_decoder", lambda: None)
     with pytest.raises(ValueError, match="pil_decoder"):
         auto_image_decoder()(loss)
-    with pytest.raises(ValueError, match="magic"):
+    # corrupt BMP: the native decoder's error propagates (r10 — BMP is
+    # a native format now, not an unknown magic)
+    with pytest.raises(ValueError, match="BMP"):
         auto_image_decoder()(b"BM..bitmap..")
+    with pytest.raises(ValueError, match="magic"):
+        auto_image_decoder()(b"RIFF....WEBPVP8 ....")
 
 
 def test_progressive_jpeg_decodes_via_pillow_when_installed():
