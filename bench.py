@@ -418,6 +418,8 @@ def main() -> None:
                 centroids=cents, n=N_VECTORS, dim=DIM,
             )
             res.write.format("noop").mode("overwrite").save()
+            for _dep in getattr(res, "_pyrope_cached_deps", []):
+                _dep.unpersist()
             state["cold_stats"] = st
 
         timed("cache_cold_500q_miss_compute", cache_cold)
@@ -428,6 +430,8 @@ def main() -> None:
                 centroids=cents, n=N_VECTORS, dim=DIM,
             )
             res.write.format("noop").mode("overwrite").save()
+            for _dep in getattr(res, "_pyrope_cached_deps", []):
+                _dep.unpersist()
             state["hit_stats"] = st
 
         timed("cache_hit_500q", cache_hit, repeat=3)
@@ -486,6 +490,8 @@ def main() -> None:
                 centroids=cents, n=N_VECTORS, dim=DIM,
             )
             res.write.format("noop").mode("overwrite").save()
+            for _dep in getattr(res, "_pyrope_cached_deps", []):
+                _dep.unpersist()
             state["pf_stats"] = st
 
         timed("prefetch_hit_500q", prefetch_hit, repeat=3)
@@ -535,6 +541,8 @@ def main() -> None:
                     centroids=cents, n=N_VECTORS, dim=DIM,
                 )
                 res.write.format("noop").mode("overwrite").save()
+                for _dep in getattr(res, "_pyrope_cached_deps", []):
+                    _dep.unpersist()
                 state[f"hit_stats_{lbl}"] = st
 
             timed(f"cache_hit_{label}", big_hit, repeat=rep)
@@ -587,6 +595,8 @@ def main() -> None:
                 centroids=cents, n=N_VECTORS, dim=DIM,
             )
             res.write.format("noop").mode("overwrite").save()
+            for _dep in getattr(res, "_pyrope_cached_deps", []):
+                _dep.unpersist()
             state["pf_stats_50k"] = st
 
         timed("prefetch_hit_50kq", prefetch_hit_big, repeat=3)

@@ -110,6 +110,12 @@ def prefetch_predicted(
         .select("query_id", "vector", "top_k")
     )
     hits = knn_bruteforce(vectors, q, k=k, metric=metric, impl="gemm")
+    # r10 opt (guide §1.2): hits feeds both the write_back action and the
+    # caller — without materialization the full brute-force scan ran
+    # twice (once inside write_back's parquet append, once on the
+    # returned DataFrame's first action).  The hit set is
+    # (#predicted clusters x k) rows — checkpoint it.
+    hits = hits.localCheckpoint(eager=True)
     packed = hits.groupBy("query_id").agg(
         F.concat_ws(
             ",",

@@ -118,12 +118,24 @@ def _apply_merge_fn(left: str, right: str):
     return fn
 
 
+#: ``bpe_train(impl='auto')`` collects the word-frequency table to the
+#: driver and runs the merge loop locally when the vocabulary is at most
+#: this many distinct words.  Natural-language vocabularies are bounded
+#: (even web-scale corpora stay in the low tens of millions of distinct
+#: words), so the loop's input is tiny compared to the corpus — the same
+#: bounded-collect convention as ``pq.train_pq(impl='numpy')``, where M
+#: distributed MLlib fits over a capped sample were pure scheduling
+#: overhead.  Above the cap the distributed per-iteration loop runs.
+DRIVER_VOCAB_CAP = 2_000_000
+
+
 def bpe_train(
     df: DataFrame,
     *,
     text_col: str = "text",
     num_merges: int = 20,
     min_pair_freq: int = 2,
+    impl: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` greedy BPE merges. Returns (merges, vocab):
     merges is (step, left_sym, right_sym, pair_freq) in learn order —
@@ -146,7 +158,22 @@ def bpe_train(
     vocab-bounded table where losing AQE costs nothing and lineage
     truncation is what matters.
     """
+    if impl not in ("auto", "driver", "spark"):
+        raise ValueError(f"unknown impl {impl!r}")
     spark = df.sparkSession
+    if impl in ("auto", "driver"):
+        wf = word_freqs(df, text_col=text_col)
+        if impl == "driver":
+            rows = wf.collect()
+        else:
+            # fetch cap + 1 rows: if the vocab exceeds the driver cap we
+            # fall through to the distributed loop without a second pass
+            rows = wf.limit(DRIVER_VOCAB_CAP + 1).collect()
+        if impl == "driver" or len(rows) <= DRIVER_VOCAB_CAP:
+            return _bpe_train_driver(
+                spark, rows, num_merges=num_merges,
+                min_pair_freq=min_pair_freq,
+            )
     vocab = (
         word_freqs(df, text_col=text_col)
         .select("word", "freq", _chars("word").alias("syms"))
@@ -171,6 +198,52 @@ def bpe_train(
         merges, "step long, left_sym string, right_sym string, pair_freq long"
     )
     return merges_df, vocab
+
+
+def _bpe_train_driver(
+    spark: SparkSession,
+    wf_rows,
+    *,
+    num_merges: int,
+    min_pair_freq: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-local merge loop over a collected (word, freq) table —
+    value-identical to the distributed loop (same integer pair counts,
+    same (freq desc, left asc, right asc) top-1, same ``_merge_word``
+    application), r10 opt: the distributed loop paid ~2 Spark jobs per
+    merge on a vocabulary-bounded table."""
+    from collections import Counter
+
+    vocab: list[tuple[str, int, list[str]]] = [
+        (r["word"], int(r["freq"]), list(r["word"])) for r in wf_rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        counts: Counter = Counter()
+        for _, freq, syms in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += freq
+        if not counts:
+            break
+        # top-1 by freq desc, then (left, right) asc — the distributed
+        # loop's orderBy(desc(pair_freq), asc(left), asc(right)).limit(1)
+        (left, right), pf = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < min_pair_freq:
+            break
+        merges.append((step, left, right, int(pf)))
+        vocab = [
+            (w, f, _merge_word(syms, left, right, left + right))
+            for w, f, syms in vocab
+        ]
+    merges_df = spark.createDataFrame(
+        merges, "step long, left_sym string, right_sym string, pair_freq long"
+    )
+    vocab_df = spark.createDataFrame(
+        [(w, f, syms) for w, f, syms in vocab], _VOCAB_SCHEMA
+    )
+    return merges_df, vocab_df
 
 
 def _encode_word(word: str, ranks: dict) -> list:

@@ -1381,6 +1381,7 @@ def cdc_chunk_documents(
     id_col: str = "doc_id",
     window: int = CDC_WINDOW,
     modulus: int = CDC_MODULUS,
+    mode: str = "arrow",
 ) -> DataFrame:
     """Content-defined chunking: cut where the rolling fingerprint of the
     trailing ``window`` chars hits ``fp % modulus == 0`` — so chunk
@@ -1394,12 +1395,28 @@ def cdc_chunk_documents(
     Chunk sizes are ~geometric with mean ``modulus``; no min/max bounds
     are enforced (the classic unbounded CDC — document-level outliers are
     bounded by the document itself). Docs shorter than ``window`` are one
-    chunk. Pure expression pipeline (per-position window fingerprints,
-    O(window) per char inside the scan stage, zero shuffles) with an
-    exact SQL twin: :func:`cdc_chunk_oracle_sql`.
+    chunk.
+
+    Two parity-equal paths (pytest-gated identical, the winnowing
+    discipline):
+
+    - ``mode='expr'`` — pure expression pipeline (per-position window
+      fingerprints, O(window) per char inside the scan stage, zero
+      shuffles), the engine-portable oracle twin
+      (:func:`cdc_chunk_oracle_sql`).
+    - ``mode='arrow'`` (default since r10, guide §4.2) — vectorized numpy
+      kernel: docs grouped by length per Arrow batch, window hashes via
+      ``window`` Horner folds over a 2-D codepoint matrix, chunk slicing
+      in Python (char-based, same semantics as Spark ``substring``).
+      Exact int64 arithmetic — identical cuts and chunk bytes.
 
     Output: (id, chunk_no, chunk_start, chunk_text).
     """
+    if mode == "arrow":
+        return _cdc_chunk_arrow(
+            docs, text_col=text_col, id_col=id_col, window=window,
+            modulus=modulus,
+        )
     from pyrope_spark.functions.text import char_fp_rolling
 
     w, m = window, modulus
@@ -1441,6 +1458,100 @@ def cdc_chunk_documents(
         (F.col("_c.st") + 1).cast("long").alias("chunk_start"),
         F.col("_c.tx").alias("chunk_text"),
     )
+
+
+def _cdc_chunk_arrow(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    window: int,
+    modulus: int,
+) -> DataFrame:
+    """Vectorized CDC kernel (see :func:`cdc_chunk_documents`
+    mode='arrow').  Exact int64 Horner arithmetic over codepoints —
+    acc < 1e15, acc*131 + cp stays far inside int64 — so cuts match the
+    SQL engines bit-for-bit; chunk strings come from Python char slicing,
+    which has the same character (not byte) semantics as Spark
+    ``substring``."""
+    from collections import defaultdict
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pyrope_spark.functions.text import FP_ROLL_P, FP_ROLL_R, FP_ROLL_SEED
+
+    w, m = window, modulus
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("chunk_no", T.LongType()),
+            T.StructField("chunk_start", T.LongType()),
+            T.StructField("chunk_text", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            groups: dict[int, list[tuple[int, str]]] = defaultdict(list)
+            texts = pdf["_t"].tolist()
+            for r, t in enumerate(texts):
+                if t:  # length > 0 filter, as in the expr path
+                    groups[len(t)].append((r, t))
+            out_rows: list[int] = []
+            out_no: list[int] = []
+            out_start: list[int] = []
+            out_text: list[str] = []
+            for n, members in groups.items():
+                if n >= w:
+                    codes = np.empty((len(members), n), dtype=np.int64)
+                    for j, (_, t) in enumerate(members):
+                        c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                        codes[j] = c
+                    nh = n - w + 1
+                    h = np.full(
+                        (len(members), nh), FP_ROLL_SEED, dtype=np.int64
+                    )
+                    for j in range(w):
+                        h = (h * FP_ROLL_R + codes[:, j : j + nh]) % FP_ROLL_P
+                    cut_rows, cut_idx = np.nonzero(h % m == 0)
+                else:
+                    cut_rows = np.empty(0, dtype=np.int64)
+                    cut_idx = np.empty(0, dtype=np.int64)
+                cut_lo = np.searchsorted(cut_rows, np.arange(len(members)))
+                cut_hi = np.searchsorted(
+                    cut_rows, np.arange(len(members)), side="right"
+                )
+                for j, (r, t) in enumerate(members):
+                    # window i (0-based) ends at char position i + w
+                    cuts = (cut_idx[cut_lo[j]:cut_hi[j]] + w).tolist()
+                    bounds = [0] + cuts
+                    if not cuts or cuts[-1] != n:
+                        bounds.append(n)
+                    for i in range(1, len(bounds)):
+                        out_rows.append(r)
+                        out_no.append(i)
+                        out_start.append(bounds[i - 1] + 1)
+                        out_text.append(t[bounds[i - 1]:bounds[i]])
+            if not out_rows:
+                continue
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: ids[np.asarray(out_rows)],
+                    "chunk_no": np.asarray(out_no, dtype=np.int64),
+                    "chunk_start": np.asarray(out_start, dtype=np.int64),
+                    "chunk_text": out_text,
+                }
+            )
+
+    src = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    return src.mapInPandas(run, schema)
 
 
 def cdc_chunk_oracle_sql(
@@ -1652,7 +1763,13 @@ def greedy_token_cover(
     for r in range(rounds):
         remaining = dt
         if covered is not None:
-            remaining = dt.join(covered, "tok", "left_anti")
+            # r10 opt (guide §3.1): the covered set is at most `rounds`
+            # documents' distinct tokens — tiny.  Without the hint the
+            # anti-join planned as a shuffle of the corpus-sized dt table
+            # EVERY round (size estimates for the union-of-filters lineage
+            # are hopeless); broadcasting the covered side removes all
+            # `rounds` shuffles of dt.
+            remaining = dt.join(F.broadcast(covered), "tok", "left_anti")
         gains = remaining.groupBy("did").agg(
             F.count(F.lit(1)).alias("gain")
         )

@@ -341,6 +341,61 @@ def _token_fps_py(text: str, ngram_n: int = 1) -> np.ndarray:
     return np.unique(acc)
 
 
+def token_fp_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 1,
+    out_col: str = "fp",
+) -> DataFrame:
+    """Exploded per-row-distinct shingle fingerprints: value-identical to
+    ``df.select(id_col, explode(token_fps(text_col, ngram_n)))`` — the
+    expression path's ``array_distinct`` equals :func:`_token_fps_py`'s
+    ``np.unique`` per row, and the Horner arithmetic is the same exact
+    int64 math the minhash arrow path already ships hash-green.
+
+    r10 opt (guide §4.2): the expression path runs the interpreted
+    non-codegen char-level HOF chain (split-to-chars + per-char aggregate
+    per shingle); this Arrow pass vectorizes the fold across all shingles
+    of a batch and was measured ~10x faster on the sf0.1 corpus.  Rows
+    with zero shingles (empty/NULL text, fewer than ``ngram_n`` tokens)
+    emit nothing, exactly like ``explode`` over an empty array.
+    """
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            fps_list = []
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for r, text in enumerate(pdf[text_col].tolist()):
+                fps = _token_fps_py(text, ngram_n)
+                counts[r] = len(fps)
+                if len(fps):
+                    fps_list.append(fps)
+            if not fps_list:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, counts),
+                    out_col: np.concatenate(fps_list),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
 def with_minhash(
     df: DataFrame, *, text_col: str = "text", num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = MINHASH_SEED, prefix: str = "mh", impl: str = "arrow",
@@ -1439,17 +1494,38 @@ def source_shingle_overlap(
     # both self-join sides) and each would otherwise re-run the
     # tokenize + ngram + explode + distinct pipeline over the whole
     # corpus (measured 194 s -> 28 s at 1M docs / ~29M shingles)
-    fps = docs.select(
-        F.col(group_col).alias("g"),
-        F.explode(token_fps(F.col(text_col), ngram_n)).alias("fp"),
-    ).distinct().persist()
+    # r10 opt (guide §4.2): Arrow+numpy fingerprint kernel instead of the
+    # interpreted char-level HOF chain — value-identical (token_fp_rows)
+    fps = (
+        token_fp_rows(
+            docs, id_col=group_col, text_col=text_col, ngram_n=ngram_n
+        )
+        .select(F.col(group_col).alias("g"), "fp")
+        .distinct()
+        .persist()
+    )
     sizes = fps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = fps.select(F.col("g").alias("ga"), "fp")
-    b = fps.select(F.col("g").alias("gb"), "fp")
+    # r10 opt (guide §2.4 "remove shuffles outright"): the old self-join
+    # shuffled the corpus-sized fps table TWICE (both join sides) and
+    # materialized every co-occurring (ga, gb, fp) row through a join.
+    # Per fp the qualifying pairs are exactly the unordered pairs of the
+    # fp's distinct group set, so ONE fp-keyed collect_set + an in-row
+    # pair expansion (sorted -> ga < gb for free) produces the identical
+    # (ga, gb) multiset with one exchange and no join.  Fan-out is
+    # C(groups_with_fp, 2) per fp — the same bound as the join's output.
+    gs = fps.groupBy("fp").agg(F.sort_array(F.collect_set("g")).alias("_gs"))
     inter = (
-        a.join(b, "fp")
-        .filter(F.col("ga") < F.col("gb"))
-        .groupBy("ga", "gb")
+        gs.filter(F.size("_gs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_gs, (x, i) -> "
+                    "transform(slice(_gs, i + 2, size(_gs) - i - 1), "
+                    "y -> struct(x AS ga, y AS gb))))"
+                )
+            ).alias("_p")
+        )
+        .groupBy(F.col("_p.ga").alias("ga"), F.col("_p.gb").alias("gb"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     sa = sizes.select(F.col("g").alias("ga"), F.col("n").alias("n_a"))
@@ -1743,13 +1819,19 @@ def split_leakage_audit(
             else expr.when(cond, F.lit(lab))
         )
     labeled = docs.withColumn("split", expr)
-    sh = shingle_table(
-        labeled, id_col=id_col, text_col=text_col, n=ngram_n
-    ).join(labeled.select(id_col, "split"), id_col)
-    from pyrope_spark.functions.text import char_fp_rolling
-
-    fps = sh.select(
-        id_col, "split", char_fp_rolling(F.col("shingle")).alias("fp")
+    # r10 opt (guide §4.2 + §2.4): the shingle fingerprints come from the
+    # Arrow+numpy kernel (token_fp_rows — per-doc distinct, exactly the
+    # distinct (id, shingle)->fp rows the old shingle_table+char_fp chain
+    # produced), and the split label is re-derived from the id hash
+    # directly on the fp table instead of joining the shingle table back
+    # to the labeled docs — one corpus-sized join removed, same rows.
+    # checkpoint: fps feeds BOTH sides of the semi join (train set and
+    # held-out probes) — unmaterialized, the fingerprint kernel would run
+    # twice over the corpus (re-probed: 5.6 s vs 2.0 s at sf0.1)
+    fps = (
+        token_fp_rows(docs, id_col=id_col, text_col=text_col, ngram_n=ngram_n)
+        .withColumn("split", expr)
+        .localCheckpoint(eager=True)
     )
     train_fps = (
         fps.filter(F.col("split") == labels[0]).select("fp").distinct()
@@ -1877,22 +1959,43 @@ def ngram_novelty_per_doc(
     internal persist on the result as ``_pyrope_cached_deps`` (r8
     ADVICE) for the caller to unpersist once done.
     """
-    # persist: fps feeds both the first-owner aggregate and the join
-    # back — unpersisted, the tokenize+explode+distinct pipeline runs
+    # persist: fps feeds the first-owner aggregate AND the per-doc
+    # shingle count — unpersisted, the tokenize+fingerprint pipeline runs
     # twice over the corpus (the source_shingle_overlap recompute class;
     # measured 52.7 -> 38.6 s at 1M docs / ~29M shingles)
-    fps = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_fps(F.col(text_col), ngram_n)).alias("fp"),
-    ).distinct().persist()
+    # r10 opt (guide §4.2): Arrow+numpy fingerprint kernel instead of the
+    # interpreted char-level HOF chain.  token_fp_rows is per-doc distinct
+    # by construction (np.unique == the expression path's array_distinct),
+    # and (id, fp) distinctness IS per-doc distinctness, so the global
+    # .distinct() exchange is dropped as well — value-identical rows.
+    fps = (
+        token_fp_rows(docs, id_col=id_col, text_col=text_col, ngram_n=ngram_n)
+        .select(F.col(id_col).alias("id"), "fp")
+        .persist()
+    )
+    # r10 opt (guide §2.3/§2.4): the old plan joined the corpus-sized fps
+    # table back to firsts on fp (one extra exchange of every shingle row
+    # + a shingle-sized join) and then re-aggregated the fat join output
+    # by doc.  But n_novel per doc is just the number of FIRSTS rows the
+    # doc owns — countable on the (distinct-fp)-sized firsts table — and
+    # n_shingles is a direct doc-keyed count over fps.  Two slim
+    # aggregates + one doc-sized left join produce the identical rows
+    # with the shingle-sized join and its exchange removed (plan: 4
+    # corpus-scale exchanges -> 3, join input shrunk from |shingle rows|
+    # to |docs|).
     firsts = fps.groupBy("fp").agg(F.min("id").alias("first_id"))
+    shingles_per_doc = fps.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    novel_per_doc = firsts.groupBy(F.col("first_id").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
     out = (
-        fps.join(firsts, "fp")
-        .groupBy(F.col("id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum((F.col("first_id") == F.col("id")).cast("int"))
-            .cast("long").alias("n_novel"),
+        shingles_per_doc.join(novel_per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
         )
         .withColumn(
             "novelty_ppm",

@@ -127,6 +127,81 @@ def dsir_log_ratio(
     )
 
 
+def dsir_log_ratio_self(
+    docs: DataFrame,
+    *,
+    target_pred: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Fused train-and-score for the common self-referential setup where
+    the RAW model is the full ``docs`` table and the TARGET model is the
+    rows matching ``target_pred`` (a boolean Column over ``docs``).
+
+    Value-identical to ``train_bucket_model(docs.filter(target_pred))`` +
+    ``train_bucket_model(docs)`` + ``dsir_log_ratio(docs, ...)`` — the
+    bucket counts, totals, and per-occurrence contribution terms are the
+    same numbers — but the tokenize+bigram+explode+hash pipeline runs
+    ONCE over the corpus instead of three times (r10 opt, guide §1.2):
+    the exploded feature table is persisted, both models come out of a
+    single bucket-keyed aggregate over it (c_raw = count, c_target =
+    conditional count), and scoring broadcast-joins the one counts table
+    (<= n_buckets rows) back onto the same persisted features.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("_is_t"),
+        tokens(F.col(text_col)).alias("_t"),
+    )
+    feat_arr = F.concat(F.col("_t"), word_ngrams_from_tokens(F.col("_t"), 2))
+    feats = (
+        toks.select("doc_id", "_is_t", F.explode(feat_arr).alias("_f"))
+        .select(
+            "doc_id",
+            "_is_t",
+            F.pmod(char_fp_rolling(F.col("_f")), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .persist()
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.col("_is_t").cast("int")).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").cast("long").alias("t_r"),
+        F.sum("c_t").cast("long").alias("t_t"),
+    )
+    scored = (
+        feats.join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_contrib",
+            F.log(F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + F.lit(1.0))
+            - F.log((F.col("t_t") + F.lit(n_buckets)).cast("double"))
+            - F.log(F.coalesce(F.col("c_r"), F.lit(0)).cast("double") + F.lit(1.0))
+            + F.log((F.col("t_r") + F.lit(n_buckets)).cast("double")),
+        )
+    )
+    stats = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.round(F.sum("_contrib"), 6).alias("log_ratio"),
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    out = all_docs.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_features"), F.lit(0).cast("long")).alias("n_features"),
+        "log_ratio",
+    )
+    # doc-sized result: materialize so the occurrence-sized feats blocks
+    # release before returning (the source_shingle_overlap discipline)
+    out = out.localCheckpoint(eager=True)
+    feats.unpersist()
+    return out
+
+
 def dsir_oracle_sql(
     *,
     n_buckets: int = N_BUCKETS_DEFAULT,

@@ -156,6 +156,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     join on node); wedge + closure are two hash joins whose volume the
     orientation provably caps.  No iteration, no driver state.
     """
+    # r10 opt (guide §1.2 / §5, the connected_components_star discipline):
+    # without materialization the edges subtree is inlined into the plan
+    # ~6x (degree union twice, orientation join, and transitively the
+    # three oriented consumers) — the probe measured an 842-node physical
+    # plan for the registered triangle query.  Checkpoint the two reused
+    # edge-sized tables once each; values are unchanged.
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -179,6 +186,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint(eager=True)  # consumed by wedge, closure, and e3
     )
     e2 = oriented.select(F.col("u").alias("v2"), F.col("v").alias("w"))
     wedges = oriented.join(e2, F.col("v") == F.col("v2")).select("u", "v", "w")
@@ -248,7 +256,12 @@ def kcore_peel(edges: DataFrame, k: int = 2, iters: int = 2) -> DataFrame:
     live, and the peel is the 100 TB-safe way to find it without
     iteration-to-convergence.
     """
-    alive = edges
+    # r10 opt: each round reads its surviving edge set FOUR times (degree
+    # union twice + both semi-joins), so an un-materialized loop inlines
+    # the edge lineage ~4^iters times into the final plan (probe: 298
+    # Exchange nodes for the registered 2-iter query).  Checkpoint per
+    # round — the connected_components_star discipline; values unchanged.
+    alive = edges.localCheckpoint(eager=True)
     for _ in range(iters):
         deg = (
             alive.select(F.col("a").alias("node"))
@@ -268,6 +281,7 @@ def kcore_peel(edges: DataFrame, k: int = 2, iters: int = 2) -> DataFrame:
                 F.col("b") == F.col("_kb"),
                 "left_semi",
             )
+            .localCheckpoint(eager=True)
         )
     final_deg = (
         alive.select(F.col("a").alias("node"))
@@ -387,10 +401,17 @@ def label_prop_fixed_iters(
 
     Output: (node, label BIGINT) — label is some member node id."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # r10 opt: und joins every round and lab chains round-over-round —
+    # un-materialized, the edge lineage inlined once per round and the
+    # label lineage recursively (probe: 298 Exchange nodes for the
+    # registered 3-iter query).  Checkpoint the symmetrized edge set once
+    # and each round's labels (connected_components_star discipline);
+    # values unchanged.
     und = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
     lab = nodes.select("node", F.col("node").cast("long").alias("label"))
@@ -406,6 +427,7 @@ def label_prop_fixed_iters(
             cnt.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("node", F.col("label").cast("long").alias("label"))
+            .localCheckpoint(eager=True)
         )
     return lab
 

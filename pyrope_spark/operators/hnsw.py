@@ -309,25 +309,38 @@ class NumpyHnsw:
         first = np.concatenate([[0], np.nonzero(np.diff(s_sorted))[0] + 1])
         counts = np.diff(np.concatenate([first, [len(s_sorted)]]))
         rank = np.arange(len(s_sorted)) - np.repeat(first, counts)
+        # kept preserves perm's (src asc, dist asc) order, so the second
+        # lexsort the first version ran here was an exact no-op (lexsort is
+        # stable; re-sorting an already-(src,d)-sorted array is identity) —
+        # dropped (r10 opt; profile: one full 2x|edges| lexsort removed)
         kept = perm[rank < cap]
         ks, kd = allsrc[kept], alldst[kept]
-        order = np.lexsort((d[kept], ks))
-        ks, kd = ks[order], kd[order]
         bounds = np.concatenate(
             [[0], np.nonzero(np.diff(ks))[0] + 1, [len(ks)]]
         )
         for bi in range(len(bounds) - 1):
             lo, hi = bounds[bi], bounds[bi + 1]
-            self._adj[ks[lo]][level] = [int(x) for x in kd[lo:hi]]
+            # ndarray.tolist() gives the same plain-int list as the old
+            # [int(x) for x in ...] at C speed (profile: 4.4 s -> ~0.4 s)
+            self._adj[ks[lo]][level] = kd[lo:hi].tolist()
         if rng is not None and len(nodes) > cap:
             bridges = rng.integers(0, len(nodes), (len(nodes), 2))
+            # same append order and dedup semantics as the list-scan loop,
+            # with O(1) set membership instead of O(len(adj)) list scans
+            adjsets = {
+                int(node): set(self._adj[node][level]) for node in nodes
+            }
             for li, node in enumerate(nodes):
+                node = int(node)
                 adj = self._adj[node][level]
+                aset = adjsets[node]
                 for bj in nodes[bridges[li]]:
                     bj = int(bj)
-                    if bj != node and bj not in adj:
+                    if bj != node and bj not in aset:
                         adj.append(bj)
-                        self._adj[bj][level].append(int(node))
+                        aset.add(bj)
+                        self._adj[bj][level].append(node)
+                        adjsets[bj].add(node)
 
     # ---------------------------------------------------------- distances
 

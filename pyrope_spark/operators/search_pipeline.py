@@ -188,6 +188,15 @@ def search_with_cache(
     budget = (
         {"over_budget": True, "max_scans": max_scans} if over_budget else None
     )
+    # r10 (guide §5): the cached lookup table was LEAKED — every call left
+    # `looked` (query vectors + cached_result strings, ~1 KB/row) pinned
+    # in storage, and the r10 amortized 50k/500k-query bench rows pushed
+    # the accumulated leak past the 8 GB local driver heap (full-suite
+    # bench OOMed in the cache section; isolated runs survived by luck).
+    # The result still reads `hits` through the cache, so expose the
+    # handle via the established _pyrope_cached_deps convention — callers
+    # unpersist after their final action on `result`.
+    result._pyrope_cached_deps = [looked]
     return result, SearchStats(
         hits_by_tier=tier_counts, misses=n_miss, epoch=epoch, trace_ms=trace,
         budget_adjustment=budget,

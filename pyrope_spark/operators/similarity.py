@@ -1357,6 +1357,13 @@ def embedding_norm_outliers(
             lambda acc, v: acc + v * v,
         ).alias("norm2"),
     )
+    # r10 opt (guide §1.2 "don't compute things twice"): base feeds FIVE
+    # consumers (count, median rank, dev projection, MAD rank, final
+    # output) and each re-ran the parquet scan + the interpreted
+    # per-coordinate norm2 aggregate.  The (id, norm2) projection is two
+    # longs per row — checkpoint it once; every value downstream is
+    # unchanged.
+    base = base.localCheckpoint(eager=True)
     n = base.count()
     mid = (n + 1) // 2
     med_row = (

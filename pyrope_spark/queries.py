@@ -2920,13 +2920,13 @@ register("hybrid_rrf_search", _hybrid_rrf_oracle())(_hybrid_rrf_spark)
 # --------------------------------------------------------------------------
 
 def _dsir_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyrope_spark.operators.dsir import dsir_log_ratio, train_bucket_model
+    from pyrope_spark.operators.dsir import dsir_log_ratio_self
 
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    target = train_bucket_model(docs.filter(F.col("lang") == "en"))
-    raw = train_bucket_model(docs)
-    return dsir_log_ratio(docs, target, raw)
+    # r10 opt: fused self-train-score — one tokenize pass instead of
+    # three; value-identical (see dsir_log_ratio_self)
+    return dsir_log_ratio_self(docs, target_pred=F.col("lang") == "en")
 
 
 def _dsir_oracle() -> str:
@@ -5635,13 +5635,13 @@ _DSIR_SAMPLE_N = 100
 
 def _dsir_resample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrope_spark.operators.curation import weighted_gumbel_topk
-    from pyrope_spark.operators.dsir import dsir_log_ratio, train_bucket_model
+    from pyrope_spark.operators.dsir import dsir_log_ratio_self
 
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    target = train_bucket_model(docs.filter(F.col("lang") == "en"))
-    raw = train_bucket_model(docs)
-    lr = dsir_log_ratio(docs, target, raw)
+    # r10 opt: fused self-train-score — the corpus is tokenized once
+    # instead of three times; value-identical (see dsir_log_ratio_self)
+    lr = dsir_log_ratio_self(docs, target_pred=F.col("lang") == "en")
     return weighted_gumbel_topk(
         lr, _DSIR_SAMPLE_N, weight_log_col="log_ratio"
     )
@@ -7259,7 +7259,10 @@ def _winnow_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
-    out = winnow_fingerprints(docs)
+    # r10 opt (guide §4.2): the vectorized Arrow kernel replaces the
+    # interpreted O(n*w) expression pipeline; the two modes are pinned
+    # value-identical by tests/test_passages.py (exact int64 Horner math)
+    out = winnow_fingerprints(docs, mode="arrow")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"), "gram_pos", "fp"
     )
@@ -7998,20 +8001,43 @@ _TRI_EDGES_SQL = """
 """
 
 
-def _triangle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyrope_spark.operators.graph import triangle_counts
+def _copurchase_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase part edges (a < b, same-order line pairs
+    with multiplicity >= 2) — value-identical to the lineitem self-join
+    in ``_TRI_EDGES_SQL``: each unordered LINE pair with distinct parts
+    contributes exactly one (min, max) row there (only the value-ascending
+    orientation passes pa < pb), which is exactly the sorted-array
+    position-pair expansion below.
 
-    configure_for_oracle(spark)
+    r10 opt (guide §2.4): the self-join shuffled lineitem TWICE and
+    joined; this shape is ONE order-keyed aggregate plus an in-row pair
+    expansion — order line counts are bounded (<= 7 at TPC-H shape), so
+    the per-row fan-out is C(lines, 2) <= 21, never quadratic in parts.
+    """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    y = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("_s")
+    )
+    pair_expr = (
+        "flatten(transform(_s, (x, i) -> "
+        "filter(transform(slice(_s, i + 2, greatest(size(_s) - i - 1, 0)), "
+        "y -> IF(x < y, named_struct('a', x, 'b', y), NULL)), "
+        "p -> p IS NOT NULL)))"
+    )
+    return (
+        parts.select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("a", "b")
     )
+
+
+def _triangle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrope_spark.operators.graph import triangle_counts
+
+    configure_for_oracle(spark)
+    edges = _copurchase_part_edges(spark, sf_dir)
     out = triangle_counts(edges)
     return out.select(F.col("node").cast("long").alias("node"), "n_triangles")
 
@@ -8753,16 +8779,9 @@ def _kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrope_spark.operators.graph import kcore_peel
 
     configure_for_oracle(spark)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    y = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-    )
+    # r10 opt: shared in-row pair-expansion edge builder (see
+    # _copurchase_part_edges) — value-identical to the old self-join
+    edges = _copurchase_part_edges(spark, sf_dir)
     out = kcore_peel(edges, k=2, iters=2)
     return out.select(F.col("node").cast("long").alias("node"), "deg", "in_core")
 

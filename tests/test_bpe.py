@@ -131,3 +131,23 @@ def test_bpe_encode_unseen_word_falls_back_to_chars(spark):
     unseen = spark.createDataFrame([(1, "zq")], "doc_id long, text string")
     rows = bpe_encode(unseen, merges).collect()
     assert list(rows[0].bpe_tokens) == ["z", "q"]
+
+
+def test_bpe_train_driver_matches_spark_impl(spark):
+    """r10: the driver-local merge loop (auto impl under the vocab cap)
+    must reproduce the distributed loop's merge table and final vocab
+    exactly — same pair counts, same deterministic top-1, same merge
+    application."""
+    from pyrope_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"),
+         (3, "wide wider widest wide wide wide"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    m_d, v_d = bpe_train(docs, num_merges=8, impl="driver")
+    m_s, v_s = bpe_train(docs, num_merges=8, impl="spark")
+    assert [tuple(r) for r in m_d.collect()] == [tuple(r) for r in m_s.collect()]
+    vd = {r["word"]: (r["freq"], list(r["syms"])) for r in v_d.collect()}
+    vs = {r["word"]: (r["freq"], list(r["syms"])) for r in v_s.collect()}
+    assert vd == vs

@@ -650,6 +650,32 @@ def test_cdc_chunks_reassemble_and_resync_after_edit(spark):
     assert sum(len(t) for t in t1[-shared:]) >= len(base) // 3
 
 
+def test_cdc_arrow_expr_parity(spark):
+    """The r10 vectorized CDC kernel must select the exact cut positions
+    and chunk bytes of the expression/oracle path — same discipline as
+    the winnowing mode parity test (exact int64 Horner over codepoints)."""
+    import random
+
+    from pyrope_spark.operators.curation import cdc_chunk_documents
+
+    rng = random.Random(1234)
+    texts = [
+        (i, "".join(rng.choice("abcdef gh") for _ in range(rng.randrange(0, 300))))
+        for i in range(80)
+    ]
+    texts += [(200, "x" * 7), (201, "y" * 8), (202, ""), (203, "short one")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    expr = {
+        (r["doc_id"], r["chunk_no"], r["chunk_start"], r["chunk_text"])
+        for r in cdc_chunk_documents(docs, mode="expr").collect()
+    }
+    arrow = {
+        (r["doc_id"], r["chunk_no"], r["chunk_start"], r["chunk_text"])
+        for r in cdc_chunk_documents(docs, mode="arrow").collect()
+    }
+    assert arrow == expr
+
+
 # ------------------------------------------------ blocklist phrase filter
 
 def test_blocklist_finds_all_occurrences(spark):

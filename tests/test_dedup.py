@@ -506,3 +506,38 @@ def test_ngram_novelty_first_owner_semantics(spark):
     assert out[4].n_shingles == 5
     assert out[4].n_novel == 3
     assert out[4].novelty_ppm == 3 * 10**6 // 5
+
+
+def test_token_fp_rows_matches_expression_path(spark):
+    """r10: the Arrow exploded-fingerprint kernel must produce the exact
+    (id, fp) multiset of the expression path (explode of token_fps, whose
+    array_distinct == the kernel's per-doc np.unique) for unigrams and
+    word n-grams, including empty/NULL/short-doc edge cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyrope_spark.operators.dedup import token_fp_rows, token_fps
+
+    rng = random.Random(77)
+    rows = [
+        (i, " ".join(
+            "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 6)))
+            for _ in range(rng.randrange(0, 30))
+        ))
+        for i in range(50)
+    ]
+    rows += [(100, ""), (101, None), (102, "one"), (103, "  padded  ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3):
+        expr = sorted(
+            (r["doc_id"], r["fp"])
+            for r in docs.select(
+                "doc_id", F.explode(token_fps(F.col("text"), n)).alias("fp")
+            ).collect()
+        )
+        arrow = sorted(
+            (r["doc_id"], r["fp"])
+            for r in token_fp_rows(docs, ngram_n=n).collect()
+        )
+        assert arrow == expr, f"ngram_n={n}"
