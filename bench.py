@@ -403,6 +403,19 @@ def main() -> None:
         cents = ivf_model.centroids
         cache_root = _tf.mkdtemp(prefix="bench_result_cache_")
         cache = ResultCacheTable(spark, os.path.join(cache_root, "rc"))
+        # r10 fix: pin the scenario's LOGICAL time.  The cache policy's
+        # default TTL is 60 s of wall-clock; when more than that elapsed
+        # between the cold write and the amortized 50k/500k-query hit
+        # rows (slow host, suite position), every "hit" silently became
+        # a miss and the rows brute-forced 500k queries — which is both
+        # a different scenario than the one the entry names AND an 8 GB
+        # driver OOM.  Passing one fixed `now` to every write and lookup
+        # makes freshness deterministic: the rows measure the lookup
+        # path, never TTL expiry.  (The TTL mechanism itself is pytest-
+        # covered with explicit clocks in test_cache.py.)
+        from datetime import datetime as _dt, timezone as _tz
+
+        bench_now = _dt.now(_tz.utc)
         # the reference scenario: ONE query vector repeated x500 (distinct
         # request ids — each repeat is its own request, all share the key)
         one_vec = [float(x) for x in qnp[0][1]]
@@ -415,7 +428,7 @@ def main() -> None:
         def cache_cold():
             res, st = search_with_cache(
                 vectors, rep_q, cache, k=TOP_K, metric="l2", epoch=0,
-                centroids=cents, n=N_VECTORS, dim=DIM,
+                centroids=cents, n=N_VECTORS, dim=DIM, now=bench_now,
             )
             res.write.format("noop").mode("overwrite").save()
             for _dep in getattr(res, "_pyrope_cached_deps", []):
@@ -427,7 +440,7 @@ def main() -> None:
         def cache_hit():
             res, st = search_with_cache(
                 vectors, rep_q, cache, k=TOP_K, metric="l2", epoch=0,
-                centroids=cents, n=N_VECTORS, dim=DIM,
+                centroids=cents, n=N_VECTORS, dim=DIM, now=bench_now,
             )
             res.write.format("noop").mode("overwrite").save()
             for _dep in getattr(res, "_pyrope_cached_deps", []):
@@ -465,7 +478,7 @@ def main() -> None:
         def prefetch_mat():
             prefetch_predicted(
                 vectors, rules, cents, pf_cache, k=TOP_K, metric="l2",
-                epoch=0,
+                epoch=0, now=bench_now,
             ).count()
 
         timed("prefetch_materialize", prefetch_mat)
@@ -487,7 +500,7 @@ def main() -> None:
         def prefetch_hit():
             res, st = search_with_cache(
                 vectors, pf_q, pf_cache, k=TOP_K, metric="l2", epoch=0,
-                centroids=cents, n=N_VECTORS, dim=DIM,
+                centroids=cents, n=N_VECTORS, dim=DIM, now=bench_now,
             )
             res.write.format("noop").mode("overwrite").save()
             for _dep in getattr(res, "_pyrope_cached_deps", []):
@@ -538,7 +551,7 @@ def main() -> None:
             def big_hit(q=big_q, lbl=label):
                 res, st = search_with_cache(
                     vectors, q, cache, k=TOP_K, metric="l2", epoch=0,
-                    centroids=cents, n=N_VECTORS, dim=DIM,
+                    centroids=cents, n=N_VECTORS, dim=DIM, now=bench_now,
                 )
                 res.write.format("noop").mode("overwrite").save()
                 for _dep in getattr(res, "_pyrope_cached_deps", []):
@@ -592,7 +605,7 @@ def main() -> None:
         def prefetch_hit_big():
             res, st = search_with_cache(
                 vectors, pf_big, pf_cache, k=TOP_K, metric="l2", epoch=0,
-                centroids=cents, n=N_VECTORS, dim=DIM,
+                centroids=cents, n=N_VECTORS, dim=DIM, now=bench_now,
             )
             res.write.format("noop").mode("overwrite").save()
             for _dep in getattr(res, "_pyrope_cached_deps", []):

@@ -230,6 +230,47 @@ FP_ROLL_P = 999999999999989  # prime ~1e15; acc*r + c stays far inside int64
 FP_ROLL_SEED = 7
 
 
+import re as _re
+
+# Java-regex \s (no unicode classes) — keeps Python-side tokenization
+# identical to the Spark/DuckDB expression path on ASCII corpora (the
+# dedup Arrow kernels' convention since the minhash arrow path)
+_WS_RE_PY = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def tokens_py(text: str | None) -> list[str]:
+    """Exact Python mirror of :func:`tokens` (lowercased whitespace split,
+    empties dropped) for Arrow kernels."""
+    if not text:
+        return []
+    return [t for t in _WS_RE_PY.split(text.strip().lower()) if t]
+
+
+def horner_fps_py(units: list[str]):
+    """Vectorized exact-int64 Horner fingerprints for a list of strings —
+    the Python mirror of :func:`char_fp_rolling`, one numpy fold per char
+    position (bounded by the longest unit) instead of a per-unit python
+    char loop.  Returns an int64 ndarray aligned with ``units``."""
+    import numpy as np
+
+    n = len(units)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    cps = [
+        np.frombuffer(u.encode("utf-32-le"), dtype=np.uint32) for u in units
+    ]
+    maxlen = max((len(c) for c in cps), default=0)
+    mat = np.full((n, maxlen), -1, dtype=np.int64)
+    for i, c in enumerate(cps):
+        mat[i, : len(c)] = c
+    acc = np.full(n, FP_ROLL_SEED, dtype=np.int64)
+    for j in range(maxlen):
+        col = mat[:, j]
+        live = col >= 0
+        acc[live] = (acc[live] * FP_ROLL_R + col[live]) % FP_ROLL_P
+    return acc
+
+
 def char_fp_rolling(token: Column) -> Column:
     """Horner-chain rolling hash over characters: acc = (acc*r + code) mod p,
     seeded — order-sensitive, pure integer math, identical in any engine."""

@@ -1331,7 +1331,12 @@ def ahash_neardup_pairs(
         F.expr("ahash_lo div 65536").alias("b1"),
         F.expr("ahash_hi % 65536").alias("b2"),
         F.expr("ahash_hi div 65536").alias("b3"),
-    )
+    # r10 opt (guide §1.2): bands is consumed EIGHT times (4 band joins x
+    # 2 sides), and `hashed` is typically an image decode+hash pipeline —
+    # unmaterialized, the full decode ran 8x (probe: 32 MapInPandas nodes
+    # in the registered query's plan).  The band table is 6 small columns
+    # per image; checkpoint it once.  Values unchanged.
+    ).localCheckpoint(eager=True)
     cands = None
     for b in ("b0", "b1", "b2", "b3"):
         l = bands.select(

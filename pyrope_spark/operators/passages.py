@@ -54,11 +54,74 @@ def _window_fp(shingle: Column, fingerprint: str) -> Column:
     # vocabularies (found by the brute-force reference check — 8 phantom
     # spans on a 30-doc 12-token corpus), which for THIS operator is a
     # correctness failure (false duplicate passages), not hash noise.
-    if fingerprint == "portable":
+    if fingerprint in ("portable", "portable_expr"):
+        # "portable_expr" = explicit alias kept for the kernel parity test
         return char_fp_rolling(shingle)
     if fingerprint == "xxhash64":
         return F.xxhash64(shingle)
     raise ValueError(f"unknown fingerprint mode {fingerprint!r}")
+
+
+def _window_fp_rows_arrow(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int,
+) -> DataFrame:
+    """(doc_id, pos, fp) for every stride-1 token window — value-identical
+    to the expression pipeline (tokens -> word n-grams -> posexplode ->
+    char_fp_rolling): same tokenization (``tokens_py``), same " "-joined
+    window strings, same exact int64 Horner fold (``horner_fps_py``).
+    Docs with fewer than ``window`` tokens emit nothing."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pyrope_spark.functions.text import horner_fps_py, tokens_py
+
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_field.dataType),
+            T.StructField("pos", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            units: list[str] = []
+            for r, text in enumerate(pdf[text_col].tolist()):
+                t = tokens_py(text)
+                nw = len(t) - window + 1
+                if nw <= 0:
+                    continue
+                counts[r] = nw
+                units.extend(
+                    " ".join(t[i : i + window]) for i in range(nw)
+                )
+            if not units:
+                continue
+            fps = horner_fps_py(units)
+            pos = np.concatenate(
+                [np.arange(1, c + 1) for c in counts if c > 0]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, counts),
+                    "pos": pos,
+                    "fp": fps,
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema
+    )
 
 
 def duplicate_window_positions(
@@ -82,22 +145,37 @@ def duplicate_window_positions(
         raise ValueError("window must be >= 2 tokens")
     if stride < 1:
         raise ValueError("stride must be >= 1")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
-    ).where(F.size("t") >= window)
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(word_ngrams_from_tokens(F.col("t"), window)).alias(
-            "pos0", "shingle"
-        ),
-    )
-    if stride > 1:
-        wins = wins.where(F.col("pos0") % stride == 0)
-    wins = wins.select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        _window_fp(F.col("shingle"), fingerprint).alias("fp"),
-    )
+    if fingerprint == "portable_arrow":
+        # r10: vectorized Arrow twin of the portable expression path,
+        # parity pytest-gated.  Measured at sf0.1: better min (1.5 s vs
+        # 2.7 s) but much higher variance — the docs scan yields only a
+        # few input partitions, so the Python stage runs near-serial and
+        # inherits worker-scheduling noise, while the expression path
+        # rides whole-stage codegen across all cores.  The stable
+        # expression path stays the default; callers with many input
+        # partitions can opt in.
+        wins = _window_fp_rows_arrow(
+            docs, id_col=id_col, text_col=text_col, window=window
+        )
+        if stride > 1:
+            wins = wins.where((F.col("pos") - 1) % stride == 0)
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+        ).where(F.size("t") >= window)
+        wins = toks.select(
+            "doc_id",
+            F.posexplode(word_ngrams_from_tokens(F.col("t"), window)).alias(
+                "pos0", "shingle"
+            ),
+        )
+        if stride > 1:
+            wins = wins.where(F.col("pos0") % stride == 0)
+        wins = wins.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            _window_fp(F.col("shingle"), fingerprint).alias("fp"),
+        )
     w = Window.partitionBy("fp")
     marked = wins.select(
         "doc_id",
@@ -257,10 +335,14 @@ def strip_duplicate_spans(
     shuffles total beyond the span build.
     """
     if spans is None:
+        # r10 opt (guide §1.2): the span table is consumed by the join
+        # below but its lineage (window fingerprint + two shuffles) was
+        # re-inlined per consumer branch of the strip plan; it is
+        # per-doc-few-rows — materialize it once.  Values unchanged.
         spans = duplicate_passages(
             docs, id_col=id_col, text_col=text_col, window=window,
             fingerprint=fingerprint,
-        )
+        ).localCheckpoint(eager=True)
     if cross_doc_only:
         spans = spans.where(F.col("cross_doc"))
     toks = docs.select(

@@ -263,3 +263,38 @@ def test_winnow_arrow_matches_expr(spark):
     arrow = {(r["doc_id"], r["gram_pos"], r["fp"])
              for r in winnow_fingerprints(docs, mode="arrow").collect()}
     assert arrow == expr
+
+
+def test_window_fp_arrow_matches_expression_path(spark):
+    """r10: the Arrow window-fingerprint kernel ('portable') must produce
+    the exact (doc_id, pos, fp) rows of the expression pipeline
+    ('portable_expr'), including short-doc and stride filtering."""
+    import random
+
+    from pyrope_spark.operators.passages import duplicate_window_positions
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randrange(1, 5)))
+            for _ in range(rng.randrange(0, 40))
+        ))
+        for i in range(60)
+    ]
+    rows += [(100, ""), (101, None), (102, "only three tokens here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, stride in ((4, 1), (8, 1), (4, 3)):
+        expr = sorted(
+            (r["doc_id"], r["pos"], r["fp"], r["n_occurrences"], r["cross_doc"])
+            for r in duplicate_window_positions(
+                docs, window=window, stride=stride,
+                fingerprint="portable",
+            ).collect()
+        )
+        arrow = sorted(
+            (r["doc_id"], r["pos"], r["fp"], r["n_occurrences"], r["cross_doc"])
+            for r in duplicate_window_positions(
+                docs, window=window, stride=stride, fingerprint="portable_arrow",
+            ).collect()
+        )
+        assert arrow == expr, f"window={window} stride={stride}"
