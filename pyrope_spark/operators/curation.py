@@ -1915,6 +1915,14 @@ def _pinned_splitters(
     return splitters
 
 
+#: ``global_rank(known_rows=...)`` takes the plain single-partition
+#: window shortcut when the caller proves the input is at most this many
+#: rows: below it, the distributed machinery (sampling pass + offsets
+#: pass + pid shuffle, ~3 jobs) costs strictly more than one small sort.
+#: Value-identical either way (the pinned path replicates row_number).
+GLOBAL_RANK_SMALL_ROWS = 200_000
+
+
 def global_rank(
     df: DataFrame,
     *,
@@ -1922,6 +1930,7 @@ def global_rank(
     rank_col: str = "grank",
     num_partitions: int | None = None,
     materialize: bool = True,
+    known_rows: int | None = None,
 ) -> DataFrame:
     """Distributed 1-based global rank over a TOTAL order (``order_cols``
     must be tie-free — include a unique id last) — the scalable
@@ -1950,6 +1959,16 @@ def global_rank(
     driver state is O(sample + partitions), never O(rows).
     """
     cols = [F.col(c) for c in order_cols]
+    if known_rows is not None and known_rows <= GLOBAL_RANK_SMALL_ROWS:
+        # r10 opt (guide §1.2): callers that already know the row count
+        # (they ran a count for other reasons) skip the 3-job distributed
+        # rank below this bound — one small single-partition sort instead
+        from pyspark.sql import Window as _W
+
+        w = _W.orderBy(*cols)
+        return df.withColumn(
+            rank_col, F.row_number().over(w).cast("long")
+        )
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     splitters = _pinned_splitters(df, order_cols, parts)

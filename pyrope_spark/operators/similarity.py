@@ -1367,7 +1367,8 @@ def embedding_norm_outliers(
     n = base.count()
     mid = (n + 1) // 2
     med_row = (
-        global_rank(base, order_cols=("norm2", "id"), rank_col="_r")
+        global_rank(base, order_cols=("norm2", "id"), rank_col="_r",
+                    known_rows=n)
         .filter(F.col("_r") == mid)
         .select(F.col("norm2").alias("_med"))
     )
@@ -1377,7 +1378,7 @@ def embedding_norm_outliers(
     mad_row = (
         global_rank(
             with_med.select("id", "dev"), order_cols=("dev", "id"),
-            rank_col="_r",
+            rank_col="_r", known_rows=n,
         )
         .filter(F.col("_r") == mid)
         .select(F.col("dev").alias("_mad"))

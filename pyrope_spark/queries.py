@@ -6690,12 +6690,20 @@ def _join_advice_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("user_id") % 10 < 3, F.lit(0))
         .otherwise(F.col("user_id")).alias("skey")
     )
-    rows = [
-        stats_row("orders_x_customer", orders, cust, "o_custkey", "c_custkey"),
-        stats_row("lineitem_x_part", li, part, "l_partkey", "p_partkey"),
-        stats_row("events_self_user", ev, ev, "user_id", "user_id"),
-        stats_row("events_self_skewed", skewed, skewed, "skey", "skey"),
+    # r10 opt (guide §2.6): the four candidates are independent chains of
+    # small driver actions (~16 sequential jobs); submit them from a
+    # thread pool so later candidates back-fill the cluster while earlier
+    # ones wait on their collect round-trips.  Same rows, same order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    cands = [
+        ("orders_x_customer", orders, cust, "o_custkey", "c_custkey"),
+        ("lineitem_x_part", li, part, "l_partkey", "p_partkey"),
+        ("events_self_user", ev, ev, "user_id", "user_id"),
+        ("events_self_skewed", skewed, skewed, "skey", "skey"),
     ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        rows = list(pool.map(lambda a: stats_row(*a), cands))
     stats = spark.createDataFrame(
         rows,
         "join_name string, left_rows long, right_rows long, "

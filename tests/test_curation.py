@@ -1037,3 +1037,17 @@ def test_global_rank_stable_on_aggregate_input(spark):
         F.max("grank").alias("hi"),
     ).collect()[0]
     assert stats.n == stats.d == stats.hi == 7919 and stats.lo == 1
+
+
+def test_global_rank_known_rows_shortcut_parity(spark):
+    """r10: the small-input shortcut (known_rows below the bound) must
+    return the identical ranks and dtype as the distributed path."""
+    from pyrope_spark.operators.curation import global_rank
+
+    df = spark.createDataFrame(
+        [(i * 53 % 97, i) for i in range(400)], "v long, id long"
+    ).repartition(7)
+    full = sorted(map(tuple, global_rank(df, order_cols=("v", "id")).collect()))
+    fast = global_rank(df, order_cols=("v", "id"), known_rows=400)
+    assert dict(fast.dtypes)["grank"] == "bigint"
+    assert sorted(map(tuple, fast.collect())) == full
