@@ -648,6 +648,19 @@ def main() -> None:
 
     timed(f"hnsw_bulk_build_search_{N_VECTORS}v_1shard", hnsw_bulk)
 
+    # r11 (VERDICT r10 item 7): the 1-shard row is serial by construction
+    # (8c->32c ratio 1.08) — this row proves the BUILD parallelizes: ten
+    # 10k-row shards (still above NumpyHnsw.BULK_THRESHOLD, so each task
+    # runs the same vectorized bulk build) built as ten concurrent tasks;
+    # at 8 cores the ten builds need two waves, at 32 they run in one.
+    def hnsw_bulk_10shard():
+        hnsw_partition_search(
+            vectors, queries.limit(4), k=TOP_K, metric="l2",
+            max_shard_rows=10_000, num_rows=N_VECTORS,
+        ).count()
+
+    timed(f"hnsw_bulk_build_search_{N_VECTORS}v_10shard", hnsw_bulk_10shard)
+
     # IVF-PQ: the 64x-compressed scan unit (m=8 bytes/vector vs 512 B
     # float32) — build (coarse KMeans + residual PQ codebooks + encode +
     # pack), the small-batch ADC path, and the cogrouped distributed path
@@ -1377,6 +1390,7 @@ def main() -> None:
         f"ivf_search_nprobe3_{N_VECTORS}v_q1000",
         f"ivf_dist_nprobe3_{N_VECTORS}v_q100000",
         f"hnsw_bulk_build_search_{N_VECTORS}v_1shard",
+        f"hnsw_bulk_build_search_{N_VECTORS}v_10shard",
         f"ivf_pq_build_{N_VECTORS}v_nlist100_m8",
         f"ivf_pq_nprobe3_{N_VECTORS}v_q1000",
         f"bf_sq8_byte_{N_VECTORS}v_d{DIM}_q{N_QUERIES}",
@@ -1395,6 +1409,25 @@ def main() -> None:
     # (VERDICT r7 #6): the in-suite number for these swung 1.5-3x with
     # suite position across rounds while the isolated number was stable
     min_n_pinned = ("bm25_search", "hybrid_rrf_search", "ngram_lm_score")
+    # The stdout line carries only the ~dozen BASELINE-comparable derived
+    # keys; the full derived set (36+ keys in r10) lives in BENCH_full.json.
+    # r10 lesson: the full derived dict starved the 1800-char budget and the
+    # old truncation loop emptied `queries`, blinding the driver's per-query
+    # comparator (PERF_r10: n_common=0, null geomean, empty scaling block).
+    compact_derived_keys = (
+        "bf_batch1000_qps",
+        "ivf_batch1000_qps",
+        "sq8_byte_batch1000_qps",
+        "bulk_load_vec_per_s",
+        "bf_d1024_l2_qps",
+        "bf_d1024_cosine_qps",
+        "cache_hit_qps_500kq",
+        "cache_hit_marginal_qps_500kq",
+        "cache_hit_misses_500kq",
+        "prefetch_hit_marginal_ms_per_q_50kq",
+        "prefetch_hit_misses_50kq",
+        "streaming_ingest_vec_per_s",
+    )
     compact = {
         "metric": "pyrope_spark_batch_suite_seconds",
         "value": total,
@@ -1406,12 +1439,18 @@ def main() -> None:
             if k in timings
         },
         "min_n": min_n,
-        "derived": derived,
+        "derived": {k: derived[k] for k in compact_derived_keys if k in derived},
         "sentinel": sentinel,
         "full": "BENCH_full.json",
     }
     line = json.dumps(compact)
-    # hard budget: never exceed the driver's tail-capture window again
+    # hard budget: never exceed the driver's tail-capture window. Detail
+    # sections are dropped FIRST; the headline `queries` dict is the driver's
+    # per-query contract and must be the last thing ever truncated.
+    for victim in ("sentinel", "min_n", "derived"):
+        while len(line) > 1800 and compact[victim]:
+            compact[victim].popitem()
+            line = json.dumps(compact)
     while len(line) > 1800 and compact["queries"]:
         compact["queries"].popitem()
         line = json.dumps(compact)

@@ -240,10 +240,18 @@ _WS_RE_PY = _re.compile(r"[ \t\n\x0b\f\r]+")
 
 def tokens_py(text: str | None) -> list[str]:
     """Exact Python mirror of :func:`tokens` (lowercased whitespace split,
-    empties dropped) for Arrow kernels."""
+    empties dropped) for Arrow kernels.
+
+    No ``.strip()`` (r10 ADVICE): Python ``str.strip()`` removes Unicode
+    whitespace (\\u00a0, \\u2028, ...) that the expression path's
+    ``trim()`` (spaces only) / Java ``\\s+`` split do not, so it diverged
+    on non-ASCII corpora. Leading/trailing Java-``\\s`` runs already
+    yield empty fragments that the filter drops, and ``trim``'s
+    space-stripping is subsumed by the split — the regex alone is the
+    exact mirror."""
     if not text:
         return []
-    return [t for t in _WS_RE_PY.split(text.strip().lower()) if t]
+    return [t for t in _WS_RE_PY.split(text.lower()) if t]
 
 
 def horner_fps_py(units: list[str]):

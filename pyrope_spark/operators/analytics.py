@@ -656,6 +656,13 @@ def groupwise_trend(
     )
 
 
+# in-row triple expansion bound: C(64,3) = 41,664 structs per basket row
+# (~1.3 MB) is the largest per-row array the explode path may materialize;
+# baskets beyond this take the streaming self-join path instead (the same
+# bounded-fan-out judgment the ngram_jaccard_pairs docstring records)
+FREQUENT_TRIPLES_INROW_MAX_ITEMS = 64
+
+
 def frequent_triples(
     events: DataFrame,
     *,
@@ -667,16 +674,24 @@ def frequent_triples(
     """Apriori k=3: frequent item TRIPLES with exact support counts —
     one order of pattern beyond :func:`item_association_rules`.
 
-    The Apriori monotonicity prune is implemented, not just cited:
-    items below ``min_support`` drop first (broadcast semi-join), then
-    candidate (a,b) basket-pairs are semi-joined against the FREQUENT
-    pair table before the third item extends them, and each extension
-    (b,c)/(a,c) must itself be a frequent pair. Every prune is lossless
-    (a frequent triple's sub-pairs are frequent), so the counts equal
-    the unpruned triple join the DuckDB oracle runs — while at corpus
-    scale the joins only ever carry candidates that can still reach
-    ``min_support``. Same per-basket cap discipline as the pair
-    operator (count-desc/item-asc top-N, FP-Growth-style).
+    r11 fast path (guide §2.4): when the measured max distinct-item
+    basket size is within ``FREQUENT_TRIPLES_INROW_MAX_ITEMS``, triples
+    expand IN-ROW from each basket's sorted item list (the
+    triangle_copurchase collect-and-expand pattern) into one exact
+    count aggregate — two exchanges total, no self-joins. Larger
+    baskets fall back to the streaming Apriori join chain below.
+
+    The Apriori monotonicity prune (fallback path) is implemented, not
+    just cited: items below ``min_support`` drop first (broadcast
+    semi-join), then candidate (a,b) basket-pairs are semi-joined
+    against the FREQUENT pair table before the third item extends them,
+    and each extension (b,c)/(a,c) must itself be a frequent pair.
+    Every prune is lossless (a frequent triple's sub-pairs are
+    frequent), so the counts equal the unpruned triple join the DuckDB
+    oracle runs — while at corpus scale the joins only ever carry
+    candidates that can still reach ``min_support``. Same per-basket
+    cap discipline as the pair operator (count-desc/item-asc top-N,
+    FP-Growth-style).
 
     Output: (item_a < item_b < item_c, support), support >= min_support.
     """
@@ -690,14 +705,57 @@ def frequent_triples(
                 F.col("_n").desc(), F.col("_i").asc()
             )
         )
-        baskets = (
+        kept = (
             freq.withColumn("_rk", rk)
             .filter(F.col("_rk") <= max_basket_items)
             .select("_b", "_i")
         )
+        # window partitionBy(_b) already established the _b partitioning,
+        # so this groupBy adds no exchange (guide §2.4)
+        lists = kept.groupBy("_b").agg(
+            F.sort_array(F.collect_list("_i")).alias("_is")
+        )
     else:
-        baskets = base.distinct()
+        # ONE exchange replaces distinct + regroup: collect_set is the
+        # per-basket distinct
+        lists = base.groupBy("_b").agg(
+            F.sort_array(F.collect_set("_i")).alias("_is")
+        )
+    # Baskets with < 3 distinct items cannot contribute a triple, and the
+    # prune below stays lossless under the restriction: every basket
+    # containing a triple has >= 3 items and contains each sub-pair, so
+    # pair support counted over >= 3-item baskets still upper-bounds
+    # triple support (Apriori monotonicity within the filtered corpus).
+    # r11 opt (guide §2.4/§1.2): the basket lists feed the max-size probe
+    # plus the expansion (or the join fallback), so materialize once.
+    lists = lists.filter(F.size("_is") >= 3).localCheckpoint(eager=True)
+    max_n = lists.agg(F.max(F.size("_is")).alias("m")).first()["m"] or 0
+    if max_n <= FREQUENT_TRIPLES_INROW_MAX_ITEMS:
+        # in-row C(n,3) expansion (the triangle_copurchase r10 pattern):
+        # all triples of the sorted distinct item list, ONE aggregate —
+        # no self-joins, no prune tables (the unpruned counts already
+        # equal the oracle's triple join; the prune chain existed to
+        # bound the joins this path no longer performs). Guarded by the
+        # measured max basket size so the per-row struct array stays
+        # bounded (C(64,3) = 41,664); bigger baskets take the join path.
+        tri = lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(sequence(0, size(_is) - 3),"
+                    " i -> transform(sequence(i + 1, size(_is) - 2),"
+                    " j -> transform(sequence(j + 1, size(_is) - 1),"
+                    " k -> struct(_is[i] AS item_a, _is[j] AS item_b,"
+                    " _is[k] AS item_c))))))"
+                )
+            ).alias("t")
+        ).select("t.item_a", "t.item_b", "t.item_c")
+        return (
+            tri.groupBy("item_a", "item_b", "item_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
 
+    baskets = lists.select("_b", F.explode("_is").alias("_i"))
     f1 = (
         baskets.groupBy("_i")
         .agg(F.count(F.lit(1)).alias("_ni"))
@@ -1278,14 +1336,41 @@ def lorenz_curve_deciles(
         else F.floor(F.col(value_col).cast("double") * 1_000_000).cast("long")
     )
     base = df.select(F.col(id_col).alias("id"), vm.alias("vm"))
-    ranked = global_rank(base, order_cols=("vm", "id"))
-    n_row = base.agg(F.count("*").alias("n"), F.sum("vm").alias("total"))
-    bucketed = ranked.crossJoin(F.broadcast(n_row)).select(
-        F.expr(f"(grank - 1) * {n_buckets} div n").alias("bucket"),
-        "vm",
-        "total",
+    # r11 opt (guide §1.2): base feeds THREE consumers — the (n, total)
+    # denominator aggregate and, on the distributed-rank path, the
+    # splitter-sampling pass plus the ranged pass — and each one re-ran
+    # the caller's upstream aggregation (orders -> per-customer spend for
+    # the registered query). Materialize once: the table is member-sized
+    # (callers pass per-entity aggregates), never fact-sized.
+    base = base.localCheckpoint(eager=True)
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum("vm").alias("total")
+    ).first()
+    n_rows = int(stats["n"] or 0)
+    if n_rows == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "bucket long, n_members long, bucket_value_micro long, "
+            "share_ppm long, cum_value_micro long, cum_share_ppm long",
+        )
+    # all-NULL vm leaves total NULL — keep the same NULL-propagating
+    # division the column form had
+    total = (
+        str(int(stats["total"]))
+        if stats["total"] is not None
+        else "CAST(NULL AS BIGINT)"
     )
-    per = bucketed.groupBy("bucket", "total").agg(
+    # the bounded (1-row) collect above means the count is KNOWN here, so
+    # global_rank takes its r10 known_rows shortcut below 200k members
+    # (one single-partition row_number instead of the 3-job distributed
+    # rank); n and total become literals, dropping the broadcast
+    # crossJoin the previous form paid (values identical: same n/total)
+    ranked = global_rank(base, order_cols=("vm", "id"), known_rows=n_rows)
+    bucketed = ranked.select(
+        F.expr(f"(grank - 1) * {n_buckets} div {n_rows}").alias("bucket"),
+        "vm",
+    )
+    per = bucketed.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_members"),
         F.sum("vm").cast("long").alias("bucket_value_micro"),
     )
@@ -1298,13 +1383,13 @@ def lorenz_curve_deciles(
         "bucket_value_micro",
         F.expr(
             f"CAST(CAST(bucket_value_micro AS DECIMAL(38,0)) * {scale} "
-            f"DIV total AS BIGINT)"
+            f"DIV {total} AS BIGINT)"
         ).alias("share_ppm"),
         F.sum("bucket_value_micro").over(w).cast("long").alias("cum_value_micro"),
         F.expr(
             f"CAST(CAST(sum(bucket_value_micro) OVER (ORDER BY bucket "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-            f"AS DECIMAL(38,0)) * {scale} DIV total AS BIGINT)"
+            f"AS DECIMAL(38,0)) * {scale} DIV {total} AS BIGINT)"
         ).alias("cum_share_ppm"),
     )
 

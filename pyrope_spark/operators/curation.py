@@ -359,6 +359,74 @@ def dedup_against_index(
 
 # ----------------------------------------------------------- decontamination
 
+def gram_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 4,
+    out_col: str = "_g",
+    emit_empty: bool = True,
+) -> DataFrame:
+    """Exploded per-doc DISTINCT word ``ngram_n``-gram STRINGS — value-
+    identical to ``select(id, explode_outer(array_distinct(
+    word_ngrams_from_tokens(tokens(text), n))))``: same tokenizer
+    (``tokens_py`` mirrors ``tokens()`` exactly, including the r11
+    non-ASCII-whitespace fix), same ``' '``-joined gram text, per-doc
+    first-seen dedup == ``array_distinct``.
+
+    r11 opt (guide §4.2): the expression path builds every gram through
+    the interpreted non-codegen HOF chain (``transform`` + ``concat_ws``
+    over ``element_at`` + ``array_distinct`` per doc); this Arrow pass
+    runs the same construction as plain Python string slicing per batch
+    — the same trade the fp-family kernels made in r10, except the GRAM
+    STRINGS themselves cross back (the consumers here count and join on
+    exact gram text, which keeps the DuckDB string-gram oracle twin
+    byte-identical — fingerprint transport would need a collision
+    argument the oracle cannot replay).
+
+    ``emit_empty=True`` mirrors ``explode_outer`` (a doc with no grams
+    emits one NULL-gram row); ``False`` mirrors plain ``explode``.
+    """
+    from pyspark.sql import types as T
+
+    from pyrope_spark.functions.text import tokens_py
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(out_col, T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for i, text in zip(
+                pdf[id_col].tolist(), pdf[text_col].tolist()
+            ):
+                toks = tokens_py(text)
+                if len(toks) >= ngram_n:
+                    seen = set()
+                    row_grams = []
+                    for j in range(len(toks) - ngram_n + 1):
+                        g = " ".join(toks[j: j + ngram_n])
+                        if g not in seen:
+                            seen.add(g)
+                            row_grams.append(g)
+                    ids.extend([i] * len(row_grams))
+                    grams.extend(row_grams)
+                elif emit_empty:
+                    ids.append(i)
+                    grams.append(None)
+            if ids:
+                yield pd.DataFrame({id_col: ids, out_col: grams})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,
@@ -367,6 +435,7 @@ def decontaminate(
     id_col: str = "doc_id",
     ngram_n: int = 4,
     min_overlap: int = 1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word ``ngram_n``-gram with an evaluation/benchmark corpus (the GPT-3 /
@@ -381,6 +450,16 @@ def decontaminate(
     the contamination join runs map-side inside the train scan — no shuffle
     for the join itself. The per-doc count aggregation shuffles only
     (doc_id, count) pairs after partial aggregation.
+
+    ``impl='arrow'`` (default, r11) builds the gram rows with the
+    vectorized :func:`gram_rows` kernel; ``'expr'`` keeps the expression
+    HOF chain (the oracle-twin formulation — the kernel is pinned
+    value-identical to it by pytest, same convention as cdc_chunking).
+    Gram transport stays STRING in both: the membership join and the
+    per-doc distinct-gram counts are what the query returns, so an int64
+    fingerprint switch would need a collision-freeness argument the
+    string-gram DuckDB oracle cannot replay (unlike the fp-family
+    operators whose oracles were restructured into the fp domain).
     """
 
     def grams(df: DataFrame) -> DataFrame:
@@ -393,23 +472,32 @@ def decontaminate(
             ).alias("_g"),
         )
 
-    bench_grams = grams(bench).select(F.explode("_g").alias("_g")).distinct()
+    if impl == "arrow":
+        bench_grams = gram_rows(
+            bench, id_col=id_col, text_col=text_col, ngram_n=ngram_n,
+            emit_empty=False,
+        ).select("_g").distinct()
+        train_rows = gram_rows(
+            train, id_col=id_col, text_col=text_col, ngram_n=ngram_n,
+            emit_empty=True,
+        )
+    else:
+        bench_grams = grams(bench).select(F.explode("_g").alias("_g")).distinct()
+        # explode_outer + count(_g): a doc too short to have any n-gram
+        # must still emit an (id, 0, 0, false) row, not vanish
+        train_rows = grams(train).select(
+            id_col, F.explode_outer("_g").alias("_g")
+        )
     # ONE tokenize/ngram pass: explode every train gram once, mark hits
     # with a broadcast LEFT join, and fold count + hit-sum in one (id)
     # aggregate. The previous two-branch form (hits join + a separate
     # size() branch re-joined on id) re-ran the tokenize+ngram HOFs over
     # the whole train corpus a second time (measured: 12.9 s -> this
     # form at ~6 s on the sf0.1 registered query).
-    marked = (
-        grams(train)
-        # explode_outer + count(_g): a doc too short to have any n-gram
-        # must still emit an (id, 0, 0, false) row, not vanish
-        .select(id_col, F.explode_outer("_g").alias("_g"))
-        .join(
-            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
-            on="_g",
-            how="left",
-        )
+    marked = train_rows.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+        on="_g",
+        how="left",
     )
     return (
         marked.groupBy(id_col)

@@ -190,14 +190,21 @@ def setsim_prefix_join(
     sh = raw.select(F.col(id_col), F.col(key).alias("shingle"))
     vocab = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = sh.join(vocab, "shingle").select(F.col(id_col), "shingle", "_df")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    # r11 opt (guide §2.4): per-doc set size as a count window over the
+    # SAME id partitioning the position window establishes — the separate
+    # (id) size aggregate + join paid one more corpus-sized shuffle for a
+    # value this window stage already has (vocab join is 1:1 per shingle,
+    # so the windowed count equals the per-doc shingle count exactly)
     pos = ranked.select(
         F.col(id_col),
         "shingle",
         F.row_number()
         .over(Window.partitionBy(id_col).orderBy("_df", "shingle"))
         .alias("_pos"),
-    ).join(sizes, id_col)
+        F.count(F.lit(1))
+        .over(Window.partitionBy(id_col))
+        .alias("_sz"),
+    )
     ceil_t_sz = F.expr(f"({t_num} * _sz + {t_den - 1}) DIV {t_den}")
     pref = pos.filter(F.col("_pos") <= F.col("_sz") - ceil_t_sz + F.lit(1))
     pa = pref.select(
@@ -313,7 +320,10 @@ def _token_fps_py(text: str, ngram_n: int = 1) -> np.ndarray:
     to the expression/oracle path."""
     if not text:
         return np.empty(0, dtype=np.int64)
-    toks = [t for t in _WS_RE.split(text.strip().lower()) if t]
+    # no .strip(): Python str.strip() removes Unicode whitespace the
+    # trim()/Java-\s expression path keeps (r10 ADVICE); the split +
+    # empties filter alone is the exact mirror of tokens()/tokens_sql()
+    toks = [t for t in _WS_RE.split(text.lower()) if t]
     if ngram_n <= 1:
         units = set(toks)
     elif len(toks) < ngram_n:
@@ -1015,15 +1025,16 @@ def connected_components(
     blocking, not the corpus — the giant-path worst case that motivates
     large-star/small-star (Kiveris et al., "Connected Components in
     MapReduce and Beyond") does not arise from pair-blocking output. Each
-    round caches its labels AQE-preservingly (cache+count, not
-    localCheckpoint — see minhash_lsh_pairs history) and unpersists the
-    previous round; every 8th round ADDITIONALLY localCheckpoints to
-    truncate lineage, because cache+count leaves the analyzed plan
-    growing one join layer per round and a ~15-round diameter OOMed an
-    8g driver in nested-AQE plan bookkeeping (caught by the
-    connected_components_star equivalence test; near-clique dedup graphs
-    converge in 2-4 rounds and never hit this, long-diameter graphs
-    should prefer [[connected_components_star]] outright).
+    round ``localCheckpoint(eager=True)``-s its labels — the per-round
+    discipline the graph family (kcore/LPA/triangles) adopted in r10
+    (kcore: 298 Exchanges -> 2). The earlier cache+count-with-every-8th-
+    checkpoint scheme left the analyzed plan growing one join layer per
+    round (920 Exchanges at sf0.1 for the registered dedup_groups_cc)
+    and a ~15-round diameter OOMed an 8g driver in nested-AQE plan
+    bookkeeping; per-round checkpointing bounds the plan at one round's
+    shape regardless of diameter (values unchanged — asserted by the
+    connected_components_star equivalence test; long-diameter graphs
+    should still prefer [[connected_components_star]] outright).
 
     Raises after ``max_iter`` rounds without convergence rather than
     returning partially-merged groups silently.
@@ -1034,44 +1045,37 @@ def connected_components(
         edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr"))
     )
     labels = (
-        sym.select("id").distinct().withColumn("label", F.col("id")).cache()
+        sym.select("id").distinct().withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    sym = sym.cache()
-    try:
-        for _round in range(max_iter):
-            # min label among neighbors, via the neighbor's current label
-            nbr_min = (
-                sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
-                .groupBy("id")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            nxt = (
-                labels.join(nbr_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", "label")
-                    ).alias("label"),
-                    (F.coalesce("nbr_label", "label") < F.col("label")).alias(
-                        "_chg"
-                    ),
-                )
-            ).cache()
-            changed = nxt.filter("_chg").limit(1).count()
-            labels.unpersist()
-            labels = nxt.select("id", "label")
-            if _round % 8 == 7:
-                labels = labels.localCheckpoint(eager=True)
-                nxt.unpersist()
-            if changed == 0:
-                return labels.select("id", F.col("label").alias("component"))
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter); raise max_iter"
+    sym = sym.localCheckpoint(eager=True)
+    for _round in range(max_iter):
+        # min label among neighbors, via the neighbor's current label
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
         )
-    finally:
-        sym.unpersist()
+        nxt = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "_chg"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter("_chg").limit(1).count()
+        labels = nxt.select("id", "label")
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); raise max_iter"
+    )
 
 
 def dedup_groups(
@@ -1164,12 +1168,18 @@ def containment_pairs(
         key = "_h" if chk and chk.ns == chk.nh else "shingle"
         sh = raw.select(F.col(id_col), F.col(key).alias("shingle"))
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+        # r11 opt (guide §2.4): _sz as a count window over the SAME id
+        # partitioning the position window establishes — the previous
+        # separate (id) size aggregate + join re-shuffled the corpus-
+        # sized shingle table a second time for a value the window
+        # stage already has in hand (freq join is 1:1 per shingle, so
+        # the windowed count equals the per-doc shingle count exactly)
         wpos = Window.partitionBy(id_col).orderBy("_df", "shingle")
+        wsz = Window.partitionBy(id_col)
         pref = (
             sh.join(freq, "shingle")
             .withColumn("_p", F.row_number().over(wpos))
-            .join(sz, id_col)
+            .withColumn("_sz", F.count(F.lit(1)).over(wsz))
             .filter(
                 F.col("_p")
                 <= F.expr(

@@ -54,7 +54,19 @@ def build_delta_index(
     if metric is None:
         metric = meta.metric if meta else "l2"
     store.compact()
-    live = store.live(tenant_id, index_name)
+    # r11 opt (guide §2.4): compact() just wrote the latest-wins resolved
+    # snapshot as the tail and emptied the head, so the live view here is
+    # a plain pruned tail read + tombstone filter; store.live() would
+    # re-run the whole snapshot window (a full-table shuffle) only to
+    # assign every already-unique key row_number 1
+    live = (
+        store._read(store.tail_path)
+        .filter(
+            (F.col("tenant_id") == tenant_id)
+            & (F.col("index_name") == index_name)
+        )
+        .filter(~F.col("deleted"))
+    )
     assigned, model = build_ivf(live, nlist=nlist, metric=metric)
     seg = pack_segments(
         assigned, id_col="id", vector_col="vector", cluster_col="cluster_id",

@@ -926,31 +926,57 @@ def fd_discovery_matrix(
         sp = 0
     if 0 < sp and casted.rdd.getNumPartitions() < sp:
         casted = casted.repartition(sp)
+    # r11 opt (guide §2.3): melt UNORDERED pairs only — the finest-level
+    # (pair, val_a, val_b) counts for (a, b) are the exact transpose of
+    # (b, a)'s, so k·(k−1)/2 structs per row carry the same information
+    # the old k·(k−1) melt did. Halves the explode CPU and the bytes
+    # through the corpus-scale finest exchange; both directions are
+    # re-derived AFTER that aggregate, on combo-sized data.
     pairs = []
-    for a in columns:
-        for b in columns:
-            if a == b:
-                continue
+    for ai, a in enumerate(columns):
+        for b in columns[ai + 1:]:
             pairs.append(
                 F.struct(
-                    F.lit(a).alias("det_col"),
-                    F.lit(b).alias("dep_col"),
-                    F.col(a).alias("det_val"),
-                    F.col(b).alias("dep_val"),
+                    F.lit(a).alias("ca"),
+                    F.lit(b).alias("cb"),
+                    F.col(a).alias("va"),
+                    F.col(b).alias("vb"),
                 )
             )
     melted = casted.select(
         F.explode(F.array(*pairs)).alias("p")
-    ).select("p.det_col", "p.dep_col", "p.det_val", "p.dep_val")
+    ).select("p.ca", "p.cb", "p.va", "p.vb")
     # two explicit aggregate levels instead of countDistinct: the finest
-    # (pair, det_val, dep_val) level gets FULL map-side partials (the
-    # melt collapses to distinct combos before the shuffle), and the
+    # (pair, val_a, val_b) level gets FULL map-side partials (the melt
+    # collapses to distinct combos before the shuffle), and the
     # distinct-dep fanout is then a plain count at the next level —
     # no Expand plan, no distinct machinery
-    pair_val = melted.groupBy(
-        "det_col", "dep_col", "det_val", "dep_val"
-    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    per_det = pair_val.groupBy("det_col", "dep_col", "det_val").agg(
+    pair_val = melted.groupBy("ca", "cb", "va", "vb").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    # unfold each unordered combo into its two directed readings; the
+    # per-determinant level only needs (det_col, dep_col, det_val): the
+    # fanout is the number of finest rows per group, dep_val itself is
+    # no longer needed
+    dirs = pair_val.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ca").alias("det_col"),
+                    F.col("cb").alias("dep_col"),
+                    F.col("va").alias("det_val"),
+                    F.col("_n").alias("_n"),
+                ),
+                F.struct(
+                    F.col("cb").alias("det_col"),
+                    F.col("ca").alias("dep_col"),
+                    F.col("vb").alias("det_val"),
+                    F.col("_n").alias("_n"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.det_col", "d.dep_col", "d.det_val", "d._n")
+    per_det = dirs.groupBy("det_col", "dep_col", "det_val").agg(
         F.sum("_n").cast("long").alias("_rows"),
         F.count(F.lit(1)).cast("long").alias("_fan"),
     )

@@ -1324,7 +1324,13 @@ def _delta_lifecycle_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("meta"),
         F.array().cast("array<string>").alias("tags"),
     )
-    store.upsert(ups)
+    # documented upsert fast-path knobs (the index is already registered
+    # by the add() above, the pair set is known, the count is unused) —
+    # skips three redundant full-batch jobs; merge semantics unchanged
+    store.upsert(
+        ups, touched_pairs=[("t", "i")], validate_dims=False,
+        return_count=False,
+    )
     store.delete([("t", "i", "1")])
     qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("vector")

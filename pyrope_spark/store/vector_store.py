@@ -173,14 +173,41 @@ class VectorStore:
         """Insert-only; any existing key (live OR tombstoned) is an error,
         including a key appearing twice WITHIN the input batch — the
         reference TryAdd rejects the second add of an id
-        (reference: VectorStore.TryAdd, VectorCommandSet.cs:605-615)."""
-        self._check_dims(df)
-        touched = self._touched(df)
-        in_batch = (
-            df.groupBy(*KEY_COLS).count().filter("count > 1").limit(1).collect()
+        (reference: VectorStore.TryAdd, VectorCommandSet.cs:605-615).
+
+        r11 opt (guide §1.2): ONE per-index aggregate supplies the dim
+        check, the touched-pair set, the in-batch duplicate test
+        (``count == distinct ids``, NULL counted as its own id value) AND
+        the batch row count — the previous form ran four separate
+        full-input jobs for the same facts. The offending-key lookups
+        only run on the error paths."""
+        stats = (
+            df.groupBy("tenant_id", "index_name")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                (
+                    F.countDistinct("id")
+                    + F.max(F.col("id").isNull().cast("int"))
+                ).alias("_nid"),
+                F.collect_set(F.size("vector")).alias("_dims"),
+            )
+            .collect()
         )
-        if in_batch:
-            d = in_batch[0]
+        for r in stats:
+            if len(r["_dims"]) != 1:
+                raise ValueError(
+                    f"VEC_ERR_DIM: mixed dims {sorted(r['_dims'])} in "
+                    f"{r['tenant_id']}:{r['index_name']}"
+                )
+            self.registry.get_or_create(
+                r["tenant_id"], r["index_name"], r["_dims"][0]
+            )
+        touched = sorted((r["tenant_id"], r["index_name"]) for r in stats)
+        if any(r["_n"] != r["_nid"] for r in stats):
+            d = (
+                df.groupBy(*KEY_COLS).count().filter("count > 1").limit(1)
+                .collect()
+            )[0]
             raise DuplicateIdError(
                 f"Vector already exists (duplicate in batch): "
                 f"{d['tenant_id']}:{d['index_name']}:{d['id']}"
@@ -192,7 +219,7 @@ class VectorStore:
             raise DuplicateIdError(
                 f"Vector already exists: {d['tenant_id']}:{d['index_name']}:{d['id']}"
             )
-        return self._append(df, touched)
+        return self._append(df, touched, known_n=sum(r["_n"] for r in stats))
 
     def upsert(
         self,
@@ -287,12 +314,19 @@ class VectorStore:
             self.registry.bump_epoch(*m)
         return n
 
-    def _append(self, df: DataFrame, touched: list[tuple[str, str]] | None = None) -> int:
+    def _append(
+        self,
+        df: DataFrame,
+        touched: list[tuple[str, str]] | None = None,
+        known_n: int | None = None,
+    ) -> int:
         seq = self.registry.next_seq()
         now = datetime.now(timezone.utc)
         prepped = self._prep(df, seq, now)
         prepped.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
-        n = prepped.count()
+        # known_n: callers that already counted the batch (add()'s fused
+        # pre-check aggregate) skip the post-write recount job
+        n = known_n if known_n is not None else prepped.count()
         if touched is None:
             touched = self._touched(df)
         for t, i in touched:
@@ -313,6 +347,9 @@ class VectorStore:
             .withColumn("_seq", F.lit(seq).cast("long"))
             .select(*DATA_COLS)
         )
+        # keys-sized by construction; materialize once so the write and
+        # the count don't each re-run the snapshot window + key join
+        tomb = tomb.localCheckpoint(eager=True)
         tomb.write.mode("append").partitionBy("tenant_id", "index_name").parquet(self.head_path)
         n = tomb.count()
         for t, i in {(k[0], k[1]) for k in keys}:

@@ -149,6 +149,46 @@ def test_decontaminate(spark):
     assert out[4]["n_ngrams"] == 0 and not out[4]["contaminated"]
 
 
+def test_decontaminate_arrow_matches_expr(spark):
+    """r11: the gram_rows Arrow kernel path must be value-identical to the
+    expression HOF path, including zero-gram docs, repeated grams (per-doc
+    distinct), and non-ASCII whitespace (\u00a0 / \u2028 are NOT token
+    separators on either path -- the r10 ADVICE tokenizer fix)."""
+    import random
+
+    from pyrope_spark.operators.curation import decontaminate
+
+    rng = random.Random(31)
+    words = ["alpha", "beta", "gamma", "delta", "w1", "w2", "w3"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 14))))
+        for i in range(60)
+    ]
+    rows += [
+        (100, ""),
+        (101, None),
+        (102, "xy"),
+        (103, "\u00a0alpha beta gamma delta"),
+        (104, "alpha\u2028beta gamma delta epsilon"),
+        (105, "ALPHA beta\tGAMMA delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    bench = docs.filter(F.col("doc_id") % 3 == 0)
+    for n in (2, 4):
+        got_a = sorted(
+            map(tuple, decontaminate(train, bench, ngram_n=n).collect())
+        )
+        got_e = sorted(
+            map(
+                tuple,
+                decontaminate(train, bench, ngram_n=n, impl="expr").collect(),
+            )
+        )
+        assert got_a == got_e, f"ngram_n={n}"
+
+
+
 def test_shuffle_shards_deterministic(spark):
     from pyrope_spark.operators.curation import shuffle_shards
 

@@ -528,6 +528,15 @@ def test_token_fp_rows_matches_expression_path(spark):
         for i in range(50)
     ]
     rows += [(100, ""), (101, None), (102, "one"), (103, "  padded  ")]
+    # non-ASCII whitespace rows (r10 ADVICE): \u00a0 / \u2028 are Unicode
+    # whitespace that Python str.strip() removes but trim()/Java-\\s keep --
+    # the kernels must tokenize these exactly like the expression path
+    rows += [
+        (104, "\u00a0foo bar"),
+        (105, "foo\u2028bar baz"),
+        (106, "\u00a0"),
+        (107, "\u3000a b c\td"),
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     for n in (1, 2, 3):
         expr = sorted(

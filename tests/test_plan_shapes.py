@@ -236,19 +236,29 @@ def test_hashed_features_two_keyed_aggregates_no_join(spark):
     assert final.count("HashAggregate") >= 2
 
 
-def test_frequent_triples_prunes_via_broadcast_semi_joins(spark):
-    """The Apriori prune chain must ride broadcasts (frequent items/pairs
-    are small by construction) — the basket-key joins may shuffle, the
-    prune tables must not."""
+def test_frequent_triples_prunes_via_broadcast_semi_joins(spark, monkeypatch):
+    """Small baskets take the r11 in-row expansion (no joins at all);
+    baskets beyond FREQUENT_TRIPLES_INROW_MAX_ITEMS fall back to the
+    Apriori join chain, whose prune tables must ride broadcasts — and
+    both paths must produce identical triples."""
+    from pyrope_spark.operators import analytics
     from pyrope_spark.operators.analytics import frequent_triples
 
     rows = [(b, (b * 7 + j) % 40) for b in range(400) for j in range(4)]
     df = spark.createDataFrame(rows, "bid long, item long")
     out = frequent_triples(df, basket_col="bid", item_col="item", min_support=3)
-    out.collect()
+    inrow = sorted(map(tuple, out.collect()))
     final = _final_plan(out)
-    assert "BroadcastHashJoin" in final
-    assert "LeftSemi" in final
+    assert "Join" not in final  # in-row path: aggregates only, no joins
+
+    # force the fallback join path on the same data: values must match
+    monkeypatch.setattr(analytics, "FREQUENT_TRIPLES_INROW_MAX_ITEMS", 0)
+    out2 = frequent_triples(df, basket_col="bid", item_col="item", min_support=3)
+    joined = sorted(map(tuple, out2.collect()))
+    assert joined == inrow
+    final2 = _final_plan(out2)
+    assert "BroadcastHashJoin" in final2
+    assert "LeftSemi" in final2
 
 
 def test_linkpred_no_cartesian_and_keyed_wedges(spark):
@@ -398,11 +408,25 @@ def test_decontaminate_single_tokenize_pass(spark):
         docs.filter(F.col("doc_id") >= 30),
         docs.filter(F.col("doc_id") < 30),
         ngram_n=3,
+        impl="expr",
     )
     out.write.format("noop").mode("overwrite").save()
     plan = _final_plan(out)
     assert plan.count("Generate explode") == 2  # train once + bench once
     assert "BroadcastHashJoin" in plan
+    # the r11 arrow default replaces the HOF gram build with the
+    # gram_rows kernel: one MapInPandas per side, still broadcast-joined,
+    # still a single pass over the train corpus
+    out_a = decontaminate(
+        docs.filter(F.col("doc_id") >= 30),
+        docs.filter(F.col("doc_id") < 30),
+        ngram_n=3,
+    )
+    out_a.write.format("noop").mode("overwrite").save()
+    plan_a = _final_plan(out_a)
+    assert plan_a.count("MapInPandas") == 2  # train once + bench once
+    assert "BroadcastHashJoin" in plan_a
+    assert "BatchEvalPython" not in plan_a
 
 
 def test_decontaminate_keeps_zero_gram_docs(spark):
