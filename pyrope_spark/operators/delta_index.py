@@ -74,11 +74,7 @@ def build_delta_index(
     )
     d = _index_dir(store, tenant_id, index_name)
     write_segments(seg, os.path.join(d, "segments"))
-    cent = store.spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.centroids)],
-        "cluster_id int, centroid array<double>",
-    )
-    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    _write_centroids(os.path.join(d, "centroids"), model.centroids)
     if meta is not None:
         meta.algo = "ivf_flat"
         meta.params = {"nlist": model.nlist, "rows_per_segment": rows_per_segment}
@@ -86,16 +82,59 @@ def build_delta_index(
     return model
 
 
+def _write_centroids(path: str, centroids) -> None:
+    """The centroid table is nlist-sized (hundreds of rows) — write it
+    driver-side with pyarrow instead of paying a Spark job for a 100-row
+    parquet (r11, guide §1.2: the lifecycle pays this once per build and
+    once per load; same file format, same schema, same reader)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "cluster_id": pa.array(range(len(centroids)), pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in c] for c in centroids],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+
+
+def _read_centroids(store: VectorStore, path: str):
+    """Driver-side pyarrow read of the nlist-sized centroid table; falls
+    back to a Spark read for non-local storage."""
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path).to_pydict()
+        order = sorted(
+            range(len(tbl["cluster_id"])), key=lambda i: tbl["cluster_id"][i]
+        )
+        return [tbl["centroid"][i] for i in order]
+    except (OSError, ImportError):
+        rows = (
+            store.spark.read.parquet(path).orderBy("cluster_id").collect()
+        )
+        return [r["centroid"] for r in rows]
+
+
 def load_delta_index(store: VectorStore, tenant_id: str, index_name: str) -> tuple[DataFrame, IvfModel]:
     """Reload (segments, model) — the Snapshot/Load analog (S8): everything
     is already durable parquet, so 'load' is just reads."""
     d = _index_dir(store, tenant_id, index_name)
     seg = store.spark.read.parquet(os.path.join(d, "segments"))
-    cent = store.spark.read.parquet(os.path.join(d, "centroids")).orderBy("cluster_id").collect()
+    cent = _read_centroids(store, os.path.join(d, "centroids"))
     meta = store.registry.get(tenant_id, index_name)
     metric = meta.metric if meta else "l2"
     model = IvfModel(
-        centroids=np.asarray([r["centroid"] for r in cent], dtype=np.float64),
+        centroids=np.asarray(cent, dtype=np.float64),
         metric=metric,
         nlist=len(cent),
     )

@@ -212,13 +212,22 @@ class VectorStore:
                 f"Vector already exists (duplicate in batch): "
                 f"{d['tenant_id']}:{d['index_name']}:{d['id']}"
             )
-        existing = self.snapshot(pairs=touched).select(*KEY_COLS)
-        dups = df.select(*KEY_COLS).join(existing, KEY_COLS, "inner").limit(1).collect()
-        if dups:
-            d = dups[0]
-            raise DuplicateIdError(
-                f"Vector already exists: {d['tenant_id']}:{d['index_name']}:{d['id']}"
+        # a store with no head and no tail cannot contain any key — skip
+        # the existing-key join on the fresh-store path (bulk first load)
+        if os.path.exists(self.head_path) or os.path.exists(self.tail_path):
+            existing = self.snapshot(pairs=touched).select(*KEY_COLS)
+            dups = (
+                df.select(*KEY_COLS)
+                .join(existing, KEY_COLS, "inner")
+                .limit(1)
+                .collect()
             )
+            if dups:
+                d = dups[0]
+                raise DuplicateIdError(
+                    f"Vector already exists: "
+                    f"{d['tenant_id']}:{d['index_name']}:{d['id']}"
+                )
         return self._append(df, touched, known_n=sum(r["_n"] for r in stats))
 
     def upsert(
