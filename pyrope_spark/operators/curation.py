@@ -2637,6 +2637,7 @@ def chunk_documents_strided(
     id_col: str = "doc_id",
     chunk_tokens: int = 16,
     stride: int = 8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Sliding-window chunking with overlap: windows of ``chunk_tokens``
     starting every ``stride`` tokens — the context-preserving variant of
@@ -2646,13 +2647,67 @@ def chunk_documents_strided(
 
     Window starts run while ``start < n_tokens`` with the FIRST window
     always emitted (empty docs yield nothing); the final windows may be
-    short (no padding — token counts stay honest).  Same pure-expression
-    shape as the fixed chunker: split, sequence, slice, explode — zero
-    shuffles at any corpus size.
+    short (no padding — token counts stay honest).  Zero shuffles at any
+    corpus size on either path: ``impl='arrow'`` (default, r11) runs a
+    vectorized per-batch kernel, ``'expr'`` keeps the pure-expression
+    split/sequence/slice/explode shape (the oracle-twin formulation; the
+    kernel is pytest-pinned value-identical to it).
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     c, s = chunk_tokens, stride
+    if impl == "arrow":
+        # r11 opt (guide §4.2): the expression path pays the interpreted
+        # HOF chain (transform + slice + array_join per window) per doc;
+        # this kernel is plain Python list slicing over tokens_py (the
+        # exact tokens() mirror), pinned value-identical by pytest
+        from pyspark.sql import types as T
+
+        from pyrope_spark.functions.text import tokens_py
+
+        id_field = docs.schema[id_col]
+        schema = T.StructType(
+            [
+                T.StructField(id_col, id_field.dataType),
+                T.StructField("chunk_idx", T.LongType()),
+                T.StructField("start_token", T.LongType()),
+                T.StructField("chunk_n_tokens", T.LongType()),
+                T.StructField("chunk_text", T.StringType()),
+            ]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                ids: list = []
+                idxs: list = []
+                starts: list = []
+                lens: list = []
+                texts: list = []
+                for did, text in zip(
+                    pdf[id_col].tolist(), pdf[text_col].tolist()
+                ):
+                    toks_l = tokens_py(text)
+                    for i, st in enumerate(range(0, len(toks_l), s)):
+                        piece = toks_l[st: st + c]
+                        ids.append(did)
+                        idxs.append(i)
+                        starts.append(st)
+                        lens.append(len(piece))
+                        texts.append(" ".join(piece))
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "chunk_idx": idxs,
+                            "start_token": starts,
+                            "chunk_n_tokens": lens,
+                            "chunk_text": texts,
+                        }
+                    )
+
+        return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            run, schema
+        )
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     chunks = toks.select(
         id_col,

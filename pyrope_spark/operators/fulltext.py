@@ -526,7 +526,19 @@ def bm25_prf_topk(
     if isinstance(docs_or_index, Bm25Index):
         index = docs_or_index
     else:
+        # r11 opt (guide §1.2): a lazily-built index is consumed by BOTH
+        # retrieval rounds and the feedback expansion — without
+        # materialization every consumer branch re-ran the corpus
+        # tokenize+explode+aggregate (~8 inlined subtrees). Checkpoint
+        # postings once (this IS the index build the docstring promises);
+        # termdf/stats then derive from the materialized postings.
         index = build_bm25_index(docs_or_index, text_col=text_col, id_col=id_col)
+        postings = index.postings.localCheckpoint(eager=True)
+        index = Bm25Index(
+            postings=postings,
+            termdf=postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+            stats=corpus_stats(postings),
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_text_col).alias("query_text"),

@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# in-row pair expansion bound: C(256,2) = 32,640 structs per basket row
+# (~1 MB) caps the per-row array the explode path materializes; bigger
+# baskets take the streaming self-join path (same bounded-fan-out
+# judgment as frequent_triples / ngram_jaccard_pairs)
+ITEM_PAIRS_INROW_MAX_ITEMS = 256
+
+
 def item_item_cosine_topk(
     baskets: DataFrame,
     *,
@@ -47,35 +54,83 @@ def item_item_cosine_topk(
     # dropped silently by the null-unsafe self-join below — drop them
     # explicitly so the contract is visible (advisor r5 lesson: never let
     # an inner join be the implicit NULL policy)
-    b = (
-        baskets.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
+    # r11 opt (guide §2.4): ONE groupBy(basket) collect_set replaces
+    # distinct + the 3 consumers re-running it (deg + both self-join
+    # sides); pairs expand IN-ROW from the sorted distinct item list when
+    # the measured max basket size is bounded (the frequent_triples /
+    # triangle_copurchase pattern), falling back to the streaming
+    # self-join for adversarial basket sizes. Values unchanged.
+    lists = (
+        baskets.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+        )
         .na.drop(subset=["_bk", "_it"])
-        .distinct()
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_set("_it")).alias("_is"))
     )
     if max_basket_size is not None:
-        bsz = b.groupBy("_bk").agg(F.count("*").alias("_n"))
-        b = b.join(bsz.filter(F.col("_n") <= max_basket_size), "_bk").drop("_n")
-    deg = b.groupBy("_it").agg(F.count("*").alias("_deg"))
-    la = b.select(F.col("_bk"), F.col("_it").alias("_ia"))
-    lb = b.select(F.col("_bk"), F.col("_it").alias("_ib"))
-    pairs = (
-        la.join(lb, "_bk")
-        .filter(F.col("_ia") < F.col("_ib"))
-        .groupBy("_ia", "_ib")
-        .agg(F.count("*").alias("_c"))
+        # == the old distinct-count-per-basket cap: _is is the distinct set
+        lists = lists.filter(F.size("_is") <= max_basket_size)
+    lists = lists.localCheckpoint(eager=True)
+    max_n = lists.agg(F.max(F.size("_is")).alias("m")).first()["m"] or 0
+    deg = (
+        lists.select(F.explode("_is").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_deg"))
     )
+    if max_n <= ITEM_PAIRS_INROW_MAX_ITEMS:
+        # size >= 2: singleton baskets feed deg but have no pairs (and
+        # sequence(0, -1) would generate a DESCENDING range, not empty)
+        pairs = (
+            lists.filter(F.size("_is") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(0, size(_is) - 2),"
+                        " i -> transform(sequence(i + 1, size(_is) - 1),"
+                        " j -> struct(_is[i] AS _ia, _is[j] AS _ib))))"
+                    )
+                ).alias("p")
+            )
+            .select("p._ia", "p._ib")
+            .groupBy("_ia", "_ib")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+    else:
+        b = lists.select("_bk", F.explode("_is").alias("_it"))
+        la = b.select(F.col("_bk"), F.col("_it").alias("_ia"))
+        lb = b.select(F.col("_bk"), F.col("_it").alias("_ib"))
+        pairs = (
+            la.join(lb, "_bk")
+            .filter(F.col("_ia") < F.col("_ib"))
+            .groupBy("_ia", "_ib")
+            .agg(F.count("*").alias("_c"))
+        )
     scored = (
         pairs.join(deg.select(F.col("_it").alias("_ia"), F.col("_deg").alias("_da")), "_ia")
         .join(deg.select(F.col("_it").alias("_ib"), F.col("_deg").alias("_db")), "_ib")
         .withColumn("_s", F.expr("_c * _c * 1000000 DIV (_da * _db)"))
     )
+    # one pass emits both orientations — the unionByName form re-ran the
+    # pairs aggregate + deg joins once per branch (guide §1.2)
     sym = scored.select(
-        F.col("_ia").alias("item"), F.col("_ib").alias("neighbor"), "_c", "_s"
-    ).unionByName(
-        scored.select(
-            F.col("_ib").alias("item"), F.col("_ia").alias("neighbor"), "_c", "_s"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ia").alias("item"),
+                    F.col("_ib").alias("neighbor"),
+                    F.col("_c").alias("_c"),
+                    F.col("_s").alias("_s"),
+                ),
+                F.struct(
+                    F.col("_ib").alias("item"),
+                    F.col("_ia").alias("neighbor"),
+                    F.col("_c").alias("_c"),
+                    F.col("_s").alias("_s"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.item", "_p.neighbor", "_p._c", "_p._s")
     w = Window.partitionBy("item").orderBy(
         F.col("_s").desc(), F.col("_c").desc(), F.col("neighbor")
     )

@@ -1788,9 +1788,13 @@ def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # r11 opt (guide §1.2): the simhash table feeds BOTH sides of the
+    # blocked self-join inside simhash_pairs — un-materialized, the Arrow
+    # simhash kernel re-hashed the whole corpus once per side (2
+    # MapInPandas nodes in the r10 plan). (id, simhash) is 16 bytes/doc.
     sh = with_simhash_text(docs.select("doc_id", "text")).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col("simhash")
-    )
+    ).localCheckpoint(eager=True)
     pairs = simhash_pairs(sh, id_col="doc_id", max_hamming=2, prefix_bits=4)
     return pairs.select(
         F.col("ia").cast("long").alias("ia"),

@@ -149,6 +149,43 @@ def test_decontaminate(spark):
     assert out[4]["n_ngrams"] == 0 and not out[4]["contaminated"]
 
 
+def test_chunk_strided_arrow_matches_expr(spark):
+    """r11: the strided-chunk Arrow kernel must be value-identical to the
+    expression path (short docs, empty/NULL text, non-ASCII whitespace,
+    final short windows)."""
+    import random
+
+    from pyrope_spark.operators.curation import chunk_documents_strided
+
+    rng = random.Random(53)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(40)}" for _ in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    rows += [
+        (100, ""),
+        (101, None),
+        (102, "one"),
+        (103, "\u00a0lead unicode\u2028space mix here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for c, st in ((16, 8), (4, 2), (5, 5)):
+        got_a = sorted(map(tuple, chunk_documents_strided(
+            docs, chunk_tokens=c, stride=st).collect()))
+        got_e = sorted(map(tuple, chunk_documents_strided(
+            docs, chunk_tokens=c, stride=st, impl="expr").collect()))
+        assert got_a == got_e, f"chunk={c} stride={st}"
+        # same column names/dtypes (nullability flags may differ; the
+        # driver's dtype-sensitive compare is over collected values)
+        sa = chunk_documents_strided(docs, chunk_tokens=c, stride=st).schema
+        se = chunk_documents_strided(
+            docs, chunk_tokens=c, stride=st, impl="expr"
+        ).schema
+        assert [(f.name, f.dataType) for f in sa.fields] == [
+            (f.name, f.dataType) for f in se.fields
+        ]
+
+
 def test_decontaminate_arrow_matches_expr(spark):
     """r11: the gram_rows Arrow kernel path must be value-identical to the
     expression HOF path, including zero-gram docs, repeated grams (per-doc

@@ -138,3 +138,26 @@ def test_als_cold_start_rows_dropped(spark):
     )
     out = model.transform(test).collect()
     assert {r["user_id"] for r in out} == {0}
+
+
+def test_item_item_cosine_inrow_matches_join_path(spark, monkeypatch):
+    """r11: the in-row pair expansion must produce exactly the join path's
+    neighbors (singleton baskets feed degrees but no pairs; duplicate
+    (basket, item) rows collapse)."""
+    import random
+
+    from pyrope_spark.operators import recommend
+    from pyrope_spark.operators.recommend import item_item_cosine_topk
+
+    rng = random.Random(9)
+    rows = [
+        (b, rng.randrange(15))
+        for b in range(80)
+        for _ in range(rng.randrange(1, 6))
+    ]
+    rows += [(200, 3)]  # singleton basket
+    baskets = spark.createDataFrame(rows, "basket_id long, item_id long")
+    inrow = sorted(map(tuple, item_item_cosine_topk(baskets, k=4).collect()))
+    monkeypatch.setattr(recommend, "ITEM_PAIRS_INROW_MAX_ITEMS", 0)
+    joined = sorted(map(tuple, item_item_cosine_topk(baskets, k=4).collect()))
+    assert inrow == joined and len(inrow) > 0
