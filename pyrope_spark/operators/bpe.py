@@ -128,6 +128,15 @@ def _apply_merge_fn(left: str, right: str):
 #: overhead.  Above the cap the distributed per-iteration loop runs.
 DRIVER_VOCAB_CAP = 2_000_000
 
+#: Second gate on the auto driver path (r10 ADVICE): a row count alone
+#: lets ~2M Row objects with long words through (hundreds of MB of
+#: driver heap + hundreds of millions of merge-loop interpreter steps).
+#: The auto path now probes (count, sum(length(word))) with one cheap
+#: vocab-bounded aggregate BEFORE collecting and takes the driver loop
+#: only when BOTH are under budget; 48M chars ≈ 2M words x 24 chars,
+#: a few hundred MB of Rows worst-case — inside an 8g driver with room.
+DRIVER_VOCAB_CHARS_CAP = 48_000_000
+
 
 def bpe_train(
     df: DataFrame,
@@ -164,14 +173,24 @@ def bpe_train(
     if impl in ("auto", "driver"):
         wf = word_freqs(df, text_col=text_col)
         if impl == "driver":
-            rows = wf.collect()
-        else:
-            # fetch cap + 1 rows: if the vocab exceeds the driver cap we
-            # fall through to the distributed loop without a second pass
-            rows = wf.limit(DRIVER_VOCAB_CAP + 1).collect()
-        if impl == "driver" or len(rows) <= DRIVER_VOCAB_CAP:
             return _bpe_train_driver(
-                spark, rows, num_merges=num_merges,
+                spark, wf.collect(), num_merges=num_merges,
+                min_pair_freq=min_pair_freq,
+            )
+        # cheap 1-row probe before any collect (r10 ADVICE): gate the
+        # driver path on BOTH distinct-word count and total word bytes,
+        # so an adversarial vocabulary (huge count OR huge words) falls
+        # through to the distributed loop without shipping Rows first
+        probe = wf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("word")).alias("chars"),
+        ).first()
+        if (
+            int(probe["n"] or 0) <= DRIVER_VOCAB_CAP
+            and int(probe["chars"] or 0) <= DRIVER_VOCAB_CHARS_CAP
+        ):
+            return _bpe_train_driver(
+                spark, wf.collect(), num_merges=num_merges,
                 min_pair_freq=min_pair_freq,
             )
     vocab = (

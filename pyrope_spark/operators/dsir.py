@@ -172,7 +172,14 @@ def dsir_log_ratio_self(
     )
     totals = counts.agg(
         F.sum("c_r").cast("long").alias("t_r"),
-        F.sum("c_t").cast("long").alias("t_t"),
+        # nullif: the UN-fused composition aggregates target totals over
+        # the target-only counts table, which is EMPTY when target_pred
+        # matches no rows (or only token-less docs) — its t_t is NULL and
+        # poisons every contribution to NULL log_ratio. The fused
+        # conditional sum would yield 0 there; 0 cannot otherwise occur
+        # (per-bucket counts are >= 1), so mapping 0 -> NULL reproduces
+        # the composition exactly (r10 ADVICE).
+        F.nullif(F.sum("c_t").cast("long"), F.lit(0)).alias("t_t"),
     )
     scored = (
         feats.join(F.broadcast(counts), "bucket")

@@ -195,8 +195,12 @@ def search_with_cache(
     # bench OOMed in the cache section; isolated runs survived by luck).
     # The result still reads `hits` through the cache, so expose the
     # handle via the established _pyrope_cached_deps convention — callers
-    # unpersist after their final action on `result`.
-    result._pyrope_cached_deps = [looked]
+    # unpersist after their final action on `result`. APPEND (r10 ADVICE):
+    # an assignment would clobber deps attached by upstream stages riding
+    # on the same DataFrame object.
+    result._pyrope_cached_deps = getattr(
+        result, "_pyrope_cached_deps", []
+    ) + [looked]
     return result, SearchStats(
         hits_by_tier=tier_counts, misses=n_miss, epoch=epoch, trace_ms=trace,
         budget_adjustment=budget,

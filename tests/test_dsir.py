@@ -71,3 +71,31 @@ def test_empty_doc_kept_with_null_ratio(spark):
     assert out[2].n_features == 0 and out[2].log_ratio is None
     assert out[3].n_features == 0 and out[3].log_ratio is None
     assert out[1].n_features == 3  # a, b, "a b"
+
+
+def test_self_fused_empty_target_matches_composition(spark):
+    """r11 (r10 ADVICE): when target_pred matches zero docs, the un-fused
+    composition's target totals aggregate over an EMPTY counts table (NULL
+    t_t) and every log_ratio is NULL — the fused path must reproduce that,
+    not emit finite scores from t_t=0."""
+    from pyrope_spark.operators.dsir import (
+        dsir_log_ratio,
+        dsir_log_ratio_self,
+        train_bucket_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    pred = F.col("doc_id") < 0  # matches nothing
+    fused = {
+        r.doc_id: r
+        for r in dsir_log_ratio_self(docs, target_pred=pred).collect()
+    }
+    tm = train_bucket_model(docs.filter(pred))
+    rm = train_bucket_model(docs)
+    comp = {r.doc_id: r for r in dsir_log_ratio(docs, tm, rm).collect()}
+    assert set(fused) == set(comp) == {1, 2}
+    for d in (1, 2):
+        assert fused[d].log_ratio is None and comp[d].log_ratio is None
+        assert fused[d].n_features == comp[d].n_features
