@@ -179,7 +179,20 @@ def bm25_topk(
             stats=corpus_stats(postings),
         )
     else:
+        # r11 opt (guide §1.2): the inline-built index feeds THREE plan
+        # branches (termdf aggregate, corpus stats, the scored join) and
+        # each re-ran the corpus tokenize+explode un-materialized.
+        # Checkpoint postings once — the one-shot analog of
+        # write_bm25_index's persisted layout.
         index = build_bm25_index(docs_or_index, text_col=text_col, id_col=id_col)
+        postings0 = index.postings.localCheckpoint(eager=True)
+        index = Bm25Index(
+            postings=postings0,
+            termdf=postings0.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            ),
+            stats=corpus_stats(postings0),
+        )
     postings, termdf, stats = index.postings, index.termdf, index.stats
 
     qterms = queries.select(
