@@ -2209,12 +2209,17 @@ def quantile_normalize(
     ranked = df.withColumn("_n", F.count(F.lit(1)).over(n_w)).withColumn(
         "_r", F.row_number().over(r_w)
     )
+    # r11: the pooled-total count was already paid below for the index
+    # arithmetic — computing it FIRST lets global_rank take its r10
+    # known_rows shortcut (one single-partition row_number instead of the
+    # 3-job distributed rank) below the 200k-row bound (§1.2)
+    big_n = df.count()
     pooled = global_rank(
         df.select(F.col(value_col).alias("_pv"), F.col(id_col).alias("_pid2")),
         order_cols=("_pv", "_pid2"),
         rank_col="pool_idx",
+        known_rows=big_n,
     ).select("pool_idx", "_pv")
-    big_n = df.count()
     mapped = ranked.withColumn(
         "pool_idx",
         F.expr(f"(_r * {big_n}L + _n - 1) div _n").cast("long"),
@@ -2467,7 +2472,17 @@ def vocab_coverage_curve(
         .agg(F.count("*").cast("long").alias("freq"))
         .withColumn("_negfreq", -F.col("freq"))
     )
-    ranked = global_rank(counts, order_cols=("_negfreq", "term"))
+    # r11 (§1.2): the rank's distributed path reads its input twice
+    # (splitter sampling + the ranged pass) and the final aggregate once
+    # more — un-materialized, each consumer re-ran the corpus tokenize +
+    # explode + aggregate. Checkpoint the type-cardinality table once;
+    # the (now cheap) count feeds global_rank's known_rows shortcut
+    # below 200k types.
+    counts = counts.localCheckpoint(eager=True)
+    n_types = counts.count()
+    ranked = global_rank(
+        counts, order_cols=("_negfreq", "term"), known_rows=n_types
+    )
     aggs = [
         F.sum("freq").cast("long").alias("total_tokens"),
         F.count("*").cast("long").alias("total_types"),
