@@ -544,8 +544,13 @@ def test_streaming_neardup_to_corpus(spark, tmp_path):
             [(i, t, t0) for i, t in rows], "doc_id long, text string, ts string"
         ).select("doc_id", "text", F.col("ts").cast("timestamp"))
 
+    # coalesce(1): each logical batch must land as ONE file — a
+    # multi-file write can straddle two micro-batches under load, and
+    # then the in-flight smaller-id-wins assertion races arrival order
+    # (12 accepted first -> 11 drops as its dup; one representative
+    # still survives, but not the one this test pins)
     b1 = df([(1, base), (2, "one two three four five six seven eight")])
-    b1.write.mode("append").parquet(str(src))
+    b1.coalesce(1).write.mode("append").parquet(str(src))
     stream = spark.readStream.schema(df([(0, "x")]).schema).parquet(str(src))
     q = streaming_neardup_to_corpus(
         stream, corpus, index, str(tmp_path / "nd_ckpt"),
@@ -557,7 +562,7 @@ def test_streaming_neardup_to_corpus(spark, tmp_path):
             (11, "cat dog bird fish mouse horse cow hen"),   # new
             (12, "cat dog bird fish mouse horse cow pig"),   # in-flight near-dup of 11
         ])
-        b2.write.mode("append").parquet(str(src))
+        b2.coalesce(1).write.mode("append").parquet(str(src))
         q.processAllAvailable()
     finally:
         q.stop()
